@@ -1,0 +1,37 @@
+"""mbb_emcee_tpu: TPU-native modified-blackbody SED fitting.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of aconley/mbb_emcee:
+  * greybody SED model (opacity term, optically-thick pivot, Wien-side
+    power-law merge) as a pure, vmappable function
+  * filter-response band integration via fixed-node quadrature
+  * Gaussian likelihood with covariance + box limits + Gaussian priors
+  * JAX-native affine-invariant stretch-move ensemble sampler (whole-ensemble
+    update = one XLA step; chains HBM-resident)
+  * derived-quantity posteriors (L_IR, dust mass, peak wavelength) as batched
+    on-device quadrature / optimization over stored chains
+  * HDF5 persistence with round-trip loading
+
+See SURVEY.md for the reference layer map this mirrors.
+"""
+
+from mbb_emcee_tpu.constants import PARAM_NAMES, NPARAMS
+from mbb_emcee_tpu.models.modified_blackbody import mbb_fnu, log_mbb_fnu, ModifiedBlackbody
+from mbb_emcee_tpu.models.cosmology import Cosmology, luminosity_distance
+from mbb_emcee_tpu.response import Response, ResponseSet
+from mbb_emcee_tpu.likelihood import Photometry, LikelihoodSpec, build_lnprob
+from mbb_emcee_tpu.sampler import EnsembleSampler, SamplerState
+from mbb_emcee_tpu.fitter import MBBFitter
+from mbb_emcee_tpu.results import MBBResults
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "PARAM_NAMES", "NPARAMS",
+    "mbb_fnu", "log_mbb_fnu", "ModifiedBlackbody",
+    "Cosmology", "luminosity_distance",
+    "Response", "ResponseSet",
+    "Photometry", "LikelihoodSpec", "build_lnprob",
+    "EnsembleSampler", "SamplerState",
+    "MBBFitter", "MBBResults",
+    "__version__",
+]

@@ -1,0 +1,170 @@
+"""Command-line driver.
+
+Rebuild of the reference's run_mbb_emcee script (ref: repo-root CLI,
+SURVEY.md C8 -- reconstructed option surface): positional photometry file +
+output HDF5, sampler geometry, model-shape flags, per-parameter limits /
+priors / initial values / fixing, covariance file, instrument-response mode,
+and derived-quantity switches.
+
+Usage example:
+    run_mbb_emcee_tpu phot.txt fit.h5 -z 2.2 --nwalkers 250 -b 100 -n 500 \
+        --get-lir --get-dustmass --get-peaklambda
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from mbb_emcee_tpu.constants import PARAM_NAMES
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="run_mbb_emcee_tpu",
+        description="Fit a modified blackbody to photometry with a "
+                    "TPU-native affine-invariant MCMC ensemble sampler.")
+    p.add_argument("photfile", help="text photometry: '[band] wave_um "
+                                    "flux_mJy unc_mJy' per line")
+    p.add_argument("outfile", help="output HDF5 file")
+
+    g = p.add_argument_group("sampler")
+    g.add_argument("-w", "--nwalkers", type=int, default=250)
+    g.add_argument("-b", "--burn", type=int, default=50,
+                   help="burn-in steps (default 50)")
+    g.add_argument("-n", "--nsteps", type=int, default=250,
+                   help="production steps per walker (default 250)")
+    g.add_argument("--thin", type=int, default=1,
+                   help="record every THIN-th step")
+    g.add_argument("--no-recenter-burn", action="store_true",
+                   help="skip the re-center-on-best-walker re-burn phase")
+    g.add_argument("--seed", type=int, default=1234)
+    g.add_argument("--stretch-a", type=float, default=2.0,
+                   help="stretch-move scale parameter a (default 2)")
+    g.add_argument("--nthreads", type=int, default=None,
+                   help="accepted for reference compatibility; ignored "
+                        "(walker parallelism is on-device)")
+
+    g = p.add_argument_group("model")
+    g.add_argument("--opthin", action="store_true",
+                   help="optically thin model (drops lambda0)")
+    g.add_argument("--noalpha", action="store_true",
+                   help="no Wien-side power-law merge (drops alpha)")
+    g.add_argument("--wavenorm", type=float, default=500.0,
+                   help="observer-frame normalization wavelength, um")
+
+    g = p.add_argument_group("parameters",
+                             f"PARAM is one of {', '.join(PARAM_NAMES)}")
+    g.add_argument("--initval", nargs=2, action="append", default=[],
+                   metavar=("PARAM", "VALUE"))
+    g.add_argument("--initscatter", nargs=2, action="append", default=[],
+                   metavar=("PARAM", "SCATTER"))
+    g.add_argument("--lowlim", nargs=2, action="append", default=[],
+                   metavar=("PARAM", "VALUE"))
+    g.add_argument("--uplim", nargs=2, action="append", default=[],
+                   metavar=("PARAM", "VALUE"))
+    g.add_argument("--fixed", nargs=2, action="append", default=[],
+                   metavar=("PARAM", "VALUE"))
+    g.add_argument("--prior", nargs=3, action="append", default=[],
+                   metavar=("PARAM", "MEAN", "SIGMA"),
+                   help="Gaussian prior")
+
+    g = p.add_argument_group("data")
+    g.add_argument("--covfile", default=None,
+                   help="FITS file with a photometric covariance matrix")
+    g.add_argument("--covextn", type=int, default=0,
+                   help="FITS extension of the covariance (default 0)")
+    g.add_argument("--cov-is-total", action="store_true",
+                   help="covariance already includes diag(unc^2)")
+    g.add_argument("--responsefile", default=None,
+                   help="filter list file ('band spec' lines) enabling "
+                        "response-integrated fluxes")
+    g.add_argument("--responsedir", default=None,
+                   help="directory filter files are relative to")
+    g.add_argument("--photon-counter", action="store_true",
+                   help="photon-counting detector convention for responses")
+
+    g = p.add_argument_group("derived quantities")
+    g.add_argument("-z", "--redshift", type=float, default=None)
+    g.add_argument("--cosmology", default="WMAP9",
+                   help="named cosmology (WMAP5/7/9, Planck13/15/18)")
+    g.add_argument("--lumdist", type=float, default=None,
+                   help="explicit luminosity distance in Mpc (overrides "
+                        "cosmology)")
+    g.add_argument("--get-lir", action="store_true",
+                   help="compute L_IR(8-1000um rest) posterior")
+    g.add_argument("--lir-wavemin", type=float, default=8.0)
+    g.add_argument("--lir-wavemax", type=float, default=1000.0)
+    g.add_argument("--get-dustmass", action="store_true")
+    g.add_argument("--kappa", type=float, default=2.64,
+                   help="dust opacity m^2/kg (default 2.64)")
+    g.add_argument("--kappa-wave", type=float, default=125.0,
+                   help="rest wavelength of kappa, um (default 125)")
+    g.add_argument("--get-peaklambda", action="store_true")
+    g.add_argument("--derived-thin", type=int, default=1,
+                   help="thin factor for derived-quantity chains")
+
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    # Import lazily so --help works instantly (no JAX init).
+    from mbb_emcee_tpu.fitter import MBBFitter
+    from mbb_emcee_tpu.results import MBBResults
+    from mbb_emcee_tpu.response import ResponseSet
+    from mbb_emcee_tpu.likelihood import param_index
+
+    responses = None
+    if args.responsefile is not None:
+        responses = ResponseSet.from_file(
+            args.responsefile, dir=args.responsedir,
+            photon_counter=args.photon_counter)
+
+    fit = MBBFitter(nwalkers=args.nwalkers, photfile=args.photfile,
+                    wavenorm=args.wavenorm, noalpha=args.noalpha,
+                    opthin=args.opthin, responses=responses,
+                    seed=args.seed, a=args.stretch_a)
+    if args.covfile is not None:
+        fit.read_cov(args.covfile, args.covextn, args.cov_is_total)
+
+    for param, v in args.initval:
+        fit.set_param_init(param, float(v))
+    for param, v in args.initscatter:
+        fit.set_param_init(param, fit._init[param_index(param)],
+                           scatter=float(v))
+    for param, v in args.lowlim:
+        fit.set_lowlim(param, float(v))
+    for param, v in args.uplim:
+        fit.set_uplim(param, float(v))
+    for param, v in args.fixed:
+        fit.fix_param(param, float(v))
+    for param, m, s in args.prior:
+        fit.set_gaussian_prior(param, float(m), float(s))
+
+    if args.verbose:
+        print(f"Running fit: {args.nwalkers} walkers, burn={args.burn}, "
+              f"steps={args.nsteps}, thin={args.thin}")
+    fit.run(nburn=args.burn, nsteps=args.nsteps, thin=args.thin,
+            recenter_burn=not args.no_recenter_burn, verbose=args.verbose)
+
+    res = MBBResults(fit=fit, redshift=args.redshift,
+                     cosmology=args.cosmology, lumdist=args.lumdist)
+    if args.get_lir:
+        res.compute_lir(args.lir_wavemin, args.lir_wavemax,
+                        thin=args.derived_thin)
+    if args.get_dustmass:
+        res.compute_dustmass(args.kappa, args.kappa_wave,
+                             thin=args.derived_thin)
+    if args.get_peaklambda:
+        res.compute_peaklambda(thin=args.derived_thin)
+
+    res.writeToHDF5(args.outfile)
+    print(res)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,291 @@
+"""Fit orchestration: data ingest, priors/limits/fixed params, burn-in
+protocol, production run.
+
+Rebuild of the reference's mbb_fitter (ref: mbb_emcee/mbb_fit.py --
+reconstructed, SURVEY.md C4). The host side is deliberately THIN: it builds
+the likelihood closure and launches jitted device phases; the burn-in ->
+re-center-on-best-walker -> re-burn -> reset -> production protocol of the
+reference is preserved, with each phase a single on-device loop.
+
+Parameters are observer frame: theta = (T/(1+z), beta, lambda0*(1+z),
+alpha, fnorm), exactly as the reference samples them. `nthreads` is accepted
+for API familiarity and ignored -- walker parallelism is vmap on device, not
+a multiprocessing pool.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mbb_emcee_tpu.constants import PARAM_NAMES, NPARAMS
+from mbb_emcee_tpu.models.modified_blackbody import MBBShape
+from mbb_emcee_tpu.likelihood import (
+    Photometry, LikelihoodSpec, build_lnprob, param_index,
+    DEFAULT_LOWER, DEFAULT_UPPER)
+from mbb_emcee_tpu.sampler import (
+    EnsembleSampler, make_initial_ball, autocorrelation_time)
+from mbb_emcee_tpu.response import ResponseSet
+
+# Default initial guess and ball scatter (observer frame), narrowed or
+# overridden via set_param_init / an explicit p0. [MED] reconstruction of the
+# reference defaults; the recenter-burn makes the fit insensitive to them.
+DEFAULT_INIT = np.array([12.0, 2.0, 250.0, 4.0, 40.0])
+DEFAULT_SCATTER = np.array([2.0, 0.3, 50.0, 0.8, 8.0])
+
+
+class MBBFitter:
+    def __init__(self, nwalkers=250, photfile=None, covfile=None, covextn=0,
+                 wavenorm=500.0, noalpha=False, opthin=False,
+                 responses: "ResponseSet | None" = None,
+                 nthreads=None, seed=1234, a=2.0, dtype=jnp.float32):
+        del nthreads  # walker parallelism is on-device (see module docstring)
+        self.nwalkers = int(nwalkers)
+        self.shape = MBBShape(opthin=bool(opthin), noalpha=bool(noalpha),
+                              wavenorm=float(wavenorm))
+        self.a = float(a)
+        self.dtype = dtype
+        self.seed = int(seed)
+        self.responses = responses
+
+        self._spec = LikelihoodSpec.default()
+        self._init = DEFAULT_INIT.copy()
+        self._scatter = DEFAULT_SCATTER.copy()
+        self.phot: Photometry | None = None
+
+        # Run products (populated by run()).
+        self.free_space = None
+        self.chain_free = None      # (nrec, nwalkers, nfree) device array
+        self.lnprobability = None   # (nrec, nwalkers)
+        self.burn_chain_free = None
+        self.acceptance_fraction = None
+        self.thin = 1
+
+        if photfile is not None:
+            self.read_data(photfile)
+        if covfile is not None:
+            if self.phot is None:
+                raise ValueError("covfile given without photometry")
+            self.phot.read_cov(covfile, covextn=covextn)
+
+    # -- data ingest ------------------------------------------------------------
+    def read_data(self, photfile):
+        """Load text photometry (ref: mbb_fitter.read_data)."""
+        self.phot = Photometry.from_file(photfile)
+        return self
+
+    def set_data(self, wave, flux, unc, cov=None, band_names=None):
+        self.phot = Photometry(wave, flux, unc, cov=cov,
+                               band_names=band_names)
+        return self
+
+    def read_cov(self, covfile, covextn=0, is_total=False):
+        self._require_data().read_cov(covfile, covextn, is_total)
+        return self
+
+    def set_phot_upperlimits(self, mask):
+        """Flag bands whose flux column is an upper limit."""
+        mask = np.asarray(mask, bool)
+        if mask.size != self._require_data().nbands:
+            raise ValueError("upper-limit mask length mismatch")
+        self._spec = _replace(self._spec, uplim_bands=mask)
+        return self
+
+    def _require_data(self) -> Photometry:
+        if self.phot is None:
+            raise RuntimeError("no photometry loaded; call read_data/set_data")
+        return self.phot
+
+    # -- parameter-space configuration -------------------------------------------
+    def set_lowlim(self, param, value):
+        """(ref: mbb_fitter.set_lowlim)"""
+        i = param_index(param)
+        lo = self._spec.lower.copy()
+        lo[i] = float(value)
+        self._spec = _replace(self._spec, lower=lo)
+        return self
+
+    def set_uplim(self, param, value):
+        i = param_index(param)
+        hi = self._spec.upper.copy()
+        hi[i] = float(value)
+        self._spec = _replace(self._spec, upper=hi)
+        return self
+
+    def fix_param(self, param, value=None):
+        """Fix a parameter (at `value`, or its current initial value).
+        Unlike the reference's identical-walker trick, fixed params are
+        REMOVED from the sampling space (statistically cleaner; SURVEY.md
+        'hard parts')."""
+        i = param_index(param)
+        fixed = self._spec.fixed.copy()
+        fv = self._spec.fixed_values.copy()
+        fixed[i] = True
+        fv[i] = float(value) if value is not None else float(self._init[i])
+        self._spec = _replace(self._spec, fixed=fixed, fixed_values=fv)
+        return self
+
+    def unfix_param(self, param):
+        i = param_index(param)
+        fixed = self._spec.fixed.copy()
+        fixed[i] = False
+        self._spec = _replace(self._spec, fixed=fixed)
+        return self
+
+    def set_gaussian_prior(self, param, mean, sigma):
+        """(ref: mbb_fitter.set_gaussian_prior)"""
+        i = param_index(param)
+        pm = self._spec.prior_mean.copy()
+        ps = self._spec.prior_isigma.copy()
+        pm[i] = float(mean)
+        if sigma <= 0:
+            raise ValueError("prior sigma must be positive")
+        ps[i] = 1.0 / float(sigma)
+        self._spec = _replace(self._spec, prior_mean=pm, prior_isigma=ps)
+        return self
+
+    def set_param_init(self, param, value, scatter=None):
+        i = param_index(param)
+        self._init[i] = float(value)
+        if scatter is not None:
+            self._scatter[i] = float(scatter)
+        return self
+
+    @property
+    def spec(self) -> LikelihoodSpec:
+        return self._effective_spec()
+
+    def _effective_spec(self) -> LikelihoodSpec:
+        """Apply the model-shape implied fixing: opthin drops lambda0,
+        noalpha drops alpha (ref: mbb_fitter constructor behavior)."""
+        spec = self._spec
+        fixed = spec.fixed.copy()
+        fv = spec.fixed_values.copy()
+        if self.shape.opthin and not fixed[2]:
+            fixed[2] = True
+            fv[2] = self._init[2]
+        if self.shape.noalpha and not fixed[3]:
+            fixed[3] = True
+            fv[3] = self._init[3]
+        return _replace(spec, fixed=fixed, fixed_values=fv)
+
+    # -- likelihood --------------------------------------------------------------
+    def _response_pack(self):
+        phot = self._require_data()
+        if self.responses is None:
+            return None
+        if phot.band_names is None:
+            raise ValueError("response mode requires named photometry bands")
+        return self.responses.pack(phot.band_names)
+
+    def build(self):
+        """Build (lnprob, free_space, sampler). Called by run(); exposed for
+        tests and benchmarking."""
+        spec = self._effective_spec()
+        lnprob, free_space = build_lnprob(
+            self._require_data(), self.shape, spec,
+            response_pack=self._response_pack(), dtype=self.dtype)
+        sampler = EnsembleSampler(self.nwalkers, free_space.nfree, lnprob,
+                                  a=self.a, dtype=self.dtype)
+        return lnprob, free_space, sampler
+
+    def __call__(self, params):
+        """lnprob at a FULL 5-parameter vector (ref: mbb_fitter.__call__).
+        Fixed-parameter values in `params` override the configured ones for
+        this evaluation (the box/priors still apply)."""
+        params = np.asarray(params, dtype=np.float64)
+        if params.shape != (NPARAMS,):
+            raise ValueError(f"expected {NPARAMS}-vector")
+        spec = self._effective_spec()
+        open_spec = _replace(
+            spec, fixed=np.zeros(NPARAMS, bool),
+            fixed_values=np.zeros(NPARAMS))
+        lnprob, _ = build_lnprob(self._require_data(), self.shape, open_spec,
+                                 response_pack=self._response_pack(),
+                                 dtype=self.dtype)
+        return float(lnprob(jnp.asarray(params, self.dtype)))
+
+    # -- the run -------------------------------------------------------------------
+    def run(self, nburn=50, nsteps=250, thin=1, p0=None,
+            recenter_burn=True, verbose=False):
+        """Burn-in -> re-center on best burn-in sample -> re-burn -> reset ->
+        production (ref: mbb_fitter.run protocol, SURVEY.md section 3.1).
+
+        Stores the production chain device-resident; wrap in MBBResults for
+        analysis/persistence. Returns self.
+        """
+        lnprob, free_space, sampler = self.build()
+        self.free_space = free_space
+        self.thin = int(thin)
+
+        key = jax.random.PRNGKey(self.seed)
+        key, kball = jax.random.split(key)
+        if p0 is None:
+            center = self._init[free_space.free_idx]
+            scatter = self._scatter[free_space.free_idx]
+            p0 = make_initial_ball(kball, center, scatter, self.nwalkers,
+                                   free_space.lower, free_space.upper,
+                                   dtype=self.dtype)
+        else:
+            p0 = jnp.asarray(p0, self.dtype)
+            if p0.shape[-1] == NPARAMS:
+                p0 = p0[..., free_space.free_idx]
+
+        state = sampler.init_state(key, p0)
+
+        if nburn > 0:
+            state, bchain, blnp = sampler.run_mcmc(state, nburn)
+            self.burn_chain_free = bchain
+            if recenter_burn:
+                # Re-center the whole ensemble on the best burn-in sample
+                # with a tight ball, then burn again from there.
+                flat = bchain.reshape(-1, free_space.nfree)
+                best = flat[jnp.argmax(blnp.reshape(-1))]
+                key2, kball2 = jax.random.split(state.key)
+                tight = self._scatter[free_space.free_idx] * 0.1
+                p0b = make_initial_ball(kball2, best, tight, self.nwalkers,
+                                        free_space.lower, free_space.upper,
+                                        dtype=self.dtype)
+                state = sampler.init_state(key2, p0b)
+                state = sampler.advance(state, nburn)
+            state = sampler.reset_counters(state)
+
+        state, chain, lnpchain = sampler.run_mcmc(state, nsteps, thin)
+        self.chain_free = chain
+        self.lnprobability = lnpchain
+        self.final_state = state
+        self.acceptance_fraction = np.asarray(
+            EnsembleSampler.acceptance_fraction(state))
+        self.sampler = sampler
+
+        if verbose:
+            af = self.acceptance_fraction
+            print(f"Mean acceptance fraction: {af.mean():.3f} "
+                  f"(min {af.min():.3f}, max {af.max():.3f})")
+            tau = self.autocorrelation_time()
+            names = [PARAM_NAMES[i] for i in free_space.free_idx]
+            for n, t in zip(names, tau):
+                print(f"  autocorrelation time [{n}]: {t:.1f} steps")
+        return self
+
+    # -- products ---------------------------------------------------------------
+    @property
+    def chain(self):
+        """Full-parameter production chain, reference layout
+        (nwalkers, nsteps, 5)."""
+        if self.chain_free is None:
+            raise RuntimeError("run() has not been called")
+        free = np.asarray(self.chain_free)          # (nrec, nwalkers, nfree)
+        full = self.free_space.expand(free)         # (nrec, nwalkers, 5)
+        return np.transpose(full, (1, 0, 2))
+
+    def autocorrelation_time(self):
+        if self.chain_free is None:
+            raise RuntimeError("run() has not been called")
+        return autocorrelation_time(np.asarray(self.chain_free))
+
+
+def _replace(spec: LikelihoodSpec, **kw) -> LikelihoodSpec:
+    import dataclasses
+    return dataclasses.replace(spec, **kw)

@@ -1,0 +1,143 @@
+"""HDF5 persistence for fit results.
+
+Same logical schema as the reference (ref: mbb_results.writeToHDF5 /
+mbb_results(h5file=...) -- SURVEY.md C7): the full chain, lnprob, photometry,
+fit settings as attrs, and any computed derived-quantity chains, so that
+analysis resumes exactly from the file. Layout:
+
+    / attrs: version, nwalkers, thin, opthin, noalpha, wavenorm,
+             redshift (NaN if unset), cosmology, lumdist (NaN if unset)
+    /Chain            (nwalkers, nsteps, 5)
+    /LogLike          (nwalkers, nsteps)
+    /AcceptanceFraction (nwalkers,)
+    /Photometry/{Wave,Flux,FluxUnc[,Cov][,BandNames]}
+    /ParamConfig/{Lower,Upper,Fixed,FixedValues,PriorMean,PriorInvSigma,
+                  Initial[,PhotUpperLimits]}
+    /LIR, /DustMass, /PeakLambda  (optional derived chains, attrs = meta)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import h5py
+
+from mbb_emcee_tpu.constants import PARAM_NAMES
+
+_SCHEMA_VERSION = 1
+
+
+def write_results(filename, res):
+    with h5py.File(filename, "w") as f:
+        f.attrs["schema_version"] = _SCHEMA_VERSION
+        f.attrs["package"] = "mbb_emcee_tpu"
+        f.attrs["param_names"] = np.array(
+            [n.encode() for n in PARAM_NAMES])
+        f.attrs["nwalkers"] = res.nwalkers
+        f.attrs["thin"] = res.thin
+        f.attrs["opthin"] = res.shape.opthin
+        f.attrs["noalpha"] = res.shape.noalpha
+        f.attrs["wavenorm"] = res.shape.wavenorm
+        f.attrs["redshift"] = (np.nan if res.redshift is None
+                               else res.redshift)
+        f.attrs["lumdist"] = np.nan if res.lumdist is None else res.lumdist
+        f.attrs["cosmology"] = (res.cosmology_name or "").encode()
+
+        f.create_dataset("Chain", data=np.asarray(res.chain, np.float32),
+                         compression="gzip", compression_opts=4)
+        f.create_dataset("LogLike",
+                         data=np.asarray(res.lnprobability, np.float32),
+                         compression="gzip", compression_opts=4)
+        f.create_dataset("AcceptanceFraction",
+                         data=np.asarray(res.acceptance_fraction, np.float32))
+
+        ph = f.create_group("Photometry")
+        ph.create_dataset("Wave", data=res.phot.wave)
+        ph.create_dataset("Flux", data=res.phot.flux)
+        ph.create_dataset("FluxUnc", data=res.phot.unc)
+        if res.phot.cov is not None:
+            ph.create_dataset("Cov", data=res.phot.cov)
+        if res.phot.band_names is not None:
+            ph.create_dataset("BandNames", data=np.array(
+                [n.encode() for n in res.phot.band_names]))
+
+        pc = f.create_group("ParamConfig")
+        spec = res.param_spec
+        pc.create_dataset("Lower", data=spec.lower)
+        pc.create_dataset("Upper", data=spec.upper)
+        pc.create_dataset("Fixed", data=spec.fixed.astype(np.uint8))
+        pc.create_dataset("FixedValues", data=spec.fixed_values)
+        pc.create_dataset("PriorMean", data=spec.prior_mean)
+        pc.create_dataset("PriorInvSigma", data=spec.prior_isigma)
+        pc.create_dataset("Initial", data=res.param_init)
+        if spec.uplim_bands is not None:
+            pc.create_dataset("PhotUpperLimits",
+                              data=spec.uplim_bands.astype(np.uint8))
+
+        for name, chain, meta in (
+                ("LIR", res.lir_chain, res.lir_meta),
+                ("DustMass", res.dustmass_chain, res.dustmass_meta),
+                ("PeakLambda", res.peaklambda_chain, None)):
+            if chain is not None:
+                ds = f.create_dataset(name, data=np.asarray(chain,
+                                                            np.float64),
+                                      compression="gzip", compression_opts=4)
+                for k, v in (meta or {}).items():
+                    ds.attrs[k] = v
+
+
+def read_results(filename):
+    """Read back into a dict of MBBResults attribute values."""
+    from mbb_emcee_tpu.models.modified_blackbody import MBBShape
+    from mbb_emcee_tpu.likelihood import Photometry, LikelihoodSpec
+
+    out = {}
+    with h5py.File(filename, "r") as f:
+        out["nwalkers"] = int(f.attrs["nwalkers"])
+        out["thin"] = int(f.attrs["thin"])
+        out["shape"] = MBBShape(opthin=bool(f.attrs["opthin"]),
+                                noalpha=bool(f.attrs["noalpha"]),
+                                wavenorm=float(f.attrs["wavenorm"]))
+        z = float(f.attrs["redshift"])
+        out["redshift"] = None if np.isnan(z) else z
+        dl = float(f.attrs["lumdist"])
+        out["lumdist"] = None if np.isnan(dl) else dl
+        cname = f.attrs["cosmology"]
+        cname = cname.decode() if isinstance(cname, bytes) else str(cname)
+        out["cosmology_name"] = cname or None
+
+        out["chain"] = np.asarray(f["Chain"], np.float64)
+        out["lnprobability"] = np.asarray(f["LogLike"], np.float64)
+        out["acceptance_fraction"] = np.asarray(f["AcceptanceFraction"],
+                                                np.float64)
+
+        ph = f["Photometry"]
+        names = None
+        if "BandNames" in ph:
+            names = [n.decode() for n in np.asarray(ph["BandNames"])]
+        out["phot"] = Photometry(
+            np.asarray(ph["Wave"]), np.asarray(ph["Flux"]),
+            np.asarray(ph["FluxUnc"]),
+            cov=np.asarray(ph["Cov"]) if "Cov" in ph else None,
+            band_names=names)
+
+        pc = f["ParamConfig"]
+        out["param_spec"] = LikelihoodSpec(
+            lower=np.asarray(pc["Lower"]),
+            upper=np.asarray(pc["Upper"]),
+            fixed=np.asarray(pc["Fixed"]).astype(bool),
+            fixed_values=np.asarray(pc["FixedValues"]),
+            prior_mean=np.asarray(pc["PriorMean"]),
+            prior_isigma=np.asarray(pc["PriorInvSigma"]),
+            uplim_bands=(np.asarray(pc["PhotUpperLimits"]).astype(bool)
+                         if "PhotUpperLimits" in pc else None))
+        out["param_init"] = np.asarray(pc["Initial"])
+
+        for name, attr, meta_attr in (
+                ("LIR", "lir_chain", "lir_meta"),
+                ("DustMass", "dustmass_chain", "dustmass_meta"),
+                ("PeakLambda", "peaklambda_chain", None)):
+            if name in f:
+                out[attr] = np.asarray(f[name])
+                if meta_attr:
+                    out[meta_attr] = dict(f[name].attrs)
+    return out

@@ -1,0 +1,284 @@
+"""Photometry container and the fused lnprob builder.
+
+Rebuild of the reference's likelihood (ref: mbb_emcee/mbb_fit.py,
+mbb_fitter.__call__ -- reconstructed, SURVEY.md C3): Gaussian
+lnL = -1/2 Delta^T C^-1 Delta with C = diag(sigma^2) or a full covariance
+(optionally read from a FITS extension), hard box limits per parameter,
+optional Gaussian priors, and fixed parameters.
+
+TPU-first design decisions:
+  * Fixed parameters are handled by sampling in the REDUCED free-parameter
+    space and scattering into the full theta with a (5, nfree) 0/1 matrix --
+    cleaner than the reference's identical-walker trick and it makes the
+    stretch move's z^(d-1) factor use d = n_free, the statistically correct
+    ensemble dimension (SURVEY.md "hard parts").
+  * The covariance Cholesky factor is inverted ONCE host-side in fp64; the
+    per-walker whitening is then a tiny matmul, so the whole lnprob --
+    model eval, band quadrature, whitening, priors, box mask -- fuses into
+    one XLA computation vmapped over walkers.
+  * Out-of-box proposals are clamped before the model eval (keeps everything
+    NaN-free) and masked to a large negative lnprob (finite, so
+    lnp_new - lnp_old never produces inf - inf).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from mbb_emcee_tpu.constants import PARAM_NAMES, NPARAMS
+from mbb_emcee_tpu.models.modified_blackbody import (
+    mbb_fnu, log_mbb_fnu, MBBShape)
+from mbb_emcee_tpu.utils.fits import read_fits_image
+
+# Finite lnprob floor standing in for -inf (see module docstring).
+LNPROB_FLOOR = -1e30
+
+# Default hard box (observer frame). Wide enough to act as "no limit set",
+# finite so clamping is always possible. Users narrow via set_lowlim/uplim.
+DEFAULT_LOWER = np.array([0.1, 0.01, 1.0, 0.01, 1e-5], dtype=np.float64)
+DEFAULT_UPPER = np.array([1e3, 20.0, 2e4, 60.0, 1e7], dtype=np.float64)
+
+
+def param_index(name_or_idx):
+    """Accept a parameter name (case-insensitive, 'T'/'beta'/...) or index."""
+    if isinstance(name_or_idx, (int, np.integer)):
+        idx = int(name_or_idx)
+        if not 0 <= idx < NPARAMS:
+            raise ValueError(f"parameter index {idx} out of range")
+        return idx
+    lowered = [p.lower() for p in PARAM_NAMES]
+    key = str(name_or_idx).lower()
+    if key in lowered:
+        return lowered.index(key)
+    # Friendly aliases.
+    aliases = {"t/(1+z)": 0, "temperature": 0, "lambda_0": 2,
+               "lambda0*(1+z)": 2, "f500": 4}
+    if key in aliases:
+        return aliases[key]
+    raise ValueError(f"unknown parameter {name_or_idx!r}; "
+                     f"known: {PARAM_NAMES}")
+
+
+@dataclasses.dataclass
+class Photometry:
+    """Observed photometry: wavelengths (um), fluxes and errors (mJy),
+    optional full covariance (mJy^2) and band names (for response mode)."""
+    wave: np.ndarray
+    flux: np.ndarray
+    unc: np.ndarray
+    cov: np.ndarray | None = None
+    band_names: list[str] | None = None
+
+    def __post_init__(self):
+        self.wave = np.atleast_1d(np.asarray(self.wave, dtype=np.float64))
+        self.flux = np.atleast_1d(np.asarray(self.flux, dtype=np.float64))
+        self.unc = np.atleast_1d(np.asarray(self.unc, dtype=np.float64))
+        n = self.wave.size
+        if self.flux.size != n or self.unc.size != n:
+            raise ValueError("photometry wave/flux/unc length mismatch")
+        if np.any(self.unc <= 0):
+            raise ValueError("photometric uncertainties must be positive")
+        if self.cov is not None:
+            self.cov = np.asarray(self.cov, dtype=np.float64)
+            if self.cov.shape != (n, n):
+                raise ValueError(
+                    f"covariance shape {self.cov.shape} != ({n},{n})")
+        if self.band_names is not None and len(self.band_names) != n:
+            raise ValueError("band_names length mismatch")
+
+    @property
+    def nbands(self):
+        return self.wave.size
+
+    @classmethod
+    def from_file(cls, photfile):
+        """Text photometry: '[name] wave flux unc' per line, # comments.
+
+        Mirrors the reference's read_data text format (3 numeric columns);
+        an optional leading band-name column enables response mode.
+        """
+        waves, fluxes, uncs, names = [], [], [], []
+        have_names = None
+        with open(photfile) as fh:
+            for lineno, line in enumerate(fh, 1):
+                line = line.split("#", 1)[0].strip()
+                if not line:
+                    continue
+                parts = line.split()
+                named = False
+                try:
+                    float(parts[0])
+                except ValueError:
+                    named = True
+                if have_names is None:
+                    have_names = named
+                elif have_names != named:
+                    raise ValueError(
+                        f"{photfile}:{lineno}: inconsistent columns")
+                if named:
+                    if len(parts) < 4:
+                        raise ValueError(
+                            f"{photfile}:{lineno}: need 'name wave flux unc'")
+                    names.append(parts[0])
+                    parts = parts[1:]
+                elif len(parts) < 3:
+                    raise ValueError(
+                        f"{photfile}:{lineno}: need 'wave flux unc'")
+                waves.append(float(parts[0]))
+                fluxes.append(float(parts[1]))
+                uncs.append(float(parts[2]))
+        if not waves:
+            raise ValueError(f"{photfile}: no photometry found")
+        return cls(np.array(waves), np.array(fluxes), np.array(uncs),
+                   band_names=names if have_names else None)
+
+    def read_cov(self, covfile, covextn=0, is_total=False):
+        """Attach a covariance from a FITS extension (ref covfile/covextn
+        semantics). Unless is_total, it is treated as ADDITIONAL calibration
+        covariance on top of diag(unc^2)."""
+        cov = read_fits_image(covfile, extn=covextn)
+        if not is_total:
+            cov = cov + np.diag(self.unc ** 2)
+        self.cov = cov
+        return self
+
+
+@dataclasses.dataclass(frozen=True)
+class LikelihoodSpec:
+    """Frozen parameter-space configuration the lnprob is built from."""
+    lower: np.ndarray          # (5,) hard box
+    upper: np.ndarray          # (5,)
+    fixed: np.ndarray          # (5,) bool
+    fixed_values: np.ndarray   # (5,) values used where fixed
+    prior_mean: np.ndarray     # (5,)
+    prior_isigma: np.ndarray   # (5,) 1/sigma, 0 disables the prior
+    # Photometric upper limits: one-sided Gaussian penalty above the limit
+    # for bands flagged here (flux column = limit value).
+    uplim_bands: np.ndarray | None = None  # (nbands,) bool
+
+    @classmethod
+    def default(cls):
+        return cls(lower=DEFAULT_LOWER.copy(), upper=DEFAULT_UPPER.copy(),
+                   fixed=np.zeros(NPARAMS, bool),
+                   fixed_values=np.zeros(NPARAMS),
+                   prior_mean=np.zeros(NPARAMS),
+                   prior_isigma=np.zeros(NPARAMS))
+
+    @property
+    def free_indices(self):
+        return np.nonzero(~self.fixed)[0]
+
+    @property
+    def nfree(self):
+        return int((~self.fixed).sum())
+
+
+@dataclasses.dataclass(frozen=True)
+class FreeSpace:
+    """Mapping between the reduced sampling space and full theta."""
+    free_idx: np.ndarray       # (nfree,)
+    template: np.ndarray       # (5,) zeros at free slots, fixed values else
+    lower: np.ndarray          # (nfree,)
+    upper: np.ndarray          # (nfree,)
+
+    @property
+    def nfree(self):
+        return self.free_idx.size
+
+    def expand(self, free_vals):
+        """(..., nfree) free-space -> (..., 5) full parameter vectors."""
+        free_vals = np.asarray(free_vals)
+        out = np.broadcast_to(self.template,
+                              free_vals.shape[:-1] + (NPARAMS,)).copy()
+        out[..., self.free_idx] = free_vals
+        return out
+
+    def reduce(self, full_vals):
+        return np.asarray(full_vals)[..., self.free_idx]
+
+
+def build_lnprob(phot: Photometry, shape: MBBShape, spec: LikelihoodSpec,
+                 response_pack=None, dtype=jnp.float32):
+    """Build the fused lnprob over the FREE parameter space.
+
+    Returns (lnprob_fn, free_space). lnprob_fn maps a (nfree,) vector to a
+    scalar log-probability; vmap it over walkers. If `response_pack` is a
+    (waves, weights) pair from ResponseSet.pack, model fluxes are
+    band-integrated; otherwise the SED is sampled at the data wavelengths
+    (the reference's default point evaluation).
+    """
+    free_idx = spec.free_indices
+    nfree = free_idx.size
+    if nfree == 0:
+        raise ValueError("all parameters are fixed; nothing to sample")
+
+    template_np = np.where(spec.fixed, spec.fixed_values, 0.0)
+    scatter_np = np.zeros((NPARAMS, nfree))
+    scatter_np[free_idx, np.arange(nfree)] = 1.0
+
+    template = jnp.asarray(template_np, dtype)
+    scatter = jnp.asarray(scatter_np, dtype)
+    lo_free = jnp.asarray(spec.lower[free_idx], dtype)
+    hi_free = jnp.asarray(spec.upper[free_idx], dtype)
+    lo_full = jnp.asarray(spec.lower, dtype)
+    hi_full = jnp.asarray(spec.upper, dtype)
+
+    data_flux = jnp.asarray(phot.flux, dtype)
+    data_wave = jnp.asarray(phot.wave, dtype)
+
+    # Whitening operator, precomputed host-side in fp64 (SURVEY.md C3
+    # "Cholesky precomputed once").
+    if phot.cov is not None:
+        chol = np.linalg.cholesky(phot.cov)
+        whiten_np = np.linalg.inv(chol)          # r = L^-1 Delta
+        whiten = jnp.asarray(whiten_np, dtype)
+        diag_iunc = None
+    else:
+        whiten = None
+        diag_iunc = jnp.asarray(1.0 / phot.unc, dtype)
+
+    prior_mean = jnp.asarray(spec.prior_mean, dtype)
+    prior_isig = jnp.asarray(spec.prior_isigma, dtype)
+
+    if spec.uplim_bands is not None and spec.uplim_bands.any():
+        uplim_mask = jnp.asarray(spec.uplim_bands.astype(np.float32), dtype)
+        det_mask = 1.0 - uplim_mask
+    else:
+        uplim_mask = None
+        det_mask = None
+
+    if response_pack is not None:
+        resp_waves, resp_weights = response_pack
+        resp_waves = resp_waves.astype(dtype)
+        resp_weights = resp_weights.astype(dtype)
+
+    def model_fluxes(theta):
+        if response_pack is None:
+            return mbb_fnu(theta, data_wave, shape)
+        vals = jnp.exp(log_mbb_fnu(theta, resp_waves, shape))
+        return jnp.sum(resp_weights * vals, axis=-1)
+
+    def lnprob(theta_free):
+        theta = template + scatter @ theta_free
+        inbox = jnp.all((theta_free >= lo_free) & (theta_free <= hi_free))
+        theta_safe = jnp.clip(theta, lo_full, hi_full)
+        delta = model_fluxes(theta_safe) - data_flux
+        if uplim_mask is not None:
+            # Upper-limit bands: penalize only flux above the limit.
+            delta = det_mask * delta + uplim_mask * jnp.maximum(delta, 0.0)
+        if whiten is not None:
+            r = whiten @ delta
+        else:
+            r = delta * diag_iunc
+        lnl = -0.5 * jnp.sum(r * r)
+        dp = (theta - prior_mean) * prior_isig
+        lnpri = -0.5 * jnp.sum(dp * dp)
+        return jnp.where(inbox, lnl + lnpri, dtype(LNPROB_FLOOR))
+
+    free_space = FreeSpace(free_idx=free_idx, template=template_np,
+                           lower=spec.lower[free_idx].copy(),
+                           upper=spec.upper[free_idx].copy())
+    return lnprob, free_space

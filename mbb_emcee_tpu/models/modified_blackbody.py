@@ -1,0 +1,216 @@
+"""Modified (grey) blackbody SED as a pure, vmappable JAX function.
+
+TPU-native rebuild of the reference physics core
+(ref: mbb_emcee/modified_blackbody.py, class modified_blackbody --
+reconstructed spec, see SURVEY.md C1; /root/reference was an empty mount):
+
+    S_nu(lambda) propto (1 - e^-tau) * x^3 / (e^x - 1)
+        tau = (lambda0 / lambda)^beta,   x = h c / (lambda k T)
+    optically thin limit:  S_nu propto x^(3+beta) / (e^x - 1)
+    Wien-side power law:   for x > x_merge, S propto x^-alpha, where
+        x_merge solves  d ln S / d ln x = -alpha   (slope continuity)
+        and the amplitude is fixed by value continuity at x_merge.
+    Normalization: S(wavenorm) = fnorm (default wavenorm = 500 um,
+        observer frame).
+
+Design differences from the reference (deliberate, TPU-first):
+  * The reference constructs a model OBJECT per lnprob call and runs
+    scipy.optimize.brentq for the merge point inside every evaluation
+    (SURVEY.md section 3.5). Here the whole model is a pure function of the
+    parameter vector; the merge solve is a fixed-iteration bisection
+    (ops.rootfind.bisect_decreasing) that is branchless and batches over
+    walkers via vmap.
+  * All evaluation is in log-space fp32: the Wien side reaches x ~ O(10^3)
+    where e^x overflows fp32, and log-space turns the normalization into a
+    subtraction.
+  * `opthin` / `noalpha` are static (trace-time) switches, so each variant
+    compiles to a minimal kernel with no masking overhead.
+
+Parameters are OBSERVER frame exactly as in the reference: theta =
+(T/(1+z), beta, lambda0*(1+z), alpha, fnorm); redshift only enters derived
+quantities (results.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mbb_emcee_tpu.constants import HCOK_UM_K
+from mbb_emcee_tpu.ops.special import log_expm1, log1mexp, xoexpm1x
+from mbb_emcee_tpu.ops.rootfind import bisect_decreasing
+
+# Static bracket for the merge root in u = ln x. The slope function is
+# monotone decreasing with g(u_lo) >= 2 + alpha > 0 and g(u_hi) << -alpha for
+# any physical alpha, so the root is always bracketed (see _dlns_dlnu).
+_LOG_X_LO = float(np.log(1e-3))
+_LOG_X_HI = float(np.log(1e4))
+_MERGE_ITERS = 48
+
+# tau cutoffs: above _TAU_BIG, tau/(e^tau - 1) is numerically zero and
+# 1 - e^-tau is numerically one.
+_TAU_BIG = 60.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MBBShape:
+    """Static model-shape switches (trace-time constants under jit)."""
+    opthin: bool = False
+    noalpha: bool = False
+    wavenorm: float = 500.0
+
+
+def _log_s_mbb(log_x, beta, log_x0, opthin: bool):
+    """Unnormalized ln S of the pure greybody (no Wien merge) at u = ln x."""
+    x = jnp.exp(log_x)
+    log_planck = 3.0 * log_x - log_expm1(x)
+    if opthin:
+        # S propto x^(3+beta) / (e^x - 1): tau -> tau prefactor absorbed
+        # into normalization.
+        return beta * log_x + log_planck
+    tau = jnp.exp(beta * (log_x - log_x0))
+    return log1mexp(tau) + log_planck
+
+
+def _dlns_dlnu(log_x, beta, log_x0, opthin: bool):
+    """d ln S / d ln x of the pure greybody.
+
+    thick: 3 + beta * tau / (e^tau - 1) - x / (1 - e^-x)
+    thin:  3 + beta                     - x / (1 - e^-x)
+    Both are monotone decreasing in x.
+    """
+    x = jnp.exp(log_x)
+    q = x / (-jnp.expm1(-jnp.maximum(x, 1e-30)))
+    if opthin:
+        return 3.0 + beta - q
+    tau = jnp.exp(beta * (log_x - log_x0))
+    return 3.0 + beta * xoexpm1x(tau) - q
+
+
+def merge_log_x(beta, log_x0, alpha, opthin: bool):
+    """ln x_merge where d ln S / d ln x = -alpha (Wien-side merge point).
+
+    Replaces the reference's per-evaluation scipy.optimize.brentq
+    (ref: modified_blackbody.__init__) with fixed-iteration bisection on a
+    static bracket valid over the whole prior box.
+    """
+    def g(u):
+        return _dlns_dlnu(u, beta, log_x0, opthin) + alpha
+    return bisect_decreasing(g, _LOG_X_LO, _LOG_X_HI, iters=_MERGE_ITERS)
+
+
+def log_mbb_fnu(params, wave, shape: MBBShape = MBBShape()):
+    """ln f_nu at observer-frame wavelengths `wave` (micron).
+
+    params: (..., 5) array ordered (T, beta, lambda0, alpha, fnorm);
+    wave: any shape broadcast-independent of params' batch dims -- this
+    function evaluates ONE parameter vector; use jax.vmap for batches.
+    Returns ln of flux density in the units of fnorm.
+    """
+    T = params[0]
+    beta = params[1]
+    lambda0 = params[2]
+    alpha = params[3]
+    fnorm = params[4]
+
+    log_T = jnp.log(T)
+    log_c2 = jnp.log(HCOK_UM_K)
+    log_x = log_c2 - jnp.log(wave) - log_T
+    log_x0 = log_c2 - jnp.log(lambda0) - log_T
+
+    if shape.noalpha:
+        def log_s(u):
+            return _log_s_mbb(u, beta, log_x0, shape.opthin)
+    else:
+        u_m = merge_log_x(beta, log_x0, alpha, shape.opthin)
+        ls_m = _log_s_mbb(u_m, beta, log_x0, shape.opthin)
+
+        def log_s(u):
+            # Power law S propto x^-alpha blueward of the merge point,
+            # continuous in value and slope at u_m.
+            return jnp.where(u > u_m,
+                             ls_m - alpha * (u - u_m),
+                             _log_s_mbb(u, beta, log_x0, shape.opthin))
+
+    log_x_norm = log_c2 - jnp.log(shape.wavenorm) - log_T
+    return jnp.log(fnorm) + log_s(log_x) - log_s(log_x_norm)
+
+
+def mbb_fnu(params, wave, shape: MBBShape = MBBShape()):
+    """f_nu at observer-frame wavelengths (micron); units of fnorm."""
+    return jnp.exp(log_mbb_fnu(params, wave, shape))
+
+
+class ModifiedBlackbody:
+    """OO convenience wrapper mirroring the reference class's call surface
+    (ref: mbb_emcee modified_blackbody(T, beta, lambda0, alpha, fnorm,
+    wavenorm=500, noalpha=False, opthin=False); mbb(wave) -> f_nu).
+
+    The heavy lifting stays in the pure functions above; this class exists
+    for interactive use and API familiarity, not the hot path.
+    """
+
+    def __init__(self, T, beta, lambda0, alpha, fnorm,
+                 wavenorm=500.0, noalpha=False, opthin=False):
+        self._params = jnp.array([T, beta, lambda0, alpha, fnorm],
+                                 dtype=jnp.float32)
+        self._shape = MBBShape(opthin=bool(opthin), noalpha=bool(noalpha),
+                               wavenorm=float(wavenorm))
+        self._fn = jax.jit(lambda p, w: mbb_fnu(p, w, self._shape))
+
+    @property
+    def T(self):
+        return float(self._params[0])
+
+    @property
+    def beta(self):
+        return float(self._params[1])
+
+    @property
+    def lambda0(self):
+        return float(self._params[2])
+
+    @property
+    def alpha(self):
+        return float(self._params[3])
+
+    @property
+    def fnorm(self):
+        return float(self._params[4])
+
+    @property
+    def wavenorm(self):
+        return self._shape.wavenorm
+
+    @property
+    def optically_thin(self):
+        return self._shape.opthin
+
+    @property
+    def has_alpha(self):
+        return not self._shape.noalpha
+
+    def __call__(self, wave):
+        wave = jnp.atleast_1d(jnp.asarray(wave, dtype=jnp.float32))
+        return self._fn(self._params, wave)
+
+    def merge_x(self):
+        """x value of the Wien-side merge point (None if noalpha)."""
+        if self._shape.noalpha:
+            return None
+        log_x0 = jnp.log(HCOK_UM_K) - jnp.log(self._params[2]) \
+            - jnp.log(self._params[0])
+        u = merge_log_x(self._params[1], log_x0, self._params[3],
+                        self._shape.opthin)
+        return float(jnp.exp(u))
+
+    def __repr__(self):
+        kind = "optically-thin" if self._shape.opthin else "optically-thick"
+        merge = "no Wien merge" if self._shape.noalpha else \
+            f"alpha={self.alpha:.3g}"
+        return (f"ModifiedBlackbody({kind}, T={self.T:.4g}K, "
+                f"beta={self.beta:.4g}, lambda0={self.lambda0:.4g}um, "
+                f"{merge}, fnorm={self.fnorm:.4g} @ {self.wavenorm:.4g}um)")

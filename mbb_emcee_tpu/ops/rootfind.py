@@ -1,0 +1,69 @@
+"""Fixed-iteration, branchless 1-D root finding and maximization.
+
+The reference calls scipy.optimize.brentq inside EVERY lnprob evaluation
+(ref: mbb_emcee modified_blackbody.__init__ alpha-merge solve, SURVEY.md
+section 3.5) and scipy bounded minimization per chain sample for the SED peak
+(mbb_results.compute_peaklambda). Neither batches. These replacements use a
+fixed iteration count so they are shape-static, always converge on a bracketing
+interval, and vmap over (walkers x steps) or (chain samples) for free.
+"""
+
+import jax
+import jax.numpy as jnp
+
+_INVPHI = 0.6180339887498949   # 1/phi
+_INVPHI2 = 0.3819660112501051  # 1/phi^2
+
+
+def bisect_decreasing(f, lo, hi, iters=48):
+    """Root of a monotonically DECREASING scalar function on [lo, hi].
+
+    Requires f(lo) > 0 > f(hi). Fixed `iters` bisection steps; with
+    iters=48 the bracket shrinks by 2^-48, far below fp32 resolution.
+    `f` must be jax-traceable; lo/hi may be python floats or arrays
+    broadcastable against f's operand.
+    """
+    lo = jnp.asarray(lo, dtype=jnp.result_type(float))
+    hi = jnp.asarray(hi, dtype=lo.dtype)
+
+    def body(_, ab):
+        a, b = ab
+        m = 0.5 * (a + b)
+        pos = f(m) > 0.0
+        return (jnp.where(pos, m, a), jnp.where(pos, b, m))
+
+    a, b = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return 0.5 * (a + b)
+
+
+def golden_max(f, lo, hi, iters=64):
+    """Argmax of a unimodal scalar function on [lo, hi] by golden-section.
+
+    Fixed iteration count -> shape-static and vmappable. iters=64 shrinks
+    the interval by 0.618^64 ~ 4e-14 of its width (fp32-saturating).
+    Returns (x_max, f(x_max)).
+    """
+    lo = jnp.asarray(lo, dtype=jnp.result_type(float))
+    hi = jnp.asarray(hi, dtype=lo.dtype)
+    x1 = lo + _INVPHI2 * (hi - lo)
+    x2 = lo + _INVPHI * (hi - lo)
+
+    def body(_, state):
+        a, b, x1, x2, f1, f2 = state
+        # If f1 >= f2 the max is in [a, x2]; else in [x1, b].
+        left = f1 >= f2
+        a_n = jnp.where(left, a, x1)
+        b_n = jnp.where(left, x2, b)
+        x1_n = jnp.where(left, a_n + _INVPHI2 * (b_n - a_n), x2)
+        x2_n = jnp.where(left, x1, a_n + _INVPHI * (b_n - a_n))
+        # One new evaluation per iteration: the other interior value carries.
+        x_new = jnp.where(left, x1_n, x2_n)
+        f_new = f(x_new)
+        f1_n = jnp.where(left, f_new, f2)
+        f2_n = jnp.where(left, f1, f_new)
+        return (a_n, b_n, x1_n, x2_n, f1_n, f2_n)
+
+    state = (lo, hi, x1, x2, f(x1), f(x2))
+    a, b, x1, x2, f1, f2 = jax.lax.fori_loop(0, iters, body, state)
+    xm = 0.5 * (a + b)
+    return xm, f(xm)

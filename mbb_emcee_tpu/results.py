@@ -1,0 +1,304 @@
+"""Posterior analysis and derived physical quantities.
+
+Rebuild of the reference results layer (ref: mbb_emcee/mbb_results.py, class
+mbb_results -- reconstructed, SURVEY.md C6). The reference loops over chain
+samples calling adaptive scipy.integrate.quad / bounded scalar optimizers per
+sample; here every derived quantity is ONE batched device computation over
+the whole (thinned) chain:
+
+  * L_IR(8-1000 um rest): fixed-node Gauss-Legendre quadrature in ln-lambda
+    of f_nu * c/lambda^2 over observed lambda in [wmin, wmax]*(1+z),
+    L = 4 pi D_L^2 * F_obs  (the integral over the redshifted band already
+    carries the K-correction; node count validated against adaptive quad in
+    tests/test_quadrature_convergence.py).
+  * Dust mass: M = D_L^2 S_obs(lambda0_rest (1+z)) /
+    ((1+z) kappa B_nu(nu_rest, T (1+z))), kappa = 2.64 m^2/kg at 125 um
+    (Dunne et al. 2003), with the fitted (observer-frame) T scaled back to
+    rest frame.
+  * Peak wavelength: batched fixed-iteration golden-section maximization of
+    f_nu in ln-lambda.
+
+Large cosmological prefactors (4 pi D_L^2 ~ 1e53 m^2) overflow fp32, so each
+formula is split into an fp32 device part (per-sample, shape-dependent) and
+an fp64 host scalar prefactor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mbb_emcee_tpu.constants import (
+    PARAM_NAMES, NPARAMS, HCOK_UM_K, C_UM_HZ, MPC_M, LSUN_W, MSUN_KG,
+    MJY_WM2HZ, H_JS, KB_JK)
+from mbb_emcee_tpu.models.modified_blackbody import log_mbb_fnu, MBBShape
+from mbb_emcee_tpu.models.cosmology import Cosmology, luminosity_distance
+from mbb_emcee_tpu.ops.quadrature import loglam_nodes
+from mbb_emcee_tpu.ops.rootfind import golden_max
+from mbb_emcee_tpu import hdf5io
+
+_LIR_NODES = 128
+_PEAK_RANGE = (1.0, 5.0e4)   # observed um search window for the SED peak
+_PEAK_ITERS = 64
+
+
+def _percentile_summary(samples, percentile=68.3):
+    """(central, +err, -err): median and distance to the percentile bounds
+    (ref: mbb_results.par_cen convention, 50 +- 34.15)."""
+    p = float(percentile)
+    lo, mid, hi = np.percentile(np.asarray(samples, np.float64),
+                                [50.0 - p / 2, 50.0, 50.0 + p / 2])
+    return np.array([mid, hi - mid, mid - lo])
+
+
+class MBBResults:
+    """Analysis of a finished fit, or a reload of a persisted one.
+
+    Construct with EITHER a run MBBFitter (fit=...) or an HDF5 file written
+    by writeToHDF5 (h5file=...), mirroring the reference's dual constructor.
+    """
+
+    def __init__(self, fit=None, h5file=None, redshift=None,
+                 cosmology="WMAP9", lumdist=None):
+        if (fit is None) == (h5file is None):
+            raise ValueError("give exactly one of fit= or h5file=")
+        self.redshift = None if redshift is None else float(redshift)
+        self.cosmology_name = cosmology if isinstance(cosmology, str) else None
+        self._cosmo = (Cosmology.named(cosmology)
+                       if isinstance(cosmology, str) else cosmology)
+        self.lumdist = None if lumdist is None else float(lumdist)
+
+        # Derived-quantity chains (None until computed).
+        self.lir_chain = None
+        self.lir_meta = None
+        self.dustmass_chain = None
+        self.dustmass_meta = None
+        self.peaklambda_chain = None
+
+        if fit is not None:
+            self._from_fit(fit)
+        else:
+            self._from_h5(h5file)
+
+    # -- construction ------------------------------------------------------------
+    def _from_fit(self, fit):
+        if fit.chain_free is None:
+            raise RuntimeError("fitter has not been run")
+        self.chain = fit.chain                    # (nwalkers, nsteps, 5)
+        self.lnprobability = np.transpose(
+            np.asarray(fit.lnprobability), (1, 0))  # (nwalkers, nsteps)
+        self.acceptance_fraction = np.asarray(fit.acceptance_fraction)
+        self.shape = fit.shape
+        self.phot = fit.phot
+        self.param_spec = fit.spec
+        self.param_init = fit._init.copy()
+        self.thin = fit.thin
+        self.nwalkers = fit.nwalkers
+        self._fit = fit
+
+    def _from_h5(self, h5file):
+        explicit_z, explicit_dl = self.redshift, self.lumdist
+        explicit_cosmo = self.cosmology_name
+        payload = hdf5io.read_results(h5file)
+        for k, v in payload.items():
+            setattr(self, k, v)
+        # Constructor arguments win over stored metadata.
+        if explicit_z is not None:
+            self.redshift = explicit_z
+        if explicit_dl is not None:
+            self.lumdist = explicit_dl
+        if payload.get("cosmology_name") and explicit_cosmo == "WMAP9":
+            self._cosmo = Cosmology.named(payload["cosmology_name"])
+            self.cosmology_name = payload["cosmology_name"]
+        self._fit = None
+
+    # -- basic summaries -----------------------------------------------------------
+    @property
+    def flatchain(self):
+        return self.chain.reshape(-1, NPARAMS)
+
+    @property
+    def nsteps(self):
+        return self.chain.shape[1]
+
+    def parameter_chain(self, param):
+        from mbb_emcee_tpu.likelihood import param_index
+        return self.flatchain[:, param_index(param)]
+
+    def par_cen(self, param, percentile=68.3):
+        """(median, +err, -err) of a parameter (ref: mbb_results.par_cen)."""
+        return _percentile_summary(self.parameter_chain(param), percentile)
+
+    def par_uplim(self, param, conf=0.683):
+        """One-sided upper limit at confidence conf."""
+        return float(np.percentile(self.parameter_chain(param),
+                                   100.0 * conf))
+
+    def par_lowlim(self, param, conf=0.683):
+        return float(np.percentile(self.parameter_chain(param),
+                                   100.0 * (1.0 - conf)))
+
+    @property
+    def best_fit(self):
+        """(params, lnprob) at the maximum-probability sample
+        (ref: mbb_results.best_fit)."""
+        idx = np.unravel_index(np.argmax(self.lnprobability),
+                               self.lnprobability.shape)
+        return self.chain[idx[0], idx[1]], float(self.lnprobability[idx])
+
+    # -- cosmology helpers -----------------------------------------------------------
+    def _dl_mpc(self):
+        if self.lumdist is not None:
+            return self.lumdist
+        if self.redshift is None:
+            raise RuntimeError(
+                "redshift (or explicit lumdist) required for derived "
+                "physical quantities")
+        return luminosity_distance(self.redshift, self._cosmo)
+
+    def _opz(self):
+        if self.redshift is None:
+            raise RuntimeError("redshift required")
+        return 1.0 + self.redshift
+
+    def _thinned(self, thin):
+        flat = self.flatchain
+        return flat[::max(int(thin), 1)]
+
+    # -- L_IR ------------------------------------------------------------------------
+    def compute_lir(self, wavemin=8.0, wavemax=1000.0, thin=1):
+        """Posterior of L_IR(wavemin-wavemax um REST) in L_sun
+        (ref: mbb_results.compute_lir). One batched GL quadrature over the
+        thinned chain."""
+        opz = self._opz()
+        lo, hi = wavemin * opz, wavemax * opz
+        lam, w = loglam_nodes(_LIR_NODES, lo, hi)
+        lam_j = jnp.asarray(lam, jnp.float32)
+        # weights for int f_nu dnu = int f * (c/lam^2) dlam; factor the
+        # large constant c out to the host prefactor for fp32 headroom.
+        w_j = jnp.asarray(w / lam ** 2, jnp.float32)
+        shape = self.shape
+
+        def flux_integral(theta):   # mJy * (1/um): c folded into prefac
+            f = jnp.exp(log_mbb_fnu(theta, lam_j, shape))
+            return jnp.sum(w_j * f)
+
+        samples = jnp.asarray(self._thinned(thin), jnp.float32)
+        integ = np.asarray(jax.jit(jax.vmap(flux_integral))(samples),
+                           np.float64)
+        dl_m = self._dl_mpc() * MPC_M
+        prefac = 4.0 * np.pi * dl_m ** 2 * MJY_WM2HZ * C_UM_HZ / LSUN_W
+        self.lir_chain = prefac * integ
+        self.lir_meta = {"wavemin": float(wavemin), "wavemax": float(wavemax),
+                         "thin": int(thin)}
+        return self.lir_chain
+
+    def lir_cen(self, percentile=68.3):
+        if self.lir_chain is None:
+            self.compute_lir()
+        return _percentile_summary(self.lir_chain, percentile)
+
+    @property
+    def lir(self):
+        return self.lir_cen()
+
+    # -- dust mass ---------------------------------------------------------------------
+    def compute_dustmass(self, kappa=2.64, kappa_wave=125.0, thin=1):
+        """Posterior of dust mass in M_sun (ref: mbb_results.compute_dustmass;
+        kappa = 2.64 m^2 kg^-1 at rest 125 um, Dunne et al. 2003)."""
+        opz = self._opz()
+        lam_obs = kappa_wave * opz
+        shape = self.shape
+        lam_j = jnp.asarray([lam_obs], jnp.float32)
+
+        def dev(theta):
+            # S_obs(lam_obs) in mJy and the Planck occupation at the REST
+            # frequency for the rest-frame temperature T_rest = T_fit*(1+z):
+            # x = h nu_rest / (k T_rest) = HCOK / (kappa_wave * opz * T_fit)
+            # -- identical to the observed-frame x at lam_obs.
+            s_mjy = jnp.exp(log_mbb_fnu(theta, lam_j, shape))[0]
+            x = HCOK_UM_K / (lam_obs * theta[0])
+            return s_mjy * jnp.expm1(jnp.minimum(x, 80.0))
+
+        samples = jnp.asarray(self._thinned(thin), jnp.float32)
+        g = np.asarray(jax.jit(jax.vmap(dev))(samples), np.float64)
+
+        dl_m = self._dl_mpc() * MPC_M
+        # nu_rest in Hz: c[m/s] / (kappa_wave in metres).
+        c_ms = 2.99792458e8
+        nu_rest = c_ms / (kappa_wave * 1e-6)
+        planck_amp = 2.0 * H_JS * nu_rest ** 3 / c_ms ** 2
+        prefac = dl_m ** 2 * MJY_WM2HZ / (opz * kappa * planck_amp) / MSUN_KG
+        self.dustmass_chain = prefac * g
+        self.dustmass_meta = {"kappa": float(kappa),
+                              "kappa_wave": float(kappa_wave),
+                              "thin": int(thin)}
+        return self.dustmass_chain
+
+    def dustmass_cen(self, percentile=68.3):
+        if self.dustmass_chain is None:
+            self.compute_dustmass()
+        return _percentile_summary(self.dustmass_chain, percentile)
+
+    @property
+    def dustmass(self):
+        return self.dustmass_cen()
+
+    # -- peak wavelength -----------------------------------------------------------------
+    def compute_peaklambda(self, thin=1, lo=_PEAK_RANGE[0],
+                           hi=_PEAK_RANGE[1]):
+        """Posterior of the OBSERVED f_nu peak wavelength in um
+        (ref: mbb_results.compute_peaklambda). Batched golden-section in
+        ln-lambda replaces the reference's per-sample bounded optimizer."""
+        shape = self.shape
+        ulo, uhi = float(np.log(lo)), float(np.log(hi))
+
+        def peak(theta):
+            def log_flux(u):
+                return log_mbb_fnu(theta, jnp.exp(u), shape)
+            um, _ = golden_max(log_flux, ulo, uhi, iters=_PEAK_ITERS)
+            return jnp.exp(um)
+
+        samples = jnp.asarray(self._thinned(thin), jnp.float32)
+        self.peaklambda_chain = np.asarray(
+            jax.jit(jax.vmap(peak))(samples), np.float64)
+        return self.peaklambda_chain
+
+    def peaklambda_cen(self, percentile=68.3):
+        if self.peaklambda_chain is None:
+            self.compute_peaklambda()
+        return _percentile_summary(self.peaklambda_chain, percentile)
+
+    @property
+    def peaklambda(self):
+        return self.peaklambda_cen()
+
+    # -- persistence -------------------------------------------------------------------------
+    def writeToHDF5(self, filename):
+        """Persist everything needed to resume analysis
+        (ref: mbb_results.writeToHDF5; same logical schema, SURVEY.md C7)."""
+        hdf5io.write_results(filename, self)
+        return filename
+
+    # -- reporting ------------------------------------------------------------------------------
+    def __repr__(self):
+        lines = ["MBBResults:"]
+        fixed = self.param_spec.fixed
+        for i, name in enumerate(PARAM_NAMES):
+            if fixed[i]:
+                lines.append(f"  {name:8s} fixed at "
+                             f"{self.param_spec.fixed_values[i]:.5g}")
+            else:
+                c = self.par_cen(i)
+                lines.append(f"  {name:8s} {c[0]:.5g} +{c[1]:.3g} -{c[2]:.3g}")
+        if self.lir_chain is not None:
+            c = self.lir_cen()
+            lines.append(f"  L_IR    {c[0]:.5g} +{c[1]:.3g} -{c[2]:.3g} Lsun")
+        if self.dustmass_chain is not None:
+            c = self.dustmass_cen()
+            lines.append(f"  M_dust  {c[0]:.5g} +{c[1]:.3g} -{c[2]:.3g} Msun")
+        if self.peaklambda_chain is not None:
+            c = self.peaklambda_cen()
+            lines.append(f"  l_peak  {c[0]:.5g} +{c[1]:.3g} -{c[2]:.3g} um")
+        return "\n".join(lines)

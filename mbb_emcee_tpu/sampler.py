@@ -1,0 +1,230 @@
+"""JAX-native affine-invariant ensemble sampler (Goodman & Weare 2010).
+
+First-class rebuild of the external engine the reference wraps
+(ref: emcee.EnsembleSampler stretch move -- SURVEY.md C5): the reference
+drives per-walker Python lnprob calls through an optional multiprocessing
+pool; here ONE full-ensemble update is a single fused XLA step and a whole
+run is one lax.scan with the chain written to a preallocated HBM buffer.
+
+Move (red-black half-ensemble update, a = 2 by default):
+    split ensemble into halves A, B
+    for each walker k in the active half, pick random j in the other half,
+    draw z ~ g(z) propto 1/sqrt(z) on [1/a, a] via inverse CDF
+        z = ((a-1) u + 1)^2 / a
+    propose Y = X_j + z (X_k - X_j)
+    accept with min(1, z^(d-1) e^(lnP(Y) - lnP(X_k))),  d = n_free dims
+
+Both halves update per step (B sees A's already-updated positions, exactly
+as emcee orders it). PRNG is jax.random key-splitting: a fixed seed gives a
+bitwise-deterministic chain (SURVEY.md test plan item 4).
+
+Multi-chip scaling lives in parallel/sharded_sampler.py; this module is the
+single-device core it reuses.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SamplerState(NamedTuple):
+    """Ensemble state. Positions are in the sampling (free-parameter) space.
+
+    Stored as the two half-ensembles so the multi-chip path can shard each
+    half over the walker mesh axis independently.
+    """
+    key: jax.Array
+    pos_a: jax.Array       # (nhalf_a, ndim)
+    pos_b: jax.Array       # (nhalf_b, ndim)
+    lnp_a: jax.Array       # (nhalf_a,)
+    lnp_b: jax.Array       # (nhalf_b,)
+    naccept: jax.Array     # (nwalkers,) int32, per-walker accept counts
+    nsteps: jax.Array      # () int32, steps taken since reset
+
+    @property
+    def position(self):
+        return jnp.concatenate([self.pos_a, self.pos_b], axis=0)
+
+    @property
+    def lnprob(self):
+        return jnp.concatenate([self.lnp_a, self.lnp_b], axis=0)
+
+
+def stretch_half_step(key, active, passive, lnp_active, lnprob_batch,
+                      a=2.0):
+    """Update one half-ensemble against the (frozen) other half.
+
+    Fully vectorized: one z-draw, one partner gather, one batched lnprob,
+    one select. Returns (new_active, new_lnp, accepted_bool)."""
+    n, ndim = active.shape
+    kz, kj, ku = jax.random.split(key, 3)
+    u = jax.random.uniform(kz, (n,), dtype=active.dtype)
+    z = ((a - 1.0) * u + 1.0) ** 2 / a
+    j = jax.random.randint(kj, (n,), 0, passive.shape[0])
+    partners = passive[j]
+    proposal = partners + z[:, None] * (active - partners)
+    lnp_prop = lnprob_batch(proposal)
+    log_ratio = (ndim - 1) * jnp.log(z) + lnp_prop - lnp_active
+    accept = jnp.log(jax.random.uniform(ku, (n,), dtype=active.dtype)) \
+        < log_ratio
+    new_active = jnp.where(accept[:, None], proposal, active)
+    new_lnp = jnp.where(accept, lnp_prop, lnp_active)
+    return new_active, new_lnp, accept
+
+
+def ensemble_step(state: SamplerState, lnprob_batch, a=2.0) -> SamplerState:
+    """One full ensemble update (both half-steps)."""
+    key, k0, k1 = jax.random.split(state.key, 3)
+    pos_a, lnp_a, acc_a = stretch_half_step(
+        k0, state.pos_a, state.pos_b, state.lnp_a, lnprob_batch, a)
+    pos_b, lnp_b, acc_b = stretch_half_step(
+        k1, state.pos_b, pos_a, state.lnp_b, lnprob_batch, a)
+    naccept = state.naccept + jnp.concatenate(
+        [acc_a, acc_b]).astype(jnp.int32)
+    return SamplerState(key=key, pos_a=pos_a, pos_b=pos_b,
+                        lnp_a=lnp_a, lnp_b=lnp_b,
+                        naccept=naccept, nsteps=state.nsteps + 1)
+
+
+class EnsembleSampler:
+    """Driver owning the jitted run loops.
+
+    Mirrors the conceptual API of the engine the reference wraps
+    (run_mcmc / reset / acceptance_fraction) but the entire sampling loop --
+    burn-in included -- executes on device; the host only launches phases.
+    """
+
+    def __init__(self, nwalkers: int, ndim: int,
+                 lnprob_fn: Callable, a: float = 2.0,
+                 dtype=jnp.float32):
+        if nwalkers < 2 * ndim:
+            raise ValueError(
+                f"nwalkers={nwalkers} < 2*ndim={2 * ndim}: the stretch move "
+                "needs at least twice the dimension (prefer many more)")
+        if nwalkers % 2:
+            raise ValueError("nwalkers must be even")
+        self.nwalkers = int(nwalkers)
+        self.ndim = int(ndim)
+        self.a = float(a)
+        self.dtype = dtype
+        self.lnprob_batch = jax.vmap(lnprob_fn)
+        self._run_cache = {}
+
+    # -- state management -----------------------------------------------------
+    def init_state(self, key, p0) -> SamplerState:
+        """p0: (nwalkers, ndim) initial positions (free space)."""
+        p0 = jnp.asarray(p0, self.dtype)
+        if p0.shape != (self.nwalkers, self.ndim):
+            raise ValueError(f"p0 shape {p0.shape} != "
+                             f"({self.nwalkers},{self.ndim})")
+        half = self.nwalkers // 2
+        lnp = self.lnprob_batch(p0)
+        return SamplerState(
+            key=key, pos_a=p0[:half], pos_b=p0[half:],
+            lnp_a=lnp[:half], lnp_b=lnp[half:],
+            naccept=jnp.zeros(self.nwalkers, jnp.int32),
+            nsteps=jnp.array(0, jnp.int32))
+
+    @staticmethod
+    def reset_counters(state: SamplerState) -> SamplerState:
+        """Zero acceptance/step counters (emcee's sampler.reset() between
+        burn-in and production)."""
+        return state._replace(
+            naccept=jnp.zeros_like(state.naccept),
+            nsteps=jnp.zeros_like(state.nsteps))
+
+    # -- run loops --------------------------------------------------------------
+    def _make_run(self, nrecord: int, thin: int):
+        def run(state: SamplerState):
+            def inner(carry, _):
+                def one(i, s):
+                    return ensemble_step(s, self.lnprob_batch, self.a)
+                s = jax.lax.fori_loop(0, thin, one, carry)
+                return s, (s.position, s.lnprob)
+            state, (chain, lnpchain) = jax.lax.scan(
+                inner, state, None, length=nrecord)
+            return state, chain, lnpchain
+        return jax.jit(run)
+
+    def run_mcmc(self, state: SamplerState, nsteps: int, thin: int = 1):
+        """Advance `nsteps` ensemble updates, recording every `thin`-th.
+
+        Returns (state, chain, lnpchain) with chain shape
+        (nsteps//thin, nwalkers, ndim) -- recorded AFTER each thin block,
+        all device-resident.
+        """
+        if nsteps % thin:
+            raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
+        nrecord = nsteps // thin
+        cache_key = (nrecord, thin)
+        if cache_key not in self._run_cache:
+            self._run_cache[cache_key] = self._make_run(nrecord, thin)
+        return self._run_cache[cache_key](state)
+
+    def advance(self, state: SamplerState, nsteps: int) -> SamplerState:
+        """Advance without recording (burn-in)."""
+        key = ("advance", nsteps)
+        if key not in self._run_cache:
+            def run(state):
+                def one(i, s):
+                    return ensemble_step(s, self.lnprob_batch, self.a)
+                return jax.lax.fori_loop(0, nsteps, one, state)
+            self._run_cache[key] = jax.jit(run)
+        return self._run_cache[key](state)
+
+    # -- diagnostics ------------------------------------------------------------
+    @staticmethod
+    def acceptance_fraction(state: SamplerState):
+        """Per-walker acceptance fraction since last reset."""
+        denom = jnp.maximum(state.nsteps, 1)
+        return state.naccept / denom
+
+
+def make_initial_ball(key, center, scatter, nwalkers, lower=None, upper=None,
+                      dtype=jnp.float32):
+    """Gaussian ball of walkers around `center` (free space), clipped just
+    inside the box. Mirrors the reference's walker initialization
+    (ref: mbb_fitter.run p0 generation -- ball around the initial guess)."""
+    center = jnp.asarray(center, dtype)
+    scatter = jnp.asarray(scatter, dtype)
+    eps = jax.random.normal(key, (nwalkers, center.size), dtype=dtype)
+    ball = center + eps * scatter
+    if lower is not None and upper is not None:
+        lo = jnp.asarray(lower, dtype)
+        hi = jnp.asarray(upper, dtype)
+        width = hi - lo
+        ball = jnp.clip(ball, lo + 1e-5 * width, hi - 1e-5 * width)
+    return ball
+
+
+def autocorrelation_time(chain, c=5.0):
+    """Integrated autocorrelation time per dimension, emcee-style
+    (Sokal's adaptive window). chain: (nsteps, nwalkers, ndim), host numpy.
+
+    The reference surfaces this through emcee's acor property
+    (SURVEY.md section 5, metrics row)."""
+    x = np.asarray(chain, dtype=np.float64)
+    nsteps, nwalkers, ndim = x.shape
+    taus = np.empty(ndim)
+    for d in range(ndim):
+        xd = x[:, :, d] - x[:, :, d].mean(axis=0, keepdims=True)
+        nfft = 1
+        while nfft < 2 * nsteps:
+            nfft <<= 1
+        f = np.fft.rfft(xd, n=nfft, axis=0)
+        acf = np.fft.irfft(f * np.conj(f), n=nfft, axis=0)[:nsteps].real
+        acf = acf.mean(axis=1)
+        if acf[0] <= 0:
+            taus[d] = np.nan
+            continue
+        rho = acf / acf[0]
+        tau_run = 2.0 * np.cumsum(rho) - 1.0
+        window = np.arange(nsteps) < c * tau_run
+        idx = np.argmin(window) if not window.all() else nsteps - 1
+        taus[d] = tau_run[idx]
+    return taus
