@@ -1,0 +1,146 @@
+"""End-to-end fit tests on synthetic photometry (SURVEY.md test plan item 6;
+BASELINE.json configs 0-3 in miniature): known-theta mock data -> fit ->
+recovered parameters within tolerance; prior/limit plumbing; fixed params
+stay fixed; response mode."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mbb_emcee_tpu.models.modified_blackbody import mbb_fnu, MBBShape
+from mbb_emcee_tpu.fitter import MBBFitter
+from mbb_emcee_tpu.response import ResponseSet
+
+# Herschel PACS+SPIRE-like bands.
+WAVE = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
+TRUE = np.array([32.0, 1.9, 250.0, 3.5, 45.0])
+
+
+def _mock(theta, shape, unc_frac=0.05, seed=0):
+    f = np.asarray(mbb_fnu(jnp.asarray(theta, jnp.float32),
+                           jnp.asarray(WAVE, jnp.float32), shape), np.float64)
+    unc = unc_frac * f
+    rng = np.random.default_rng(seed)
+    return f + unc * rng.standard_normal(f.size), unc
+
+
+def _fit(opthin=False, noalpha=False, **kw):
+    shape = MBBShape(opthin=opthin, noalpha=noalpha)
+    flux, unc = _mock(TRUE, shape)
+    fit = MBBFitter(nwalkers=64, opthin=opthin, noalpha=noalpha,
+                    seed=99, **kw)
+    fit.set_data(WAVE, flux, unc)
+    # Keep T and beta in a sane range so the tiny test chain converges fast.
+    fit.set_uplim("T", 100.0).set_uplim("beta", 5.0)
+    return fit, shape
+
+
+def _check_recovery(fit, params, tol_sigmas=4.0):
+    chain = fit.chain  # (nwalkers, nsteps, 5)
+    flat = chain.reshape(-1, 5)
+    for i in params:
+        med = np.median(flat[:, i])
+        std = flat[:, i].std()
+        assert abs(med - TRUE[i]) < tol_sigmas * max(std, 1e-3), \
+            f"param {i}: med={med}, true={TRUE[i]}, std={std}"
+
+
+def test_config0_opthin_3param():
+    """BASELINE config[0]: optically-thin 3-param (T, beta, fnorm)."""
+    fit, _ = _fit(opthin=True, noalpha=True)
+    fit.run(nburn=60, nsteps=200)
+    assert fit.free_space.nfree == 3
+    _check_recovery(fit, [0, 1, 4])
+    af = fit.acceptance_fraction
+    assert 0.1 < af.mean() < 0.9
+
+
+def test_config1_thick_4param():
+    """BASELINE config[1]: optically-thick with free lambda0."""
+    fit, _ = _fit(opthin=False, noalpha=True)
+    fit.set_gaussian_prior("lambda0", 250.0, 150.0)
+    fit.run(nburn=80, nsteps=250)
+    assert fit.free_space.nfree == 4
+    _check_recovery(fit, [0, 1, 4])
+
+
+def test_config2_full_5param():
+    """BASELINE config[2]: full 5-param with Wien-side alpha."""
+    fit, _ = _fit(opthin=False, noalpha=False)
+    fit.set_gaussian_prior("lambda0", 250.0, 150.0)
+    fit.set_gaussian_prior("alpha", 3.5, 2.0)
+    fit.run(nburn=80, nsteps=250)
+    assert fit.free_space.nfree == 5
+    _check_recovery(fit, [0, 1, 4])
+
+
+def test_config3_response_mode(tmp_path):
+    """BASELINE config[3]: filter-response quadrature likelihood."""
+    rs = ResponseSet()
+    names = []
+    for w in WAVE:
+        name = f"BOX{int(w)}"
+        rs.add(name, f"box:{w}:{0.3 * w:.1f}")
+        names.append(name)
+    shape = MBBShape(opthin=True, noalpha=True)
+    # Mock data generated THROUGH the responses for consistency.
+    theta_j = jnp.asarray(TRUE, jnp.float32)
+    waves, weights = rs.pack(names)
+    f_true = np.asarray(jnp.sum(weights * mbb_fnu(theta_j, waves, shape),
+                                axis=-1), np.float64)
+    unc = 0.05 * f_true
+    rng = np.random.default_rng(1)
+    flux = f_true + unc * rng.standard_normal(f_true.size)
+
+    fit = MBBFitter(nwalkers=64, opthin=True, noalpha=True, seed=7,
+                    responses=rs)
+    fit.set_data(WAVE, flux, unc, band_names=names)
+    fit.set_uplim("T", 100.0).set_uplim("beta", 5.0)
+    fit.run(nburn=60, nsteps=200)
+    _check_recovery(fit, [0, 1, 4])
+
+
+def test_fixed_param_stays_fixed():
+    fit, _ = _fit(opthin=False, noalpha=True)
+    fit.fix_param("lambda0", 250.0)
+    fit.run(nburn=30, nsteps=100)
+    chain = fit.chain
+    assert np.all(chain[:, :, 2] == np.float32(250.0))
+    assert fit.free_space.nfree == 3
+
+
+def test_limits_clip_chain():
+    fit, _ = _fit(opthin=True, noalpha=True)
+    fit.set_lowlim("T", 25.0).set_uplim("T", 40.0)
+    fit.run(nburn=40, nsteps=150)
+    t = fit.chain[:, :, 0]
+    assert t.min() >= 25.0 and t.max() <= 40.0
+
+
+def test_covariance_fit_runs():
+    shape = MBBShape(opthin=True, noalpha=True)
+    flux, unc = _mock(TRUE, shape)
+    calib = 0.04 * flux
+    cov = np.outer(calib, calib) + np.diag(unc ** 2)
+    fit = MBBFitter(nwalkers=64, opthin=True, noalpha=True, seed=3)
+    fit.set_data(WAVE, flux, unc, cov=cov)
+    fit.set_uplim("T", 100.0).set_uplim("beta", 5.0)
+    fit.run(nburn=40, nsteps=150)
+    _check_recovery(fit, [0, 1, 4])
+
+
+def test_lnprob_call_surface():
+    """mbb_fitter.__call__(theta) parity with a hand-computed chi^2."""
+    fit, shape = _fit(opthin=False, noalpha=False)
+    got = fit(TRUE)
+    f_model = np.asarray(mbb_fnu(jnp.asarray(TRUE, jnp.float32),
+                                 jnp.asarray(WAVE, jnp.float32), shape))
+    want = -0.5 * np.sum(((f_model - fit.phot.flux) / fit.phot.unc) ** 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3)
+
+
+def test_determinism_same_seed():
+    fit1, _ = _fit(opthin=True, noalpha=True)
+    fit1.run(nburn=20, nsteps=50)
+    fit2, _ = _fit(opthin=True, noalpha=True)
+    fit2.run(nburn=20, nsteps=50)
+    np.testing.assert_array_equal(fit1.chain, fit2.chain)

@@ -1,0 +1,109 @@
+"""Response/filter tests: analytic box/delta filters against closed form,
+effective wavelength, normalization conventions, file loading, packing
+(mirrors the reference's response tests -- SURVEY.md section 4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mbb_emcee_tpu.response import Response, ResponseSet
+from mbb_emcee_tpu.models.modified_blackbody import mbb_fnu, MBBShape
+
+
+def test_delta_filter():
+    r = Response.from_spec("d", "delta:250")
+    assert r.effective_wavelength == 250.0
+    # Band flux of any SED == SED at 250.
+    val = r(lambda w: jnp.asarray(np.full(np.shape(w), 7.5)))
+    np.testing.assert_allclose(val, 7.5)
+
+
+def test_box_filter_flat_sed():
+    """A flat SED through any normalized filter returns the same flux."""
+    r = Response.from_spec("b", "box:250:60")
+    val = r(lambda w: jnp.ones_like(w) * 3.0)
+    np.testing.assert_allclose(val, 3.0, rtol=1e-6)
+
+
+def test_box_filter_reference_spectrum_exact():
+    """By construction, a filter must return exactly the quoted flux for the
+    reference spectrum itself (nu S_nu = const -> S propto lambda)."""
+    r = Response.from_spec("b", "box:250:100")
+    leff = r.effective_wavelength
+    val = r(lambda w: 5.0 * np.asarray(w) / leff)
+    np.testing.assert_allclose(val, 5.0, rtol=1e-6)
+
+
+def test_box_powerlaw_color_correction():
+    """For S propto lambda^2 through a box filter the color correction has a
+    closed form; check against direct numerical integration."""
+    c, wdt = 250.0, 100.0
+    r = Response.from_spec("b", f"box:{c}:{wdt}:129")
+    val = r(lambda w: (np.asarray(w) / 250.0) ** 2)
+    lam = np.linspace(c - wdt / 2, c + wdt / 2, 200001)
+    leff = r.effective_wavelength
+    num = np.trapezoid((lam / 250.0) ** 2 / lam ** 2, lam)
+    den = np.trapezoid((leff / lam) ** -1.0 / lam ** 2, lam)
+    np.testing.assert_allclose(val, num / den, rtol=1e-6)
+
+
+def test_effective_wavelength_box():
+    """Energy convention: lambda_eff = int R/lam dlam / int R/lam^2 dlam for
+    a box; check against the closed form."""
+    c, wdt = 350.0, 80.0
+    r = Response.from_spec("b", f"box:{c}:{wdt}:257")
+    lo, hi = c - wdt / 2, c + wdt / 2
+    want = np.log(hi / lo) / (1 / lo - 1 / hi)
+    np.testing.assert_allclose(r.effective_wavelength, want, rtol=1e-8)
+
+
+def test_photon_counter_changes_weighting():
+    re = Response.from_spec("e", "box:250:100", photon_counter=False)
+    rp = Response.from_spec("p", "box:250:100", photon_counter=True)
+    assert rp.effective_wavelength > re.effective_wavelength
+    # Flat SED still integrates to itself under either convention.
+    np.testing.assert_allclose(rp(lambda w: jnp.ones_like(w)), 1.0,
+                               rtol=1e-6)
+
+
+def test_gauss_filter():
+    r = Response.from_spec("g", "gauss:500:100")
+    # 1/lam^2 energy weighting skews lambda_eff blueward by
+    # ~ 2 (sigma/c)^2 c = 7.2 um for fwhm=100 at 500 um.
+    assert abs(r.effective_wavelength - (500.0 - 7.2)) < 2.0
+    np.testing.assert_allclose(r(lambda w: jnp.ones_like(w)), 1.0,
+                               rtol=1e-6)
+
+
+def test_file_filter_and_set(tmp_path):
+    lam = np.linspace(200, 300, 51)
+    trans = np.exp(-0.5 * ((lam - 250) / 20) ** 2)
+    fpath = tmp_path / "spire250.txt"
+    np.savetxt(fpath, np.column_stack([lam, trans]))
+    listfile = tmp_path / "filters.txt"
+    listfile.write_text(
+        f"SPIRE250 spire250.txt\nBOX350 box:350:90\nDELTA500 delta:500\n")
+    rs = ResponseSet.from_file(str(listfile))
+    assert len(rs) == 3
+    assert "SPIRE250" in rs and rs["DELTA500"].wave.size == 1
+
+    waves, weights = rs.pack(["SPIRE250", "BOX350", "DELTA500"])
+    assert waves.shape == weights.shape and waves.shape[0] == 3
+    # Packed contraction == per-band evaluation for a real SED.
+    theta = jnp.array([35.0, 1.8, 350.0, 3.0, 40.0])
+    shape = MBBShape()
+    sed = lambda w: mbb_fnu(theta, w, shape)
+    packed = np.asarray(jnp.sum(weights * sed(waves), axis=-1))
+    individual = [rs[n](sed) for n in ["SPIRE250", "BOX350", "DELTA500"]]
+    np.testing.assert_allclose(packed, individual, rtol=2e-4)
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError):
+        Response("bad", [250.0, 300.0], [1.0])        # shape mismatch
+    with pytest.raises(ValueError):
+        Response("bad", [-1.0, 300.0], [1.0, 1.0])    # negative wavelength
+    with pytest.raises(ValueError):
+        Response("bad", [250.0, 300.0], [-0.1, 1.0])  # negative transmission
+    with pytest.raises(ValueError):
+        Response.from_spec("bad", "box:10:40")        # extends below zero

@@ -1,0 +1,135 @@
+"""Sampler statistics tests (SURVEY.md test plan items 3-4): the JAX
+stretch-move sampler reproduces a known Gaussian target's moments, shows
+emcee-typical acceptance, is bitwise-deterministic under a fixed key, and
+agrees statistically with the NumPy oracle sampler."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mbb_emcee_tpu.sampler import (
+    EnsembleSampler, make_initial_ball, autocorrelation_time)
+from tests.reference_impl.gw_sampler import GoodmanWeareSampler
+
+NDIM = 3
+TARGET_MEAN = np.array([1.0, -2.0, 0.5])
+TARGET_SIG = np.array([0.8, 1.5, 0.3])
+
+
+def _lnprob_gauss(theta):
+    d = (theta - jnp.asarray(TARGET_MEAN, jnp.float32)) \
+        / jnp.asarray(TARGET_SIG, jnp.float32)
+    return -0.5 * jnp.sum(d * d)
+
+
+def _run(nwalkers=64, nburn=300, nsteps=1500, seed=0):
+    s = EnsembleSampler(nwalkers, NDIM, _lnprob_gauss)
+    key = jax.random.PRNGKey(seed)
+    key, kb = jax.random.split(key)
+    p0 = make_initial_ball(kb, TARGET_MEAN, TARGET_SIG, nwalkers)
+    state = s.init_state(key, p0)
+    state = s.advance(state, nburn)
+    state = s.reset_counters(state)
+    state, chain, lnp = s.run_mcmc(state, nsteps)
+    return s, state, np.asarray(chain), np.asarray(lnp)
+
+
+def test_gaussian_moments():
+    s, state, chain, _ = _run()
+    flat = chain.reshape(-1, NDIM)
+    # MC error on the mean ~ sigma * sqrt(tau / N_total); loose 3-sigma-ish
+    # tolerances.
+    assert np.all(np.abs(flat.mean(axis=0) - TARGET_MEAN)
+                  < 0.08 * TARGET_SIG)
+    np.testing.assert_allclose(flat.std(axis=0), TARGET_SIG, rtol=0.08)
+
+
+def test_acceptance_fraction_in_emcee_band():
+    s, state, chain, _ = _run()
+    af = np.asarray(EnsembleSampler.acceptance_fraction(state))
+    assert 0.2 < af.mean() < 0.8
+    assert af.min() > 0.05
+
+
+def test_determinism_bitwise():
+    _, _, c1, l1 = _run(seed=7)
+    _, _, c2, l2 = _run(seed=7)
+    assert np.array_equal(c1, c2)
+    assert np.array_equal(l1, l2)
+    _, _, c3, _ = _run(seed=8)
+    assert not np.array_equal(c1, c3)
+
+
+def test_thinning_matches_unthinned_endpoints():
+    """thin=k must visit exactly the same states as thin=1 (same PRNG
+    stream), just recording fewer."""
+    s = EnsembleSampler(32, NDIM, _lnprob_gauss)
+    key = jax.random.PRNGKey(3)
+    key, kb = jax.random.split(key)
+    p0 = make_initial_ball(kb, TARGET_MEAN, TARGET_SIG, 32)
+    st0 = s.init_state(key, p0)
+    _, chain1, _ = s.run_mcmc(st0, 40, thin=1)
+    _, chain4, _ = s.run_mcmc(st0, 40, thin=4)
+    np.testing.assert_array_equal(np.asarray(chain1[3::4]),
+                                  np.asarray(chain4))
+
+
+def test_stretch_z_distribution():
+    """Acceptance factor detailed-balance spot check: with a flat target the
+    move must leave a uniform-in-box ensemble uniform (mean/var preserved
+    within MC error) -- catches a wrong z^(d-1) exponent."""
+    nwalkers, ndim = 256, 2
+
+    def lnflat(theta):
+        inbox = jnp.all(jnp.abs(theta) < 10.0)
+        return jnp.where(inbox, 0.0, -1e30)
+
+    s = EnsembleSampler(nwalkers, ndim, lnflat)
+    key = jax.random.PRNGKey(11)
+    p0 = jax.random.uniform(key, (nwalkers, ndim), minval=-10.0, maxval=10.0)
+    state = s.init_state(jax.random.PRNGKey(12), p0)
+    state, chain, _ = s.run_mcmc(state, 400)
+    flat = np.asarray(chain[200:]).reshape(-1, ndim)
+    # Uniform on [-10, 10]: mean 0, std 20/sqrt(12) = 5.77.
+    np.testing.assert_allclose(flat.mean(axis=0), [0.0, 0.0], atol=0.5)
+    np.testing.assert_allclose(flat.std(axis=0), 5.7735, rtol=0.05)
+
+
+def test_matches_numpy_oracle_sampler():
+    """Same Gaussian target: JAX sampler and the oracle GW sampler agree on
+    posterior moments within MC error (different PRNGs, so statistical
+    comparison only -- SURVEY.md 'parity is statistical, not bitwise')."""
+    def lnp_np(theta):
+        d = (theta - TARGET_MEAN) / TARGET_SIG
+        return -0.5 * float(d @ d)
+
+    rng = np.random.default_rng(5)
+    p0 = TARGET_MEAN + TARGET_SIG * rng.standard_normal((64, NDIM))
+    gw = GoodmanWeareSampler(64, NDIM, lnp_np, seed=5)
+    pos, _ = gw.run_mcmc(p0, 300, store=False)
+    gw.reset()
+    gw.run_mcmc(pos, 1500)
+    oracle_flat = gw.flatchain
+
+    _, _, chain, _ = _run()
+    jax_flat = chain.reshape(-1, NDIM)
+
+    assert np.all(np.abs(jax_flat.mean(axis=0) - oracle_flat.mean(axis=0))
+                  < 0.1 * TARGET_SIG)
+    np.testing.assert_allclose(jax_flat.std(axis=0),
+                               oracle_flat.std(axis=0), rtol=0.1)
+
+
+def test_autocorrelation_time_sane():
+    _, _, chain, _ = _run(nsteps=2000)
+    tau = autocorrelation_time(chain)
+    assert np.all(np.isfinite(tau))
+    assert np.all(tau > 0.5) and np.all(tau < 200.0)
+
+
+def test_rejects_bad_geometry():
+    with pytest.raises(ValueError):
+        EnsembleSampler(5, NDIM, _lnprob_gauss)   # odd
+    with pytest.raises(ValueError):
+        EnsembleSampler(4, NDIM, _lnprob_gauss)   # < 2*ndim
