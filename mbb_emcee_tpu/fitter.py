@@ -52,6 +52,7 @@ class MBBFitter:
         self._spec = LikelihoodSpec.default()
         self._init = DEFAULT_INIT.copy()
         self._scatter = DEFAULT_SCATTER.copy()
+        self._user_init = np.zeros(NPARAMS, bool)
         self.phot: Photometry | None = None
 
         # Run products (populated by run()).
@@ -148,9 +149,24 @@ class MBBFitter:
     def set_param_init(self, param, value, scatter=None):
         i = param_index(param)
         self._init[i] = float(value)
+        self._user_init[i] = True
         if scatter is not None:
             self._scatter[i] = float(scatter)
         return self
+
+    def _auto_init_fnorm(self):
+        """Unless the user set it, start fnorm at the flux of the band
+        nearest wavenorm (ref: the reference seeds fnorm from the data
+        [MED]); a data-driven start keeps the initial ball within a few
+        sigma of the posterior."""
+        if self._user_init[4] or self.phot is None:
+            return
+        idx = int(np.argmin(np.abs(self.phot.wave - self.shape.wavenorm)))
+        fn = float(self.phot.flux[idx])
+        if fn > 0:
+            self._init[4] = fn
+            self._scatter[4] = max(2.0 * float(self.phot.unc[idx]),
+                                   0.05 * fn)
 
     @property
     def spec(self) -> LikelihoodSpec:
@@ -215,6 +231,7 @@ class MBBFitter:
         Stores the production chain device-resident; wrap in MBBResults for
         analysis/persistence. Returns self.
         """
+        self._auto_init_fnorm()
         lnprob, free_space, sampler = self.build()
         self.free_space = free_space
         self.thin = int(thin)

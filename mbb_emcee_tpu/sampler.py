@@ -187,9 +187,16 @@ class EnsembleSampler:
 
 def make_initial_ball(key, center, scatter, nwalkers, lower=None, upper=None,
                       dtype=jnp.float32):
-    """Gaussian ball of walkers around `center` (free space), clipped just
-    inside the box. Mirrors the reference's walker initialization
-    (ref: mbb_fitter.run p0 generation -- ball around the initial guess)."""
+    """Gaussian ball of walkers around `center` (free space), REFLECTED at
+    the box bounds. Mirrors the reference's walker initialization
+    (ref: mbb_fitter.run p0 generation -- ball around the initial guess).
+
+    Reflection (not clipping) matters: clipping collapses every out-of-box
+    walker onto the same boundary plane, and a stretch-move ensemble that is
+    degenerate in a coordinate can NEVER leave that hyperplane
+    (proposal = x_j + z (x_k - x_j) stays inside the ensemble's affine
+    span). Reflection preserves the ball's spread in every dimension.
+    """
     center = jnp.asarray(center, dtype)
     scatter = jnp.asarray(scatter, dtype)
     eps = jax.random.normal(key, (nwalkers, center.size), dtype=dtype)
@@ -197,8 +204,11 @@ def make_initial_ball(key, center, scatter, nwalkers, lower=None, upper=None,
     if lower is not None and upper is not None:
         lo = jnp.asarray(lower, dtype)
         hi = jnp.asarray(upper, dtype)
-        width = hi - lo
-        ball = jnp.clip(ball, lo + 1e-5 * width, hi - 1e-5 * width)
+        tiny = 1e-9 * (hi - lo)
+        lo_m, hi_m = lo + tiny, hi - tiny
+        ball = lo_m + jnp.abs(ball - lo_m)    # reflect below the floor
+        ball = hi_m - jnp.abs(hi_m - ball)    # reflect above the ceiling
+        ball = jnp.clip(ball, lo_m, hi_m)     # pathological double-overshoot
     return ball
 
 
