@@ -1,0 +1,116 @@
+"""North-star benchmark: walker-steps/sec at 250 walkers x 5 bands
+(BASELINE.json metric), TPU JAX sampler vs the CPU emcee-equivalent oracle.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": tpu_rate, "unit": "walker-steps/s",
+   "vs_baseline": tpu_rate / cpu_rate}
+
+The CPU baseline is measured in-process with the NumPy/SciPy oracle
+(tests/reference_impl): per-walker Python lnprob with a scipy brentq merge
+solve per call -- the reference's hot-loop structure (SURVEY.md section 3.1).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+NWALKERS = 250
+NBANDS = 5
+WAVE = np.linspace(100.0, 500.0, NBANDS)
+TRUE = np.array([32.0, 1.9, 250.0, 3.5, 45.0])
+UNC_FRAC = 0.05
+
+# Full 5-parameter model (opacity pivot + Wien merge root-solve): the most
+# expensive per-eval configuration, and the headline workload.
+OPTHIN = False
+NOALPHA = False
+
+
+def _mock_data():
+    rng = np.random.default_rng(42)
+    from tests.reference_impl.mbb_oracle import ModifiedBlackbodyOracle
+    oracle = ModifiedBlackbodyOracle(*TRUE, opthin=OPTHIN, noalpha=NOALPHA)
+    f_true = oracle(WAVE)
+    unc = UNC_FRAC * f_true
+    flux = f_true + unc * rng.standard_normal(NBANDS)
+    return flux, unc
+
+
+def bench_cpu(flux, unc, nsteps=12):
+    """emcee-equivalent CPU throughput: NumPy GW sampler driving the fp64
+    scipy oracle lnprob (fresh model object + brentq per call, like the
+    reference)."""
+    from tests.reference_impl.mbb_oracle import ModifiedBlackbodyOracle
+    from tests.reference_impl.gw_sampler import GoodmanWeareSampler
+
+    lower = np.array([0.1, 0.01, 1.0, 0.01, 1e-5])
+    upper = np.array([100.0, 5.0, 2e4, 60.0, 1e7])
+
+    def lnprob(theta):
+        if np.any(theta < lower) or np.any(theta > upper):
+            return -np.inf
+        model = ModifiedBlackbodyOracle(*theta, opthin=OPTHIN,
+                                        noalpha=NOALPHA)
+        r = (model(WAVE) - flux) / unc
+        return -0.5 * float(r @ r)
+
+    rng = np.random.default_rng(1)
+    p0 = TRUE[None, :] * rng.uniform(0.95, 1.05, (NWALKERS, 5))
+    gw = GoodmanWeareSampler(NWALKERS, 5, lnprob, seed=1)
+    gw.run_mcmc(p0, 2, store=False)  # warm caches
+    t0 = time.perf_counter()
+    gw.run_mcmc(p0, nsteps, store=False)
+    dt = time.perf_counter() - t0
+    return NWALKERS * nsteps / dt
+
+
+def bench_tpu(flux, unc, nsteps=3000):
+    import jax
+    import jax.numpy as jnp
+    from mbb_emcee_tpu.models.modified_blackbody import MBBShape
+    from mbb_emcee_tpu.likelihood import (
+        Photometry, LikelihoodSpec, build_lnprob)
+    from mbb_emcee_tpu.sampler import EnsembleSampler, make_initial_ball
+
+    shape = MBBShape(opthin=OPTHIN, noalpha=NOALPHA)
+    phot = Photometry(WAVE, flux, unc)
+    spec = LikelihoodSpec.default()
+    spec.upper[0] = 100.0
+    spec.upper[1] = 5.0
+    lnprob, fs = build_lnprob(phot, shape, spec)
+
+    sampler = EnsembleSampler(NWALKERS, fs.nfree, lnprob)
+    center = TRUE[fs.free_idx]
+    p0 = make_initial_ball(jax.random.PRNGKey(2), center,
+                           0.05 * np.abs(center), NWALKERS,
+                           fs.lower, fs.upper)
+    state = sampler.init_state(jax.random.PRNGKey(3), p0)
+
+    # Warm-up: compile the production loop and run it once.
+    state = sampler.advance(state, nsteps)
+    jax.block_until_ready(state.pos_a)
+    t0 = time.perf_counter()
+    state = sampler.advance(state, nsteps)
+    jax.block_until_ready(state.pos_a)
+    dt = time.perf_counter() - t0
+    return NWALKERS * nsteps / dt
+
+
+def main():
+    flux, unc = _mock_data()
+    cpu_rate = bench_cpu(flux, unc)
+    tpu_rate = bench_tpu(flux, unc)
+    print(json.dumps({
+        "metric": "walker-steps/sec, 250 walkers x 5 bands, "
+                  "full 5-param MBB",
+        "value": round(tpu_rate, 1),
+        "unit": "walker-steps/s",
+        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

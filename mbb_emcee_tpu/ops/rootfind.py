@@ -32,7 +32,11 @@ def bisect_decreasing(f, lo, hi, iters=48):
         pos = f(m) > 0.0
         return (jnp.where(pos, m, a), jnp.where(pos, b, m))
 
-    a, b = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    # First step unrolled: under shard_map, f's output typically varies over
+    # the mesh while the scalar bracket does not; routing the bracket through
+    # one `where` on f's sign gives the loop carry a stable (varying) type.
+    a, b = body(0, (lo, hi))
+    a, b = jax.lax.fori_loop(0, iters - 1, body, (a, b))
     return 0.5 * (a + b)
 
 
@@ -47,6 +51,11 @@ def golden_max(f, lo, hi, iters=64):
     hi = jnp.asarray(hi, dtype=lo.dtype)
     x1 = lo + _INVPHI2 * (hi - lo)
     x2 = lo + _INVPHI * (hi - lo)
+    f1_0, f2_0 = f(x1), f(x2)
+    # Lift the scalar carry components to f's varying-axes type so the
+    # fori_loop carry is type-stable under shard_map (see bisect note).
+    all_true = f1_0 == f1_0
+    lo, hi, x1, x2 = (jnp.where(all_true, v, v) for v in (lo, hi, x1, x2))
 
     def body(_, state):
         a, b, x1, x2, f1, f2 = state
@@ -63,7 +72,7 @@ def golden_max(f, lo, hi, iters=64):
         f2_n = jnp.where(left, f1, f_new)
         return (a_n, b_n, x1_n, x2_n, f1_n, f2_n)
 
-    state = (lo, hi, x1, x2, f(x1), f(x2))
+    state = (lo, hi, x1, x2, f1_0, f2_0)
     a, b, x1, x2, f1, f2 = jax.lax.fori_loop(0, iters, body, state)
     xm = 0.5 * (a + b)
     return xm, f(xm)

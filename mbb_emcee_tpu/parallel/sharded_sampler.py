@@ -150,8 +150,7 @@ class ShardedEnsembleSampler:
         return jax.jit(jax.shard_map(
             body, mesh=self.mesh,
             in_specs=(P(), w, w, v, v, v, v),
-            out_specs=(P(), w, w, v, v, v, v) + chain_specs,
-            check_vma=False))
+            out_specs=(P(), w, w, v, v, v, v) + chain_specs))
 
     def _dispatch(self, state: SamplerState, nrecord, thin, record):
         key = (nrecord, thin, record)
