@@ -83,10 +83,10 @@ def bench_tpu(flux, unc, nsteps=3000):
 
     sampler = EnsembleSampler(NWALKERS, fs.nfree, lnprob)
     center = TRUE[fs.free_idx]
-    p0 = make_initial_ball(jax.random.PRNGKey(2), center,
+    p0 = make_initial_ball(jax.random.key(2, impl="rbg"), center,
                            0.05 * np.abs(center), NWALKERS,
                            fs.lower, fs.upper)
-    state = sampler.init_state(jax.random.PRNGKey(3), p0)
+    state = sampler.init_state(jax.random.key(3, impl="rbg"), p0)
 
     # Warm-up: compile the production loop and run it once.
     state = sampler.advance(state, nsteps)

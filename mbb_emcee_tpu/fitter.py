@@ -39,7 +39,8 @@ class MBBFitter:
     def __init__(self, nwalkers=250, photfile=None, covfile=None, covextn=0,
                  wavenorm=500.0, noalpha=False, opthin=False,
                  responses: "ResponseSet | None" = None,
-                 nthreads=None, seed=1234, a=2.0, dtype=jnp.float32):
+                 nthreads=None, seed=1234, a=2.0, dtype=jnp.float32,
+                 prng_impl="rbg"):
         del nthreads  # walker parallelism is on-device (see module docstring)
         self.nwalkers = int(nwalkers)
         self.shape = MBBShape(opthin=bool(opthin), noalpha=bool(noalpha),
@@ -47,6 +48,10 @@ class MBBFitter:
         self.a = float(a)
         self.dtype = dtype
         self.seed = int(seed)
+        # 'rbg' is the TPU-native counter PRNG: much cheaper per draw than
+        # threefry and statistically fine for MCMC proposals (sampler
+        # statistics tests cover it). Still deterministic per (seed, impl).
+        self.prng_impl = prng_impl
         self.responses = responses
 
         self._spec = LikelihoodSpec.default()
@@ -236,7 +241,7 @@ class MBBFitter:
         self.free_space = free_space
         self.thin = int(thin)
 
-        key = jax.random.PRNGKey(self.seed)
+        key = jax.random.key(self.seed, impl=self.prng_impl)
         key, kball = jax.random.split(key)
         if p0 is None:
             center = self._init[free_space.free_idx]

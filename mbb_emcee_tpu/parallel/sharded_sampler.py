@@ -30,25 +30,15 @@ def _sharded_half_step(key_rep, active, passive, lnp_active, lnprob_batch,
     """Update the local shard of one half against the gathered other half.
     Runs INSIDE shard_map; `active`/`passive`/`lnp_active` are local blocks,
     `key_rep` is the replicated per-step key."""
+    from mbb_emcee_tpu.sampler import stretch_half_step_from_uniforms
+
     widx = jax.lax.axis_index(WALKER_AXIS)
     key = jax.random.fold_in(key_rep, widx)
-    kz, kj, ku = jax.random.split(key, 3)
-
     passive_full = jax.lax.all_gather(passive, WALKER_AXIS, axis=0,
                                       tiled=True)
-    n = active.shape[0]
-    u = jax.random.uniform(kz, (n,), dtype=active.dtype)
-    z = ((a - 1.0) * u + 1.0) ** 2 / a
-    j = jax.random.randint(kj, (n,), 0, passive_full.shape[0])
-    partners = passive_full[j]
-    proposal = partners + z[:, None] * (active - partners)
-    lnp_prop = lnprob_batch(proposal)
-    log_ratio = (ndim_free - 1) * jnp.log(z) + lnp_prop - lnp_active
-    accept = jnp.log(jax.random.uniform(ku, (n,), dtype=active.dtype)) \
-        < log_ratio
-    new_active = jnp.where(accept[:, None], proposal, active)
-    new_lnp = jnp.where(accept, lnp_prop, lnp_active)
-    return new_active, new_lnp, accept
+    u3 = jax.random.uniform(key, (3, active.shape[0]), dtype=active.dtype)
+    return stretch_half_step_from_uniforms(u3, active, passive_full,
+                                           lnp_active, lnprob_batch, a)
 
 
 class ShardedEnsembleSampler:

@@ -55,35 +55,51 @@ class SamplerState(NamedTuple):
         return jnp.concatenate([self.lnp_a, self.lnp_b], axis=0)
 
 
-def stretch_half_step(key, active, passive, lnp_active, lnprob_batch,
-                      a=2.0):
-    """Update one half-ensemble against the (frozen) other half.
+def stretch_half_step_from_uniforms(u3, active, passive, lnp_active,
+                                    lnprob_batch, a=2.0):
+    """Update one half-ensemble against the (frozen) other half, consuming
+    pre-drawn uniforms u3 of shape (3, n) -- z-draw, partner pick, accept.
 
-    Fully vectorized: one z-draw, one partner gather, one batched lnprob,
-    one select. Returns (new_active, new_lnp, accepted_bool)."""
+    Fully vectorized: one partner gather, one batched lnprob, one select.
+    Returns (new_active, new_lnp, accepted_bool). Taking the uniforms as an
+    argument lets the caller generate ALL of a step's randomness in a single
+    PRNG call (threefry on tiny shapes otherwise dominates the step cost on
+    TPU -- measured ~2/3 of the per-step time at 250 walkers)."""
     n, ndim = active.shape
-    kz, kj, ku = jax.random.split(key, 3)
-    u = jax.random.uniform(kz, (n,), dtype=active.dtype)
-    z = ((a - 1.0) * u + 1.0) ** 2 / a
-    j = jax.random.randint(kj, (n,), 0, passive.shape[0])
+    z = ((a - 1.0) * u3[0] + 1.0) ** 2 / a
+    npass = passive.shape[0]
+    # floor(u * n) partner pick: fp32 quantization bias is O(n * 2^-24),
+    # negligible against Monte-Carlo error for any sane ensemble size.
+    j = jnp.minimum((u3[1] * npass).astype(jnp.int32), npass - 1)
     partners = passive[j]
     proposal = partners + z[:, None] * (active - partners)
     lnp_prop = lnprob_batch(proposal)
     log_ratio = (ndim - 1) * jnp.log(z) + lnp_prop - lnp_active
-    accept = jnp.log(jax.random.uniform(ku, (n,), dtype=active.dtype)) \
-        < log_ratio
+    accept = jnp.log(u3[2]) < log_ratio
     new_active = jnp.where(accept[:, None], proposal, active)
     new_lnp = jnp.where(accept, lnp_prop, lnp_active)
     return new_active, new_lnp, accept
 
 
+def stretch_half_step(key, active, passive, lnp_active, lnprob_batch,
+                      a=2.0):
+    """Keyed convenience wrapper around stretch_half_step_from_uniforms."""
+    u3 = jax.random.uniform(key, (3, active.shape[0]), dtype=active.dtype)
+    return stretch_half_step_from_uniforms(u3, active, passive, lnp_active,
+                                           lnprob_batch, a)
+
+
 def ensemble_step(state: SamplerState, lnprob_batch, a=2.0) -> SamplerState:
-    """One full ensemble update (both half-steps)."""
-    key, k0, k1 = jax.random.split(state.key, 3)
-    pos_a, lnp_a, acc_a = stretch_half_step(
-        k0, state.pos_a, state.pos_b, state.lnp_a, lnprob_batch, a)
-    pos_b, lnp_b, acc_b = stretch_half_step(
-        k1, state.pos_b, pos_a, state.lnp_b, lnprob_batch, a)
+    """One full ensemble update (both half-steps). All randomness for the
+    step comes from ONE uniform draw."""
+    key, k = jax.random.split(state.key)
+    na = state.pos_a.shape[0]
+    nb = state.pos_b.shape[0]
+    u = jax.random.uniform(k, (3, na + nb), dtype=state.pos_a.dtype)
+    pos_a, lnp_a, acc_a = stretch_half_step_from_uniforms(
+        u[:, :na], state.pos_a, state.pos_b, state.lnp_a, lnprob_batch, a)
+    pos_b, lnp_b, acc_b = stretch_half_step_from_uniforms(
+        u[:, na:], state.pos_b, pos_a, state.lnp_b, lnprob_batch, a)
     naccept = state.naccept + jnp.concatenate(
         [acc_a, acc_b]).astype(jnp.int32)
     return SamplerState(key=key, pos_a=pos_a, pos_b=pos_b,

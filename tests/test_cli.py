@@ -1,0 +1,99 @@
+"""CLI end-to-end: photometry file in -> HDF5 out -> reload and summarize
+(SURVEY.md section 3.1 call stack, L5 entry point)."""
+
+import numpy as np
+import jax.numpy as jnp
+import h5py
+
+from mbb_emcee_tpu.cli import main, build_parser
+from mbb_emcee_tpu.models.modified_blackbody import mbb_fnu, MBBShape
+from mbb_emcee_tpu.results import MBBResults
+
+WAVE = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
+TRUE = np.array([32.0, 1.9, 250.0, 3.5, 45.0])
+
+
+def _write_photfile(path, shape, names=None):
+    f = np.asarray(mbb_fnu(jnp.asarray(TRUE, jnp.float32),
+                           jnp.asarray(WAVE, jnp.float32), shape), np.float64)
+    unc = 0.05 * f
+    rng = np.random.default_rng(3)
+    flux = f + unc * rng.standard_normal(f.size)
+    with open(path, "w") as fh:
+        fh.write("# mock herschel photometry\n")
+        for i in range(WAVE.size):
+            prefix = f"{names[i]} " if names else ""
+            fh.write(f"{prefix}{WAVE[i]} {flux[i]:.4f} {unc[i]:.4f}\n")
+
+
+def test_cli_help():
+    p = build_parser()
+    assert p.prog == "run_mbb_emcee_tpu"
+
+
+def test_cli_full_run(tmp_path, capsys):
+    phot = str(tmp_path / "phot.txt")
+    out = str(tmp_path / "fit.h5")
+    _write_photfile(phot, MBBShape(opthin=True, noalpha=True))
+    rc = main([phot, out,
+               "--opthin", "--noalpha",
+               "-w", "64", "-b", "40", "-n", "120",
+               "-z", "2.0",
+               "--uplim", "T", "100", "--uplim", "beta", "5",
+               "--get-lir", "--get-dustmass", "--get-peaklambda",
+               "--derived-thin", "4",
+               "--seed", "5", "-v"])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "acceptance" in captured
+    assert "L_IR" in captured
+
+    # Reload and sanity-check.
+    res = MBBResults(h5file=out)
+    assert res.redshift == 2.0
+    assert res.chain.shape[0] == 64
+    c = res.par_cen("T")
+    assert abs(c[0] - TRUE[0]) < 10.0
+    assert res.lir_chain is not None and np.all(res.lir_chain > 0)
+    assert res.dustmass_chain is not None
+    assert res.peaklambda_chain is not None
+    # Order-of-magnitude check: this mock is a very luminous z=2 source
+    # (T_rest ~ 96 K, S_100 ~ 2 Jy) -> L_IR of order 1e14-1e15 Lsun.
+    lir_med = np.median(res.lir_chain)
+    assert 1e13 < lir_med < 1e16
+
+    with h5py.File(out) as f:
+        assert "Chain" in f and "LIR" in f
+        assert f.attrs["opthin"]
+
+
+def test_cli_response_mode(tmp_path):
+    phot = str(tmp_path / "phot.txt")
+    out = str(tmp_path / "fit.h5")
+    names = [f"BOX{int(w)}" for w in WAVE]
+    _write_photfile(phot, MBBShape(opthin=True, noalpha=True), names=names)
+    filt = tmp_path / "filters.txt"
+    filt.write_text("".join(
+        f"BOX{int(w)} box:{w}:{0.3 * w:.1f}\n" for w in WAVE))
+    rc = main([phot, out, "--opthin", "--noalpha",
+               "-w", "64", "-b", "30", "-n", "80",
+               "--responsefile", str(filt),
+               "--uplim", "T", "100", "--seed", "6"])
+    assert rc == 0
+    res = MBBResults(h5file=out)
+    assert res.phot.band_names == names
+
+
+def test_cli_fixed_and_prior(tmp_path):
+    phot = str(tmp_path / "phot.txt")
+    out = str(tmp_path / "fit.h5")
+    _write_photfile(phot, MBBShape())
+    rc = main([phot, out,
+               "-w", "64", "-b", "30", "-n", "80",
+               "--fixed", "lambda0", "250", "--fixed", "alpha", "3.5",
+               "--prior", "beta", "2.0", "0.3",
+               "--uplim", "T", "100", "--seed", "8"])
+    assert rc == 0
+    res = MBBResults(h5file=out)
+    assert np.all(res.chain[:, :, 2] == np.float32(250.0))
+    assert np.all(res.chain[:, :, 3] == np.float32(3.5))
