@@ -44,6 +44,17 @@ def build_parser():
     g.add_argument("--nthreads", type=int, default=None,
                    help="accepted for reference compatibility; ignored "
                         "(walker parallelism is on-device)")
+    g.add_argument("--checkpoint", default=None,
+                   help="HDF5 file to flush chain + sampler state to during "
+                        "the production run")
+    g.add_argument("--checkpoint-interval", type=int, default=100,
+                   help="recorded steps between checkpoint flushes")
+    g.add_argument("--resume", action="store_true",
+                   help="resume an interrupted run from --checkpoint")
+    g.add_argument("--lnprob-backend", choices=["xla", "pallas"],
+                   default="xla",
+                   help="likelihood kernel: XLA-fused (portable) or the "
+                        "single fused Pallas TPU kernel")
 
     g = p.add_argument_group("model")
     g.add_argument("--opthin", action="store_true",
@@ -126,7 +137,8 @@ def main(argv=None):
     fit = MBBFitter(nwalkers=args.nwalkers, photfile=args.photfile,
                     wavenorm=args.wavenorm, noalpha=args.noalpha,
                     opthin=args.opthin, responses=responses,
-                    seed=args.seed, a=args.stretch_a)
+                    seed=args.seed, a=args.stretch_a,
+                    lnprob_backend=args.lnprob_backend)
     if args.covfile is not None:
         fit.read_cov(args.covfile, args.covextn, args.cov_is_total)
 
@@ -148,7 +160,10 @@ def main(argv=None):
         print(f"Running fit: {args.nwalkers} walkers, burn={args.burn}, "
               f"steps={args.nsteps}, thin={args.thin}")
     fit.run(nburn=args.burn, nsteps=args.nsteps, thin=args.thin,
-            recenter_burn=not args.no_recenter_burn, verbose=args.verbose)
+            recenter_burn=not args.no_recenter_burn, verbose=args.verbose,
+            checkpoint=args.checkpoint,
+            checkpoint_interval=args.checkpoint_interval,
+            resume=args.resume)
 
     res = MBBResults(fit=fit, redshift=args.redshift,
                      cosmology=args.cosmology, lumdist=args.lumdist)

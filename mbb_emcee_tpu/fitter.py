@@ -40,7 +40,7 @@ class MBBFitter:
                  wavenorm=500.0, noalpha=False, opthin=False,
                  responses: "ResponseSet | None" = None,
                  nthreads=None, seed=1234, a=2.0, dtype=jnp.float32,
-                 prng_impl="rbg"):
+                 prng_impl="rbg", lnprob_backend="xla"):
         del nthreads  # walker parallelism is on-device (see module docstring)
         self.nwalkers = int(nwalkers)
         self.shape = MBBShape(opthin=bool(opthin), noalpha=bool(noalpha),
@@ -52,6 +52,11 @@ class MBBFitter:
         # threefry and statistically fine for MCMC proposals (sampler
         # statistics tests cover it). Still deterministic per (seed, impl).
         self.prng_impl = prng_impl
+        # 'xla' = portable fused likelihood; 'pallas' = single fused TPU
+        # kernel (ops/pallas_lnprob.py), TPU-only.
+        if lnprob_backend not in ("xla", "pallas"):
+            raise ValueError("lnprob_backend must be 'xla' or 'pallas'")
+        self.lnprob_backend = lnprob_backend
         self.responses = responses
 
         self._spec = LikelihoodSpec.default()
@@ -204,9 +209,15 @@ class MBBFitter:
         """Build (lnprob, free_space, sampler). Called by run(); exposed for
         tests and benchmarking."""
         spec = self._effective_spec()
-        lnprob, free_space = build_lnprob(
-            self._require_data(), self.shape, spec,
-            response_pack=self._response_pack(), dtype=self.dtype)
+        if self.lnprob_backend == "pallas":
+            from mbb_emcee_tpu.ops.pallas_lnprob import build_pallas_lnprob
+            lnprob, free_space = build_pallas_lnprob(
+                self._require_data(), self.shape, spec,
+                response_pack=self._response_pack())
+        else:
+            lnprob, free_space = build_lnprob(
+                self._require_data(), self.shape, spec,
+                response_pack=self._response_pack(), dtype=self.dtype)
         sampler = EnsembleSampler(self.nwalkers, free_space.nfree, lnprob,
                                   a=self.a, dtype=self.dtype)
         return lnprob, free_space, sampler
@@ -229,51 +240,103 @@ class MBBFitter:
 
     # -- the run -------------------------------------------------------------------
     def run(self, nburn=50, nsteps=250, thin=1, p0=None,
-            recenter_burn=True, verbose=False):
+            recenter_burn=True, verbose=False,
+            checkpoint=None, checkpoint_interval=100, resume=False):
         """Burn-in -> re-center on best burn-in sample -> re-burn -> reset ->
         production (ref: mbb_fitter.run protocol, SURVEY.md section 3.1).
+
+        With `checkpoint=path`, the production run is segmented and the chain
+        plus full sampler state are flushed to HDF5 every
+        `checkpoint_interval` recorded steps; `resume=True` continues an
+        interrupted run from that file (the reference has no mid-sampling
+        checkpointing -- SURVEY.md section 5).
 
         Stores the production chain device-resident; wrap in MBBResults for
         analysis/persistence. Returns self.
         """
+        import os
+
         self._auto_init_fnorm()
         lnprob, free_space, sampler = self.build()
         self.free_space = free_space
         self.thin = int(thin)
 
-        key = jax.random.key(self.seed, impl=self.prng_impl)
-        key, kball = jax.random.split(key)
-        if p0 is None:
-            center = self._init[free_space.free_idx]
-            scatter = self._scatter[free_space.free_idx]
-            p0 = make_initial_ball(kball, center, scatter, self.nwalkers,
-                                   free_space.lower, free_space.upper,
-                                   dtype=self.dtype)
+        resuming = bool(checkpoint and resume and os.path.exists(checkpoint))
+
+        if resuming:
+            from mbb_emcee_tpu.checkpoint import load_checkpoint
+            state, prev_chain, prev_lnp, meta = load_checkpoint(checkpoint)
+            if int(meta.get("nwalkers", self.nwalkers)) != self.nwalkers \
+                    or int(meta.get("thin", thin)) != thin:
+                raise ValueError(
+                    "checkpoint geometry does not match this fitter")
+            self.burn_chain_free = None
         else:
-            p0 = jnp.asarray(p0, self.dtype)
-            if p0.shape[-1] == NPARAMS:
-                p0 = p0[..., free_space.free_idx]
+            key = jax.random.key(self.seed, impl=self.prng_impl)
+            key, kball = jax.random.split(key)
+            if p0 is None:
+                center = self._init[free_space.free_idx]
+                scatter = self._scatter[free_space.free_idx]
+                p0 = make_initial_ball(kball, center, scatter, self.nwalkers,
+                                       free_space.lower, free_space.upper,
+                                       dtype=self.dtype)
+            else:
+                p0 = jnp.asarray(p0, self.dtype)
+                if p0.shape[-1] == NPARAMS:
+                    p0 = p0[..., free_space.free_idx]
 
-        state = sampler.init_state(key, p0)
+            state = sampler.init_state(key, p0)
 
-        if nburn > 0:
-            state, bchain, blnp = sampler.run_mcmc(state, nburn)
-            self.burn_chain_free = bchain
-            if recenter_burn:
-                # Re-center the whole ensemble on the best burn-in sample
-                # with a tight ball, then burn again from there.
-                flat = bchain.reshape(-1, free_space.nfree)
-                best = flat[jnp.argmax(blnp.reshape(-1))]
-                key2, kball2 = jax.random.split(state.key)
-                tight = self._scatter[free_space.free_idx] * 0.1
-                p0b = make_initial_ball(kball2, best, tight, self.nwalkers,
-                                        free_space.lower, free_space.upper,
-                                        dtype=self.dtype)
-                state = sampler.init_state(key2, p0b)
-                state = sampler.advance(state, nburn)
-            state = sampler.reset_counters(state)
+            if nburn > 0:
+                state, bchain, blnp = sampler.run_mcmc(state, nburn)
+                self.burn_chain_free = bchain
+                if recenter_burn:
+                    # Re-center the whole ensemble on the best burn-in
+                    # sample with a tight ball, then burn again from there.
+                    flat = bchain.reshape(-1, free_space.nfree)
+                    best = flat[jnp.argmax(blnp.reshape(-1))]
+                    key2, kball2 = jax.random.split(state.key)
+                    tight = self._scatter[free_space.free_idx] * 0.1
+                    p0b = make_initial_ball(kball2, best, tight,
+                                            self.nwalkers,
+                                            free_space.lower,
+                                            free_space.upper,
+                                            dtype=self.dtype)
+                    state = sampler.init_state(key2, p0b)
+                    state = sampler.advance(state, nburn)
+                state = sampler.reset_counters(state)
 
-        state, chain, lnpchain = sampler.run_mcmc(state, nsteps, thin)
+        if checkpoint is None:
+            state, chain, lnpchain = sampler.run_mcmc(state, nsteps, thin)
+        else:
+            from mbb_emcee_tpu.checkpoint import (
+                save_checkpoint, load_checkpoint)
+            chain_blocks, lnp_blocks = [], []
+            done = 0
+            if resuming and prev_chain is not None:
+                chain_blocks.append(prev_chain)
+                lnp_blocks.append(prev_lnp)
+                done = prev_chain.shape[0] * thin
+            meta = {"nwalkers": self.nwalkers, "thin": thin,
+                    "nsteps_target": nsteps}
+            seg = max(int(checkpoint_interval), 1) * thin
+            while done < nsteps:
+                n = min(seg, nsteps - done)
+                n -= n % thin
+                if n == 0:
+                    break
+                state, c, l = sampler.run_mcmc(state, n, thin)
+                chain_blocks.append(np.asarray(c))
+                lnp_blocks.append(np.asarray(l))
+                done += n
+                save_checkpoint(checkpoint, state, chain_blocks, lnp_blocks,
+                                meta, self.prng_impl)
+                if verbose:
+                    print(f"  checkpoint: {done}/{nsteps} steps -> "
+                          f"{checkpoint}")
+            chain = jnp.asarray(np.concatenate(chain_blocks, axis=0))
+            lnpchain = jnp.asarray(np.concatenate(lnp_blocks, axis=0))
+
         self.chain_free = chain
         self.lnprobability = lnpchain
         self.final_state = state

@@ -1,0 +1,279 @@
+"""Fused Pallas TPU kernel for the ensemble lnprob.
+
+One kernel launch computes, for a whole walker block, everything the
+reference does per lnprob call (SURVEY.md section 3.1 hot loop): box check,
+greybody model with the Wien-merge bisection, (optionally band-integrated)
+model fluxes, covariance whitening, Gaussian priors. Layout: walkers ride
+the 128-wide lane dimension; every per-walker quantity is a (1, W) row and
+the merge bisection is 30 branchless vector iterations in VMEM.
+
+The XLA-fused path (likelihood.build_lnprob) is the portable default; this
+kernel removes the remaining multi-kernel launch overhead inside the sampling
+scan on real TPU hardware. Equivalence is tested in interpret mode on CPU
+(tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mbb_emcee_tpu.constants import HCOK_UM_K, NPARAMS
+
+_LOG_C2 = math.log(HCOK_UM_K)
+_LOG_X_LO = math.log(1e-3)
+_LOG_X_HI = math.log(1e4)
+_MERGE_ITERS = 30
+_EXP_CUT = 25.0
+_LANE = 128
+LNPROB_FLOOR = -1e30
+
+
+# Mosaic (Pallas TPU) does not lower expm1/log1p; these use exp/log with a
+# small-argument series guard, which keeps fp32 relative error below ~1e-6
+# everywhere on the sampling box.
+_SMALL = 0.01
+
+
+def _log_expm1(x):
+    """log(e^x - 1), x > 0."""
+    em = jnp.exp(jnp.minimum(x, _EXP_CUT)) - 1.0
+    # x < _SMALL: e^x - 1 = x (1 + x/2 + ...) -> log x + log(1 + x/2)
+    small = jnp.log(x) + 0.5 * x
+    return jnp.where(x < _SMALL, small,
+                     jnp.where(x < _EXP_CUT, jnp.log(em), x))
+
+
+def _log1mexp(x):
+    """log(1 - e^-x), x > 0."""
+    xc = jnp.maximum(x, 1e-35)
+    big = jnp.log(1.0 - jnp.exp(-xc))
+    # small x: 1 - e^-x = x (1 - x/2 + ...) -> log x - x/2
+    small = jnp.log(xc) - 0.5 * xc
+    return jnp.where(xc < _SMALL, small, big)
+
+
+def _xoexpm1x(x):
+    """x / (e^x - 1) -> 1 at 0, -> 0 at inf."""
+    xc = jnp.clip(x, 1e-30, _EXP_CUT)
+    val = xc / (jnp.exp(xc) - 1.0)
+    val = jnp.where(xc < _SMALL, 1.0 - 0.5 * xc, val)
+    return jnp.where(x > _EXP_CUT, 0.0, val)
+
+
+def _qx(x):
+    """x / (1 - e^-x) -> 1 at 0 (the Planck slope term)."""
+    xc = jnp.maximum(x, 1e-30)
+    val = xc / (1.0 - jnp.exp(-xc))
+    return jnp.where(xc < _SMALL, 1.0 + 0.5 * xc, val)
+
+
+def _make_kernel(cfg):
+    """cfg: dict with static shape/config info (see build_pallas_lnprob)."""
+    opthin = cfg["opthin"]
+    noalpha = cfg["noalpha"]
+    nb = cfg["nbands"]
+    use_chol = cfg["use_chol"]
+    log_wavenorm = math.log(cfg["wavenorm"])
+
+    def log_s_mbb(log_x, beta, log_x0):
+        x = jnp.exp(log_x)
+        log_planck = 3.0 * log_x - _log_expm1(x)
+        if opthin:
+            return beta * log_x + log_planck
+        tau = jnp.exp(beta * (log_x - log_x0))
+        return _log1mexp(tau) + log_planck
+
+    def dlns(log_x, beta, log_x0):
+        x = jnp.exp(log_x)
+        q = _qx(x)
+        if opthin:
+            return 3.0 + beta - q
+        tau = jnp.exp(beta * (log_x - log_x0))
+        return 3.0 + beta * _xoexpm1x(tau) - q
+
+    def kernel(theta_ref, limits_ref, prior_ref, flux_ref, whiten_ref,
+               waves_ref, rweights_ref, out_ref):
+        # theta_ref: (8, W) -- rows T, beta, lambda0, alpha, fnorm, pad.
+        # limits_ref: (2, 8) SMEM box. prior_ref: (2, 8) SMEM mean/isigma.
+        # flux_ref: (nb,) SMEM data fluxes.
+        # whiten_ref: (nb, nb) SMEM (L^-1, or diag 1/unc on the diagonal).
+        # waves_ref: (nb, nnodes) VMEM wavelengths (nnodes=1 in point mode).
+        # rweights_ref: (nb, nnodes) VMEM quadrature weights (point mode: 1).
+        # out_ref: (1, W) lnprob.
+
+        def row(i):
+            return theta_ref[i:i + 1, :]          # (1, W)
+
+        # Box check + clip (the model must stay NaN-free for wild walkers).
+        inbox = None
+        rows = []
+        for i in range(NPARAMS):
+            v = row(i)
+            lo = limits_ref[0, i]
+            hi = limits_ref[1, i]
+            ok = (v >= lo) & (v <= hi)
+            inbox = ok if inbox is None else (inbox & ok)
+            rows.append(jnp.clip(v, lo, hi))
+        T, beta, lam0, alpha, fnorm = rows
+
+        log_T = jnp.log(T)
+        log_x0 = _LOG_C2 - jnp.log(lam0) - log_T
+
+        if noalpha:
+            u_m = None
+        else:
+            # Fixed-iteration bisection for the merge point, (1, W) vectors.
+            a_br = jnp.full_like(T, _LOG_X_LO)
+            b_br = jnp.full_like(T, _LOG_X_HI)
+            for _ in range(_MERGE_ITERS):
+                m = 0.5 * (a_br + b_br)
+                pos = (dlns(m, beta, log_x0) + alpha) > 0.0
+                a_br = jnp.where(pos, m, a_br)
+                b_br = jnp.where(pos, b_br, m)
+            u_m = 0.5 * (a_br + b_br)
+            ls_m = log_s_mbb(u_m, beta, log_x0)
+
+        def log_s(log_x):
+            base = log_s_mbb(log_x, beta, log_x0)
+            if noalpha:
+                return base
+            return jnp.where(log_x > u_m, ls_m - alpha * (log_x - u_m),
+                             base)
+
+        log_fnorm = jnp.log(fnorm)
+        ls_norm = log_s(_LOG_C2 - log_wavenorm - log_T)
+
+        # Model fluxes per band -> residual rows. Point mode is the same
+        # contraction with a single unit-weight node per band.
+        deltas = []
+        for b in range(nb):
+            lam = waves_ref[b, :][:, None]         # (nnodes, 1)
+            wts = rweights_ref[b, :][:, None]
+            lx = _LOG_C2 - jnp.log(lam) - log_T    # (nnodes, W)
+            vals = jnp.exp(log_fnorm + log_s(lx) - ls_norm)
+            model = jnp.sum(wts * vals, axis=0, keepdims=True)  # (1, W)
+            deltas.append(model - flux_ref[b])
+
+        # Whiten and accumulate chi^2. diag mode: whiten is diagonal.
+        chi2 = jnp.zeros_like(T)
+        if use_chol:
+            for i in range(nb):
+                r = jnp.zeros_like(T)
+                for j in range(i + 1):             # L^-1 is lower triangular
+                    r = r + whiten_ref[i, j] * deltas[j]
+                chi2 = chi2 + r * r
+        else:
+            for i in range(nb):
+                r = whiten_ref[i, i] * deltas[i]
+                chi2 = chi2 + r * r
+
+        lnp = -0.5 * chi2
+        for i in range(NPARAMS):
+            isig = prior_ref[1, i]
+            d = (rows[i] - prior_ref[0, i]) * isig
+            lnp = lnp - 0.5 * d * d
+
+        out_ref[:, :] = jnp.where(inbox, lnp, LNPROB_FLOOR)
+
+    return kernel
+
+
+def build_pallas_lnprob(phot, shape, spec, response_pack=None,
+                        interpret=False):
+    """Batched lnprob over the FREE space, fused into one Pallas kernel.
+
+    Same semantics as likelihood.build_lnprob (which also documents the
+    conventions); returns (lnprob_batched, free_space) where lnprob_batched
+    maps (n, nfree) -> (n,) and carries .is_batched = True.
+    """
+    from mbb_emcee_tpu.likelihood import build_lnprob  # free_space reuse
+
+    _, free_space = build_lnprob(phot, shape, spec,
+                                 response_pack=response_pack)
+    free_idx = free_space.free_idx
+    nfree = free_idx.size
+    template = jnp.asarray(free_space.template, jnp.float32)
+    scatter_np = np.zeros((NPARAMS, nfree), np.float32)
+    scatter_np[free_idx, np.arange(nfree)] = 1.0
+    scatter = jnp.asarray(scatter_np)
+
+    nb = phot.nbands
+    if response_pack is not None:
+        waves, rweights = response_pack
+        waves = waves.astype(jnp.float32)
+        rweights = rweights.astype(jnp.float32)
+        response = True
+    else:
+        waves = jnp.asarray(phot.wave, jnp.float32)[:, None]
+        rweights = jnp.ones((nb, 1), jnp.float32)
+        response = False
+
+    if phot.cov is not None:
+        whiten_np = np.linalg.inv(np.linalg.cholesky(phot.cov))
+        use_chol = True
+    else:
+        whiten_np = np.diag(1.0 / phot.unc)
+        use_chol = False
+
+    # Box limits for FREE params. Fixed params get a wide FINITE box (the
+    # kernel uses the same rows for both the in-box check and the NaN-safety
+    # clip, so the bounds must stay finite) -- the template value always
+    # passes.
+    lim = np.zeros((2, 8), np.float32)
+    lim[0, :NPARAMS] = np.where(spec.fixed, 1e-6, spec.lower)
+    lim[1, :NPARAMS] = np.where(spec.fixed, 1e30, spec.upper)
+    pri = np.zeros((2, 8), np.float32)
+    pri[0, :NPARAMS] = spec.prior_mean
+    pri[1, :NPARAMS] = spec.prior_isigma
+
+    cfg = dict(opthin=shape.opthin, noalpha=shape.noalpha, nbands=nb,
+               use_chol=use_chol, response=response,
+               wavenorm=shape.wavenorm)
+    kernel = _make_kernel(cfg)
+
+    limits = jnp.asarray(lim)
+    priors = jnp.asarray(pri)
+    flux = jnp.asarray(phot.flux, jnp.float32)
+    whiten = jnp.asarray(whiten_np, jnp.float32)
+
+    if spec.uplim_bands is not None and spec.uplim_bands.any():
+        raise NotImplementedError(
+            "photometric upper limits: use the XLA lnprob backend")
+
+    def call_kernel(theta_t):
+        w = theta_t.shape[1]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, w), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),    # theta
+                pl.BlockSpec(memory_space=pltpu.SMEM),    # limits
+                pl.BlockSpec(memory_space=pltpu.SMEM),    # priors
+                pl.BlockSpec(memory_space=pltpu.SMEM),    # flux
+                pl.BlockSpec(memory_space=pltpu.SMEM),    # whiten
+                pl.BlockSpec(memory_space=pltpu.VMEM),    # waves
+                pl.BlockSpec(memory_space=pltpu.VMEM),    # rweights
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(theta_t, limits, priors, flux, whiten, waves, rweights)
+
+    def lnprob_batched(theta_free):
+        """(n, nfree) -> (n,)"""
+        n = theta_free.shape[0]
+        pad = (-n) % _LANE
+        full = template[None, :] + theta_free @ scatter.T     # (n, 5)
+        full = jnp.pad(full, ((0, pad), (0, 3)), constant_values=1.0)
+        theta_t = full.T                                       # (8, n+pad)
+        lnp = call_kernel(theta_t)[0]
+        return lnp[:n]
+
+    lnprob_batched.is_batched = True
+    return lnprob_batched, free_space

@@ -61,7 +61,10 @@ class ShardedEnsembleSampler:
         self.a = float(a)
         self.mesh = mesh
         self.dtype = dtype
-        self.lnprob_batch = jax.vmap(lnprob_fn)
+        if getattr(lnprob_fn, "is_batched", False):
+            self.lnprob_batch = lnprob_fn
+        else:
+            self.lnprob_batch = jax.vmap(lnprob_fn)
         self._run_cache = {}
 
         self._half_sharding = NamedSharding(mesh, P(WALKER_AXIS, None))

@@ -128,7 +128,12 @@ class EnsembleSampler:
         self.ndim = int(ndim)
         self.a = float(a)
         self.dtype = dtype
-        self.lnprob_batch = jax.vmap(lnprob_fn)
+        # A pre-batched lnprob (e.g. the fused Pallas kernel, marked with
+        # .is_batched) is used directly; scalar lnprobs get vmapped.
+        if getattr(lnprob_fn, "is_batched", False):
+            self.lnprob_batch = lnprob_fn
+        else:
+            self.lnprob_batch = jax.vmap(lnprob_fn)
         self._run_cache = {}
 
     # -- state management -----------------------------------------------------

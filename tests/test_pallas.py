@@ -1,0 +1,116 @@
+"""Pallas fused-lnprob kernel equivalence vs the XLA-fused reference path
+(interpret mode on CPU; the same kernel compiles natively on TPU and is
+exercised by bench.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mbb_emcee_tpu.models.modified_blackbody import mbb_fnu, MBBShape
+from mbb_emcee_tpu.likelihood import (
+    Photometry, LikelihoodSpec, build_lnprob, LNPROB_FLOOR)
+from mbb_emcee_tpu.ops.pallas_lnprob import build_pallas_lnprob
+
+WAVE = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
+TRUE = np.array([32.0, 1.9, 250.0, 3.5, 45.0])
+
+
+def _phot(cov=False):
+    shape = MBBShape()
+    f = np.asarray(mbb_fnu(jnp.asarray(TRUE, jnp.float32),
+                           jnp.asarray(WAVE, jnp.float32), shape), np.float64)
+    unc = 0.05 * f
+    rng = np.random.default_rng(0)
+    flux = f + unc * rng.standard_normal(f.size)
+    c = None
+    if cov:
+        calib = 0.04 * f
+        c = np.outer(calib, calib) + np.diag(unc ** 2)
+    return Photometry(WAVE, flux, unc, cov=c)
+
+
+def _walkers(nfree, n=200, seed=1):
+    rng = np.random.default_rng(seed)
+    lower = np.array([5.0, 0.3, 50.0, 0.5, 5.0])[:nfree] * 0 + 0  # unused
+    base = TRUE[:5]
+    # spread of in-box and out-of-box walkers
+    w = base[None, :] * rng.uniform(0.5, 1.8, (n, 5))
+    return w
+
+
+@pytest.mark.parametrize("opthin,noalpha,cov", [
+    (False, False, False),
+    (False, False, True),
+    (True, True, False),
+    (False, True, False),
+])
+def test_pallas_matches_xla(opthin, noalpha, cov):
+    shape = MBBShape(opthin=opthin, noalpha=noalpha)
+    phot = _phot(cov=cov)
+    spec = LikelihoodSpec.default()
+    spec.upper[0] = 100.0
+    spec.upper[1] = 5.0
+    spec.prior_mean[2] = 250.0
+    spec.prior_isigma[2] = 1.0 / 120.0
+    if opthin:
+        spec.fixed[2] = True
+        spec.fixed_values[2] = 250.0
+    if noalpha:
+        spec.fixed[3] = True
+        spec.fixed_values[3] = 3.5
+
+    lnp_xla, fs = build_lnprob(phot, shape, spec)
+    lnp_pal, fs2 = build_pallas_lnprob(phot, shape, spec, interpret=True)
+    np.testing.assert_array_equal(fs.free_idx, fs2.free_idx)
+
+    w_full = _walkers(5)
+    w_free = w_full[:, fs.free_idx].astype(np.float32)
+    got = np.asarray(lnp_pal(jnp.asarray(w_free)))
+    want = np.asarray(jax.vmap(lnp_xla)(jnp.asarray(w_free)))
+
+    # identical floor assignment for out-of-box walkers
+    np.testing.assert_array_equal(got <= LNPROB_FLOOR / 2,
+                                  want <= LNPROB_FLOOR / 2)
+    m = want > LNPROB_FLOOR / 2
+    assert m.sum() > 10
+    np.testing.assert_allclose(got[m], want[m], rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_response_mode():
+    from mbb_emcee_tpu.response import ResponseSet
+    rs = ResponseSet()
+    names = [f"BOX{int(w)}" for w in WAVE]
+    for w, n in zip(WAVE, names):
+        rs.add(n, f"box:{w}:{0.3 * w:.1f}")
+    pack = rs.pack(names)
+    shape = MBBShape()
+    phot = _phot()
+    spec = LikelihoodSpec.default()
+    spec.upper[0] = 100.0
+
+    lnp_xla, fs = build_lnprob(phot, shape, spec, response_pack=pack)
+    lnp_pal, _ = build_pallas_lnprob(phot, shape, spec, response_pack=pack,
+                                     interpret=True)
+    w_free = _walkers(5)[:, fs.free_idx].astype(np.float32)
+    got = np.asarray(lnp_pal(jnp.asarray(w_free)))
+    want = np.asarray(jax.vmap(lnp_xla)(jnp.asarray(w_free)))
+    m = want > LNPROB_FLOOR / 2
+    np.testing.assert_allclose(got[m], want[m], rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_padding_roundtrip():
+    """Non-multiple-of-128 walker counts are padded and sliced back."""
+    shape = MBBShape(opthin=True, noalpha=True)
+    phot = _phot()
+    spec = LikelihoodSpec.default()
+    spec.fixed[2] = True
+    spec.fixed_values[2] = 250.0
+    spec.fixed[3] = True
+    spec.fixed_values[3] = 3.5
+    lnp_pal, fs = build_pallas_lnprob(phot, shape, spec, interpret=True)
+    for n in (1, 7, 128, 129, 250):
+        w = _walkers(5, n=n)[:, fs.free_idx].astype(np.float32)
+        out = lnp_pal(jnp.asarray(w))
+        assert out.shape == (n,)
+        assert bool(jnp.all(jnp.isfinite(out)))
