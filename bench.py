@@ -66,36 +66,41 @@ def bench_cpu(flux, unc, nsteps=12):
     return NWALKERS * nsteps / dt
 
 
-def bench_tpu(flux, unc, nsteps=3000):
+def bench_tpu(flux, unc, nsteps=30000):
+    """Fused-Pallas-sampler throughput: the entire nsteps-step run is ONE
+    kernel launch (ops/pallas_sampler.py). The long run amortizes this
+    environment's fixed ~25 ms per-execution dispatch cost so the number
+    reflects steady-state kernel throughput."""
     import jax
-    import jax.numpy as jnp
     from mbb_emcee_tpu.models.modified_blackbody import MBBShape
-    from mbb_emcee_tpu.likelihood import (
-        Photometry, LikelihoodSpec, build_lnprob)
-    from mbb_emcee_tpu.sampler import EnsembleSampler, make_initial_ball
+    from mbb_emcee_tpu.likelihood import Photometry, LikelihoodSpec
+    from mbb_emcee_tpu.sampler import make_initial_ball
+    from mbb_emcee_tpu.ops.pallas_sampler import FusedPallasSampler
 
     shape = MBBShape(opthin=OPTHIN, noalpha=NOALPHA)
     phot = Photometry(WAVE, flux, unc)
     spec = LikelihoodSpec.default()
     spec.upper[0] = 100.0
     spec.upper[1] = 5.0
-    lnprob, fs = build_lnprob(phot, shape, spec)
 
-    sampler = EnsembleSampler(NWALKERS, fs.nfree, lnprob)
+    sampler = FusedPallasSampler(NWALKERS, phot, shape, spec)
+    fs = sampler.free_space
     center = TRUE[fs.free_idx]
     p0 = make_initial_ball(jax.random.key(2, impl="rbg"), center,
                            0.05 * np.abs(center), NWALKERS,
                            fs.lower, fs.upper)
     state = sampler.init_state(jax.random.key(3, impl="rbg"), p0)
 
-    # Warm-up: compile the production loop and run it once.
+    # Warm-up: compile the run loop and run it once.
     state = sampler.advance(state, nsteps)
     jax.block_until_ready(state.pos_a)
-    t0 = time.perf_counter()
-    state = sampler.advance(state, nsteps)
-    jax.block_until_ready(state.pos_a)
-    dt = time.perf_counter() - t0
-    return NWALKERS * nsteps / dt
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = sampler.advance(state, nsteps)
+        jax.block_until_ready(out.pos_a)
+        best = min(best, time.perf_counter() - t0)
+    return NWALKERS * nsteps / best
 
 
 def main():

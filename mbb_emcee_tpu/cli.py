@@ -55,6 +55,11 @@ def build_parser():
                    default="xla",
                    help="likelihood kernel: XLA-fused (portable) or the "
                         "single fused Pallas TPU kernel")
+    g.add_argument("--sampler-backend", choices=["auto", "xla", "fused"],
+                   default="auto",
+                   help="'fused' runs the whole sampling loop as one Pallas "
+                        "TPU kernel (~10x per-step throughput); 'auto' "
+                        "(default) picks it on TPU when supported")
 
     g = p.add_argument_group("model")
     g.add_argument("--opthin", action="store_true",
@@ -138,7 +143,8 @@ def main(argv=None):
                     wavenorm=args.wavenorm, noalpha=args.noalpha,
                     opthin=args.opthin, responses=responses,
                     seed=args.seed, a=args.stretch_a,
-                    lnprob_backend=args.lnprob_backend)
+                    lnprob_backend=args.lnprob_backend,
+                    sampler_backend=args.sampler_backend)
     if args.covfile is not None:
         fit.read_cov(args.covfile, args.covextn, args.cov_is_total)
 

@@ -40,7 +40,8 @@ class MBBFitter:
                  wavenorm=500.0, noalpha=False, opthin=False,
                  responses: "ResponseSet | None" = None,
                  nthreads=None, seed=1234, a=2.0, dtype=jnp.float32,
-                 prng_impl="rbg", lnprob_backend="xla"):
+                 prng_impl="rbg", lnprob_backend="xla",
+                 sampler_backend="auto"):
         del nthreads  # walker parallelism is on-device (see module docstring)
         self.nwalkers = int(nwalkers)
         self.shape = MBBShape(opthin=bool(opthin), noalpha=bool(noalpha),
@@ -57,6 +58,14 @@ class MBBFitter:
         if lnprob_backend not in ("xla", "pallas"):
             raise ValueError("lnprob_backend must be 'xla' or 'pallas'")
         self.lnprob_backend = lnprob_backend
+        # 'fused' = the whole sampling loop as ONE Pallas kernel
+        # (ops/pallas_sampler.py, TPU-only, ~10x the per-step throughput of
+        # the XLA scan); 'xla' = portable lax.scan sampler; 'auto' picks
+        # 'fused' on TPU when the likelihood supports it.
+        if sampler_backend not in ("auto", "xla", "fused"):
+            raise ValueError(
+                "sampler_backend must be 'auto', 'xla' or 'fused'")
+        self.sampler_backend = sampler_backend
         self.responses = responses
 
         self._spec = LikelihoodSpec.default()
@@ -205,10 +214,30 @@ class MBBFitter:
             raise ValueError("response mode requires named photometry bands")
         return self.responses.pack(phot.band_names)
 
+    def _resolve_sampler_backend(self, spec):
+        """'auto' -> 'fused' on TPU when the fused kernel supports the
+        likelihood (it has no photometric-upper-limit path), else 'xla'."""
+        if self.sampler_backend != "auto":
+            return self.sampler_backend
+        has_uplims = (spec.uplim_bands is not None
+                      and np.asarray(spec.uplim_bands).any())
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        return "fused" if (on_tpu and not has_uplims) else "xla"
+
     def build(self):
         """Build (lnprob, free_space, sampler). Called by run(); exposed for
         tests and benchmarking."""
         spec = self._effective_spec()
+        backend = self._resolve_sampler_backend(spec)
+        if backend == "fused":
+            from mbb_emcee_tpu.ops.pallas_sampler import FusedPallasSampler
+            sampler = FusedPallasSampler(
+                self.nwalkers, self._require_data(), self.shape, spec,
+                response_pack=self._response_pack(), a=self.a)
+            return sampler.lnprob_batch, sampler.free_space, sampler
         if self.lnprob_backend == "pallas":
             from mbb_emcee_tpu.ops.pallas_lnprob import build_pallas_lnprob
             lnprob, free_space = build_pallas_lnprob(

@@ -74,8 +74,15 @@ def _qx(x):
     return jnp.where(xc < _SMALL, 1.0 + 0.5 * xc, val)
 
 
-def _make_kernel(cfg):
-    """cfg: dict with static shape/config info (see build_pallas_lnprob)."""
+def _make_lnp_compute(cfg):
+    """cfg: dict with static shape/config info (see build_pallas_lnprob).
+
+    Returns compute(theta, limits_ref, prior_ref, flux_ref, whiten_ref,
+    waves_ref, rweights_ref) -> (1, W) lnprob, usable inside ANY Pallas
+    kernel body (the plain lnprob kernel below and the fully-fused sampler
+    kernel in ops/pallas_sampler.py both call it). `theta` is an (8, W)
+    ARRAY of parameter rows (T, beta, lambda0, alpha, fnorm, 3 pad rows).
+    """
     opthin = cfg["opthin"]
     noalpha = cfg["noalpha"]
     nb = cfg["nbands"]
@@ -98,18 +105,18 @@ def _make_kernel(cfg):
         tau = jnp.exp(beta * (log_x - log_x0))
         return 3.0 + beta * _xoexpm1x(tau) - q
 
-    def kernel(theta_ref, limits_ref, prior_ref, flux_ref, whiten_ref,
-               waves_ref, rweights_ref, out_ref):
-        # theta_ref: (8, W) -- rows T, beta, lambda0, alpha, fnorm, pad.
+    def compute(theta, limits_ref, prior_ref, flux_ref, whiten_ref,
+                waves_ref, rweights_ref):
+        # theta: (8, W) array -- rows T, beta, lambda0, alpha, fnorm, pad.
         # limits_ref: (2, 8) SMEM box. prior_ref: (2, 8) SMEM mean/isigma.
         # flux_ref: (nb,) SMEM data fluxes.
         # whiten_ref: (nb, nb) SMEM (L^-1, or diag 1/unc on the diagonal).
         # waves_ref: (nb, nnodes) VMEM wavelengths (nnodes=1 in point mode).
         # rweights_ref: (nb, nnodes) VMEM quadrature weights (point mode: 1).
-        # out_ref: (1, W) lnprob.
+        # returns: (1, W) lnprob.
 
         def row(i):
-            return theta_ref[i:i + 1, :]          # (1, W)
+            return theta[i:i + 1, :]              # (1, W)
 
         # Box check + clip (the model must stay NaN-free for wild walkers).
         inbox = None
@@ -180,18 +187,29 @@ def _make_kernel(cfg):
             d = (rows[i] - prior_ref[0, i]) * isig
             lnp = lnp - 0.5 * d * d
 
-        out_ref[:, :] = jnp.where(inbox, lnp, LNPROB_FLOOR)
+        return jnp.where(inbox, lnp, LNPROB_FLOOR)
+
+    return compute
+
+
+def _make_kernel(cfg):
+    compute = _make_lnp_compute(cfg)
+
+    def kernel(theta_ref, limits_ref, prior_ref, flux_ref, whiten_ref,
+               waves_ref, rweights_ref, out_ref):
+        out_ref[:, :] = compute(theta_ref[:, :], limits_ref, prior_ref,
+                                flux_ref, whiten_ref, waves_ref,
+                                rweights_ref)
 
     return kernel
 
 
-def build_pallas_lnprob(phot, shape, spec, response_pack=None,
-                        interpret=False):
-    """Batched lnprob over the FREE space, fused into one Pallas kernel.
+def prepare_lnprob_inputs(phot, shape, spec, response_pack=None):
+    """Shared setup for the Pallas lnprob-based kernels: static config,
+    constant kernel operands, and the free-space <-> full-theta maps.
 
-    Same semantics as likelihood.build_lnprob (which also documents the
-    conventions); returns (lnprob_batched, free_space) where lnprob_batched
-    maps (n, nfree) -> (n,) and carries .is_batched = True.
+    Returns (cfg, consts, free_space) where consts holds jnp arrays
+    (limits, priors, flux, whiten, waves, rweights, template, scatter).
     """
     from mbb_emcee_tpu.likelihood import build_lnprob  # free_space reuse
 
@@ -236,16 +254,36 @@ def build_pallas_lnprob(phot, shape, spec, response_pack=None,
     cfg = dict(opthin=shape.opthin, noalpha=shape.noalpha, nbands=nb,
                use_chol=use_chol, response=response,
                wavenorm=shape.wavenorm)
-    kernel = _make_kernel(cfg)
-
-    limits = jnp.asarray(lim)
-    priors = jnp.asarray(pri)
-    flux = jnp.asarray(phot.flux, jnp.float32)
-    whiten = jnp.asarray(whiten_np, jnp.float32)
 
     if spec.uplim_bands is not None and spec.uplim_bands.any():
         raise NotImplementedError(
             "photometric upper limits: use the XLA lnprob backend")
+
+    consts = dict(
+        limits=jnp.asarray(lim), priors=jnp.asarray(pri),
+        flux=jnp.asarray(phot.flux, jnp.float32),
+        whiten=jnp.asarray(whiten_np, jnp.float32),
+        waves=waves, rweights=rweights,
+        template=template, scatter=scatter)
+    return cfg, consts, free_space
+
+
+def build_pallas_lnprob(phot, shape, spec, response_pack=None,
+                        interpret=False):
+    """Batched lnprob over the FREE space, fused into one Pallas kernel.
+
+    Same semantics as likelihood.build_lnprob (which also documents the
+    conventions); returns (lnprob_batched, free_space) where lnprob_batched
+    maps (n, nfree) -> (n,) and carries .is_batched = True.
+    """
+    cfg, consts, free_space = prepare_lnprob_inputs(
+        phot, shape, spec, response_pack=response_pack)
+    kernel = _make_kernel(cfg)
+    template = consts["template"]
+    scatter = consts["scatter"]
+    limits, priors = consts["limits"], consts["priors"]
+    flux, whiten = consts["flux"], consts["whiten"]
+    waves, rweights = consts["waves"], consts["rweights"]
 
     def call_kernel(theta_t):
         w = theta_t.shape[1]

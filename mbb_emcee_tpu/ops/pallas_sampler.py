@@ -1,0 +1,370 @@
+"""Fully-fused Pallas TPU ensemble sampler: the ENTIRE MCMC run in one
+kernel launch.
+
+The XLA sampler (sampler.py) already fuses each ensemble update into one
+XLA step, but at reference scale (250 walkers x 5 params) every update is
+latency-bound: ~16 us/step of which most is op dispatch between the many
+small HLOs inside the scan body. This kernel removes that floor by keeping
+the whole sampling loop -- proposal RNG, partner gather, stretch move, the
+fused MBB lnprob (ops/pallas_lnprob.py), accept/reject, and chain recording
+-- resident in VMEM:
+
+  * walkers ride the 128-wide lane dimension, one (8, W) block per half
+    ensemble;
+  * each half's ENTIRE state is packed into that one sublane-aligned tile:
+    rows 0-4 the parameters, row 5 the walker's lnprob, row 6 its accept
+    count. The step loop then carries exactly two aligned (8, W) tiles --
+    narrow (1, W) values crossing the loop boundary lower to masked
+    sub-tile read-modify-writes in Mosaic and cost MICROSECONDS each
+    (measured: they dominated a naive version of this kernel);
+  * proposal randomness comes from the TPU hardware PRNG
+    (pltpu.prng_random_bits), seeded per (run-seed, grid-step) so chains
+    are deterministic per seed;
+  * the partner gather `passive[j]` is a one-hot matmul on the MXU
+    (TPU-native gather: sel[j,k] = 1_{j = partner(k)}, partners =
+    passive @ sel);
+  * the step loop is an in-kernel fori_loop; the chain streams out through
+    a 1-D grid, one (thin-step) record per grid index, so VMEM stays O(1)
+    in chain length.
+
+The reference's equivalent of this entire kernel is emcee's Python loop
+over per-walker lnprob calls (ref: emcee.EnsembleSampler -- SURVEY.md C5).
+
+For CPU/interpret-mode testing (the TPU interpreter stubs the hardware
+PRNG), the kernel can instead consume a precomputed uniforms array
+(rng="external"), which makes it reproducible against the XLA
+stretch-move implementation consuming the same uniforms
+(tests/test_pallas_sampler.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mbb_emcee_tpu.constants import NPARAMS
+from mbb_emcee_tpu.ops.pallas_lnprob import (
+    _make_lnp_compute, prepare_lnprob_inputs, _LANE)
+from mbb_emcee_tpu.sampler import SamplerState
+
+_NROWS = 8        # fp32 sublane tile: 5 params + lnp + acc + 1 spare
+_ROW_LNP = 5      # packed row holding the walker's lnprob
+_ROW_ACC = 6      # packed row holding the walker's accept count (f32)
+
+
+def _round_up(n, m):
+    return -(-n // m) * m
+
+
+def _make_sampler_kernel(cfg, *, nfree, half, wp, thin, a, external_rng):
+    """Kernel factory. Static: shape config `cfg` (see pallas_lnprob),
+    free-dimension count (the z^{d-1} exponent), real walkers per half,
+    padded lane width, steps per record, stretch scale, RNG source."""
+    compute_lnp = _make_lnp_compute(cfg)
+    d_exp = float(nfree - 1)
+    inv_a = 1.0 / a
+    am1 = a - 1.0
+
+    def kernel(seed_ref, state0_ref, limits_ref, prior_ref, flux_ref,
+               whiten_ref, waves_ref, rweights_ref, *rest):
+        if external_rng:
+            u_ref, chain_ref, state_out_ref, state_scr = rest
+        else:
+            chain_ref, state_out_ref, state_scr = rest
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            state_scr[:, :] = state0_ref[:, :]
+
+        if not external_rng:
+            # Mosaic takes at most two seed words; fold the grid index into
+            # the second so every record gets an independent stream.
+            pltpu.prng_seed(seed_ref[0], seed_ref[1] + i)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+        pmask = (lane < half).astype(jnp.float32)            # (1, wp)
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (wp, wp), 0)
+        row8 = jax.lax.broadcasted_iota(jnp.int32, (_NROWS, wp), 0)
+        is_lnp_row = row8 == _ROW_LNP
+        is_acc_row = row8 == _ROW_ACC
+
+        def lnprob(theta):
+            return compute_lnp(theta, limits_ref, prior_ref, flux_ref,
+                               whiten_ref, waves_ref, rweights_ref)
+
+        def half_update(active, passive, u3):
+            """One half-ensemble stretch update on packed (8, wp) blocks.
+
+            Rows 0-4 move; row 5 (lnp) / row 6 (acc) are recomputed and
+            re-packed; the proposal garbage the move writes into rows 5-7
+            is discarded by the pack-select. compute_lnp only reads rows
+            0-4, so the packing never reaches the likelihood.
+            """
+            z = ((am1 * u3[0:1] + 1.0) ** 2) * inv_a
+            j = jnp.minimum((u3[1:2] * half).astype(jnp.int32), half - 1)
+            sel = (rows_iota == j).astype(jnp.float32)       # (wp, wp)
+            partners = jax.lax.dot_general(
+                passive * pmask, sel,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (8, wp)
+            prop = partners + z * (active - partners)
+            lnp_prop = lnprob(prop)
+            lnp_active = active[_ROW_LNP:_ROW_LNP + 1, :]
+            log_ratio = d_exp * jnp.log(z) + lnp_prop - lnp_active
+            accept = jnp.log(u3[2:3]) < log_ratio             # (1, wp)
+            new_rows = jnp.where(accept, prop, active)
+            new_lnp = jnp.where(accept, lnp_prop, lnp_active)
+            new_acc = (active[_ROW_ACC:_ROW_ACC + 1, :]
+                       + accept.astype(jnp.float32))
+            return jnp.where(
+                is_lnp_row, jnp.broadcast_to(new_lnp, (_NROWS, wp)),
+                jnp.where(is_acc_row,
+                          jnp.broadcast_to(new_acc, (_NROWS, wp)),
+                          new_rows))
+
+        # State lives in the (aligned) scratch tile across iterations with a
+        # scalar loop carry: Mosaic keeps aligned full-tile ref reads/writes
+        # cheap, while ARRAY loop carries (even aligned ones) are buffered
+        # through memory at ~microseconds per iteration (measured).
+        def step(t, carry):
+            if external_rng:
+                u = u_ref[0, pl.ds(6 * t, 6), :]              # (6, wp)
+            else:
+                bits = pltpu.prng_random_bits((6, wp))
+                u = (jax.lax.shift_right_logical(bits, 8)
+                     .astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25))
+            block_a = half_update(state_scr[0:_NROWS, :],
+                                  state_scr[_NROWS:, :], u[0:3])
+            state_scr[0:_NROWS, :] = block_a
+            block_b = half_update(state_scr[_NROWS:, :], block_a, u[3:6])
+            state_scr[_NROWS:, :] = block_b
+            return carry
+
+        jax.lax.fori_loop(0, thin, step, 0)
+
+        state = state_scr[:, :]                               # (16, wp)
+        chain_ref[0] = state
+        state_out_ref[:, :] = state
+
+    return kernel
+
+
+class FusedPallasSampler:
+    """Drop-in for sampler.EnsembleSampler (init_state / run_mcmc / advance
+    / reset_counters / acceptance_fraction) whose whole run loop is a single
+    pallas_call. Built from the likelihood problem directly (the lnprob is
+    compiled INTO the kernel, so a callable cannot be swapped in).
+
+    PRNG: the state's JAX key is split per launch to derive the kernel's
+    hardware-PRNG seed, so the usual determinism contract holds (same seed
+    -> bitwise-identical chains) but streams differ from the XLA sampler's.
+
+    Accept counts ride a packed fp32 row, exact up to 2^24 steps per
+    walker between reset_counters() calls.
+    """
+
+    def __init__(self, nwalkers, phot, shape, spec, response_pack=None,
+                 a=2.0, interpret=False, rng="hw"):
+        if nwalkers % 2:
+            raise ValueError("nwalkers must be even")
+        if rng not in ("hw", "external"):
+            raise ValueError("rng must be 'hw' or 'external'")
+        self.nwalkers = int(nwalkers)
+        self.a = float(a)
+        self.interpret = interpret
+        self.rng = rng
+        self.dtype = jnp.float32
+
+        cfg, consts, free_space = prepare_lnprob_inputs(
+            phot, shape, spec, response_pack=response_pack)
+        self.cfg = cfg
+        self.consts = consts
+        self.free_space = free_space
+        self.ndim = free_space.nfree
+        if nwalkers < 2 * self.ndim:
+            raise ValueError(
+                f"nwalkers={nwalkers} < 2*ndim={2 * self.ndim}")
+
+        self.half = self.nwalkers // 2
+        self.wp = _round_up(self.half, _LANE)
+
+        # Host-side batched lnprob (for init_state), built from the same
+        # prepared inputs so stored lnp values match the kernel's exactly.
+        from mbb_emcee_tpu.ops.pallas_lnprob import build_pallas_lnprob
+        self.lnprob_batch, _ = build_pallas_lnprob(
+            phot, shape, spec, response_pack=response_pack,
+            interpret=interpret)
+
+        self._run_cache = {}
+
+    # -- state management (mirrors EnsembleSampler) ---------------------------
+    def init_state(self, key, p0) -> SamplerState:
+        p0 = jnp.asarray(p0, self.dtype)
+        if p0.shape != (self.nwalkers, self.ndim):
+            raise ValueError(f"p0 shape {p0.shape} != "
+                             f"({self.nwalkers},{self.ndim})")
+        half = self.half
+        lnp = self.lnprob_batch(p0)
+        return SamplerState(
+            key=key, pos_a=p0[:half], pos_b=p0[half:],
+            lnp_a=lnp[:half], lnp_b=lnp[half:],
+            naccept=jnp.zeros(self.nwalkers, jnp.int32),
+            nsteps=jnp.array(0, jnp.int32))
+
+    # -- layout helpers -------------------------------------------------------
+    def _pack_half(self, pos_half, lnp_half, acc_half):
+        """(half, nfree) free positions + (half,) lnp/acc -> packed (8, wp)
+        block. Pad lanes replicate walker 0 (they must stay finite through
+        the kernel's matmul gather)."""
+        template = self.consts["template"]
+        scatter = self.consts["scatter"]
+        full = template[None, :] + pos_half @ scatter.T        # (half, 5)
+        pad = self.wp - self.half
+        rows = jnp.concatenate(
+            [full, lnp_half[:, None], acc_half[:, None],
+             jnp.zeros((self.half, 1), jnp.float32)], axis=1)  # (half, 8)
+        rows = jnp.pad(rows, ((0, pad), (0, 0)), mode="edge")
+        return rows.T                                           # (8, wp)
+
+    def _unpack_half(self, block):
+        """Packed (8, wp) block -> (pos (half, nfree), lnp, acc)."""
+        free_idx = jnp.asarray(self.free_space.free_idx)
+        pos = block[free_idx, :self.half].T
+        lnp = block[_ROW_LNP, :self.half]
+        acc = block[_ROW_ACC, :self.half].astype(jnp.int32)
+        return pos, lnp, acc
+
+    # -- the fused run --------------------------------------------------------
+    def _make_run(self, nrecord, thin):
+        cfg = self.cfg
+        wp, half, nfree = self.wp, self.half, self.ndim
+        external = self.rng == "external"
+        kernel = _make_sampler_kernel(
+            cfg, nfree=nfree, half=half, wp=wp, thin=thin, a=self.a,
+            external_rng=external)
+        consts = self.consts
+        nb = int(consts["flux"].shape[0])
+        nnodes = int(consts["waves"].shape[1])
+        free_idx = jnp.asarray(self.free_space.free_idx)
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # seed
+            pl.BlockSpec((2 * _NROWS, wp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),               # state0
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # limits
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # priors
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # flux
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # whiten
+            pl.BlockSpec((nb, nnodes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),               # waves
+            pl.BlockSpec((nb, nnodes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),               # rweights
+        ]
+        if external:
+            in_specs.append(
+                pl.BlockSpec((1, 6 * thin, wp), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM))           # uniforms
+
+        out_shapes = (
+            jax.ShapeDtypeStruct((nrecord, 2 * _NROWS, wp), jnp.float32),
+            jax.ShapeDtypeStruct((2 * _NROWS, wp), jnp.float32),
+        )
+        out_specs = (
+            pl.BlockSpec((1, 2 * _NROWS, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * _NROWS, wp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        scratch = [pltpu.VMEM((2 * _NROWS, wp), jnp.float32)]
+
+        def run(state: SamplerState, limits, priors, flux, whiten, waves,
+                rweights, uniforms=None):
+            # The constant operands arrive as jit ARGUMENTS, not closure
+            # captures: XLA-constant operands to a pallas_call make the
+            # in-kernel loop ~600x slower (measured 9 us/step vs 0.02 --
+            # apparently constant operands get rematerialized against the
+            # kernel rather than pinned in VMEM).
+            key, sub = jax.random.split(state.key)
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(sub, (2,), jnp.uint32), jnp.int32)
+
+            state0 = jnp.concatenate([
+                self._pack_half(state.pos_a, state.lnp_a,
+                                state.naccept[:half].astype(jnp.float32)),
+                self._pack_half(state.pos_b, state.lnp_b,
+                                state.naccept[half:].astype(jnp.float32)),
+            ], axis=0)                                           # (16, wp)
+
+            args = [seed, state0, limits, priors, flux, whiten, waves,
+                    rweights]
+            if external:
+                args.append(uniforms)
+
+            chain_r, state_f = pl.pallas_call(
+                kernel,
+                grid=(nrecord,),
+                out_shape=out_shapes,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+                interpret=self.interpret,
+            )(*args)
+
+            # (nrecord, 16, wp) -> (nrecord, nwalkers, nfree) + lnp chain.
+            ca = chain_r[:, :_NROWS, :]
+            cb = chain_r[:, _NROWS:, :]
+            chain = jnp.concatenate(
+                [ca[:, free_idx, :half].transpose(0, 2, 1),
+                 cb[:, free_idx, :half].transpose(0, 2, 1)], axis=1)
+            lnpchain = jnp.concatenate(
+                [ca[:, _ROW_LNP, :half], cb[:, _ROW_LNP, :half]], axis=1)
+
+            pa, la, aa = self._unpack_half(state_f[:_NROWS, :])
+            pb, lb, ab = self._unpack_half(state_f[_NROWS:, :])
+            new_state = SamplerState(
+                key=key, pos_a=pa, pos_b=pb, lnp_a=la, lnp_b=lb,
+                naccept=jnp.concatenate([aa, ab]),
+                nsteps=state.nsteps + nrecord * thin)
+            return new_state, chain, lnpchain
+
+        return jax.jit(run)
+
+    def run_mcmc(self, state: SamplerState, nsteps: int, thin: int = 1,
+                 uniforms=None):
+        """Advance `nsteps` updates, recording every `thin`-th (same
+        contract as EnsembleSampler.run_mcmc). `uniforms` (only in
+        rng='external' mode): (nrecord, 6*thin, wp) in (0,1)."""
+        if nsteps % thin:
+            raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
+        nrecord = nsteps // thin
+        cache_key = (nrecord, thin)
+        if cache_key not in self._run_cache:
+            self._run_cache[cache_key] = self._make_run(nrecord, thin)
+        c = self.consts
+        cargs = (c["limits"], c["priors"], c["flux"], c["whiten"],
+                 c["waves"], c["rweights"])
+        if self.rng == "external":
+            if uniforms is None:
+                raise ValueError("rng='external' requires a uniforms array")
+            return self._run_cache[cache_key](state, *cargs, uniforms)
+        return self._run_cache[cache_key](state, *cargs)
+
+    def advance(self, state: SamplerState, nsteps: int,
+                uniforms=None) -> SamplerState:
+        """Advance without keeping the chain (burn-in)."""
+        state, _, _ = self.run_mcmc(state, nsteps, thin=nsteps,
+                                    uniforms=uniforms)
+        return state
+
+
+# Share the stateless helpers with the XLA sampler (same SamplerState).
+from mbb_emcee_tpu.sampler import EnsembleSampler as _ES  # noqa: E402
+
+FusedPallasSampler.reset_counters = staticmethod(_ES.reset_counters)
+FusedPallasSampler.acceptance_fraction = staticmethod(
+    _ES.acceptance_fraction)
