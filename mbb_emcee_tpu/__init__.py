@@ -22,6 +22,7 @@ from mbb_emcee_tpu.likelihood import Photometry, LikelihoodSpec, build_lnprob
 from mbb_emcee_tpu.sampler import EnsembleSampler, SamplerState
 from mbb_emcee_tpu.fitter import MBBFitter
 from mbb_emcee_tpu.results import MBBResults
+from mbb_emcee_tpu.multifit import MultiFitter
 
 __version__ = "0.1.0"
 
@@ -32,6 +33,6 @@ __all__ = [
     "Response", "ResponseSet",
     "Photometry", "LikelihoodSpec", "build_lnprob",
     "EnsembleSampler", "SamplerState",
-    "MBBFitter", "MBBResults",
+    "MBBFitter", "MBBResults", "MultiFitter",
     "__version__",
 ]

@@ -282,3 +282,60 @@ def build_lnprob(phot: Photometry, shape: MBBShape, spec: LikelihoodSpec,
                            lower=spec.lower[free_idx].copy(),
                            upper=spec.upper[free_idx].copy())
     return lnprob, free_space
+
+
+def build_lnprob_data(shape: MBBShape, spec: LikelihoodSpec,
+                      response_pack=None, dtype=jnp.float32):
+    """Data-parameterized variant of build_lnprob for BATCHED multi-source
+    fitting (multifit.py): the photometry arrives as ARGUMENTS so one traced
+    function serves every source under vmap.
+
+    Returns (lnprob_fn, free_space) with
+        lnprob_fn(theta_free (nfree,), wave (nb,), flux (nb,), iunc (nb,))
+    Diagonal errors only (iunc = 1/sigma); box/priors/fixed params are the
+    shared static `spec`, exactly as in build_lnprob.
+    """
+    free_idx = spec.free_indices
+    nfree = free_idx.size
+    if nfree == 0:
+        raise ValueError("all parameters are fixed; nothing to sample")
+    if spec.uplim_bands is not None and spec.uplim_bands.any():
+        raise NotImplementedError(
+            "photometric upper limits are single-source only")
+
+    template_np = np.where(spec.fixed, spec.fixed_values, 0.0)
+    scatter_np = np.zeros((NPARAMS, nfree))
+    scatter_np[free_idx, np.arange(nfree)] = 1.0
+    template = jnp.asarray(template_np, dtype)
+    scatter = jnp.asarray(scatter_np, dtype)
+    lo_free = jnp.asarray(spec.lower[free_idx], dtype)
+    hi_free = jnp.asarray(spec.upper[free_idx], dtype)
+    lo_full = jnp.asarray(spec.lower, dtype)
+    hi_full = jnp.asarray(spec.upper, dtype)
+    prior_mean = jnp.asarray(spec.prior_mean, dtype)
+    prior_isig = jnp.asarray(spec.prior_isigma, dtype)
+
+    if response_pack is not None:
+        resp_waves, resp_weights = response_pack
+        resp_waves = resp_waves.astype(dtype)
+        resp_weights = resp_weights.astype(dtype)
+
+    def lnprob(theta_free, wave, flux, iunc):
+        theta = template + scatter @ theta_free
+        inbox = jnp.all((theta_free >= lo_free) & (theta_free <= hi_free))
+        theta_safe = jnp.clip(theta, lo_full, hi_full)
+        if response_pack is None:
+            model = mbb_fnu(theta_safe, wave, shape)
+        else:
+            vals = jnp.exp(log_mbb_fnu(theta_safe, resp_waves, shape))
+            model = jnp.sum(resp_weights * vals, axis=-1)
+        r = (model - flux) * iunc
+        lnl = -0.5 * jnp.sum(r * r)
+        dp = (theta - prior_mean) * prior_isig
+        lnpri = -0.5 * jnp.sum(dp * dp)
+        return jnp.where(inbox, lnl + lnpri, dtype(LNPROB_FLOOR))
+
+    free_space = FreeSpace(free_idx=free_idx, template=template_np,
+                           lower=spec.lower[free_idx].copy(),
+                           upper=spec.upper[free_idx].copy())
+    return lnprob, free_space

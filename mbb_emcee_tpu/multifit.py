@@ -1,0 +1,533 @@
+"""Batched multi-source fitting: the production/serving path.
+
+The reference fits ONE source per process; its only parallel axis is
+walkers-within-a-fit via a multiprocessing pool (SURVEY.md section 2,
+parallelism row). On TPU the natural serving axis is SOURCES: survey
+pipelines fit thousands of objects with the same model configuration. Here
+B independent photometry sets -- sharing the model shape, parameter
+box/priors/fixed params, and band geometry, each with its own fluxes and
+uncertainties (and later its own redshift for derived quantities) -- are
+fit SIMULTANEOUSLY:
+
+  * one device computation advances all B ensembles per step
+    (vmap over sources of the vmapped stretch move);
+  * burn-in re-centering happens per source on that source's best walker;
+  * derived-quantity posteriors (L_IR, dust mass, peak wavelength) are one
+    batched quadrature/optimization over all sources x samples.
+
+Multi-chip: the source axis is embarrassingly parallel. Pass a 1-D
+jax.sharding.Mesh and the batch state/data are sharded over it with
+NamedSharding -- XLA partitions the whole run with zero collectives
+(tested on the virtual 8-device CPU mesh).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mbb_emcee_tpu.constants import (
+    PARAM_NAMES, NPARAMS, HCOK_UM_K, C_UM_HZ, MPC_M, LSUN_W, MSUN_KG,
+    MJY_WM2HZ, H_JS, KB_JK)
+from mbb_emcee_tpu.models.modified_blackbody import MBBShape, log_mbb_fnu
+from mbb_emcee_tpu.likelihood import (
+    LikelihoodSpec, FreeSpace, build_lnprob_data, param_index, Photometry)
+from mbb_emcee_tpu.models.cosmology import Cosmology, luminosity_distance
+from mbb_emcee_tpu.ops.quadrature import loglam_nodes
+from mbb_emcee_tpu.ops.rootfind import golden_max
+from mbb_emcee_tpu.sampler import (
+    SamplerState, ensemble_step, make_initial_ball, autocorrelation_time)
+from mbb_emcee_tpu.fitter import DEFAULT_INIT, DEFAULT_SCATTER
+from mbb_emcee_tpu.results import _percentile_summary
+
+_LIR_NODES = 128
+_PEAK_RANGE = (1.0, 5.0e4)
+_PEAK_ITERS = 64
+
+
+class MultiFitter:
+    """Fit many sources at once with a shared model configuration.
+
+    Usage:
+        mf = MultiFitter(nwalkers=250, opthin=True)
+        mf.set_data(wave, flux_batch, unc_batch)   # (nb,), (S, nb), (S, nb)
+        mf.set_uplim("T", 100.0)                   # shared across sources
+        mf.run(nburn=100, nsteps=500)
+        mf.par_cen("T")                            # (S, 3)
+        mf.compute_lir(redshifts)                  # (S, 3) via lir_cen()
+        res3 = mf.results(3, redshift=z3)          # full MBBResults view
+
+    Shared across sources: model shape, box limits, Gaussian priors, fixed
+    parameters, walker count, band geometry (wavelengths or instrument
+    responses). Per source: fluxes, uncertainties (diagonal), redshift.
+    """
+
+    def __init__(self, nwalkers=250, wavenorm=500.0, noalpha=False,
+                 opthin=False, responses=None, seed=1234, a=2.0,
+                 prng_impl="rbg", mesh=None):
+        self.nwalkers = int(nwalkers)
+        self.shape = MBBShape(opthin=bool(opthin), noalpha=bool(noalpha),
+                              wavenorm=float(wavenorm))
+        self.a = float(a)
+        self.seed = int(seed)
+        self.prng_impl = prng_impl
+        self.responses = responses
+        self.mesh = mesh
+        self._spec = LikelihoodSpec.default()
+        self._init = DEFAULT_INIT.copy()
+        self._scatter = DEFAULT_SCATTER.copy()
+        self._user_init = np.zeros(NPARAMS, bool)
+        self.wave = None
+        self.flux = None
+        self.unc = None
+        self.band_names = None
+        self.chain_free = None
+        self.lnprobability = None
+        self.acceptance_fraction = None
+        self.free_space: FreeSpace | None = None
+        self.thin = 1
+        self._run_cache = {}
+
+    # -- data -----------------------------------------------------------------
+    def set_data(self, wave, flux, unc, band_names=None):
+        """wave: (nb,) shared wavelengths (um); flux/unc: (S, nb) mJy."""
+        wave = np.atleast_1d(np.asarray(wave, np.float64))
+        flux = np.atleast_2d(np.asarray(flux, np.float64))
+        unc = np.atleast_2d(np.asarray(unc, np.float64))
+        if flux.shape != unc.shape or flux.shape[1] != wave.size:
+            raise ValueError(
+                f"flux {flux.shape} / unc {unc.shape} must be (S, {wave.size})")
+        if np.any(unc <= 0):
+            raise ValueError("uncertainties must be positive")
+        self.wave, self.flux, self.unc = wave, flux, unc
+        self.band_names = band_names
+        return self
+
+    @property
+    def nsources(self):
+        if self.flux is None:
+            raise RuntimeError("no data; call set_data")
+        return self.flux.shape[0]
+
+    # -- shared parameter-space config (mirrors MBBFitter) ---------------------
+    def set_lowlim(self, param, value):
+        i = param_index(param)
+        lo = self._spec.lower.copy()
+        lo[i] = float(value)
+        self._spec = _replace(self._spec, lower=lo)
+        return self
+
+    def set_uplim(self, param, value):
+        i = param_index(param)
+        hi = self._spec.upper.copy()
+        hi[i] = float(value)
+        self._spec = _replace(self._spec, upper=hi)
+        return self
+
+    def fix_param(self, param, value=None):
+        i = param_index(param)
+        fixed = self._spec.fixed.copy()
+        fv = self._spec.fixed_values.copy()
+        fixed[i] = True
+        fv[i] = float(value) if value is not None else float(self._init[i])
+        self._spec = _replace(self._spec, fixed=fixed, fixed_values=fv)
+        return self
+
+    def set_gaussian_prior(self, param, mean, sigma):
+        i = param_index(param)
+        pm = self._spec.prior_mean.copy()
+        ps = self._spec.prior_isigma.copy()
+        pm[i] = float(mean)
+        if sigma <= 0:
+            raise ValueError("prior sigma must be positive")
+        ps[i] = 1.0 / float(sigma)
+        self._spec = _replace(self._spec, prior_mean=pm, prior_isigma=ps)
+        return self
+
+    def set_param_init(self, param, value, scatter=None):
+        i = param_index(param)
+        self._init[i] = float(value)
+        self._user_init[i] = True
+        if scatter is not None:
+            self._scatter[i] = float(scatter)
+        return self
+
+    def _effective_spec(self):
+        spec = self._spec
+        fixed = spec.fixed.copy()
+        fv = spec.fixed_values.copy()
+        if self.shape.opthin and not fixed[2]:
+            fixed[2] = True
+            fv[2] = self._init[2]
+        if self.shape.noalpha and not fixed[3]:
+            fixed[3] = True
+            fv[3] = self._init[3]
+        return _replace(spec, fixed=fixed, fixed_values=fv)
+
+    # -- the batched run --------------------------------------------------------
+    def _response_pack(self):
+        if self.responses is None:
+            return None
+        if self.band_names is None:
+            raise ValueError("response mode requires band_names in set_data")
+        return self.responses.pack(self.band_names)
+
+    def _shard(self, x):
+        """Shard the leading (source) axis over the mesh, if given."""
+        if self.mesh is None:
+            return x
+        axis = self.mesh.axis_names[0]
+        def put(a):
+            spec = P(axis) if a.ndim >= 1 else P()
+            return jax.device_put(a, NamedSharding(self.mesh, spec))
+        return jax.tree.map(put, x)
+
+    def _init_centers(self):
+        """Per-source initial centers: fnorm seeded from each source's flux
+        nearest wavenorm (the batched analog of MBBFitter._auto_init_fnorm)."""
+        S = self.nsources
+        centers = np.broadcast_to(self._init, (S, NPARAMS)).copy()
+        scatters = np.broadcast_to(self._scatter, (S, NPARAMS)).copy()
+        if not self._user_init[4]:
+            idx = int(np.argmin(np.abs(self.wave - self.shape.wavenorm)))
+            fn = self.flux[:, idx]
+            ok = fn > 0
+            centers[ok, 4] = fn[ok]
+            scatters[ok, 4] = np.maximum(2.0 * self.unc[ok, idx],
+                                         0.05 * fn[ok])
+        return centers, scatters
+
+    def run(self, nburn=50, nsteps=250, thin=1, recenter_burn=True,
+            verbose=False):
+        """Burn -> per-source re-center on its best walker -> re-burn ->
+        reset -> production, all sources in lockstep on device.
+
+        The whole run is one jitted program: a per-source body (ball init,
+        burn, re-center, production scan) vmapped over sources and, with a
+        mesh, shard_mapped over the source axis (embarrassingly parallel --
+        no collectives). Per-source PRNG streams come from folding the
+        global source index into replicated base keys; with
+        prng_impl='threefry2x32' mesh and no-mesh runs produce IDENTICAL
+        chains (the default 'rbg' generator is faster on TPU but its bit
+        streams legitimately depend on the partitioning).
+        """
+        if self.flux is None:
+            raise RuntimeError("no data; call set_data")
+        if nsteps % thin:
+            raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
+        spec = self._effective_spec()
+        lnprob_data, free_space = build_lnprob_data(
+            self.shape, spec, response_pack=self._response_pack())
+        self.free_space = free_space
+        self.thin = int(thin)
+        S, nw = self.nsources, self.nwalkers
+        half = nw // 2
+        a = self.a
+        nrec = int(nsteps // thin)
+        thin_i = int(thin)
+
+        if self.mesh is not None:
+            ndev = self.mesh.devices.size
+            if S % ndev:
+                raise ValueError(
+                    f"nsources={S} must divide the mesh size {ndev}")
+
+        wave = jnp.asarray(self.wave, jnp.float32)
+        flux = jnp.asarray(self.flux, jnp.float32)
+        iunc = jnp.asarray(1.0 / self.unc, jnp.float32)
+        key = jax.random.key(self.seed, impl=self.prng_impl)
+        kball, kstate, krecenter = jax.random.split(key, 3)
+        centers, scatters = self._init_centers()
+        cen_f = jnp.asarray(centers[:, free_space.free_idx], jnp.float32)
+        sca_f = jnp.asarray(scatters[:, free_space.free_idx], jnp.float32)
+        lower, upper = free_space.lower, free_space.upper
+
+        mesh_axis = (self.mesh.axis_names[0]
+                     if self.mesh is not None else None)
+
+        def _vary(x):
+            """Mark constant-initialized values as device-varying under
+            shard_map (vma type stability: loop carries must keep the same
+            varying-axes type across iterations)."""
+            if mesh_axis is None:
+                return x
+            return jax.lax.pcast(x, (mesh_axis,), to="varying")
+
+        def one_source(idx, cen_s, sca_s, flux_s, iunc_s,
+                       kball, kstate, krecenter, wave):
+            batched = jax.vmap(
+                lambda th: lnprob_data(th, wave, flux_s, iunc_s))
+
+            def init_state(k, p0):
+                lnp = batched(p0)
+                return SamplerState(
+                    key=k, pos_a=p0[:half], pos_b=p0[half:],
+                    lnp_a=lnp[:half], lnp_b=lnp[half:],
+                    naccept=_vary(jnp.zeros(nw, jnp.int32)),
+                    nsteps=_vary(jnp.array(0, jnp.int32)))
+
+            def adv(s, n):
+                return jax.lax.fori_loop(
+                    0, n, lambda i, x: ensemble_step(x, batched, a), s)
+
+            p0 = make_initial_ball(jax.random.fold_in(kball, idx),
+                                   cen_s, sca_s, nw, lower, upper)
+            state = init_state(jax.random.fold_in(kstate, idx), p0)
+            if nburn > 0:
+                state = adv(state, nburn)
+                if recenter_burn:
+                    best = state.position[jnp.argmax(state.lnprob)]
+                    kr = jax.random.fold_in(krecenter, idx)
+                    kb2, ks2 = jax.random.split(kr)
+                    p0b = make_initial_ball(kb2, best, 0.1 * sca_s, nw,
+                                            lower, upper)
+                    state = init_state(ks2, p0b)
+                    state = adv(state, nburn)
+                state = state._replace(
+                    naccept=jnp.zeros_like(state.naccept),
+                    nsteps=jnp.zeros_like(state.nsteps))
+
+            def inner(carry, _):
+                s = jax.lax.fori_loop(
+                    0, thin_i, lambda i, x: ensemble_step(x, batched, a),
+                    carry)
+                return s, (s.position, s.lnprob)
+
+            state, (chain, lnpchain) = jax.lax.scan(
+                inner, state, None, length=nrec)
+            return chain, lnpchain, state.naccept, state.nsteps
+
+        # Cache the compiled program across run() calls with the same
+        # static geometry + parameter-space config (a fresh jit here costs
+        # ~10 s of recompilation per call; keys/wavelengths/data are
+        # runtime arguments).
+        cache_key = (S, nw, free_space.nfree, nrec, thin_i, int(nburn),
+                     bool(recenter_burn), id(self.mesh),
+                     _spec_token(spec, self.shape))
+        if cache_key not in self._run_cache:
+            f = jax.vmap(one_source,
+                         in_axes=(0, 0, 0, 0, 0, None, None, None, None))
+            if self.mesh is not None:
+                ax = self.mesh.axis_names[0]
+                f = jax.shard_map(
+                    f, mesh=self.mesh,
+                    in_specs=(P(ax), P(ax, None), P(ax, None),
+                              P(ax, None), P(ax, None),
+                              P(), P(), P(), P(None)),
+                    out_specs=(P(ax, None, None, None), P(ax, None, None),
+                               P(ax, None), P(ax)))
+            self._run_cache[cache_key] = jax.jit(f)
+        chain, lnpchain, naccept, nsteps_dev = self._run_cache[cache_key](
+            self._shard(jnp.arange(S)), self._shard(cen_f),
+            self._shard(sca_f), self._shard(flux), self._shard(iunc),
+            kball, kstate, krecenter, wave)
+
+        self.chain_free = chain                        # (S, nrec, nw, nfree)
+        self.lnprobability = lnpchain                  # (S, nrec, nw)
+        denom = np.maximum(np.asarray(nsteps_dev), 1)
+        self.acceptance_fraction = (np.asarray(naccept)
+                                    / denom[:, None])
+        if verbose:
+            af = self.acceptance_fraction
+            print(f"Mean acceptance fraction over {S} sources: "
+                  f"{af.mean():.3f} (per-source min {af.mean(1).min():.3f}, "
+                  f"max {af.mean(1).max():.3f})")
+        return self
+
+    # -- batched summaries -------------------------------------------------------
+    def _require_run(self):
+        if self.chain_free is None:
+            raise RuntimeError("run() has not been called")
+
+    @property
+    def chain(self):
+        """(S, nwalkers, nrec, 5) full-parameter chains (reference layout
+        per source)."""
+        self._require_run()
+        free = np.asarray(self.chain_free)
+        full = self.free_space.expand(free)            # (S, nrec, nw, 5)
+        return np.transpose(full, (0, 2, 1, 3))
+
+    def flatchain(self):
+        """(S, nrec*nw, 5)"""
+        self._require_run()
+        free = np.asarray(self.chain_free)
+        S = free.shape[0]
+        return self.free_space.expand(free.reshape(S, -1,
+                                                   self.free_space.nfree))
+
+    def par_cen(self, param, percentile=68.3):
+        """(S, 3): per-source (median, +err, -err)."""
+        i = param_index(param)
+        fc = self.flatchain()
+        return np.stack([_percentile_summary(fc[s, :, i], percentile)
+                         for s in range(fc.shape[0])])
+
+    def best_fit(self):
+        """(params (S, 5), lnprob (S,)) at each source's max-lnp sample."""
+        self._require_run()
+        fc = self.flatchain()
+        lnp = np.asarray(self.lnprobability).reshape(fc.shape[0], -1)
+        idx = np.argmax(lnp, axis=1)
+        S = fc.shape[0]
+        return fc[np.arange(S), idx], lnp[np.arange(S), idx]
+
+    def autocorrelation_time(self):
+        """(S, nfree) integrated autocorrelation times."""
+        self._require_run()
+        ch = np.asarray(self.chain_free)               # (S, nrec, nw, nfree)
+        return np.stack([autocorrelation_time(ch[s]) for s in
+                         range(ch.shape[0])])
+
+    # -- batched derived quantities ------------------------------------------------
+    def _dl_mpc(self, redshifts, lumdists=None, cosmology="WMAP9"):
+        if lumdists is not None:
+            return np.asarray(lumdists, np.float64)
+        cosmo = (Cosmology.named(cosmology)
+                 if isinstance(cosmology, str) else cosmology)
+        return np.array([luminosity_distance(float(z), cosmo)
+                         for z in np.asarray(redshifts).ravel()])
+
+    def _thinned(self, thin):
+        fc = self.flatchain()
+        return fc[:, ::max(int(thin), 1), :]
+
+    def compute_lir(self, redshifts, wavemin=8.0, wavemax=1000.0, thin=1,
+                    lumdists=None, cosmology="WMAP9"):
+        """(S, nsamp) L_IR posteriors in L_sun; one batched quadrature over
+        sources x samples (per-source nodes scale with 1+z)."""
+        self._require_run()
+        z = np.asarray(redshifts, np.float64).ravel()
+        if z.size != self.nsources:
+            raise ValueError("need one redshift per source")
+        opz = 1.0 + z
+        base_lam, base_w = loglam_nodes(_LIR_NODES, wavemin, wavemax)
+        # lambda -> lambda*(1+z) scales nodes AND log-spaced weights by
+        # (1+z); the 1/lambda^2 flux->Fnu factor then contributes 1/(1+z)^2.
+        lam = jnp.asarray(np.outer(opz, base_lam), jnp.float32)   # (S, K)
+        w = jnp.asarray(np.outer(1.0 / opz, base_w / base_lam ** 2),
+                        jnp.float32)
+        shape = self.shape
+
+        def one(theta, lam_s, w_s):
+            f = jnp.exp(log_mbb_fnu(theta, lam_s, shape))
+            return jnp.sum(w_s * f)
+
+        samples = jnp.asarray(self._thinned(thin), jnp.float32)
+        integ = np.asarray(
+            jax.jit(jax.vmap(jax.vmap(one, in_axes=(0, None, None)),
+                             in_axes=(0, 0, 0)))(samples, lam, w),
+            np.float64)
+        dl_m = self._dl_mpc(z, lumdists, cosmology) * MPC_M
+        prefac = 4.0 * np.pi * dl_m ** 2 * MJY_WM2HZ * C_UM_HZ / LSUN_W
+        self.lir_chain = prefac[:, None] * integ
+        return self.lir_chain
+
+    def lir_cen(self, percentile=68.3):
+        if getattr(self, "lir_chain", None) is None:
+            raise RuntimeError("call compute_lir(redshifts) first")
+        return np.stack([_percentile_summary(c, percentile)
+                         for c in self.lir_chain])
+
+    def compute_dustmass(self, redshifts, kappa=2.64, kappa_wave=125.0,
+                         thin=1, lumdists=None, cosmology="WMAP9"):
+        """(S, nsamp) dust-mass posteriors in M_sun."""
+        self._require_run()
+        z = np.asarray(redshifts, np.float64).ravel()
+        opz = 1.0 + z
+        lam_obs = jnp.asarray(kappa_wave * opz, jnp.float32)      # (S,)
+        shape = self.shape
+
+        def one(theta, lam_s):
+            s_mjy = jnp.exp(log_mbb_fnu(theta, lam_s[None], shape))[0]
+            x = HCOK_UM_K / (lam_s * theta[0])
+            return s_mjy * jnp.expm1(jnp.minimum(x, 80.0))
+
+        samples = jnp.asarray(self._thinned(thin), jnp.float32)
+        g = np.asarray(
+            jax.jit(jax.vmap(jax.vmap(one, in_axes=(0, None)),
+                             in_axes=(0, 0)))(samples, lam_obs),
+            np.float64)
+        dl_m = self._dl_mpc(z, lumdists, cosmology) * MPC_M
+        c_ms = 2.99792458e8
+        nu_rest = c_ms / (kappa_wave * 1e-6)
+        planck_amp = 2.0 * H_JS * nu_rest ** 3 / c_ms ** 2
+        prefac = dl_m ** 2 * MJY_WM2HZ / (opz * kappa * planck_amp) / MSUN_KG
+        self.dustmass_chain = prefac[:, None] * g
+        return self.dustmass_chain
+
+    def dustmass_cen(self, percentile=68.3):
+        if getattr(self, "dustmass_chain", None) is None:
+            raise RuntimeError("call compute_dustmass(redshifts) first")
+        return np.stack([_percentile_summary(c, percentile)
+                         for c in self.dustmass_chain])
+
+    def compute_peaklambda(self, thin=1, lo=_PEAK_RANGE[0],
+                           hi=_PEAK_RANGE[1]):
+        """(S, nsamp) observed peak-wavelength posteriors in um."""
+        self._require_run()
+        shape = self.shape
+        ulo, uhi = float(np.log(lo)), float(np.log(hi))
+
+        def peak(theta):
+            def log_flux(u):
+                return log_mbb_fnu(theta, jnp.exp(u), shape)
+            um, _ = golden_max(log_flux, ulo, uhi, iters=_PEAK_ITERS)
+            return jnp.exp(um)
+
+        samples = jnp.asarray(self._thinned(thin), jnp.float32)
+        self.peaklambda_chain = np.asarray(
+            jax.jit(jax.vmap(jax.vmap(peak)))(samples), np.float64)
+        return self.peaklambda_chain
+
+    def peaklambda_cen(self, percentile=68.3):
+        if getattr(self, "peaklambda_chain", None) is None:
+            raise RuntimeError("call compute_peaklambda() first")
+        return np.stack([_percentile_summary(c, percentile)
+                         for c in self.peaklambda_chain])
+
+    # -- single-source views -------------------------------------------------------
+    def results(self, i, redshift=None, cosmology="WMAP9", lumdist=None):
+        """Full MBBResults for source i (summaries, derived quantities,
+        writeToHDF5 -- the complete single-source analysis surface)."""
+        from mbb_emcee_tpu.results import MBBResults
+        self._require_run()
+        i = int(i)
+        view = _SourceView(self, i)
+        return MBBResults(fit=view, redshift=redshift, cosmology=cosmology,
+                          lumdist=lumdist)
+
+
+class _SourceView:
+    """Adapter presenting one source of a MultiFitter as a finished
+    MBBFitter (the attribute surface MBBResults._from_fit consumes)."""
+
+    def __init__(self, mf: MultiFitter, i: int):
+        self.chain_free = mf.chain_free[i]
+        self.chain = np.transpose(
+            mf.free_space.expand(np.asarray(mf.chain_free[i])), (1, 0, 2))
+        self.lnprobability = np.asarray(mf.lnprobability[i])
+        self.acceptance_fraction = mf.acceptance_fraction[i]
+        self.shape = mf.shape
+        self.phot = Photometry(mf.wave, mf.flux[i], mf.unc[i],
+                               band_names=mf.band_names)
+        self.spec = mf._effective_spec()
+        self._init = mf._init.copy()
+        self.thin = mf.thin
+        self.nwalkers = mf.nwalkers
+
+
+def _replace(spec: LikelihoodSpec, **kw) -> LikelihoodSpec:
+    import dataclasses
+    return dataclasses.replace(spec, **kw)
+
+
+def _spec_token(spec: LikelihoodSpec, shape: MBBShape):
+    """Hashable snapshot of everything that is baked into the compiled run
+    as a constant (parameter-space config + model shape)."""
+    return (spec.lower.tobytes(), spec.upper.tobytes(),
+            spec.fixed.tobytes(), spec.fixed_values.tobytes(),
+            spec.prior_mean.tobytes(), spec.prior_isigma.tobytes(),
+            shape.opthin, shape.noalpha, shape.wavenorm)

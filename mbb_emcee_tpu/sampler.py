@@ -227,8 +227,15 @@ def make_initial_ball(key, center, scatter, nwalkers, lower=None, upper=None,
         hi = jnp.asarray(upper, dtype)
         tiny = 1e-9 * (hi - lo)
         lo_m, hi_m = lo + tiny, hi - tiny
-        ball = lo_m + jnp.abs(ball - lo_m)    # reflect below the floor
-        ball = hi_m - jnp.abs(hi_m - ball)    # reflect above the ceiling
+        # Reflect ONLY out-of-box values (jnp.where, not the algebraic
+        # lo + |x - lo| / hi - |hi - x| form): the algebraic form rounds
+        # in-box values to the fp32 quantum AT THE BOUND -- with the default
+        # fnorm ceiling of 1e7 that quantum is 1.0, which collapsed tight
+        # re-center balls onto a single value and permanently froze that
+        # ensemble coordinate (the stretch move cannot leave a degenerate
+        # hyperplane).
+        ball = jnp.where(ball < lo_m, 2.0 * lo_m - ball, ball)
+        ball = jnp.where(ball > hi_m, 2.0 * hi_m - ball, ball)
         ball = jnp.clip(ball, lo_m, hi_m)     # pathological double-overshoot
     return ball
 

@@ -1,0 +1,167 @@
+"""MultiFitter: batched multi-source fitting (the serving path).
+
+Runs on the CPU conftest (virtual 8-device mesh for the sharding test).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mbb_emcee_tpu import MultiFitter, MBBFitter, MBBResults
+from mbb_emcee_tpu.models.modified_blackbody import MBBShape, mbb_fnu
+from mbb_emcee_tpu.parallel import walker_mesh
+
+NB = 5
+WAVE = np.linspace(100.0, 500.0, NB)
+
+# Four optically-thin sources with different temperatures/normalizations.
+TRUES = np.array([
+    [25.0, 1.6, 250.0, 4.0, 30.0],
+    [32.0, 1.9, 250.0, 4.0, 45.0],
+    [40.0, 2.2, 250.0, 4.0, 60.0],
+    [50.0, 1.8, 250.0, 4.0, 20.0],
+])
+
+
+def _mock_batch(trues, opthin=True, noalpha=True, frac=0.04, seed=3):
+    shape = MBBShape(opthin=opthin, noalpha=noalpha)
+    rng = np.random.default_rng(seed)
+    flux, unc = [], []
+    for t in trues:
+        f = np.asarray(mbb_fnu(jnp.asarray(t, jnp.float32),
+                               jnp.asarray(WAVE, jnp.float32), shape),
+                       np.float64)
+        u = frac * f
+        flux.append(f + u * rng.standard_normal(NB))
+        unc.append(u)
+    return np.array(flux), np.array(unc)
+
+
+@pytest.fixture(scope="module")
+def fitted():
+    flux, unc = _mock_batch(TRUES)
+    mf = MultiFitter(nwalkers=64, opthin=True, noalpha=True, seed=11)
+    mf.set_data(WAVE, flux, unc)
+    mf.set_uplim("T", 100.0)
+    mf.run(nburn=80, nsteps=400)
+    return mf
+
+
+def test_shapes_and_recovery(fitted):
+    mf = fitted
+    S = TRUES.shape[0]
+    assert mf.chain_free.shape == (S, 400, 64, 3)   # T, beta, fnorm free
+    assert mf.lnprobability.shape == (S, 400, 64)
+    assert mf.acceptance_fraction.shape == (S, 64)
+    af = mf.acceptance_fraction.mean(axis=1)
+    assert np.all(af > 0.1) and np.all(af < 0.8)
+    # Each source recovers ITS truth within a few posterior widths.
+    for pi, name in ((0, "T"), (1, "beta"), (4, "fnorm")):
+        cen = mf.par_cen(name)                       # (S, 3)
+        err = np.maximum(cen[:, 1], cen[:, 2])
+        pull = np.abs(cen[:, 0] - TRUES[:, pi]) / err
+        assert np.all(pull < 5.0), (name, cen[:, 0], TRUES[:, pi])
+    # Sources are actually DIFFERENT fits (T medians ordered like truths).
+    t_med = mf.par_cen("T")[:, 0]
+    assert np.all(np.argsort(t_med) == np.argsort(TRUES[:, 0]))
+
+
+def test_matches_single_source_fitter(fitted):
+    mf = fitted
+    k = 1
+    fit = MBBFitter(nwalkers=64, opthin=True, noalpha=True, seed=23)
+    fit.set_data(WAVE, mf.flux[k], mf.unc[k])
+    fit.set_uplim("T", 100.0)
+    fit.run(nburn=80, nsteps=400)
+    res = MBBResults(fit=fit)
+    for name in ("T", "beta", "fnorm"):
+        single = res.par_cen(name)
+        multi = mf.par_cen(name)[k]
+        err = max(single[1], single[2], multi[1], multi[2])
+        assert abs(single[0] - multi[0]) < 1.5 * err, (name, single, multi)
+
+
+def test_best_fit_and_autocorr(fitted):
+    mf = fitted
+    params, lnp = mf.best_fit()
+    assert params.shape == (4, 5) and lnp.shape == (4,)
+    assert np.all(np.isfinite(lnp))
+    # best-fit lnp is the max over each source's recorded chain
+    assert np.allclose(lnp, np.asarray(mf.lnprobability).reshape(4, -1)
+                       .max(axis=1))
+    tau = mf.autocorrelation_time()
+    assert tau.shape == (4, 3)
+
+
+def test_derived_quantities_batched(fitted):
+    mf = fitted
+    z = np.array([1.0, 2.0, 2.5, 3.0])
+    lir = mf.compute_lir(z, thin=8)
+    assert lir.shape[0] == 4 and np.all(lir > 0)
+    lc = mf.lir_cen()
+    assert lc.shape == (4, 3) and np.all(lc[:, 0] > 0)
+    dm = mf.compute_dustmass(z, thin=8)
+    assert np.all(dm > 0)
+    pk = mf.compute_peaklambda(thin=8)
+    assert pk.shape[0] == 4
+    # hotter source peaks bluer (observed frame, same z ordering not needed:
+    # peak depends only on theta) -- compare source 0 (25 K) vs 3 (50 K).
+    assert np.median(pk[3]) < np.median(pk[0])
+    # per-source L_IR matches the single-source MBBResults computation
+    # (thin=1: thinned subsets differ in flatten order, so compare the
+    # full-chain median, which is order-independent)
+    res1 = mf.results(1, redshift=2.0)
+    res1.compute_lir(thin=1)
+    lir_full = mf.compute_lir(z, thin=1)
+    np.testing.assert_allclose(np.median(res1.lir_chain),
+                               np.median(lir_full[1]), rtol=1e-5)
+
+
+def test_results_view_roundtrip(fitted, tmp_path):
+    mf = fitted
+    res = mf.results(2, redshift=2.5)
+    cen_view = res.par_cen("T")
+    np.testing.assert_allclose(cen_view, mf.par_cen("T")[2], rtol=1e-12)
+    out = str(tmp_path / "src2.h5")
+    res.compute_peaklambda(thin=16)
+    res.writeToHDF5(out)
+    back = MBBResults(h5file=out)
+    np.testing.assert_allclose(back.par_cen("T"), cen_view, rtol=1e-6)
+
+
+def test_source_sharded_run_matches_unsharded():
+    # threefry streams are partitioning-invariant, so the sharded run must
+    # reproduce the unsharded chains exactly (rbg's hardware generator is
+    # documented to depend on the partitioning).
+    trues = np.repeat(TRUES, 2, axis=0)              # 8 sources
+    flux, unc = _mock_batch(trues)
+    mesh = walker_mesh(8)
+
+    def fit(mesh_arg):
+        mf = MultiFitter(nwalkers=32, opthin=True, noalpha=True, seed=5,
+                         prng_impl="threefry2x32", mesh=mesh_arg)
+        mf.set_data(WAVE, flux, unc)
+        mf.run(nburn=20, nsteps=40)
+        return mf
+
+    a = fit(None)
+    b = fit(mesh)
+    np.testing.assert_allclose(np.asarray(a.chain_free),
+                               np.asarray(b.chain_free),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(a.acceptance_fraction,
+                                  b.acceptance_fraction)
+
+
+def test_multifit_validation():
+    mf = MultiFitter(nwalkers=32)
+    with pytest.raises(RuntimeError):
+        mf.run()
+    with pytest.raises(ValueError):
+        mf.set_data(WAVE, np.ones((2, NB)), np.ones((2, NB + 1)))
+    with pytest.raises(ValueError):
+        mf.set_data(WAVE, np.ones((2, NB)), -np.ones((2, NB)))
+    mf.set_data(WAVE, np.ones((2, NB)), np.ones((2, NB)))
+    with pytest.raises(RuntimeError):
+        mf.par_cen("T")

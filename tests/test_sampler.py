@@ -133,3 +133,24 @@ def test_rejects_bad_geometry():
         EnsembleSampler(5, NDIM, _lnprob_gauss)   # odd
     with pytest.raises(ValueError):
         EnsembleSampler(4, NDIM, _lnprob_gauss)   # < 2*ndim
+
+
+def test_initial_ball_no_fp32_quantization_at_far_bound():
+    """Regression: the box reflection must not round in-box values to the
+    fp32 quantum at the (huge) bound. A tight ball near 20 with an upper
+    bound of 1e7 used to collapse onto exactly 20.0 (fp32 spacing at 1e7
+    is 1.0), permanently freezing that ensemble coordinate."""
+    import jax
+    import numpy as np
+    from mbb_emcee_tpu.sampler import make_initial_ball
+
+    ball = make_initial_ball(jax.random.key(0),
+                             center=np.array([20.0]),
+                             scatter=np.array([0.16]),
+                             nwalkers=64,
+                             lower=np.array([1e-5]),
+                             upper=np.array([1e7]))
+    b = np.asarray(ball)[:, 0]
+    assert b.std() > 0.1                      # not collapsed
+    assert np.unique(b).size == 64            # and not quantized
+    assert np.all(b > 1e-5) and np.all(b < 1e7)
