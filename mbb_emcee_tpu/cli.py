@@ -121,6 +121,9 @@ def build_parser():
                    help="thin factor for derived-quantity chains")
 
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the fit into this "
+                        "directory (view in TensorBoard/Perfetto)")
     return p
 
 
@@ -162,14 +165,25 @@ def main(argv=None):
     for param, m, s in args.prior:
         fit.set_gaussian_prior(param, float(m), float(s))
 
+    from mbb_emcee_tpu.utils.profiling import trace, StepTimer
+
     if args.verbose:
         print(f"Running fit: {args.nwalkers} walkers, burn={args.burn}, "
               f"steps={args.nsteps}, thin={args.thin}")
-    fit.run(nburn=args.burn, nsteps=args.nsteps, thin=args.thin,
-            recenter_burn=not args.no_recenter_burn, verbose=args.verbose,
-            checkpoint=args.checkpoint,
-            checkpoint_interval=args.checkpoint_interval,
-            resume=args.resume)
+    timer = StepTimer(args.nwalkers)
+    with trace(args.profile_dir):
+        with timer.phase("fit (burn + production)",
+                         2 * args.burn + args.nsteps):
+            fit.run(nburn=args.burn, nsteps=args.nsteps, thin=args.thin,
+                    recenter_burn=not args.no_recenter_burn,
+                    verbose=args.verbose,
+                    checkpoint=args.checkpoint,
+                    checkpoint_interval=args.checkpoint_interval,
+                    resume=args.resume)
+    if args.verbose:
+        print(timer.report())
+        if args.profile_dir:
+            print(f"profiler trace written to {args.profile_dir}")
 
     res = MBBResults(fit=fit, redshift=args.redshift,
                      cosmology=args.cosmology, lumdist=args.lumdist)

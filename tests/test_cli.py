@@ -97,3 +97,23 @@ def test_cli_fixed_and_prior(tmp_path):
     res = MBBResults(h5file=out)
     assert np.all(res.chain[:, :, 2] == np.float32(250.0))
     assert np.all(res.chain[:, :, 3] == np.float32(3.5))
+
+
+def test_step_timer_and_trace_noop(tmp_path):
+    import time
+    from mbb_emcee_tpu.utils.profiling import StepTimer, trace
+
+    t = StepTimer(nwalkers=100)
+    with t.phase("burn", 10):
+        time.sleep(0.01)
+    with t.phase("production", 30):
+        time.sleep(0.01)
+    assert t.rate("burn") > 0
+    assert t.rate() > 0
+    rep = t.report()
+    assert "burn" in rep and "production" in rep
+    with trace(None):        # no-op path
+        pass
+    with trace(str(tmp_path / "trace")):
+        import jax.numpy as jnp
+        jnp.ones(4).sum().block_until_ready()
