@@ -41,17 +41,20 @@ import numpy as np
 
 from mbb_emcee_tpu.constants import HCOK_UM_K
 from mbb_emcee_tpu.ops.special import log_expm1, log1mexp, xoexpm1x
-from mbb_emcee_tpu.ops.rootfind import bisect_decreasing
+from mbb_emcee_tpu.ops.rootfind import bisect_newton_decreasing
 
 # Static bracket for the merge root in u = ln x. The slope function is
 # monotone decreasing with g(u_lo) >= 2 + alpha > 0 and g(u_hi) << -alpha for
 # any physical alpha, so the root is always bracketed (see _dlns_dlnu).
 _LOG_X_LO = float(np.log(1e-3))
 _LOG_X_HI = float(np.log(1e4))
-# 30 bisection steps shrink the 16.1-wide ln-x bracket to 1.5e-8 -- below
-# fp32 resolution at |ln x| ~ 1; more iterations cannot improve the fp32
-# result (validated against the fp64 brentq oracle in tests/test_physics.py).
-_MERGE_ITERS = 30
+# Hybrid merge solve: 10 bisections localize the root, 3 bracket-clamped
+# Newton steps polish it to fp32 exactness. The merge solve runs inside
+# EVERY lnprob call and was ~84% of the fused sampler's step cost at the
+# old 30 pure-bisection iterations (validated against the fp64 brentq
+# oracle in tests/test_physics.py).
+_MERGE_BISECT = 10
+_MERGE_NEWTON = 3
 
 # tau cutoffs: above _TAU_BIG, tau/(e^tau - 1) is numerically zero and
 # 1 - e^-tau is numerically one.
@@ -93,16 +96,43 @@ def _dlns_dlnu(log_x, beta, log_x0, opthin: bool):
     return 3.0 + beta * xoexpm1x(tau) - q
 
 
+def _merge_g_and_gp(log_x, beta, log_x0, alpha, opthin: bool):
+    """(g, g') for the merge solve, g(u) = d ln S / d ln u + alpha.
+
+    The derivative is nearly free given the slope's own pieces, via the
+    identities q(x) = x + h(x) and dq/du = q (1 - h) with h(y) = y/(e^y-1),
+    q(y) = y/(1 - e^-y):
+        thick: g' = beta^2 h(tau) (1 - tau - h(tau)) - q(x) (1 - q(x) + x)
+        thin:  g' =                                  - q(x) (1 - q(x) + x)
+    Both strictly negative on the bracket.
+    """
+    x = jnp.exp(log_x)
+    q = x / (-jnp.expm1(-jnp.maximum(x, 1e-30)))
+    gp_planck = -q * (1.0 - q + x)
+    if opthin:
+        return 3.0 + beta - q + alpha, gp_planck
+    tau = jnp.exp(beta * (log_x - log_x0))
+    ht = xoexpm1x(tau)
+    # clamp tau in the product: for huge tau, ht is exactly 0 and an
+    # unclamped inf*0 would poison the derivative with NaN
+    tau_c = jnp.minimum(tau, _TAU_BIG)
+    gp = beta * beta * ht * (1.0 - tau_c - ht) + gp_planck
+    return 3.0 + beta * ht - q + alpha, gp
+
+
 def merge_log_x(beta, log_x0, alpha, opthin: bool):
     """ln x_merge where d ln S / d ln x = -alpha (Wien-side merge point).
 
     Replaces the reference's per-evaluation scipy.optimize.brentq
-    (ref: modified_blackbody.__init__) with fixed-iteration bisection on a
-    static bracket valid over the whole prior box.
+    (ref: modified_blackbody.__init__) with a fixed-iteration
+    bisection+Newton hybrid on a static bracket valid over the whole
+    prior box.
     """
-    def g(u):
-        return _dlns_dlnu(u, beta, log_x0, opthin) + alpha
-    return bisect_decreasing(g, _LOG_X_LO, _LOG_X_HI, iters=_MERGE_ITERS)
+    def g_and_gp(u):
+        return _merge_g_and_gp(u, beta, log_x0, alpha, opthin)
+    return bisect_newton_decreasing(g_and_gp, _LOG_X_LO, _LOG_X_HI,
+                                    bisect_iters=_MERGE_BISECT,
+                                    newton_iters=_MERGE_NEWTON)
 
 
 def log_mbb_fnu(params, wave, shape: MBBShape = MBBShape()):

@@ -66,7 +66,15 @@ class MultiFitter:
 
     def __init__(self, nwalkers=250, wavenorm=500.0, noalpha=False,
                  opthin=False, responses=None, seed=1234, a=2.0,
-                 prng_impl="rbg", mesh=None):
+                 prng_impl="rbg", mesh=None, sampler_backend="auto"):
+        # 'fused' = ops/pallas_multifit.py: the whole batched run as one
+        # Pallas kernel with sources on the SUBLANES (TPU-only,
+        # single-device); 'xla' = portable vmapped scan (mesh-shardable);
+        # 'auto' picks 'fused' on TPU when no mesh is given.
+        if sampler_backend not in ("auto", "xla", "fused"):
+            raise ValueError(
+                "sampler_backend must be 'auto', 'xla' or 'fused'")
+        self.sampler_backend = sampler_backend
         self.nwalkers = int(nwalkers)
         self.shape = MBBShape(opthin=bool(opthin), noalpha=bool(noalpha),
                               wavenorm=float(wavenorm))
@@ -218,6 +226,16 @@ class MultiFitter:
         if nsteps % thin:
             raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
         spec = self._effective_spec()
+        backend = self.sampler_backend
+        if backend == "auto":
+            try:
+                on_tpu = jax.default_backend() == "tpu"
+            except Exception:
+                on_tpu = False
+            backend = "fused" if (on_tpu and self.mesh is None) else "xla"
+        if backend == "fused":
+            return self._run_fused(nburn, nsteps, thin, recenter_burn,
+                                   verbose, spec)
         lnprob_data, free_space = build_lnprob_data(
             self.shape, spec, response_pack=self._response_pack())
         self.free_space = free_space
@@ -334,6 +352,63 @@ class MultiFitter:
             print(f"Mean acceptance fraction over {S} sources: "
                   f"{af.mean():.3f} (per-source min {af.mean(1).min():.3f}, "
                   f"max {af.mean(1).max():.3f})")
+        return self
+
+    def _run_fused(self, nburn, nsteps, thin, recenter_burn, verbose, spec):
+        """Fused-kernel path: burn / per-source re-center / production, each
+        phase one Pallas launch (ops/pallas_multifit.py)."""
+        from mbb_emcee_tpu.ops.pallas_multifit import FusedMultiPallasSampler
+
+        if self.mesh is not None:
+            raise ValueError("sampler_backend='fused' is single-device; "
+                             "use 'xla' with a mesh")
+        token = ("fused", self.nwalkers, _spec_token(spec, self.shape),
+                 self.flux.shape)
+        if getattr(self, "_fused_token", None) != token:
+            self._fused = FusedMultiPallasSampler(
+                self.nwalkers, self.wave, self.flux, self.unc, self.shape,
+                spec, response_pack=self._response_pack(), a=self.a)
+            self._fused_token = token
+        samp = self._fused
+        self.free_space = samp.free_space
+        self.thin = int(thin)
+        S, nw = self.nsources, self.nwalkers
+        fs = samp.free_space
+
+        key = jax.random.key(self.seed, impl=self.prng_impl)
+        kball, kstate, krecenter = jax.random.split(key, 3)
+        centers, scatters = self._init_centers()
+        cen_f = jnp.asarray(centers[:, fs.free_idx], jnp.float32)
+        sca_f = jnp.asarray(scatters[:, fs.free_idx], jnp.float32)
+        vball = jax.vmap(
+            lambda k, c, s: make_initial_ball(k, c, s, nw, fs.lower,
+                                              fs.upper))
+        p0 = vball(jax.random.split(kball, S), cen_f, sca_f)
+        state = samp.init_state(kstate, p0)
+
+        if nburn > 0:
+            state = samp.advance(state, nburn)
+            if recenter_burn:
+                best = jnp.take_along_axis(
+                    state.pos, jnp.argmax(state.lnp, axis=1)[:, None, None],
+                    axis=1)[:, 0, :]
+                kb2, ks2 = jax.random.split(krecenter)
+                p0b = vball(jax.random.split(kb2, S), best, 0.1 * sca_f)
+                state = samp.init_state(ks2, p0b)
+                state = samp.advance(state, nburn)
+            state = FusedMultiPallasSampler.reset_counters(state)
+
+        state, chain, lnpchain = samp.run_mcmc(state, nsteps, thin)
+        self.final_state = state
+        self.chain_free = chain
+        self.lnprobability = lnpchain
+        denom = max(int(state.nsteps), 1)
+        self.acceptance_fraction = np.asarray(state.naccept) / denom
+        if verbose:
+            af = self.acceptance_fraction
+            print(f"Mean acceptance fraction over {S} sources: "
+                  f"{af.mean():.3f} (per-source min {af.mean(1).min():.3f}, "
+                  f"max {af.mean(1).max():.3f}) [fused kernel]")
         return self
 
     # -- batched summaries -------------------------------------------------------

@@ -1,0 +1,532 @@
+"""Fused multi-source Pallas sampler: sources ride the SUBLANES.
+
+The single-source fused kernel (ops/pallas_sampler.py) keeps walkers on the
+128-wide lane axis but leaves 7/8 of the VPU's sublanes idle -- every
+per-walker quantity is a (1, W) row of an (8, 128) hardware tile. This
+kernel fills those sublanes with SOURCES: each per-walker quantity becomes
+an (S, W) tile (S = 8 sources per tile), so one vector op advances eight
+independent fits at once. Source tiles beyond the first stream through a
+second grid dimension.
+
+Layout per source tile, one (16*S, W) fp32 block:
+    rows [h*8*S + q*S + s] = half h, quantity q, source s
+    quantities: T, beta, lambda0, alpha, fnorm, lnp, acc, spare
+so each quantity of a half is a sublane-aligned (S, W) slice.
+
+The partner gather is a BATCHED one-hot matmul on the MXU
+(sel[s,p,k] = 1_{p = partner(k) for source s}), at HIGHEST precision so
+gathered positions are exact f32.
+
+The kernel recomputes the walkers' lnprob from their positions at the
+first grid step, so callers never need a separately-built lnprob for state
+initialization, and phase transitions (burn -> re-center -> production)
+just feed positions back in.
+
+Same PRNG contract as the single-source kernel: hardware PRNG seeded per
+(run-seed, tile, record) on TPU; rng='external' consumes a uniforms array
+for CPU/interpret-mode equivalence tests (the TPU interpreter stubs the
+hardware PRNG).
+
+Diagonal errors only (the batched likelihood contract of
+likelihood.build_lnprob_data). Reference equivalent: one emcee process per
+source (SURVEY.md section 2, parallelism row).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mbb_emcee_tpu.constants import HCOK_UM_K, NPARAMS
+from mbb_emcee_tpu.ops.pallas_lnprob import (
+    _log_expm1, _log1mexp, _LANE, _LOG_X_LO, _LOG_X_HI, _MERGE_BISECT,
+    _MERGE_NEWTON, _TAU_BIG, LNPROB_FLOOR)
+from mbb_emcee_tpu.ops import pallas_lnprob as _pln
+
+_LOG_C2 = math.log(HCOK_UM_K)
+_NQ = 8          # quantities per half: 5 params + lnp + acc + spare
+_Q_LNP = 5
+_Q_ACC = 6
+
+
+def _round_up(n, m):
+    return -(-n // m) * m
+
+
+def _make_multi_lnp(cfg, s_tile):
+    """compute(rows5, limits_ref, prior_ref, flux_blk, iunc_blk, waves_ref,
+    rweights_ref) -> (S, W) lnprob. rows5: list of 5 (S, W) parameter
+    arrays; flux_blk/iunc_blk: (S, nb) arrays for this tile's sources.
+    Same math as pallas_lnprob._make_lnp_compute, widened from (1, W) rows
+    to (S, W) tiles with per-source data columns."""
+    opthin = cfg["opthin"]
+    noalpha = cfg["noalpha"]
+    nb = cfg["nbands"]
+    log_wavenorm = math.log(cfg["wavenorm"])
+
+    def log_s_mbb(log_x, beta, log_x0):
+        x = jnp.exp(log_x)
+        log_planck = 3.0 * log_x - _log_expm1(x)
+        if opthin:
+            return beta * log_x + log_planck
+        tau = jnp.exp(beta * (log_x - log_x0))
+        return _log1mexp(tau) + log_planck
+
+    def merge_g_gp(log_x, beta, log_x0, alpha):
+        """(g, g') of the merge condition (see pallas_lnprob.merge_g_gp)."""
+        x = jnp.exp(log_x)
+        q = _pln._qx(x)
+        gp_planck = -q * (1.0 - q + x)
+        if opthin:
+            return 3.0 + beta - q + alpha, gp_planck
+        tau = jnp.exp(beta * (log_x - log_x0))
+        ht = _pln._xoexpm1x(tau)
+        tau_c = jnp.minimum(tau, _TAU_BIG)
+        gp = beta * beta * ht * (1.0 - tau_c - ht) + gp_planck
+        return 3.0 + beta * ht - q + alpha, gp
+
+    def compute(rows, limits_ref, prior_ref, flux_blk, iunc_blk,
+                waves_ref, rweights_ref):
+        inbox = None
+        clipped = []
+        for i in range(NPARAMS):
+            v = rows[i]
+            lo = limits_ref[0, i]
+            hi = limits_ref[1, i]
+            ok = (v >= lo) & (v <= hi)
+            inbox = ok if inbox is None else (inbox & ok)
+            clipped.append(jnp.clip(v, lo, hi))
+        T, beta, lam0, alpha, fnorm = clipped
+
+        log_T = jnp.log(T)
+        log_x0 = _LOG_C2 - jnp.log(lam0) - log_T
+
+        if noalpha:
+            u_m = None
+        else:
+            a_br = jnp.full_like(T, _LOG_X_LO)
+            b_br = jnp.full_like(T, _LOG_X_HI)
+            for _ in range(_MERGE_BISECT):
+                m = 0.5 * (a_br + b_br)
+                g, _ = merge_g_gp(m, beta, log_x0, alpha)
+                pos = g > 0.0
+                a_br = jnp.where(pos, m, a_br)
+                b_br = jnp.where(pos, b_br, m)
+            u_m = 0.5 * (a_br + b_br)
+            for _ in range(_MERGE_NEWTON):
+                g, gp = merge_g_gp(u_m, beta, log_x0, alpha)
+                u_m = jnp.clip(u_m - g / jnp.minimum(gp, -1e-10),
+                               a_br, b_br)
+            ls_m = log_s_mbb(u_m, beta, log_x0)
+
+        def log_s(log_x):
+            base = log_s_mbb(log_x, beta, log_x0)
+            if noalpha:
+                return base
+            return jnp.where(log_x > u_m, ls_m - alpha * (log_x - u_m),
+                             base)
+
+        log_fnorm = jnp.log(fnorm)
+        ls_norm = log_s(_LOG_C2 - log_wavenorm - log_T)
+
+        chi2 = jnp.zeros_like(T)
+        for b in range(nb):
+            model = jnp.zeros_like(T)
+            nnodes = int(waves_ref.shape[1])
+            for k in range(nnodes):
+                lx = (_LOG_C2 - jnp.log(waves_ref[b, k])) - log_T
+                model = model + rweights_ref[b, k] * jnp.exp(
+                    log_fnorm + log_s(lx) - ls_norm)
+            r = (model - flux_blk[:, b:b + 1]) * iunc_blk[:, b:b + 1]
+            chi2 = chi2 + r * r
+
+        lnp = -0.5 * chi2
+        for i in range(NPARAMS):
+            isig = prior_ref[1, i]
+            d = (clipped[i] - prior_ref[0, i]) * isig
+            lnp = lnp - 0.5 * d * d
+        return jnp.where(inbox, lnp, LNPROB_FLOOR)
+
+    return compute
+
+
+def _make_multi_kernel(cfg, *, nfree, half, wp, s_tile, thin, a,
+                       external_rng):
+    compute = _make_multi_lnp(cfg, s_tile)
+    d_exp = float(nfree - 1)
+    inv_a = 1.0 / a
+    am1 = a - 1.0
+    S = s_tile
+    HB = _NQ * S                      # rows per half block
+
+    def kernel(seed_ref, state0_ref, limits_ref, prior_ref, flux_ref,
+               iunc_ref, waves_ref, rweights_ref, *rest):
+        if external_rng:
+            u_ref, chain_ref, state_out_ref, state_scr = rest
+        else:
+            chain_ref, state_out_ref, state_scr = rest
+
+        t = pl.program_id(0)
+        i = pl.program_id(1)
+        nrec = pl.num_programs(1)
+
+        if not external_rng:
+            pltpu.prng_seed(seed_ref[0], seed_ref[1] + t * nrec + i)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, wp), 1)
+        pmask = (lane < half).astype(jnp.float32)            # (S, wp)
+        p_iota = jax.lax.broadcasted_iota(jnp.int32, (S, wp, wp), 1)
+
+        flux_blk = flux_ref[0]                               # (S, nb)
+        iunc_blk = iunc_ref[0]
+
+        def lnprob(rows):
+            return compute(rows, limits_ref, prior_ref, flux_blk,
+                           iunc_blk, waves_ref, rweights_ref)
+
+        def q_of(block, q):
+            return block[q * S:(q + 1) * S, :]               # (S, wp)
+
+        @pl.when(i == 0)
+        def _():
+            # Load this tile's state; recompute lnp from the positions so
+            # callers never have to supply consistent lnp values.
+            st = state0_ref[:, :]
+            for h in range(2):
+                blk = st[h * HB:(h + 1) * HB, :]
+                rows = [q_of(blk, q) for q in range(NPARAMS)]
+                lnp = lnprob(rows)
+                state_scr[h * HB + _Q_LNP * S:
+                          h * HB + (_Q_LNP + 1) * S, :] = lnp
+                for q in list(range(NPARAMS)) + [_Q_ACC, 7]:
+                    state_scr[h * HB + q * S:h * HB + (q + 1) * S, :] = \
+                        q_of(blk, q)
+
+        def half_update(active, passive, u3):
+            # active/passive: (8S, wp) half blocks; u3: (3S, wp).
+            z = ((am1 * u3[0:S] + 1.0) ** 2) * inv_a          # (S, wp)
+            j = jnp.minimum((u3[S:2 * S] * half).astype(jnp.int32),
+                            half - 1)                          # (S, wp)
+            sel = (p_iota == j[:, None, :]).astype(jnp.float32)
+            # one batched gather for all 5 parameter rows: (S, 5, W) @
+            # (S, W, W). HIGHEST precision keeps gathered positions exact
+            # f32 (the MXU's default bf16 pass would round them; still a
+            # valid MH kernel, but exact is cheap here).
+            pq = jnp.stack([q_of(passive, q) * pmask
+                            for q in range(NPARAMS)], axis=1)
+            partners = jax.lax.dot_general(
+                pq, sel,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # (S, 5, W)
+            props = [partners[:, q, :]
+                     + z * (q_of(active, q) - partners[:, q, :])
+                     for q in range(NPARAMS)]
+            lnp_prop = lnprob(props)
+            lnp_active = q_of(active, _Q_LNP)
+            log_ratio = d_exp * jnp.log(z) + lnp_prop - lnp_active
+            accept = jnp.log(u3[2 * S:3 * S]) < log_ratio      # (S, wp)
+            new_rows = [jnp.where(accept, props[q],
+                                  q_of(active, q))
+                        for q in range(NPARAMS)]
+            new_lnp = jnp.where(accept, lnp_prop, lnp_active)
+            new_acc = q_of(active, _Q_ACC) + accept.astype(jnp.float32)
+            return jnp.concatenate(
+                new_rows + [new_lnp, new_acc, q_of(active, 7)], axis=0)
+
+        def step(st, carry):
+            if external_rng:
+                u = u_ref[0, 0, pl.ds(6 * S * st, 6 * S), :]
+            else:
+                bits = pltpu.prng_random_bits((6 * S, wp))
+                u = (jax.lax.shift_right_logical(bits, 8)
+                     .astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25))
+            blk_a = half_update(state_scr[0:HB, :], state_scr[HB:, :],
+                                u[0:3 * S])
+            state_scr[0:HB, :] = blk_a
+            blk_b = half_update(state_scr[HB:, :], blk_a, u[3 * S:6 * S])
+            state_scr[HB:, :] = blk_b
+            return carry
+
+        jax.lax.fori_loop(0, thin, step, 0)
+
+        state = state_scr[:, :]
+        chain_ref[0, 0] = state
+        state_out_ref[0] = state
+
+    return kernel
+
+
+class MultiSamplerState(NamedTuple):
+    """Batched ensemble state over S sources (free parameter space)."""
+    key: jax.Array
+    pos: jax.Array        # (S, nwalkers, nfree)
+    lnp: jax.Array        # (S, nwalkers)
+    naccept: jax.Array    # (S, nwalkers) int32
+    nsteps: jax.Array     # () int32
+
+
+class FusedMultiPallasSampler:
+    """Batched stretch-move sampler over S independent sources, the whole
+    run loop fused into one Pallas kernel with sources on sublanes.
+
+    Construct from the shared model/parameter config and per-source data;
+    the likelihood is compiled INTO the kernel. Sources are padded to a
+    multiple of s_tile internally (replicas of source 0; stripped from all
+    outputs).
+    """
+
+    def __init__(self, nwalkers, wave, flux, unc, shape, spec,
+                 response_pack=None, a=2.0, s_tile=8, interpret=False,
+                 rng="hw"):
+        from mbb_emcee_tpu.likelihood import build_lnprob_data
+
+        if nwalkers % 2:
+            raise ValueError("nwalkers must be even")
+        if rng not in ("hw", "external"):
+            raise ValueError("rng must be 'hw' or 'external'")
+        if s_tile % 8:
+            raise ValueError("s_tile must be a multiple of 8 (fp32 "
+                             "sublane tile)")
+        flux = np.atleast_2d(np.asarray(flux, np.float64))
+        unc = np.atleast_2d(np.asarray(unc, np.float64))
+        wave = np.atleast_1d(np.asarray(wave, np.float64))
+        if flux.shape != unc.shape or flux.shape[1] != wave.size:
+            raise ValueError("flux/unc must be (S, nbands)")
+
+        self.nwalkers = int(nwalkers)
+        self.nsources = flux.shape[0]
+        self.s_tile = int(s_tile)
+        self.a = float(a)
+        self.interpret = interpret
+        self.rng = rng
+        self.half = self.nwalkers // 2
+        self.wp = _round_up(self.half, _LANE)
+
+        # free space + template/scatter from the shared batched-likelihood
+        # contract (validates spec, rejects photometric upper limits)
+        _, self.free_space = build_lnprob_data(shape, spec)
+        self.ndim = self.free_space.nfree
+        if nwalkers < 2 * self.ndim:
+            raise ValueError("need nwalkers >= 2*ndim")
+
+        nb = wave.size
+        if response_pack is not None:
+            waves, rweights = response_pack
+            self._waves = jnp.asarray(waves, jnp.float32)
+            self._rweights = jnp.asarray(rweights, jnp.float32)
+        else:
+            self._waves = jnp.asarray(wave, jnp.float32)[:, None]
+            self._rweights = jnp.ones((nb, 1), jnp.float32)
+
+        # pad sources to tile multiple with replicas of source 0
+        self.ntiles = _round_up(self.nsources, self.s_tile) // self.s_tile
+        s_pad = self.ntiles * self.s_tile
+        pad = s_pad - self.nsources
+        self.s_pad = s_pad
+        flux_p = np.concatenate([flux, np.repeat(flux[:1], pad, 0)], 0)
+        unc_p = np.concatenate([unc, np.repeat(unc[:1], pad, 0)], 0)
+        self._flux = jnp.asarray(
+            flux_p.reshape(self.ntiles, self.s_tile, nb), jnp.float32)
+        self._iunc = jnp.asarray(
+            (1.0 / unc_p).reshape(self.ntiles, self.s_tile, nb),
+            jnp.float32)
+
+        lim = np.zeros((2, 8), np.float32)
+        lim[0, :NPARAMS] = np.where(spec.fixed, 1e-6, spec.lower)
+        lim[1, :NPARAMS] = np.where(spec.fixed, 1e30, spec.upper)
+        pri = np.zeros((2, 8), np.float32)
+        pri[0, :NPARAMS] = spec.prior_mean
+        pri[1, :NPARAMS] = spec.prior_isigma
+        self._limits = jnp.asarray(lim)
+        self._priors = jnp.asarray(pri)
+        self._template = jnp.asarray(self.free_space.template, jnp.float32)
+        scat = np.zeros((NPARAMS, self.ndim), np.float32)
+        scat[self.free_space.free_idx, np.arange(self.ndim)] = 1.0
+        self._scatter = jnp.asarray(scat)
+
+        self.cfg = dict(opthin=shape.opthin, noalpha=shape.noalpha,
+                        nbands=nb, wavenorm=shape.wavenorm)
+        self._run_cache = {}
+
+    # -- state ------------------------------------------------------------------
+    def init_state(self, key, p0) -> MultiSamplerState:
+        """p0: (S, nwalkers, nfree). lnp is computed by the kernel on the
+        first step, so it starts as zeros here."""
+        p0 = jnp.asarray(p0, jnp.float32)
+        if p0.shape != (self.nsources, self.nwalkers, self.ndim):
+            raise ValueError(
+                f"p0 shape {p0.shape} != "
+                f"({self.nsources},{self.nwalkers},{self.ndim})")
+        return MultiSamplerState(
+            key=key, pos=p0,
+            lnp=jnp.zeros((self.nsources, self.nwalkers), jnp.float32),
+            naccept=jnp.zeros((self.nsources, self.nwalkers), jnp.int32),
+            nsteps=jnp.array(0, jnp.int32))
+
+    @staticmethod
+    def reset_counters(state: MultiSamplerState) -> MultiSamplerState:
+        return state._replace(naccept=jnp.zeros_like(state.naccept),
+                              nsteps=jnp.zeros_like(state.nsteps))
+
+    @staticmethod
+    def acceptance_fraction(state: MultiSamplerState):
+        denom = jnp.maximum(state.nsteps, 1)
+        return state.naccept / denom
+
+    # -- layout -----------------------------------------------------------------
+    def _pack(self, pos, acc):
+        """(S, nw, nfree) + (S, nw) -> (ntiles*16*s_tile, wp) kernel state.
+        Pad sources replicate source 0; pad lanes replicate walker 0."""
+        S, T_, st = self.s_pad, self.ntiles, self.s_tile
+        pad_s = S - self.nsources
+        pos = jnp.concatenate(
+            [pos, jnp.broadcast_to(pos[:1], (pad_s,) + pos.shape[1:])], 0)
+        acc = jnp.concatenate(
+            [acc, jnp.broadcast_to(acc[:1], (pad_s,) + acc.shape[1:])],
+            0).astype(jnp.float32)
+        full = self._template[None, None, :] + pos @ self._scatter.T
+        # (S, nw, 5) -> halves (2, S, half, 5) -> quantities
+        halves = jnp.stack([full[:, :self.half], full[:, self.half:]], 0)
+        acc_h = jnp.stack([acc[:, :self.half], acc[:, self.half:]], 0)
+        zeros = jnp.zeros_like(acc_h)
+        quant = jnp.concatenate(
+            [halves.transpose(0, 3, 1, 2),          # (2, 5, S, half)
+             zeros[:, None], acc_h[:, None], zeros[:, None]], axis=1)
+        # lane-pad to wp replicating walker 0
+        padw = self.wp - self.half
+        quant = jnp.concatenate(
+            [quant, jnp.broadcast_to(quant[..., :1],
+                                     quant.shape[:-1] + (padw,))], -1)
+        # (2, 8, S, wp) -> (ntiles, 2, 8, s_tile, wp) -> rows
+        quant = quant.reshape(2, _NQ, T_, st, self.wp)
+        quant = quant.transpose(2, 0, 1, 3, 4)
+        return quant.reshape(T_ * 2 * _NQ * st, self.wp)
+
+    def _unpack(self, state_rows):
+        """Inverse of _pack: (ntiles*16*s_tile, wp) -> pos/lnp/acc."""
+        T_, st = self.ntiles, self.s_tile
+        q = state_rows.reshape(T_, 2, _NQ, st, self.wp)
+        q = q.transpose(1, 2, 0, 3, 4).reshape(2, _NQ, self.s_pad, self.wp)
+        q = q[..., :self.half]                       # strip lane pad
+        free_idx = jnp.asarray(self.free_space.free_idx)
+        pos = jnp.concatenate([q[0, free_idx], q[1, free_idx]],
+                              axis=-1)               # (nfree, S, nw)
+        pos = pos.transpose(1, 2, 0)[:self.nsources]
+        lnp = jnp.concatenate([q[0, _Q_LNP], q[1, _Q_LNP]],
+                              axis=-1)[:self.nsources]
+        acc = jnp.concatenate([q[0, _Q_ACC], q[1, _Q_ACC]],
+                              axis=-1)[:self.nsources].astype(jnp.int32)
+        return pos, lnp, acc
+
+    # -- the fused run ------------------------------------------------------------
+    def _make_run(self, nrecord, thin):
+        external = self.rng == "external"
+        S, T_, wp = self.s_tile, self.ntiles, self.wp
+        rows_tile = 2 * _NQ * S
+        kernel = _make_multi_kernel(
+            self.cfg, nfree=self.ndim, half=self.half, wp=wp, s_tile=S,
+            thin=thin, a=self.a, external_rng=external)
+        nb = int(self._waves.shape[0])
+        nnodes = int(self._waves.shape[1])
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # seed
+            pl.BlockSpec((rows_tile, wp), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),               # state0
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # limits
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # priors
+            pl.BlockSpec((1, S, nb), lambda t, i: (t, 0, 0),
+                         memory_space=pltpu.VMEM),               # flux
+            pl.BlockSpec((1, S, nb), lambda t, i: (t, 0, 0),
+                         memory_space=pltpu.VMEM),               # iunc
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # waves
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # rweights
+        ]
+        if external:
+            in_specs.append(
+                pl.BlockSpec((1, 1, 6 * thin * S, wp),
+                             lambda t, i: (t, i, 0, 0),
+                             memory_space=pltpu.VMEM))           # uniforms
+
+        out_shapes = (
+            jax.ShapeDtypeStruct((nrecord, T_, rows_tile, wp), jnp.float32),
+            jax.ShapeDtypeStruct((T_, rows_tile, wp), jnp.float32),
+        )
+        out_specs = (
+            pl.BlockSpec((1, 1, rows_tile, wp), lambda t, i: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_tile, wp), lambda t, i: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        scratch = [pltpu.VMEM((rows_tile, wp), jnp.float32)]
+
+        def run(state: MultiSamplerState, limits, priors, flux, iunc,
+                waves, rweights, uniforms=None):
+            key, sub = jax.random.split(state.key)
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(sub, (2,), jnp.uint32), jnp.int32)
+            # (T_*rows_tile, wp); the state0 block spec indexes tile t's
+            # row block (t, 0)
+            state0 = self._pack(state.pos, state.naccept)
+            args = [seed, state0, limits, priors, flux, iunc, waves,
+                    rweights]
+            if external:
+                args.append(uniforms)
+
+            chain_r, state_f = pl.pallas_call(
+                kernel,
+                grid=(T_, nrecord),
+                out_shape=out_shapes,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+                interpret=self.interpret,
+            )(*args)
+
+            # chain: (nrecord, T_, rows_tile, wp) -> per-record unpack
+            def unpack_rec(rec):
+                return self._unpack(rec.reshape(T_ * rows_tile, wp))
+            pos_c, lnp_c, _ = jax.vmap(unpack_rec)(chain_r)
+            # (nrecord, S, nw, nfree) -> source-major
+            chain = pos_c.transpose(1, 0, 2, 3)
+            lnpchain = lnp_c.transpose(1, 0, 2)
+
+            pos_f, lnp_f, acc_f = self._unpack(
+                state_f.reshape(T_ * rows_tile, wp))
+            new_state = MultiSamplerState(
+                key=key, pos=pos_f, lnp=lnp_f, naccept=acc_f,
+                nsteps=state.nsteps + nrecord * thin)
+            return new_state, chain, lnpchain
+
+        return jax.jit(run)
+
+    def run_mcmc(self, state: MultiSamplerState, nsteps: int, thin: int = 1,
+                 uniforms=None):
+        """Advance nsteps updates for every source, recording every
+        thin-th. Returns (state, chain (S, nrec, nw, nfree), lnpchain)."""
+        if nsteps % thin:
+            raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
+        nrecord = nsteps // thin
+        ck = (nrecord, thin)
+        if ck not in self._run_cache:
+            self._run_cache[ck] = self._make_run(nrecord, thin)
+        cargs = (self._limits, self._priors, self._flux, self._iunc,
+                 self._waves, self._rweights)
+        if self.rng == "external":
+            if uniforms is None:
+                raise ValueError("rng='external' requires a uniforms array")
+            return self._run_cache[ck](state, *cargs, uniforms)
+        return self._run_cache[ck](state, *cargs)
+
+    def advance(self, state: MultiSamplerState, nsteps: int,
+                uniforms=None) -> MultiSamplerState:
+        state, _, _ = self.run_mcmc(state, nsteps, thin=nsteps,
+                                    uniforms=uniforms)
+        return state

@@ -108,10 +108,16 @@ def _make_sampler_kernel(cfg, *, nfree, half, wp, thin, a, external_rng):
             z = ((am1 * u3[0:1] + 1.0) ** 2) * inv_a
             j = jnp.minimum((u3[1:2] * half).astype(jnp.int32), half - 1)
             sel = (rows_iota == j).astype(jnp.float32)       # (wp, wp)
+            # HIGHEST precision: the MXU's default bf16 pass would round
+            # the gathered positions (still a valid MH kernel -- a rounded
+            # partner is a deterministic function of the real one, so
+            # reversibility holds -- but exactness keeps this gather
+            # equivalent to the XLA sampler's).
             partners = jax.lax.dot_general(
                 passive * pmask, sel,
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # (8, wp)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)          # (8, wp)
             prop = partners + z * (active - partners)
             lnp_prop = lnprob(prop)
             lnp_active = active[_ROW_LNP:_ROW_LNP + 1, :]

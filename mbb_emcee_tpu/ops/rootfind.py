@@ -40,6 +40,38 @@ def bisect_decreasing(f, lo, hi, iters=48):
     return 0.5 * (a + b)
 
 
+def bisect_newton_decreasing(g_and_gp, lo, hi, bisect_iters=10,
+                             newton_iters=3):
+    """Root of a strictly DECREASING g on [lo, hi] (g(lo) > 0 > g(hi)) via
+    fixed bisection to localize, then bracket-clamped Newton to polish.
+
+    g_and_gp(u) -> (g(u), g'(u)), jax-traceable, g' < 0 on the bracket.
+    Unrolled python loops, so the same code runs under jit, vmap, shard_map
+    AND inside Pallas kernels. Equivalent accuracy to ~30 pure bisection
+    steps at roughly half the evaluations: 10 bisections shrink the bracket
+    2^-10, then each clamped Newton step squares the error (the clamp makes
+    divergence impossible -- the root stays inside [a, b] by monotonicity).
+    """
+    lo = jnp.asarray(lo, dtype=jnp.result_type(float))
+    hi = jnp.asarray(hi, dtype=lo.dtype)
+    m = 0.5 * (lo + hi)
+    gm, _ = g_and_gp(m)
+    pos = gm > 0.0
+    a = jnp.where(pos, m, lo)        # also lifts a/b to g's batched shape
+    b = jnp.where(pos, hi, m)
+    for _ in range(bisect_iters - 1):
+        m = 0.5 * (a + b)
+        gm, _ = g_and_gp(m)
+        pos = gm > 0.0
+        a = jnp.where(pos, m, a)
+        b = jnp.where(pos, b, m)
+    u = 0.5 * (a + b)
+    for _ in range(newton_iters):
+        gu, gpu = g_and_gp(u)
+        u = jnp.clip(u - gu / jnp.minimum(gpu, -1e-10), a, b)
+    return u
+
+
 def golden_max(f, lo, hi, iters=64):
     """Argmax of a unimodal scalar function on [lo, hi] by golden-section.
 

@@ -1,0 +1,149 @@
+"""Fused multi-source Pallas sampler tests (interpret mode on CPU).
+
+rng='external' mode drives the kernel with precomputed uniforms and checks
+it reproduces, source by source, the XLA stretch-move implementation
+consuming the same uniforms -- covering the sources-on-sublanes state
+layout, the batched one-hot-matmul gather, the widened (S, W) lnprob, the
+in-kernel lnp (re)computation at phase boundaries, chain recording, accept
+counting, and source padding.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mbb_emcee_tpu.models.modified_blackbody import MBBShape, mbb_fnu
+from mbb_emcee_tpu.likelihood import Photometry, LikelihoodSpec
+from mbb_emcee_tpu.sampler import (
+    make_initial_ball, stretch_half_step_from_uniforms)
+from mbb_emcee_tpu.ops.pallas_lnprob import build_pallas_lnprob
+from mbb_emcee_tpu.ops.pallas_multifit import FusedMultiPallasSampler
+
+NW = 32
+NB = 5
+WAVE = np.linspace(100.0, 500.0, NB)
+S_TILE = 8
+
+
+def _problem(nsources, opthin=False, noalpha=False, seed=9):
+    shape = MBBShape(opthin=opthin, noalpha=noalpha)
+    rng = np.random.default_rng(seed)
+    trues = np.column_stack([
+        rng.uniform(25, 45, nsources), rng.uniform(1.4, 2.2, nsources),
+        rng.uniform(200, 300, nsources), rng.uniform(3, 4.5, nsources),
+        rng.uniform(20, 60, nsources)])
+    flux, unc = [], []
+    for t in trues:
+        f = np.asarray(mbb_fnu(jnp.asarray(t, jnp.float32),
+                               jnp.asarray(WAVE, jnp.float32), shape),
+                       np.float64)
+        u = 0.04 * f
+        flux.append(f + u * rng.standard_normal(NB))
+        unc.append(u)
+    spec = LikelihoodSpec.default()
+    spec = dataclasses.replace(
+        spec, upper=np.array([100.0, 5.0, 2e4, 60.0, 1e7]))
+    return shape, spec, trues, np.array(flux), np.array(unc)
+
+
+def _reference_source(uniforms, s, p0_s, lnprob_batch, half, thin, nrec,
+                      s_tile=S_TILE, a=2.0):
+    """Replay source s with the XLA stretch move consuming the SAME
+    uniform rows the kernel uses (rows [role*S + s] per step)."""
+    pos_a = jnp.asarray(p0_s[:half])
+    pos_b = jnp.asarray(p0_s[half:])
+    lnp = lnprob_batch(jnp.asarray(p0_s))
+    lnp_a, lnp_b = lnp[:half], lnp[half:]
+    chain, lnpchain = [], []
+    nacc = np.zeros(2 * half, np.int64)
+    for r in range(nrec):
+        for t in range(thin):
+            u = uniforms[0, r, 6 * s_tile * t:6 * s_tile * (t + 1), :half]
+            u3a = jnp.asarray(np.stack([u[0 * s_tile + s],
+                                        u[1 * s_tile + s],
+                                        u[2 * s_tile + s]]))
+            u3b = jnp.asarray(np.stack([u[3 * s_tile + s],
+                                        u[4 * s_tile + s],
+                                        u[5 * s_tile + s]]))
+            pos_a, lnp_a, acc_a = stretch_half_step_from_uniforms(
+                u3a, pos_a, pos_b, lnp_a, lnprob_batch, a)
+            pos_b, lnp_b, acc_b = stretch_half_step_from_uniforms(
+                u3b, pos_b, pos_a, lnp_b, lnprob_batch, a)
+            nacc += np.concatenate([np.asarray(acc_a), np.asarray(acc_b)])
+        chain.append(np.concatenate([np.asarray(pos_a), np.asarray(pos_b)]))
+        lnpchain.append(np.concatenate([np.asarray(lnp_a),
+                                        np.asarray(lnp_b)]))
+    return np.stack(chain), np.stack(lnpchain), nacc
+
+
+@pytest.mark.parametrize("nsources,opthin,noalpha", [
+    (8, False, False),    # exactly one tile, full model
+    (3, True, True),      # padded tile, reduced model
+])
+def test_multi_kernel_matches_per_source_xla(nsources, opthin, noalpha):
+    shape, spec, trues, flux, unc = _problem(nsources, opthin, noalpha)
+    samp = FusedMultiPallasSampler(NW, WAVE, flux, unc, shape, spec,
+                                   interpret=True, rng="external")
+    fs = samp.free_space
+    p0 = np.stack([
+        np.asarray(make_initial_ball(
+            jax.random.key(50 + s), trues[s][fs.free_idx],
+            0.05 * np.abs(trues[s][fs.free_idx]), NW,
+            fs.lower, fs.upper))
+        for s in range(nsources)])
+    state = samp.init_state(jax.random.key(1), jnp.asarray(p0))
+
+    nrec, thin = 2, 2
+    rng = np.random.default_rng(4)
+    uniforms = jnp.asarray(rng.uniform(
+        0.001, 0.999,
+        (samp.ntiles, nrec, 6 * thin * samp.s_tile, samp.wp))
+        .astype(np.float32))
+    state, chain, lnpchain = samp.run_mcmc(state, nrec * thin, thin,
+                                           uniforms=uniforms)
+    assert chain.shape == (nsources, nrec, NW, fs.nfree)
+
+    half = NW // 2
+    for s in range(nsources):
+        lnprob_batch, _ = build_pallas_lnprob(
+            Photometry(WAVE, flux[s], unc[s]), shape, spec,
+            interpret=True)
+        ref_chain, ref_lnp, ref_acc = _reference_source(
+            np.asarray(uniforms), s, p0[s], lnprob_batch, half, thin,
+            nrec)
+        np.testing.assert_allclose(np.asarray(chain[s]), ref_chain,
+                                   rtol=2e-5, atol=1e-4, err_msg=f"src {s}")
+        np.testing.assert_allclose(np.asarray(lnpchain[s]), ref_lnp,
+                                   rtol=2e-5, atol=1e-3, err_msg=f"src {s}")
+        np.testing.assert_array_equal(np.asarray(state.naccept[s]),
+                                      ref_acc, err_msg=f"src {s}")
+    # final state == last record
+    np.testing.assert_allclose(np.asarray(state.pos),
+                               np.asarray(chain[:, -1]), rtol=1e-6)
+    assert int(state.nsteps) == nrec * thin
+
+
+def test_multi_kernel_validation():
+    shape, spec, trues, flux, unc = _problem(4)
+    with pytest.raises(ValueError):
+        FusedMultiPallasSampler(31, WAVE, flux, unc, shape, spec)  # odd
+    with pytest.raises(ValueError):
+        FusedMultiPallasSampler(NW, WAVE, flux, unc, shape, spec,
+                                s_tile=4)                          # tile
+    with pytest.raises(ValueError):
+        FusedMultiPallasSampler(NW, WAVE, flux[:, :3], unc, shape, spec)
+    samp = FusedMultiPallasSampler(NW, WAVE, flux, unc, shape, spec,
+                                   interpret=True, rng="external")
+    with pytest.raises(ValueError):
+        samp.init_state(jax.random.key(0),
+                        jnp.zeros((4, NW, 2), jnp.float32))  # wrong nfree
+    st = samp.init_state(
+        jax.random.key(0),
+        jnp.broadcast_to(jnp.asarray(trues[:, samp.free_space.free_idx],
+                                     jnp.float32)[:, None, :],
+                         (4, NW, samp.ndim)))
+    with pytest.raises(ValueError):
+        samp.run_mcmc(st, 2)   # external rng needs uniforms
