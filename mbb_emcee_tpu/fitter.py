@@ -216,16 +216,19 @@ class MBBFitter:
 
     def _resolve_sampler_backend(self, spec):
         """'auto' -> 'fused' on TPU when the fused kernel supports the
-        likelihood (it has no photometric-upper-limit path), else 'xla'."""
+        likelihood (everything except upper limits combined with a full
+        covariance), else 'xla'."""
         if self.sampler_backend != "auto":
             return self.sampler_backend
         has_uplims = (spec.uplim_bands is not None
                       and np.asarray(spec.uplim_bands).any())
+        has_cov = self.phot is not None and self.phot.cov is not None
         try:
             on_tpu = jax.default_backend() == "tpu"
         except Exception:
             on_tpu = False
-        return "fused" if (on_tpu and not has_uplims) else "xla"
+        return "fused" if (on_tpu and not (has_uplims and has_cov)) \
+            else "xla"
 
     def build(self):
         """Build (lnprob, free_space, sampler). Called by run(); exposed for

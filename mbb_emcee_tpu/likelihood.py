@@ -300,8 +300,10 @@ def build_lnprob_data(shape: MBBShape, spec: LikelihoodSpec,
     if nfree == 0:
         raise ValueError("all parameters are fixed; nothing to sample")
     if spec.uplim_bands is not None and spec.uplim_bands.any():
-        raise NotImplementedError(
-            "photometric upper limits are single-source only")
+        uplim_mask = jnp.asarray(spec.uplim_bands.astype(np.float64), dtype)
+        det_mask = 1.0 - uplim_mask
+    else:
+        uplim_mask = det_mask = None
 
     template_np = np.where(spec.fixed, spec.fixed_values, 0.0)
     scatter_np = np.zeros((NPARAMS, nfree))
@@ -329,7 +331,10 @@ def build_lnprob_data(shape: MBBShape, spec: LikelihoodSpec,
         else:
             vals = jnp.exp(log_mbb_fnu(theta_safe, resp_waves, shape))
             model = jnp.sum(resp_weights * vals, axis=-1)
-        r = (model - flux) * iunc
+        delta = model - flux
+        if uplim_mask is not None:
+            delta = det_mask * delta + uplim_mask * jnp.maximum(delta, 0.0)
+        r = delta * iunc
         lnl = -0.5 * jnp.sum(r * r)
         dp = (theta - prior_mean) * prior_isig
         lnpri = -0.5 * jnp.sum(dp * dp)

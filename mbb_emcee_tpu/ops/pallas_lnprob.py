@@ -177,6 +177,9 @@ def _make_lnp_compute(cfg):
 
         # Model fluxes per band -> residual rows. Point mode is the same
         # contraction with a single unit-weight node per band.
+        # Upper-limit bands (static per-band switch) penalize only flux
+        # ABOVE the limit, matching likelihood.build_lnprob.
+        uplim = cfg.get("uplim") or (False,) * nb
         deltas = []
         for b in range(nb):
             lam = waves_ref[b, :][:, None]         # (nnodes, 1)
@@ -184,7 +187,10 @@ def _make_lnp_compute(cfg):
             lx = _LOG_C2 - jnp.log(lam) - log_T    # (nnodes, W)
             vals = jnp.exp(log_fnorm + log_s(lx) - ls_norm)
             model = jnp.sum(wts * vals, axis=0, keepdims=True)  # (1, W)
-            deltas.append(model - flux_ref[b])
+            d = model - flux_ref[b]
+            if uplim[b]:
+                d = jnp.maximum(d, 0.0)
+            deltas.append(d)
 
         # Whiten and accumulate chi^2. diag mode: whiten is diagonal.
         chi2 = jnp.zeros_like(T)
@@ -269,13 +275,18 @@ def prepare_lnprob_inputs(phot, shape, spec, response_pack=None):
     pri[0, :NPARAMS] = spec.prior_mean
     pri[1, :NPARAMS] = spec.prior_isigma
 
+    if spec.uplim_bands is not None and spec.uplim_bands.any():
+        if use_chol:
+            raise NotImplementedError(
+                "photometric upper limits with a full covariance: use the "
+                "XLA lnprob backend")
+        uplim = tuple(bool(u) for u in spec.uplim_bands)
+    else:
+        uplim = (False,) * nb
+
     cfg = dict(opthin=shape.opthin, noalpha=shape.noalpha, nbands=nb,
                use_chol=use_chol, response=response,
-               wavenorm=shape.wavenorm)
-
-    if spec.uplim_bands is not None and spec.uplim_bands.any():
-        raise NotImplementedError(
-            "photometric upper limits: use the XLA lnprob backend")
+               wavenorm=shape.wavenorm, uplim=uplim)
 
     consts = dict(
         limits=jnp.asarray(lim), priors=jnp.asarray(pri),

@@ -135,6 +135,7 @@ def _make_multi_lnp(cfg, s_tile):
         log_fnorm = jnp.log(fnorm)
         ls_norm = log_s(_LOG_C2 - log_wavenorm - log_T)
 
+        uplim = cfg.get("uplim") or (False,) * nb
         chi2 = jnp.zeros_like(T)
         for b in range(nb):
             model = jnp.zeros_like(T)
@@ -143,7 +144,11 @@ def _make_multi_lnp(cfg, s_tile):
                 lx = (_LOG_C2 - jnp.log(waves_ref[b, k])) - log_T
                 model = model + rweights_ref[b, k] * jnp.exp(
                     log_fnorm + log_s(lx) - ls_norm)
-            r = (model - flux_blk[:, b:b + 1]) * iunc_blk[:, b:b + 1]
+            d = model - flux_blk[:, b:b + 1]
+            if uplim[b]:
+                # upper-limit band: penalize only flux above the limit
+                d = jnp.maximum(d, 0.0)
+            r = d * iunc_blk[:, b:b + 1]
             chi2 = chi2 + r * r
 
         lnp = -0.5 * chi2
@@ -351,8 +356,10 @@ class FusedMultiPallasSampler:
         scat[self.free_space.free_idx, np.arange(self.ndim)] = 1.0
         self._scatter = jnp.asarray(scat)
 
+        uplim = ((False,) * nb if spec.uplim_bands is None
+                 else tuple(bool(u) for u in spec.uplim_bands))
         self.cfg = dict(opthin=shape.opthin, noalpha=shape.noalpha,
-                        nbands=nb, wavenorm=shape.wavenorm)
+                        nbands=nb, wavenorm=shape.wavenorm, uplim=uplim)
         self._run_cache = {}
 
     # -- state ------------------------------------------------------------------

@@ -114,3 +114,48 @@ def test_pallas_padding_roundtrip():
         out = lnp_pal(jnp.asarray(w))
         assert out.shape == (n,)
         assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_pallas_uplim_matches_xla():
+    """Photometric upper limits: the kernel's static per-band one-sided
+    penalty matches the XLA likelihood's masked form."""
+    import dataclasses
+    shape = MBBShape()
+    phot = _phot()
+    spec = LikelihoodSpec.default()
+    spec.upper[0] = 100.0
+    spec.upper[1] = 5.0
+    ul = np.zeros(phot.nbands, bool)
+    ul[0] = True
+    ul[-1] = True
+    spec = dataclasses.replace(spec, uplim_bands=ul)
+
+    lnp_xla, fs = build_lnprob(phot, shape, spec)
+    lnp_pal, _ = build_pallas_lnprob(phot, shape, spec, interpret=True)
+    w_free = _walkers(5)[:, fs.free_idx].astype(np.float32)
+    got = np.asarray(lnp_pal(jnp.asarray(w_free)))
+    want = np.asarray(jax.vmap(lnp_xla)(jnp.asarray(w_free)))
+    m = want > LNPROB_FLOOR / 2
+    assert m.sum() > 10
+    np.testing.assert_allclose(got[m], want[m], rtol=2e-3, atol=2e-3)
+    # sanity: the limit actually disables the two-sided penalty -- a model
+    # far BELOW an upper-limit flux must not be penalized in that band
+    spec_nolim = dataclasses.replace(spec, uplim_bands=None)
+    lnp_plain, _ = build_lnprob(phot, shape, spec_nolim)
+    theta = np.array([32.0, 1.9, 250.0, 3.5, 1e-3], np.float32)
+    with_lim = float(lnp_xla(jnp.asarray(theta[fs.free_idx])))
+    without = float(lnp_plain(jnp.asarray(theta[fs.free_idx])))
+    assert with_lim > without
+
+
+def test_pallas_uplim_cov_unsupported():
+    import dataclasses
+    import pytest as _pytest
+    shape = MBBShape()
+    phot = _phot(cov=True)
+    spec = LikelihoodSpec.default()
+    ul = np.zeros(phot.nbands, bool)
+    ul[0] = True
+    spec = dataclasses.replace(spec, uplim_bands=ul)
+    with _pytest.raises(NotImplementedError):
+        build_pallas_lnprob(phot, shape, spec, interpret=True)

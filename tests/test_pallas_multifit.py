@@ -28,7 +28,7 @@ WAVE = np.linspace(100.0, 500.0, NB)
 S_TILE = 8
 
 
-def _problem(nsources, opthin=False, noalpha=False, seed=9):
+def _problem(nsources, opthin=False, noalpha=False, seed=9, uplim=False):
     shape = MBBShape(opthin=opthin, noalpha=noalpha)
     rng = np.random.default_rng(seed)
     trues = np.column_stack([
@@ -46,6 +46,10 @@ def _problem(nsources, opthin=False, noalpha=False, seed=9):
     spec = LikelihoodSpec.default()
     spec = dataclasses.replace(
         spec, upper=np.array([100.0, 5.0, 2e4, 60.0, 1e7]))
+    if uplim:
+        ul = np.zeros(NB, bool)
+        ul[0] = True
+        spec = dataclasses.replace(spec, uplim_bands=ul)
     return shape, spec, trues, np.array(flux), np.array(unc)
 
 
@@ -79,12 +83,15 @@ def _reference_source(uniforms, s, p0_s, lnprob_batch, half, thin, nrec,
     return np.stack(chain), np.stack(lnpchain), nacc
 
 
-@pytest.mark.parametrize("nsources,opthin,noalpha", [
-    (8, False, False),    # exactly one tile, full model
-    (3, True, True),      # padded tile, reduced model
+@pytest.mark.parametrize("nsources,opthin,noalpha,uplim", [
+    (8, False, False, False),    # exactly one tile, full model
+    (3, True, True, False),      # padded tile, reduced model
+    (8, False, False, True),     # photometric upper limit on band 0
 ])
-def test_multi_kernel_matches_per_source_xla(nsources, opthin, noalpha):
-    shape, spec, trues, flux, unc = _problem(nsources, opthin, noalpha)
+def test_multi_kernel_matches_per_source_xla(nsources, opthin, noalpha,
+                                             uplim):
+    shape, spec, trues, flux, unc = _problem(nsources, opthin, noalpha,
+                                             uplim=uplim)
     samp = FusedMultiPallasSampler(NW, WAVE, flux, unc, shape, spec,
                                    interpret=True, rng="external")
     fs = samp.free_space
