@@ -43,17 +43,16 @@ from mbb_emcee_tpu.constants import HCOK_UM_K
 from mbb_emcee_tpu.ops.special import log_expm1, log1mexp, xoexpm1x
 from mbb_emcee_tpu.ops.rootfind import bisect_newton_decreasing
 
-# Static bracket for the merge root in u = ln x. The slope function is
-# monotone decreasing with g(u_lo) >= 2 + alpha > 0 and g(u_hi) << -alpha for
-# any physical alpha, so the root is always bracketed (see _dlns_dlnu).
-_LOG_X_LO = float(np.log(1e-3))
-_LOG_X_HI = float(np.log(1e4))
-# Hybrid merge solve: 10 bisections localize the root, 3 bracket-clamped
-# Newton steps polish it to fp32 exactness. The merge solve runs inside
-# EVERY lnprob call and was ~84% of the fused sampler's step cost at the
-# old 30 pure-bisection iterations (validated against the fp64 brentq
-# oracle in tests/test_physics.py).
-_MERGE_BISECT = 10
+# Hybrid merge solve with an ANALYTIC per-walker bracket: the merge
+# condition is q(x) = 3 + alpha + beta h(tau) with q(x) = x + h(x),
+# h in (0, 1), so the root always lies strictly inside
+# x in (2 + alpha, 3 + alpha + beta) -- a ln-width <= ln((3+a+b)/(2+a))
+# <~ 2.5 bracket instead of the 16.1-wide static one. 7 bisections
+# localize, 3 bracket-clamped Newton steps polish to fp32 exactness. The
+# merge solve runs inside EVERY lnprob call and was ~84% of the fused
+# sampler's step cost at the original 30 static-bracket bisections
+# (validated against the fp64 brentq oracle in tests/test_physics.py).
+_MERGE_BISECT = 7
 _MERGE_NEWTON = 3
 
 # tau cutoffs: above _TAU_BIG, tau/(e^tau - 1) is numerically zero and
@@ -130,7 +129,9 @@ def merge_log_x(beta, log_x0, alpha, opthin: bool):
     """
     def g_and_gp(u):
         return _merge_g_and_gp(u, beta, log_x0, alpha, opthin)
-    return bisect_newton_decreasing(g_and_gp, _LOG_X_LO, _LOG_X_HI,
+    lo = jnp.log(2.0 + alpha)
+    hi = jnp.log(3.0 + alpha + beta)
+    return bisect_newton_decreasing(g_and_gp, lo, hi,
                                     bisect_iters=_MERGE_BISECT,
                                     newton_iters=_MERGE_NEWTON)
 

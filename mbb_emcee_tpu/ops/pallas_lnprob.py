@@ -27,12 +27,11 @@ from jax.experimental.pallas import tpu as pltpu
 from mbb_emcee_tpu.constants import HCOK_UM_K, NPARAMS
 
 _LOG_C2 = math.log(HCOK_UM_K)
-_LOG_X_LO = math.log(1e-3)
-_LOG_X_HI = math.log(1e4)
-# Hybrid merge solve: 10 bisections + 3 bracket-clamped Newton steps reach
-# fp32 exactness (the solve dominated the fused sampler's step cost at the
-# old 30 pure bisections); same scheme as models/modified_blackbody.py.
-_MERGE_BISECT = 10
+# Hybrid merge solve on the analytic bracket x_m in (2+a, 3+a+b):
+# 7 bisections + 3 bracket-clamped Newton steps reach fp32 exactness (the
+# solve dominated the fused sampler's step cost at the original 30
+# static-bracket bisections); same scheme as models/modified_blackbody.py.
+_MERGE_BISECT = 7
 _MERGE_NEWTON = 3
 _TAU_BIG = 60.0
 _EXP_CUT = 25.0
@@ -149,9 +148,10 @@ def _make_lnp_compute(cfg):
             u_m = None
         else:
             # Fixed-iteration bisection+Newton for the merge point,
-            # (1, W) vectors.
-            a_br = jnp.full_like(T, _LOG_X_LO)
-            b_br = jnp.full_like(T, _LOG_X_HI)
+            # (1, W) vectors, analytic bracket x_m in (2+a, 3+a+b)
+            # (see models/modified_blackbody.merge_log_x).
+            a_br = jnp.log(2.0 + alpha)
+            b_br = jnp.log(3.0 + alpha + beta)
             for _ in range(_MERGE_BISECT):
                 m = 0.5 * (a_br + b_br)
                 g, _ = merge_g_gp(m, beta, log_x0, alpha)

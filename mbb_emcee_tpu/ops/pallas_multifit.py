@@ -45,8 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mbb_emcee_tpu.constants import HCOK_UM_K, NPARAMS
 from mbb_emcee_tpu.ops.pallas_lnprob import (
-    _log_expm1, _log1mexp, _LANE, _LOG_X_LO, _LOG_X_HI, _MERGE_BISECT,
-    _MERGE_NEWTON, _TAU_BIG, LNPROB_FLOOR)
+    _log_expm1, _log1mexp, _LANE, _MERGE_BISECT, _MERGE_NEWTON, _TAU_BIG,
+    LNPROB_FLOOR)
 from mbb_emcee_tpu.ops import pallas_lnprob as _pln
 
 _LOG_C2 = math.log(HCOK_UM_K)
@@ -110,8 +110,10 @@ def _make_multi_lnp(cfg, s_tile):
         if noalpha:
             u_m = None
         else:
-            a_br = jnp.full_like(T, _LOG_X_LO)
-            b_br = jnp.full_like(T, _LOG_X_HI)
+            # analytic bracket x_m in (2+a, 3+a+b); see
+            # models/modified_blackbody.merge_log_x
+            a_br = jnp.log(2.0 + alpha)
+            b_br = jnp.log(3.0 + alpha + beta)
             for _ in range(_MERGE_BISECT):
                 m = 0.5 * (a_br + b_br)
                 g, _ = merge_g_gp(m, beta, log_x0, alpha)
