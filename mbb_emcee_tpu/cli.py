@@ -171,9 +171,15 @@ def main(argv=None):
         print(f"Running fit: {args.nwalkers} walkers, burn={args.burn}, "
               f"steps={args.nsteps}, thin={args.thin}")
     timer = StepTimer(args.nwalkers)
+    # actual ensemble updates: burn (+ re-burn after re-centering) +
+    # production; a resumed run skips burn entirely
+    if args.resume and args.checkpoint:
+        total_steps = args.nsteps
+    else:
+        total_steps = args.nsteps + (
+            args.burn if args.no_recenter_burn else 2 * args.burn)
     with trace(args.profile_dir):
-        with timer.phase("fit (burn + production)",
-                         2 * args.burn + args.nsteps):
+        with timer.phase("fit (burn + production)", total_steps):
             fit.run(nburn=args.burn, nsteps=args.nsteps, thin=args.thin,
                     recenter_burn=not args.no_recenter_burn,
                     verbose=args.verbose,

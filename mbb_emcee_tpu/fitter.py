@@ -27,6 +27,7 @@ from mbb_emcee_tpu.likelihood import (
 from mbb_emcee_tpu.sampler import (
     EnsembleSampler, make_initial_ball, autocorrelation_time)
 from mbb_emcee_tpu.response import ResponseSet
+from mbb_emcee_tpu.paramspace import ParamSpaceMixin, _replace
 
 # Default initial guess and ball scatter (observer frame), narrowed or
 # overridden via set_param_init / an explicit p0. [MED] reconstruction of the
@@ -35,7 +36,7 @@ DEFAULT_INIT = np.array([12.0, 2.0, 250.0, 4.0, 40.0])
 DEFAULT_SCATTER = np.array([2.0, 0.3, 50.0, 0.8, 8.0])
 
 
-class MBBFitter:
+class MBBFitter(ParamSpaceMixin):
     def __init__(self, nwalkers=250, photfile=None, covfile=None, covextn=0,
                  wavenorm=500.0, noalpha=False, opthin=False,
                  responses: "ResponseSet | None" = None,
@@ -117,61 +118,9 @@ class MBBFitter:
             raise RuntimeError("no photometry loaded; call read_data/set_data")
         return self.phot
 
-    # -- parameter-space configuration -------------------------------------------
-    def set_lowlim(self, param, value):
-        """(ref: mbb_fitter.set_lowlim)"""
-        i = param_index(param)
-        lo = self._spec.lower.copy()
-        lo[i] = float(value)
-        self._spec = _replace(self._spec, lower=lo)
-        return self
-
-    def set_uplim(self, param, value):
-        i = param_index(param)
-        hi = self._spec.upper.copy()
-        hi[i] = float(value)
-        self._spec = _replace(self._spec, upper=hi)
-        return self
-
-    def fix_param(self, param, value=None):
-        """Fix a parameter (at `value`, or its current initial value).
-        Unlike the reference's identical-walker trick, fixed params are
-        REMOVED from the sampling space (statistically cleaner; SURVEY.md
-        'hard parts')."""
-        i = param_index(param)
-        fixed = self._spec.fixed.copy()
-        fv = self._spec.fixed_values.copy()
-        fixed[i] = True
-        fv[i] = float(value) if value is not None else float(self._init[i])
-        self._spec = _replace(self._spec, fixed=fixed, fixed_values=fv)
-        return self
-
-    def unfix_param(self, param):
-        i = param_index(param)
-        fixed = self._spec.fixed.copy()
-        fixed[i] = False
-        self._spec = _replace(self._spec, fixed=fixed)
-        return self
-
-    def set_gaussian_prior(self, param, mean, sigma):
-        """(ref: mbb_fitter.set_gaussian_prior)"""
-        i = param_index(param)
-        pm = self._spec.prior_mean.copy()
-        ps = self._spec.prior_isigma.copy()
-        pm[i] = float(mean)
-        if sigma <= 0:
-            raise ValueError("prior sigma must be positive")
-        ps[i] = 1.0 / float(sigma)
-        self._spec = _replace(self._spec, prior_mean=pm, prior_isigma=ps)
-        return self
-
-    def set_param_init(self, param, value, scatter=None):
-        i = param_index(param)
-        self._init[i] = float(value)
-        self._user_init[i] = True
-        if scatter is not None:
-            self._scatter[i] = float(scatter)
-        return self
+    # -- parameter-space configuration: see paramspace.ParamSpaceMixin
+    #    (set_lowlim / set_uplim / fix_param / unfix_param /
+    #     set_gaussian_prior / set_param_init / spec / _effective_spec)
 
     def _auto_init_fnorm(self):
         """Unless the user set it, start fnorm at the flux of the band
@@ -186,24 +135,6 @@ class MBBFitter:
             self._init[4] = fn
             self._scatter[4] = max(2.0 * float(self.phot.unc[idx]),
                                    0.05 * fn)
-
-    @property
-    def spec(self) -> LikelihoodSpec:
-        return self._effective_spec()
-
-    def _effective_spec(self) -> LikelihoodSpec:
-        """Apply the model-shape implied fixing: opthin drops lambda0,
-        noalpha drops alpha (ref: mbb_fitter constructor behavior)."""
-        spec = self._spec
-        fixed = spec.fixed.copy()
-        fv = spec.fixed_values.copy()
-        if self.shape.opthin and not fixed[2]:
-            fixed[2] = True
-            fv[2] = self._init[2]
-        if self.shape.noalpha and not fixed[3]:
-            fixed[3] = True
-            fv[3] = self._init[3]
-        return _replace(spec, fixed=fixed, fixed_values=fv)
 
     # -- likelihood --------------------------------------------------------------
     def _response_pack(self):
@@ -401,8 +332,3 @@ class MBBFitter:
         if self.chain_free is None:
             raise RuntimeError("run() has not been called")
         return autocorrelation_time(np.asarray(self.chain_free))
-
-
-def _replace(spec: LikelihoodSpec, **kw) -> LikelihoodSpec:
-    import dataclasses
-    return dataclasses.replace(spec, **kw)

@@ -129,8 +129,13 @@ def merge_log_x(beta, log_x0, alpha, opthin: bool):
     """
     def g_and_gp(u):
         return _merge_g_and_gp(u, beta, log_x0, alpha, opthin)
-    lo = jnp.log(2.0 + alpha)
-    hi = jnp.log(3.0 + alpha + beta)
+    # Floors keep the bracket finite even for UNPHYSICAL alpha <= -2 /
+    # beta < 0 (reachable through user-set limits): the solve then returns
+    # a clamped pseudo-merge instead of NaN-poisoning the whole lnprob,
+    # matching the old static bracket's garbage-but-finite behavior there.
+    lo_arg = jnp.maximum(2.0 + alpha, 1e-3)
+    lo = jnp.log(lo_arg)
+    hi = jnp.log(jnp.maximum(3.0 + alpha + beta, 1.01 * lo_arg))
     return bisect_newton_decreasing(g_and_gp, lo, hi,
                                     bisect_iters=_MERGE_BISECT,
                                     newton_iters=_MERGE_NEWTON)

@@ -40,6 +40,7 @@ from mbb_emcee_tpu.ops.rootfind import golden_max
 from mbb_emcee_tpu.sampler import (
     SamplerState, ensemble_step, make_initial_ball, autocorrelation_time)
 from mbb_emcee_tpu.fitter import DEFAULT_INIT, DEFAULT_SCATTER
+from mbb_emcee_tpu.paramspace import ParamSpaceMixin
 from mbb_emcee_tpu.results import _percentile_summary
 
 _LIR_NODES = 128
@@ -47,7 +48,7 @@ _PEAK_RANGE = (1.0, 5.0e4)
 _PEAK_ITERS = 64
 
 
-class MultiFitter:
+class MultiFitter(ParamSpaceMixin):
     """Fit many sources at once with a shared model configuration.
 
     Usage:
@@ -119,60 +120,7 @@ class MultiFitter:
             raise RuntimeError("no data; call set_data")
         return self.flux.shape[0]
 
-    # -- shared parameter-space config (mirrors MBBFitter) ---------------------
-    def set_lowlim(self, param, value):
-        i = param_index(param)
-        lo = self._spec.lower.copy()
-        lo[i] = float(value)
-        self._spec = _replace(self._spec, lower=lo)
-        return self
-
-    def set_uplim(self, param, value):
-        i = param_index(param)
-        hi = self._spec.upper.copy()
-        hi[i] = float(value)
-        self._spec = _replace(self._spec, upper=hi)
-        return self
-
-    def fix_param(self, param, value=None):
-        i = param_index(param)
-        fixed = self._spec.fixed.copy()
-        fv = self._spec.fixed_values.copy()
-        fixed[i] = True
-        fv[i] = float(value) if value is not None else float(self._init[i])
-        self._spec = _replace(self._spec, fixed=fixed, fixed_values=fv)
-        return self
-
-    def set_gaussian_prior(self, param, mean, sigma):
-        i = param_index(param)
-        pm = self._spec.prior_mean.copy()
-        ps = self._spec.prior_isigma.copy()
-        pm[i] = float(mean)
-        if sigma <= 0:
-            raise ValueError("prior sigma must be positive")
-        ps[i] = 1.0 / float(sigma)
-        self._spec = _replace(self._spec, prior_mean=pm, prior_isigma=ps)
-        return self
-
-    def set_param_init(self, param, value, scatter=None):
-        i = param_index(param)
-        self._init[i] = float(value)
-        self._user_init[i] = True
-        if scatter is not None:
-            self._scatter[i] = float(scatter)
-        return self
-
-    def _effective_spec(self):
-        spec = self._spec
-        fixed = spec.fixed.copy()
-        fv = spec.fixed_values.copy()
-        if self.shape.opthin and not fixed[2]:
-            fixed[2] = True
-            fv[2] = self._init[2]
-        if self.shape.noalpha and not fixed[3]:
-            fixed[3] = True
-            fv[3] = self._init[3]
-        return _replace(spec, fixed=fixed, fixed_values=fv)
+    # -- shared parameter-space config: paramspace.ParamSpaceMixin ------------
 
     # -- the batched run --------------------------------------------------------
     def _response_pack(self):
@@ -250,7 +198,9 @@ class MultiFitter:
             ndev = self.mesh.devices.size
             if S % ndev:
                 raise ValueError(
-                    f"nsources={S} must divide the mesh size {ndev}")
+                    f"the mesh size ({ndev} devices) must divide "
+                    f"nsources={S}; pad the source batch to a multiple "
+                    f"of {ndev}")
 
         wave = jnp.asarray(self.wave, jnp.float32)
         flux = jnp.asarray(self.flux, jnp.float32)
@@ -323,7 +273,12 @@ class MultiFitter:
         # runtime arguments).
         cache_key = (S, nw, free_space.nfree, nrec, thin_i, int(nburn),
                      bool(recenter_burn), id(self.mesh),
-                     _spec_token(spec, self.shape))
+                     _spec_token(spec, self.shape),
+                     # the response pack (if any) is baked into the jitted
+                     # program as a constant
+                     id(self.responses),
+                     None if self.band_names is None
+                     else tuple(self.band_names))
         if cache_key not in self._run_cache:
             f = jax.vmap(one_source,
                          in_axes=(0, 0, 0, 0, 0, None, None, None, None))
@@ -362,13 +317,21 @@ class MultiFitter:
         if self.mesh is not None:
             raise ValueError("sampler_backend='fused' is single-device; "
                              "use 'xla' with a mesh")
+        # The token covers everything COMPILED into the sampler (geometry,
+        # spec, band setup); per-source flux/unc are runtime operands and
+        # are refreshed below, so fitting successive same-shape batches
+        # reuses the compiled kernel.
         token = ("fused", self.nwalkers, _spec_token(spec, self.shape),
-                 self.flux.shape)
+                 self.flux.shape, self.wave.tobytes(), id(self.responses),
+                 None if self.band_names is None
+                 else tuple(self.band_names))
         if getattr(self, "_fused_token", None) != token:
             self._fused = FusedMultiPallasSampler(
                 self.nwalkers, self.wave, self.flux, self.unc, self.shape,
                 spec, response_pack=self._response_pack(), a=self.a)
             self._fused_token = token
+        else:
+            self._fused.set_data(self.flux, self.unc)
         samp = self._fused
         self.free_space = samp.free_space
         self.thin = int(thin)
@@ -511,6 +474,8 @@ class MultiFitter:
         """(S, nsamp) dust-mass posteriors in M_sun."""
         self._require_run()
         z = np.asarray(redshifts, np.float64).ravel()
+        if z.size != self.nsources:
+            raise ValueError("need one redshift per source")
         opz = 1.0 + z
         lam_obs = jnp.asarray(kappa_wave * opz, jnp.float32)      # (S,)
         shape = self.shape
@@ -594,15 +559,12 @@ class _SourceView:
         self.nwalkers = mf.nwalkers
 
 
-def _replace(spec: LikelihoodSpec, **kw) -> LikelihoodSpec:
-    import dataclasses
-    return dataclasses.replace(spec, **kw)
-
-
 def _spec_token(spec: LikelihoodSpec, shape: MBBShape):
     """Hashable snapshot of everything that is baked into the compiled run
     as a constant (parameter-space config + model shape)."""
+    uplim = (None if spec.uplim_bands is None
+             else np.asarray(spec.uplim_bands).tobytes())
     return (spec.lower.tobytes(), spec.upper.tobytes(),
             spec.fixed.tobytes(), spec.fixed_values.tobytes(),
             spec.prior_mean.tobytes(), spec.prior_isigma.tobytes(),
-            shape.opthin, shape.noalpha, shape.wavenorm)
+            uplim, shape.opthin, shape.noalpha, shape.wavenorm)

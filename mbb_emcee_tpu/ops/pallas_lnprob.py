@@ -78,6 +78,60 @@ def _qx(x):
     return jnp.where(xc < _SMALL, 1.0 + 0.5 * xc, val)
 
 
+def make_log_s_mbb(opthin):
+    """Pallas-safe unnormalized ln S of the pure greybody at u = ln x
+    (Mosaic-compatible expm1/log1p replacements; shared by the lnprob,
+    fused-sampler and multi-source kernels)."""
+    def log_s_mbb(log_x, beta, log_x0):
+        x = jnp.exp(log_x)
+        log_planck = 3.0 * log_x - _log_expm1(x)
+        if opthin:
+            return beta * log_x + log_planck
+        tau = jnp.exp(beta * (log_x - log_x0))
+        return _log1mexp(tau) + log_planck
+    return log_s_mbb
+
+
+def make_merge_g_gp(opthin):
+    """(g, g') of the merge condition g = d ln S/d ln x + alpha; the
+    derivative is nearly free via q(x) = x + h(x), dq/du = q(1 - h)
+    (see models/modified_blackbody._merge_g_and_gp)."""
+    def merge_g_gp(log_x, beta, log_x0, alpha):
+        x = jnp.exp(log_x)
+        q = _qx(x)
+        gp_planck = -q * (1.0 - q + x)
+        if opthin:
+            return 3.0 + beta - q + alpha, gp_planck
+        tau = jnp.exp(beta * (log_x - log_x0))
+        ht = _xoexpm1x(tau)
+        tau_c = jnp.minimum(tau, _TAU_BIG)   # inf*0 guard for huge tau
+        gp = beta * beta * ht * (1.0 - tau_c - ht) + gp_planck
+        return 3.0 + beta * ht - q + alpha, gp
+    return merge_g_gp
+
+
+def merge_log_x_pallas(beta, log_x0, alpha, opthin):
+    """Batched merge solve inside a Pallas kernel: unrolled bisection +
+    bracket-clamped Newton on the analytic bracket x_m in (2+a, 3+a+b),
+    with finite floors for unphysical a/b (mirrors
+    models/modified_blackbody.merge_log_x)."""
+    merge_g_gp = make_merge_g_gp(opthin)
+    lo_arg = jnp.maximum(2.0 + alpha, 1e-3)
+    a_br = jnp.log(lo_arg)
+    b_br = jnp.log(jnp.maximum(3.0 + alpha + beta, 1.01 * lo_arg))
+    for _ in range(_MERGE_BISECT):
+        m = 0.5 * (a_br + b_br)
+        g, _ = merge_g_gp(m, beta, log_x0, alpha)
+        pos = g > 0.0
+        a_br = jnp.where(pos, m, a_br)
+        b_br = jnp.where(pos, b_br, m)
+    u_m = 0.5 * (a_br + b_br)
+    for _ in range(_MERGE_NEWTON):
+        g, gp = merge_g_gp(u_m, beta, log_x0, alpha)
+        u_m = jnp.clip(u_m - g / jnp.minimum(gp, -1e-10), a_br, b_br)
+    return u_m
+
+
 def _make_lnp_compute(cfg):
     """cfg: dict with static shape/config info (see build_pallas_lnprob).
 
@@ -92,29 +146,7 @@ def _make_lnp_compute(cfg):
     nb = cfg["nbands"]
     use_chol = cfg["use_chol"]
     log_wavenorm = math.log(cfg["wavenorm"])
-
-    def log_s_mbb(log_x, beta, log_x0):
-        x = jnp.exp(log_x)
-        log_planck = 3.0 * log_x - _log_expm1(x)
-        if opthin:
-            return beta * log_x + log_planck
-        tau = jnp.exp(beta * (log_x - log_x0))
-        return _log1mexp(tau) + log_planck
-
-    def merge_g_gp(log_x, beta, log_x0, alpha):
-        """(g, g') of the merge condition g = d ln S/d ln x + alpha; the
-        derivative is nearly free via q(x) = x + h(x), dq/du = q(1 - h)
-        (see models/modified_blackbody._merge_g_and_gp)."""
-        x = jnp.exp(log_x)
-        q = _qx(x)
-        gp_planck = -q * (1.0 - q + x)
-        if opthin:
-            return 3.0 + beta - q + alpha, gp_planck
-        tau = jnp.exp(beta * (log_x - log_x0))
-        ht = _xoexpm1x(tau)
-        tau_c = jnp.minimum(tau, _TAU_BIG)   # inf*0 guard for huge tau
-        gp = beta * beta * ht * (1.0 - tau_c - ht) + gp_planck
-        return 3.0 + beta * ht - q + alpha, gp
+    log_s_mbb = make_log_s_mbb(opthin)
 
     def compute(theta, limits_ref, prior_ref, flux_ref, whiten_ref,
                 waves_ref, rweights_ref):
@@ -147,22 +179,7 @@ def _make_lnp_compute(cfg):
         if noalpha:
             u_m = None
         else:
-            # Fixed-iteration bisection+Newton for the merge point,
-            # (1, W) vectors, analytic bracket x_m in (2+a, 3+a+b)
-            # (see models/modified_blackbody.merge_log_x).
-            a_br = jnp.log(2.0 + alpha)
-            b_br = jnp.log(3.0 + alpha + beta)
-            for _ in range(_MERGE_BISECT):
-                m = 0.5 * (a_br + b_br)
-                g, _ = merge_g_gp(m, beta, log_x0, alpha)
-                pos = g > 0.0
-                a_br = jnp.where(pos, m, a_br)
-                b_br = jnp.where(pos, b_br, m)
-            u_m = 0.5 * (a_br + b_br)
-            for _ in range(_MERGE_NEWTON):
-                g, gp = merge_g_gp(u_m, beta, log_x0, alpha)
-                u_m = jnp.clip(u_m - g / jnp.minimum(gp, -1e-10),
-                               a_br, b_br)
+            u_m = merge_log_x_pallas(beta, log_x0, alpha, opthin)
             ls_m = log_s_mbb(u_m, beta, log_x0)
 
         def log_s(log_x):

@@ -45,9 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mbb_emcee_tpu.constants import HCOK_UM_K, NPARAMS
 from mbb_emcee_tpu.ops.pallas_lnprob import (
-    _log_expm1, _log1mexp, _LANE, _MERGE_BISECT, _MERGE_NEWTON, _TAU_BIG,
-    LNPROB_FLOOR)
-from mbb_emcee_tpu.ops import pallas_lnprob as _pln
+    _LANE, LNPROB_FLOOR, make_log_s_mbb, merge_log_x_pallas)
 
 _LOG_C2 = math.log(HCOK_UM_K)
 _NQ = 8          # quantities per half: 5 params + lnp + acc + spare
@@ -59,37 +57,18 @@ def _round_up(n, m):
     return -(-n // m) * m
 
 
-def _make_multi_lnp(cfg, s_tile):
+def _make_multi_lnp(cfg):
     """compute(rows5, limits_ref, prior_ref, flux_blk, iunc_blk, waves_ref,
     rweights_ref) -> (S, W) lnprob. rows5: list of 5 (S, W) parameter
     arrays; flux_blk/iunc_blk: (S, nb) arrays for this tile's sources.
-    Same math as pallas_lnprob._make_lnp_compute, widened from (1, W) rows
-    to (S, W) tiles with per-source data columns."""
+    Same math as pallas_lnprob._make_lnp_compute (shared model/merge
+    helpers), widened from (1, W) rows to (S, W) tiles with per-source
+    data columns."""
     opthin = cfg["opthin"]
     noalpha = cfg["noalpha"]
     nb = cfg["nbands"]
     log_wavenorm = math.log(cfg["wavenorm"])
-
-    def log_s_mbb(log_x, beta, log_x0):
-        x = jnp.exp(log_x)
-        log_planck = 3.0 * log_x - _log_expm1(x)
-        if opthin:
-            return beta * log_x + log_planck
-        tau = jnp.exp(beta * (log_x - log_x0))
-        return _log1mexp(tau) + log_planck
-
-    def merge_g_gp(log_x, beta, log_x0, alpha):
-        """(g, g') of the merge condition (see pallas_lnprob.merge_g_gp)."""
-        x = jnp.exp(log_x)
-        q = _pln._qx(x)
-        gp_planck = -q * (1.0 - q + x)
-        if opthin:
-            return 3.0 + beta - q + alpha, gp_planck
-        tau = jnp.exp(beta * (log_x - log_x0))
-        ht = _pln._xoexpm1x(tau)
-        tau_c = jnp.minimum(tau, _TAU_BIG)
-        gp = beta * beta * ht * (1.0 - tau_c - ht) + gp_planck
-        return 3.0 + beta * ht - q + alpha, gp
+    log_s_mbb = make_log_s_mbb(opthin)
 
     def compute(rows, limits_ref, prior_ref, flux_blk, iunc_blk,
                 waves_ref, rweights_ref):
@@ -110,21 +89,7 @@ def _make_multi_lnp(cfg, s_tile):
         if noalpha:
             u_m = None
         else:
-            # analytic bracket x_m in (2+a, 3+a+b); see
-            # models/modified_blackbody.merge_log_x
-            a_br = jnp.log(2.0 + alpha)
-            b_br = jnp.log(3.0 + alpha + beta)
-            for _ in range(_MERGE_BISECT):
-                m = 0.5 * (a_br + b_br)
-                g, _ = merge_g_gp(m, beta, log_x0, alpha)
-                pos = g > 0.0
-                a_br = jnp.where(pos, m, a_br)
-                b_br = jnp.where(pos, b_br, m)
-            u_m = 0.5 * (a_br + b_br)
-            for _ in range(_MERGE_NEWTON):
-                g, gp = merge_g_gp(u_m, beta, log_x0, alpha)
-                u_m = jnp.clip(u_m - g / jnp.minimum(gp, -1e-10),
-                               a_br, b_br)
+            u_m = merge_log_x_pallas(beta, log_x0, alpha, opthin)
             ls_m = log_s_mbb(u_m, beta, log_x0)
 
         def log_s(log_x):
@@ -165,7 +130,7 @@ def _make_multi_lnp(cfg, s_tile):
 
 def _make_multi_kernel(cfg, *, nfree, half, wp, s_tile, thin, a,
                        external_rng):
-    compute = _make_multi_lnp(cfg, s_tile)
+    compute = _make_multi_lnp(cfg)
     d_exp = float(nfree - 1)
     inv_a = 1.0 / a
     am1 = a - 1.0
@@ -363,6 +328,26 @@ class FusedMultiPallasSampler:
         self.cfg = dict(opthin=shape.opthin, noalpha=shape.noalpha,
                         nbands=nb, wavenorm=shape.wavenorm, uplim=uplim)
         self._run_cache = {}
+
+    def set_data(self, flux, unc):
+        """Replace the per-source photometry (same S and band count). Flux
+        and uncertainties are RUNTIME kernel operands, so this does not
+        recompile -- the serving path for fitting successive batches."""
+        flux = np.atleast_2d(np.asarray(flux, np.float64))
+        unc = np.atleast_2d(np.asarray(unc, np.float64))
+        nb = self._waves.shape[0]
+        if flux.shape != (self.nsources, nb) or unc.shape != flux.shape:
+            raise ValueError(
+                f"flux/unc must be ({self.nsources}, {nb})")
+        pad = self.s_pad - self.nsources
+        flux_p = np.concatenate([flux, np.repeat(flux[:1], pad, 0)], 0)
+        unc_p = np.concatenate([unc, np.repeat(unc[:1], pad, 0)], 0)
+        self._flux = jnp.asarray(
+            flux_p.reshape(self.ntiles, self.s_tile, nb), jnp.float32)
+        self._iunc = jnp.asarray(
+            (1.0 / unc_p).reshape(self.ntiles, self.s_tile, nb),
+            jnp.float32)
+        return self
 
     # -- state ------------------------------------------------------------------
     def init_state(self, key, p0) -> MultiSamplerState:

@@ -154,3 +154,26 @@ def test_multi_kernel_validation():
                          (4, NW, samp.ndim)))
     with pytest.raises(ValueError):
         samp.run_mcmc(st, 2)   # external rng needs uniforms
+
+
+def test_set_data_refreshes_kernel_operands():
+    """Regression: flux/unc are runtime kernel operands; set_data must
+    change the computed lnprob without rebuilding (the serving loop's
+    fit-next-batch path)."""
+    shape, spec, trues, flux, unc = _problem(8)
+    samp = FusedMultiPallasSampler(NW, WAVE, flux, unc, shape, spec,
+                                   interpret=True, rng="external")
+    fs = samp.free_space
+    p0 = jnp.broadcast_to(
+        jnp.asarray(trues[:, fs.free_idx], jnp.float32)[:, None, :],
+        (8, NW, samp.ndim))
+    state = samp.init_state(jax.random.key(0), p0)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.uniform(0.01, 0.99, (1, 1, 6 * samp.s_tile, samp.wp))
+                    .astype(np.float32))
+    _, _, lnp1 = samp.run_mcmc(state, 1, uniforms=u)
+    samp.set_data(flux * 1.5, unc)          # same shapes, new values
+    _, _, lnp2 = samp.run_mcmc(state, 1, uniforms=u)
+    assert not np.allclose(np.asarray(lnp1), np.asarray(lnp2))
+    with pytest.raises(ValueError):
+        samp.set_data(flux[:, :3], unc[:, :3])   # wrong band count
