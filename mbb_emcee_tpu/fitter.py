@@ -122,19 +122,35 @@ class MBBFitter(ParamSpaceMixin):
     #    (set_lowlim / set_uplim / fix_param / unfix_param /
     #     set_gaussian_prior / set_param_init / spec / _effective_spec)
 
+    # f_nu of a greybody peaks near x = hc/(lambda k T) ~ 4 over the typical
+    # beta range; T ~ HCOK / (4 lambda_peak) seeds the walkers within a
+    # factor ~2 of the posterior for any plausible SED.
+    _WIEN_X_PEAK = 4.0
+
     def _auto_init_fnorm(self):
-        """Unless the user set it, start fnorm at the flux of the band
+        """Unless the user set them, seed fnorm from the flux of the band
         nearest wavenorm (ref: the reference seeds fnorm from the data
-        [MED]); a data-driven start keeps the initial ball within a few
-        sigma of the posterior."""
-        if self._user_init[4] or self.phot is None:
+        [MED]) and T from the brightest band's wavelength (Wien-like); a
+        data-driven start keeps the initial ball within a few sigma of the
+        posterior so short burns converge."""
+        if self.phot is None:
             return
-        idx = int(np.argmin(np.abs(self.phot.wave - self.shape.wavenorm)))
-        fn = float(self.phot.flux[idx])
-        if fn > 0:
-            self._init[4] = fn
-            self._scatter[4] = max(2.0 * float(self.phot.unc[idx]),
-                                   0.05 * fn)
+        if not self._user_init[4]:
+            idx = int(np.argmin(np.abs(self.phot.wave -
+                                       self.shape.wavenorm)))
+            fn = float(self.phot.flux[idx])
+            if fn > 0:
+                self._init[4] = fn
+                self._scatter[4] = max(2.0 * float(self.phot.unc[idx]),
+                                       0.05 * fn)
+        if not self._user_init[0]:
+            from mbb_emcee_tpu.constants import HCOK_UM_K
+            lam_pk = float(self.phot.wave[int(np.argmax(self.phot.flux))])
+            t0 = HCOK_UM_K / (self._WIEN_X_PEAK * lam_pk)
+            t0 = float(np.clip(t0, self._spec.lower[0] * 1.02,
+                               self._spec.upper[0] * 0.98))
+            self._init[0] = t0
+            self._scatter[0] = max(0.15 * t0, 1.0)
 
     # -- likelihood --------------------------------------------------------------
     def _response_pack(self):

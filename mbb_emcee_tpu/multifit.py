@@ -142,7 +142,8 @@ class MultiFitter(ParamSpaceMixin):
 
     def _init_centers(self):
         """Per-source initial centers: fnorm seeded from each source's flux
-        nearest wavenorm (the batched analog of MBBFitter._auto_init_fnorm)."""
+        nearest wavenorm, T from each source's brightest band (the batched
+        analog of MBBFitter._auto_init_fnorm)."""
         S = self.nsources
         centers = np.broadcast_to(self._init, (S, NPARAMS)).copy()
         scatters = np.broadcast_to(self._scatter, (S, NPARAMS)).copy()
@@ -153,6 +154,14 @@ class MultiFitter(ParamSpaceMixin):
             centers[ok, 4] = fn[ok]
             scatters[ok, 4] = np.maximum(2.0 * self.unc[ok, idx],
                                          0.05 * fn[ok])
+        if not self._user_init[0]:
+            from mbb_emcee_tpu.fitter import MBBFitter
+            lam_pk = self.wave[np.argmax(self.flux, axis=1)]
+            t0 = np.clip(HCOK_UM_K / (MBBFitter._WIEN_X_PEAK * lam_pk),
+                         self._spec.lower[0] * 1.02,
+                         self._spec.upper[0] * 0.98)
+            centers[:, 0] = t0
+            scatters[:, 0] = np.maximum(0.15 * t0, 1.0)
         return centers, scatters
 
     def run(self, nburn=50, nsteps=250, thin=1, recenter_burn=True,

@@ -165,3 +165,39 @@ def test_multifit_validation():
     mf.set_data(WAVE, np.ones((2, NB)), np.ones((2, NB)))
     with pytest.raises(RuntimeError):
         mf.par_cen("T")
+
+
+def test_multifit_response_mode():
+    """Instrument-response quadrature likelihood in the batched path."""
+    import jax.numpy as jnp
+    from mbb_emcee_tpu import ResponseSet
+    from mbb_emcee_tpu.models.modified_blackbody import mbb_fnu, MBBShape
+
+    rs = ResponseSet()
+    names = []
+    for w in WAVE:
+        name = f"BOX{int(w)}"
+        rs.add(name, f"box:{w}:{0.3 * w:.1f}")
+        names.append(name)
+    shape = MBBShape(opthin=True, noalpha=True)
+    waves, weights = rs.pack(names)
+    trues = TRUES[:2]
+    rng = np.random.default_rng(2)
+    flux, unc = [], []
+    for t in trues:
+        f = np.asarray(jnp.sum(weights * mbb_fnu(
+            jnp.asarray(t, jnp.float32), waves, shape), axis=-1),
+            np.float64)
+        u = 0.04 * f
+        flux.append(f + u * rng.standard_normal(f.size))
+        unc.append(u)
+
+    mf = MultiFitter(nwalkers=64, opthin=True, noalpha=True, seed=3,
+                     responses=rs)
+    mf.set_data(WAVE, np.array(flux), np.array(unc), band_names=names)
+    mf.run(nburn=80, nsteps=300)
+    for pi, name in ((0, "T"), (4, "fnorm")):
+        cen = mf.par_cen(name)
+        err = np.maximum(cen[:, 1], cen[:, 2])
+        pull = np.abs(cen[:, 0] - trues[:, pi]) / np.maximum(err, 1e-9)
+        assert np.all(pull < 5.0), (name, cen[:, 0], trues[:, pi])
