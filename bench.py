@@ -38,10 +38,10 @@ def _mock_data():
     return flux, unc
 
 
-def bench_cpu(flux, unc, nsteps=12):
+def bench_cpu(flux, unc, nsteps=24):
     """emcee-equivalent CPU throughput: NumPy GW sampler driving the fp64
     scipy oracle lnprob (fresh model object + brentq per call, like the
-    reference)."""
+    reference). Best of 3 timed segments to damp machine-load noise."""
     from tests.reference_impl.mbb_oracle import ModifiedBlackbodyOracle
     from tests.reference_impl.gw_sampler import GoodmanWeareSampler
 
@@ -60,10 +60,12 @@ def bench_cpu(flux, unc, nsteps=12):
     p0 = TRUE[None, :] * rng.uniform(0.95, 1.05, (NWALKERS, 5))
     gw = GoodmanWeareSampler(NWALKERS, 5, lnprob, seed=1)
     gw.run_mcmc(p0, 2, store=False)  # warm caches
-    t0 = time.perf_counter()
-    gw.run_mcmc(p0, nsteps, store=False)
-    dt = time.perf_counter() - t0
-    return NWALKERS * nsteps / dt
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        gw.run_mcmc(p0, nsteps, store=False)
+        best = min(best, time.perf_counter() - t0)
+    return NWALKERS * nsteps / best
 
 
 def bench_tpu(flux, unc, nsteps=30000):

@@ -190,20 +190,30 @@ def _make_lnp_compute(cfg):
                              base)
 
         log_fnorm = jnp.log(fnorm)
-        ls_norm = log_s(_LOG_C2 - log_wavenorm - log_T)
 
-        # Model fluxes per band -> residual rows. Point mode is the same
-        # contraction with a single unit-weight node per band.
-        # Upper-limit bands (static per-band switch) penalize only flux
-        # ABOVE the limit, matching likelihood.build_lnprob.
+        # Model fluxes for ALL band nodes AND the normalization point in
+        # ONE packed (R+1, W) evaluation: the VPU operates on full (8, 128)
+        # tiles, so six separate (1, W) log_s chains waste 7/8 of the
+        # sublanes; packing them is ~one tile-op chain total. Point mode is
+        # the same contraction with a single unit-weight node per band.
+        nnodes = int(waves_ref.shape[1])
+        R = nb * nnodes
+        lam_all = waves_ref[:, :].reshape(R, 1)
+        lx_bands = _LOG_C2 - jnp.log(lam_all) - log_T        # (R, W)
+        lx_norm = _LOG_C2 - log_wavenorm - log_T             # (1, W)
+        ls = log_s(jnp.concatenate([lx_bands, lx_norm], axis=0))
+        vals = jnp.exp(log_fnorm + ls[:R] - ls[R:R + 1])     # (R, W)
+        wts = rweights_ref[:, :].reshape(R, 1)
+
+        # Residual rows. Upper-limit bands (static per-band switch)
+        # penalize only flux ABOVE the limit, matching
+        # likelihood.build_lnprob.
         uplim = cfg.get("uplim") or (False,) * nb
         deltas = []
         for b in range(nb):
-            lam = waves_ref[b, :][:, None]         # (nnodes, 1)
-            wts = rweights_ref[b, :][:, None]
-            lx = _LOG_C2 - jnp.log(lam) - log_T    # (nnodes, W)
-            vals = jnp.exp(log_fnorm + log_s(lx) - ls_norm)
-            model = jnp.sum(wts * vals, axis=0, keepdims=True)  # (1, W)
+            sl = slice(b * nnodes, (b + 1) * nnodes)
+            model = jnp.sum(wts[sl] * vals[sl], axis=0,
+                            keepdims=True)                   # (1, W)
             d = model - flux_ref[b]
             if uplim[b]:
                 d = jnp.maximum(d, 0.0)
