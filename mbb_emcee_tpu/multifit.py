@@ -406,20 +406,39 @@ class MultiFitter(ParamSpaceMixin):
                                                    self.free_space.nfree))
 
     def par_cen(self, param, percentile=68.3):
-        """(S, 3): per-source (median, +err, -err)."""
+        """(S, 3): per-source (median, +err, -err).
+
+        Computed ON DEVICE: a 256-source x 250-walker x 1000-step batch is
+        a multi-GB chain, and pulling it to the host (which flatchain()
+        does) costs far more than the percentile reduction -- especially
+        over a tunneled device link."""
+        self._require_run()
         i = param_index(param)
-        fc = self.flatchain()
-        return np.stack([_percentile_summary(fc[s, :, i], percentile)
-                         for s in range(fc.shape[0])])
+        spec = self._effective_spec()
+        if spec.fixed[i]:
+            v = float(spec.fixed_values[i])
+            return np.tile([v, 0.0, 0.0], (self.nsources, 1))
+        j = int(np.nonzero(self.free_space.free_idx == i)[0][0])
+        data = jnp.reshape(self.chain_free[..., j], (self.nsources, -1))
+        p = float(percentile)
+        qs = jnp.percentile(data, jnp.asarray(
+            [50.0 - p / 2, 50.0, 50.0 + p / 2]), axis=1)
+        lo, mid, hi = np.asarray(qs, np.float64)
+        return np.stack([mid, hi - mid, mid - lo], axis=1)
 
     def best_fit(self):
-        """(params (S, 5), lnprob (S,)) at each source's max-lnp sample."""
+        """(params (S, 5), lnprob (S,)) at each source's max-lnp sample
+        (device-side argmax/gather; see par_cen)."""
         self._require_run()
-        fc = self.flatchain()
-        lnp = np.asarray(self.lnprobability).reshape(fc.shape[0], -1)
-        idx = np.argmax(lnp, axis=1)
-        S = fc.shape[0]
-        return fc[np.arange(S), idx], lnp[np.arange(S), idx]
+        S = self.nsources
+        lnp = jnp.reshape(self.lnprobability, (S, -1))
+        idx = jnp.argmax(lnp, axis=1)
+        free = jnp.reshape(self.chain_free, (S, -1, self.free_space.nfree))
+        best_free = jnp.take_along_axis(
+            free, idx[:, None, None], axis=1)[:, 0, :]
+        best_lnp = jnp.take_along_axis(lnp, idx[:, None], axis=1)[:, 0]
+        return (self.free_space.expand(np.asarray(best_free, np.float64)),
+                np.asarray(best_lnp, np.float64))
 
     def autocorrelation_time(self):
         """(S, nfree) integrated autocorrelation times."""
@@ -438,8 +457,34 @@ class MultiFitter(ParamSpaceMixin):
                          for z in np.asarray(redshifts).ravel()])
 
     def _thinned(self, thin):
-        fc = self.flatchain()
-        return fc[:, ::max(int(thin), 1), :]
+        """(S, nsamp, 5) thinned full-parameter samples, DEVICE-resident
+        (expanding/thinning on device avoids hauling the multi-GB raw
+        chain to the host)."""
+        self._require_run()
+        S = self.nsources
+        nfree = self.free_space.nfree
+        free = jnp.reshape(self.chain_free,
+                           (S, -1, nfree))[:, ::max(int(thin), 1), :]
+        template = jnp.asarray(self.free_space.template, jnp.float32)
+        scat = np.zeros((NPARAMS, nfree), np.float32)
+        scat[self.free_space.free_idx, np.arange(nfree)] = 1.0
+        return template[None, None, :] + free @ jnp.asarray(scat).T
+
+    @staticmethod
+    def _chunked_samples(fn, samples, inner_elems):
+        """Apply a jitted per-(source, sample) map over (S, N, 5) samples in
+        sample-axis chunks, bounding device memory: an unthinned 256-source
+        chain against 128 quadrature nodes would otherwise materialize
+        tens of GB of intermediates. `inner_elems` = per-sample fan-out
+        (e.g. quadrature nodes)."""
+        S, N = samples.shape[:2]
+        # ~256 MB of fp32 intermediates per pass
+        chunk = max(1, (64 << 20) // max(S * inner_elems, 1))
+        if N <= chunk:
+            return np.asarray(fn(samples), np.float64)
+        out = [np.asarray(fn(samples[:, i:i + chunk]), np.float64)
+               for i in range(0, N, chunk)]
+        return np.concatenate(out, axis=1)
 
     def compute_lir(self, redshifts, wavemin=8.0, wavemax=1000.0, thin=1,
                     lumdists=None, cosmology="WMAP9"):
@@ -463,10 +508,10 @@ class MultiFitter(ParamSpaceMixin):
             return jnp.sum(w_s * f)
 
         samples = jnp.asarray(self._thinned(thin), jnp.float32)
-        integ = np.asarray(
-            jax.jit(jax.vmap(jax.vmap(one, in_axes=(0, None, None)),
-                             in_axes=(0, 0, 0)))(samples, lam, w),
-            np.float64)
+        batched = jax.jit(jax.vmap(jax.vmap(one, in_axes=(0, None, None)),
+                                   in_axes=(0, 0, 0)))
+        integ = self._chunked_samples(lambda s: batched(s, lam, w),
+                                      samples, _LIR_NODES)
         dl_m = self._dl_mpc(z, lumdists, cosmology) * MPC_M
         prefac = 4.0 * np.pi * dl_m ** 2 * MJY_WM2HZ * C_UM_HZ / LSUN_W
         self.lir_chain = prefac[:, None] * integ
@@ -495,10 +540,10 @@ class MultiFitter(ParamSpaceMixin):
             return s_mjy * jnp.expm1(jnp.minimum(x, 80.0))
 
         samples = jnp.asarray(self._thinned(thin), jnp.float32)
-        g = np.asarray(
-            jax.jit(jax.vmap(jax.vmap(one, in_axes=(0, None)),
-                             in_axes=(0, 0)))(samples, lam_obs),
-            np.float64)
+        batched = jax.jit(jax.vmap(jax.vmap(one, in_axes=(0, None)),
+                                   in_axes=(0, 0)))
+        g = self._chunked_samples(lambda s: batched(s, lam_obs),
+                                  samples, 4)
         dl_m = self._dl_mpc(z, lumdists, cosmology) * MPC_M
         c_ms = 2.99792458e8
         nu_rest = c_ms / (kappa_wave * 1e-6)
@@ -527,8 +572,8 @@ class MultiFitter(ParamSpaceMixin):
             return jnp.exp(um)
 
         samples = jnp.asarray(self._thinned(thin), jnp.float32)
-        self.peaklambda_chain = np.asarray(
-            jax.jit(jax.vmap(jax.vmap(peak)))(samples), np.float64)
+        batched = jax.jit(jax.vmap(jax.vmap(peak)))
+        self.peaklambda_chain = self._chunked_samples(batched, samples, 8)
         return self.peaklambda_chain
 
     def peaklambda_cen(self, percentile=68.3):

@@ -196,14 +196,15 @@ def _make_lnp_compute(cfg):
         # tiles, so six separate (1, W) log_s chains waste 7/8 of the
         # sublanes; packing them is ~one tile-op chain total. Point mode is
         # the same contraction with a single unit-weight node per band.
-        nnodes = int(waves_ref.shape[1])
+        # waves_ref/rweights_ref arrive PRE-FLATTENED as (R, 1) -- Mosaic
+        # cannot lower a general in-kernel reshape.
+        nnodes = cfg["nnodes"]
         R = nb * nnodes
-        lam_all = waves_ref[:, :].reshape(R, 1)
-        lx_bands = _LOG_C2 - jnp.log(lam_all) - log_T        # (R, W)
+        lx_bands = _LOG_C2 - jnp.log(waves_ref[:, :]) - log_T  # (R, W)
         lx_norm = _LOG_C2 - log_wavenorm - log_T             # (1, W)
         ls = log_s(jnp.concatenate([lx_bands, lx_norm], axis=0))
         vals = jnp.exp(log_fnorm + ls[:R] - ls[R:R + 1])     # (R, W)
-        wts = rweights_ref[:, :].reshape(R, 1)
+        wts = rweights_ref[:, :]                             # (R, 1)
 
         # Residual rows. Upper-limit bands (static per-band switch)
         # penalize only flux ABOVE the limit, matching
@@ -311,15 +312,20 @@ def prepare_lnprob_inputs(phot, shape, spec, response_pack=None):
     else:
         uplim = (False,) * nb
 
+    nnodes = int(waves.shape[1])
     cfg = dict(opthin=shape.opthin, noalpha=shape.noalpha, nbands=nb,
-               use_chol=use_chol, response=response,
+               nnodes=nnodes, use_chol=use_chol, response=response,
                wavenorm=shape.wavenorm, uplim=uplim)
 
     consts = dict(
         limits=jnp.asarray(lim), priors=jnp.asarray(pri),
         flux=jnp.asarray(phot.flux, jnp.float32),
         whiten=jnp.asarray(whiten_np, jnp.float32),
-        waves=waves, rweights=rweights,
+        # flattened (R, 1) node grids for the single-source kernels
+        # (Mosaic cannot reshape in-kernel); the multi-source kernel uses
+        # the (nb, nnodes) layout from its own constructor instead.
+        waves=jnp.reshape(waves, (nb * nnodes, 1)),
+        rweights=jnp.reshape(rweights, (nb * nnodes, 1)),
         template=template, scatter=scatter)
     return cfg, consts, free_space
 

@@ -255,7 +255,7 @@ class FusedPallasSampler:
             external_rng=external)
         consts = self.consts
         nb = int(consts["flux"].shape[0])
-        nnodes = int(consts["waves"].shape[1])
+        nrows = int(consts["waves"].shape[0])   # flattened (R, 1) grids
         free_idx = jnp.asarray(self.free_space.free_idx)
 
         in_specs = [
@@ -266,9 +266,9 @@ class FusedPallasSampler:
             pl.BlockSpec(memory_space=pltpu.SMEM),               # priors
             pl.BlockSpec(memory_space=pltpu.SMEM),               # flux
             pl.BlockSpec(memory_space=pltpu.SMEM),               # whiten
-            pl.BlockSpec((nb, nnodes), lambda i: (0, 0),
+            pl.BlockSpec((nrows, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),               # waves
-            pl.BlockSpec((nb, nnodes), lambda i: (0, 0),
+            pl.BlockSpec((nrows, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),               # rweights
         ]
         if external:

@@ -122,7 +122,9 @@ def test_results_view_roundtrip(fitted, tmp_path):
     mf = fitted
     res = mf.results(2, redshift=2.5)
     cen_view = res.par_cen("T")
-    np.testing.assert_allclose(cen_view, mf.par_cen("T")[2], rtol=1e-12)
+    # MultiFitter.par_cen reduces on DEVICE in fp32; the single-source view
+    # reduces on host in fp64 -- agreement to fp32 interpolation precision.
+    np.testing.assert_allclose(cen_view, mf.par_cen("T")[2], rtol=1e-5)
     out = str(tmp_path / "src2.h5")
     res.compute_peaklambda(thin=16)
     res.writeToHDF5(out)
