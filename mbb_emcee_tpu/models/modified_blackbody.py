@@ -47,13 +47,19 @@ from mbb_emcee_tpu.ops.rootfind import bisect_newton_decreasing
 # condition is q(x) = 3 + alpha + beta h(tau) with q(x) = x + h(x),
 # h in (0, 1), so the root always lies strictly inside
 # x in (2 + alpha, 3 + alpha + beta) -- a ln-width <= ln((3+a+b)/(2+a))
-# <~ 2.5 bracket instead of the 16.1-wide static one. 7 bisections
-# localize, 3 bracket-clamped Newton steps polish to fp32 exactness. The
-# merge solve runs inside EVERY lnprob call and was ~84% of the fused
-# sampler's step cost at the original 30 static-bracket bisections
-# (validated against the fp64 brentq oracle in tests/test_physics.py).
-_MERGE_BISECT = 7
-_MERGE_NEWTON = 3
+# <~ 2.5 bracket instead of the 16.1-wide static one. 6 bisections
+# localize, 2 bracket-clamped Newton steps polish. Validated vs the fp64
+# brentq oracle over the DEFAULT prior box incl. its corners: max error
+# 6.2e-6 in ln x (3.2e-7 away from the beta-ceiling corners). The
+# iteration count is matched to the cliff scale ~1/beta of the tau
+# transition at the default beta <= 20 ceiling; raising beta's bound far
+# beyond that smears the merge point smoothly (the model stays a
+# deterministic function of theta, so sampling remains valid -- the
+# approximation just coarsens). The merge solve runs inside EVERY lnprob
+# call and was ~84% of the fused sampler's step cost at the original 30
+# static-bracket bisections.
+_MERGE_BISECT = 6
+_MERGE_NEWTON = 2
 
 # tau cutoffs: above _TAU_BIG, tau/(e^tau - 1) is numerically zero and
 # 1 - e^-tau is numerically one.

@@ -69,9 +69,10 @@ class MultiFitter(ParamSpaceMixin):
                  opthin=False, responses=None, seed=1234, a=2.0,
                  prng_impl="rbg", mesh=None, sampler_backend="auto"):
         # 'fused' = ops/pallas_multifit.py: the whole batched run as one
-        # Pallas kernel with sources on the SUBLANES (TPU-only,
-        # single-device); 'xla' = portable vmapped scan (mesh-shardable);
-        # 'auto' picks 'fused' on TPU when no mesh is given.
+        # Pallas kernel with sources on the SUBLANES (TPU-only; with a
+        # mesh, source TILES shard over it via shard_map); 'xla' =
+        # portable vmapped scan; 'auto' picks 'fused' on TPU when no mesh
+        # is given (with a mesh, request 'fused' explicitly).
         if sampler_backend not in ("auto", "xla", "fused"):
             raise ValueError(
                 "sampler_backend must be 'auto', 'xla' or 'fused'")
@@ -323,21 +324,20 @@ class MultiFitter(ParamSpaceMixin):
         phase one Pallas launch (ops/pallas_multifit.py)."""
         from mbb_emcee_tpu.ops.pallas_multifit import FusedMultiPallasSampler
 
-        if self.mesh is not None:
-            raise ValueError("sampler_backend='fused' is single-device; "
-                             "use 'xla' with a mesh")
         # The token covers everything COMPILED into the sampler (geometry,
         # spec, band setup); per-source flux/unc are runtime operands and
         # are refreshed below, so fitting successive same-shape batches
         # reuses the compiled kernel.
         token = ("fused", self.nwalkers, _spec_token(spec, self.shape),
                  self.flux.shape, self.wave.tobytes(), id(self.responses),
+                 id(self.mesh),
                  None if self.band_names is None
                  else tuple(self.band_names))
         if getattr(self, "_fused_token", None) != token:
             self._fused = FusedMultiPallasSampler(
                 self.nwalkers, self.wave, self.flux, self.unc, self.shape,
-                spec, response_pack=self._response_pack(), a=self.a)
+                spec, response_pack=self._response_pack(), a=self.a,
+                mesh=self.mesh)
             self._fused_token = token
         else:
             self._fused.set_data(self.flux, self.unc)
@@ -581,6 +581,77 @@ class MultiFitter(ParamSpaceMixin):
             raise RuntimeError("call compute_peaklambda() first")
         return np.stack([_percentile_summary(c, percentile)
                          for c in self.peaklambda_chain])
+
+    # -- persistence ----------------------------------------------------------------
+    def writeToHDF5(self, filename, thin=1):
+        """Persist the whole batch to one HDF5 file (the batch analog of
+        MBBResults.writeToHDF5). `thin` subsamples the stored chains --
+        full 250-walker x 1000-step x 256-source chains are multi-GB, and
+        pulling them off a tunneled device is the dominant cost.
+        Reload with MultiFitter.from_h5."""
+        import h5py
+        self._require_run()
+        spec = self._effective_spec()
+        t = max(int(thin), 1)
+        chain = np.asarray(self.chain_free[:, ::t], np.float32)
+        lnp = np.asarray(self.lnprobability[:, ::t], np.float32)
+        with h5py.File(filename, "w") as f:
+            f.attrs["schema_version"] = 1
+            f.attrs["package"] = "mbb_emcee_tpu.multifit"
+            f.attrs["nwalkers"] = self.nwalkers
+            f.attrs["nsources"] = self.nsources
+            f.attrs["thin"] = self.thin * t
+            f.attrs["opthin"] = self.shape.opthin
+            f.attrs["noalpha"] = self.shape.noalpha
+            f.attrs["wavenorm"] = self.shape.wavenorm
+            f.create_dataset("ChainFree", data=chain, compression="gzip")
+            f.create_dataset("LnProbability", data=lnp, compression="gzip")
+            f.create_dataset("AcceptanceFraction",
+                             data=self.acceptance_fraction)
+            f.create_dataset("Wave", data=self.wave)
+            f.create_dataset("Flux", data=self.flux)
+            f.create_dataset("Unc", data=self.unc)
+            if self.band_names is not None:
+                f.attrs["band_names"] = np.array(
+                    [n.encode() for n in self.band_names])
+            sp = f.create_group("ParamSpec")
+            for name in ("lower", "upper", "fixed", "fixed_values",
+                         "prior_mean", "prior_isigma"):
+                sp.create_dataset(name, data=getattr(spec, name))
+        return filename
+
+    @classmethod
+    def from_h5(cls, filename):
+        """Reload a persisted batch: summaries, derived quantities and
+        per-source MBBResults views all work on the restored object."""
+        import dataclasses
+        import h5py
+        with h5py.File(filename, "r") as f:
+            mf = cls(nwalkers=int(f.attrs["nwalkers"]),
+                     wavenorm=float(f.attrs["wavenorm"]),
+                     noalpha=bool(f.attrs["noalpha"]),
+                     opthin=bool(f.attrs["opthin"]))
+            names = (None if "band_names" not in f.attrs else
+                     [n.decode() for n in f.attrs["band_names"]])
+            mf.set_data(np.asarray(f["Wave"]), np.asarray(f["Flux"]),
+                        np.asarray(f["Unc"]), band_names=names)
+            sp = f["ParamSpec"]
+            mf._spec = dataclasses.replace(
+                mf._spec,
+                lower=np.asarray(sp["lower"]),
+                upper=np.asarray(sp["upper"]),
+                fixed=np.asarray(sp["fixed"], bool),
+                fixed_values=np.asarray(sp["fixed_values"]),
+                prior_mean=np.asarray(sp["prior_mean"]),
+                prior_isigma=np.asarray(sp["prior_isigma"]))
+            from mbb_emcee_tpu.likelihood import build_lnprob_data
+            _, mf.free_space = build_lnprob_data(mf.shape,
+                                                 mf._effective_spec())
+            mf.chain_free = jnp.asarray(np.asarray(f["ChainFree"]))
+            mf.lnprobability = jnp.asarray(np.asarray(f["LnProbability"]))
+            mf.acceptance_fraction = np.asarray(f["AcceptanceFraction"])
+            mf.thin = int(f.attrs["thin"])
+        return mf
 
     # -- single-source views -------------------------------------------------------
     def results(self, i, redshift=None, cosmology="WMAP9", lumdist=None):

@@ -28,11 +28,11 @@ from mbb_emcee_tpu.constants import HCOK_UM_K, NPARAMS
 
 _LOG_C2 = math.log(HCOK_UM_K)
 # Hybrid merge solve on the analytic bracket x_m in (2+a, 3+a+b):
-# 7 bisections + 3 bracket-clamped Newton steps reach fp32 exactness (the
+# 6 bisections + 2 bracket-clamped Newton steps reach fp32 exactness (the
 # solve dominated the fused sampler's step cost at the original 30
 # static-bracket bisections); same scheme as models/modified_blackbody.py.
-_MERGE_BISECT = 7
-_MERGE_NEWTON = 3
+_MERGE_BISECT = 6
+_MERGE_NEWTON = 2
 _TAU_BIG = 60.0
 _EXP_CUT = 25.0
 _LANE = 128

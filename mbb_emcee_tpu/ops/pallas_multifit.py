@@ -137,8 +137,8 @@ def _make_multi_kernel(cfg, *, nfree, half, wp, s_tile, thin, a,
     S = s_tile
     HB = _NQ * S                      # rows per half block
 
-    def kernel(seed_ref, state0_ref, limits_ref, prior_ref, flux_ref,
-               iunc_ref, waves_ref, rweights_ref, *rest):
+    def kernel(seed_ref, toff_ref, state0_ref, limits_ref, prior_ref,
+               flux_ref, iunc_ref, waves_ref, rweights_ref, *rest):
         if external_rng:
             u_ref, chain_ref, state_out_ref, state_scr = rest
         else:
@@ -149,7 +149,11 @@ def _make_multi_kernel(cfg, *, nfree, half, wp, s_tile, thin, a,
         nrec = pl.num_programs(1)
 
         if not external_rng:
-            pltpu.prng_seed(seed_ref[0], seed_ref[1] + t * nrec + i)
+            # toff = this device's GLOBAL tile offset (0 single-device;
+            # axis_index * local tiles under shard_map), so every
+            # (tile, record) worldwide gets a distinct stream.
+            pltpu.prng_seed(seed_ref[0],
+                            seed_ref[1] + (t + toff_ref[0]) * nrec + i)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (S, wp), 1)
         pmask = (lane < half).astype(jnp.float32)            # (S, wp)
@@ -169,7 +173,7 @@ def _make_multi_kernel(cfg, *, nfree, half, wp, s_tile, thin, a,
         def _():
             # Load this tile's state; recompute lnp from the positions so
             # callers never have to supply consistent lnp values.
-            st = state0_ref[:, :]
+            st = state0_ref[0]
             for h in range(2):
                 blk = st[h * HB:(h + 1) * HB, :]
                 rows = [q_of(blk, q) for q in range(NPARAMS)]
@@ -256,7 +260,7 @@ class FusedMultiPallasSampler:
 
     def __init__(self, nwalkers, wave, flux, unc, shape, spec,
                  response_pack=None, a=2.0, s_tile=8, interpret=False,
-                 rng="hw"):
+                 rng="hw", mesh=None):
         from mbb_emcee_tpu.likelihood import build_lnprob_data
 
         if nwalkers % 2:
@@ -266,6 +270,7 @@ class FusedMultiPallasSampler:
         if s_tile % 8:
             raise ValueError("s_tile must be a multiple of 8 (fp32 "
                              "sublane tile)")
+        self.mesh = mesh
         flux = np.atleast_2d(np.asarray(flux, np.float64))
         unc = np.atleast_2d(np.asarray(unc, np.float64))
         wave = np.atleast_1d(np.asarray(wave, np.float64))
@@ -297,8 +302,11 @@ class FusedMultiPallasSampler:
             self._waves = jnp.asarray(wave, jnp.float32)[:, None]
             self._rweights = jnp.ones((nb, 1), jnp.float32)
 
-        # pad sources to tile multiple with replicas of source 0
-        self.ntiles = _round_up(self.nsources, self.s_tile) // self.s_tile
+        # pad sources to tile multiple with replicas of source 0 (and to a
+        # multiple of s_tile * ndev under a mesh so tiles shard evenly)
+        ndev = 1 if mesh is None else int(mesh.devices.size)
+        unit = self.s_tile * ndev
+        self.ntiles = (_round_up(self.nsources, unit) // self.s_tile)
         s_pad = self.ntiles * self.s_tile
         pad = s_pad - self.nsources
         self.s_pad = s_pad
@@ -398,13 +406,13 @@ class FusedMultiPallasSampler:
         quant = jnp.concatenate(
             [quant, jnp.broadcast_to(quant[..., :1],
                                      quant.shape[:-1] + (padw,))], -1)
-        # (2, 8, S, wp) -> (ntiles, 2, 8, s_tile, wp) -> rows
+        # (2, 8, S, wp) -> tile-major (ntiles, 2*8*s_tile, wp)
         quant = quant.reshape(2, _NQ, T_, st, self.wp)
         quant = quant.transpose(2, 0, 1, 3, 4)
-        return quant.reshape(T_ * 2 * _NQ * st, self.wp)
+        return quant.reshape(T_, 2 * _NQ * st, self.wp)
 
     def _unpack(self, state_rows):
-        """Inverse of _pack: (ntiles*16*s_tile, wp) -> pos/lnp/acc."""
+        """Inverse of _pack: (ntiles, 16*s_tile, wp) -> pos/lnp/acc."""
         T_, st = self.ntiles, self.s_tile
         q = state_rows.reshape(T_, 2, _NQ, st, self.wp)
         q = q.transpose(1, 2, 0, 3, 4).reshape(2, _NQ, self.s_pad, self.wp)
@@ -430,9 +438,14 @@ class FusedMultiPallasSampler:
         nb = int(self._waves.shape[0])
         nnodes = int(self._waves.shape[1])
 
+        mesh = self.mesh
+        ndev = 1 if mesh is None else int(mesh.devices.size)
+        t_local = T_ // ndev
+
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),               # seed
-            pl.BlockSpec((rows_tile, wp), lambda t, i: (t, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # toff
+            pl.BlockSpec((1, rows_tile, wp), lambda t, i: (t, 0, 0),
                          memory_space=pltpu.VMEM),               # state0
             pl.BlockSpec(memory_space=pltpu.SMEM),               # limits
             pl.BlockSpec(memory_space=pltpu.SMEM),               # priors
@@ -449,51 +462,83 @@ class FusedMultiPallasSampler:
                              lambda t, i: (t, i, 0, 0),
                              memory_space=pltpu.VMEM))           # uniforms
 
-        out_shapes = (
-            jax.ShapeDtypeStruct((nrecord, T_, rows_tile, wp), jnp.float32),
-            jax.ShapeDtypeStruct((T_, rows_tile, wp), jnp.float32),
-        )
-        out_specs = (
-            pl.BlockSpec((1, 1, rows_tile, wp), lambda t, i: (i, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows_tile, wp), lambda t, i: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        )
-        scratch = [pltpu.VMEM((rows_tile, wp), jnp.float32)]
+        def local_call(toff, seed, state0, limits, priors, flux, iunc,
+                       waves, rweights, uniforms=None):
+            """One device's pallas_call over its local tiles."""
+            tl = state0.shape[0]
+            out_shapes = (
+                jax.ShapeDtypeStruct((nrecord, tl, rows_tile, wp),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((tl, rows_tile, wp), jnp.float32),
+            )
+            out_specs = (
+                pl.BlockSpec((1, 1, rows_tile, wp),
+                             lambda t, i: (i, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows_tile, wp), lambda t, i: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            )
+            args = [seed, toff, state0, limits, priors, flux, iunc,
+                    waves, rweights]
+            if external:
+                args.append(uniforms)
+            return pl.pallas_call(
+                kernel,
+                grid=(tl, nrecord),
+                out_shape=out_shapes,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=[pltpu.VMEM((rows_tile, wp), jnp.float32)],
+                interpret=self.interpret,
+            )(*args)
+
+        if mesh is not None:
+            ax = mesh.axis_names[0]
+
+            def sharded_call(seed, state0, limits, priors, flux, iunc,
+                             waves, rweights, uniforms=None):
+                toff = (jax.lax.axis_index(ax) * t_local)[None]
+                return local_call(toff.astype(jnp.int32), seed, state0,
+                                  limits, priors, flux, iunc, waves,
+                                  rweights, uniforms)
+
+            u_specs = ((P(ax, None, None, None),) if external else ())
+            dispatch = jax.shard_map(
+                sharded_call, mesh=mesh,
+                in_specs=(P(None), P(ax, None, None), P(None, None),
+                          P(None, None), P(ax, None, None),
+                          P(ax, None, None), P(None, None),
+                          P(None, None)) + u_specs,
+                out_specs=(P(None, ax, None, None), P(ax, None, None)),
+                check_vma=False)
+        else:
+            def dispatch(seed, state0, limits, priors, flux, iunc,
+                         waves, rweights, uniforms=None):
+                return local_call(jnp.zeros(1, jnp.int32), seed, state0,
+                                  limits, priors, flux, iunc, waves,
+                                  rweights, uniforms)
 
         def run(state: MultiSamplerState, limits, priors, flux, iunc,
                 waves, rweights, uniforms=None):
             key, sub = jax.random.split(state.key)
             seed = jax.lax.bitcast_convert_type(
                 jax.random.bits(sub, (2,), jnp.uint32), jnp.int32)
-            # (T_*rows_tile, wp); the state0 block spec indexes tile t's
-            # row block (t, 0)
             state0 = self._pack(state.pos, state.naccept)
-            args = [seed, state0, limits, priors, flux, iunc, waves,
-                    rweights]
             if external:
-                args.append(uniforms)
-
-            chain_r, state_f = pl.pallas_call(
-                kernel,
-                grid=(T_, nrecord),
-                out_shape=out_shapes,
-                in_specs=in_specs,
-                out_specs=out_specs,
-                scratch_shapes=scratch,
-                interpret=self.interpret,
-            )(*args)
+                chain_r, state_f = dispatch(seed, state0, limits, priors,
+                                            flux, iunc, waves, rweights,
+                                            uniforms)
+            else:
+                chain_r, state_f = dispatch(seed, state0, limits, priors,
+                                            flux, iunc, waves, rweights)
 
             # chain: (nrecord, T_, rows_tile, wp) -> per-record unpack
-            def unpack_rec(rec):
-                return self._unpack(rec.reshape(T_ * rows_tile, wp))
-            pos_c, lnp_c, _ = jax.vmap(unpack_rec)(chain_r)
+            pos_c, lnp_c, _ = jax.vmap(self._unpack)(chain_r)
             # (nrecord, S, nw, nfree) -> source-major
             chain = pos_c.transpose(1, 0, 2, 3)
             lnpchain = lnp_c.transpose(1, 0, 2)
 
-            pos_f, lnp_f, acc_f = self._unpack(
-                state_f.reshape(T_ * rows_tile, wp))
+            pos_f, lnp_f, acc_f = self._unpack(state_f)
             new_state = MultiSamplerState(
                 key=key, pos=pos_f, lnp=lnp_f, naccept=acc_f,
                 nsteps=state.nsteps + nrecord * thin)

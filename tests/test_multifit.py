@@ -203,3 +203,22 @@ def test_multifit_response_mode():
         err = np.maximum(cen[:, 1], cen[:, 2])
         pull = np.abs(cen[:, 0] - trues[:, pi]) / np.maximum(err, 1e-9)
         assert np.all(pull < 5.0), (name, cen[:, 0], trues[:, pi])
+
+
+def test_batch_hdf5_roundtrip(fitted, tmp_path):
+    mf = fitted
+    path = str(tmp_path / "batch.h5")
+    mf.writeToHDF5(path, thin=2)
+    back = MultiFitter.from_h5(path)
+    assert back.nsources == mf.nsources
+    assert back.chain_free.shape[1] == mf.chain_free.shape[1] // 2
+    # thinned summaries agree within MC error
+    a = mf.par_cen("T")
+    b = back.par_cen("T")
+    np.testing.assert_allclose(b[:, 0], a[:, 0], rtol=0.05)
+    # full analysis surface works on the restored object
+    z = np.array([1.0, 2.0, 2.5, 3.0])
+    lir = back.compute_lir(z, thin=4)
+    assert np.all(lir > 0)
+    res = back.results(1, redshift=2.0)
+    assert np.isfinite(res.par_cen("beta")).all()

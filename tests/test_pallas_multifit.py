@@ -177,3 +177,39 @@ def test_set_data_refreshes_kernel_operands():
     assert not np.allclose(np.asarray(lnp1), np.asarray(lnp2))
     with pytest.raises(ValueError):
         samp.set_data(flux[:, :3], unc[:, :3])   # wrong band count
+
+
+def test_mesh_sharded_fused_matches_single_device():
+    """Source tiles shard over a mesh via shard_map around the kernel;
+    with external uniforms the sharded run must reproduce the
+    single-device kernel exactly."""
+    from mbb_emcee_tpu.parallel import walker_mesh
+
+    nsources = 64                      # 8 tiles -> 1 per device
+    shape, spec, trues, flux, unc = _problem(nsources)
+    mesh = walker_mesh(8)
+
+    def build(mesh_arg):
+        samp = FusedMultiPallasSampler(8, WAVE, flux, unc, shape, spec,
+                                       interpret=True, rng="external",
+                                       mesh=mesh_arg)
+        p0 = jnp.broadcast_to(
+            jnp.asarray(trues[:, samp.free_space.free_idx],
+                        jnp.float32)[:, None, :],
+            (nsources, 8, samp.ndim)) * jnp.linspace(
+                0.9, 1.1, 8)[None, :, None]
+        state = samp.init_state(jax.random.key(1), p0)
+        rng = np.random.default_rng(6)
+        u = jnp.asarray(rng.uniform(
+            0.001, 0.999, (samp.ntiles, 2, 6 * samp.s_tile, samp.wp))
+            .astype(np.float32))
+        return samp.run_mcmc(state, 2, uniforms=u)
+
+    st_a, chain_a, lnp_a = build(None)
+    st_b, chain_b, lnp_b = build(mesh)
+    np.testing.assert_allclose(np.asarray(chain_a), np.asarray(chain_b),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lnp_a), np.asarray(lnp_b),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(st_a.naccept),
+                                  np.asarray(st_b.naccept))

@@ -137,3 +137,48 @@ def test_log_flux_finite_over_prior_box():
     shape = MBBShape()
     out = jax.vmap(lambda p: log_mbb_fnu(p, lam, shape))(jnp.array(thetas))
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_merge_solve_prior_box_corners():
+    """The hybrid merge solve must stay accurate at the DEFAULT prior-box
+    corners -- the tau transition becomes cliff-like at the beta ceiling,
+    which random sweeps under-sample (a 2-bisection variant passed an
+    8000-point random sweep but erred 0.14 at a corner)."""
+    import itertools
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scipy.optimize import brentq
+    from mbb_emcee_tpu.models.modified_blackbody import merge_log_x
+    from mbb_emcee_tpu.constants import HCOK_UM_K
+
+    corners = dict(beta=[0.01, 2.0, 20.0], alpha=[0.01, 10.0, 60.0],
+                   T=[0.1, 30.0, 1000.0], lam0=[1.0, 2000.0, 2e4])
+    combos = list(itertools.product(*corners.values()))
+    b = np.array([c[0] for c in combos])
+    a = np.array([c[1] for c in combos])
+    T = np.array([c[2] for c in combos])
+    l0 = np.array([c[3] for c in combos])
+    log_x0 = np.log(HCOK_UM_K) - np.log(l0) - np.log(T)
+
+    def dlns(u, bb, lx0):
+        x = np.exp(u)
+        q = x / (-np.expm1(-x)) if x > 1e-8 else 1 + x / 2
+        e = bb * (u - lx0)
+        tau = np.exp(min(e, 700))
+        if tau <= 1e-8:
+            h = 1 - tau / 2
+        elif tau < 700:
+            h = tau / np.expm1(tau)
+        else:
+            h = 0.0
+        return 3 + bb * h - q
+
+    f = jax.jit(jax.vmap(lambda bb, lx, aa: merge_log_x(bb, lx, aa, False)))
+    got = np.asarray(f(jnp.asarray(b, jnp.float32),
+                       jnp.asarray(log_x0, jnp.float32),
+                       jnp.asarray(a, jnp.float32)), np.float64)
+    for i in range(len(b)):
+        want = brentq(lambda u: dlns(u, b[i], log_x0[i]) + a[i],
+                      np.log(1e-3), np.log(1e4), xtol=1e-13)
+        assert abs(got[i] - want) < 1e-5, (b[i], a[i], T[i], l0[i])
