@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
 
 from mbb_emcee_tpu.constants import HCOK_UM_K, NPARAMS
 from mbb_emcee_tpu.ops.pallas_lnprob import (

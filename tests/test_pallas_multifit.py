@@ -189,15 +189,16 @@ def test_mesh_sharded_fused_matches_single_device():
     shape, spec, trues, flux, unc = _problem(nsources)
     mesh = walker_mesh(8)
 
+    nw = 16                            # smallest even count >= 2*ndim
     def build(mesh_arg):
-        samp = FusedMultiPallasSampler(8, WAVE, flux, unc, shape, spec,
+        samp = FusedMultiPallasSampler(nw, WAVE, flux, unc, shape, spec,
                                        interpret=True, rng="external",
                                        mesh=mesh_arg)
         p0 = jnp.broadcast_to(
             jnp.asarray(trues[:, samp.free_space.free_idx],
                         jnp.float32)[:, None, :],
-            (nsources, 8, samp.ndim)) * jnp.linspace(
-                0.9, 1.1, 8)[None, :, None]
+            (nsources, nw, samp.ndim)) * jnp.linspace(
+                0.9, 1.1, nw)[None, :, None]
         state = samp.init_state(jax.random.key(1), p0)
         rng = np.random.default_rng(6)
         u = jnp.asarray(rng.uniform(
