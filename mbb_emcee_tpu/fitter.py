@@ -44,6 +44,8 @@ class MBBFitter(ParamSpaceMixin):
                  prng_impl="rbg", lnprob_backend="xla",
                  sampler_backend="auto"):
         del nthreads  # walker parallelism is on-device (see module docstring)
+        from mbb_emcee_tpu.utils.compilecache import enable_persistent_cache
+        enable_persistent_cache()
         self.nwalkers = int(nwalkers)
         self.shape = MBBShape(opthin=bool(opthin), noalpha=bool(noalpha),
                               wavenorm=float(wavenorm))

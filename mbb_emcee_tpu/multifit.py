@@ -76,6 +76,8 @@ class MultiFitter(ParamSpaceMixin):
         if sampler_backend not in ("auto", "xla", "fused"):
             raise ValueError(
                 "sampler_backend must be 'auto', 'xla' or 'fused'")
+        from mbb_emcee_tpu.utils.compilecache import enable_persistent_cache
+        enable_persistent_cache()
         self.sampler_backend = sampler_backend
         self.nwalkers = int(nwalkers)
         self.shape = MBBShape(opthin=bool(opthin), noalpha=bool(noalpha),

@@ -1,0 +1,62 @@
+"""Persistent JAX compilation cache, enabled by default.
+
+The fused Pallas sampler programs take minutes to compile on TPU (the
+Mosaic pass dominates; XLA itself is ~1 s), while the cached executable
+reloads in ~1 s. The reference has no compile step at all, so a cold-start
+penalty of minutes per process would be a real regression for CLI users —
+this module points JAX's persistent compilation cache at a per-user
+directory so only the FIRST run of a given program shape ever pays it.
+
+Respects user configuration:
+  * if `jax_compilation_cache_dir` is already set (via jax.config or the
+    JAX_COMPILATION_CACHE_DIR env var), nothing is touched;
+  * MBB_EMCEE_TPU_COMPILE_CACHE overrides the default location;
+  * MBB_EMCEE_TPU_NO_COMPILE_CACHE=1 disables entirely.
+
+The min-compile-time threshold is lowered because the slow Mosaic pass is
+NOT part of the XLA wall-clock JAX compares against its default 1 s
+threshold — the executables that matter here report <1 s compiles and
+would otherwise never be written.
+"""
+
+from __future__ import annotations
+
+import os
+
+_done = False
+
+
+def enable_persistent_cache(path: str | None = None) -> bool:
+    """Idempotently enable the persistent compilation cache.
+
+    Returns True if the cache is active (whether enabled here or already
+    configured by the user), False if disabled or unavailable.
+    """
+    global _done
+    if os.environ.get("MBB_EMCEE_TPU_NO_COMPILE_CACHE"):
+        return False
+    if _done:
+        return True
+    import jax
+
+    try:
+        current = jax.config.jax_compilation_cache_dir
+    except AttributeError:      # very old/new jax: don't fight it
+        return False
+    if current:
+        _done = True            # user already configured a cache
+        return True
+
+    cache_dir = (path
+                 or os.environ.get("MBB_EMCEE_TPU_COMPILE_CACHE")
+                 or os.path.join(os.path.expanduser("~"), ".cache",
+                                 "mbb_emcee_tpu", "jax"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        return False
+    _done = True
+    return True
