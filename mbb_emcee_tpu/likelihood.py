@@ -219,32 +219,35 @@ def build_lnprob(phot: Photometry, shape: MBBShape, spec: LikelihoodSpec,
     scatter_np = np.zeros((NPARAMS, nfree))
     scatter_np[free_idx, np.arange(nfree)] = 1.0
 
-    template = jnp.asarray(template_np, dtype)
-    scatter = jnp.asarray(scatter_np, dtype)
-    lo_free = jnp.asarray(spec.lower[free_idx], dtype)
-    hi_free = jnp.asarray(spec.upper[free_idx], dtype)
-    lo_full = jnp.asarray(spec.lower, dtype)
-    hi_full = jnp.asarray(spec.upper, dtype)
+    # Closure constants stay HOST numpy: a jnp closure constant must be
+    # fetched device->host at trace time to inline as an MLIR constant
+    # (~1 s per array over this environment's TPU tunnel).
+    template = np.asarray(template_np, dtype)
+    scatter = np.asarray(scatter_np, dtype)
+    lo_free = np.asarray(spec.lower[free_idx], dtype)
+    hi_free = np.asarray(spec.upper[free_idx], dtype)
+    lo_full = np.asarray(spec.lower, dtype)
+    hi_full = np.asarray(spec.upper, dtype)
 
-    data_flux = jnp.asarray(phot.flux, dtype)
-    data_wave = jnp.asarray(phot.wave, dtype)
+    data_flux = np.asarray(phot.flux, dtype)
+    data_wave = np.asarray(phot.wave, dtype)
 
     # Whitening operator, precomputed host-side in fp64 (SURVEY.md C3
     # "Cholesky precomputed once").
     if phot.cov is not None:
         chol = np.linalg.cholesky(phot.cov)
         whiten_np = np.linalg.inv(chol)          # r = L^-1 Delta
-        whiten = jnp.asarray(whiten_np, dtype)
+        whiten = np.asarray(whiten_np, dtype)
         diag_iunc = None
     else:
         whiten = None
-        diag_iunc = jnp.asarray(1.0 / phot.unc, dtype)
+        diag_iunc = np.asarray(1.0 / phot.unc, dtype)
 
-    prior_mean = jnp.asarray(spec.prior_mean, dtype)
-    prior_isig = jnp.asarray(spec.prior_isigma, dtype)
+    prior_mean = np.asarray(spec.prior_mean, dtype)
+    prior_isig = np.asarray(spec.prior_isigma, dtype)
 
     if spec.uplim_bands is not None and spec.uplim_bands.any():
-        uplim_mask = jnp.asarray(spec.uplim_bands.astype(np.float32), dtype)
+        uplim_mask = np.asarray(spec.uplim_bands.astype(np.float32), dtype)
         det_mask = 1.0 - uplim_mask
     else:
         uplim_mask = None
@@ -300,7 +303,7 @@ def build_lnprob_data(shape: MBBShape, spec: LikelihoodSpec,
     if nfree == 0:
         raise ValueError("all parameters are fixed; nothing to sample")
     if spec.uplim_bands is not None and spec.uplim_bands.any():
-        uplim_mask = jnp.asarray(spec.uplim_bands.astype(np.float64), dtype)
+        uplim_mask = np.asarray(spec.uplim_bands.astype(np.float64), dtype)
         det_mask = 1.0 - uplim_mask
     else:
         uplim_mask = det_mask = None
@@ -308,14 +311,16 @@ def build_lnprob_data(shape: MBBShape, spec: LikelihoodSpec,
     template_np = np.where(spec.fixed, spec.fixed_values, 0.0)
     scatter_np = np.zeros((NPARAMS, nfree))
     scatter_np[free_idx, np.arange(nfree)] = 1.0
-    template = jnp.asarray(template_np, dtype)
-    scatter = jnp.asarray(scatter_np, dtype)
-    lo_free = jnp.asarray(spec.lower[free_idx], dtype)
-    hi_free = jnp.asarray(spec.upper[free_idx], dtype)
-    lo_full = jnp.asarray(spec.lower, dtype)
-    hi_full = jnp.asarray(spec.upper, dtype)
-    prior_mean = jnp.asarray(spec.prior_mean, dtype)
-    prior_isig = jnp.asarray(spec.prior_isigma, dtype)
+    # Host numpy closures: see build_lnprob (device constants cost a
+    # device->host fetch per array at trace time).
+    template = np.asarray(template_np, dtype)
+    scatter = np.asarray(scatter_np, dtype)
+    lo_free = np.asarray(spec.lower[free_idx], dtype)
+    hi_free = np.asarray(spec.upper[free_idx], dtype)
+    lo_full = np.asarray(spec.lower, dtype)
+    hi_full = np.asarray(spec.upper, dtype)
+    prior_mean = np.asarray(spec.prior_mean, dtype)
+    prior_isig = np.asarray(spec.prior_isigma, dtype)
 
     if response_pack is not None:
         resp_waves, resp_weights = response_pack

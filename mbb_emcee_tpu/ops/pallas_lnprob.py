@@ -260,8 +260,12 @@ def prepare_lnprob_inputs(phot, shape, spec, response_pack=None):
     """Shared setup for the Pallas lnprob-based kernels: static config,
     constant kernel operands, and the free-space <-> full-theta maps.
 
-    Returns (cfg, consts, free_space) where consts holds jnp arrays
-    (limits, priors, flux, whiten, waves, rweights, template, scatter).
+    Returns (cfg, consts, free_space) where consts holds HOST numpy arrays
+    (limits, priors, flux, whiten, waves, rweights, template, scatter) --
+    numpy so that closing over them under jit inlines them as MLIR
+    constants without a device->host fetch (~1 s per array over this
+    environment's TPU tunnel); callers that pass them as jit ARGUMENTS
+    (the fused samplers) device_put them once themselves.
     """
     from mbb_emcee_tpu.likelihood import build_lnprob  # free_space reuse
 
@@ -269,20 +273,20 @@ def prepare_lnprob_inputs(phot, shape, spec, response_pack=None):
                                  response_pack=response_pack)
     free_idx = free_space.free_idx
     nfree = free_idx.size
-    template = jnp.asarray(free_space.template, jnp.float32)
+    template = np.asarray(free_space.template, np.float32)
     scatter_np = np.zeros((NPARAMS, nfree), np.float32)
     scatter_np[free_idx, np.arange(nfree)] = 1.0
-    scatter = jnp.asarray(scatter_np)
+    scatter = scatter_np
 
     nb = phot.nbands
     if response_pack is not None:
         waves, rweights = response_pack
-        waves = waves.astype(jnp.float32)
-        rweights = rweights.astype(jnp.float32)
+        waves = np.asarray(waves, np.float32)
+        rweights = np.asarray(rweights, np.float32)
         response = True
     else:
-        waves = jnp.asarray(phot.wave, jnp.float32)[:, None]
-        rweights = jnp.ones((nb, 1), jnp.float32)
+        waves = np.asarray(phot.wave, np.float32)[:, None]
+        rweights = np.ones((nb, 1), np.float32)
         response = False
 
     if phot.cov is not None:
@@ -318,14 +322,14 @@ def prepare_lnprob_inputs(phot, shape, spec, response_pack=None):
                wavenorm=shape.wavenorm, uplim=uplim)
 
     consts = dict(
-        limits=jnp.asarray(lim), priors=jnp.asarray(pri),
-        flux=jnp.asarray(phot.flux, jnp.float32),
-        whiten=jnp.asarray(whiten_np, jnp.float32),
+        limits=lim, priors=pri,
+        flux=np.asarray(phot.flux, np.float32),
+        whiten=np.asarray(whiten_np, np.float32),
         # flattened (R, 1) node grids for the single-source kernels
         # (Mosaic cannot reshape in-kernel); the multi-source kernel uses
         # the (nb, nnodes) layout from its own constructor instead.
-        waves=jnp.reshape(waves, (nb * nnodes, 1)),
-        rweights=jnp.reshape(rweights, (nb * nnodes, 1)),
+        waves=np.reshape(waves, (nb * nnodes, 1)),
+        rweights=np.reshape(rweights, (nb * nnodes, 1)),
         template=template, scatter=scatter)
     return cfg, consts, free_space
 

@@ -327,10 +327,13 @@ class FusedMultiPallasSampler:
         pri[1, :NPARAMS] = spec.prior_isigma
         self._limits = jnp.asarray(lim)
         self._priors = jnp.asarray(pri)
-        self._template = jnp.asarray(self.free_space.template, jnp.float32)
+        # Closure-only constants stay HOST numpy (a jnp closure constant
+        # is fetched device->host at trace time; ~1 s per array over the
+        # TPU tunnel). _limits/_priors/_flux/... are jit ARGUMENTS.
+        self._template = np.asarray(self.free_space.template, np.float32)
         scat = np.zeros((NPARAMS, self.ndim), np.float32)
         scat[self.free_space.free_idx, np.arange(self.ndim)] = 1.0
-        self._scatter = jnp.asarray(scat)
+        self._scatter = scat
 
         uplim = ((False,) * nb if spec.uplim_bands is None
                  else tuple(bool(u) for u in spec.uplim_bands))
@@ -418,7 +421,7 @@ class FusedMultiPallasSampler:
         q = state_rows.reshape(T_, 2, _NQ, st, self.wp)
         q = q.transpose(1, 2, 0, 3, 4).reshape(2, _NQ, self.s_pad, self.wp)
         q = q[..., :self.half]                       # strip lane pad
-        free_idx = jnp.asarray(self.free_space.free_idx)
+        free_idx = self.free_space.free_idx          # host numpy index
         pos = jnp.concatenate([q[0, free_idx], q[1, free_idx]],
                               axis=-1)               # (nfree, S, nw)
         pos = pos.transpose(1, 2, 0)[:self.nsources]

@@ -189,7 +189,11 @@ class FusedPallasSampler:
         cfg, consts, free_space = prepare_lnprob_inputs(
             phot, shape, spec, response_pack=response_pack)
         self.cfg = cfg
-        self.consts = consts
+        # Host copies feed closure constants (no trace-time device fetch);
+        # the device copies are the kernel's jit ARGUMENTS (constant
+        # operands to a pallas_call are poison -- see _make_run).
+        self.np_consts = consts
+        self.consts = {k: jnp.asarray(v) for k, v in consts.items()}
         self.free_space = free_space
         self.ndim = free_space.nfree
         if nwalkers < 2 * self.ndim:
@@ -227,8 +231,8 @@ class FusedPallasSampler:
         """(half, nfree) free positions + (half,) lnp/acc -> packed (8, wp)
         block. Pad lanes replicate walker 0 (they must stay finite through
         the kernel's matmul gather)."""
-        template = self.consts["template"]
-        scatter = self.consts["scatter"]
+        template = self.np_consts["template"]
+        scatter = self.np_consts["scatter"]
         full = template[None, :] + pos_half @ scatter.T        # (half, 5)
         pad = self.wp - self.half
         rows = jnp.concatenate(
@@ -239,7 +243,7 @@ class FusedPallasSampler:
 
     def _unpack_half(self, block):
         """Packed (8, wp) block -> (pos (half, nfree), lnp, acc)."""
-        free_idx = jnp.asarray(self.free_space.free_idx)
+        free_idx = self.free_space.free_idx          # host numpy index
         pos = block[free_idx, :self.half].T
         lnp = block[_ROW_LNP, :self.half]
         acc = block[_ROW_ACC, :self.half].astype(jnp.int32)
@@ -253,10 +257,10 @@ class FusedPallasSampler:
         kernel = _make_sampler_kernel(
             cfg, nfree=nfree, half=half, wp=wp, thin=thin, a=self.a,
             external_rng=external)
-        consts = self.consts
+        consts = self.np_consts
         nb = int(consts["flux"].shape[0])
         nrows = int(consts["waves"].shape[0])   # flattened (R, 1) grids
-        free_idx = jnp.asarray(self.free_space.free_idx)
+        free_idx = self.free_space.free_idx     # host numpy index
 
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),               # seed

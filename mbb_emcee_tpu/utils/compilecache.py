@@ -56,6 +56,14 @@ def enable_persistent_cache(path: str | None = None) -> bool:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # Keep caller stack frames OUT of MLIR location metadata: the
+        # Pallas kernel body is embedded in the XLA module as an opaque
+        # serialized payload, so call-site locations inside it defeat the
+        # cache key (the same fit launched from the CLI vs a script vs a
+        # notebook cell would each recompile from scratch, minutes per
+        # program here). Op locations still carry the defining source
+        # line, just not the user-side call stack.
+        jax.config.update("jax_traceback_in_locations_limit", 0)
     except Exception:
         return False
     _done = True
