@@ -242,6 +242,31 @@ class ModifiedBlackbody:
         wave = jnp.atleast_1d(jnp.asarray(wave, dtype=jnp.float32))
         return self._fn(self._params, wave)
 
+    def freq_integrate(self, minwave, maxwave, nnodes=128):
+        """Integral of f_nu d nu over observer-frame wavelengths in
+        [minwave, maxwave] micron, in units of fnorm * Hz (ref: the
+        modified_blackbody frequency-integration helper used by L_IR,
+        SURVEY.md C1/3.2). Fixed-node Gauss-Legendre in ln-lambda; the
+        large c constant is applied as an fp64 host prefactor."""
+        from mbb_emcee_tpu.ops.quadrature import loglam_nodes
+        from mbb_emcee_tpu.constants import C_UM_HZ
+        lam, w = loglam_nodes(int(nnodes), float(minwave), float(maxwave))
+        f = np.asarray(self(lam.astype(np.float32)), np.float64)
+        # int f dnu = int f * (c / lambda^2) dlambda
+        return float(C_UM_HZ * np.sum(w / lam ** 2 * f))
+
+    def peak_lambda(self, lo=1.0, hi=5.0e4, iters=64):
+        """Observer-frame wavelength (micron) of the f_nu maximum, via the
+        same fixed-iteration golden-section the results layer batches."""
+        from mbb_emcee_tpu.ops.rootfind import golden_max
+
+        def log_flux(u):
+            return log_mbb_fnu(self._params, jnp.exp(u), self._shape)
+
+        um, _ = golden_max(log_flux, float(np.log(lo)), float(np.log(hi)),
+                           iters=int(iters))
+        return float(jnp.exp(um))
+
     def merge_x(self):
         """x value of the Wien-side merge point (None if noalpha)."""
         if self._shape.noalpha:

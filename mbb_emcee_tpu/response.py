@@ -181,10 +181,11 @@ class ResponseSet:
     def pack(self, names):
         """Pad the named bands to a common node count.
 
-        Returns (waves, weights) jnp arrays of shape (nbands, nmax); padded
-        entries carry weight 0 and a harmless wavelength so the SED eval
-        stays finite. This is the device-side representation the likelihood
-        contracts against.
+        Returns (waves, weights) HOST float32 arrays of shape (nbands, nmax);
+        padded entries carry weight 0 and a harmless wavelength so the SED
+        eval stays finite. This is the representation the likelihood
+        contracts against (kept numpy so closing over it under jit needs no
+        device->host fetch; see utils/compilecache.py).
         """
         rs = [self[n] for n in names]
         nmax = max(r.wave.size for r in rs)
@@ -193,5 +194,4 @@ class ResponseSet:
         for i, r in enumerate(rs):
             waves[i, :r.wave.size] = r.wave
             wts[i, :r.wave.size] = r.weights
-        return (jnp.asarray(waves, dtype=jnp.float32),
-                jnp.asarray(wts, dtype=jnp.float32))
+        return waves.astype(np.float32), wts.astype(np.float32)

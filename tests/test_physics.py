@@ -182,3 +182,38 @@ def test_merge_solve_prior_box_corners():
         want = brentq(lambda u: dlns(u, b[i], log_x0[i]) + a[i],
                       np.log(1e-3), np.log(1e4), xtol=1e-13)
         assert abs(got[i] - want) < 1e-5, (b[i], a[i], T[i], l0[i])
+
+
+def test_freq_integrate_matches_adaptive_quad():
+    """ModifiedBlackbody.freq_integrate (GL in ln-lambda) vs the fp64
+    oracle under adaptive QUADPACK (ref: the reference's freq-integration
+    helper feeding L_IR, SURVEY.md C1/3.2)."""
+    import scipy.integrate as si
+    from mbb_emcee_tpu.models.modified_blackbody import ModifiedBlackbody
+    from mbb_emcee_tpu.constants import C_UM_HZ
+
+    for theta, opthin in [((35.0, 1.9, 250.0, 3.5, 40.0), False),
+                          ((20.0, 1.2, 100.0, 2.5, 10.0), True)]:
+        m = ModifiedBlackbody(*theta, opthin=opthin)
+        got = m.freq_integrate(8.0, 1000.0)
+        o = ModifiedBlackbodyOracle(*theta, opthin=opthin)
+        want, _ = si.quad(
+            lambda lam: o(np.array([lam]))[0] * C_UM_HZ / lam ** 2,
+            8.0, 1000.0, limit=200)
+        assert abs(got - want) / want < 1e-3
+
+
+def test_peak_lambda_matches_scalar_optimizer():
+    from scipy.optimize import minimize_scalar
+    from mbb_emcee_tpu.models.modified_blackbody import ModifiedBlackbody
+
+    theta = (35.0, 1.9, 250.0, 3.5, 40.0)
+    m = ModifiedBlackbody(*theta)
+    got = m.peak_lambda()
+    o = ModifiedBlackbodyOracle(*theta)
+    res = minimize_scalar(lambda u: -o(np.array([np.exp(u)]))[0],
+                          bounds=(np.log(10.0), np.log(3000.0)),
+                          method="bounded",
+                          options={"xatol": 1e-10})
+    want = float(np.exp(res.x))
+    assert abs(got - want) / want < 1e-3
