@@ -68,11 +68,15 @@ def bench_cpu(flux, unc, nsteps=24):
     return NWALKERS * nsteps / best
 
 
-def bench_tpu(flux, unc, nsteps=30000):
-    """Fused-Pallas-sampler throughput: the entire nsteps-step run is ONE
-    kernel launch (ops/pallas_sampler.py). The long run amortizes this
-    environment's fixed ~25 ms per-execution dispatch cost so the number
-    reflects steady-state kernel throughput."""
+def bench_tpu(flux, unc, n_short=50000, n_long=450000):
+    """Fused-Pallas-sampler MARGINAL throughput: the entire run is ONE
+    kernel launch (ops/pallas_sampler.py), timed at two run lengths and
+    differenced to remove this environment's fixed per-execution cost
+    (~25-150 ms of tunneled dispatch).
+
+    Every timed execution starts from a freshly-evolved state: the
+    tunnel memoizes (program, inputs) pairs, so re-executing on identical
+    inputs measures its result cache (microseconds), not the TPU."""
     import jax
     from mbb_emcee_tpu.models.modified_blackbody import MBBShape
     from mbb_emcee_tpu.likelihood import Photometry, LikelihoodSpec
@@ -93,16 +97,24 @@ def bench_tpu(flux, unc, nsteps=30000):
                            fs.lower, fs.upper)
     state = sampler.init_state(jax.random.key(3, impl="rbg"), p0)
 
-    # Warm-up: compile the run loop and run it once.
-    state = sampler.advance(state, nsteps)
-    jax.block_until_ready(state.pos_a)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = sampler.advance(state, nsteps)
-        jax.block_until_ready(out.pos_a)
-        best = min(best, time.perf_counter() - t0)
-    return NWALKERS * nsteps / best
+    def timed(n, reps=5):
+        # Sync by FETCHING to host: through the tunneled TPU,
+        # block_until_ready returns before the computation finishes
+        # (measured: a 400k-step run "completed" in 0.3 ms but took
+        # 519 ms to a host fetch).
+        nonlocal state
+        state = sampler.advance(state, n)        # compile + warm, new state
+        np.asarray(state.pos_a)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            state = sampler.advance(state, n)    # chained: inputs all fresh
+            np.asarray(state.pos_a)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    t_short, t_long = timed(n_short), timed(n_long)
+    return NWALKERS * (n_long - n_short) / max(t_long - t_short, 1e-9)
 
 
 def main():

@@ -27,7 +27,16 @@ _SCHEMA_VERSION = 1
 
 
 def write_results(filename, res):
+    """Write to a new file, or into an open h5py Group (the batched
+    multi-source writer stores one source per group)."""
+    if isinstance(filename, (h5py.File, h5py.Group)):
+        _write_results_group(filename, res)
+        return
     with h5py.File(filename, "w") as f:
+        _write_results_group(f, res)
+
+
+def _write_results_group(f, res):
         f.attrs["schema_version"] = _SCHEMA_VERSION
         f.attrs["package"] = "mbb_emcee_tpu"
         f.attrs["param_names"] = np.array(
@@ -86,58 +95,65 @@ def write_results(filename, res):
 
 
 def read_results(filename):
-    """Read back into a dict of MBBResults attribute values."""
+    """Read back into a dict of MBBResults attribute values. Accepts a
+    filename or an open h5py Group (one source of a batched file)."""
+    if isinstance(filename, (h5py.File, h5py.Group)):
+        return _read_results_group(filename)
+    with h5py.File(filename, "r") as f:
+        return _read_results_group(f)
+
+
+def _read_results_group(f):
     from mbb_emcee_tpu.models.modified_blackbody import MBBShape
     from mbb_emcee_tpu.likelihood import Photometry, LikelihoodSpec
 
     out = {}
-    with h5py.File(filename, "r") as f:
-        out["nwalkers"] = int(f.attrs["nwalkers"])
-        out["thin"] = int(f.attrs["thin"])
-        out["shape"] = MBBShape(opthin=bool(f.attrs["opthin"]),
-                                noalpha=bool(f.attrs["noalpha"]),
-                                wavenorm=float(f.attrs["wavenorm"]))
-        z = float(f.attrs["redshift"])
-        out["redshift"] = None if np.isnan(z) else z
-        dl = float(f.attrs["lumdist"])
-        out["lumdist"] = None if np.isnan(dl) else dl
-        cname = f.attrs["cosmology"]
-        cname = cname.decode() if isinstance(cname, bytes) else str(cname)
-        out["cosmology_name"] = cname or None
+    out["nwalkers"] = int(f.attrs["nwalkers"])
+    out["thin"] = int(f.attrs["thin"])
+    out["shape"] = MBBShape(opthin=bool(f.attrs["opthin"]),
+                            noalpha=bool(f.attrs["noalpha"]),
+                            wavenorm=float(f.attrs["wavenorm"]))
+    z = float(f.attrs["redshift"])
+    out["redshift"] = None if np.isnan(z) else z
+    dl = float(f.attrs["lumdist"])
+    out["lumdist"] = None if np.isnan(dl) else dl
+    cname = f.attrs["cosmology"]
+    cname = cname.decode() if isinstance(cname, bytes) else str(cname)
+    out["cosmology_name"] = cname or None
 
-        out["chain"] = np.asarray(f["Chain"], np.float64)
-        out["lnprobability"] = np.asarray(f["LogLike"], np.float64)
-        out["acceptance_fraction"] = np.asarray(f["AcceptanceFraction"],
-                                                np.float64)
+    out["chain"] = np.asarray(f["Chain"], np.float64)
+    out["lnprobability"] = np.asarray(f["LogLike"], np.float64)
+    out["acceptance_fraction"] = np.asarray(f["AcceptanceFraction"],
+                                            np.float64)
 
-        ph = f["Photometry"]
-        names = None
-        if "BandNames" in ph:
-            names = [n.decode() for n in np.asarray(ph["BandNames"])]
-        out["phot"] = Photometry(
-            np.asarray(ph["Wave"]), np.asarray(ph["Flux"]),
-            np.asarray(ph["FluxUnc"]),
-            cov=np.asarray(ph["Cov"]) if "Cov" in ph else None,
-            band_names=names)
+    ph = f["Photometry"]
+    names = None
+    if "BandNames" in ph:
+        names = [n.decode() for n in np.asarray(ph["BandNames"])]
+    out["phot"] = Photometry(
+        np.asarray(ph["Wave"]), np.asarray(ph["Flux"]),
+        np.asarray(ph["FluxUnc"]),
+        cov=np.asarray(ph["Cov"]) if "Cov" in ph else None,
+        band_names=names)
 
-        pc = f["ParamConfig"]
-        out["param_spec"] = LikelihoodSpec(
-            lower=np.asarray(pc["Lower"]),
-            upper=np.asarray(pc["Upper"]),
-            fixed=np.asarray(pc["Fixed"]).astype(bool),
-            fixed_values=np.asarray(pc["FixedValues"]),
-            prior_mean=np.asarray(pc["PriorMean"]),
-            prior_isigma=np.asarray(pc["PriorInvSigma"]),
-            uplim_bands=(np.asarray(pc["PhotUpperLimits"]).astype(bool)
-                         if "PhotUpperLimits" in pc else None))
-        out["param_init"] = np.asarray(pc["Initial"])
+    pc = f["ParamConfig"]
+    out["param_spec"] = LikelihoodSpec(
+        lower=np.asarray(pc["Lower"]),
+        upper=np.asarray(pc["Upper"]),
+        fixed=np.asarray(pc["Fixed"]).astype(bool),
+        fixed_values=np.asarray(pc["FixedValues"]),
+        prior_mean=np.asarray(pc["PriorMean"]),
+        prior_isigma=np.asarray(pc["PriorInvSigma"]),
+        uplim_bands=(np.asarray(pc["PhotUpperLimits"]).astype(bool)
+                     if "PhotUpperLimits" in pc else None))
+    out["param_init"] = np.asarray(pc["Initial"])
 
-        for name, attr, meta_attr in (
-                ("LIR", "lir_chain", "lir_meta"),
-                ("DustMass", "dustmass_chain", "dustmass_meta"),
-                ("PeakLambda", "peaklambda_chain", None)):
-            if name in f:
-                out[attr] = np.asarray(f[name])
-                if meta_attr:
-                    out[meta_attr] = dict(f[name].attrs)
+    for name, attr, meta_attr in (
+            ("LIR", "lir_chain", "lir_meta"),
+            ("DustMass", "dustmass_chain", "dustmass_meta"),
+            ("PeakLambda", "peaklambda_chain", None)):
+        if name in f:
+            out[attr] = np.asarray(f[name])
+            if meta_attr:
+                out[meta_attr] = dict(f[name].attrs)
     return out

@@ -347,11 +347,18 @@ def build_pallas_lnprob(phot, shape, spec, response_pack=None,
     kernel = _make_kernel(cfg)
     template = consts["template"]
     scatter = consts["scatter"]
-    limits, priors = consts["limits"], consts["priors"]
-    flux, whiten = consts["flux"], consts["whiten"]
-    waves, rweights = consts["waves"], consts["rweights"]
 
-    def call_kernel(theta_t):
+    # Kernel operands are jit ARGUMENTS, never closure constants: a
+    # pallas_call with XLA-constant operands is catastrophically slow both
+    # to run (~600x/step, see pallas_sampler._make_run) and to COMPILE
+    # (measured 381 s vs 1 s for this kernel on the tunneled TPU).
+    dev_consts = tuple(
+        jnp.asarray(consts[k])
+        for k in ("limits", "priors", "flux", "whiten", "waves",
+                  "rweights"))
+
+    def call_kernel(theta_t, limits, priors, flux, whiten, waves,
+                    rweights):
         w = theta_t.shape[1]
         return pl.pallas_call(
             kernel,
@@ -369,15 +376,21 @@ def build_pallas_lnprob(phot, shape, spec, response_pack=None,
             interpret=interpret,
         )(theta_t, limits, priors, flux, whiten, waves, rweights)
 
-    def lnprob_batched(theta_free):
-        """(n, nfree) -> (n,)"""
+    @jax.jit
+    def _lnprob_jit(theta_free, limits, priors, flux, whiten, waves,
+                    rweights):
         n = theta_free.shape[0]
         pad = (-n) % _LANE
         full = template[None, :] + theta_free @ scatter.T     # (n, 5)
         full = jnp.pad(full, ((0, pad), (0, 3)), constant_values=1.0)
         theta_t = full.T                                       # (8, n+pad)
-        lnp = call_kernel(theta_t)[0]
+        lnp = call_kernel(theta_t, limits, priors, flux, whiten, waves,
+                          rweights)[0]
         return lnp[:n]
+
+    def lnprob_batched(theta_free):
+        """(n, nfree) -> (n,)"""
+        return _lnprob_jit(theta_free, *dev_consts)
 
     lnprob_batched.is_batched = True
     return lnprob_batched, free_space

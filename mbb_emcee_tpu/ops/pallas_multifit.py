@@ -131,6 +131,9 @@ def _make_multi_lnp(cfg):
 
 def _make_multi_kernel(cfg, *, nfree, half, wp, s_tile, thin, a,
                        external_rng):
+    # `thin` is static only in external-rng mode (the uniforms shape
+    # depends on it); in hw mode the kernel reads it from SMEM so one
+    # compiled program serves every burn length of a geometry.
     compute = _make_multi_lnp(cfg)
     d_exp = float(nfree - 1)
     inv_a = 1.0 / a
@@ -138,8 +141,9 @@ def _make_multi_kernel(cfg, *, nfree, half, wp, s_tile, thin, a,
     S = s_tile
     HB = _NQ * S                      # rows per half block
 
-    def kernel(seed_ref, toff_ref, state0_ref, limits_ref, prior_ref,
-               flux_ref, iunc_ref, waves_ref, rweights_ref, *rest):
+    def kernel(seed_ref, thin_ref, toff_ref, state0_ref, limits_ref,
+               prior_ref, flux_ref, iunc_ref, waves_ref, rweights_ref,
+               *rest):
         if external_rng:
             u_ref, chain_ref, state_out_ref, state_scr = rest
         else:
@@ -231,7 +235,8 @@ def _make_multi_kernel(cfg, *, nfree, half, wp, s_tile, thin, a,
             state_scr[HB:, :] = blk_b
             return carry
 
-        jax.lax.fori_loop(0, thin, step, 0)
+        jax.lax.fori_loop(0, thin if external_rng else thin_ref[0],
+                          step, 0, unroll=False)
 
         state = state_scr[:, :]
         chain_ref[0, 0] = state
@@ -448,6 +453,7 @@ class FusedMultiPallasSampler:
 
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),               # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # thin
             pl.BlockSpec(memory_space=pltpu.SMEM),               # toff
             pl.BlockSpec((1, rows_tile, wp), lambda t, i: (t, 0, 0),
                          memory_space=pltpu.VMEM),               # state0
@@ -466,8 +472,8 @@ class FusedMultiPallasSampler:
                              lambda t, i: (t, i, 0, 0),
                              memory_space=pltpu.VMEM))           # uniforms
 
-        def local_call(toff, seed, state0, limits, priors, flux, iunc,
-                       waves, rweights, uniforms=None):
+        def local_call(toff, seed, thin_arr, state0, limits, priors, flux,
+                       iunc, waves, rweights, uniforms=None):
             """One device's pallas_call over its local tiles."""
             tl = state0.shape[0]
             out_shapes = (
@@ -482,8 +488,8 @@ class FusedMultiPallasSampler:
                 pl.BlockSpec((1, rows_tile, wp), lambda t, i: (t, 0, 0),
                              memory_space=pltpu.VMEM),
             )
-            args = [seed, toff, state0, limits, priors, flux, iunc,
-                    waves, rweights]
+            args = [seed, thin_arr, toff, state0, limits, priors, flux,
+                    iunc, waves, rweights]
             if external:
                 args.append(uniforms)
             return pl.pallas_call(
@@ -499,42 +505,43 @@ class FusedMultiPallasSampler:
         if mesh is not None:
             ax = mesh.axis_names[0]
 
-            def sharded_call(seed, state0, limits, priors, flux, iunc,
-                             waves, rweights, uniforms=None):
+            def sharded_call(seed, thin_arr, state0, limits, priors, flux,
+                             iunc, waves, rweights, uniforms=None):
                 toff = (jax.lax.axis_index(ax) * t_local)[None]
-                return local_call(toff.astype(jnp.int32), seed, state0,
-                                  limits, priors, flux, iunc, waves,
-                                  rweights, uniforms)
+                return local_call(toff.astype(jnp.int32), seed, thin_arr,
+                                  state0, limits, priors, flux, iunc,
+                                  waves, rweights, uniforms)
 
             u_specs = ((P(ax, None, None, None),) if external else ())
             dispatch = jax.shard_map(
                 sharded_call, mesh=mesh,
-                in_specs=(P(None), P(ax, None, None), P(None, None),
-                          P(None, None), P(ax, None, None),
-                          P(ax, None, None), P(None, None),
-                          P(None, None)) + u_specs,
+                in_specs=(P(None), P(None), P(ax, None, None),
+                          P(None, None), P(None, None),
+                          P(ax, None, None), P(ax, None, None),
+                          P(None, None), P(None, None)) + u_specs,
                 out_specs=(P(None, ax, None, None), P(ax, None, None)),
                 check_vma=False)
         else:
-            def dispatch(seed, state0, limits, priors, flux, iunc,
-                         waves, rweights, uniforms=None):
-                return local_call(jnp.zeros(1, jnp.int32), seed, state0,
-                                  limits, priors, flux, iunc, waves,
-                                  rweights, uniforms)
+            def dispatch(seed, thin_arr, state0, limits, priors, flux,
+                         iunc, waves, rweights, uniforms=None):
+                return local_call(jnp.zeros(1, jnp.int32), seed, thin_arr,
+                                  state0, limits, priors, flux, iunc,
+                                  waves, rweights, uniforms)
 
-        def run(state: MultiSamplerState, limits, priors, flux, iunc,
-                waves, rweights, uniforms=None):
+        def run(state: MultiSamplerState, thin_arr, limits, priors, flux,
+                iunc, waves, rweights, uniforms=None):
             key, sub = jax.random.split(state.key)
             seed = jax.lax.bitcast_convert_type(
                 jax.random.bits(sub, (2,), jnp.uint32), jnp.int32)
             state0 = self._pack(state.pos, state.naccept)
             if external:
-                chain_r, state_f = dispatch(seed, state0, limits, priors,
-                                            flux, iunc, waves, rweights,
-                                            uniforms)
+                chain_r, state_f = dispatch(seed, thin_arr, state0,
+                                            limits, priors, flux, iunc,
+                                            waves, rweights, uniforms)
             else:
-                chain_r, state_f = dispatch(seed, state0, limits, priors,
-                                            flux, iunc, waves, rweights)
+                chain_r, state_f = dispatch(seed, thin_arr, state0,
+                                            limits, priors, flux, iunc,
+                                            waves, rweights)
 
             # chain: (nrecord, T_, rows_tile, wp) -> per-record unpack
             pos_c, lnp_c, _ = jax.vmap(self._unpack)(chain_r)
@@ -545,7 +552,7 @@ class FusedMultiPallasSampler:
             pos_f, lnp_f, acc_f = self._unpack(state_f)
             new_state = MultiSamplerState(
                 key=key, pos=pos_f, lnp=lnp_f, naccept=acc_f,
-                nsteps=state.nsteps + nrecord * thin)
+                nsteps=state.nsteps + nrecord * thin_arr[0])
             return new_state, chain, lnpchain
 
         return jax.jit(run)
@@ -557,16 +564,18 @@ class FusedMultiPallasSampler:
         if nsteps % thin:
             raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
         nrecord = nsteps // thin
-        ck = (nrecord, thin)
+        # hw mode: one program per nrecord serves every thin value.
+        ck = (nrecord, thin) if self.rng == "external" else (nrecord,)
         if ck not in self._run_cache:
             self._run_cache[ck] = self._make_run(nrecord, thin)
+        thin_arr = jnp.asarray([thin], jnp.int32)
         cargs = (self._limits, self._priors, self._flux, self._iunc,
                  self._waves, self._rweights)
         if self.rng == "external":
             if uniforms is None:
                 raise ValueError("rng='external' requires a uniforms array")
-            return self._run_cache[ck](state, *cargs, uniforms)
-        return self._run_cache[ck](state, *cargs)
+            return self._run_cache[ck](state, thin_arr, *cargs, uniforms)
+        return self._run_cache[ck](state, thin_arr, *cargs)
 
     def advance(self, state: MultiSamplerState, nsteps: int,
                 uniforms=None) -> MultiSamplerState:

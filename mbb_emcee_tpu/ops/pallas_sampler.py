@@ -62,24 +62,26 @@ def _round_up(n, m):
 def _make_sampler_kernel(cfg, *, nfree, half, wp, thin, a, external_rng):
     """Kernel factory. Static: shape config `cfg` (see pallas_lnprob),
     free-dimension count (the z^{d-1} exponent), real walkers per half,
-    padded lane width, steps per record, stretch scale, RNG source."""
+    padded lane width, stretch scale, RNG source.
+
+    Steps per record: STATIC `thin` in external-rng mode (the uniforms
+    operand's shape depends on it), DYNAMIC in hw-rng mode -- the kernel
+    reads it from an SMEM scalar, so one compiled program serves every
+    burn length / thin value of a given geometry (each Mosaic compile
+    costs minutes in this environment)."""
     compute_lnp = _make_lnp_compute(cfg)
     d_exp = float(nfree - 1)
     inv_a = 1.0 / a
     am1 = a - 1.0
 
-    def kernel(seed_ref, state0_ref, limits_ref, prior_ref, flux_ref,
-               whiten_ref, waves_ref, rweights_ref, *rest):
+    def kernel(seed_ref, thin_ref, state0_ref, limits_ref, prior_ref,
+               flux_ref, whiten_ref, waves_ref, rweights_ref, *rest):
         if external_rng:
             u_ref, chain_ref, state_out_ref, state_scr = rest
         else:
             chain_ref, state_out_ref, state_scr = rest
 
         i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _():
-            state_scr[:, :] = state0_ref[:, :]
 
         if not external_rng:
             # Mosaic takes at most two seed words; fold the grid index into
@@ -96,6 +98,20 @@ def _make_sampler_kernel(cfg, *, nfree, half, wp, thin, a, external_rng):
         def lnprob(theta):
             return compute_lnp(theta, limits_ref, prior_ref, flux_ref,
                                whiten_ref, waves_ref, rweights_ref)
+
+        @pl.when(i == 0)
+        def _():
+            # Load the initial state and recompute both halves' lnprob
+            # IN-KERNEL, so callers never need the (expensive-to-compile)
+            # standalone Pallas lnprob program to build a consistent state
+            # -- init_state can store values from the cheap XLA likelihood.
+            st = state0_ref[:, :]
+            for h in range(2):
+                blk = st[h * _NROWS:(h + 1) * _NROWS, :]
+                lnp = lnprob(blk)                              # (1, wp)
+                blk = jnp.where(is_lnp_row,
+                                jnp.broadcast_to(lnp, (_NROWS, wp)), blk)
+                state_scr[h * _NROWS:(h + 1) * _NROWS, :] = blk
 
         def half_update(active, passive, u3):
             """One half-ensemble stretch update on packed (8, wp) blocks.
@@ -151,7 +167,8 @@ def _make_sampler_kernel(cfg, *, nfree, half, wp, thin, a, external_rng):
             state_scr[_NROWS:, :] = block_b
             return carry
 
-        jax.lax.fori_loop(0, thin, step, 0)
+        jax.lax.fori_loop(0, thin if external_rng else thin_ref[0],
+                          step, 0, unroll=False)
 
         state = state_scr[:, :]                               # (16, wp)
         chain_ref[0] = state
@@ -203,12 +220,16 @@ class FusedPallasSampler:
         self.half = self.nwalkers // 2
         self.wp = _round_up(self.half, _LANE)
 
-        # Host-side batched lnprob (for init_state), built from the same
-        # prepared inputs so stored lnp values match the kernel's exactly.
-        from mbb_emcee_tpu.ops.pallas_lnprob import build_pallas_lnprob
-        self.lnprob_batch, _ = build_pallas_lnprob(
-            phot, shape, spec, response_pack=response_pack,
-            interpret=interpret)
+        # Likelihood for init_state's stored lnp values: the portable XLA
+        # build (compiles in ~1 s; the standalone Pallas lnprob program
+        # took minutes of Mosaic compile on this TPU). The kernel
+        # RECOMPUTES both halves' lnprob in-kernel at its first grid step,
+        # so these values never enter the accept rule -- they exist for
+        # user introspection and checkpointing.
+        from mbb_emcee_tpu.likelihood import build_lnprob
+        _lnprob_scalar, _ = build_lnprob(phot, shape, spec,
+                                         response_pack=response_pack)
+        self.lnprob_batch = jax.jit(jax.vmap(_lnprob_scalar))
 
         self._run_cache = {}
 
@@ -251,6 +272,9 @@ class FusedPallasSampler:
 
     # -- the fused run --------------------------------------------------------
     def _make_run(self, nrecord, thin):
+        """Build the jitted run for `nrecord` chain records. `thin` is only
+        compiled in for external-rng mode; in hw mode it is a runtime SMEM
+        scalar and the returned callable takes it as its `thin` argument."""
         cfg = self.cfg
         wp, half, nfree = self.wp, self.half, self.ndim
         external = self.rng == "external"
@@ -264,6 +288,7 @@ class FusedPallasSampler:
 
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),               # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # thin
             pl.BlockSpec((2 * _NROWS, wp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),               # state0
             pl.BlockSpec(memory_space=pltpu.SMEM),               # limits
@@ -292,8 +317,8 @@ class FusedPallasSampler:
         )
         scratch = [pltpu.VMEM((2 * _NROWS, wp), jnp.float32)]
 
-        def run(state: SamplerState, limits, priors, flux, whiten, waves,
-                rweights, uniforms=None):
+        def run(state: SamplerState, thin_arr, limits, priors, flux,
+                whiten, waves, rweights, uniforms=None):
             # The constant operands arrive as jit ARGUMENTS, not closure
             # captures: XLA-constant operands to a pallas_call make the
             # in-kernel loop ~600x slower (measured 9 us/step vs 0.02 --
@@ -310,8 +335,8 @@ class FusedPallasSampler:
                                 state.naccept[half:].astype(jnp.float32)),
             ], axis=0)                                           # (16, wp)
 
-            args = [seed, state0, limits, priors, flux, whiten, waves,
-                    rweights]
+            args = [seed, thin_arr, state0, limits, priors, flux, whiten,
+                    waves, rweights]
             if external:
                 args.append(uniforms)
 
@@ -339,7 +364,7 @@ class FusedPallasSampler:
             new_state = SamplerState(
                 key=key, pos_a=pa, pos_b=pb, lnp_a=la, lnp_b=lb,
                 naccept=jnp.concatenate([aa, ab]),
-                nsteps=state.nsteps + nrecord * thin)
+                nsteps=state.nsteps + nrecord * thin_arr[0])
             return new_state, chain, lnpchain
 
         return jax.jit(run)
@@ -352,17 +377,22 @@ class FusedPallasSampler:
         if nsteps % thin:
             raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
         nrecord = nsteps // thin
-        cache_key = (nrecord, thin)
+        # hw mode: one program per nrecord serves EVERY thin (runtime SMEM
+        # scalar); external mode bakes thin in (uniforms shape).
+        cache_key = (nrecord, thin) if self.rng == "external" \
+            else (nrecord,)
         if cache_key not in self._run_cache:
             self._run_cache[cache_key] = self._make_run(nrecord, thin)
         c = self.consts
+        thin_arr = jnp.asarray([thin], jnp.int32)
         cargs = (c["limits"], c["priors"], c["flux"], c["whiten"],
                  c["waves"], c["rweights"])
         if self.rng == "external":
             if uniforms is None:
                 raise ValueError("rng='external' requires a uniforms array")
-            return self._run_cache[cache_key](state, *cargs, uniforms)
-        return self._run_cache[cache_key](state, *cargs)
+            return self._run_cache[cache_key](state, thin_arr, *cargs,
+                                              uniforms)
+        return self._run_cache[cache_key](state, thin_arr, *cargs)
 
     def advance(self, state: SamplerState, nsteps: int,
                 uniforms=None) -> SamplerState:

@@ -147,6 +147,26 @@ class MBBResults:
                                self.lnprobability.shape)
         return self.chain[idx[0], idx[1]], float(self.lnprobability[idx])
 
+    def best_fit_model(self):
+        """ModifiedBlackbody at the maximum-probability sample -- evaluate
+        it at any wavelength for a best-fit SED curve."""
+        from mbb_emcee_tpu.models.modified_blackbody import ModifiedBlackbody
+        theta, _ = self.best_fit
+        return ModifiedBlackbody(
+            *[float(v) for v in theta],
+            wavenorm=self.shape.wavenorm,
+            noalpha=self.shape.noalpha, opthin=self.shape.opthin)
+
+    def autocorrelation_time(self):
+        """Per-free-parameter integrated autocorrelation time in steps,
+        averaged over walkers (the emcee acor/get_autocorr_time analog the
+        reference prints in verbose mode -- SURVEY.md section 5 metrics
+        row)."""
+        from mbb_emcee_tpu.sampler import autocorrelation_time
+        free = self.chain[:, :, self.param_spec.free_indices]
+        # (nwalkers, nsteps, nfree) -> sampler layout (nsteps, nwalkers, .)
+        return autocorrelation_time(np.transpose(free, (1, 0, 2)))
+
     # -- cosmology helpers -----------------------------------------------------------
     def _dl_mpc(self):
         if self.lumdist is not None:

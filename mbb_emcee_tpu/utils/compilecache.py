@@ -47,6 +47,15 @@ def enable_persistent_cache(path: str | None = None) -> bool:
         _done = True            # user already configured a cache
         return True
 
+    # Only auto-enable where it pays: TPU program compiles take minutes
+    # here (the Mosaic pass), CPU compiles take seconds -- and XLA:CPU's
+    # cached AOT results warn loudly about machine-feature mismatches.
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+
     cache_dir = (path
                  or os.environ.get("MBB_EMCEE_TPU_COMPILE_CACHE")
                  or os.path.join(os.path.expanduser("~"), ".cache",

@@ -151,3 +151,15 @@ def test_summary_repr(small_fit):
     s = repr(res)
     for name in ("T", "beta", "lambda0", "alpha", "fnorm"):
         assert name in s
+
+
+def test_best_fit_model_and_autocorr(small_fit):
+    res = MBBResults(fit=small_fit, redshift=Z)
+    m = res.best_fit_model()
+    theta, lnp = res.best_fit
+    # the model object reproduces the best-fit sample's SED
+    np.testing.assert_allclose(
+        float(m(res.shape.wavenorm)[0]), theta[4], rtol=1e-5)
+    tau = res.autocorrelation_time()
+    assert tau.shape == (res.param_spec.free_indices.size,)
+    assert np.all(np.isfinite(tau)) and np.all(tau > 0)
