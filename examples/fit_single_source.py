@@ -9,8 +9,13 @@ auto-selects the whole-run fused Pallas kernel; on CPU it falls back to
 the portable XLA sampler, so this example runs anywhere.
 """
 
+import os
+import sys
+
 import numpy as np
 
+# runnable as `python examples/<name>.py` from anywhere
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 from mbb_emcee_tpu import MBBFitter, MBBResults
 
 # Mock 5-band Herschel-like photometry (wave um, flux mJy, 1-sigma mJy).

@@ -9,9 +9,12 @@ call).
 """
 
 import os
+import sys
 
 import numpy as np
 
+# runnable as `python examples/<name>.py` from anywhere
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 from mbb_emcee_tpu import MBBFitter, MBBResults, ResponseSet
 
 here = os.path.dirname(os.path.abspath(__file__))

@@ -8,10 +8,14 @@ multi-source kernel packs 8 sources onto the VPU sublanes, so a full
 compiled kernel (photometry is a runtime operand).
 """
 
+import os
+import sys
 import time
 
 import numpy as np
 
+# runnable as `python examples/<name>.py` from anywhere
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 from mbb_emcee_tpu import MultiFitter
 
 rng = np.random.default_rng(0)
