@@ -166,10 +166,13 @@ def main(argv=None):
         fit.set_gaussian_prior(param, float(m), float(s))
 
     from mbb_emcee_tpu.utils.profiling import trace, StepTimer
+    from mbb_emcee_tpu.utils.log import enable_console
 
+    import logging
+    log = enable_console(logging.INFO if args.verbose else logging.WARNING)
     if args.verbose:
-        print(f"Running fit: {args.nwalkers} walkers, burn={args.burn}, "
-              f"steps={args.nsteps}, thin={args.thin}")
+        log.info(f"Running fit: {args.nwalkers} walkers, burn={args.burn}, "
+                 f"steps={args.nsteps}, thin={args.thin}")
     timer = StepTimer(args.nwalkers)
     # actual ensemble updates: burn (+ re-burn after re-centering) +
     # production; a resumed run skips burn entirely
@@ -187,9 +190,9 @@ def main(argv=None):
                     checkpoint_interval=args.checkpoint_interval,
                     resume=args.resume)
     if args.verbose:
-        print(timer.report())
+        log.info(timer.report())
         if args.profile_dir:
-            print(f"profiler trace written to {args.profile_dir}")
+            log.info(f"profiler trace written to {args.profile_dir}")
 
     res = MBBResults(fit=fit, redshift=args.redshift,
                      cosmology=args.cosmology, lumdist=args.lumdist)

@@ -313,8 +313,10 @@ class MBBFitter(ParamSpaceMixin):
                 save_checkpoint(checkpoint, state, chain_blocks, lnp_blocks,
                                 meta, self.prng_impl)
                 if verbose:
-                    print(f"  checkpoint: {done}/{nsteps} steps -> "
-                          f"{checkpoint}")
+                    from mbb_emcee_tpu.utils.log import enable_console
+                    enable_console().info(
+                        f"  checkpoint: {done}/{nsteps} steps -> "
+                        f"{checkpoint}")
             chain = jnp.asarray(np.concatenate(chain_blocks, axis=0))
             lnpchain = jnp.asarray(np.concatenate(lnp_blocks, axis=0))
 
@@ -326,13 +328,15 @@ class MBBFitter(ParamSpaceMixin):
         self.sampler = sampler
 
         if verbose:
+            from mbb_emcee_tpu.utils.log import enable_console
+            log = enable_console()
             af = self.acceptance_fraction
-            print(f"Mean acceptance fraction: {af.mean():.3f} "
-                  f"(min {af.min():.3f}, max {af.max():.3f})")
+            log.info(f"Mean acceptance fraction: {af.mean():.3f} "
+                     f"(min {af.min():.3f}, max {af.max():.3f})")
             tau = self.autocorrelation_time()
             names = [PARAM_NAMES[i] for i in free_space.free_idx]
             for n, t in zip(names, tau):
-                print(f"  autocorrelation time [{n}]: {t:.1f} steps")
+                log.info(f"  autocorrelation time [{n}]: {t:.1f} steps")
         return self
 
     # -- products ---------------------------------------------------------------

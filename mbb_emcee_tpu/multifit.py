@@ -316,7 +316,9 @@ class MultiFitter(ParamSpaceMixin):
                                     / denom[:, None])
         if verbose:
             af = self.acceptance_fraction
-            print(f"Mean acceptance fraction over {S} sources: "
+            from mbb_emcee_tpu.utils.log import enable_console
+            enable_console().info(
+                f"Mean acceptance fraction over {S} sources: "
                   f"{af.mean():.3f} (per-source min {af.mean(1).min():.3f}, "
                   f"max {af.mean(1).max():.3f})")
         return self
@@ -380,7 +382,9 @@ class MultiFitter(ParamSpaceMixin):
         self.acceptance_fraction = np.asarray(state.naccept) / denom
         if verbose:
             af = self.acceptance_fraction
-            print(f"Mean acceptance fraction over {S} sources: "
+            from mbb_emcee_tpu.utils.log import enable_console
+            enable_console().info(
+                f"Mean acceptance fraction over {S} sources: "
                   f"{af.mean():.3f} (per-source min {af.mean(1).min():.3f}, "
                   f"max {af.mean(1).max():.3f}) [fused kernel]")
         return self

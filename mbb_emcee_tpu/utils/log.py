@@ -1,0 +1,50 @@
+"""Package logging (SURVEY.md section 5, metrics/observability row).
+
+The reference prints diagnostics in verbose mode; here the same messages
+flow through the standard `logging` module under the "mbb_emcee_tpu"
+logger so pipelines can route/filter them, while `enable_console()` keeps
+the reference-like behavior of plain lines on stdout for the CLI and for
+`verbose=True` library calls.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+logger = logging.getLogger("mbb_emcee_tpu")
+
+
+class _DynamicStdoutHandler(logging.StreamHandler):
+    """StreamHandler that always writes to the CURRENT sys.stdout (so
+    stdout redirection/capture after handler creation still works)."""
+
+    def __init__(self):
+        super().__init__(sys.stdout)
+
+    @property
+    def stream(self):
+        return sys.stdout
+
+    @stream.setter
+    def stream(self, value):   # base __init__ assigns; ignore
+        pass
+
+
+_console: _DynamicStdoutHandler | None = None
+
+
+def enable_console(level=logging.INFO):
+    """Idempotently attach a plain-format stdout handler and set the
+    package log level. Returns the package logger."""
+    global _console
+    if _console is None:
+        _console = _DynamicStdoutHandler()
+        _console.setFormatter(logging.Formatter("%(message)s"))
+        logger.addHandler(_console)
+    logger.setLevel(level)
+    return logger
+
+
+def info(msg):
+    logger.info(msg)
