@@ -27,83 +27,75 @@ _SCHEMA_VERSION = 1
 
 
 def write_results(filename, res):
-    """Write to a new file, or into an open h5py Group (the batched
-    multi-source writer stores one source per group)."""
-    if isinstance(filename, (h5py.File, h5py.Group)):
-        _write_results_group(filename, res)
-        return
     with h5py.File(filename, "w") as f:
-        _write_results_group(f, res)
+        _write_results(f, res)
 
 
-def _write_results_group(f, res):
-        f.attrs["schema_version"] = _SCHEMA_VERSION
-        f.attrs["package"] = "mbb_emcee_tpu"
-        f.attrs["param_names"] = np.array(
-            [n.encode() for n in PARAM_NAMES])
-        f.attrs["nwalkers"] = res.nwalkers
-        f.attrs["thin"] = res.thin
-        f.attrs["opthin"] = res.shape.opthin
-        f.attrs["noalpha"] = res.shape.noalpha
-        f.attrs["wavenorm"] = res.shape.wavenorm
-        f.attrs["redshift"] = (np.nan if res.redshift is None
-                               else res.redshift)
-        f.attrs["lumdist"] = np.nan if res.lumdist is None else res.lumdist
-        f.attrs["cosmology"] = (res.cosmology_name or "").encode()
+def _write_results(f, res):
+    f.attrs["schema_version"] = _SCHEMA_VERSION
+    f.attrs["package"] = "mbb_emcee_tpu"
+    f.attrs["param_names"] = np.array(
+        [n.encode() for n in PARAM_NAMES])
+    f.attrs["nwalkers"] = res.nwalkers
+    f.attrs["thin"] = res.thin
+    f.attrs["opthin"] = res.shape.opthin
+    f.attrs["noalpha"] = res.shape.noalpha
+    f.attrs["wavenorm"] = res.shape.wavenorm
+    f.attrs["redshift"] = (np.nan if res.redshift is None
+                           else res.redshift)
+    f.attrs["lumdist"] = np.nan if res.lumdist is None else res.lumdist
+    f.attrs["cosmology"] = (res.cosmology_name or "").encode()
 
-        f.create_dataset("Chain", data=np.asarray(res.chain, np.float32),
-                         compression="gzip", compression_opts=4)
-        f.create_dataset("LogLike",
-                         data=np.asarray(res.lnprobability, np.float32),
-                         compression="gzip", compression_opts=4)
-        f.create_dataset("AcceptanceFraction",
-                         data=np.asarray(res.acceptance_fraction, np.float32))
+    f.create_dataset("Chain", data=np.asarray(res.chain, np.float32),
+                     compression="gzip", compression_opts=4)
+    f.create_dataset("LogLike",
+                     data=np.asarray(res.lnprobability, np.float32),
+                     compression="gzip", compression_opts=4)
+    f.create_dataset("AcceptanceFraction",
+                     data=np.asarray(res.acceptance_fraction, np.float32))
 
-        ph = f.create_group("Photometry")
-        ph.create_dataset("Wave", data=res.phot.wave)
-        ph.create_dataset("Flux", data=res.phot.flux)
-        ph.create_dataset("FluxUnc", data=res.phot.unc)
-        if res.phot.cov is not None:
-            ph.create_dataset("Cov", data=res.phot.cov)
-        if res.phot.band_names is not None:
-            ph.create_dataset("BandNames", data=np.array(
-                [n.encode() for n in res.phot.band_names]))
+    ph = f.create_group("Photometry")
+    ph.create_dataset("Wave", data=res.phot.wave)
+    ph.create_dataset("Flux", data=res.phot.flux)
+    ph.create_dataset("FluxUnc", data=res.phot.unc)
+    if res.phot.cov is not None:
+        ph.create_dataset("Cov", data=res.phot.cov)
+    if res.phot.band_names is not None:
+        ph.create_dataset("BandNames", data=np.array(
+            [n.encode() for n in res.phot.band_names]))
 
-        pc = f.create_group("ParamConfig")
-        spec = res.param_spec
-        pc.create_dataset("Lower", data=spec.lower)
-        pc.create_dataset("Upper", data=spec.upper)
-        pc.create_dataset("Fixed", data=spec.fixed.astype(np.uint8))
-        pc.create_dataset("FixedValues", data=spec.fixed_values)
-        pc.create_dataset("PriorMean", data=spec.prior_mean)
-        pc.create_dataset("PriorInvSigma", data=spec.prior_isigma)
-        pc.create_dataset("Initial", data=res.param_init)
-        if spec.uplim_bands is not None:
-            pc.create_dataset("PhotUpperLimits",
-                              data=spec.uplim_bands.astype(np.uint8))
+    pc = f.create_group("ParamConfig")
+    spec = res.param_spec
+    pc.create_dataset("Lower", data=spec.lower)
+    pc.create_dataset("Upper", data=spec.upper)
+    pc.create_dataset("Fixed", data=spec.fixed.astype(np.uint8))
+    pc.create_dataset("FixedValues", data=spec.fixed_values)
+    pc.create_dataset("PriorMean", data=spec.prior_mean)
+    pc.create_dataset("PriorInvSigma", data=spec.prior_isigma)
+    pc.create_dataset("Initial", data=res.param_init)
+    if spec.uplim_bands is not None:
+        pc.create_dataset("PhotUpperLimits",
+                          data=spec.uplim_bands.astype(np.uint8))
 
-        for name, chain, meta in (
-                ("LIR", res.lir_chain, res.lir_meta),
-                ("DustMass", res.dustmass_chain, res.dustmass_meta),
-                ("PeakLambda", res.peaklambda_chain, None)):
-            if chain is not None:
-                ds = f.create_dataset(name, data=np.asarray(chain,
-                                                            np.float64),
-                                      compression="gzip", compression_opts=4)
-                for k, v in (meta or {}).items():
-                    ds.attrs[k] = v
+    for name, chain, meta in (
+            ("LIR", res.lir_chain, res.lir_meta),
+            ("DustMass", res.dustmass_chain, res.dustmass_meta),
+            ("PeakLambda", res.peaklambda_chain, None)):
+        if chain is not None:
+            ds = f.create_dataset(name, data=np.asarray(chain,
+                                                        np.float64),
+                                  compression="gzip", compression_opts=4)
+            for k, v in (meta or {}).items():
+                ds.attrs[k] = v
 
 
 def read_results(filename):
-    """Read back into a dict of MBBResults attribute values. Accepts a
-    filename or an open h5py Group (one source of a batched file)."""
-    if isinstance(filename, (h5py.File, h5py.Group)):
-        return _read_results_group(filename)
+    """Read back into a dict of MBBResults attribute values."""
     with h5py.File(filename, "r") as f:
-        return _read_results_group(f)
+        return _read_results(f)
 
 
-def _read_results_group(f):
+def _read_results(f):
     from mbb_emcee_tpu.models.modified_blackbody import MBBShape
     from mbb_emcee_tpu.likelihood import Photometry, LikelihoodSpec
 

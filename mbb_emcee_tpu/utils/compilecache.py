@@ -71,8 +71,13 @@ def enable_persistent_cache(path: str | None = None) -> bool:
         # cache key (the same fit launched from the CLI vs a script vs a
         # notebook cell would each recompile from scratch, minutes per
         # program here). Op locations still carry the defining source
-        # line, just not the user-side call stack.
-        jax.config.update("jax_traceback_in_locations_limit", 0)
+        # line, just not the user-side call stack. This IS process-global
+        # -- an embedding application that wants full stack locations in
+        # its own traces can set MBB_EMCEE_TPU_KEEP_TRACEBACK_LOCS=1
+        # (cache keys then depend on the call site, so each entry point
+        # pays its own first compile).
+        if not os.environ.get("MBB_EMCEE_TPU_KEEP_TRACEBACK_LOCS"):
+            jax.config.update("jax_traceback_in_locations_limit", 0)
     except Exception:
         return False
     _done = True

@@ -35,16 +35,17 @@ _console: _DynamicStdoutHandler | None = None
 
 
 def enable_console(level=logging.INFO):
-    """Idempotently attach a plain-format stdout handler and set the
-    package log level. Returns the package logger."""
+    """Idempotently attach a plain-format stdout handler. Returns the
+    package logger. Propagation to the root logger is disabled while our
+    handler is attached (otherwise applications with configured root
+    logging would see every line twice), and an explicitly user-set
+    package level is respected."""
     global _console
     if _console is None:
         _console = _DynamicStdoutHandler()
         _console.setFormatter(logging.Formatter("%(message)s"))
         logger.addHandler(_console)
-    logger.setLevel(level)
+        logger.propagate = False
+    if logger.level == logging.NOTSET:
+        logger.setLevel(level)
     return logger
-
-
-def info(msg):
-    logger.info(msg)

@@ -189,7 +189,7 @@ def test_mesh_sharded_fused_matches_single_device():
     shape, spec, trues, flux, unc = _problem(nsources)
     mesh = walker_mesh(8)
 
-    nw = 16                            # smallest even count >= 2*ndim
+    nw = 16                            # >= 2*ndim=10, with headroom
     def build(mesh_arg):
         samp = FusedMultiPallasSampler(nw, WAVE, flux, unc, shape, spec,
                                        interpret=True, rng="external",
