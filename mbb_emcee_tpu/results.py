@@ -157,6 +157,36 @@ class MBBResults:
             wavenorm=self.shape.wavenorm,
             noalpha=self.shape.noalpha, opthin=self.shape.opthin)
 
+    def par_cov(self):
+        """Covariance matrix of the FREE parameters over the flattened
+        chain (observer frame), with the free-parameter names.
+
+        Returns (names, cov) where cov is (nfree, nfree)."""
+        idx = self.param_spec.free_indices
+        names = [PARAM_NAMES[i] for i in idx]
+        return names, np.cov(self.flatchain[:, idx].T.astype(np.float64))
+
+    def sed_percentiles(self, waves, percentile=68.3, thin=1):
+        """Posterior-predictive SED band: per-wavelength percentiles of
+        f_nu over the (thinned) chain -- one batched device evaluation of
+        (samples x wavelengths), replacing the per-sample model loop a
+        reference user would write by hand.
+
+        Returns (3, nwave): [median, upper, lower] in mJy at the OBSERVED
+        wavelengths `waves` (micron)."""
+        shape = self.shape
+        waves_j = jnp.asarray(np.atleast_1d(waves), jnp.float32)
+
+        def sed(theta):
+            return jnp.exp(log_mbb_fnu(theta, waves_j, shape))
+
+        samples = jnp.asarray(self._thinned(thin), jnp.float32)
+        fluxes = np.asarray(jax.jit(jax.vmap(sed))(samples), np.float64)
+        p = float(percentile)
+        lo, mid, hi = np.percentile(
+            fluxes, [50.0 - p / 2, 50.0, 50.0 + p / 2], axis=0)
+        return np.stack([mid, hi, lo])
+
     def autocorrelation_time(self):
         """Per-free-parameter integrated autocorrelation time in steps,
         averaged over walkers (the emcee acor/get_autocorr_time analog the

@@ -163,3 +163,28 @@ def test_best_fit_model_and_autocorr(small_fit):
     tau = res.autocorrelation_time()
     assert tau.shape == (res.param_spec.free_indices.size,)
     assert np.all(np.isfinite(tau)) and np.all(tau > 0)
+
+
+def test_par_cov_and_sed_percentiles(small_fit):
+    res = MBBResults(fit=small_fit, redshift=Z)
+    names, cov = res.par_cov()
+    n = len(names)
+    assert cov.shape == (n, n)
+    # symmetric positive-semidefinite with per-parameter variances
+    np.testing.assert_allclose(cov, cov.T, rtol=1e-12)
+    assert np.all(np.linalg.eigvalsh(cov) > -1e-9)
+    for k, name in enumerate(names):
+        flat = res.parameter_chain(name)
+        np.testing.assert_allclose(cov[k, k], np.var(flat, ddof=1),
+                                   rtol=1e-6)
+
+    waves = np.array([100.0, 250.0, 500.0, 1000.0])
+    band = res.sed_percentiles(waves, thin=5)
+    assert band.shape == (3, waves.size)
+    # ordering: lower <= median <= upper, all positive
+    assert np.all(band[2] <= band[0] + 1e-12)
+    assert np.all(band[0] <= band[1] + 1e-12)
+    assert np.all(band > 0)
+    # the median SED at the normalization wavelength tracks fnorm's median
+    mid500 = res.sed_percentiles(np.array([res.shape.wavenorm]))[0, 0]
+    np.testing.assert_allclose(mid500, res.par_cen("fnorm")[0], rtol=0.02)
