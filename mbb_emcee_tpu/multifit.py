@@ -193,6 +193,7 @@ class MultiFitter(ParamSpaceMixin):
             except Exception:
                 on_tpu = False
             backend = "fused" if (on_tpu and self.mesh is None) else "xla"
+        self._backend_used = backend
         if backend == "fused":
             return self._run_fused(nburn, nsteps, thin, recenter_burn,
                                    verbose, spec)
