@@ -337,6 +337,22 @@ class MBBFitter(ParamSpaceMixin):
             names = [PARAM_NAMES[i] for i in free_space.free_idx]
             for n, t in zip(names, tau):
                 log.info(f"  autocorrelation time [{n}]: {t:.1f} steps")
+            rhat = self.gelman_rubin()
+            flagged = [f"{n}={r:.3f}" for n, r in zip(names, rhat)]
+            log.info("  split-R-hat: " + ", ".join(flagged))
+            # emcee's own convergence rule of thumb: the chain should be
+            # >= ~50 autocorrelation times long. (Split-R-hat on a SHORT
+            # ensemble run is conservative by construction -- each
+            # walker's half-series spans only a few tau -- so it reports,
+            # but the warning keys off the tau criterion.)
+            nrec = int(np.asarray(self.chain_free).shape[0])
+            if nrec < 50 * float(np.max(tau)):
+                log.info(
+                    f"  note: chain length {nrec} < 50x the largest "
+                    f"autocorrelation time ({np.max(tau):.0f}); consider "
+                    f"a longer production run (the optically-thick model "
+                    f"supports a T/lambda0 bimodality that needs long "
+                    f"chains to mix)")
         return self
 
     # -- products ---------------------------------------------------------------
@@ -354,3 +370,9 @@ class MBBFitter(ParamSpaceMixin):
         if self.chain_free is None:
             raise RuntimeError("run() has not been called")
         return autocorrelation_time(np.asarray(self.chain_free))
+
+    def gelman_rubin(self):
+        """Split-R-hat per free parameter (see MBBResults.gelman_rubin)."""
+        from mbb_emcee_tpu.results import MBBResults
+        _, rhat = MBBResults(fit=self).gelman_rubin()
+        return rhat

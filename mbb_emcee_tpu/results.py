@@ -187,6 +187,33 @@ class MBBResults:
             fluxes, [50.0 - p / 2, 50.0, 50.0 + p / 2], axis=0)
         return np.stack([mid, hi, lo])
 
+    def gelman_rubin(self):
+        """Split-R-hat per free parameter: each walker's series is split
+        in time halves and all halves treated as independent chains
+        (Gelman et al., BDA3 sec. 11.4). Values near 1 indicate
+        convergence; > ~1.05 means the ensemble has not mixed -- e.g. the
+        T/lambda0 bimodality an optically-thick 5-band fit supports (see
+        DESIGN.md section 5b) shows up here long before it is visible in
+        percentile summaries.
+
+        Returns (names, rhat)."""
+        idx = self.param_spec.free_indices
+        names = [PARAM_NAMES[i] for i in idx]
+        chain = self.chain[:, :, idx].astype(np.float64)
+        nw, ns, nd = chain.shape
+        half = ns // 2
+        if half < 2:
+            raise ValueError("need at least 4 recorded steps")
+        # (2*nwalkers, half, nfree) split chains
+        sp = np.concatenate([chain[:, :half], chain[:, half:2 * half]])
+        m, n = sp.shape[0], sp.shape[1]
+        means = sp.mean(axis=1)                      # (m, nd)
+        variances = sp.var(axis=1, ddof=1)           # (m, nd)
+        w = variances.mean(axis=0)
+        b = n * means.var(axis=0, ddof=1)
+        var_post = (n - 1) / n * w + b / n
+        return names, np.sqrt(var_post / np.maximum(w, 1e-300))
+
     def autocorrelation_time(self):
         """Per-free-parameter integrated autocorrelation time in steps,
         averaged over walkers (the emcee acor/get_autocorr_time analog the

@@ -188,3 +188,39 @@ def test_par_cov_and_sed_percentiles(small_fit):
     # the median SED at the normalization wavelength tracks fnorm's median
     mid500 = res.sed_percentiles(np.array([res.shape.wavenorm]))[0, 0]
     np.testing.assert_allclose(mid500, res.par_cen("fnorm")[0], rtol=0.02)
+
+
+def test_gelman_rubin(small_fit):
+    # A SHORT chain (length ~ a few autocorrelation times) must be
+    # FLAGGED as unconverged -- each walker's half-series barely moves,
+    # so the between-walker variance dominates.
+    res = MBBResults(fit=small_fit, redshift=Z)
+    names, rhat = res.gelman_rubin()
+    assert len(names) == rhat.size == res.param_spec.free_indices.size
+    assert np.all(np.isfinite(rhat)) and np.all(rhat >= 0.99)
+    assert np.any(rhat > 1.1)
+
+    # A long well-mixed chain on the unimodal 3-parameter model converges
+    # to R-hat ~ 1.
+    shape = MBBShape(opthin=True, noalpha=True)
+    f = np.asarray(mbb_fnu(jnp.asarray(TRUE, jnp.float32),
+                           jnp.asarray(WAVE, jnp.float32), shape),
+                   np.float64)
+    unc = 0.05 * f
+    rng = np.random.default_rng(3)
+    fit = MBBFitter(nwalkers=64, seed=21, opthin=True, noalpha=True)
+    fit.set_data(WAVE, f + unc * rng.standard_normal(f.size), unc)
+    fit.run(nburn=80, nsteps=800)
+    _, rhat_long = MBBResults(fit=fit, redshift=Z).gelman_rubin()
+    assert np.all(rhat_long < 1.1)
+
+    # An intentionally unmixed "chain" (two walker groups at different
+    # fixed points) must be flagged hard.
+    bad = MBBResults(fit=small_fit, redshift=Z)
+    ch = bad.chain.copy()
+    ch[: ch.shape[0] // 2, :, 0] = 20.0
+    ch[ch.shape[0] // 2:, :, 0] = 40.0
+    ch += np.random.default_rng(0).normal(0, 0.01, ch.shape)
+    bad.chain = ch
+    _, rhat_bad = bad.gelman_rubin()
+    assert rhat_bad[0] > 10.0
