@@ -42,7 +42,7 @@ class MBBFitter(ParamSpaceMixin):
                  responses: "ResponseSet | None" = None,
                  nthreads=None, seed=1234, a=2.0, dtype=jnp.float32,
                  prng_impl="rbg", lnprob_backend="xla",
-                 sampler_backend="auto"):
+                 sampler_backend="auto", mesh=None):
         del nthreads  # walker parallelism is on-device (see module docstring)
         from mbb_emcee_tpu.utils.compilecache import enable_persistent_cache
         enable_persistent_cache()
@@ -69,6 +69,11 @@ class MBBFitter(ParamSpaceMixin):
             raise ValueError(
                 "sampler_backend must be 'auto', 'xla' or 'fused'")
         self.sampler_backend = sampler_backend
+        # Optional 1-D jax.sharding.Mesh: shards the WALKER axis of this
+        # single fit over the mesh (parallel/sharded_sampler.py); the
+        # stretch move's only cross-device dependency is an all_gather of
+        # the complementary half's positions per half-step, riding ICI.
+        self.mesh = mesh
         self.responses = responses
 
         self._spec = LikelihoodSpec.default()
@@ -167,6 +172,12 @@ class MBBFitter(ParamSpaceMixin):
         """'auto' -> 'fused' on TPU when the fused kernel supports the
         likelihood (everything except upper limits combined with a full
         covariance), else 'xla'."""
+        if self.mesh is not None:
+            if self.sampler_backend == "fused":
+                raise ValueError(
+                    "sampler_backend='fused' is single-chip; drop mesh= "
+                    "or use the default backend")
+            return "sharded"
         if self.sampler_backend != "auto":
             return self.sampler_backend
         has_uplims = (spec.uplim_bands is not None
@@ -184,6 +195,16 @@ class MBBFitter(ParamSpaceMixin):
         tests and benchmarking."""
         spec = self._effective_spec()
         backend = self._resolve_sampler_backend(spec)
+        self._backend_used = backend
+        if backend == "sharded":
+            from mbb_emcee_tpu.parallel import ShardedEnsembleSampler
+            lnprob, free_space = build_lnprob(
+                self._require_data(), self.shape, spec,
+                response_pack=self._response_pack(), dtype=self.dtype)
+            sampler = ShardedEnsembleSampler(
+                self.nwalkers, free_space.nfree, lnprob, self.mesh,
+                a=self.a, dtype=self.dtype)
+            return lnprob, free_space, sampler
         if backend == "fused":
             from mbb_emcee_tpu.ops.pallas_sampler import FusedPallasSampler
             sampler = FusedPallasSampler(
@@ -274,8 +295,13 @@ class MBBFitter(ParamSpaceMixin):
                 if recenter_burn:
                     # Re-center the whole ensemble on the best burn-in
                     # sample with a tight ball, then burn again from there.
-                    flat = bchain.reshape(-1, free_space.nfree)
-                    best = flat[jnp.argmax(blnp.reshape(-1))]
+                    # Host-side argmax: the chain may be sharded over a
+                    # mesh (walker axis), where a device-side flatten is
+                    # not partitionable -- and the array is tiny.
+                    flat = np.asarray(bchain).reshape(-1, free_space.nfree)
+                    best = jnp.asarray(
+                        flat[np.argmax(np.asarray(blnp).reshape(-1))],
+                        self.dtype)
                     key2, kball2 = jax.random.split(state.key)
                     tight = self._scatter[free_space.free_idx] * 0.1
                     p0b = make_initial_ball(kball2, best, tight,
@@ -324,7 +350,7 @@ class MBBFitter(ParamSpaceMixin):
         self.lnprobability = lnpchain
         self.final_state = state
         self.acceptance_fraction = np.asarray(
-            EnsembleSampler.acceptance_fraction(state))
+            sampler.acceptance_fraction(state))
         self.sampler = sampler
 
         if verbose:

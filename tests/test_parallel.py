@@ -120,3 +120,35 @@ def test_geometry_validation():
     mesh = walker_mesh()
     with pytest.raises(ValueError):
         ShardedEnsembleSampler(20, NDIM, _lnprob, mesh)  # 10 % 8 != 0
+
+def test_mbbfitter_mesh_end_to_end():
+    """MBBFitter(mesh=...) runs the full burn/recenter/production protocol
+    with the walker axis sharded, and MBBResults consumes the product."""
+    from mbb_emcee_tpu import MBBFitter, MBBResults
+    from mbb_emcee_tpu.models.modified_blackbody import mbb_fnu, MBBShape
+    import jax.numpy as jnp
+
+    true = np.array([30.0, 2.0, 250.0, 3.2, 50.0])
+    wave = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
+    f = np.asarray(mbb_fnu(jnp.asarray(true, jnp.float32),
+                           jnp.asarray(wave, jnp.float32), MBBShape()),
+                   np.float64)
+    unc = 0.05 * f
+    flux = f + unc * np.random.default_rng(0).standard_normal(5)
+
+    fit = MBBFitter(nwalkers=64, seed=11, mesh=walker_mesh(8))
+    fit.set_data(wave, flux, unc)
+    fit.run(nburn=40, nsteps=150)
+    assert fit._backend_used == "sharded"
+    res = MBBResults(fit=fit, redshift=2.0)
+    c = res.par_cen("T")
+    assert abs(c[0] - true[0]) < 10.0
+    assert np.isfinite(res.acceptance_fraction).all()
+
+    # fused + mesh is a config error
+    import pytest
+    fit2 = MBBFitter(nwalkers=64, mesh=walker_mesh(8),
+                     sampler_backend="fused")
+    fit2.set_data(wave, flux, unc)
+    with pytest.raises(ValueError):
+        fit2.run(nburn=2, nsteps=4)
