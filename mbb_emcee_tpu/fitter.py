@@ -381,6 +381,39 @@ class MBBFitter(ParamSpaceMixin):
                     f"chains to mix)")
         return self
 
+    def extend(self, nsteps, verbose=False):
+        """Continue the production run for `nsteps` more updates from the
+        stored final state (no re-burn), appending to the chain -- the
+        run-until-converged loop:
+
+            fit.run(nburn=100, nsteps=500)
+            while (fit.gelman_rubin() > 1.05).any():
+                fit.extend(500)
+
+        Deterministic: the continuation consumes the PRNG stream exactly
+        where run() left it, so run(n1); extend(n2) equals a single
+        longer segmented run."""
+        if self.chain_free is None:
+            raise RuntimeError("run() has not been called")
+        if nsteps % self.thin:
+            raise ValueError(
+                f"nsteps={nsteps} not divisible by thin={self.thin}")
+        state, chain, lnp = self.sampler.run_mcmc(
+            self.final_state, int(nsteps), self.thin)
+        self.chain_free = jnp.concatenate(
+            [jnp.asarray(self.chain_free), chain], axis=0)
+        self.lnprobability = jnp.concatenate(
+            [jnp.asarray(self.lnprobability), lnp], axis=0)
+        self.final_state = state
+        self.acceptance_fraction = np.asarray(
+            self.sampler.acceptance_fraction(state))
+        if verbose:
+            from mbb_emcee_tpu.utils.log import enable_console
+            enable_console().info(
+                f"  extended by {nsteps} steps -> "
+                f"{self.chain_free.shape[0]} recorded")
+        return self
+
     # -- products ---------------------------------------------------------------
     @property
     def chain(self):

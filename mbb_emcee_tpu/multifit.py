@@ -377,6 +377,8 @@ class MultiFitter(ParamSpaceMixin):
 
         state, chain, lnpchain = samp.run_mcmc(state, nsteps, thin)
         self.final_state = state
+        self._sampler = samp
+        self.thin = int(thin)
         self.chain_free = chain
         self.lnprobability = lnpchain
         denom = max(int(state.nsteps), 1)
@@ -453,6 +455,77 @@ class MultiFitter(ParamSpaceMixin):
         ch = np.asarray(self.chain_free)               # (S, nrec, nw, nfree)
         return np.stack([autocorrelation_time(ch[s]) for s in
                          range(ch.shape[0])])
+
+    def extend(self, nsteps, verbose=False):
+        """Continue the production run for all sources from the stored
+        final state (fused backend; pairs with converged() for
+        run-until-converged serving loops)."""
+        if getattr(self, "_sampler", None) is None:
+            raise RuntimeError(
+                "extend() requires a prior run() on the fused backend "
+                "(the XLA backend compiles the whole run as one program "
+                "without retaining state; re-run with more steps there)")
+        if nsteps % self.thin:
+            raise ValueError(
+                f"nsteps={nsteps} not divisible by thin={self.thin}")
+        state, chain, lnp = self._sampler.run_mcmc(
+            self.final_state, int(nsteps), self.thin)
+        self.chain_free = jnp.concatenate(
+            [jnp.asarray(self.chain_free), chain], axis=1)
+        self.lnprobability = jnp.concatenate(
+            [jnp.asarray(self.lnprobability), lnp], axis=1)
+        self.final_state = state
+        denom = max(int(state.nsteps), 1)
+        self.acceptance_fraction = np.asarray(state.naccept) / denom
+        if verbose:
+            from mbb_emcee_tpu.utils.log import enable_console
+            enable_console().info(
+                f"  extended by {nsteps} steps -> "
+                f"{self.chain_free.shape[1]} recorded per source")
+        return self
+
+    def gelman_rubin(self, window=None):
+        """(S, nfree) split-R-hat per source: ONE device reduction over
+        the whole batch (see MBBResults.gelman_rubin for the statistic).
+        In a serving pipeline this is the per-source convergence flag --
+        optically-thick 5-band fits support a T/lambda0 bimodality, and a
+        source whose chain is straddling modes (or stuck in one) shows
+        R-hat >> 1 here while its percentile summaries look plausible.
+
+        `window` restricts the statistic to the LAST `window` recorded
+        steps. In an extend() loop this keeps the reduction's input shape
+        fixed (one compiled program regardless of how long the chain has
+        grown) and measures convergence of the RECENT chain rather than
+        averaging in the early transient."""
+        self._require_run()
+        ch = self.chain_free                   # (S, nrec, nw, nfree) dev
+        if window is not None:
+            ch = ch[:, -int(window):]
+        nrec = int(ch.shape[1])
+        half = nrec // 2
+        if half < 2:
+            raise ValueError("need at least 4 recorded steps")
+
+        def rhat(c):                           # (nrec, nw, nfree)
+            sp = jnp.concatenate([c[:half], c[half:2 * half]],
+                                 axis=1)       # (half, 2*nw, nfree)
+            sp = jnp.transpose(sp, (1, 0, 2))  # (m, n, nfree)
+            n = sp.shape[1]
+            means = sp.mean(axis=1)
+            w = sp.var(axis=1, ddof=1).mean(axis=0)
+            b = n * means.var(axis=0, ddof=1)
+            var_post = (n - 1) / n * w + b / n
+            return jnp.sqrt(var_post / jnp.maximum(w, 1e-30))
+
+        return np.asarray(jax.jit(jax.vmap(rhat))(ch), np.float64)
+
+    def converged(self, rhat_max=1.1, window=None):
+        """(S,) boolean mask: every free parameter's split-R-hat below
+        `rhat_max`. The serving loop's 'which sources need more steps'
+        predicate (pair with extend(); pass a fixed `window` so the check
+        compiles once no matter how long the chains grow)."""
+        return np.all(self.gelman_rubin(window=window) < float(rhat_max),
+                      axis=1)
 
     # -- batched derived quantities ------------------------------------------------
     def _dl_mpc(self, redshifts, lumdists=None, cosmology="WMAP9"):

@@ -144,3 +144,62 @@ def test_determinism_same_seed():
     fit2, _ = _fit(opthin=True, noalpha=True)
     fit2.run(nburn=20, nsteps=50)
     np.testing.assert_array_equal(fit1.chain, fit2.chain)
+
+
+def test_extend_continues_production():
+    """run(n1) + extend(n2): chain grows, continuation is deterministic,
+    and consuming the stream where run() left it means a repeat of the
+    same call sequence reproduces the chain bitwise."""
+    shape = MBBShape()
+    f = np.asarray(mbb_fnu(jnp.asarray(TRUE, jnp.float32),
+                           jnp.asarray(WAVE, jnp.float32), shape),
+                   np.float64)
+    unc = 0.05 * f
+    flux = f + unc * np.random.default_rng(2).standard_normal(f.size)
+
+    def build():
+        fit = MBBFitter(nwalkers=32, seed=9)
+        fit.set_data(WAVE, flux, unc)
+        fit.run(nburn=20, nsteps=40)
+        fit.extend(40)
+        return fit
+
+    fit = build()
+    assert fit.chain_free.shape[0] == 80
+    assert fit.lnprobability.shape[0] == 80
+    assert np.isfinite(np.asarray(fit.lnprobability)).all()
+    # acceptance counters keep accumulating over the continuation
+    assert np.all(fit.acceptance_fraction > 0)
+
+    fit2 = build()
+    np.testing.assert_array_equal(np.asarray(fit.chain_free),
+                                  np.asarray(fit2.chain_free))
+
+
+def test_multifit_gelman_rubin_and_converged():
+    shape = MBBShape(opthin=True, noalpha=True)
+    rng = np.random.default_rng(5)
+    S = 4
+    trues = np.column_stack([
+        rng.uniform(28, 36, S), rng.uniform(1.7, 2.1, S),
+        np.full(S, 250.0), np.full(S, 3.5), rng.uniform(30, 60, S)])
+    flux, unc = [], []
+    for t in trues:
+        fv = np.asarray(mbb_fnu(jnp.asarray(t, jnp.float32),
+                                jnp.asarray(WAVE, jnp.float32), shape),
+                        np.float64)
+        u = 0.05 * fv
+        flux.append(fv + u * rng.standard_normal(fv.size))
+        unc.append(u)
+
+    from mbb_emcee_tpu import MultiFitter
+    mf = MultiFitter(nwalkers=32, seed=3, opthin=True, noalpha=True)
+    mf.set_data(WAVE, np.array(flux), np.array(unc))
+    mf.run(nburn=60, nsteps=400)
+    rhat = mf.gelman_rubin()
+    assert rhat.shape == (S, mf.free_space.nfree)
+    assert np.all(np.isfinite(rhat)) and np.all(rhat >= 0.99)
+    conv = mf.converged(rhat_max=1.2)
+    assert conv.shape == (S,)
+    # a 400-step unimodal 3-param fit mixes
+    assert conv.all(), rhat
