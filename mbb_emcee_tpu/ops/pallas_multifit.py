@@ -152,6 +152,9 @@ def _make_multi_kernel(cfg, *, nfree, half, wp, s_tile, thin, a,
         t = pl.program_id(0)
         i = pl.program_id(1)
         nrec = pl.num_programs(1)
+        # thin_ref holds [thin, nrec_live]; hw-mode grid is a fixed cap
+        # and record iterations at or beyond nrec_live do nothing.
+        active = True if external_rng else (i < thin_ref[1])
 
         if not external_rng:
             # toff = this device's GLOBAL tile offset (0 single-device;
@@ -235,12 +238,17 @@ def _make_multi_kernel(cfg, *, nfree, half, wp, s_tile, thin, a,
             state_scr[HB:, :] = blk_b
             return carry
 
-        jax.lax.fori_loop(0, thin if external_rng else thin_ref[0],
-                          step, 0, unroll=False)
+        def work():
+            jax.lax.fori_loop(0, thin if external_rng else thin_ref[0],
+                              step, 0, unroll=False)
+            state = state_scr[:, :]
+            chain_ref[0, 0] = state
+            state_out_ref[0] = state
 
-        state = state_scr[:, :]
-        chain_ref[0, 0] = state
-        state_out_ref[0] = state
+        if external_rng:
+            work()
+        else:
+            pl.when(active)(work)
 
     return kernel
 
@@ -345,6 +353,9 @@ class FusedMultiPallasSampler:
         self.cfg = dict(opthin=shape.opthin, noalpha=shape.noalpha,
                         nbands=nb, wavenorm=shape.wavenorm, uplim=uplim)
         self._run_cache = {}
+        # Fixed per-launch record cap (hw mode): one compiled program per
+        # geometry serves any run length via <=rec_cap-record segments.
+        self.rec_cap = 256
 
     def set_data(self, flux, unc):
         """Replace the per-source photometry (same S and band count). Flux
@@ -552,7 +563,7 @@ class FusedMultiPallasSampler:
             pos_f, lnp_f, acc_f = self._unpack(state_f)
             new_state = MultiSamplerState(
                 key=key, pos=pos_f, lnp=lnp_f, naccept=acc_f,
-                nsteps=state.nsteps + nrecord * thin_arr[0])
+                nsteps=state.nsteps + thin_arr[1] * thin_arr[0])
             return new_state, chain, lnpchain
 
         return jax.jit(run)
@@ -563,19 +574,39 @@ class FusedMultiPallasSampler:
         thin-th. Returns (state, chain (S, nrec, nw, nfree), lnpchain)."""
         if nsteps % thin:
             raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
+        if nsteps <= 0:
+            raise ValueError("nsteps must be positive")
         nrecord = nsteps // thin
-        # hw mode: one program per nrecord serves every thin value.
-        ck = (nrecord, thin) if self.rng == "external" else (nrecord,)
-        if ck not in self._run_cache:
-            self._run_cache[ck] = self._make_run(nrecord, thin)
-        thin_arr = jnp.asarray([thin], jnp.int32)
         cargs = (self._limits, self._priors, self._flux, self._iunc,
                  self._waves, self._rweights)
         if self.rng == "external":
+            # legacy static path (tests)
+            ck = (nrecord, thin)
+            if ck not in self._run_cache:
+                self._run_cache[ck] = self._make_run(nrecord, thin)
             if uniforms is None:
                 raise ValueError("rng='external' requires a uniforms array")
+            thin_arr = jnp.asarray([thin, nrecord], jnp.int32)
             return self._run_cache[ck](state, thin_arr, *cargs, uniforms)
-        return self._run_cache[ck](state, thin_arr, *cargs)
+
+        # hw mode: ONE program (grid cap) serves every (nsteps, thin);
+        # longer runs stream through segments of <= rec_cap records.
+        if () not in self._run_cache:
+            self._run_cache[()] = self._make_run(self.rec_cap, thin)
+        run = self._run_cache[()]
+        chains, lnps = [], []
+        done = 0
+        while done < nrecord:
+            n = min(self.rec_cap, nrecord - done)
+            state, chain, lnp = run(
+                state, jnp.asarray([thin, n], jnp.int32), *cargs)
+            chains.append(chain[:, :n])
+            lnps.append(lnp[:, :n])
+            done += n
+        if len(chains) == 1:
+            return state, chains[0], lnps[0]
+        return (state, jnp.concatenate(chains, axis=1),
+                jnp.concatenate(lnps, axis=1))
 
     def advance(self, state: MultiSamplerState, nsteps: int,
                 uniforms=None) -> MultiSamplerState:

@@ -64,11 +64,12 @@ def _make_sampler_kernel(cfg, *, nfree, half, wp, thin, a, external_rng):
     free-dimension count (the z^{d-1} exponent), real walkers per half,
     padded lane width, stretch scale, RNG source.
 
-    Steps per record: STATIC `thin` in external-rng mode (the uniforms
-    operand's shape depends on it), DYNAMIC in hw-rng mode -- the kernel
-    reads it from an SMEM scalar, so one compiled program serves every
-    burn length / thin value of a given geometry (each Mosaic compile
-    costs minutes in this environment)."""
+    Steps per record AND record count: STATIC in external-rng mode (the
+    uniforms/grid shapes depend on them), DYNAMIC in hw-rng mode -- the
+    kernel reads `thin` and `nrec` from SMEM scalars, the grid is a fixed
+    cap, and iterations at or beyond nrec do nothing. ONE compiled
+    program therefore serves EVERY (nburn, nsteps, thin) of a geometry
+    (each Mosaic compile costs minutes in this environment)."""
     compute_lnp = _make_lnp_compute(cfg)
     d_exp = float(nfree - 1)
     inv_a = 1.0 / a
@@ -82,6 +83,10 @@ def _make_sampler_kernel(cfg, *, nfree, half, wp, thin, a, external_rng):
             chain_ref, state_out_ref, state_scr = rest
 
         i = pl.program_id(0)
+        # thin_ref holds [thin, nrec]; iterations past nrec are no-ops
+        # (the fixed grid cap makes the program shape-independent of the
+        # requested run length).
+        active = True if external_rng else (i < thin_ref[1])
 
         if not external_rng:
             # Mosaic takes at most two seed words; fold the grid index into
@@ -167,12 +172,19 @@ def _make_sampler_kernel(cfg, *, nfree, half, wp, thin, a, external_rng):
             state_scr[_NROWS:, :] = block_b
             return carry
 
-        jax.lax.fori_loop(0, thin if external_rng else thin_ref[0],
-                          step, 0, unroll=False)
+        def work():
+            jax.lax.fori_loop(0, thin if external_rng else thin_ref[0],
+                              step, 0, unroll=False)
+            state = state_scr[:, :]                           # (16, wp)
+            chain_ref[0] = state
+            # last ACTIVE iteration's write wins (the TPU grid runs
+            # sequentially), so state_out holds the nrec-th record.
+            state_out_ref[:, :] = state
 
-        state = state_scr[:, :]                               # (16, wp)
-        chain_ref[0] = state
-        state_out_ref[:, :] = state
+        if external_rng:
+            work()
+        else:
+            pl.when(active)(work)
 
     return kernel
 
@@ -191,8 +203,13 @@ class FusedPallasSampler:
     walker between reset_counters() calls.
     """
 
+    # Fixed grid cap in hw mode: one compiled program per geometry serves
+    # any run length; launches record at most this many chain blocks, and
+    # run_mcmc segments longer requests across launches.
+    REC_CAP = 512
+
     def __init__(self, nwalkers, phot, shape, spec, response_pack=None,
-                 a=2.0, interpret=False, rng="hw"):
+                 a=2.0, interpret=False, rng="hw", rec_cap=None):
         if nwalkers % 2:
             raise ValueError("nwalkers must be even")
         if rng not in ("hw", "external"):
@@ -232,6 +249,7 @@ class FusedPallasSampler:
         self.lnprob_batch = jax.jit(jax.vmap(_lnprob_scalar))
 
         self._run_cache = {}
+        self.rec_cap = int(rec_cap) if rec_cap else self.REC_CAP
 
     # -- state management (mirrors EnsembleSampler) ---------------------------
     def init_state(self, key, p0) -> SamplerState:
@@ -364,7 +382,7 @@ class FusedPallasSampler:
             new_state = SamplerState(
                 key=key, pos_a=pa, pos_b=pb, lnp_a=la, lnp_b=lb,
                 naccept=jnp.concatenate([aa, ab]),
-                nsteps=state.nsteps + nrecord * thin_arr[0])
+                nsteps=state.nsteps + thin_arr[1] * thin_arr[0])
             return new_state, chain, lnpchain
 
         return jax.jit(run)
@@ -376,23 +394,43 @@ class FusedPallasSampler:
         rng='external' mode): (nrecord, 6*thin, wp) in (0,1)."""
         if nsteps % thin:
             raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
+        if nsteps <= 0:
+            raise ValueError("nsteps must be positive")
         nrecord = nsteps // thin
-        # hw mode: one program per nrecord serves EVERY thin (runtime SMEM
-        # scalar); external mode bakes thin in (uniforms shape).
-        cache_key = (nrecord, thin) if self.rng == "external" \
-            else (nrecord,)
-        if cache_key not in self._run_cache:
-            self._run_cache[cache_key] = self._make_run(nrecord, thin)
         c = self.consts
-        thin_arr = jnp.asarray([thin], jnp.int32)
         cargs = (c["limits"], c["priors"], c["flux"], c["whiten"],
                  c["waves"], c["rweights"])
+
         if self.rng == "external":
+            # legacy static path (tests): thin and nrecord are compiled in
+            cache_key = (nrecord, thin)
+            if cache_key not in self._run_cache:
+                self._run_cache[cache_key] = self._make_run(nrecord, thin)
             if uniforms is None:
                 raise ValueError("rng='external' requires a uniforms array")
+            thin_arr = jnp.asarray([thin, nrecord], jnp.int32)
             return self._run_cache[cache_key](state, thin_arr, *cargs,
                                               uniforms)
-        return self._run_cache[cache_key](state, thin_arr, *cargs)
+
+        # hw mode: ONE program (grid = rec_cap) serves every (nsteps,
+        # thin); longer runs stream through segments of <= rec_cap
+        # records. thin and the live record count ride an SMEM scalar.
+        if () not in self._run_cache:
+            self._run_cache[()] = self._make_run(self.rec_cap, thin)
+        run = self._run_cache[()]
+        chains, lnps = [], []
+        done = 0
+        while done < nrecord:
+            n = min(self.rec_cap, nrecord - done)
+            thin_arr = jnp.asarray([thin, n], jnp.int32)
+            state, chain, lnp = run(state, thin_arr, *cargs)
+            chains.append(chain[:n])
+            lnps.append(lnp[:n])
+            done += n
+        if len(chains) == 1:
+            return state, chains[0], lnps[0]
+        return (state, jnp.concatenate(chains, axis=0),
+                jnp.concatenate(lnps, axis=0))
 
     def advance(self, state: SamplerState, nsteps: int,
                 uniforms=None) -> SamplerState:
