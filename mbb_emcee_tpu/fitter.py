@@ -363,9 +363,10 @@ class MBBFitter(ParamSpaceMixin):
             names = [PARAM_NAMES[i] for i in free_space.free_idx]
             for n, t in zip(names, tau):
                 log.info(f"  autocorrelation time [{n}]: {t:.1f} steps")
-            rhat = self.gelman_rubin()
-            flagged = [f"{n}={r:.3f}" for n, r in zip(names, rhat)]
-            log.info("  split-R-hat: " + ", ".join(flagged))
+            if np.asarray(self.chain_free).shape[0] >= 4:
+                rhat = self.gelman_rubin()
+                flagged = [f"{n}={r:.3f}" for n, r in zip(names, rhat)]
+                log.info("  split-R-hat: " + ", ".join(flagged))
             # emcee's own convergence rule of thumb: the chain should be
             # >= ~50 autocorrelation times long. (Split-R-hat on a SHORT
             # ensemble run is conservative by construction -- each
@@ -390,9 +391,12 @@ class MBBFitter(ParamSpaceMixin):
             while (fit.gelman_rubin() > 1.05).any():
                 fit.extend(500)
 
-        Deterministic: the continuation consumes the PRNG stream exactly
-        where run() left it, so run(n1); extend(n2) equals a single
-        longer segmented run."""
+        Deterministic in the sense that repeating the SAME call sequence
+        (seeds included) reproduces the chain bitwise. It is NOT sample-
+        for-sample identical to a single longer run(): each launch
+        derives a fresh PRNG stream from the state key, so run(n1) +
+        extend(n2) and run(n1+n2) are two equally valid realizations of
+        the same posterior."""
         if self.chain_free is None:
             raise RuntimeError("run() has not been called")
         if nsteps % self.thin:
@@ -431,7 +435,10 @@ class MBBFitter(ParamSpaceMixin):
         return autocorrelation_time(np.asarray(self.chain_free))
 
     def gelman_rubin(self):
-        """Split-R-hat per free parameter (see MBBResults.gelman_rubin)."""
-        from mbb_emcee_tpu.results import MBBResults
-        _, rhat = MBBResults(fit=self).gelman_rubin()
-        return rhat
+        """Split-R-hat per free parameter, straight off the recorded
+        free-space chain (cheap enough for a run-until-converged loop --
+        no full-chain expansion)."""
+        if self.chain_free is None:
+            raise RuntimeError("run() has not been called")
+        from mbb_emcee_tpu.sampler import split_rhat
+        return split_rhat(np.asarray(self.chain_free))

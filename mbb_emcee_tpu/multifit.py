@@ -48,6 +48,24 @@ _PEAK_RANGE = (1.0, 5.0e4)
 _PEAK_ITERS = 64
 
 
+def _split_rhat_one(c):
+    """Device split-R-hat for one source's (nrec, nw, nfree) chain --
+    the batched on-device twin of sampler.split_rhat (same formula and
+    variance floor)."""
+    half = c.shape[0] // 2
+    sp = jnp.concatenate([c[:half], c[half:2 * half]], axis=1)
+    sp = jnp.transpose(sp, (1, 0, 2))          # (m, n, nfree)
+    n = sp.shape[1]
+    means = sp.mean(axis=1)
+    w = sp.var(axis=1, ddof=1).mean(axis=0)
+    b = n * means.var(axis=0, ddof=1)
+    var_post = (n - 1) / n * w + b / n
+    return jnp.sqrt(var_post / jnp.maximum(w, 1e-30))
+
+
+_batched_split_rhat = jax.jit(jax.vmap(_split_rhat_one))
+
+
 class MultiFitter(ParamSpaceMixin):
     """Fit many sources at once with a shared model configuration.
 
@@ -378,6 +396,10 @@ class MultiFitter(ParamSpaceMixin):
         state, chain, lnpchain = samp.run_mcmc(state, nsteps, thin)
         self.final_state = state
         self._sampler = samp
+        # extend() continues against the data the sampler was built with;
+        # remember which arrays those were so a set_data() in between is
+        # caught instead of silently sampling the old batch's posterior.
+        self._run_data = (self.flux, self.unc)
         self.thin = int(thin)
         self.chain_free = chain
         self.lnprobability = lnpchain
@@ -465,6 +487,13 @@ class MultiFitter(ParamSpaceMixin):
                 "extend() requires a prior run() on the fused backend "
                 "(the XLA backend compiles the whole run as one program "
                 "without retaining state; re-run with more steps there)")
+        if getattr(self, "_run_data", None) is not None and (
+                self._run_data[0] is not self.flux
+                or self._run_data[1] is not self.unc):
+            raise RuntimeError(
+                "set_data() was called after run(); extend() would keep "
+                "sampling the PREVIOUS batch's posterior -- call run() "
+                "for the new data instead")
         if nsteps % self.thin:
             raise ValueError(
                 f"nsteps={nsteps} not divisible by thin={self.thin}")
@@ -501,23 +530,11 @@ class MultiFitter(ParamSpaceMixin):
         ch = self.chain_free                   # (S, nrec, nw, nfree) dev
         if window is not None:
             ch = ch[:, -int(window):]
-        nrec = int(ch.shape[1])
-        half = nrec // 2
-        if half < 2:
+        if int(ch.shape[1]) // 2 < 2:
             raise ValueError("need at least 4 recorded steps")
-
-        def rhat(c):                           # (nrec, nw, nfree)
-            sp = jnp.concatenate([c[:half], c[half:2 * half]],
-                                 axis=1)       # (half, 2*nw, nfree)
-            sp = jnp.transpose(sp, (1, 0, 2))  # (m, n, nfree)
-            n = sp.shape[1]
-            means = sp.mean(axis=1)
-            w = sp.var(axis=1, ddof=1).mean(axis=0)
-            b = n * means.var(axis=0, ddof=1)
-            var_post = (n - 1) / n * w + b / n
-            return jnp.sqrt(var_post / jnp.maximum(w, 1e-30))
-
-        return np.asarray(jax.jit(jax.vmap(rhat))(ch), np.float64)
+        # module-level jitted reduction: stable function identity, so the
+        # convergence loop re-uses one compiled program per input shape
+        return np.asarray(_batched_split_rhat(ch), np.float64)
 
     def converged(self, rhat_max=1.1, window=None):
         """(S,) boolean mask: every free parameter's split-R-hat below

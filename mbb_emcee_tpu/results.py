@@ -164,7 +164,9 @@ class MBBResults:
         Returns (names, cov) where cov is (nfree, nfree)."""
         idx = self.param_spec.free_indices
         names = [PARAM_NAMES[i] for i in idx]
-        return names, np.cov(self.flatchain[:, idx].T.astype(np.float64))
+        cov = np.atleast_2d(
+            np.cov(self.flatchain[:, idx].T.astype(np.float64)))
+        return names, cov
 
     def sed_percentiles(self, waves, percentile=68.3, thin=1):
         """Posterior-predictive SED band: per-wavelength percentiles of
@@ -197,22 +199,11 @@ class MBBResults:
         percentile summaries.
 
         Returns (names, rhat)."""
+        from mbb_emcee_tpu.sampler import split_rhat
         idx = self.param_spec.free_indices
         names = [PARAM_NAMES[i] for i in idx]
-        chain = self.chain[:, :, idx].astype(np.float64)
-        nw, ns, nd = chain.shape
-        half = ns // 2
-        if half < 2:
-            raise ValueError("need at least 4 recorded steps")
-        # (2*nwalkers, half, nfree) split chains
-        sp = np.concatenate([chain[:, :half], chain[:, half:2 * half]])
-        m, n = sp.shape[0], sp.shape[1]
-        means = sp.mean(axis=1)                      # (m, nd)
-        variances = sp.var(axis=1, ddof=1)           # (m, nd)
-        w = variances.mean(axis=0)
-        b = n * means.var(axis=0, ddof=1)
-        var_post = (n - 1) / n * w + b / n
-        return names, np.sqrt(var_post / np.maximum(w, 1e-300))
+        chain = np.transpose(self.chain[:, :, idx], (1, 0, 2))
+        return names, split_rhat(chain)
 
     def autocorrelation_time(self):
         """Per-free-parameter integrated autocorrelation time in steps,

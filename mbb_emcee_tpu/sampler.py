@@ -240,6 +240,28 @@ def make_initial_ball(key, center, scatter, nwalkers, lower=None, upper=None,
     return ball
 
 
+def split_rhat(chain):
+    """Split-R-hat per dimension (Gelman et al., BDA3 sec. 11.4): each
+    walker's series is split in time halves and all halves treated as
+    independent chains. chain: (nsteps, nwalkers, ndim) host numpy.
+    The single host implementation behind MBBResults/MBBFitter;
+    MultiFitter.gelman_rubin is its batched on-device twin (same
+    formula and floor)."""
+    chain = np.asarray(chain, np.float64)
+    ns = chain.shape[0]
+    half = ns // 2
+    if half < 2:
+        raise ValueError("need at least 4 recorded steps")
+    sp = np.concatenate([chain[:half], chain[half:2 * half]], axis=1)
+    sp = np.transpose(sp, (1, 0, 2))            # (m, n, ndim)
+    n = sp.shape[1]
+    means = sp.mean(axis=1)
+    w = sp.var(axis=1, ddof=1).mean(axis=0)
+    b = n * means.var(axis=0, ddof=1)
+    var_post = (n - 1) / n * w + b / n
+    return np.sqrt(var_post / np.maximum(w, 1e-30))
+
+
 def autocorrelation_time(chain, c=5.0):
     """Integrated autocorrelation time per dimension, emcee-style
     (Sokal's adaptive window). chain: (nsteps, nwalkers, ndim), host numpy.

@@ -222,3 +222,24 @@ def test_batch_hdf5_roundtrip(fitted, tmp_path):
     assert np.all(lir > 0)
     res = back.results(1, redshift=2.0)
     assert np.isfinite(res.par_cen("beta")).all()
+
+
+def test_extend_after_set_data_raises_on_fused_state(monkeypatch):
+    """extend() must refuse to continue when set_data() replaced the batch
+    (the sampler would silently keep the old likelihood). Exercised via
+    the state the fused path records; the XLA path raises its own
+    'requires a prior run on the fused backend' error."""
+    import pytest
+    from mbb_emcee_tpu import MultiFitter
+
+    mf = MultiFitter(nwalkers=16)
+    wave = np.array([100.0, 250.0, 500.0])
+    flux = np.ones((2, 3)) * 20.0
+    mf.set_data(wave, flux, 0.05 * flux)
+    # simulate a finished fused run's bookkeeping
+    mf._sampler = object()
+    mf._run_data = (mf.flux, mf.unc)
+    mf.thin = 1
+    mf.set_data(wave, flux * 2, 0.05 * flux)
+    with pytest.raises(RuntimeError, match="set_data"):
+        mf.extend(10)

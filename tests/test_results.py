@@ -224,3 +224,33 @@ def test_gelman_rubin(small_fit):
     bad.chain = ch
     _, rhat_bad = bad.gelman_rubin()
     assert rhat_bad[0] > 10.0
+
+
+def test_par_cov_single_free_parameter():
+    shape = MBBShape(opthin=True, noalpha=True)
+    f = np.asarray(mbb_fnu(jnp.asarray(TRUE, jnp.float32),
+                           jnp.asarray(WAVE, jnp.float32), shape),
+                   np.float64)
+    unc = 0.05 * f
+    fit = MBBFitter(nwalkers=16, seed=4, opthin=True, noalpha=True)
+    fit.set_data(WAVE, f, unc)
+    fit.fix_param("beta", 2.0)
+    fit.fix_param("fnorm", 50.0)          # only T remains free
+    fit.run(nburn=10, nsteps=30)
+    res = MBBResults(fit=fit, redshift=Z)
+    names, cov = res.par_cov()
+    assert names == ["T"]
+    assert cov.shape == (1, 1) and cov[0, 0] > 0
+
+
+def test_verbose_short_run_does_not_crash(capsys):
+    shape = MBBShape()
+    f = np.asarray(mbb_fnu(jnp.asarray(TRUE, jnp.float32),
+                           jnp.asarray(WAVE, jnp.float32), shape),
+                   np.float64)
+    fit = MBBFitter(nwalkers=32, seed=4)
+    fit.set_data(WAVE, f, 0.05 * f)
+    fit.run(nburn=10, nsteps=100, thin=50, verbose=True)   # 2 records
+    out = capsys.readouterr().out
+    assert "acceptance" in out
+    assert "split-R-hat" not in out      # too short to compute; no crash
