@@ -39,6 +39,11 @@ def build_parser():
     g.add_argument("--no-recenter-burn", action="store_true",
                    help="skip the re-center-on-best-walker re-burn phase")
     g.add_argument("--seed", type=int, default=1234)
+    g.add_argument("--n-ensembles", type=int, default=1,
+                   help="run N independent ensembles via the fused "
+                        "multi-source kernel and merge their chains "
+                        "(faster aggregate sampling + cross-ensemble "
+                        "convergence; diagonal uncertainties only)")
     g.add_argument("--stretch-a", type=float, default=2.0,
                    help="stretch-move scale parameter a (default 2)")
     g.add_argument("--nthreads", type=int, default=None,
@@ -147,7 +152,8 @@ def main(argv=None):
                     opthin=args.opthin, responses=responses,
                     seed=args.seed, a=args.stretch_a,
                     lnprob_backend=args.lnprob_backend,
-                    sampler_backend=args.sampler_backend)
+                    sampler_backend=args.sampler_backend,
+                    n_ensembles=args.n_ensembles)
     if args.covfile is not None:
         fit.read_cov(args.covfile, args.covextn, args.cov_is_total)
 

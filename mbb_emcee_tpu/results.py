@@ -94,7 +94,8 @@ class MBBResults:
         self.param_spec = fit.spec
         self.param_init = fit._init.copy()
         self.thin = fit.thin
-        self.nwalkers = fit.nwalkers
+        # n_ensembles>1 merges K ensembles into one wider walker axis
+        self.nwalkers = getattr(fit, "nwalkers_total", None) or fit.nwalkers
         self._fit = fit
 
     def _from_h5(self, h5file):

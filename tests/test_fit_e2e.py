@@ -203,3 +203,35 @@ def test_multifit_gelman_rubin_and_converged():
     assert conv.shape == (S,)
     # a 400-step unimodal 3-param fit mixes
     assert conv.all(), rhat
+
+
+def test_n_ensembles_merged_product():
+    """K independent ensembles merge into one wider walker axis that every
+    downstream consumer (results, R-hat, HDF5) handles."""
+    shape = MBBShape()
+    f = np.asarray(mbb_fnu(jnp.asarray(TRUE, jnp.float32),
+                           jnp.asarray(WAVE, jnp.float32), shape),
+                   np.float64)
+    unc = 0.05 * f
+    flux = f + unc * np.random.default_rng(4).standard_normal(f.size)
+
+    fit = MBBFitter(nwalkers=16, seed=5, n_ensembles=4)
+    fit.set_data(WAVE, flux, unc)
+    fit.run(nburn=20, nsteps=60)
+    assert fit.chain.shape == (64, 60, 5)
+    assert fit.acceptance_fraction.shape == (64,)
+    assert np.isfinite(np.asarray(fit.lnprobability)).all()
+
+    from mbb_emcee_tpu import MBBResults
+    res = MBBResults(fit=fit, redshift=2.0)
+    assert res.nwalkers == 64
+    assert abs(res.par_cen("T")[0] - TRUE[0]) < 12
+    rhat = fit.gelman_rubin()
+    assert rhat.shape == (fit.free_space.nfree,)
+
+    # covariance data cannot use the batched likelihood
+    import pytest
+    fit2 = MBBFitter(nwalkers=16, n_ensembles=2)
+    fit2.set_data(WAVE, flux, unc, cov=np.diag(unc ** 2))
+    with pytest.raises(ValueError, match="diagonal"):
+        fit2.run(nburn=2, nsteps=4)
