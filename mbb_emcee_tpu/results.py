@@ -123,6 +123,20 @@ class MBBResults:
     def nsteps(self):
         return self.chain.shape[1]
 
+    @property
+    def data_wave(self):
+        """Photometry wavelengths (um) the fit used (ref: mbb_results
+        data accessors)."""
+        return self.phot.wave
+
+    @property
+    def data_flux(self):
+        return self.phot.flux
+
+    @property
+    def data_flux_unc(self):
+        return self.phot.unc
+
     def parameter_chain(self, param):
         from mbb_emcee_tpu.likelihood import param_index
         return self.flatchain[:, param_index(param)]

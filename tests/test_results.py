@@ -254,3 +254,22 @@ def test_verbose_short_run_does_not_crash(capsys):
     out = capsys.readouterr().out
     assert "acceptance" in out
     assert "split-R-hat" not in out      # too short to compute; no crash
+
+
+def test_luminosity_distance_vs_adaptive_quad():
+    """GL comoving-distance quadrature vs scipy adaptive quad for every
+    named parameter set over the relevant redshift range."""
+    import scipy.integrate as si
+    from mbb_emcee_tpu.models.cosmology import PARAMETER_SETS
+    from mbb_emcee_tpu.constants import C_KM_S
+
+    for name, (H0, Om0) in PARAMETER_SETS.items():
+        c = Cosmology.named(name)
+        Ol = 1.0 - Om0
+        for z in (0.1, 1.0, 2.2, 6.0):
+            integ, _ = si.quad(
+                lambda zp: 1.0 / np.sqrt(Om0 * (1 + zp) ** 3 + Ol),
+                0.0, z, limit=200)
+            want = (1 + z) * C_KM_S / H0 * integ
+            got = c.luminosity_distance(z)
+            assert abs(got - want) / want < 1e-8, (name, z)
