@@ -266,6 +266,7 @@ class MBBFitter(ParamSpaceMixin):
         """
         import os
 
+        self._mf = None       # a fresh run() invalidates any merged state
         if self.n_ensembles > 1:
             if checkpoint is not None or resume or p0 is not None:
                 raise ValueError(
