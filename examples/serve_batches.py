@@ -4,8 +4,9 @@ A survey pipeline fits thousands of objects with one model configuration.
 MultiFitter treats the SOURCE axis as the batch axis; on TPU the fused
 multi-source kernel packs 8 sources onto the VPU sublanes, so a full
 256-source x 250-walker fit (burn + re-center + 1000 recorded steps) takes
-~0.35 s on one v5e chip -- and successive same-shape batches reuse the
-compiled kernel (photometry is a runtime operand).
+~0.5 s on one v5e chip (sampling itself runs at ~565M aggregate
+walker-steps/s) -- and successive same-shape batches reuse the compiled
+kernel (photometry is a runtime operand).
 """
 
 import os
