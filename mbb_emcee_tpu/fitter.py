@@ -436,11 +436,18 @@ class MBBFitter(ParamSpaceMixin):
         self._mf = mf
         if verbose:
             from mbb_emcee_tpu.utils.log import enable_console
+            log = enable_console()
             af = self.acceptance_fraction
-            enable_console().info(
+            log.info(
                 f"Merged {K} independent ensembles "
                 f"({self.nwalkers} walkers each); mean acceptance "
                 f"{af.mean():.3f}")
+            if np.asarray(self.chain_free).shape[0] >= 4:
+                names = [PARAM_NAMES[i]
+                         for i in self.free_space.free_idx]
+                rhat = self.gelman_rubin()
+                log.info("  cross-ensemble split-R-hat: " + ", ".join(
+                    f"{n}={r:.3f}" for n, r in zip(names, rhat)))
         return self
 
     def _merge_ensembles(self, mf):
