@@ -102,6 +102,11 @@ def build_parser():
                         "response-integrated fluxes")
     g.add_argument("--responsedir", default=None,
                    help="directory filter files are relative to")
+    g.add_argument("--builtin-responses", action="store_true",
+                   help="resolve the photometry band names against the "
+                        "built-in instrument library (PACS_70/100/160, "
+                        "SPIRE_250/350/500, SCUBA2_450/850, ...) and fit "
+                        "with response-integrated fluxes")
     g.add_argument("--photon-counter", action="store_true",
                    help="photon-counting detector convention for responses")
 
@@ -146,6 +151,14 @@ def main(argv=None):
         responses = ResponseSet.from_file(
             args.responsefile, dir=args.responsedir,
             photon_counter=args.photon_counter)
+    elif args.builtin_responses:
+        from mbb_emcee_tpu.likelihood import Photometry
+        names = Photometry.from_file(args.photfile).band_names
+        if names is None:
+            raise SystemExit(
+                "--builtin-responses requires a leading band-name column "
+                "in the photometry file ('name wave flux unc' per line)")
+        responses = ResponseSet.builtin(names)
 
     fit = MBBFitter(nwalkers=args.nwalkers, photfile=args.photfile,
                     wavenorm=args.wavenorm, noalpha=args.noalpha,

@@ -1,0 +1,126 @@
+"""Built-in instrument response library: named far-IR/submm bands.
+
+Rebuild of the reference's shipped filter-function library (ref:
+mbb_emcee response_set name lookup -- reconstructed, SURVEY.md C2): the
+reference resolves band NAMES (Herschel PACS/SPIRE conventions) to filter
+transmission data it ships, so users never have to supply curve files for
+the standard bands. This environment has no network access to the measured
+relative-spectral-response tables, so each band is a clearly-labeled
+PARAMETERIZED APPROXIMATION: a flat-topped super-Gaussian
+
+    T(lambda) = exp(-ln2 * ((lambda - center) / (width/2))^(2 m))
+
+whose half-power points sit at center +- width/2, with edge sharpness m
+chosen per instrument. The curve is sampled on Gauss-Legendre nodes over
+the support where T > ~1e-4 and compiled to fixed quadrature weights by
+``Response`` exactly like a file-loaded curve, including the instrument's
+detector convention (energy-integrating bolometers for every band below)
+and the nu*S_nu = const reference-spectrum color correction (s = -1, the
+Herschel quoting convention).
+
+Half-power band edges (approximate, from instrument handbook values):
+
+    PACS_70     60 - 85 um     Herschel PACS blue
+    PACS_100    85 - 130 um    Herschel PACS green
+    PACS_160    130 - 210 um   Herschel PACS red
+    SPIRE_250   212 - 288 um   Herschel SPIRE PSW (lambda/dlambda ~ 3.3)
+    SPIRE_350   297 - 403 um   Herschel SPIRE PMW
+    SPIRE_500   400 - 600 um   Herschel SPIRE PLW
+    SCUBA2_450  434 - 466 um   JCMT SCUBA-2
+    SCUBA2_850  808 - 892 um   JCMT SCUBA-2
+    LABOCA_870  795 - 945 um   APEX LABOCA
+    AZTEC_1100  1000 - 1200 um AzTEC 1.1 mm
+    MAMBO_1200  1055 - 1345 um IRAM MAMBO 1.2 mm
+
+Swap in measured tables at any time via ``Response.from_spec(name, path)``
+-- the registry only provides defaults for name-based lookup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from mbb_emcee_tpu.ops.quadrature import gauss_legendre
+
+
+@dataclasses.dataclass(frozen=True)
+class BandSpec:
+    """Parameterized band: flat-top super-Gaussian transmission."""
+    center: float          # um, band center (midpoint of half-power edges)
+    width: float           # um, full width at half maximum
+    sharpness: int = 4     # super-Gaussian order m (edge steepness)
+    photon_counter: bool = False   # detector convention (False = bolometer)
+    refspec_index: float = -1.0    # quoting convention nu^s (s=-1: nuS=const)
+    note: str = ""
+
+    def transmission(self, wave):
+        """T(lambda) on an array of wavelengths (um)."""
+        wave = np.asarray(wave, dtype=np.float64)
+        u = (wave - self.center) / (0.5 * self.width)
+        return np.exp(-np.log(2.0) * u ** (2 * self.sharpness))
+
+    @property
+    def support(self):
+        """(lo, hi) where T drops to ~1e-4 (exponent ~ -9.2)."""
+        half = 0.5 * self.width * (9.2 / np.log(2.0)) ** (
+            1.0 / (2 * self.sharpness))
+        return max(self.center - half, 1e-3), self.center + half
+
+
+def _herschel(center, lo, hi, note):
+    return BandSpec(center=0.5 * (lo + hi), width=hi - lo, sharpness=4,
+                    note=note)
+
+
+BUILTIN_BANDS: dict[str, BandSpec] = {
+    # Herschel PACS photometer (bolometers; 60-85 / 85-130 / 130-210 um).
+    "PACS_70": _herschel(70.0, 60.0, 85.0, "Herschel PACS blue (approx)"),
+    "PACS_100": _herschel(100.0, 85.0, 130.0, "Herschel PACS green (approx)"),
+    "PACS_160": _herschel(160.0, 130.0, 210.0, "Herschel PACS red (approx)"),
+    # Herschel SPIRE photometer (lambda/dlambda ~ 3.3, 3.3, 2.5).
+    "SPIRE_250": _herschel(250.0, 212.0, 288.0, "Herschel SPIRE PSW (approx)"),
+    "SPIRE_350": _herschel(350.0, 297.0, 403.0, "Herschel SPIRE PMW (approx)"),
+    "SPIRE_500": _herschel(500.0, 400.0, 600.0, "Herschel SPIRE PLW (approx)"),
+    # Ground-based submm/mm continuum cameras (all bolometers).
+    "SCUBA2_450": BandSpec(450.0, 32.0, 4, note="JCMT SCUBA-2 450um (approx)"),
+    "SCUBA2_850": BandSpec(850.0, 85.0, 4, note="JCMT SCUBA-2 850um (approx)"),
+    "LABOCA_870": BandSpec(870.0, 150.0, 3, note="APEX LABOCA 870um (approx)"),
+    "AZTEC_1100": BandSpec(1100.0, 200.0, 3, note="AzTEC 1.1mm (approx)"),
+    "MAMBO_1200": BandSpec(1200.0, 290.0, 3, note="IRAM MAMBO 1.2mm (approx)"),
+}
+
+# Name normalization: case-insensitive, '-'/'.' -> '_', and common
+# suffix/alias forms ("SPIRE_250um", "PSW", "PACS_BLUE", ...).
+_ALIASES = {
+    "PSW": "SPIRE_250", "PMW": "SPIRE_350", "PLW": "SPIRE_500",
+    "PACS_BLUE": "PACS_70", "PACS_GREEN": "PACS_100", "PACS_RED": "PACS_160",
+}
+
+
+def resolve_band_name(name):
+    """Canonical registry key for a band name, or None if unknown."""
+    key = str(name).strip().upper().replace("-", "_").replace(".", "_")
+    for suffix in ("UM", "_UM", "MICRON", "_MICRON"):
+        if key.endswith(suffix) and key[: -len(suffix)] in BUILTIN_BANDS:
+            key = key[: -len(suffix)]
+            break
+    key = _ALIASES.get(key, key)
+    return key if key in BUILTIN_BANDS else None
+
+
+def builtin_band_curve(name, nnodes=65):
+    """(wave, trans, quad_weights, band) for a named built-in band.
+
+    Gauss-Legendre nodes over the band support; feed straight into
+    ``Response(name, wave, trans, quad_weights=...)``.
+    """
+    key = resolve_band_name(name)
+    if key is None:
+        known = ", ".join(sorted(BUILTIN_BANDS))
+        raise KeyError(f"unknown built-in band {name!r}; known: {known}")
+    band = BUILTIN_BANDS[key]
+    lo, hi = band.support
+    nodes, wts = gauss_legendre(int(nnodes), lo, hi)
+    return nodes, band.transmission(nodes), wts, band

@@ -26,7 +26,11 @@ Special analytic filters are available by spec string:
     "box:center_um:width_um[:nnodes]"   flat transmission top-hat
     "gauss:center_um:fwhm_um[:nnodes]"  Gaussian transmission (+-4 sigma)
     "delta:wave_um"                      monochromatic sampling
-Anything else is treated as a path to a 2-column text file (lambda_um, R).
+    "builtin:BAND[:nnodes]"              named instrument band from the
+                                         built-in library (instruments.py:
+                                         PACS/SPIRE/SCUBA-2/...)
+Anything else: a known built-in band name resolves from the library;
+otherwise it is treated as a path to a 2-column text file (lambda_um, R).
 """
 
 from __future__ import annotations
@@ -95,10 +99,28 @@ class Response:
 
     # -- constructors --------------------------------------------------------
     @classmethod
+    def from_builtin(cls, name, band=None, nnodes=65, **kw):
+        """Named band from the built-in instrument library (instruments.py).
+
+        Detector convention and reference-spectrum index default to the
+        instrument's own unless overridden in **kw.
+        """
+        from mbb_emcee_tpu.instruments import builtin_band_curve
+        wave, trans, wts, spec = builtin_band_curve(
+            band if band is not None else name, nnodes=nnodes)
+        kw.setdefault("photon_counter", spec.photon_counter)
+        kw.setdefault("refspec_index", spec.refspec_index)
+        return cls(name, wave, trans, quad_weights=wts, **kw)
+
+    @classmethod
     def from_spec(cls, name, spec, dir=None, **kw):
-        """Build from a spec string (box:/gauss:/delta:) or a file path."""
+        """Build from a spec string (box:/gauss:/delta:/builtin:), a known
+        built-in band name, or a file path."""
         parts = str(spec).split(":")
         kind = parts[0].lower()
+        if kind == "builtin":
+            nnodes = int(parts[2]) if len(parts) > 2 else 65
+            return cls.from_builtin(name, band=parts[1], nnodes=nnodes, **kw)
         if kind == "delta":
             (w0,) = map(float, parts[1:2])
             return cls(name, [w0], [1.0], **kw)
@@ -118,6 +140,10 @@ class Response:
             nodes, wts = gauss_legendre(n, lo, hi)
             trans = np.exp(-0.5 * ((nodes - c) / sig) ** 2)
             return cls(name, nodes, trans, quad_weights=wts, **kw)
+        # Bare built-in band name (e.g. "SPIRE_250", "pacs-100um").
+        from mbb_emcee_tpu.instruments import resolve_band_name
+        if resolve_band_name(spec) is not None:
+            return cls.from_builtin(name, band=spec, **kw)
         # File path.
         path = spec if dir is None else os.path.join(dir, spec)
         data = np.loadtxt(path)
@@ -151,6 +177,16 @@ class ResponseSet:
             self._responses[name] = Response.from_spec(
                 name, spec_or_response, dir=dir, **kw)
         return self._responses[name]
+
+    @classmethod
+    def builtin(cls, names, nnodes=65, **kw):
+        """ResponseSet resolving each name from the built-in instrument
+        library (e.g. ResponseSet.builtin(["PACS_100", "SPIRE_250"]))."""
+        rs = cls()
+        for name in names:
+            rs._responses[name] = Response.from_builtin(
+                name, nnodes=nnodes, **kw)
+        return rs
 
     @classmethod
     def from_file(cls, listfile, dir=None, **kw):

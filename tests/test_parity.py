@@ -165,10 +165,10 @@ def test_parity_config2_full5():
 
 
 def test_parity_config3_response():
-    rs = ResponseSet()
-    names = [f"BOX{int(w)}" for w in WAVE]
-    for w, n in zip(WAVE, names):
-        rs.add(n, f"box:{w}:{0.3 * w:.1f}")
+    # Built-in instrument bands (65-node curves) at the mock wavelengths:
+    # realistic Herschel PACS/SPIRE filter shapes, not synthetic boxes.
+    names = ["PACS_100", "PACS_160", "SPIRE_250", "SPIRE_350", "SPIRE_500"]
+    rs = ResponseSet.builtin(names)
     pack = rs.pack(names)
     shape = MBBShape(opthin=True, noalpha=True)
     flux, unc = _mock_flux(shape, weights_pack=pack)

@@ -107,3 +107,53 @@ def test_validation_errors():
         Response("bad", [250.0, 300.0], [-0.1, 1.0])  # negative transmission
     with pytest.raises(ValueError):
         Response.from_spec("bad", "box:10:40")        # extends below zero
+
+
+# -- built-in instrument library (instruments.py) ---------------------------
+
+def test_builtin_library_lookup():
+    """rs.add("SPIRE_250", "builtin:SPIRE_250") and bare-name specs both
+    resolve from the built-in library."""
+    rs = ResponseSet()
+    r = rs.add("SPIRE_250", "builtin:SPIRE_250")
+    assert r.wave.size == 65
+    # Effective wavelength lands near the nominal band center.
+    assert abs(r.effective_wavelength - 250.0) < 12.0
+    # Bare name, case/suffix-insensitive, aliases.
+    for spec in ("SPIRE_250", "spire-250um", "PSW"):
+        r2 = Response.from_spec("x", spec)
+        np.testing.assert_allclose(r2.weights, r.weights)
+
+
+def test_builtin_all_bands_sane():
+    """Every registered band: normalized (flat reference spectrum maps to
+    its own quoted flux), effective wavelength within the half-power span."""
+    from mbb_emcee_tpu.instruments import BUILTIN_BANDS
+    rs = ResponseSet.builtin(list(BUILTIN_BANDS))
+    for name, band in BUILTIN_BANDS.items():
+        r = rs[name]
+        leff = r.effective_wavelength
+        lo = band.center - 0.75 * band.width
+        hi = band.center + 0.75 * band.width
+        assert lo < leff < hi, f"{name}: lambda_eff {leff} outside band"
+        # Reference spectrum (nu S_nu const -> S propto lambda) -> exactly
+        # the quoted flux.
+        val = r(lambda w: 4.0 * np.asarray(w) / leff)
+        np.testing.assert_allclose(val, 4.0, rtol=1e-6)
+
+
+def test_builtin_unknown_band_raises():
+    with pytest.raises(KeyError):
+        Response.from_builtin("NOT_A_BAND")
+
+
+def test_builtin_set_and_custom_nodes():
+    names = ["PACS_100", "SPIRE_350"]
+    rs = ResponseSet.builtin(names, nnodes=33)
+    waves, wts = rs.pack(names)
+    assert waves.shape == (2, 33)
+    # Node-count convergence: 33 vs 65 nodes agree on a smooth SED.
+    rs65 = ResponseSet.builtin(names)
+    sed = lambda w: (np.asarray(w) / 200.0) ** 1.5
+    for n in names:
+        np.testing.assert_allclose(rs[n](sed), rs65[n](sed), rtol=1e-5)
