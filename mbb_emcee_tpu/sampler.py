@@ -115,9 +115,14 @@ class EnsembleSampler:
     burn-in included -- executes on device; the host only launches phases.
     """
 
+    # Record cap of the single compiled run program: the chain buffer is
+    # preallocated at this many records and longer requests stream through
+    # segments (mirrors FusedPallasSampler.REC_CAP).
+    REC_CAP = 512
+
     def __init__(self, nwalkers: int, ndim: int,
                  lnprob_fn: Callable, a: float = 2.0,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, rec_cap=None):
         if nwalkers < 2 * ndim:
             raise ValueError(
                 f"nwalkers={nwalkers} < 2*ndim={2 * ndim}: the stretch move "
@@ -134,7 +139,9 @@ class EnsembleSampler:
             self.lnprob_batch = lnprob_fn
         else:
             self.lnprob_batch = jax.vmap(lnprob_fn)
-        self._run_cache = {}
+        self.rec_cap = int(rec_cap) if rec_cap else self.REC_CAP
+        self._run_dyn = None
+        self.trace_count = 0   # programs traced (asserted in tests)
 
     # -- state management -----------------------------------------------------
     def init_state(self, key, p0) -> SamplerState:
@@ -160,17 +167,45 @@ class EnsembleSampler:
             nsteps=jnp.zeros_like(state.nsteps))
 
     # -- run loops --------------------------------------------------------------
-    def _make_run(self, nrecord: int, thin: int):
-        def run(state: SamplerState):
-            def inner(carry, _):
-                def one(i, s):
-                    return ensemble_step(s, self.lnprob_batch, self.a)
-                s = jax.lax.fori_loop(0, thin, one, carry)
-                return s, (s.position, s.lnprob)
-            state, (chain, lnpchain) = jax.lax.scan(
-                inner, state, None, length=nrecord)
-            return state, chain, lnpchain
-        return jax.jit(run)
+    def _get_run(self):
+        """ONE compiled program serves every (nsteps, thin) geometry: the
+        record count and thin factor are traced scalars driving
+        dynamic-bound fori_loops over a rec_cap-record preallocated chain
+        buffer (capped-grid treatment, mirroring the fused Pallas
+        sampler's SMEM-scalar scheme -- without it every new burn /
+        production length paid a fresh trace+compile, which on CPU and any
+        non-TPU user dominated short runs)."""
+        if self._run_dyn is not None:
+            return self._run_dyn
+        rec_cap = self.rec_cap
+        nw = self.nwalkers
+
+        def run(state: SamplerState, nrec, thin):
+            chain_buf = jnp.zeros((rec_cap, nw, self.ndim), self.dtype)
+            lnp_buf = jnp.zeros((rec_cap, nw), self.dtype)
+
+            def one(i, s):
+                return ensemble_step(s, self.lnprob_batch, self.a)
+
+            def record(r, carry):
+                s, cb, lb = carry
+                s = jax.lax.fori_loop(0, thin, one, s)
+                cb = jax.lax.dynamic_update_index_in_dim(
+                    cb, s.position, r, 0)
+                lb = jax.lax.dynamic_update_index_in_dim(
+                    lb, s.lnprob, r, 0)
+                return s, cb, lb
+
+            state, chain_buf, lnp_buf = jax.lax.fori_loop(
+                0, nrec, record, (state, chain_buf, lnp_buf))
+            return state, chain_buf, lnp_buf
+
+        def traced_run(state, nrec, thin):
+            self.trace_count += 1
+            return run(state, nrec, thin)
+
+        self._run_dyn = jax.jit(traced_run)
+        return self._run_dyn
 
     def run_mcmc(self, state: SamplerState, nsteps: int, thin: int = 1):
         """Advance `nsteps` ensemble updates, recording every `thin`-th.
@@ -181,22 +216,31 @@ class EnsembleSampler:
         """
         if nsteps % thin:
             raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
+        if nsteps <= 0:
+            raise ValueError("nsteps must be positive")
         nrecord = nsteps // thin
-        cache_key = (nrecord, thin)
-        if cache_key not in self._run_cache:
-            self._run_cache[cache_key] = self._make_run(nrecord, thin)
-        return self._run_cache[cache_key](state)
+        run = self._get_run()
+        chains, lnps = [], []
+        done = 0
+        while done < nrecord:
+            n = min(self.rec_cap, nrecord - done)
+            state, cb, lb = run(state, jnp.asarray(n, jnp.int32),
+                                jnp.asarray(thin, jnp.int32))
+            chains.append(cb[:n])
+            lnps.append(lb[:n])
+            done += n
+        if len(chains) == 1:
+            return state, chains[0], lnps[0]
+        return (state, jnp.concatenate(chains, axis=0),
+                jnp.concatenate(lnps, axis=0))
 
     def advance(self, state: SamplerState, nsteps: int) -> SamplerState:
-        """Advance without recording (burn-in)."""
-        key = ("advance", nsteps)
-        if key not in self._run_cache:
-            def run(state):
-                def one(i, s):
-                    return ensemble_step(s, self.lnprob_batch, self.a)
-                return jax.lax.fori_loop(0, nsteps, one, state)
-            self._run_cache[key] = jax.jit(run)
-        return self._run_cache[key](state)
+        """Advance without recording (burn-in): the same single compiled
+        program, one record of `nsteps` thinned-away updates."""
+        state, _, _ = self._get_run()(
+            state, jnp.asarray(1, jnp.int32),
+            jnp.asarray(nsteps, jnp.int32))
+        return state
 
     # -- diagnostics ------------------------------------------------------------
     @staticmethod

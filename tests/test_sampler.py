@@ -154,3 +154,35 @@ def test_initial_ball_no_fp32_quantization_at_far_bound():
     assert b.std() > 0.1                      # not collapsed
     assert np.unique(b).size == 64            # and not quantized
     assert np.all(b > 1e-5) and np.all(b < 1e7)
+
+
+def test_single_trace_across_geometries():
+    """ONE compiled program serves every (nsteps, thin) geometry: different
+    burn/production lengths in one process must not retrace (the capped-grid
+    dynamic run; a retrace here costs a full compile per new geometry)."""
+    key = jax.random.PRNGKey(3)
+    s = EnsembleSampler(32, NDIM, _lnprob_gauss)
+    p0 = jax.random.normal(key, (32, NDIM))
+    st = s.init_state(key, p0)
+    st = s.advance(st, 7)
+    st, c1, _ = s.run_mcmc(st, 20)
+    st, c2, _ = s.run_mcmc(st, 30, thin=3)
+    st = s.advance(st, 13)
+    assert c1.shape == (20, 32, NDIM)
+    assert c2.shape == (10, 32, NDIM)
+    assert s.trace_count == 1
+
+
+def test_run_mcmc_segments_past_rec_cap():
+    """Requests longer than the record cap stream through segments and
+    concatenate seamlessly; determinism is preserved vs a small-cap run."""
+    key = jax.random.PRNGKey(5)
+    p0 = jax.random.normal(key, (32, NDIM))
+    a = EnsembleSampler(32, NDIM, _lnprob_gauss, rec_cap=8)
+    b = EnsembleSampler(32, NDIM, _lnprob_gauss)
+    sa, ca, _ = a.run_mcmc(a.init_state(key, p0), 20)
+    sb, cb, _ = b.run_mcmc(b.init_state(key, p0), 20)
+    assert ca.shape == (20, 32, NDIM)
+    np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+    np.testing.assert_array_equal(np.asarray(sa.position),
+                                  np.asarray(sb.position))
