@@ -1,19 +1,36 @@
-"""On-hardware posterior parity: fused Pallas sampler (hardware PRNG)
-vs the fp64 NumPy/SciPy oracle.
+"""On-hardware posterior parity at the BASELINE contract tolerance.
 
-The CPU test suite proves the kernels reproduce the XLA stretch move
-exactly when fed the same uniforms (interpret mode, rng='external'), and
-test_parity.py proves the XLA sampler's posteriors match the oracle. This
-script closes the remaining gap -- the hardware-PRNG fused path on a real
-TPU -- by running the full BASELINE-style workload both ways and comparing
-posterior medians and 68% CI half-widths.
+The BASELINE.json acceptance contract is "posterior means / credible
+intervals within <=1% of reference on seeds-equivalent workloads". PRNGs
+differ between the fp32 TPU pipeline and the fp64 NumPy/SciPy oracle, so
+parity is statistical; the r01 harness held CI widths only to 10% because a
+single chain per side left sigma_MC(width) at the several-percent level.
+This version drives the Monte-Carlo error itself below the contract:
+
+  * JAX side: K independent full fits per config (different seeds) on the
+    fused TPU sampler -- cheap at 2e8 walker-steps/s -- giving an EMPIRICAL
+    standard error of every posterior statistic (median + 68% CI width per
+    free parameter).
+  * Oracle side: M long fp64 Goodman-Weare runs per config; SE is the max
+    of the empirical seed spread and the analytic tau-based estimate.
+  * Verdict per statistic: |mean_J - mean_O| <= max(1% * scale,
+    3 * sqrt(SE_J^2 + SE_O^2)).  With the chain lengths below the combined
+    3*SE term sits near (mostly under) 1% for data-constrained parameters,
+    so the 1% contract is demonstrated rather than assumed.
+
+Config 4 (derived posteriors) compares L_IR / dust-mass / peak-lambda
+posterior statistics computed by the batched GL device kernels on BOTH
+pipelines' chains (kernel-vs-adaptive-quad elementwise parity is covered
+separately by tests/test_parity.py and test_quadrature_convergence.py),
+plus a direct elementwise adaptive-quad spot check.
 
 Run on a TPU host:  python tools/validate_tpu_parity.py
-Passes if medians agree within max(1%, 3 sigma_MC) and CI widths within
-10% (the BASELINE.json accuracy contract, same thresholds as
-tests/test_parity.py).
+    [--fast]  (short chains, report only -- no contract assertions)
+Writes a DESIGN.md-ready markdown table to stdout and exits nonzero on
+any failed statistic.
 """
 
+import argparse
 import os
 import sys
 import time
@@ -22,207 +39,321 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-NW, NB = 250, 5
-WAVE = np.linspace(100.0, 500.0, NB)
+WAVE = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
 TRUE = np.array([32.0, 1.9, 250.0, 3.5, 45.0])
-NBURN, NSTEPS = 300, 4000
-NCHAINS_ORACLE = 1   # oracle is slow; MC error handled via its ESS
+UNC_FRAC = 0.05
+PARAM_NAMES = ("T", "beta", "lambda0", "alpha", "fnorm")
+
+# Chain geometry (full mode). Oracle: M runs of (64 x 16000) = 1.02M
+# samples each; at tau ~ 20-35 that is ~30-50k effective samples per run,
+# sigma_MC(width) ~ 0.8-1.2% per run -> ~0.5% on the M-run mean. JAX: K
+# runs of (250 x 8000) = 2M samples each (the fused sampler makes the
+# larger ensemble free), sigma on the K-run mean ~0.3%.
+K_JAX = 8
+M_ORACLE = 4
+NW_JAX, NBURN_JAX, NSTEP_JAX = 250, 1500, 8000
+NW_ORA, NBURN_ORA, NSTEP_ORA = 64, 1000, 16000
+
+LOWER = np.array([0.1, 0.01, 1.0, 0.01, 1e-5])
+UPPER = np.array([100.0, 5.0, 2e4, 60.0, 1e7])
+
+CONFIGS = [
+    dict(label="config0 opthin3", opthin=True, noalpha=True, priors=[],
+         response=False),
+    dict(label="config1 thick4", opthin=False, noalpha=True,
+         priors=[(2, 250.0, 120.0)], response=False),
+    dict(label="config2 full5", opthin=False, noalpha=False,
+         priors=[(2, 250.0, 120.0), (3, 3.5, 1.5)], response=False),
+    dict(label="config3 response", opthin=True, noalpha=True, priors=[],
+         response=True),
+]
+
+BANDS = ["PACS_100", "PACS_160", "SPIRE_250", "SPIRE_350", "SPIRE_500"]
 
 
-def mock_data(seed=42):
+def free_indices(cfg):
+    free = [0, 1, 4]
+    if not cfg["opthin"]:
+        free.insert(2, 2)
+    if not cfg["noalpha"]:
+        free.insert(-1, 3)
+    return sorted(free)
+
+
+def response_pack(nnodes=65):
+    from mbb_emcee_tpu.response import ResponseSet
+    rs = ResponseSet.builtin(BANDS, nnodes=nnodes)
+    return rs, rs.pack(BANDS)
+
+
+def mock_data(cfg, seed=42):
+    """Mock photometry from the fp64 oracle model (identical for both
+    pipelines)."""
     from tests.reference_impl.mbb_oracle import ModifiedBlackbodyOracle
+    oracle = ModifiedBlackbodyOracle(*TRUE, opthin=cfg["opthin"],
+                                     noalpha=cfg["noalpha"])
+    if cfg["response"]:
+        _, (waves, wts) = response_pack()
+        f = (np.asarray(wts, np.float64)
+             * oracle(np.asarray(waves, np.float64))).sum(axis=-1)
+    else:
+        f = oracle(WAVE)
+    unc = UNC_FRAC * f
     rng = np.random.default_rng(seed)
-    oracle = ModifiedBlackbodyOracle(*TRUE)
-    f = oracle(WAVE)
-    unc = 0.05 * f
-    return f + unc * rng.standard_normal(NB), unc
+    return f + unc * rng.standard_normal(f.size), unc
 
 
-def run_tpu(flux, unc, seed):
+def jax_fit(cfg, flux, unc, seed, nburn=None, nsteps=None,
+            require_fused=True):
     from mbb_emcee_tpu import MBBFitter
-    fit = MBBFitter(nwalkers=NW, seed=seed)
-    fit.set_data(WAVE, flux, unc)
-    fit.set_uplim("T", 100.0)
-    fit.set_uplim("beta", 5.0)
-    fit.run(nburn=NBURN, nsteps=NSTEPS)
-    assert type(fit.sampler).__name__ == "FusedPallasSampler", \
-        "fused TPU path not selected -- run this on a TPU host"
-    chain = fit.chain                        # (nwalkers, nsteps, 5)
-    return chain.reshape(-1, 5), np.transpose(chain, (1, 0, 2))
+    responses = None
+    band_names = None
+    if cfg["response"]:
+        responses, _ = response_pack()
+        band_names = BANDS
+    fit = MBBFitter(nwalkers=NW_JAX, seed=seed, opthin=cfg["opthin"],
+                    noalpha=cfg["noalpha"], responses=responses)
+    fit.set_data(WAVE, flux, unc, band_names=band_names)
+    fit.set_uplim("T", UPPER[0]).set_uplim("beta", UPPER[1])
+    for (pi, mean, sig) in cfg["priors"]:
+        fit.set_gaussian_prior(pi, mean, sig)
+    for i in range(5):
+        fit.set_param_init(i, TRUE[i])
+    fit.run(nburn=nburn or NBURN_JAX, nsteps=nsteps or NSTEP_JAX)
+    if require_fused:
+        assert type(fit.sampler).__name__ == "FusedPallasSampler", \
+            "fused TPU path not selected -- run this on a TPU host"
+    return fit
 
 
-def run_oracle(flux, unc, seed):
+def oracle_chain(cfg, flux, unc, seed, nburn=None, nsteps=None):
+    """fp64 oracle posterior; returns (full-5 flat chain, (ns, nw, nfree)
+    chain for tau)."""
     from tests.reference_impl.mbb_oracle import ModifiedBlackbodyOracle
     from tests.reference_impl.gw_sampler import GoodmanWeareSampler
+    free = free_indices(cfg)
+    if cfg["response"]:
+        _, (waves, wts) = response_pack()
+        waves = np.asarray(waves, np.float64)
+        wts = np.asarray(wts, np.float64)
 
-    lower = np.array([0.1, 0.01, 1.0, 0.01, 1e-5])
-    upper = np.array([100.0, 5.0, 2e4, 60.0, 1e7])
-
-    def lnprob(theta):
-        if np.any(theta < lower) or np.any(theta > upper):
+    def lnprob(theta_free):
+        theta = TRUE.copy()
+        theta[free] = theta_free
+        if (np.any(theta_free < LOWER[free])
+                or np.any(theta_free > UPPER[free])):
             return -np.inf
-        model = ModifiedBlackbodyOracle(*theta)
-        r = (model(WAVE) - flux) / unc
-        return -0.5 * float(r @ r)
+        m = ModifiedBlackbodyOracle(*theta, opthin=cfg["opthin"],
+                                    noalpha=cfg["noalpha"])
+        model = ((wts * m(waves)).sum(axis=-1) if cfg["response"]
+                 else m(WAVE))
+        r = (model - flux) / unc
+        val = -0.5 * float(r @ r)
+        for (pi, mean, sig) in cfg["priors"]:
+            if pi in free:
+                val += -0.5 * ((theta[pi] - mean) / sig) ** 2
+        return val
 
     rng = np.random.default_rng(seed)
-    p0 = TRUE[None, :] * rng.uniform(0.95, 1.05, (NW, 5))
-    gw = GoodmanWeareSampler(NW, 5, lnprob, seed=seed)
-    pos, _ = gw.run_mcmc(p0, NBURN, store=False)
+    center = TRUE[free]
+    p0 = center[None, :] * rng.uniform(0.97, 1.03, (NW_ORA, len(free)))
+    gw = GoodmanWeareSampler(NW_ORA, len(free), lnprob, seed=seed)
+    pos, _ = gw.run_mcmc(p0, nburn or NBURN_ORA, store=False)
     gw.reset()
-    gw.run_mcmc(pos, NSTEPS // 4, store=True)
-    return gw.flatchain, np.stack(gw.chain)   # (nsteps, nwalkers, 5)
+    gw.run_mcmc(pos, nsteps or NSTEP_ORA)
+    full = np.tile(TRUE, (gw.flatchain.shape[0], 1))
+    full[:, free] = gw.flatchain
+    return full, np.stack(gw.chain)
 
 
-def summarize(flat):
-    med = np.median(flat, axis=0)
-    lo, hi = np.percentile(flat, [15.85, 84.15], axis=0)
-    return med, 0.5 * (hi - lo)
+def stats(flat, free):
+    """Per free param: (median, 68% CI width)."""
+    q = np.percentile(flat[:, free], [15.85, 50.0, 84.15], axis=0)
+    return q[1], q[2] - q[0]
 
 
-def run_multi_tpu(seed=3):
-    """Fused multi-source kernel (hw PRNG) on S optically-thin sources.
+def tau_se(chain_free, flat, free):
+    """Analytic per-run SE of (median, width) from measured tau."""
+    from mbb_emcee_tpu.sampler import autocorrelation_time
+    tau = np.maximum(np.nan_to_num(autocorrelation_time(chain_free),
+                                   nan=1.0), 1.0)
+    n_eff = flat.shape[0] / tau
+    std = flat[:, free].std(axis=0)
+    se_med = 1.2533 * std / np.sqrt(n_eff)
+    # Each 68% edge quantile: se ~ 1.087 sigma/sqrt(neff) for a Gaussian;
+    # the width combines two (anti-correlated -> conservative quadrature).
+    se_w = 1.54 * std / np.sqrt(n_eff)
+    return se_med, se_w
 
-    The thin 3-parameter model (BASELINE config[0] style) keeps every
-    per-source posterior unimodal: with the opacity pivot free, 5-band
-    photometry supports a genuine T-lambda0 bimodality, and WHICH mode a
-    finite chain settles in is stream-dependent (verified: the same
-    source's data gives T=34.6+-2.6 in one slot/stream and 24.2+-9.7 in
-    another, with the single-fit and oracle runs matching each other in
-    one mode) -- that is posterior structure, not kernel behavior, so it
-    cannot serve as a kernel parity check.
-    """
-    from mbb_emcee_tpu import MultiFitter
+
+def aggregate(per_run_meds, per_run_widths, per_run_se=None):
+    """Mean and SE-of-mean over runs; SE floor from analytic per-run SEs."""
+    meds = np.stack(per_run_meds)
+    wids = np.stack(per_run_widths)
+    n = meds.shape[0]
+    if n > 1:
+        se_med = meds.std(axis=0, ddof=1) / np.sqrt(n)
+        se_wid = wids.std(axis=0, ddof=1) / np.sqrt(n)
+    else:
+        se_med = np.zeros(meds.shape[1])
+        se_wid = np.zeros(wids.shape[1])
+    if per_run_se is not None:
+        a_med = np.stack([s[0] for s in per_run_se]).mean(axis=0) / np.sqrt(n)
+        a_wid = np.stack([s[1] for s in per_run_se]).mean(axis=0) / np.sqrt(n)
+        se_med = np.maximum(se_med, a_med)
+        se_wid = np.maximum(se_wid, a_wid)
+    return meds.mean(axis=0), wids.mean(axis=0), se_med, se_wid
+
+
+def compare_rows(label, names, mj, wj, sj_m, sj_w, mo, wo, so_m, so_w):
+    """Markdown rows + pass/fail for one config. Returns (rows, ok)."""
+    rows, ok = [], True
+    for i, name in enumerate(names):
+        scale = max(abs(mo[i]), 1e-12)
+        dmed = abs(mj[i] - mo[i])
+        se_m = np.hypot(sj_m[i], so_m[i])
+        tol_m = max(0.01 * scale, 3.0 * se_m)
+        dwid = abs(wj[i] - wo[i])
+        se_w = np.hypot(sj_w[i], so_w[i])
+        tol_w = max(0.01 * wo[i], 3.0 * se_w)
+        row_ok = dmed <= tol_m and dwid <= tol_w
+        ok &= row_ok
+        rows.append(
+            f"| {label} | {name} | {100 * dmed / scale:.2f}% "
+            f"| {100 * se_m / scale:.2f}% | {100 * dwid / wo[i]:.2f}% "
+            f"| {100 * se_w / wo[i]:.2f}% "
+            f"| {'PASS' if row_ok else 'FAIL'} |")
+    return rows, ok
+
+
+def derived_section(cfg2, flux, unc, fast, all_rows):
+    """Config 4: derived-quantity posterior parity (batched GL kernels on
+    both pipelines' chains + elementwise adaptive-quad spot check)."""
+    from mbb_emcee_tpu import MBBResults
+    from mbb_emcee_tpu.constants import MPC_M, MJY_WM2HZ, LSUN_W
     from tests.reference_impl.mbb_oracle import ModifiedBlackbodyOracle
+    z = 2.0
+    thin = 8
+    fit = jax_fit(cfg2, flux, unc, seed=900, require_fused=not fast)
+    res_j = MBBResults(fit=fit, redshift=z)
+    o_flat, _ = oracle_chain(cfg2, flux, unc, seed=901)
+    res_o = MBBResults(fit=fit, redshift=z)
+    nw = NW_JAX
+    pad = (-o_flat.shape[0]) % nw
+    res_o.chain = o_flat[:o_flat.shape[0] - pad].reshape(nw, -1, 5)
 
-    S = 8
-    rng = np.random.default_rng(seed)
-    trues = np.column_stack([
-        rng.uniform(28, 40, S), rng.uniform(1.6, 2.2, S),
-        np.full(S, 250.0), rng.uniform(3, 4.5, S),
-        rng.uniform(30, 60, S)])
-    flux, unc = [], []
-    for t in trues:
-        f = ModifiedBlackbodyOracle(*t, opthin=True)(WAVE)
-        u = 0.05 * f
-        flux.append(f + u * rng.standard_normal(NB))
-        unc.append(u)
-    flux, unc = np.array(flux), np.array(unc)
-
-    mf = MultiFitter(nwalkers=NW, seed=seed, opthin=True)
-    mf.set_data(WAVE, flux, unc)
-    mf.set_uplim("T", 100.0)
-    mf.set_uplim("beta", 5.0)
-    mf.run(nburn=NBURN, nsteps=NSTEPS)
-    assert mf._backend_used == "fused", "fused multi path not selected"
-    chains = np.asarray(mf.chain)            # (S, nw, nrec, 5)
-    return trues, flux, unc, chains.reshape(S, -1, 5)
-
-
-def run_oracle_thin(flux, unc, seed):
-    from tests.reference_impl.mbb_oracle import ModifiedBlackbodyOracle
-    from tests.reference_impl.gw_sampler import GoodmanWeareSampler
-
-    lower = np.array([0.1, 0.01, 0.01, 1e-5])
-    upper = np.array([100.0, 5.0, 60.0, 1e7])
-    L0 = 250.0
-
-    def lnprob(th):
-        if np.any(th < lower) or np.any(th > upper):
-            return -np.inf
-        model = ModifiedBlackbodyOracle(th[0], th[1], L0, th[2], th[3],
-                                        opthin=True)
-        r = (model(WAVE) - flux) / unc
-        return -0.5 * float(r @ r)
-
-    rng = np.random.default_rng(seed)
-    t0 = np.array([32.0, 1.9, 3.5, 45.0])
-    p0 = t0[None, :] * rng.uniform(0.95, 1.05, (NW, 4))
-    gw = GoodmanWeareSampler(NW, 4, lnprob, seed=seed)
-    pos, _ = gw.run_mcmc(p0, NBURN, store=False)
-    gw.reset()
-    gw.run_mcmc(pos, NSTEPS // 4, store=True)
-    return gw.flatchain
-
-
-def multi_section():
-    """Compare 3 of the batch's sources against per-source oracle runs
-    (constrained parameters: T, beta, fnorm medians + CI widths)."""
-    trues, flux, unc, flats = run_multi_tpu()
     ok = True
-    for sidx in (0, 3, 7):
-        ora_flat = run_oracle_thin(flux[sidx], unc[sidx], seed=100 + sidx)
-        med_t, ci_t = summarize(flats[sidx])
-        med_o4, ci_o4 = summarize(ora_flat)
-        # oracle thin chain is (T, beta, alpha, fnorm); map to 5-vector idx
-        omap = {0: 0, 1: 1, 4: 3}
-        for i, name in (0, "T"), (1, "beta"), (4, "fnorm"):
-            mo, co = med_o4[omap[i]], ci_o4[omap[i]]
-            dmed = abs(med_t[i] - mo) / max(abs(mo), 1e-12)
-            dci = abs(ci_t[i] - co) / max(co, 1e-12)
-            line_ok = dmed <= 0.02 and dci <= 0.2
-            ok &= line_ok
-            print(f"  src{sidx} {name:6s} med {med_t[i]:9.4g} vs "
-                  f"{mo:9.4g} ({100*dmed:.2f}%)  ci {ci_t[i]:.3g} "
-                  f"vs {co:.3g} ({100*dci:.1f}%)  "
-                  f"{'OK' if line_ok else 'FAIL'}")
+    rows = []
+    for kind in ("lir", "dustmass", "peaklambda"):
+        cj = getattr(res_j, f"compute_{kind}")(thin=thin)
+        co = getattr(res_o, f"compute_{kind}")(thin=thin)
+        qj = np.percentile(cj, [15.85, 50.0, 84.15])
+        qo = np.percentile(co, [15.85, 50.0, 84.15])
+        dmed = abs(qj[1] - qo[1]) / qo[1]
+        wj, wo = qj[2] - qj[0], qo[2] - qo[0]
+        dwid = abs(wj - wo) / wo
+        # Derived chains inherit the parameter chains' MC error; hold to
+        # the parameter-level resolution (3 x ~1.2%/sqrt(neff) per side).
+        n_eff = min(len(cj), len(co)) / 35.0
+        tol = max(0.01, 4.5 / np.sqrt(n_eff))
+        row_ok = dmed <= tol and dwid <= max(3 * tol, 0.10)
+        ok &= row_ok
+        rows.append(f"| config4 derived | {kind} | {100 * dmed:.2f}% | - "
+                    f"| {100 * dwid:.2f}% | - "
+                    f"| {'PASS' if row_ok else 'FAIL'} |")
+
+    # Elementwise adaptive-quad spot check of the L_IR kernel.
+    samples = res_j.flatchain[:: max(len(res_j.flatchain) // 12, 1)][:12]
+    dl_m = res_j._dl_mpc() * MPC_M
+    prefac = 4.0 * np.pi * dl_m ** 2 * MJY_WM2HZ / LSUN_W
+    lir_k = res_j.compute_lir(thin=1)  # full chain; index matches samples
+    stride = max(len(res_j.flatchain) // 12, 1)
+    for n, s in enumerate(samples):
+        o = ModifiedBlackbodyOracle(*s)
+        want = prefac * o.freq_integrate(8.0 * (1 + z), 1000.0 * (1 + z))
+        got = lir_k[n * stride]
+        if abs(got - want) / want > 3e-3:
+            ok = False
+            rows.append(f"| config4 derived | lir elementwise #{n} | "
+                        f"{100 * abs(got - want) / want:.3f}% | - | - | - "
+                        f"| FAIL |")
+    all_rows.extend(rows)
     return ok
 
 
-def main():
-    from mbb_emcee_tpu.constants import PARAM_NAMES
-    flux, unc = mock_data()
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true",
+                    help="short chains, no contract assertions (smoke)")
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated config indices (default all)")
+    args = ap.parse_args(argv)
 
-    from mbb_emcee_tpu.sampler import autocorrelation_time
+    global K_JAX, M_ORACLE, NBURN_JAX, NSTEP_JAX, NBURN_ORA, NSTEP_ORA
+    if args.fast:
+        K_JAX, M_ORACLE = 2, 1
+        NBURN_JAX, NSTEP_JAX = 300, 1000
+        NBURN_ORA, NSTEP_ORA = 300, 2000
 
-    t0 = time.time()
-    tpu_flat, tpu_chain = run_tpu(flux, unc, seed=12345)
-    t_tpu = time.time() - t0
-    t0 = time.time()
-    ora_flat, ora_chain = run_oracle(flux, unc, seed=54321)
-    t_ora = time.time() - t0
+    sel = ([int(i) for i in args.configs.split(",")]
+           if args.configs else range(len(CONFIGS)))
 
-    med_t, ci_t = summarize(tpu_flat)
-    med_o, ci_o = summarize(ora_flat)
-
-    def med_mc_err(flat, chain):
-        # MC error of the sample median: 1.2533 sigma / sqrt(ESS), with
-        # ESS from the MEASURED per-parameter autocorrelation time.
-        tau = np.maximum(autocorrelation_time(chain), 1.0)
-        ess = flat.shape[0] / tau
-        return 1.2533 * np.std(flat, axis=0) / np.sqrt(ess)
-
-    mc_err = np.sqrt(med_mc_err(tpu_flat, tpu_chain) ** 2
-                     + med_mc_err(ora_flat, ora_chain) ** 2)
-
-    print(f"TPU fused: {tpu_flat.shape[0]} samples in {t_tpu:.1f}s; "
-          f"oracle: {ora_flat.shape[0]} samples in {t_ora:.1f}s")
-    from mbb_emcee_tpu.likelihood import DEFAULT_LOWER, DEFAULT_UPPER
-    box_lo = DEFAULT_LOWER.copy()
-    box_hi = np.array([100.0, 5.0, DEFAULT_UPPER[2], DEFAULT_UPPER[3],
-                       DEFAULT_UPPER[4]])
+    all_rows = [
+        "| config | param | [d median] | sigma_MC | [d CI width] | "
+        "sigma_MC | verdict |",
+        "|---|---|---|---|---|---|---|",
+    ]
     ok = True
-    for i, name in enumerate(PARAM_NAMES):
-        scale = max(abs(med_o[i]), 1e-12)
-        dmed = abs(med_t[i] - med_o[i])
-        tol = max(0.01 * scale, 3.0 * mc_err[i])
-        dci = abs(ci_t[i] - ci_o[i]) / max(ci_o[i], 1e-12)
-        # A parameter whose 68% CI spans a large fraction of its prior box
-        # is prior-dominated (the data do not constrain it): the sample
-        # median of a near-flat distribution wanders by ~its own MC error
-        # across seeds (measured: the oracle's own alpha median moves
-        # 28.0-29.8 between seeds on this workload), so parity there is
-        # the CI WIDTH, not the median.
-        prior_dom = 2 * ci_o[i] > 0.25 * (box_hi[i] - box_lo[i])
-        line_ok = dci <= 0.15 and (prior_dom or dmed <= tol)
-        ok &= line_ok
-        note = "  [prior-dominated: CI-width check]" if prior_dom else ""
-        print(f"  {name:8s} med {med_t[i]:10.4g} vs {med_o[i]:10.4g} "
-              f"(|d|={dmed:.3g}, tol={tol:.3g})  "
-              f"ci {ci_t[i]:.4g} vs {ci_o[i]:.4g} ({100*dci:.1f}%)  "
-              f"{'OK' if line_ok else 'FAIL'}{note}")
-    print("multi-source fused kernel vs per-source oracle:")
-    ok &= multi_section()
+    for ci in sel:
+        cfg = CONFIGS[ci]
+        free = free_indices(cfg)
+        names = [PARAM_NAMES[i] for i in free]
+        flux, unc = mock_data(cfg)
+
+        t0 = time.time()
+        j_meds, j_wids = [], []
+        for k in range(K_JAX):
+            fit = jax_fit(cfg, flux, unc, seed=1000 + 17 * k,
+                          require_fused=not args.fast)
+            m, w = stats(fit.chain.reshape(-1, 5), free)
+            j_meds.append(m)
+            j_wids.append(w)
+        t_jax = time.time() - t0
+
+        t0 = time.time()
+        o_meds, o_wids, o_ses = [], [], []
+        for m_i in range(M_ORACLE):
+            flat, chain = oracle_chain(cfg, flux, unc, seed=500 + 31 * m_i)
+            mm, ww = stats(flat, free)
+            o_meds.append(mm)
+            o_wids.append(ww)
+            o_ses.append(tau_se(chain, flat, free))
+        t_ora = time.time() - t0
+
+        mj, wj, sjm, sjw = aggregate(j_meds, j_wids)
+        mo, wo, som, sow = aggregate(o_meds, o_wids,
+                                     o_ses if M_ORACLE > 1 else None)
+        if M_ORACLE == 1:
+            som, sow = o_ses[0]
+        rows, cfg_ok = compare_rows(cfg["label"], names, mj, wj, sjm, sjw,
+                                    mo, wo, som, sow)
+        all_rows.extend(rows)
+        ok &= cfg_ok
+        print(f"{cfg['label']}: JAX {K_JAX} fits in {t_jax:.0f}s, oracle "
+              f"{M_ORACLE} runs in {t_ora:.0f}s -> "
+              f"{'OK' if cfg_ok else 'FAIL'}", flush=True)
+
+    if (args.configs is None) or (2 in sel):
+        cfg2 = CONFIGS[2]
+        flux2, unc2 = mock_data(cfg2)
+        ok &= derived_section(cfg2, flux2, unc2, args.fast, all_rows)
+
+    print()
+    print("\n".join(all_rows))
+    print()
+    if args.fast:
+        print("PARITY REPORT (fast mode -- not the contract run)")
+        return 0
     print("PARITY PASS" if ok else "PARITY FAIL")
     return 0 if ok else 1
 
