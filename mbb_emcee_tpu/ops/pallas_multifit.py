@@ -72,7 +72,7 @@ def _make_multi_lnp(cfg):
     log_s_mbb = make_log_s_mbb(opthin)
 
     def compute(rows, limits_ref, prior_ref, flux_blk, iunc_blk,
-                waves_ref, rweights_ref):
+                wnodes_ref, rweights_ref):
         inbox = None
         clipped = []
         for i in range(NPARAMS):
@@ -104,14 +104,22 @@ def _make_multi_lnp(cfg):
         ls_norm = log_s(_LOG_C2 - log_wavenorm - log_T)
 
         uplim = cfg.get("uplim") or (False,) * nb
+        nnodes = cfg["nnodes"]
+        # ALL nb*nnodes wavelengths in ONE packed (R, S, W) tile-op chain.
+        # wnodes_ref is a VMEM (R, 1, 1) array of ln-space node constants
+        # (_LOG_C2 - ln lambda, precomputed host-side) that broadcasts
+        # against the (S, W) parameter tiles -- the per-node scalar-SMEM
+        # loop this replaces serialized nb*nnodes full log_s chains per
+        # lnprob (~325 at a realistic 65-node filter x 5 bands), which
+        # degraded both step cost and Mosaic compile time; this is the
+        # multi-source analog of the single-source kernel's packing
+        # (ops/pallas_lnprob.py node packing).
+        lx3 = wnodes_ref[:, :, :] - log_T              # (R, S, W)
+        wv = rweights_ref[:, :, :] * jnp.exp(
+            log_fnorm + log_s(lx3) - ls_norm)          # (R, S, W)
         chi2 = jnp.zeros_like(T)
         for b in range(nb):
-            model = jnp.zeros_like(T)
-            nnodes = int(waves_ref.shape[1])
-            for k in range(nnodes):
-                lx = (_LOG_C2 - jnp.log(waves_ref[b, k])) - log_T
-                model = model + rweights_ref[b, k] * jnp.exp(
-                    log_fnorm + log_s(lx) - ls_norm)
+            model = jnp.sum(wv[b * nnodes:(b + 1) * nnodes], axis=0)
             d = model - flux_blk[:, b:b + 1]
             if uplim[b]:
                 # upper-limit band: penalize only flux above the limit
@@ -145,9 +153,9 @@ def _make_multi_kernel(cfg, *, nfree, half, wp, s_tile, thin, a,
                prior_ref, flux_ref, iunc_ref, waves_ref, rweights_ref,
                *rest):
         if external_rng:
-            u_ref, chain_ref, state_out_ref, state_scr = rest
+            u_ref, chain_ref, state_out_ref, state_scr, partner_scr = rest
         else:
-            chain_ref, state_out_ref, state_scr = rest
+            chain_ref, state_out_ref, state_scr, partner_scr = rest
 
         t = pl.program_id(0)
         i = pl.program_id(1)
@@ -209,9 +217,20 @@ def _make_multi_kernel(cfg, *, nfree, half, wp, s_tile, thin, a,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)      # (S, 5, W)
-            props = [partners[:, q, :]
-                     + z * (q_of(active, q) - partners[:, q, :])
-                     for q in range(NPARAMS)]
+            # Round-trip the extracted rows through VMEM scratch:
+            # middle-dim slices partners[:, q, :] carry sublane-offset
+            # layouts (vpad {q,0}) that Mosaic cannot feed into the
+            # packed-node 3D reduction in the likelihood ("unsupported
+            # output implicit dimension" at 65 nodes); a ref store/load
+            # renormalizes them to offset-0 for the cost of one small
+            # VMEM copy per row.
+            for q in range(NPARAMS):
+                partner_scr[q * S:(q + 1) * S, :] = partners[:, q, :]
+            props = []
+            for q in range(NPARAMS):
+                partner_q = partner_scr[q * S:(q + 1) * S, :]
+                props.append(partner_q
+                             + z * (q_of(active, q) - partner_q))
             lnp_prop = lnprob(props)
             lnp_active = q_of(active, _Q_LNP)
             log_ratio = d_exp * jnp.log(z) + lnp_prop - lnp_active
@@ -309,12 +328,21 @@ class FusedMultiPallasSampler:
 
         nb = wave.size
         if response_pack is not None:
-            waves, rweights = response_pack
-            self._waves = jnp.asarray(waves, jnp.float32)
-            self._rweights = jnp.asarray(rweights, jnp.float32)
+            waves_np, rweights_np = response_pack
+            waves_np = np.asarray(waves_np, np.float64)
+            rweights_np = np.asarray(rweights_np, np.float64)
         else:
-            self._waves = jnp.asarray(wave, jnp.float32)[:, None]
-            self._rweights = jnp.ones((nb, 1), jnp.float32)
+            waves_np = np.asarray(wave, np.float64)[:, None]
+            rweights_np = np.ones((nb, 1), np.float64)
+        self.nnodes = int(waves_np.shape[1])
+        R = nb * self.nnodes
+        # Packed (R, 1, 1) node operands for the in-kernel broadcast
+        # evaluation: ln-space wavelength constants and quadrature weights
+        # (see _make_multi_lnp).
+        self._wnodes = jnp.asarray(
+            (_LOG_C2 - np.log(waves_np)).reshape(R, 1, 1), jnp.float32)
+        self._rweights = jnp.asarray(
+            rweights_np.reshape(R, 1, 1), jnp.float32)
 
         # pad sources to tile multiple with replicas of source 0 (and to a
         # multiple of s_tile * ndev under a mesh so tiles shard evenly)
@@ -350,8 +378,10 @@ class FusedMultiPallasSampler:
 
         uplim = ((False,) * nb if spec.uplim_bands is None
                  else tuple(bool(u) for u in spec.uplim_bands))
+        self.nbands = nb
         self.cfg = dict(opthin=shape.opthin, noalpha=shape.noalpha,
-                        nbands=nb, wavenorm=shape.wavenorm, uplim=uplim)
+                        nbands=nb, nnodes=self.nnodes,
+                        wavenorm=shape.wavenorm, uplim=uplim)
         self._run_cache = {}
         # Fixed per-launch record cap (hw mode): one compiled program per
         # geometry serves any run length via <=rec_cap-record segments.
@@ -363,7 +393,7 @@ class FusedMultiPallasSampler:
         recompile -- the serving path for fitting successive batches."""
         flux = np.atleast_2d(np.asarray(flux, np.float64))
         unc = np.atleast_2d(np.asarray(unc, np.float64))
-        nb = self._waves.shape[0]
+        nb = self.nbands
         if flux.shape != (self.nsources, nb) or unc.shape != flux.shape:
             raise ValueError(
                 f"flux/unc must be ({self.nsources}, {nb})")
@@ -455,8 +485,7 @@ class FusedMultiPallasSampler:
         kernel = _make_multi_kernel(
             self.cfg, nfree=self.ndim, half=self.half, wp=wp, s_tile=S,
             thin=thin, a=self.a, external_rng=external)
-        nb = int(self._waves.shape[0])
-        nnodes = int(self._waves.shape[1])
+        nb = self.nbands
 
         mesh = self.mesh
         ndev = 1 if mesh is None else int(mesh.devices.size)
@@ -474,8 +503,8 @@ class FusedMultiPallasSampler:
                          memory_space=pltpu.VMEM),               # flux
             pl.BlockSpec((1, S, nb), lambda t, i: (t, 0, 0),
                          memory_space=pltpu.VMEM),               # iunc
-            pl.BlockSpec(memory_space=pltpu.SMEM),               # waves
-            pl.BlockSpec(memory_space=pltpu.SMEM),               # rweights
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # wnodes
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # rweights
         ]
         if external:
             in_specs.append(
@@ -509,7 +538,10 @@ class FusedMultiPallasSampler:
                 out_shape=out_shapes,
                 in_specs=in_specs,
                 out_specs=out_specs,
-                scratch_shapes=[pltpu.VMEM((rows_tile, wp), jnp.float32)],
+                scratch_shapes=[
+                    pltpu.VMEM((rows_tile, wp), jnp.float32),
+                    pltpu.VMEM((NPARAMS * S, wp), jnp.float32),
+                ],
                 interpret=self.interpret,
             )(*args)
 
@@ -529,7 +561,8 @@ class FusedMultiPallasSampler:
                 in_specs=(P(None), P(None), P(ax, None, None),
                           P(None, None), P(None, None),
                           P(ax, None, None), P(ax, None, None),
-                          P(None, None), P(None, None)) + u_specs,
+                          P(None, None, None), P(None, None, None))
+                         + u_specs,
                 out_specs=(P(None, ax, None, None), P(ax, None, None)),
                 check_vma=False)
         else:
@@ -578,7 +611,7 @@ class FusedMultiPallasSampler:
             raise ValueError("nsteps must be positive")
         nrecord = nsteps // thin
         cargs = (self._limits, self._priors, self._flux, self._iunc,
-                 self._waves, self._rweights)
+                 self._wnodes, self._rweights)
         if self.rng == "external":
             # legacy static path (tests)
             ck = (nrecord, thin)

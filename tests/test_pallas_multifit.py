@@ -84,9 +84,13 @@ def _reference_source(uniforms, s, p0_s, lnprob_batch, half, thin, nrec,
 
 
 @pytest.mark.parametrize("nsources,opthin,noalpha,uplim", [
-    (8, False, False, False),    # exactly one tile, full model
-    (3, True, True, False),      # padded tile, reduced model
-    (8, False, False, True),     # photometric upper limit on band 0
+    # Default lane: one padded-tile reduced-model replay (interpret-mode
+    # kernel equivalence is expensive; the full model is covered fast by
+    # the packed-node response test below and the single-source suite,
+    # and at full scale in the slow lane).
+    (3, True, True, False),
+    pytest.param(3, False, False, True, marks=pytest.mark.slow),
+    pytest.param(8, False, False, False, marks=pytest.mark.slow),
 ])
 def test_multi_kernel_matches_per_source_xla(nsources, opthin, noalpha,
                                              uplim):
@@ -179,6 +183,7 @@ def test_set_data_refreshes_kernel_operands():
         samp.set_data(flux[:, :3], unc[:, :3])   # wrong band count
 
 
+@pytest.mark.slow
 def test_mesh_sharded_fused_matches_single_device():
     """Source tiles shard over a mesh via shard_map around the kernel;
     with external uniforms the sharded run must reproduce the
@@ -214,3 +219,71 @@ def test_mesh_sharded_fused_matches_single_device():
                                rtol=1e-6, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(st_a.naccept),
                                   np.asarray(st_b.naccept))
+
+
+@pytest.mark.parametrize("nnodes", [
+    9,
+    pytest.param(65, marks=pytest.mark.slow),   # realistic resolution
+])
+def test_multi_kernel_response_mode_packed_nodes(nnodes):
+    """Packed-node response mode: built-in PACS/SPIRE curves x 5 bands
+    (nb*nnodes packed wavelengths; 325 at the slow lane's realistic
+    65-node resolution). The kernel's single (R, S, W) broadcast
+    evaluation must reproduce, source by source, the single-source Pallas
+    lnprob path consuming the same response pack and uniforms."""
+    from mbb_emcee_tpu.response import ResponseSet
+
+    names = ["PACS_100", "PACS_160", "SPIRE_250", "SPIRE_350", "SPIRE_500"]
+    rs = ResponseSet.builtin(names, nnodes=nnodes)
+    pack = rs.pack(names)
+    nsources = 8
+    shape, spec, trues, _, _ = _problem(nsources)
+    # Band-integrated mock fluxes through the same pack.
+    waves_j = jnp.asarray(pack[0])
+    wts = np.asarray(pack[1], np.float64)
+    flux, unc = [], []
+    rng = np.random.default_rng(11)
+    for t in trues:
+        vals = np.asarray(mbb_fnu(jnp.asarray(t, jnp.float32), waves_j,
+                                  shape), np.float64)
+        f = (wts * vals).sum(axis=-1)
+        u = 0.04 * f
+        flux.append(f + u * rng.standard_normal(NB))
+        unc.append(u)
+    flux, unc = np.array(flux), np.array(unc)
+
+    samp = FusedMultiPallasSampler(NW, WAVE, flux, unc, shape, spec,
+                                   response_pack=pack, interpret=True,
+                                   rng="external")
+    fs = samp.free_space
+    p0 = np.stack([
+        np.asarray(make_initial_ball(
+            jax.random.key(70 + s), trues[s][fs.free_idx],
+            0.05 * np.abs(trues[s][fs.free_idx]), NW,
+            fs.lower, fs.upper))
+        for s in range(nsources)])
+    state = samp.init_state(jax.random.key(2), jnp.asarray(p0))
+
+    nrec, thin = 1, 2
+    u_rng = np.random.default_rng(8)
+    uniforms = jnp.asarray(u_rng.uniform(
+        0.001, 0.999,
+        (samp.ntiles, nrec, 6 * thin * samp.s_tile, samp.wp))
+        .astype(np.float32))
+    state, chain, lnpchain = samp.run_mcmc(state, nrec * thin, thin,
+                                           uniforms=uniforms)
+
+    half = NW // 2
+    for s in (0, 3, 7):
+        lnprob_batch, _ = build_pallas_lnprob(
+            Photometry(WAVE, flux[s], unc[s]), shape, spec,
+            response_pack=pack, interpret=True)
+        ref_chain, ref_lnp, ref_acc = _reference_source(
+            np.asarray(uniforms), s, p0[s], lnprob_batch, half, thin,
+            nrec)
+        np.testing.assert_allclose(np.asarray(chain[s]), ref_chain,
+                                   rtol=2e-5, atol=1e-4, err_msg=f"src {s}")
+        np.testing.assert_allclose(np.asarray(lnpchain[s]), ref_lnp,
+                                   rtol=2e-5, atol=1e-3, err_msg=f"src {s}")
+        np.testing.assert_array_equal(np.asarray(state.naccept[s]),
+                                      ref_acc, err_msg=f"src {s}")
