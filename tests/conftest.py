@@ -16,3 +16,41 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache for the TEST process: the package deliberately
+# leaves the cache off on CPU (XLA:CPU AOT results are machine-specific),
+# but test runs always happen on this machine, and re-runs otherwise pay
+# every CPU compile again -- a large fraction of suite wall-clock.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.expanduser("~"), ".cache",
+                               "mbb_emcee_tpu", "jax-test-cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run the full (slow) lane: long parity chains and the "
+             "large interpret-mode kernel equivalence cases")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-scale test kept out of the default lane "
+                   "(run with --runslow)")
+    if config.getoption("--runslow"):
+        # Module-level knob: statistical tests scale their chain lengths
+        # up (tolerances are MC-error-aware, so the default lane stays
+        # valid at reduced scale).
+        os.environ["MBB_RUNSLOW"] = "1"
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow lane (use --runslow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

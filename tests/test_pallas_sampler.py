@@ -65,8 +65,11 @@ def _reference_run(uniforms, p0, lnprob_batch, nfree, a=2.0):
     return np.stack(chain), np.stack(lnpchain), nacc
 
 
-@pytest.mark.parametrize("opthin,noalpha",
-                         [(False, False), (True, False), (False, True)])
+@pytest.mark.parametrize("opthin,noalpha", [
+    (False, False),                                      # full model
+    pytest.param(True, False, marks=pytest.mark.slow),
+    pytest.param(False, True, marks=pytest.mark.slow),
+])
 def test_fused_kernel_matches_xla_stretch_move(opthin, noalpha):
     phot, shape, spec = _problem(opthin, noalpha)
     samp = FusedPallasSampler(NW, phot, shape, spec,

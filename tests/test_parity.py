@@ -10,6 +10,8 @@ Monte-Carlo standard errors of the chain medians) (SURVEY.md 'hard parts':
 compare moments/CIs across seeds, not chains).
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -28,12 +30,19 @@ WAVE = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
 TRUE = np.array([32.0, 1.9, 250.0, 3.5, 45.0])
 UNC_FRAC = 0.05
 
+# Chain lengths scale with the lane: the default (fast) lane halves the
+# r01 production lengths, --runslow doubles them. The _compare tolerances
+# are MC-error-aware (they grow as chains shrink), so both lanes assert
+# the same statistical statement; the on-hardware CONTRACT demonstration
+# at <=1% lives in tools/validate_tpu_parity.py, which drives sigma_MC
+# itself below the contract with multi-seed runs.
+_SCALE = 2.0 if os.environ.get("MBB_RUNSLOW") else 0.5
 NWALK_ORACLE = 64
 NBURN_ORACLE = 500
-NSTEP_ORACLE = 2200
+NSTEP_ORACLE = int(2200 * _SCALE)
 NWALK_JAX = 128
 NBURN_JAX = 300
-NSTEP_JAX = 1500
+NSTEP_JAX = int(1500 * _SCALE)
 
 LOWER = np.array([0.1, 0.01, 1.0, 0.01, 1e-5])
 UPPER = np.array([100.0, 5.0, 2e4, 60.0, 1e7])
@@ -131,11 +140,17 @@ def _compare(oracle_flat, fit, free, label):
         assert abs(j_q[1] - o_q[1]) < tol_med, (
             f"{label} param {i}: median {j_q[1]:.4f} vs oracle "
             f"{o_q[1]:.4f} (tol {tol_med:.4f})")
-        # 68% CI width: 10% relative + MC floor.
+        # 68% CI width: 2% relative + a PROPER width MC floor (each edge
+        # quantile wanders ~1.09 sigma/sqrt(n_eff); 1.54 combines the two
+        # conservatively). The blanket 10% of r01 under-stated the noise
+        # at this scale; the 1% contract itself is demonstrated by
+        # tools/validate_tpu_parity.py with multi-seed chains.
         o_w = o_q[2] - o_q[0]
         j_w = j_q[2] - j_q[0]
-        assert abs(j_w - o_w) < max(0.10 * o_w, 6.0 * mc), (
-            f"{label} param {i}: CI width {j_w:.4f} vs oracle {o_w:.4f}")
+        mc_w = 1.54 * std * np.sqrt(1.0 / n_eff_o + 1.0 / n_eff_j)
+        assert abs(j_w - o_w) < max(0.02 * o_w, 4.0 * mc_w), (
+            f"{label} param {i}: CI width {j_w:.4f} vs oracle {o_w:.4f} "
+            f"(tol {max(0.02 * o_w, 4.0 * mc_w):.4f})")
 
 
 def test_parity_config0_opthin():
@@ -198,7 +213,8 @@ def test_parity_config4_derived():
     samples = res.flatchain[::4]
     dl_m = res._dl_mpc() * MPC_M
     prefac = 4.0 * np.pi * dl_m ** 2 * MJY_WM2HZ / LSUN_W
-    sel = np.linspace(0, len(samples) - 1, 25).astype(int)
+    nspot = 25 if os.environ.get("MBB_RUNSLOW") else 12
+    sel = np.linspace(0, len(samples) - 1, nspot).astype(int)
     for i in sel:
         o = ModifiedBlackbodyOracle(*samples[i])
         want = prefac * o.freq_integrate(8.0 * (1 + z), 1000.0 * (1 + z))
