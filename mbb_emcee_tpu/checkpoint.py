@@ -68,8 +68,8 @@ def load_checkpoint(path):
         impl = f.attrs["prng_impl"]
         if isinstance(impl, bytes):
             impl = impl.decode()
-        meta = {k: f.attrs[k] for k in f.attrs
-                if k not in ("version", "prng_impl")}
+        meta = {k: f.attrs[k] for k in f.attrs if k != "version"}
+        meta["prng_impl"] = impl
         st = f["State"]
         naccept = jnp.asarray(np.asarray(st["naccept"]))
         if st.attrs.get("naccept_is_tuple", False):
@@ -86,3 +86,73 @@ def load_checkpoint(path):
         chain = np.asarray(f["ChainSoFar"]) if "ChainSoFar" in f else None
         lnp = np.asarray(f["LnpSoFar"]) if "LnpSoFar" in f else None
     return state, chain, lnp, meta
+
+
+def save_multi_checkpoint(path, state, chain_blocks, lnp_blocks,
+                          meta: dict, prng_impl: str):
+    """Batched (MultiFitter) checkpoint: MultiSamplerState + per-source
+    chain blocks, written atomically. Chain blocks concatenate on the
+    RECORD axis (axis 1 of (S, nrec, nw, nfree))."""
+    tmp = path + ".tmp"
+    with h5py.File(tmp, "w") as f:
+        f.attrs["version"] = _VERSION
+        f.attrs["prng_impl"] = prng_impl
+        f.attrs["multi"] = True
+        for k, v in meta.items():
+            f.attrs[k] = v
+        st = f.create_group("State")
+        st.create_dataset("key", data=_key_to_np(state.key))
+        st.create_dataset("pos", data=np.asarray(state.pos))
+        st.create_dataset("lnp", data=np.asarray(state.lnp))
+        st.create_dataset("naccept", data=np.asarray(state.naccept))
+        st.create_dataset("nsteps", data=int(state.nsteps))
+        if chain_blocks:
+            f.create_dataset("ChainSoFar",
+                             data=np.concatenate(chain_blocks, axis=1),
+                             compression="gzip", compression_opts=4)
+            f.create_dataset("LnpSoFar",
+                             data=np.concatenate(lnp_blocks, axis=1),
+                             compression="gzip", compression_opts=4)
+    os.replace(tmp, path)
+
+
+def load_multi_checkpoint(path):
+    """Returns (MultiSamplerState, chain_so_far, lnp_so_far, meta)."""
+    from mbb_emcee_tpu.ops.pallas_multifit import MultiSamplerState
+    with h5py.File(path, "r") as f:
+        if not f.attrs.get("multi", False):
+            raise ValueError(
+                f"{path} is a single-fit checkpoint, not a MultiFitter one")
+        impl = f.attrs["prng_impl"]
+        if isinstance(impl, bytes):
+            impl = impl.decode()
+        meta = {k: f.attrs[k] for k in f.attrs
+                if k not in ("version", "prng_impl", "multi")}
+        meta["prng_impl"] = impl
+        st = f["State"]
+        state = MultiSamplerState(
+            key=_key_from_np(np.asarray(st["key"]), impl),
+            pos=jnp.asarray(np.asarray(st["pos"])),
+            lnp=jnp.asarray(np.asarray(st["lnp"])),
+            naccept=jnp.asarray(np.asarray(st["naccept"])),
+            nsteps=jnp.array(int(np.asarray(st["nsteps"])), jnp.int32))
+        chain = np.asarray(f["ChainSoFar"]) if "ChainSoFar" in f else None
+        lnp = np.asarray(f["LnpSoFar"]) if "LnpSoFar" in f else None
+    return state, chain, lnp, meta
+
+
+def check_resume_meta(meta, expect: dict, path):
+    """Refuse resuming under a different engine than the one that wrote
+    the checkpoint: splicing chains from different sampler/lnprob
+    backends or PRNG implementations is statistically valid MCMC but
+    silently breaks the documented determinism contract (same seed ->
+    bitwise-identical chains), so it must be explicit, not accidental."""
+    for k, want in expect.items():
+        got = meta.get(k)
+        if isinstance(got, bytes):
+            got = got.decode()
+        if got is not None and str(got) != str(want):
+            raise ValueError(
+                f"checkpoint {path} was written with {k}={got!r}; this "
+                f"fitter is configured with {k}={want!r} -- resume with "
+                f"the original configuration (or start a fresh run)")

@@ -144,7 +144,6 @@ def main(argv=None):
     from mbb_emcee_tpu.fitter import MBBFitter
     from mbb_emcee_tpu.results import MBBResults
     from mbb_emcee_tpu.response import ResponseSet
-    from mbb_emcee_tpu.likelihood import param_index
 
     responses = None
     if args.responsefile is not None:
@@ -173,8 +172,8 @@ def main(argv=None):
     for param, v in args.initval:
         fit.set_param_init(param, float(v))
     for param, v in args.initscatter:
-        fit.set_param_init(param, fit._init[param_index(param)],
-                           scatter=float(v))
+        # scatter-only: leaves the data-driven T/fnorm auto-seed active
+        fit.set_param_init(param, scatter=float(v))
     for param, v in args.lowlim:
         fit.set_lowlim(param, float(v))
     for param, v in args.uplim:

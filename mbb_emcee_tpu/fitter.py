@@ -88,6 +88,7 @@ class MBBFitter(ParamSpaceMixin):
         self._init = DEFAULT_INIT.copy()
         self._scatter = DEFAULT_SCATTER.copy()
         self._user_init = np.zeros(NPARAMS, bool)
+        self._user_scatter = np.zeros(NPARAMS, bool)
         self.phot: Photometry | None = None
 
         # Run products (populated by run()).
@@ -156,8 +157,9 @@ class MBBFitter(ParamSpaceMixin):
             fn = float(self.phot.flux[idx])
             if fn > 0:
                 self._init[4] = fn
-                self._scatter[4] = max(2.0 * float(self.phot.unc[idx]),
-                                       0.05 * fn)
+                if not self._user_scatter[4]:
+                    self._scatter[4] = max(2.0 * float(self.phot.unc[idx]),
+                                           0.05 * fn)
         if not self._user_init[0]:
             from mbb_emcee_tpu.constants import HCOK_UM_K
             lam_pk = float(self.phot.wave[int(np.argmax(self.phot.flux))])
@@ -165,7 +167,8 @@ class MBBFitter(ParamSpaceMixin):
             t0 = float(np.clip(t0, self._spec.lower[0] * 1.02,
                                self._spec.upper[0] * 0.98))
             self._init[0] = t0
-            self._scatter[0] = max(0.15 * t0, 1.0)
+            if not self._user_scatter[0]:
+                self._scatter[0] = max(0.15 * t0, 1.0)
 
     # -- likelihood --------------------------------------------------------------
     def _response_pack(self):
@@ -268,12 +271,13 @@ class MBBFitter(ParamSpaceMixin):
 
         self._mf = None       # a fresh run() invalidates any merged state
         if self.n_ensembles > 1:
-            if checkpoint is not None or resume or p0 is not None:
+            if p0 is not None:
                 raise ValueError(
-                    "n_ensembles > 1 does not combine with checkpoint/"
-                    "resume or an explicit p0")
-            return self._run_ensembles(nburn, nsteps, thin, recenter_burn,
-                                       verbose)
+                    "n_ensembles > 1 does not combine with an explicit p0")
+            return self._run_ensembles(
+                nburn, nsteps, thin, recenter_burn, verbose,
+                checkpoint=checkpoint,
+                checkpoint_interval=checkpoint_interval, resume=resume)
 
         self._auto_init_fnorm()
         lnprob, free_space, sampler = self.build()
@@ -283,12 +287,19 @@ class MBBFitter(ParamSpaceMixin):
         resuming = bool(checkpoint and resume and os.path.exists(checkpoint))
 
         if resuming:
-            from mbb_emcee_tpu.checkpoint import load_checkpoint
+            from mbb_emcee_tpu.checkpoint import (
+                load_checkpoint, check_resume_meta)
             state, prev_chain, prev_lnp, meta = load_checkpoint(checkpoint)
             if int(meta.get("nwalkers", self.nwalkers)) != self.nwalkers \
                     or int(meta.get("thin", thin)) != thin:
                 raise ValueError(
                     "checkpoint geometry does not match this fitter")
+            check_resume_meta(
+                meta,
+                {"sampler_backend": self._backend_used,
+                 "lnprob_backend": self.lnprob_backend,
+                 "prng_impl": self.prng_impl},
+                checkpoint)
             self.burn_chain_free = None
         else:
             key = jax.random.key(self.seed, impl=self.prng_impl)
@@ -341,8 +352,15 @@ class MBBFitter(ParamSpaceMixin):
                 chain_blocks.append(prev_chain)
                 lnp_blocks.append(prev_lnp)
                 done = prev_chain.shape[0] * thin
+            # Engine identity rides the checkpoint so a resume under a
+            # different backend/PRNG is refused instead of silently
+            # splicing chains from different streams (the determinism
+            # contract documented on extend()).
             meta = {"nwalkers": self.nwalkers, "thin": thin,
-                    "nsteps_target": nsteps}
+                    "nsteps_target": nsteps,
+                    "sampler_backend": self._backend_used,
+                    "lnprob_backend": self.lnprob_backend,
+                    "seed": self.seed}
             seg = max(int(checkpoint_interval), 1) * thin
             while done < nsteps:
                 n = min(seg, nsteps - done)
@@ -399,7 +417,9 @@ class MBBFitter(ParamSpaceMixin):
                     f"chains to mix)")
         return self
 
-    def _run_ensembles(self, nburn, nsteps, thin, recenter_burn, verbose):
+    def _run_ensembles(self, nburn, nsteps, thin, recenter_burn, verbose,
+                       checkpoint=None, checkpoint_interval=100,
+                       resume=False):
         """K independent ensembles via MultiFitter with replicated data;
         merge the (K, nrec, nw, nfree) chains into one
         (nrec, K*nw, nfree) product so every downstream consumer
@@ -413,6 +433,24 @@ class MBBFitter(ParamSpaceMixin):
                 "n_ensembles > 1 uses the batched likelihood (diagonal "
                 "uncertainties only); drop the covariance or use "
                 "n_ensembles=1")
+        if self.mesh is not None:
+            # the walker-sharding mesh does NOT transfer: MultiFitter
+            # would reinterpret it as a source mesh over the K ensembles
+            # (losing walker sharding, and K % ndev != 0 fails with a
+            # confusing nsources error)
+            raise ValueError(
+                "mesh= cannot combine with n_ensembles > 1: the mesh "
+                "shards the walker axis of a single fit, while "
+                "n_ensembles runs through the batched multi-source path; "
+                "drop mesh= (the fused multi kernel is single-chip) or "
+                "use MultiFitter directly for source-axis sharding")
+        import jax.numpy as _jnp
+        if self.dtype != _jnp.float32 or self.lnprob_backend != "xla":
+            from mbb_emcee_tpu.utils.log import logger as _log
+            _log.warning(
+                "n_ensembles > 1 runs the float32 batched likelihood; "
+                "dtype=%s / lnprob_backend=%r are ignored on this path",
+                self.dtype, self.lnprob_backend)
         K = self.n_ensembles
         mf = MultiFitter(nwalkers=self.nwalkers,
                          wavenorm=self.shape.wavenorm,
@@ -426,11 +464,14 @@ class MBBFitter(ParamSpaceMixin):
         mf._init = self._init.copy()
         mf._scatter = self._scatter.copy()
         mf._user_init = self._user_init.copy()
+        mf._user_scatter = self._user_scatter.copy()
         flux = np.broadcast_to(phot.flux, (K, phot.nbands))
         unc = np.broadcast_to(phot.unc, (K, phot.nbands))
         mf.set_data(phot.wave, flux, unc, band_names=phot.band_names)
         mf.run(nburn=nburn, nsteps=nsteps, thin=thin,
-               recenter_burn=recenter_burn, verbose=verbose)
+               recenter_burn=recenter_burn, verbose=verbose,
+               checkpoint=checkpoint,
+               checkpoint_interval=checkpoint_interval, resume=resume)
 
         self._merge_ensembles(mf)
         self._mf = mf
@@ -478,7 +519,12 @@ class MBBFitter(ParamSpaceMixin):
         for-sample identical to a single longer run(): each launch
         derives a fresh PRNG stream from the state key, so run(n1) +
         extend(n2) and run(n1+n2) are two equally valid realizations of
-        the same posterior."""
+        the same posterior.
+
+        With n_ensembles > 1 this delegates to MultiFitter.extend, which
+        requires the fused sampler backend (TPU): on CPU / the XLA
+        backend the whole batched run compiles as one program without
+        retained state, so re-run() with more steps there instead."""
         if self.chain_free is None:
             raise RuntimeError("run() has not been called")
         if getattr(self, "_mf", None) is not None:

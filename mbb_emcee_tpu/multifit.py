@@ -38,7 +38,7 @@ from mbb_emcee_tpu.models.cosmology import Cosmology, luminosity_distance
 from mbb_emcee_tpu.ops.quadrature import loglam_nodes
 from mbb_emcee_tpu.ops.rootfind import golden_max
 from mbb_emcee_tpu.sampler import (
-    SamplerState, ensemble_step, make_initial_ball, autocorrelation_time)
+    SamplerState, ensemble_step, make_initial_ball)
 from mbb_emcee_tpu.fitter import DEFAULT_INIT, DEFAULT_SCATTER
 from mbb_emcee_tpu.paramspace import ParamSpaceMixin
 from mbb_emcee_tpu.results import _percentile_summary
@@ -66,6 +66,31 @@ def _split_rhat_one(c):
 _batched_split_rhat = jax.jit(jax.vmap(_split_rhat_one))
 
 
+def _tau_one_dim(x, c=5.0):
+    """Integrated autocorrelation time of one (nrec, nw) series batch --
+    the device twin of sampler.autocorrelation_time (emcee-style FFT
+    autocorrelation + Sokal adaptive window), vectorized so the Sokal
+    window pick is an argmin instead of host control flow."""
+    nsteps = x.shape[0]
+    nfft = 1
+    while nfft < 2 * nsteps:
+        nfft <<= 1
+    xd = x - x.mean(axis=0, keepdims=True)
+    f = jnp.fft.rfft(xd, n=nfft, axis=0)
+    acf = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=0)[:nsteps].real
+    acf = acf.mean(axis=1)
+    rho = acf / jnp.where(acf[0] > 0, acf[0], 1.0)
+    tau_run = 2.0 * jnp.cumsum(rho) - 1.0
+    window = jnp.arange(nsteps) < c * tau_run
+    idx = jnp.where(jnp.all(window), nsteps - 1, jnp.argmin(window))
+    return jnp.where(acf[0] > 0, tau_run[idx], jnp.nan)
+
+
+# (S, nrec, nw, nfree) -> (S, nfree): one device call for the whole batch.
+_batched_tau = jax.jit(
+    jax.vmap(jax.vmap(_tau_one_dim, in_axes=2), in_axes=0))
+
+
 class MultiFitter(ParamSpaceMixin):
     """Fit many sources at once with a shared model configuration.
 
@@ -85,7 +110,8 @@ class MultiFitter(ParamSpaceMixin):
 
     def __init__(self, nwalkers=250, wavenorm=500.0, noalpha=False,
                  opthin=False, responses=None, seed=1234, a=2.0,
-                 prng_impl="rbg", mesh=None, sampler_backend="auto"):
+                 prng_impl="rbg", mesh=None, sampler_backend="auto",
+                 interpret=False):
         # 'fused' = ops/pallas_multifit.py: the whole batched run as one
         # Pallas kernel with sources on the SUBLANES (TPU-only; with a
         # mesh, source TILES shard over it via shard_map); 'xla' =
@@ -97,6 +123,10 @@ class MultiFitter(ParamSpaceMixin):
         from mbb_emcee_tpu.utils.compilecache import enable_persistent_cache
         enable_persistent_cache()
         self.sampler_backend = sampler_backend
+        # interpret=True runs the fused kernel through the Pallas
+        # interpreter (CPU tests of the fused-only code paths, e.g.
+        # checkpointing; the interpreter stubs the hardware PRNG).
+        self.interpret = bool(interpret)
         self.nwalkers = int(nwalkers)
         self.shape = MBBShape(opthin=bool(opthin), noalpha=bool(noalpha),
                               wavenorm=float(wavenorm))
@@ -109,6 +139,7 @@ class MultiFitter(ParamSpaceMixin):
         self._init = DEFAULT_INIT.copy()
         self._scatter = DEFAULT_SCATTER.copy()
         self._user_init = np.zeros(NPARAMS, bool)
+        self._user_scatter = np.zeros(NPARAMS, bool)
         self.wave = None
         self.flux = None
         self.unc = None
@@ -173,8 +204,9 @@ class MultiFitter(ParamSpaceMixin):
             fn = self.flux[:, idx]
             ok = fn > 0
             centers[ok, 4] = fn[ok]
-            scatters[ok, 4] = np.maximum(2.0 * self.unc[ok, idx],
-                                         0.05 * fn[ok])
+            if not self._user_scatter[4]:
+                scatters[ok, 4] = np.maximum(2.0 * self.unc[ok, idx],
+                                             0.05 * fn[ok])
         if not self._user_init[0]:
             from mbb_emcee_tpu.fitter import MBBFitter
             lam_pk = self.wave[np.argmax(self.flux, axis=1)]
@@ -182,13 +214,22 @@ class MultiFitter(ParamSpaceMixin):
                          self._spec.lower[0] * 1.02,
                          self._spec.upper[0] * 0.98)
             centers[:, 0] = t0
-            scatters[:, 0] = np.maximum(0.15 * t0, 1.0)
+            if not self._user_scatter[0]:
+                scatters[:, 0] = np.maximum(0.15 * t0, 1.0)
         return centers, scatters
 
     def run(self, nburn=50, nsteps=250, thin=1, recenter_burn=True,
-            verbose=False):
+            verbose=False, checkpoint=None, checkpoint_interval=100,
+            resume=False):
         """Burn -> per-source re-center on its best walker -> re-burn ->
         reset -> production, all sources in lockstep on device.
+
+        With `checkpoint=path` (fused backend), the production run is
+        segmented and the per-source chain blocks plus the full batched
+        sampler state are flushed to HDF5 every `checkpoint_interval`
+        recorded steps; `resume=True` continues an interrupted run from
+        that file -- the long-running batch path is exactly where a
+        killed run hurts most (SURVEY.md section 5, checkpoint row).
 
         The whole run is one jitted program: a per-source body (ball init,
         burn, re-center, production scan) vmapped over sources and, with a
@@ -214,7 +255,14 @@ class MultiFitter(ParamSpaceMixin):
         self._backend_used = backend
         if backend == "fused":
             return self._run_fused(nburn, nsteps, thin, recenter_burn,
-                                   verbose, spec)
+                                   verbose, spec, checkpoint=checkpoint,
+                                   checkpoint_interval=checkpoint_interval,
+                                   resume=resume)
+        if checkpoint is not None or resume:
+            raise ValueError(
+                "checkpoint/resume requires the fused sampler backend "
+                "(the XLA backend compiles the whole batched run as one "
+                "program); use sampler_backend='fused' on TPU")
         lnprob_data, free_space = build_lnprob_data(
             self.shape, spec, response_pack=self._response_pack())
         self.free_space = free_space
@@ -342,9 +390,11 @@ class MultiFitter(ParamSpaceMixin):
                   f"max {af.mean(1).max():.3f})")
         return self
 
-    def _run_fused(self, nburn, nsteps, thin, recenter_burn, verbose, spec):
+    def _run_fused(self, nburn, nsteps, thin, recenter_burn, verbose, spec,
+                   checkpoint=None, checkpoint_interval=100, resume=False):
         """Fused-kernel path: burn / per-source re-center / production, each
         phase one Pallas launch (ops/pallas_multifit.py)."""
+        import os
         from mbb_emcee_tpu.ops.pallas_multifit import FusedMultiPallasSampler
 
         # The token covers everything COMPILED into the sampler (geometry,
@@ -360,7 +410,7 @@ class MultiFitter(ParamSpaceMixin):
             self._fused = FusedMultiPallasSampler(
                 self.nwalkers, self.wave, self.flux, self.unc, self.shape,
                 spec, response_pack=self._response_pack(), a=self.a,
-                mesh=self.mesh)
+                mesh=self.mesh, interpret=self.interpret)
             self._fused_token = token
         else:
             self._fused.set_data(self.flux, self.unc)
@@ -370,36 +420,87 @@ class MultiFitter(ParamSpaceMixin):
         S, nw = self.nsources, self.nwalkers
         fs = samp.free_space
 
-        key = jax.random.key(self.seed, impl=self.prng_impl)
-        kball, kstate, krecenter = jax.random.split(key, 3)
-        centers, scatters = self._init_centers()
-        cen_f = jnp.asarray(centers[:, fs.free_idx], jnp.float32)
-        sca_f = jnp.asarray(scatters[:, fs.free_idx], jnp.float32)
-        vball = jax.vmap(
-            lambda k, c, s: make_initial_ball(k, c, s, nw, fs.lower,
-                                              fs.upper))
-        p0 = vball(jax.random.split(kball, S), cen_f, sca_f)
-        state = samp.init_state(kstate, p0)
+        resuming = bool(checkpoint and resume and os.path.exists(checkpoint))
+        prev_chain = prev_lnp = None
+        if resuming:
+            from mbb_emcee_tpu.checkpoint import (
+                load_multi_checkpoint, check_resume_meta)
+            state, prev_chain, prev_lnp, meta = load_multi_checkpoint(
+                checkpoint)
+            if (int(meta.get("nwalkers", nw)) != nw
+                    or int(meta.get("nsources", S)) != S
+                    or int(meta.get("thin", thin)) != thin):
+                raise ValueError(
+                    "checkpoint geometry does not match this MultiFitter")
+            check_resume_meta(
+                meta, {"sampler_backend": "fused",
+                       "prng_impl": self.prng_impl}, checkpoint)
+        else:
+            key = jax.random.key(self.seed, impl=self.prng_impl)
+            kball, kstate, krecenter = jax.random.split(key, 3)
+            centers, scatters = self._init_centers()
+            cen_f = jnp.asarray(centers[:, fs.free_idx], jnp.float32)
+            sca_f = jnp.asarray(scatters[:, fs.free_idx], jnp.float32)
+            vball = jax.vmap(
+                lambda k, c, s: make_initial_ball(k, c, s, nw, fs.lower,
+                                                  fs.upper))
+            p0 = vball(jax.random.split(kball, S), cen_f, sca_f)
+            state = samp.init_state(kstate, p0)
 
-        if nburn > 0:
-            state = samp.advance(state, nburn)
-            if recenter_burn:
-                best = jnp.take_along_axis(
-                    state.pos, jnp.argmax(state.lnp, axis=1)[:, None, None],
-                    axis=1)[:, 0, :]
-                kb2, ks2 = jax.random.split(krecenter)
-                p0b = vball(jax.random.split(kb2, S), best, 0.1 * sca_f)
-                state = samp.init_state(ks2, p0b)
+            if nburn > 0:
                 state = samp.advance(state, nburn)
-            state = FusedMultiPallasSampler.reset_counters(state)
+                if recenter_burn:
+                    best = jnp.take_along_axis(
+                        state.pos,
+                        jnp.argmax(state.lnp, axis=1)[:, None, None],
+                        axis=1)[:, 0, :]
+                    kb2, ks2 = jax.random.split(krecenter)
+                    p0b = vball(jax.random.split(kb2, S), best, 0.1 * sca_f)
+                    state = samp.init_state(ks2, p0b)
+                    state = samp.advance(state, nburn)
+                state = FusedMultiPallasSampler.reset_counters(state)
 
-        state, chain, lnpchain = samp.run_mcmc(state, nsteps, thin)
+        if checkpoint is None:
+            state, chain, lnpchain = samp.run_mcmc(state, nsteps, thin)
+        else:
+            from mbb_emcee_tpu.checkpoint import (
+                save_multi_checkpoint, load_multi_checkpoint)
+            chain_blocks, lnp_blocks = [], []
+            done = 0
+            if resuming and prev_chain is not None:
+                chain_blocks.append(prev_chain)
+                lnp_blocks.append(prev_lnp)
+                done = prev_chain.shape[1] * thin
+            meta = {"nwalkers": nw, "nsources": S, "thin": thin,
+                    "nsteps_target": nsteps, "sampler_backend": "fused",
+                    "seed": self.seed}
+            seg = max(int(checkpoint_interval), 1) * thin
+            while done < nsteps:
+                n = min(seg, nsteps - done)
+                n -= n % thin
+                if n == 0:
+                    break
+                state, c, l = samp.run_mcmc(state, n, thin)
+                chain_blocks.append(np.asarray(c))
+                lnp_blocks.append(np.asarray(l))
+                done += n
+                save_multi_checkpoint(checkpoint, state, chain_blocks,
+                                      lnp_blocks, meta, self.prng_impl)
+                if verbose:
+                    from mbb_emcee_tpu.utils.log import enable_console
+                    enable_console().info(
+                        f"  checkpoint: {done}/{nsteps} steps x {S} "
+                        f"sources -> {checkpoint}")
+            chain = jnp.asarray(np.concatenate(chain_blocks, axis=1))
+            lnpchain = jnp.asarray(np.concatenate(lnp_blocks, axis=1))
         self.final_state = state
         self._sampler = samp
         # extend() continues against the data the sampler was built with;
-        # remember which arrays those were so a set_data() in between is
+        # remember the CONTENT (not object identity -- in-place mutation
+        # or a set_data with an array that np.asarray returned unchanged
+        # would slip through an `is` check) so a data change in between is
         # caught instead of silently sampling the old batch's posterior.
-        self._run_data = (self.flux, self.unc)
+        self._run_data = (self.flux.copy(), self.unc.copy())
         self.thin = int(thin)
         self.chain_free = chain
         self.lnprobability = lnpchain
@@ -471,12 +572,18 @@ class MultiFitter(ParamSpaceMixin):
         return (self.free_space.expand(np.asarray(best_free, np.float64)),
                 np.asarray(best_lnp, np.float64))
 
-    def autocorrelation_time(self):
-        """(S, nfree) integrated autocorrelation times."""
+    def autocorrelation_time(self, window=None):
+        """(S, nfree) integrated autocorrelation times: ONE batched device
+        reduction (vmapped FFT autocorrelation over sources x dims),
+        consistent with the rest of the class's keep-the-chain-on-device
+        discipline (a host loop over S FFTs hauled the whole multi-GB
+        chain over). `window` restricts to the last `window` records,
+        keeping the compiled shape fixed inside an extend() loop."""
         self._require_run()
-        ch = np.asarray(self.chain_free)               # (S, nrec, nw, nfree)
-        return np.stack([autocorrelation_time(ch[s]) for s in
-                         range(ch.shape[0])])
+        ch = self.chain_free                   # (S, nrec, nw, nfree) dev
+        if window is not None:
+            ch = ch[:, -int(window):]
+        return np.asarray(_batched_tau(jnp.asarray(ch)), np.float64)
 
     def extend(self, nsteps, verbose=False):
         """Continue the production run for all sources from the stored
@@ -487,9 +594,9 @@ class MultiFitter(ParamSpaceMixin):
                 "extend() requires a prior run() on the fused backend "
                 "(the XLA backend compiles the whole run as one program "
                 "without retaining state; re-run with more steps there)")
-        if getattr(self, "_run_data", None) is not None and (
-                self._run_data[0] is not self.flux
-                or self._run_data[1] is not self.unc):
+        if getattr(self, "_run_data", None) is not None and not (
+                np.array_equal(self._run_data[0], self.flux)
+                and np.array_equal(self._run_data[1], self.unc)):
             raise RuntimeError(
                 "set_data() was called after run(); extend() would keep "
                 "sampling the PREVIOUS batch's posterior -- call run() "
@@ -536,13 +643,27 @@ class MultiFitter(ParamSpaceMixin):
         # convergence loop re-uses one compiled program per input shape
         return np.asarray(_batched_split_rhat(ch), np.float64)
 
-    def converged(self, rhat_max=1.1, window=None):
+    def converged(self, rhat_max=1.1, window=None, tau_mult=None):
         """(S,) boolean mask: every free parameter's split-R-hat below
         `rhat_max`. The serving loop's 'which sources need more steps'
         predicate (pair with extend(); pass a fixed `window` so the check
-        compiles once no matter how long the chains grow)."""
-        return np.all(self.gelman_rubin(window=window) < float(rhat_max),
-                      axis=1)
+        compiles once no matter how long the chains grow).
+
+        With `tau_mult` (emcee's rule of thumb is ~50), additionally
+        require each source's recorded chain to be at least
+        tau_mult x its largest autocorrelation time -- R-hat alone can
+        look converged on a chain too short to estimate tails."""
+        ok = np.all(self.gelman_rubin(window=window) < float(rhat_max),
+                    axis=1)
+        if tau_mult is not None:
+            tau = self.autocorrelation_time(window=window)
+            nrec = int(np.asarray(self.chain_free).shape[1]
+                       if window is None else min(
+                           int(window),
+                           np.asarray(self.chain_free).shape[1]))
+            ok = ok & (nrec >= float(tau_mult)
+                       * np.nanmax(np.nan_to_num(tau, nan=1.0), axis=1))
+        return ok
 
     # -- batched derived quantities ------------------------------------------------
     def _dl_mpc(self, redshifts, lumdists=None, cosmology="WMAP9"):

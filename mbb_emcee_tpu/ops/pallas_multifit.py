@@ -137,8 +137,26 @@ def _make_multi_lnp(cfg):
     return compute
 
 
+def _hash_uniforms(shape, seed0, seed1, step_index):
+    """Deterministic in-kernel pseudo-uniforms for INTERPRET mode, where
+    the TPU hardware PRNG primitives cannot lower on CPU. A Knuth-style
+    integer hash of (seed words, global step index, lane/sublane index):
+    statistically crude but well-scrambled, which is all the CPU tests of
+    hw-rng-mode code paths (e.g. checkpoint resume) need -- real TPU runs
+    never take this path."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, shape, 0) * shape[1] \
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    h = idx + seed0 * jnp.int32(374761393) + seed1 * jnp.int32(668265263) \
+        + step_index * jnp.int32(-2048144777)   # 2246822519 as int32
+    h = (h ^ (h >> 15)) * jnp.int32(-1640531527)   # 2654435769 as int32
+    h = (h ^ (h >> 13)) * jnp.int32(1274126177)
+    h = h ^ (h >> 16)
+    bits = jax.lax.shift_right_logical(h, 8)
+    return bits.astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
+
+
 def _make_multi_kernel(cfg, *, nfree, half, wp, s_tile, thin, a,
-                       external_rng):
+                       external_rng, stub_rng=False):
     # `thin` is static only in external-rng mode (the uniforms shape
     # depends on it); in hw mode the kernel reads it from SMEM so one
     # compiled program serves every burn length of a geometry.
@@ -164,7 +182,7 @@ def _make_multi_kernel(cfg, *, nfree, half, wp, s_tile, thin, a,
         # and record iterations at or beyond nrec_live do nothing.
         active = True if external_rng else (i < thin_ref[1])
 
-        if not external_rng:
+        if not external_rng and not stub_rng:
             # toff = this device's GLOBAL tile offset (0 single-device;
             # axis_index * local tiles under shard_map), so every
             # (tile, record) worldwide gets a distinct stream.
@@ -246,6 +264,10 @@ def _make_multi_kernel(cfg, *, nfree, half, wp, s_tile, thin, a,
         def step(st, carry):
             if external_rng:
                 u = u_ref[0, 0, pl.ds(6 * S * st, 6 * S), :]
+            elif stub_rng:
+                u = _hash_uniforms(
+                    (6 * S, wp), seed_ref[0],
+                    seed_ref[1] + (t + toff_ref[0]) * nrec + i, st)
             else:
                 bits = pltpu.prng_random_bits((6 * S, wp))
                 u = (jax.lax.shift_right_logical(bits, 8)
@@ -484,7 +506,8 @@ class FusedMultiPallasSampler:
         rows_tile = 2 * _NQ * S
         kernel = _make_multi_kernel(
             self.cfg, nfree=self.ndim, half=self.half, wp=wp, s_tile=S,
-            thin=thin, a=self.a, external_rng=external)
+            thin=thin, a=self.a, external_rng=external,
+            stub_rng=self.interpret and not external)
         nb = self.nbands
 
         mesh = self.mesh

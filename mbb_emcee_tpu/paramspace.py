@@ -69,12 +69,20 @@ class ParamSpaceMixin:
         self._spec = _replace(self._spec, prior_mean=pm, prior_isigma=ps)
         return self
 
-    def set_param_init(self, param, value, scatter=None):
+    def set_param_init(self, param, value=None, scatter=None):
+        """Set a parameter's initial walker-ball center and/or scatter.
+
+        value=None changes only the scatter and leaves the data-driven
+        auto-seed (T from the brightest band, fnorm from the flux near
+        wavenorm) active -- the user asked to change the spread, not the
+        center."""
         i = param_index(param)
-        self._init[i] = float(value)
-        self._user_init[i] = True
+        if value is not None:
+            self._init[i] = float(value)
+            self._user_init[i] = True
         if scatter is not None:
             self._scatter[i] = float(scatter)
+            self._user_scatter[i] = True
         return self
 
     @property

@@ -60,10 +60,18 @@ class MBBResults:
     """
 
     def __init__(self, fit=None, h5file=None, redshift=None,
-                 cosmology="WMAP9", lumdist=None):
+                 cosmology=None, lumdist=None):
         if (fit is None) == (h5file is None):
             raise ValueError("give exactly one of fit= or h5file=")
         self.redshift = None if redshift is None else float(redshift)
+        # cosmology=None means "not specified": the WMAP9 default (ref
+        # default cosmology) applies unless an h5 reload carries its own
+        # stored name. An EXPLICIT argument -- including "WMAP9" -- always
+        # wins over stored metadata (distinguishable only because the
+        # default is a sentinel, not the name itself).
+        self._cosmology_explicit = cosmology is not None
+        if cosmology is None:
+            cosmology = "WMAP9"
         self.cosmology_name = cosmology if isinstance(cosmology, str) else None
         self._cosmo = (Cosmology.named(cosmology)
                        if isinstance(cosmology, str) else cosmology)
@@ -100,7 +108,7 @@ class MBBResults:
 
     def _from_h5(self, h5file):
         explicit_z, explicit_dl = self.redshift, self.lumdist
-        explicit_cosmo = self.cosmology_name
+        chosen_cosmo, chosen_name = self._cosmo, self.cosmology_name
         payload = hdf5io.read_results(h5file)
         for k, v in payload.items():
             setattr(self, k, v)
@@ -109,9 +117,13 @@ class MBBResults:
             self.redshift = explicit_z
         if explicit_dl is not None:
             self.lumdist = explicit_dl
-        if payload.get("cosmology_name") and explicit_cosmo == "WMAP9":
+        if payload.get("cosmology_name") and not self._cosmology_explicit:
             self._cosmo = Cosmology.named(payload["cosmology_name"])
             self.cosmology_name = payload["cosmology_name"]
+        else:
+            # restore the constructor's choice (the payload loop above
+            # overwrote cosmology_name with the stored value)
+            self._cosmo, self.cosmology_name = chosen_cosmo, chosen_name
         self._fit = None
 
     # -- basic summaries -----------------------------------------------------------

@@ -32,6 +32,12 @@ class _DynamicStdoutHandler(logging.StreamHandler):
 
 
 _console: _DynamicStdoutHandler | None = None
+# Levels set by enable_console itself (vs by the user through the logging
+# API directly): enable_console may freely adjust a level it owns, so a
+# quiet CLI call (WARNING) followed by run(verbose=True) in the same
+# process correctly lowers back to INFO -- but never fights an explicit
+# user configuration.
+_level_set_here: int | None = None
 
 
 def enable_console(level=logging.INFO):
@@ -39,13 +45,15 @@ def enable_console(level=logging.INFO):
     package logger. Propagation to the root logger is disabled while our
     handler is attached (otherwise applications with configured root
     logging would see every line twice), and an explicitly user-set
-    package level is respected."""
-    global _console
+    package level is respected (only levels this function itself set are
+    ever overridden)."""
+    global _console, _level_set_here
     if _console is None:
         _console = _DynamicStdoutHandler()
         _console.setFormatter(logging.Formatter("%(message)s"))
         logger.addHandler(_console)
         logger.propagate = False
-    if logger.level == logging.NOTSET:
+    if logger.level == logging.NOTSET or logger.level == _level_set_here:
         logger.setLevel(level)
+        _level_set_here = level
     return logger

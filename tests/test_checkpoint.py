@@ -72,3 +72,90 @@ def test_geometry_mismatch_rejected(tmp_path):
     bad.nwalkers = 64
     with pytest.raises(ValueError):
         bad.run(nburn=5, nsteps=40, checkpoint=ck, resume=True)
+
+
+# -- engine identity + batched (MultiFitter) checkpointing -------------------
+
+def test_resume_refuses_backend_mismatch(tmp_path):
+    """A checkpoint records the engine that wrote it; resuming under a
+    different lnprob backend must be refused (splicing chains from
+    different streams silently breaks the determinism contract)."""
+    import pytest
+    ck = str(tmp_path / "run.ckpt.h5")
+    _fit().run(nburn=10, nsteps=60, checkpoint=ck, checkpoint_interval=20)
+    other = _fit()
+    other.lnprob_backend = "pallas"
+    with pytest.raises(ValueError, match="lnprob_backend"):
+        other.run(nburn=10, nsteps=120, checkpoint=ck, resume=True)
+
+
+def _multi_fitter(seed=5):
+    from mbb_emcee_tpu.multifit import MultiFitter
+    shape = MBBShape(opthin=True, noalpha=True)
+    rng = np.random.default_rng(3)
+    S = 16
+    trues = np.column_stack([
+        rng.uniform(28, 40, S), rng.uniform(1.6, 2.2, S),
+        np.full(S, 250.0), np.full(S, 3.5), rng.uniform(30, 60, S)])
+    flux, unc = [], []
+    for t in trues:
+        f = np.asarray(mbb_fnu(jnp.asarray(t, jnp.float32),
+                               jnp.asarray(WAVE, jnp.float32), shape),
+                       np.float64)
+        u = 0.05 * f
+        flux.append(f + u * rng.standard_normal(f.size))
+        unc.append(u)
+    mf = MultiFitter(nwalkers=32, opthin=True, noalpha=True, seed=seed,
+                     sampler_backend="fused", interpret=True)
+    mf.set_data(WAVE, np.array(flux), np.array(unc))
+    mf.set_uplim("T", 100.0).set_uplim("beta", 5.0)
+    return mf
+
+
+def test_multifit_checkpoint_resume_bitwise(tmp_path):
+    """Kill/resume for a 16-source fused batch: a run interrupted after
+    the first flush and resumed must reproduce the straight-through
+    checkpointed chain bitwise (state + PRNG key round-trip through the
+    HDF5 checkpoint)."""
+    ck_a = str(tmp_path / "a.ckpt.h5")
+    ck_b = str(tmp_path / "b.ckpt.h5")
+
+    # Straight through, flushing every 2 records.
+    full = _multi_fitter().run(nburn=4, nsteps=6, checkpoint=ck_a,
+                               checkpoint_interval=2)
+    chain_full = np.asarray(full.chain_free)
+
+    # Same run, "killed" after 2 records: emulate by running only the
+    # first segment (nsteps=2 with the same interval writes exactly the
+    # first flush), then resume to the full length.
+    _multi_fitter().run(nburn=4, nsteps=2, checkpoint=ck_b,
+                        checkpoint_interval=2)
+    resumed = _multi_fitter().run(nburn=999, nsteps=6, checkpoint=ck_b,
+                                  checkpoint_interval=2, resume=True)
+    chain_res = np.asarray(resumed.chain_free)
+
+    assert chain_full.shape == chain_res.shape == (16, 6, 32, 3)
+    np.testing.assert_array_equal(chain_full, chain_res)
+    np.testing.assert_array_equal(np.asarray(full.lnprobability),
+                                  np.asarray(resumed.lnprobability))
+    np.testing.assert_array_equal(
+        np.asarray(full.final_state.pos), np.asarray(resumed.final_state.pos))
+
+
+def test_multifit_checkpoint_requires_fused():
+    import pytest
+    mf = _multi_fitter()
+    mf.sampler_backend = "xla"
+    with pytest.raises(ValueError, match="fused"):
+        mf.run(nburn=2, nsteps=4, checkpoint="/tmp/nope.h5")
+
+
+def test_multifit_resume_refuses_geometry_mismatch(tmp_path):
+    import pytest
+    ck = str(tmp_path / "c.ckpt.h5")
+    _multi_fitter().run(nburn=2, nsteps=2, checkpoint=ck,
+                        checkpoint_interval=2)
+    other = _multi_fitter()
+    other.nwalkers = 64
+    with pytest.raises(ValueError, match="geometry"):
+        other.run(nburn=2, nsteps=4, checkpoint=ck, resume=True)

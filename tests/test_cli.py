@@ -117,3 +117,19 @@ def test_step_timer_and_trace_noop(tmp_path):
     with trace(str(tmp_path / "trace")):
         import jax.numpy as jnp
         jnp.ones(4).sum().block_until_ready()
+
+
+def test_initscatter_alone_keeps_auto_seed(tmp_path):
+    """--initscatter must only change the ball spread; the data-driven
+    T/fnorm auto-seed stays active (regression: it used to pin the
+    current default init as a user value)."""
+    from mbb_emcee_tpu.fitter import MBBFitter
+    fit = MBBFitter(nwalkers=16, opthin=True, noalpha=True)
+    fit.set_data([100.0, 250.0, 500.0], [10.0, 40.0, 30.0],
+                 [1.0, 2.0, 1.5])
+    fit.set_param_init("fnorm", scatter=3.0)
+    assert not fit._user_init[4]          # auto-seed still active
+    assert fit._user_scatter[4]
+    fit._auto_init_fnorm()
+    assert fit._init[4] == 30.0           # seeded from the 500um flux
+    assert fit._scatter[4] == 3.0         # user scatter preserved

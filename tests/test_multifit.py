@@ -243,3 +243,28 @@ def test_extend_after_set_data_raises_on_fused_state(monkeypatch):
     mf.set_data(wave, flux * 2, 0.05 * flux)
     with pytest.raises(RuntimeError, match="set_data"):
         mf.extend(10)
+
+
+def test_batched_tau_matches_host_oracle_s256():
+    """S=256 autocorrelation times in ONE device call must equal the host
+    FFT implementation (sampler.autocorrelation_time) per source."""
+    from mbb_emcee_tpu.multifit import _batched_tau
+    from mbb_emcee_tpu.sampler import autocorrelation_time as host_tau
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    S, nrec, nw, nfree = 256, 64, 8, 3
+    # AR(1) series with per-source correlation -> nontrivial, varied taus.
+    phi = rng.uniform(0.1, 0.8, S)
+    eps = rng.standard_normal((S, nrec, nw, nfree))
+    ch = np.empty_like(eps)
+    ch[:, 0] = eps[:, 0]
+    for t in range(1, nrec):
+        ch[:, t] = phi[:, None, None] * ch[:, t - 1] + eps[:, t]
+
+    dev = np.asarray(_batched_tau(jnp.asarray(ch, jnp.float32)))
+    assert dev.shape == (S, nfree)
+    for s in (0, 17, 100, 255):
+        want = host_tau(ch[s].astype(np.float64))
+        np.testing.assert_allclose(dev[s], want, rtol=2e-4,
+                                   err_msg=f"source {s}")

@@ -273,3 +273,20 @@ def test_luminosity_distance_vs_adaptive_quad():
             want = (1 + z) * C_KM_S / H0 * integ
             got = c.luminosity_distance(z)
             assert abs(got - want) / want < 1e-8, (name, z)
+
+
+def test_h5_cosmology_precedence(tmp_path, small_fit):
+    """An EXPLICIT cosmology constructor argument -- including the default
+    name WMAP9 -- wins over the cosmology stored in the file; with no
+    argument, the stored name is used."""
+    from mbb_emcee_tpu.models.cosmology import Cosmology
+    path = str(tmp_path / "cosmo.h5")
+    res = MBBResults(fit=small_fit, redshift=2.0, cosmology="Planck18")
+    res.writeToHDF5(path)
+
+    stored = MBBResults(h5file=path)
+    assert stored.cosmology_name == "Planck18"
+
+    explicit = MBBResults(h5file=path, cosmology="WMAP9")
+    assert explicit.cosmology_name == "WMAP9"
+    assert explicit._cosmo.H0 == Cosmology.named("WMAP9").H0
