@@ -566,10 +566,18 @@ class MBBFitter(ParamSpaceMixin):
             raise RuntimeError("run() has not been called")
         return autocorrelation_time(np.asarray(self.chain_free))
 
+    @property
+    def free_param_names(self):
+        """Free-parameter names in chain-column order."""
+        if self.free_space is None:
+            raise RuntimeError("run() has not been called")
+        return [PARAM_NAMES[i] for i in self.free_space.free_idx]
+
     def gelman_rubin(self):
         """Split-R-hat per free parameter, straight off the recorded
         free-space chain (cheap enough for a run-until-converged loop --
-        no full-chain expansion)."""
+        no full-chain expansion; pair with free_param_names for
+        labels)."""
         if self.chain_free is None:
             raise RuntimeError("run() has not been called")
         from mbb_emcee_tpu.sampler import split_rhat

@@ -620,6 +620,12 @@ class MultiFitter(ParamSpaceMixin):
                 f"{self.chain_free.shape[1]} recorded per source")
         return self
 
+    @property
+    def free_param_names(self):
+        """Free-parameter names in chain-column order."""
+        self._require_run()
+        return [PARAM_NAMES[i] for i in self.free_space.free_idx]
+
     def gelman_rubin(self, window=None):
         """(S, nfree) split-R-hat per source: ONE device reduction over
         the whole batch (see MBBResults.gelman_rubin for the statistic).

@@ -216,6 +216,12 @@ class MBBResults:
             fluxes, [50.0 - p / 2, 50.0, 50.0 + p / 2], axis=0)
         return np.stack([mid, hi, lo])
 
+    @property
+    def free_param_names(self):
+        """Names of the free parameters, in chain-column order (the same
+        order gelman_rubin/autocorrelation_time report)."""
+        return [PARAM_NAMES[i] for i in self.param_spec.free_indices]
+
     def gelman_rubin(self):
         """Split-R-hat per free parameter: each walker's series is split
         in time halves and all halves treated as independent chains
@@ -225,12 +231,14 @@ class MBBResults:
         DESIGN.md section 5b) shows up here long before it is visible in
         percentile summaries.
 
-        Returns (names, rhat)."""
+        Returns the (nfree,) rhat array -- the same convention as
+        MBBFitter.gelman_rubin and MultiFitter.gelman_rubin, so
+        convergence loops compose across all three; pair with
+        `free_param_names` for labels."""
         from mbb_emcee_tpu.sampler import split_rhat
         idx = self.param_spec.free_indices
-        names = [PARAM_NAMES[i] for i in idx]
         chain = np.transpose(self.chain[:, :, idx], (1, 0, 2))
-        return names, split_rhat(chain)
+        return split_rhat(chain)
 
     def autocorrelation_time(self):
         """Per-free-parameter integrated autocorrelation time in steps,

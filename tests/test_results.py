@@ -195,7 +195,8 @@ def test_gelman_rubin(small_fit):
     # FLAGGED as unconverged -- each walker's half-series barely moves,
     # so the between-walker variance dominates.
     res = MBBResults(fit=small_fit, redshift=Z)
-    names, rhat = res.gelman_rubin()
+    rhat = res.gelman_rubin()
+    names = res.free_param_names
     assert len(names) == rhat.size == res.param_spec.free_indices.size
     assert np.all(np.isfinite(rhat)) and np.all(rhat >= 0.99)
     assert np.any(rhat > 1.1)
@@ -211,7 +212,7 @@ def test_gelman_rubin(small_fit):
     fit = MBBFitter(nwalkers=64, seed=21, opthin=True, noalpha=True)
     fit.set_data(WAVE, f + unc * rng.standard_normal(f.size), unc)
     fit.run(nburn=80, nsteps=800)
-    _, rhat_long = MBBResults(fit=fit, redshift=Z).gelman_rubin()
+    rhat_long = MBBResults(fit=fit, redshift=Z).gelman_rubin()
     assert np.all(rhat_long < 1.1)
 
     # An intentionally unmixed "chain" (two walker groups at different
@@ -222,7 +223,7 @@ def test_gelman_rubin(small_fit):
     ch[ch.shape[0] // 2:, :, 0] = 40.0
     ch += np.random.default_rng(0).normal(0, 0.01, ch.shape)
     bad.chain = ch
-    _, rhat_bad = bad.gelman_rubin()
+    rhat_bad = bad.gelman_rubin()
     assert rhat_bad[0] > 10.0
 
 
