@@ -21,6 +21,27 @@ from mbb_emcee_tpu.sampler import SamplerState
 _VERSION = 1
 
 
+def data_fingerprint(*arrays) -> str:
+    """Content hash of the photometry a run was sampling. Stored in
+    checkpoint meta and re-checked on resume: resuming after the data
+    changed (same geometry, different fluxes) would silently splice
+    chains from two different posteriors."""
+    import hashlib
+    h = hashlib.sha256()
+    for a in arrays:
+        if a is None:
+            h.update(b"\x00none")
+            continue
+        arr = np.asarray(a)
+        if arr.dtype.kind in "fiub":
+            arr = np.ascontiguousarray(arr, np.float64)
+            h.update(arr.shape.__repr__().encode())
+            h.update(arr.tobytes())
+        else:  # band names etc.
+            h.update(repr(arr.tolist()).encode())
+    return h.hexdigest()[:32]
+
+
 def _key_to_np(key):
     return np.asarray(jax.random.key_data(key))
 
@@ -65,6 +86,9 @@ def save_checkpoint(path, state: SamplerState, chain_blocks, lnp_blocks,
 def load_checkpoint(path):
     """Returns (state, chain_so_far, lnp_so_far, meta)."""
     with h5py.File(path, "r") as f:
+        if f.attrs.get("multi", False):
+            raise ValueError(
+                f"{path} is a MultiFitter checkpoint, not a single-fit one")
         impl = f.attrs["prng_impl"]
         if isinstance(impl, bytes):
             impl = impl.decode()

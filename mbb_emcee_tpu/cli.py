@@ -157,7 +157,10 @@ def main(argv=None):
             raise SystemExit(
                 "--builtin-responses requires a leading band-name column "
                 "in the photometry file ('name wave flux unc' per line)")
-        responses = ResponseSet.builtin(names)
+        # Forward an explicit --photon-counter; otherwise each band keeps
+        # its instrument's own detector convention.
+        kw = {"photon_counter": True} if args.photon_counter else {}
+        responses = ResponseSet.builtin(names, **kw)
 
     fit = MBBFitter(nwalkers=args.nwalkers, photfile=args.photfile,
                     wavenorm=args.wavenorm, noalpha=args.noalpha,

@@ -283,8 +283,18 @@ class MBBFitter(ParamSpaceMixin):
         lnprob, free_space, sampler = self.build()
         self.free_space = free_space
         self.thin = int(thin)
+        if int(nsteps) % max(int(thin), 1):
+            # Validate up front so the checkpointed path can't silently
+            # truncate a run the plain path would reject.
+            raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
 
         resuming = bool(checkpoint and resume and os.path.exists(checkpoint))
+        phot = self._require_data()
+        data_fp = None
+        if checkpoint is not None:
+            from mbb_emcee_tpu.checkpoint import data_fingerprint
+            data_fp = data_fingerprint(phot.wave, phot.flux, phot.unc,
+                                       phot.cov)
 
         if resuming:
             from mbb_emcee_tpu.checkpoint import (
@@ -298,7 +308,8 @@ class MBBFitter(ParamSpaceMixin):
                 meta,
                 {"sampler_backend": self._backend_used,
                  "lnprob_backend": self.lnprob_backend,
-                 "prng_impl": self.prng_impl},
+                 "prng_impl": self.prng_impl,
+                 "data_fingerprint": data_fp},
                 checkpoint)
             self.burn_chain_free = None
         else:
@@ -360,7 +371,8 @@ class MBBFitter(ParamSpaceMixin):
                     "nsteps_target": nsteps,
                     "sampler_backend": self._backend_used,
                     "lnprob_backend": self.lnprob_backend,
-                    "seed": self.seed}
+                    "seed": self.seed,
+                    "data_fingerprint": data_fp}
             seg = max(int(checkpoint_interval), 1) * thin
             while done < nsteps:
                 n = min(seg, nsteps - done)

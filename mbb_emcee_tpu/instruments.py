@@ -16,7 +16,9 @@ the support where T > ~1e-4 and compiled to fixed quadrature weights by
 ``Response`` exactly like a file-loaded curve, including the instrument's
 detector convention (energy-integrating bolometers for every band below)
 and the nu*S_nu = const reference-spectrum color correction (s = -1, the
-Herschel quoting convention).
+Herschel quoting convention), anchored at the band's NOMINAL wavelength
+(70/100/160/250/350/500 um for Herschel) -- the wavelength fluxes are
+quoted at -- rather than the curve's effective wavelength.
 
 Half-power band edges (approximate, from instrument handbook values):
 
@@ -53,6 +55,10 @@ class BandSpec:
     sharpness: int = 4     # super-Gaussian order m (edge steepness)
     photon_counter: bool = False   # detector convention (False = bolometer)
     refspec_index: float = -1.0    # quoting convention nu^s (s=-1: nuS=const)
+    nominal: float | None = None   # um, wavelength fluxes are QUOTED at
+    # (Herschel quotes at the nominal band wavelength -- 70/100/160/250/
+    #  350/500 -- not at the curve's effective wavelength; the asymmetric
+    #  PACS edges put the half-power midpoint several um away from it.)
     note: str = ""
 
     def transmission(self, wave):
@@ -69,9 +75,11 @@ class BandSpec:
         return max(self.center - half, 1e-3), self.center + half
 
 
-def _herschel(center, lo, hi, note):
+def _herschel(nominal, lo, hi, note):
+    """Herschel band: curve centered between the documented half-power
+    edges, fluxes quoted at the instrument's nominal wavelength."""
     return BandSpec(center=0.5 * (lo + hi), width=hi - lo, sharpness=4,
-                    note=note)
+                    nominal=nominal, note=note)
 
 
 BUILTIN_BANDS: dict[str, BandSpec] = {

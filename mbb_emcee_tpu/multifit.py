@@ -421,6 +421,10 @@ class MultiFitter(ParamSpaceMixin):
         fs = samp.free_space
 
         resuming = bool(checkpoint and resume and os.path.exists(checkpoint))
+        data_fp = None
+        if checkpoint is not None:
+            from mbb_emcee_tpu.checkpoint import data_fingerprint
+            data_fp = data_fingerprint(self.wave, self.flux, self.unc)
         prev_chain = prev_lnp = None
         if resuming:
             from mbb_emcee_tpu.checkpoint import (
@@ -434,7 +438,8 @@ class MultiFitter(ParamSpaceMixin):
                     "checkpoint geometry does not match this MultiFitter")
             check_resume_meta(
                 meta, {"sampler_backend": "fused",
-                       "prng_impl": self.prng_impl}, checkpoint)
+                       "prng_impl": self.prng_impl,
+                       "data_fingerprint": data_fp}, checkpoint)
         else:
             key = jax.random.key(self.seed, impl=self.prng_impl)
             kball, kstate, krecenter = jax.random.split(key, 3)
@@ -473,7 +478,8 @@ class MultiFitter(ParamSpaceMixin):
                 done = prev_chain.shape[1] * thin
             meta = {"nwalkers": nw, "nsources": S, "thin": thin,
                     "nsteps_target": nsteps, "sampler_backend": "fused",
-                    "seed": self.seed}
+                    "seed": self.seed,
+                    "data_fingerprint": data_fp}
             seg = max(int(checkpoint_interval), 1) * thin
             while done < nsteps:
                 n = min(seg, nsteps - done)
@@ -663,10 +669,12 @@ class MultiFitter(ParamSpaceMixin):
                     axis=1)
         if tau_mult is not None:
             tau = self.autocorrelation_time(window=window)
-            nrec = int(np.asarray(self.chain_free).shape[1]
-                       if window is None else min(
-                           int(window),
-                           np.asarray(self.chain_free).shape[1]))
+            # The length criterion is about the WHOLE recorded chain (has
+            # the run gathered >= tau_mult * tau samples?); only the tau
+            # ESTIMATE uses the window. Capping the length at the window
+            # would make the predicate unsatisfiable once
+            # tau_mult * tau > window and an extend() loop never exits.
+            nrec = int(self.chain_free.shape[1])
             ok = ok & (nrec >= float(tau_mult)
                        * np.nanmax(np.nan_to_num(tau, nan=1.0), axis=1))
         return ok

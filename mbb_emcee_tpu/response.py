@@ -56,7 +56,8 @@ class Response:
     """One filter band, compiled to fixed quadrature nodes and weights."""
 
     def __init__(self, name, wave, trans, *, quad_weights=None,
-                 photon_counter=False, refspec_index=-1.0):
+                 photon_counter=False, refspec_index=-1.0,
+                 ref_wavelength=None):
         wave = np.asarray(wave, dtype=np.float64)
         trans = np.asarray(trans, dtype=np.float64)
         if wave.ndim != 1 or wave.shape != trans.shape:
@@ -80,6 +81,7 @@ class Response:
         if wave.size == 1:
             # Delta filter: quoted flux is S at the single wavelength.
             self.effective_wavelength = float(wave[0])
+            self.ref_wavelength = float(wave[0])
             self.weights = np.array([1.0])
             return
 
@@ -92,8 +94,14 @@ class Response:
         if norm0 <= 0.0:
             raise ValueError(f"response {name!r}: zero integrated response")
         self.effective_wavelength = float((base * wave).sum() / norm0)
-        # Reference spectrum (nu/nu_eff)^s = (lambda_eff/lambda)^s.
-        sref = (self.effective_wavelength / wave) ** self.refspec_index
+        # Reference spectrum (nu/nu_ref)^s = (lambda_ref/lambda)^s, unit
+        # at the wavelength the instrument QUOTES fluxes at: the nominal
+        # band wavelength when the library declares one (Herschel quotes
+        # at 70/100/.../500 um, not at lambda_eff), else lambda_eff.
+        self.ref_wavelength = (float(ref_wavelength)
+                               if ref_wavelength is not None
+                               else self.effective_wavelength)
+        sref = (self.ref_wavelength / wave) ** self.refspec_index
         denom = (base * sref).sum()
         self.weights = base / denom
 
@@ -110,6 +118,7 @@ class Response:
             band if band is not None else name, nnodes=nnodes)
         kw.setdefault("photon_counter", spec.photon_counter)
         kw.setdefault("refspec_index", spec.refspec_index)
+        kw.setdefault("ref_wavelength", spec.nominal)
         return cls(name, wave, trans, quad_weights=wts, **kw)
 
     @classmethod

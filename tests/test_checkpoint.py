@@ -159,3 +159,51 @@ def test_multifit_resume_refuses_geometry_mismatch(tmp_path):
     other.nwalkers = 64
     with pytest.raises(ValueError, match="geometry"):
         other.run(nburn=2, nsteps=4, checkpoint=ck, resume=True)
+
+
+def test_resume_refuses_data_change(tmp_path):
+    """A checkpoint fingerprints the photometry it was sampling; resuming
+    after the data changed (same geometry, different fluxes) would splice
+    chains from two different posteriors and must be refused."""
+    import pytest
+    ck = str(tmp_path / "d.ckpt.h5")
+    _fit().run(nburn=10, nsteps=40, checkpoint=ck, checkpoint_interval=20)
+    other = _fit()
+    phot = other._require_data()
+    other.set_data(WAVE, np.asarray(phot.flux) * 1.01, np.asarray(phot.unc))
+    with pytest.raises(ValueError, match="data_fingerprint"):
+        other.run(nburn=10, nsteps=80, checkpoint=ck, resume=True)
+
+
+def test_multifit_resume_refuses_data_change(tmp_path):
+    import pytest
+    ck = str(tmp_path / "e.ckpt.h5")
+    _multi_fitter().run(nburn=2, nsteps=2, checkpoint=ck,
+                        checkpoint_interval=2)
+    other = _multi_fitter()
+    other.set_data(WAVE, np.asarray(other.flux) * 1.01,
+                   np.asarray(other.unc))
+    with pytest.raises(ValueError, match="data_fingerprint"):
+        other.run(nburn=2, nsteps=4, checkpoint=ck, resume=True)
+
+
+def test_single_load_refuses_multifit_checkpoint(tmp_path):
+    """A MultiFitter checkpoint fed to the single-fit loader fails with a
+    clear error, not a shape/KeyError deep in the resume path."""
+    import pytest
+    from mbb_emcee_tpu.checkpoint import load_checkpoint
+    ck = str(tmp_path / "m.ckpt.h5")
+    _multi_fitter().run(nburn=2, nsteps=2, checkpoint=ck,
+                        checkpoint_interval=2)
+    with pytest.raises(ValueError, match="MultiFitter"):
+        load_checkpoint(ck)
+
+
+def test_thin_mismatch_rejected_before_sampling(tmp_path):
+    """nsteps % thin != 0 is validated up front, before any sampling or
+    checkpoint I/O, so a checkpointed run can't silently truncate."""
+    import pytest
+    ck = str(tmp_path / "t.ckpt.h5")
+    with pytest.raises(ValueError, match="divisible"):
+        _fit().run(nburn=5, nsteps=7, thin=3, checkpoint=ck)
+    assert not os.path.exists(ck)

@@ -268,3 +268,21 @@ def test_batched_tau_matches_host_oracle_s256():
         want = host_tau(ch[s].astype(np.float64))
         np.testing.assert_allclose(dev[s], want, rtol=2e-4,
                                    err_msg=f"source {s}")
+
+
+def test_converged_length_criterion_uses_full_chain(fitted):
+    """converged(tau_mult=..., window=w) judges chain LENGTH against the
+    whole recorded chain, not the R-hat window: capping the length at the
+    window would make the predicate unsatisfiable once tau_mult*tau > w
+    and a run-until-converged extend() loop would never exit."""
+    mf = fitted
+    nrec = int(np.asarray(mf.chain_free).shape[1])
+    w = 8
+    tau = mf.autocorrelation_time(window=w)
+    tmax = float(np.nanmax(np.nan_to_num(tau, nan=1.0)))
+    # Required length for the worst source: just above the window but
+    # well inside the recorded chain.
+    tau_mult = (w + 1) / tmax
+    assert tau_mult * tmax <= nrec
+    ok = mf.converged(rhat_max=1e9, window=w, tau_mult=tau_mult)
+    np.testing.assert_array_equal(ok, np.ones(mf.nsources, bool))

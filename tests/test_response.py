@@ -137,8 +137,9 @@ def test_builtin_all_bands_sane():
         hi = band.center + 0.75 * band.width
         assert lo < leff < hi, f"{name}: lambda_eff {leff} outside band"
         # Reference spectrum (nu S_nu const -> S propto lambda) -> exactly
-        # the quoted flux.
-        val = r(lambda w: 4.0 * np.asarray(w) / leff)
+        # the quoted flux, anchored at the quoting wavelength (nominal for
+        # Herschel bands, lambda_eff elsewhere).
+        val = r(lambda w: 4.0 * np.asarray(w) / r.ref_wavelength)
         np.testing.assert_allclose(val, 4.0, rtol=1e-6)
 
 
@@ -157,3 +158,30 @@ def test_builtin_set_and_custom_nodes():
     sed = lambda w: (np.asarray(w) / 200.0) ** 1.5
     for n in names:
         np.testing.assert_allclose(rs[n](sed), rs65[n](sed), rtol=1e-5)
+
+
+def test_builtin_nominal_quote_wavelength():
+    """Herschel fluxes are quoted at the NOMINAL band wavelength (70/100/
+    160/250/350/500 um), not the curve's effective wavelength: the color
+    correction must return exactly S(lambda_nominal) for an SED with the
+    reference spectral shape (nu*S_nu = const, i.e. S propto lambda)."""
+    for name, nominal in (("PACS_70", 70.0), ("PACS_160", 160.0),
+                          ("SPIRE_250", 250.0), ("SPIRE_500", 500.0)):
+        r = Response.from_builtin(name)
+        assert r.ref_wavelength == nominal
+        # The asymmetric PACS edges put lambda_eff well away from nominal;
+        # the quoting anchor must not follow it.
+        flux = r(lambda w: w)          # S(lambda) = lambda (nu S_nu const)
+        np.testing.assert_allclose(flux, nominal, rtol=1e-5)
+
+
+def test_builtin_non_herschel_uses_effective_wavelength():
+    r = Response.from_builtin("SCUBA2_850")
+    np.testing.assert_allclose(r.ref_wavelength, r.effective_wavelength)
+
+
+def test_builtin_set_forwards_detector_convention():
+    rs = ResponseSet.builtin(["PACS_100", "SPIRE_350"], photon_counter=True)
+    assert all(rs[n].photon_counter for n in ("PACS_100", "SPIRE_350"))
+    rs_default = ResponseSet.builtin(["PACS_100"])
+    assert not rs_default["PACS_100"].photon_counter
