@@ -130,6 +130,14 @@ def build_parser():
     g.add_argument("--derived-thin", type=int, default=1,
                    help="thin factor for derived-quantity chains")
 
+    g = p.add_argument_group("plots")
+    g.add_argument("--plot-sed", default=None, metavar="PNG",
+                   help="save a photometry + posterior-SED-band figure")
+    g.add_argument("--plot-corner", default=None, metavar="PNG",
+                   help="save a corner plot of the free parameters")
+    g.add_argument("--plot-chain", default=None, metavar="PNG",
+                   help="save per-walker trace plots")
+
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the fit into this "
@@ -227,6 +235,17 @@ def main(argv=None):
         res.compute_peaklambda(thin=args.derived_thin)
 
     res.writeToHDF5(args.outfile)
+
+    if args.plot_sed or args.plot_corner or args.plot_chain:
+        import matplotlib
+        matplotlib.use("Agg")
+        if args.plot_sed:
+            res.plot_sed(savefig=args.plot_sed)
+        if args.plot_corner:
+            res.plot_corner(savefig=args.plot_corner)
+        if args.plot_chain:
+            res.plot_chain(savefig=args.plot_chain)
+
     print(res)
     return 0
 

@@ -1,0 +1,187 @@
+"""Posterior visualization: SED bands, corner plots, walker traces.
+
+The reference leaves plotting to the user (mbb_emcee ships no plot
+helpers; its README shows hand-rolled matplotlib over par_cen /
+best_fit). These helpers cover the three figures every fit ends with:
+
+- plot_sed: photometry + posterior-predictive SED band + best fit.
+  The band comes from MBBResults.sed_percentiles, which evaluates the
+  whole (thinned) chain x wavelength grid in ONE batched device call --
+  no per-sample Python loop even for plotting.
+- plot_corner: 1-D/2-D marginals of the free parameters (pure
+  matplotlib; no corner-package dependency).
+- plot_chain: per-walker traces for convergence eyeballing.
+
+matplotlib is imported lazily so the package works headless without it;
+every function accepts ax/fig handles for composition and returns the
+figure. Use `matplotlib.use("Agg")` (or save via `savefig=`) on servers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mbb_emcee_tpu.likelihood import PARAM_NAMES
+
+_LABELS = {
+    "T": r"$T/(1+z)$ [K]",
+    "beta": r"$\beta$",
+    "lambda0": r"$\lambda_0 (1+z)$ [$\mu$m]",
+    "alpha": r"$\alpha$",
+    "fnorm": r"$f_{\nu,\mathrm{norm}}$ [mJy]",
+}
+
+
+def _mpl():
+    try:
+        import matplotlib.pyplot as plt
+    except ImportError as e:  # pragma: no cover - env without matplotlib
+        raise ImportError(
+            "plotting requires matplotlib (not a core dependency; "
+            "install it to use plot_sed/plot_corner/plot_chain)") from e
+    return plt
+
+
+def _finish(fig, savefig):
+    if savefig is not None:
+        fig.savefig(savefig, bbox_inches="tight", dpi=150)
+    return fig
+
+
+def plot_sed(res, ax=None, wave_range=None, n_wave=200, percentile=68.3,
+             thin=1, show_best=True, savefig=None):
+    """Photometry with the posterior-predictive SED band.
+
+    Draws the data (error bars; downward arrows for bands flagged as
+    photometric upper limits), the posterior median SED and its
+    `percentile` band (batched device evaluation over the thinned
+    chain), and optionally the maximum-probability model. Log-log axes,
+    observed frame.
+
+    Returns the matplotlib figure.
+    """
+    plt = _mpl()
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(6.0, 4.2))
+    else:
+        fig = ax.figure
+
+    wave = np.asarray(res.data_wave, float)
+    flux = np.asarray(res.data_flux, float)
+    unc = np.asarray(res.data_flux_unc, float)
+    if wave_range is None:
+        wave_range = (0.3 * wave.min(), 3.0 * wave.max())
+    grid = np.geomspace(wave_range[0], wave_range[1], int(n_wave))
+
+    mid, hi, lo = res.sed_percentiles(grid, percentile=percentile, thin=thin)
+    ax.fill_between(grid, lo, hi, alpha=0.25, lw=0,
+                    label=f"{percentile:.0f}% posterior band")
+    ax.plot(grid, mid, lw=1.5, label="posterior median")
+    if show_best:
+        best = res.best_fit_model()
+        ax.plot(grid, np.asarray(best(grid), float), lw=1.0, ls="--",
+                label="best fit (max lnprob)")
+
+    uplims = getattr(res.param_spec, "uplim_bands", None)
+    uplims = (np.zeros(wave.size, bool) if uplims is None
+              else np.asarray(uplims, bool))
+    det = ~uplims
+    ax.errorbar(wave[det], flux[det], yerr=unc[det], fmt="o", ms=5,
+                capsize=2, color="k", zorder=5, label="photometry")
+    if uplims.any():
+        ax.errorbar(wave[uplims], flux[uplims], yerr=0.25 * flux[uplims],
+                    uplims=True, fmt="none", color="k", zorder=5,
+                    label="upper limits")
+
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    ax.set_xlabel(r"observed wavelength [$\mu$m]")
+    ax.set_ylabel(r"$f_\nu$ [mJy]")
+    ax.legend(loc="best", fontsize=8)
+    return _finish(fig, savefig)
+
+
+def plot_corner(res, params=None, bins=40, percentile=68.3, fig=None,
+                savefig=None):
+    """Corner plot of the (free) parameter posteriors.
+
+    1-D histograms on the diagonal with the median and +/- percentile/2
+    lines; 2-D histograms below. `params` defaults to the free
+    parameters; fixed parameters are zero-width and excluded.
+
+    Returns the matplotlib figure.
+    """
+    plt = _mpl()
+    if params is None:
+        params = res.free_param_names
+    params = list(params)
+    chains = [np.asarray(res.parameter_chain(p), float) for p in params]
+    n = len(params)
+    if n == 0:
+        raise ValueError("no free parameters to plot")
+    if fig is None:
+        fig, axes = plt.subplots(n, n, figsize=(2.0 * n, 2.0 * n),
+                                 squeeze=False)
+    else:
+        axes = np.asarray(fig.subplots(n, n, squeeze=False))
+
+    p = float(percentile)
+    qs = [50.0 - p / 2, 50.0, 50.0 + p / 2]
+    for i in range(n):
+        for j in range(n):
+            ax = axes[i][j]
+            if j > i:
+                ax.set_visible(False)
+                continue
+            if i == j:
+                ax.hist(chains[i], bins=bins, histtype="step",
+                        color="C0", density=True)
+                for q, ls in zip(np.percentile(chains[i], qs),
+                                 (":", "--", ":")):
+                    ax.axvline(q, color="k", lw=0.8, ls=ls)
+                ax.set_yticks([])
+            else:
+                ax.hist2d(chains[j], chains[i], bins=bins, cmap="Blues")
+            if i == n - 1:
+                ax.set_xlabel(_LABELS.get(params[j], params[j]), fontsize=8)
+            else:
+                ax.set_xticklabels([])
+            if j == 0 and i > 0:
+                ax.set_ylabel(_LABELS.get(params[i], params[i]), fontsize=8)
+            elif j > 0:
+                ax.set_yticklabels([])
+            ax.tick_params(labelsize=7)
+    fig.subplots_adjust(hspace=0.08, wspace=0.08)
+    return _finish(fig, savefig)
+
+
+def plot_chain(res, params=None, max_walkers=50, savefig=None):
+    """Per-walker trace plots of the recorded production chain (one panel
+    per parameter) -- the standard eyeball check that burn-in ended
+    before the recording started. Thick line: across-walker median.
+
+    Returns the matplotlib figure.
+    """
+    plt = _mpl()
+    if params is None:
+        params = res.free_param_names
+    params = list(params)
+    from mbb_emcee_tpu.likelihood import param_index
+    chain = np.asarray(res.chain, float)        # (nwalkers, nsteps, 5)
+    nw = min(int(max_walkers), chain.shape[0])
+    fig, axes = plt.subplots(len(params), 1, sharex=True,
+                             figsize=(6.0, 1.6 * len(params)),
+                             squeeze=False)
+    for ax, name in zip(axes[:, 0], params):
+        tr = chain[:nw, :, param_index(name)]
+        ax.plot(tr.T, color="C0", alpha=0.15, lw=0.5)
+        ax.plot(np.median(chain[:, :, param_index(name)], axis=0),
+                color="k", lw=1.2)
+        ax.set_ylabel(_LABELS.get(name, name), fontsize=8)
+        ax.tick_params(labelsize=7)
+    axes[-1, 0].set_xlabel("recorded step")
+    return _finish(fig, savefig)
+
+
+# Parameter-name sanity: every label key is a real parameter.
+assert all(k in PARAM_NAMES for k in _LABELS)

@@ -377,6 +377,24 @@ class MBBResults:
     def peaklambda(self):
         return self.peaklambda_cen()
 
+    # -- plotting ----------------------------------------------------------------------------
+    def plot_sed(self, **kw):
+        """Photometry + posterior-predictive SED band (see
+        plotting.plot_sed; batched device evaluation of the chain)."""
+        from mbb_emcee_tpu import plotting
+        return plotting.plot_sed(self, **kw)
+
+    def plot_corner(self, **kw):
+        """Corner plot of the free-parameter posteriors
+        (see plotting.plot_corner)."""
+        from mbb_emcee_tpu import plotting
+        return plotting.plot_corner(self, **kw)
+
+    def plot_chain(self, **kw):
+        """Per-walker trace plots (see plotting.plot_chain)."""
+        from mbb_emcee_tpu import plotting
+        return plotting.plot_chain(self, **kw)
+
     # -- persistence -------------------------------------------------------------------------
     def writeToHDF5(self, filename):
         """Persist everything needed to resume analysis

@@ -1,0 +1,85 @@
+"""Plot helpers: each figure builds headless (Agg), contains the expected
+artists, and saves to disk; upper-limit bands render as arrows."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+matplotlib = pytest.importorskip("matplotlib")
+matplotlib.use("Agg")
+
+from mbb_emcee_tpu.models.modified_blackbody import mbb_fnu, MBBShape
+from mbb_emcee_tpu import MBBFitter, MBBResults
+
+WAVE = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
+TRUE = np.array([32.0, 1.9, 250.0, 3.5, 45.0])
+
+
+@pytest.fixture(scope="module")
+def results():
+    shape = MBBShape(opthin=True, noalpha=True)
+    f = np.asarray(mbb_fnu(jnp.asarray(TRUE, jnp.float32),
+                           jnp.asarray(WAVE, jnp.float32), shape), np.float64)
+    unc = 0.05 * f
+    rng = np.random.default_rng(1)
+    fit = MBBFitter(nwalkers=32, opthin=True, noalpha=True, seed=7)
+    fit.set_data(WAVE, f + unc * rng.standard_normal(f.size), unc)
+    fit.set_uplim("T", 100.0).set_uplim("beta", 5.0)
+    fit.set_phot_upperlimits([False, False, False, False, True])
+    fit.run(nburn=20, nsteps=60)
+    return MBBResults(fit=fit)
+
+
+def test_plot_sed(results, tmp_path):
+    out = tmp_path / "sed.png"
+    fig = results.plot_sed(savefig=str(out))
+    ax = fig.axes[0]
+    assert ax.get_xscale() == "log" and ax.get_yscale() == "log"
+    # Band fill + median + best-fit lines + data + uplim arrows all drew.
+    labels = [t.get_text() for t in ax.get_legend().get_texts()]
+    assert any("posterior band" in t for t in labels)
+    assert "upper limits" in labels
+    assert out.exists() and out.stat().st_size > 0
+    matplotlib.pyplot.close(fig)
+
+
+def test_plot_corner(results, tmp_path):
+    out = tmp_path / "corner.png"
+    fig = results.plot_corner(savefig=str(out))
+    nfree = len(results.free_param_names)
+    visible = [a for a in fig.axes if a.get_visible()]
+    assert len(visible) == nfree * (nfree + 1) // 2
+    assert out.exists() and out.stat().st_size > 0
+    matplotlib.pyplot.close(fig)
+
+
+def test_plot_corner_param_subset(results):
+    fig = results.plot_corner(params=["T", "beta"])
+    assert len([a for a in fig.axes if a.get_visible()]) == 3
+    matplotlib.pyplot.close(fig)
+
+
+def test_plot_chain(results, tmp_path):
+    out = tmp_path / "chain.png"
+    fig = results.plot_chain(savefig=str(out))
+    assert len(fig.axes) == len(results.free_param_names)
+    assert out.exists() and out.stat().st_size > 0
+    matplotlib.pyplot.close(fig)
+
+
+def test_cli_plot_flags(tmp_path):
+    from mbb_emcee_tpu.cli import main
+    shape = MBBShape(opthin=True, noalpha=True)
+    f = np.asarray(mbb_fnu(jnp.asarray(TRUE, jnp.float32),
+                           jnp.asarray(WAVE, jnp.float32), shape), np.float64)
+    phot = tmp_path / "phot.txt"
+    phot.write_text("".join(f"{w} {fl:.4f} {0.05 * fl:.4f}\n"
+                            for w, fl in zip(WAVE, f)))
+    sed = tmp_path / "sed.png"
+    corner = tmp_path / "corner.png"
+    rc = main([str(phot), str(tmp_path / "out.h5"), "--opthin", "--noalpha",
+               "-w", "16", "-b", "10", "-n", "20", "--uplim", "T", "100",
+               "--plot-sed", str(sed), "--plot-corner", str(corner)])
+    assert rc == 0
+    assert sed.exists() and sed.stat().st_size > 0
+    assert corner.exists() and corner.stat().st_size > 0
