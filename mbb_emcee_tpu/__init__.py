@@ -7,6 +7,8 @@ A ground-up JAX/XLA/Pallas rebuild of the capabilities of aconley/mbb_emcee:
   * Gaussian likelihood with covariance + box limits + Gaussian priors
   * JAX-native affine-invariant stretch-move ensemble sampler (whole-ensemble
     update = one XLA step; chains HBM-resident)
+  * gradient-based HMC alternative (jax.grad of the fused lnprob; additive
+    over the reference, whose NumPy model is not differentiable)
   * derived-quantity posteriors (L_IR, dust mass, peak wavelength) as batched
     on-device quadrature / optimization over stored chains
   * HDF5 persistence with round-trip loading
@@ -20,6 +22,7 @@ from mbb_emcee_tpu.models.cosmology import Cosmology, luminosity_distance
 from mbb_emcee_tpu.response import Response, ResponseSet
 from mbb_emcee_tpu.likelihood import Photometry, LikelihoodSpec, build_lnprob
 from mbb_emcee_tpu.sampler import EnsembleSampler, SamplerState
+from mbb_emcee_tpu.hmc import hmc_sample, HMCResult
 from mbb_emcee_tpu.fitter import MBBFitter
 from mbb_emcee_tpu.results import MBBResults
 from mbb_emcee_tpu.multifit import MultiFitter
@@ -33,6 +36,7 @@ __all__ = [
     "Response", "ResponseSet",
     "Photometry", "LikelihoodSpec", "build_lnprob",
     "EnsembleSampler", "SamplerState",
+    "hmc_sample", "HMCResult",
     "MBBFitter", "MBBResults", "MultiFitter",
     "__version__",
 ]

@@ -429,6 +429,73 @@ class MBBFitter(ParamSpaceMixin):
                     f"chains to mix)")
         return self
 
+    def run_hmc(self, nwarmup=500, nsteps=1000, nchains=None, thin=1,
+                n_leapfrog=16, target_accept=0.8, p0=None, verbose=False):
+        """Gradient-based alternative to run(): Hamiltonian MC over the
+        same posterior (hmc.py). ADDITIVE -- not in the reference, whose
+        NumPy model is not differentiable; here `jax.grad` of the fused
+        lnprob gives the forces for free. Useful for the curved,
+        correlated T-lambda0 posteriors of optically-thick fits, where
+        HMC needs far fewer steps per effective sample than the stretch
+        move.
+
+        Runs `nchains` (default nwalkers) independent chains as one
+        vmapped device program: dual-averaged step size + diagonal mass
+        warmup (`nwarmup` steps, discarded), then `nsteps` production
+        steps recorded every `thin`. Downstream analysis is unchanged --
+        MBBResults(fit=...), gelman_rubin, writeToHDF5 all see the usual
+        (nrec, nchains, nfree) chain. extend() does not apply (re-run
+        with more nsteps); uses the portable XLA likelihood (the Pallas
+        lnprob kernel is not differentiable)."""
+        from mbb_emcee_tpu.hmc import hmc_sample
+
+        nchains = self.nwalkers if nchains is None else int(nchains)
+        self._auto_init_fnorm()
+        spec = self._effective_spec()
+        lnprob, free_space = build_lnprob(
+            self._require_data(), self.shape, spec,
+            response_pack=self._response_pack(), dtype=self.dtype)
+        self.free_space = free_space
+        self.thin = int(thin)
+
+        key = jax.random.key(self.seed, impl=self.prng_impl)
+        key, kball = jax.random.split(key)
+        if p0 is None:
+            center = self._init[free_space.free_idx]
+            scatter = self._scatter[free_space.free_idx]
+            p0 = make_initial_ball(kball, center, scatter, nchains,
+                                   free_space.lower, free_space.upper,
+                                   dtype=self.dtype)
+        else:
+            p0 = jnp.asarray(p0, self.dtype)
+            if p0.shape[-1] == NPARAMS:
+                p0 = p0[..., free_space.free_idx]
+
+        res = hmc_sample(lnprob, free_space.lower, free_space.upper, p0,
+                         key, nwarmup=nwarmup, nsteps=nsteps, thin=thin,
+                         n_leapfrog=n_leapfrog, target_accept=target_accept,
+                         dtype=self.dtype)
+        self.chain_free = res.chain
+        self.lnprobability = res.lnprob
+        self.acceptance_fraction = res.acceptance_fraction
+        self.burn_chain_free = None
+        self.sampler = None          # extend() needs a stretch-move state
+        self.final_state = None
+        self._mf = None
+        self._backend_used = "hmc"
+        if verbose:
+            from mbb_emcee_tpu.utils.log import enable_console
+            log = enable_console()
+            af = self.acceptance_fraction
+            log.info(f"HMC: mean acceptance {af.mean():.3f}, step size "
+                     f"{res.step_size:.4g}, {nchains} chains x "
+                     f"{nsteps} steps")
+            tau = self.autocorrelation_time()
+            names = [PARAM_NAMES[i] for i in free_space.free_idx]
+            for n, t in zip(names, tau):
+                log.info(f"  autocorrelation time [{n}]: {t:.1f} steps")
+        return self
+
     def _run_ensembles(self, nburn, nsteps, thin, recenter_burn, verbose,
                        checkpoint=None, checkpoint_interval=100,
                        resume=False):
@@ -543,6 +610,11 @@ class MBBFitter(ParamSpaceMixin):
             self._mf.extend(nsteps, verbose=verbose)
             self._merge_ensembles(self._mf)
             return self
+        if getattr(self, "_backend_used", None) == "hmc":
+            raise RuntimeError(
+                "extend() continues a stretch-move run; after run_hmc() "
+                "re-run with a larger nsteps instead (HMC keeps no "
+                "resumable sampler state)")
         if nsteps % self.thin:
             raise ValueError(
                 f"nsteps={nsteps} not divisible by thin={self.thin}")

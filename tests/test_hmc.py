@@ -1,0 +1,132 @@
+"""HMC sampler tests. The gradient-based path is ADDITIVE capability
+over the reference (upstream mbb_emcee samples only with emcee's
+gradient-free stretch move; SURVEY.md C5): correctness is checked the
+same way as the stretch sampler -- known-Gaussian moment recovery,
+bitwise determinism, and posterior agreement with the stretch move on a
+real MBB fit.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mbb_emcee_tpu.hmc import hmc_sample
+from mbb_emcee_tpu.fitter import MBBFitter
+from mbb_emcee_tpu.models.modified_blackbody import ModifiedBlackbody
+from mbb_emcee_tpu.results import MBBResults
+
+MEAN = np.array([1.0, -2.0, 0.5])
+SIG = np.array([0.8, 1.5, 0.3])
+LOWER = MEAN - 12.0 * SIG
+UPPER = MEAN + 12.0 * SIG
+
+
+def _lnprob_gauss(theta):
+    d = (theta - jnp.asarray(MEAN, jnp.float32)) / jnp.asarray(
+        SIG, jnp.float32)
+    return -0.5 * jnp.sum(d * d)
+
+
+def _run_gauss(seed=0, nchains=32, nwarmup=300, nsteps=600):
+    key = jax.random.PRNGKey(seed)
+    key, kb = jax.random.split(key)
+    x0 = MEAN + 0.1 * SIG * np.asarray(
+        jax.random.normal(kb, (nchains, 3)))
+    return hmc_sample(_lnprob_gauss, LOWER, UPPER, x0, key,
+                      nwarmup=nwarmup, nsteps=nsteps)
+
+
+def test_gaussian_moments():
+    res = _run_gauss()
+    flat = np.asarray(res.chain).reshape(-1, 3)
+    assert np.all(np.abs(flat.mean(axis=0) - MEAN) < 0.08 * SIG)
+    np.testing.assert_allclose(flat.std(axis=0), SIG, rtol=0.08)
+    # The adapted diagonal metric should reflect the (logit-warped)
+    # posterior scales: larger sigma -> smaller mass, monotonically.
+    assert res.mass[2] > res.mass[0] > res.mass[1]
+
+
+def test_acceptance_near_target():
+    res = _run_gauss()
+    af = res.acceptance_fraction
+    assert 0.6 < af.mean() < 0.95
+    assert af.min() > 0.3
+
+
+def test_determinism_bitwise():
+    c1 = np.asarray(_run_gauss(seed=5).chain)
+    c2 = np.asarray(_run_gauss(seed=5).chain)
+    c3 = np.asarray(_run_gauss(seed=6).chain)
+    assert np.array_equal(c1, c2)
+    assert not np.array_equal(c1, c3)
+
+
+def test_thin_and_shapes():
+    res = _run_gauss(nsteps=100)
+    assert res.chain.shape == (100, 32, 3)
+    key = jax.random.PRNGKey(0)
+    x0 = np.tile(MEAN, (8, 1))
+    res = hmc_sample(_lnprob_gauss, LOWER, UPPER, x0, key,
+                     nwarmup=50, nsteps=60, thin=3)
+    assert res.chain.shape == (20, 8, 3)
+    assert res.lnprob.shape == (20, 8)
+    with pytest.raises(ValueError, match="divisible"):
+        hmc_sample(_lnprob_gauss, LOWER, UPPER, x0, key,
+                   nwarmup=10, nsteps=10, thin=3)
+
+
+def test_infinite_bounds_rejected():
+    key = jax.random.PRNGKey(0)
+    x0 = np.tile(MEAN, (4, 1))
+    bad = np.array([-np.inf, LOWER[1], LOWER[2]])
+    with pytest.raises(ValueError, match="finite box"):
+        hmc_sample(_lnprob_gauss, bad, UPPER, x0, key,
+                   nwarmup=10, nsteps=10)
+
+
+def _mock_fit(**kw):
+    rng = np.random.default_rng(11)
+    wave = np.array([250.0, 350.0, 500.0, 850.0, 1100.0])
+    true = ModifiedBlackbody(T=32.0, beta=1.9, lambda0=250.0, alpha=2.0,
+                             fnorm=40.0, opthin=True, noalpha=True)
+    flux = np.asarray(true(wave))
+    unc = 0.05 * flux
+    flux = flux + rng.normal(0.0, unc)
+    f = MBBFitter(nwalkers=64, opthin=True, noalpha=True, **kw)
+    f.set_data(wave, flux, unc)
+    return f
+
+
+def test_run_hmc_matches_stretch_posterior():
+    """HMC and the stretch move target the identical posterior: medians
+    and widths on a well-constrained 3-param opthin fit must agree to
+    within MC error."""
+    fh = _mock_fit(seed=3)
+    fh.run_hmc(nwarmup=250, nsteps=500, nchains=32)
+    rh = MBBResults(fit=fh)
+
+    fs = _mock_fit(seed=4)
+    fs.run(nburn=300, nsteps=800)
+    rs = MBBResults(fit=fs)
+
+    for p in ("T", "beta", "fnorm"):
+        ch, cs = rh.par_cen(p), rs.par_cen(p)
+        assert abs(ch[0] - cs[0]) < 0.35 * (cs[1] + cs[2]), p
+        np.testing.assert_allclose(ch[1] + ch[2], cs[1] + cs[2],
+                                   rtol=0.30, err_msg=p)
+    assert 0.5 < fh.acceptance_fraction.mean() < 0.95
+
+
+def test_run_hmc_downstream_analysis():
+    f = _mock_fit(seed=9)
+    f.run_hmc(nwarmup=120, nsteps=200, nchains=16, thin=2)
+    assert f.chain_free.shape == (100, 16, 3)
+    r = MBBResults(fit=f)
+    assert np.isfinite(r.best_fit[1])
+    rhat = f.gelman_rubin()
+    assert np.all(np.isfinite(rhat))
+    tau = f.autocorrelation_time()
+    assert np.all(np.isfinite(tau))
+    with pytest.raises(RuntimeError, match="run_hmc"):
+        f.extend(100)
