@@ -65,6 +65,15 @@ def build_parser():
                    help="'fused' runs the whole sampling loop as one Pallas "
                         "TPU kernel (~10x per-step throughput); 'auto' "
                         "(default) picks it on TPU when supported")
+    g.add_argument("--hmc", action="store_true",
+                   help="sample with gradient-based Hamiltonian MC instead "
+                        "of the stretch move (jax.grad of the fused lnprob; "
+                        "--burn becomes the warmup length; additive over "
+                        "the reference)")
+    g.add_argument("--hmc-leapfrog", type=int, default=16,
+                   help="leapfrog steps per HMC trajectory (default 16)")
+    g.add_argument("--hmc-target-accept", type=float, default=0.8,
+                   help="dual-averaging target acceptance (default 0.8)")
 
     g = p.add_argument_group("model")
     g.add_argument("--opthin", action="store_true",
@@ -211,13 +220,25 @@ def main(argv=None):
         total_steps = args.nsteps + (
             args.burn if args.no_recenter_burn else 2 * args.burn)
     with trace(args.profile_dir):
-        with timer.phase("fit (burn + production)", total_steps):
-            fit.run(nburn=args.burn, nsteps=args.nsteps, thin=args.thin,
-                    recenter_burn=not args.no_recenter_burn,
-                    verbose=args.verbose,
-                    checkpoint=args.checkpoint,
-                    checkpoint_interval=args.checkpoint_interval,
-                    resume=args.resume)
+        if args.hmc:
+            if args.checkpoint or args.resume:
+                raise SystemExit(
+                    "--hmc does not support --checkpoint/--resume")
+            with timer.phase("fit (warmup + production)",
+                             args.burn + args.nsteps):
+                fit.run_hmc(nwarmup=args.burn, nsteps=args.nsteps,
+                            thin=args.thin,
+                            n_leapfrog=args.hmc_leapfrog,
+                            target_accept=args.hmc_target_accept,
+                            verbose=args.verbose)
+        else:
+            with timer.phase("fit (burn + production)", total_steps):
+                fit.run(nburn=args.burn, nsteps=args.nsteps, thin=args.thin,
+                        recenter_burn=not args.no_recenter_burn,
+                        verbose=args.verbose,
+                        checkpoint=args.checkpoint,
+                        checkpoint_interval=args.checkpoint_interval,
+                        resume=args.resume)
     if args.verbose:
         log.info(timer.report())
         if args.profile_dir:

@@ -133,3 +133,28 @@ def test_initscatter_alone_keeps_auto_seed(tmp_path):
     fit._auto_init_fnorm()
     assert fit._init[4] == 30.0           # seeded from the 500um flux
     assert fit._scatter[4] == 3.0         # user scatter preserved
+
+
+def test_cli_hmc(tmp_path, capsys):
+    phot = str(tmp_path / "phot.txt")
+    out = str(tmp_path / "fit_hmc.h5")
+    _write_photfile(phot, MBBShape(opthin=True, noalpha=True))
+    rc = main([phot, out,
+               "--opthin", "--noalpha", "--hmc",
+               "-w", "32", "-b", "120", "-n", "150",
+               "--seed", "5", "-v"])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "HMC" in captured
+    res = MBBResults(h5file=out)
+    assert res.chain.shape[0] == 32
+    assert abs(res.par_cen("T")[0] - TRUE[0]) < 10.0
+
+
+def test_cli_hmc_rejects_checkpoint(tmp_path):
+    phot = str(tmp_path / "phot.txt")
+    _write_photfile(phot, MBBShape(opthin=True, noalpha=True))
+    import pytest
+    with pytest.raises(SystemExit):
+        main([phot, str(tmp_path / "o.h5"), "--hmc",
+              "--checkpoint", str(tmp_path / "c.h5")])
