@@ -130,3 +130,27 @@ def test_run_hmc_downstream_analysis():
     assert np.all(np.isfinite(tau))
     with pytest.raises(RuntimeError, match="run_hmc"):
         f.extend(100)
+
+
+def test_run_hmc_uplims_and_covariance():
+    """HMC differentiates through the one-sided upper-limit penalty and
+    the covariance whitening (paths the fused Pallas kernel refuses);
+    posteriors must stay finite and the detection bands constrained."""
+    rng = np.random.default_rng(21)
+    wave = np.array([250.0, 350.0, 500.0, 850.0, 1100.0])
+    true = ModifiedBlackbody(T=32.0, beta=1.9, lambda0=250.0, alpha=2.0,
+                             fnorm=40.0, opthin=True, noalpha=True)
+    flux = np.asarray(true(wave))
+    unc = 0.05 * flux
+    cov = np.diag(unc**2) + 0.2 * np.outer(unc, unc) * (
+        1 - np.eye(5))
+    flux = flux + rng.multivariate_normal(np.zeros(5), cov)
+    flux[4] = 0.5 * flux[4]          # last band: upper limit only
+    f = MBBFitter(nwalkers=32, opthin=True, noalpha=True, seed=6)
+    f.set_data(wave, flux, unc, cov=cov)
+    f.set_phot_upperlimits([False, False, False, False, True])
+    f.run_hmc(nwarmup=150, nsteps=250, nchains=24)
+    r = MBBResults(fit=f)
+    assert 0.3 < f.acceptance_fraction.mean() <= 1.0
+    c = r.par_cen("T")
+    assert np.all(np.isfinite(c)) and c[0] > 0
