@@ -9,6 +9,8 @@ A ground-up JAX/XLA/Pallas rebuild of the capabilities of aconley/mbb_emcee:
     update = one XLA step; chains HBM-resident)
   * gradient-based HMC alternative (jax.grad of the fused lnprob; additive
     over the reference, whose NumPy model is not differentiable)
+  * nested sampling for Bayesian evidence / model comparison (batched
+    constrained stretch-move replacement, one jitted program; additive)
   * derived-quantity posteriors (L_IR, dust mass, peak wavelength) as batched
     on-device quadrature / optimization over stored chains
   * HDF5 persistence with round-trip loading
@@ -23,6 +25,7 @@ from mbb_emcee_tpu.response import Response, ResponseSet
 from mbb_emcee_tpu.likelihood import Photometry, LikelihoodSpec, build_lnprob
 from mbb_emcee_tpu.sampler import EnsembleSampler, SamplerState
 from mbb_emcee_tpu.hmc import hmc_sample, HMCResult
+from mbb_emcee_tpu.nested import nested_sample, NestedResult
 from mbb_emcee_tpu.fitter import MBBFitter
 from mbb_emcee_tpu.results import MBBResults
 from mbb_emcee_tpu.multifit import MultiFitter
@@ -37,6 +40,7 @@ __all__ = [
     "Photometry", "LikelihoodSpec", "build_lnprob",
     "EnsembleSampler", "SamplerState",
     "hmc_sample", "HMCResult",
+    "nested_sample", "NestedResult",
     "MBBFitter", "MBBResults", "MultiFitter",
     "__version__",
 ]

@@ -138,6 +138,13 @@ def build_parser():
     g.add_argument("--get-peaklambda", action="store_true")
     g.add_argument("--derived-thin", type=int, default=1,
                    help="thin factor for derived-quantity chains")
+    g.add_argument("--get-evidence", action="store_true",
+                   help="also compute the Bayesian evidence lnZ by nested "
+                        "sampling over the parameter box (additive over "
+                        "the reference; compare two runs' lnZ for a Bayes "
+                        "factor between model variants)")
+    g.add_argument("--nlive", type=int, default=512,
+                   help="nested-sampling live points (default 512)")
 
     g = p.add_argument_group("plots")
     g.add_argument("--plot-sed", default=None, metavar="PNG",
@@ -243,6 +250,11 @@ def main(argv=None):
         log.info(timer.report())
         if args.profile_dir:
             log.info(f"profiler trace written to {args.profile_dir}")
+
+    if args.get_evidence:
+        ev = fit.compute_evidence(nlive=args.nlive, verbose=args.verbose)
+        print(f"ln Z = {ev.logz:.4f} +/- {ev.logz_err:.4f} "
+              f"({ev.n_like} likelihood evaluations)")
 
     res = MBBResults(fit=fit, redshift=args.redshift,
                      cosmology=args.cosmology, lumdist=args.lumdist)

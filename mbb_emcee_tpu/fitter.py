@@ -15,6 +15,8 @@ a multiprocessing pool.
 
 from __future__ import annotations
 
+import dataclasses as _dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -98,6 +100,7 @@ class MBBFitter(ParamSpaceMixin):
         self.burn_chain_free = None
         self.acceptance_fraction = None
         self.thin = 1
+        self.evidence = None        # NestedResult from compute_evidence()
 
         if photfile is not None:
             self.read_data(photfile)
@@ -495,6 +498,51 @@ class MBBFitter(ParamSpaceMixin):
             for n, t in zip(names, tau):
                 log.info(f"  autocorrelation time [{n}]: {t:.1f} steps")
         return self
+
+    def compute_evidence(self, nlive=512, nbatch=32, nsteps=32,
+                         max_iter=3000, tol=1e-4, seed=None, verbose=False):
+        """Bayesian evidence ln Z of THIS model configuration via nested
+        sampling (nested.py). ADDITIVE -- the reference offers no way to
+        compare the model variants it fits (opthin vs thick, noalpha);
+        the Bayes factor exp(lnZ_A - lnZ_B) between two fitters with the
+        same data and prior settings does that quantitatively:
+
+            thick = MBBFitter(photfile=...);            zt = thick.compute_evidence()
+            thin  = MBBFitter(photfile=..., opthin=True); zo = thin.compute_evidence()
+            ln_bayes_thick_over_thin = zt.logz - zo.logz
+
+        The evidence is taken w.r.t. the normalized uniform prior over
+        the free-parameter box (set_uplim/set_lowlim), times any
+        configured Gaussian prior factors exactly as the likelihood
+        applies them (unnormalized, as in the reference) -- so Bayes
+        factors are meaningful between fitters sharing prior settings on
+        common parameters. Narrow the box to your genuine prior: a huge
+        box both slows the run and (correctly) dilutes the evidence.
+
+        Runs entirely as one jitted device program; returns a
+        NestedResult (logz, logz_err, weighted posterior samples in
+        FULL 5-parameter space via .samples/.posterior_weights())."""
+        from mbb_emcee_tpu.nested import nested_sample
+
+        self._auto_init_fnorm()
+        spec = self._effective_spec()
+        lnprob, free_space = build_lnprob(
+            self._require_data(), self.shape, spec,
+            response_pack=self._response_pack(), dtype=self.dtype)
+        key = jax.random.key(self.seed if seed is None else int(seed))
+        res = nested_sample(lnprob, free_space.lower, free_space.upper,
+                            key, nlive=nlive, nbatch=nbatch, nsteps=nsteps,
+                            max_iter=max_iter, tol=tol, dtype=self.dtype)
+        # Report samples in the full 5-parameter space like chain does.
+        res = _dataclasses.replace(res, samples=free_space.expand(res.samples))
+        self.evidence = res
+        if verbose:
+            from mbb_emcee_tpu.utils.log import enable_console
+            enable_console().info(
+                f"nested sampling: lnZ = {res.logz:.3f} +/- "
+                f"{res.logz_err:.3f} (H = {res.h:.2f} nats, "
+                f"{res.n_iter} iterations, {res.n_like} likelihood evals)")
+        return res
 
     def _run_ensembles(self, nburn, nsteps, thin, recenter_burn, verbose,
                        checkpoint=None, checkpoint_interval=100,

@@ -14,6 +14,8 @@ analysis resumes exactly from the file. Layout:
     /ParamConfig/{Lower,Upper,Fixed,FixedValues,PriorMean,PriorInvSigma,
                   Initial[,PhotUpperLimits]}
     /LIR, /DustMass, /PeakLambda  (optional derived chains, attrs = meta)
+    /Evidence/{Samples,LogLike,LogWt}  (optional nested-sampling run,
+              attrs = logz, logz_err, h, n_iter, n_like -- additive)
 """
 
 from __future__ import annotations
@@ -88,6 +90,21 @@ def _write_results(f, res):
             for k, v in (meta or {}).items():
                 ds.attrs[k] = v
 
+    ev = getattr(res, "evidence", None)
+    if ev is not None:
+        g = f.create_group("Evidence")
+        g.attrs["logz"] = ev.logz
+        g.attrs["logz_err"] = ev.logz_err
+        g.attrs["h"] = ev.h
+        g.attrs["n_iter"] = ev.n_iter
+        g.attrs["n_like"] = ev.n_like
+        g.create_dataset("Samples", data=np.asarray(ev.samples, np.float64),
+                         compression="gzip", compression_opts=4)
+        g.create_dataset("LogLike", data=np.asarray(ev.loglike, np.float64),
+                         compression="gzip", compression_opts=4)
+        g.create_dataset("LogWt", data=np.asarray(ev.logwt, np.float64),
+                         compression="gzip", compression_opts=4)
+
 
 def read_results(filename):
     """Read back into a dict of MBBResults attribute values."""
@@ -148,4 +165,15 @@ def _read_results(f):
             out[attr] = np.asarray(f[name])
             if meta_attr:
                 out[meta_attr] = dict(f[name].attrs)
+
+    if "Evidence" in f:
+        from mbb_emcee_tpu.nested import NestedResult
+        g = f["Evidence"]
+        out["evidence"] = NestedResult(
+            logz=float(g.attrs["logz"]), logz_err=float(g.attrs["logz_err"]),
+            h=float(g.attrs["h"]),
+            samples=np.asarray(g["Samples"]),
+            loglike=np.asarray(g["LogLike"]),
+            logwt=np.asarray(g["LogWt"]),
+            n_iter=int(g.attrs["n_iter"]), n_like=int(g.attrs["n_like"]))
     return out

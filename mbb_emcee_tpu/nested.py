@@ -1,0 +1,224 @@
+"""Nested sampling: Bayesian evidence (ln Z) for model comparison.
+
+ADDITIVE capability, not in the reference: upstream mbb_emcee offers no
+way to compare the models it fits (optically thin vs thick, with or
+without the Wien-side power law) -- users eyeballed chi-square. Nested
+sampling (Skilling 2006) computes the marginal likelihood
+Z = integral L(theta) pi(theta) dtheta, whose ratio between two model
+variants is the Bayes factor.
+
+TPU-native design (cf. GPU nested-sampling literature, e.g.
+arXiv:2509.13307): the classic algorithm retires ONE live point per
+iteration and replaces it by a constrained prior draw -- a serial,
+scalar loop. Here each iteration retires the worst B points of N at
+once (deterministic expected shrinkage: removing the k-th lowest of a
+set with N-k points still alive shrinks ln X by 1/(N-k)), and the B
+replacements evolve IN PARALLEL by K affine-invariant stretch moves
+over the surviving ensemble, constrained to L > L* -- the same
+Goodman-Weare proposal the production sampler uses, which for a uniform
+target over {L > L*} has acceptance min(1, z^(d-1)) 1[inside]. That
+makes every iteration a fixed-shape batch of B x K fused lnprob
+evaluations -- exactly the shape the TPU wants -- and the whole run ONE
+jitted lax.while_loop program with preallocated dead-point buffers.
+
+Affine-invariant constrained replacement needs no tuned step scale or
+ellipsoid decomposition (MultiNest-style), and inherits the ensemble's
+shape adaptation for the curved T-lambda0 degeneracies of
+optically-thick fits.
+
+Evidence error follows Skilling's information-based estimate
+sqrt(H / N). Weighted dead points are returned, so posterior summaries
+come for free (importance weights exp(lnwt - lnZ)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.scipy.special import logsumexp
+
+
+@dataclasses.dataclass
+class NestedResult:
+    """Evidence + weighted posterior samples from one nested run."""
+    logz: float                 # ln Z (evidence w.r.t. the box prior)
+    logz_err: float             # sqrt(H / nlive)
+    h: float                    # information (nats)
+    samples: np.ndarray         # (ndead, ndim) dead points, box space
+    loglike: np.ndarray         # (ndead,)
+    logwt: np.ndarray           # (ndead,) ln(prior mass x L); sums to ~Z
+    n_iter: int                 # batch iterations used
+    n_like: int                 # likelihood evaluations
+
+    def posterior_weights(self):
+        """Normalized importance weights over `samples`."""
+        w = np.exp(self.logwt - self.logz)
+        return w / w.sum()
+
+    def posterior_mean(self):
+        w = self.posterior_weights()
+        return (w[:, None] * self.samples).sum(axis=0)
+
+    def resample(self, nsamples, seed=0):
+        """Equal-weight posterior draws (multinomial resampling)."""
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(self.samples.shape[0], size=nsamples,
+                         p=self.posterior_weights())
+        return self.samples[idx]
+
+
+@partial(jax.jit, static_argnames=("loglike", "nlive", "nbatch", "nsteps",
+                                   "max_iter"))
+def _nested_run(key, loglike, u0, lnl0, nlive, nbatch,
+                nsteps, max_iter, a, logtol):
+    dtype = u0.dtype
+    ndim = u0.shape[1]
+    nsurv = nlive - nbatch
+    d_exp = jnp.asarray(float(ndim - 1), dtype)
+    inv_a, am1 = 1.0 / a, a - 1.0
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+
+    # Deterministic expected ln-shrinkage of the k-th removal in a batch
+    # (k-th lowest removed while N-k points remain): static host table.
+    shr = np.cumsum(1.0 / (nlive - np.arange(nbatch)))
+    # ln(X_{k-1} - X_k) relative to the batch-entry lnX: X_k = exp(-shr_k).
+    xk = np.exp(-np.concatenate([[0.0], shr]))
+    lnw_rel = jnp.asarray(np.log(xk[:-1] - xk[1:]), dtype)
+    lnshrink = jnp.asarray(-shr[-1], dtype)
+
+    batch_ll = jax.vmap(loglike)
+
+    def replace(key, live, lnl, order, lstar):
+        """Evolve B copies of random survivors by K constrained stretch
+        moves over the survivor ensemble; returns the B new points."""
+        surv_idx = order[nbatch:]                       # (nsurv,)
+        surv = live[surv_idx]                           # (nsurv, d)
+        key, kseed = jax.random.split(key)
+        seed_idx = jax.random.randint(kseed, (nbatch,), 0, nsurv)
+        x = surv[seed_idx]
+        fx = lnl[surv_idx][seed_idx]
+
+        def step(carry, k):
+            x, fx = carry
+            kp, kz, ku = jax.random.split(k, 3)
+            partner = surv[jax.random.randint(kp, (nbatch,), 0, nsurv)]
+            # z ~ g(z) proportional to 1/sqrt(z) on [1/a, a] (inverse CDF).
+            v = jax.random.uniform(kz, (nbatch,), dtype)
+            z = (inv_a) * (1.0 + v * am1) ** 2
+            y = partner + z[:, None] * (x - partner)
+            inbox = jnp.all((y >= 0.0) & (y <= 1.0), axis=1)
+            fy = jnp.where(inbox, batch_ll(y), neg_inf)
+            accept = (inbox & (fy > lstar)
+                      & (jnp.log(jax.random.uniform(ku, (nbatch,), dtype))
+                         < d_exp * jnp.log(z)))
+            x = jnp.where(accept[:, None], y, x)
+            fx = jnp.where(accept, fy, fx)
+            return (x, fx), None
+
+        keys = jax.random.split(key, nsteps)
+        (x, fx), _ = jax.lax.scan(step, (x, fx), keys)
+        return x, fx
+
+    def cond(c):
+        it, done = c[0], c[1]
+        return (it < max_iter) & jnp.logical_not(done)
+
+    def body(c):
+        (it, _, key, live, lnl, lnx, lnz, dead_x, dead_l, dead_w) = c
+        order = jnp.argsort(lnl)                        # ascending
+        worst = order[:nbatch]
+        lstar = lnl[order[nbatch - 1]]
+
+        lnw = lnx + lnw_rel                             # (B,) batch weights
+        dl = lnl[worst]                                 # sorted ascending
+        dead_x = jax.lax.dynamic_update_slice(
+            dead_x, live[worst], (it * nbatch, 0))
+        dead_l = jax.lax.dynamic_update_slice(dead_l, dl, (it * nbatch,))
+        dead_w = jax.lax.dynamic_update_slice(dead_w, lnw, (it * nbatch,))
+        lnz = jnp.logaddexp(lnz, logsumexp(lnw + dl))
+
+        key, krep = jax.random.split(key)
+        newx, newl = replace(krep, live, lnl, order, lstar)
+        live = live.at[worst].set(newx)
+        lnl = lnl.at[worst].set(newl)
+        lnx = lnx + lnshrink
+
+        # Stop when the best remaining live point can no longer move lnZ
+        # by more than tol.
+        done = (jnp.max(lnl) + lnx) < (lnz + logtol)
+        return (it + 1, done, key, live, lnl, lnx, lnz,
+                dead_x, dead_l, dead_w)
+
+    cap = max_iter * nbatch
+    c0 = (jnp.asarray(0, jnp.int32), jnp.asarray(False),
+          key, u0, lnl0,
+          jnp.asarray(0.0, dtype), neg_inf,
+          jnp.zeros((cap, ndim), dtype),
+          jnp.full((cap,), neg_inf, dtype),
+          jnp.full((cap,), neg_inf, dtype))
+    (it, _, key, live, lnl, lnx, lnz,
+     dead_x, dead_l, dead_w) = jax.lax.while_loop(cond, body, c0)
+
+    # Close out: surviving live points get equal shares of the final X.
+    live_w = lnx - jnp.log(jnp.asarray(float(nlive), dtype))
+    lnz = jnp.logaddexp(lnz, logsumexp(live_w + lnl))
+    return (it, lnz, live, lnl,
+            jnp.full((nlive,), live_w, dtype), dead_x, dead_l, dead_w)
+
+
+def nested_sample(loglike, lower, upper, key, nlive=512, nbatch=32,
+                  nsteps=32, max_iter=3000, a=2.0, tol=1e-4,
+                  dtype=jnp.float32) -> NestedResult:
+    """Compute the evidence of `loglike` against a uniform prior over the
+    finite box [lower, upper].
+
+    loglike: scalar function of one parameter vector in BOX space
+    (vmapped internally). The whole run -- constrained replacement,
+    shrinkage bookkeeping, termination -- is one jitted program; only the
+    final buffers come back to host. Returns evidence w.r.t. the
+    normalized uniform box prior (the 1/V prior factor is INCLUDED via
+    sampling in the unit cube).
+    """
+    lower = np.asarray(lower, np.float64)
+    upper = np.asarray(upper, np.float64)
+    if not (np.all(np.isfinite(lower)) and np.all(np.isfinite(upper))):
+        raise ValueError("nested sampling requires a finite prior box")
+    if nbatch >= nlive:
+        raise ValueError(f"nbatch={nbatch} must be < nlive={nlive}")
+    width = upper - lower
+    lo = jnp.asarray(lower, dtype)
+    wd = jnp.asarray(width, dtype)
+
+    def ll_unit(u):
+        return loglike(lo + wd * u)
+
+    key, kinit = jax.random.split(key)
+    u0 = jax.random.uniform(kinit, (nlive, lower.size), dtype)
+    lnl0 = jax.vmap(ll_unit)(u0)
+
+    (it, lnz, live, lnl, live_w, dead_x, dead_l, dead_w) = _nested_run(
+        key, ll_unit, u0, lnl0, int(nlive), int(nbatch),
+        int(nsteps), int(max_iter), float(a), float(np.log(tol)))
+
+    it = int(it)
+    ndead = it * nbatch
+    # Assemble dead + final live points, all in physical box space.
+    xs = np.concatenate([np.asarray(dead_x)[:ndead], np.asarray(live)])
+    ls = np.concatenate([np.asarray(dead_l)[:ndead], np.asarray(lnl)])
+    ws = np.concatenate([np.asarray(dead_w)[:ndead], np.asarray(live_w)])
+    xs = lower + width * np.asarray(xs, np.float64)
+    logz = float(lnz)
+    lw = np.asarray(ws, np.float64) + np.asarray(ls, np.float64)
+    p = np.exp(lw - logz)
+    p = p / p.sum()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        h = float(np.nansum(p * (np.asarray(ls, np.float64) - logz)))
+    return NestedResult(
+        logz=logz, logz_err=float(np.sqrt(max(h, 0.0) / nlive)), h=h,
+        samples=xs, loglike=np.asarray(ls, np.float64), logwt=lw,
+        n_iter=it, n_like=nlive + it * nbatch * nsteps)

@@ -83,6 +83,7 @@ class MBBResults:
         self.dustmass_chain = None
         self.dustmass_meta = None
         self.peaklambda_chain = None
+        self.evidence = None  # NestedResult (compute_evidence on the fitter)
 
         if fit is not None:
             self._from_fit(fit)
@@ -104,6 +105,7 @@ class MBBResults:
         self.thin = fit.thin
         # n_ensembles>1 merges K ensembles into one wider walker axis
         self.nwalkers = getattr(fit, "nwalkers_total", None) or fit.nwalkers
+        self.evidence = getattr(fit, "evidence", None)
         self._fit = fit
 
     def _from_h5(self, h5file):

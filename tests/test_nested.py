@@ -1,0 +1,188 @@
+"""Nested-sampling tests (nested.py). ADDITIVE capability over the
+reference (SURVEY.md C5/C6 offer no evidence computation): validated the
+way evidence codes are validated -- analytic Gaussian evidences, Bayes
+factors with known sign and magnitude, posterior-moment recovery from
+the weighted dead points, and the fitter/HDF5 integration surface.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mbb_emcee_tpu.nested import nested_sample
+from mbb_emcee_tpu.fitter import MBBFitter
+from mbb_emcee_tpu.models.modified_blackbody import ModifiedBlackbody
+from mbb_emcee_tpu.results import MBBResults
+
+MU = np.array([0.5, -0.3, 1.0])
+SIG = np.array([0.1, 0.2, 0.15])
+LOWER = np.array([-2.0, -2.0, -1.0])
+UPPER = np.array([3.0, 2.0, 3.0])
+LNV = float(np.log(np.prod(UPPER - LOWER)))
+
+
+def _gauss_ll(mu=MU, sig=SIG):
+    mu = jnp.asarray(mu, jnp.float32)
+    sig = jnp.asarray(sig, jnp.float32)
+    lognorm = jnp.sum(jnp.log(sig * np.sqrt(2.0 * np.pi)))
+
+    def ll(x):
+        return -0.5 * jnp.sum(((x - mu) / sig) ** 2) - lognorm
+
+    return ll
+
+
+def _run(seed=0, **kw):
+    kw.setdefault("nlive", 400)
+    kw.setdefault("nbatch", 32)
+    kw.setdefault("nsteps", 24)
+    return nested_sample(_gauss_ll(), LOWER, UPPER,
+                         jax.random.PRNGKey(seed), **kw)
+
+
+def test_gaussian_evidence_analytic():
+    """The normalized Gaussian integrates to 1 well inside the box, so
+    lnZ (w.r.t. the normalized uniform box prior) must be -ln V."""
+    r = _run()
+    assert r.logz_err < 0.25
+    assert abs(r.logz - (-LNV)) < max(4.0 * r.logz_err, 0.05)
+    # Skilling information for a Gaussian in this box: ln(V / (2*pi*e)^{d/2}
+    # prod sig) -- check the estimate is in the right ballpark.
+    h_true = LNV - np.sum(np.log(SIG * np.sqrt(2 * np.pi * np.e)))
+    assert abs(r.h - h_true) < 1.0
+
+
+def test_posterior_moments_from_weighted_samples():
+    r = _run(seed=1)
+    w = r.posterior_weights()
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-6)
+    assert np.all(w >= 0.0)
+    mean = r.posterior_mean()
+    np.testing.assert_allclose(mean, MU, atol=0.03)
+    var = ((r.samples - mean) ** 2 * w[:, None]).sum(axis=0)
+    np.testing.assert_allclose(np.sqrt(var), SIG, rtol=0.15)
+    draws = r.resample(4000, seed=3)
+    np.testing.assert_allclose(draws.mean(axis=0), MU, atol=0.04)
+
+
+def test_bayes_factor_detects_wrong_model():
+    """Fixed likelihood (data peaked at MU); model A's prior box contains
+    the truth, model B's excludes it (starts 4 sigma above). The Bayes
+    factor must be decisively (> 5 nats) in model A's favor."""
+    key = jax.random.PRNGKey(2)
+    ll = _gauss_ll()
+    ra = nested_sample(ll, LOWER, UPPER, key,
+                       nlive=400, nbatch=32, nsteps=24)
+    rfar = nested_sample(ll, MU + 4.0 * SIG, MU + 24.0 * SIG, key,
+                         nlive=400, nbatch=32, nsteps=24)
+    assert ra.logz - rfar.logz > 5.0
+
+    # Evidence is translation-invariant: recentering the Gaussian well
+    # inside the same box leaves lnZ unchanged within the error bars.
+    rb = nested_sample(_gauss_ll(mu=MU - 5.0 * SIG), LOWER, UPPER, key,
+                       nlive=400, nbatch=32, nsteps=24)
+    assert abs(ra.logz - rb.logz) < max(
+        6.0 * np.hypot(ra.logz_err, rb.logz_err), 0.1)
+
+
+def test_determinism_and_validation():
+    r1, r2, r3 = _run(seed=7), _run(seed=7), _run(seed=8)
+    assert r1.logz == r2.logz
+    assert np.array_equal(r1.samples, r2.samples)
+    assert r1.logz != r3.logz
+    with pytest.raises(ValueError, match="finite"):
+        nested_sample(_gauss_ll(), np.array([-np.inf, 0, 0]), UPPER,
+                      jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="nbatch"):
+        nested_sample(_gauss_ll(), LOWER, UPPER, jax.random.PRNGKey(0),
+                      nlive=32, nbatch=32)
+
+
+def _mock_fit(**kw):
+    rng = np.random.default_rng(11)
+    wave = np.array([250.0, 350.0, 500.0, 850.0, 1100.0])
+    true = ModifiedBlackbody(T=32.0, beta=1.9, lambda0=250.0, alpha=2.0,
+                             fnorm=40.0, opthin=True, noalpha=True)
+    flux = np.asarray(true(wave))
+    unc = 0.05 * flux
+    flux = flux + rng.normal(0.0, unc)
+    f = MBBFitter(nwalkers=64, opthin=True, noalpha=True, **kw)
+    f.set_data(wave, flux, unc)
+    # An honest, narrow prior box around the fit (evidence runs should
+    # state their prior; the package default box is deliberately huge).
+    f.set_lowlim("T", 15.0); f.set_uplim("T", 60.0)
+    f.set_lowlim("beta", 0.5); f.set_uplim("beta", 4.0)
+    f.set_lowlim("fnorm", 5.0); f.set_uplim("fnorm", 200.0)
+    return f
+
+
+def test_fitter_compute_evidence():
+    f = _mock_fit(seed=5)
+    ev = f.compute_evidence(nlive=256, nbatch=32, nsteps=16, seed=5)
+    assert np.isfinite(ev.logz) and ev.logz_err > 0.0
+    assert f.evidence is ev
+    # samples come back in FULL 5-parameter space
+    assert ev.samples.shape[1] == 5
+    # The weighted dead points ARE posterior samples: their mean must
+    # agree with the stretch-move MCMC posterior on the same data to
+    # within a fraction of the posterior width.
+    w = ev.posterior_weights()
+    mean = (w[:, None] * ev.samples).sum(axis=0)
+    fm = _mock_fit(seed=5)
+    fm.run(nburn=100, nsteps=400)
+    rm = MBBResults(fit=fm)
+    for i, p in ((0, "T"), (1, "beta"), (4, "fnorm")):
+        med, up, lo = rm.par_cen(p)
+        assert abs(mean[i] - med) < 0.5 * (up + lo), p
+    # determinism through the fitter surface
+    ev2 = _mock_fit(seed=5).compute_evidence(nlive=256, nbatch=32,
+                                             nsteps=16, seed=5)
+    assert ev2.logz == ev.logz
+
+
+def test_evidence_hdf5_roundtrip(tmp_path):
+    f = _mock_fit(seed=6)
+    f.run(nburn=40, nsteps=60)
+    f.compute_evidence(nlive=128, nbatch=16, nsteps=12, seed=6)
+    res = MBBResults(fit=f)
+    assert res.evidence is f.evidence
+    path = os.path.join(tmp_path, "fit.h5")
+    res.writeToHDF5(path)
+    back = MBBResults(h5file=path)
+    assert back.evidence is not None
+    np.testing.assert_allclose(back.evidence.logz, f.evidence.logz,
+                               rtol=1e-6)
+    np.testing.assert_allclose(back.evidence.samples, f.evidence.samples,
+                               rtol=1e-6)
+    assert back.evidence.n_like == f.evidence.n_like
+    w = back.evidence.posterior_weights()
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_mbb_model_comparison_thin_vs_thick():
+    """Data generated from an optically THIN greybody: the Bayes factor
+    between the thin model and the thick model (extra lambda0 parameter
+    the data cannot constrain) must not favor thick -- the Occam penalty
+    for the unconstrained lambda0 axis goes the thin model's way."""
+    def make(opthin):
+        f = _mock_fit(seed=9)
+        if not opthin:
+            g = MBBFitter(nwalkers=64, opthin=False, noalpha=True)
+            g.set_data(f.phot.wave, f.phot.flux, f.phot.unc)
+            g.set_lowlim("T", 15.0); g.set_uplim("T", 60.0)
+            g.set_lowlim("beta", 0.5); g.set_uplim("beta", 4.0)
+            g.set_lowlim("fnorm", 5.0); g.set_uplim("fnorm", 200.0)
+            g.set_lowlim("lambda0", 10.0); g.set_uplim("lambda0", 2000.0)
+            return g
+        return f
+
+    z_thin = make(True).compute_evidence(nlive=400, nbatch=32,
+                                         nsteps=24, seed=1)
+    z_thick = make(False).compute_evidence(nlive=400, nbatch=32,
+                                           nsteps=24, seed=1)
+    err = np.hypot(z_thin.logz_err, z_thick.logz_err)
+    assert z_thin.logz - z_thick.logz > -3.0 * err
