@@ -25,7 +25,8 @@ from mbb_emcee_tpu.response import Response, ResponseSet
 from mbb_emcee_tpu.likelihood import Photometry, LikelihoodSpec, build_lnprob
 from mbb_emcee_tpu.sampler import EnsembleSampler, SamplerState
 from mbb_emcee_tpu.hmc import hmc_sample, HMCResult
-from mbb_emcee_tpu.nested import nested_sample, NestedResult
+from mbb_emcee_tpu.nested import (
+    nested_sample, nested_sample_batch, NestedResult, NestedBatchResult)
 from mbb_emcee_tpu.fitter import MBBFitter
 from mbb_emcee_tpu.results import MBBResults
 from mbb_emcee_tpu.multifit import MultiFitter
@@ -40,7 +41,8 @@ __all__ = [
     "Photometry", "LikelihoodSpec", "build_lnprob",
     "EnsembleSampler", "SamplerState",
     "hmc_sample", "HMCResult",
-    "nested_sample", "NestedResult",
+    "nested_sample", "nested_sample_batch",
+    "NestedResult", "NestedBatchResult",
     "MBBFitter", "MBBResults", "MultiFitter",
     "__version__",
 ]

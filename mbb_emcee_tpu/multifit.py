@@ -150,6 +150,7 @@ class MultiFitter(ParamSpaceMixin):
         self.free_space: FreeSpace | None = None
         self.thin = 1
         self._run_cache = {}
+        self.evidence = None    # NestedBatchResult from compute_evidence()
 
     # -- data -----------------------------------------------------------------
     def set_data(self, wave, flux, unc, band_names=None):
@@ -807,6 +808,55 @@ class MultiFitter(ParamSpaceMixin):
         batched = jax.jit(jax.vmap(jax.vmap(peak)))
         self.peaklambda_chain = self._chunked_samples(batched, samples, 8)
         return self.peaklambda_chain
+
+    def compute_evidence(self, nlive=512, nbatch=32, nsteps=32,
+                         max_iter=3000, tol=1e-4, seed=None, verbose=False):
+        """Per-source Bayesian evidences ln Z for the whole batch in ONE
+        device program (nested.nested_sample_batch): the S nested runs
+        advance in lockstep -- each iteration an (S x B x K) batch of
+        vmapped likelihood evaluations -- and each source freezes at its
+        own termination. The batch analog of MBBFitter.compute_evidence
+        (ADDITIVE; see there for prior conventions): run it once per
+        model variant over the same batch and difference the (S,) logz
+        vectors for per-source Bayes factors.
+
+        Needs data (set_data) but not a prior run(). Returns
+        NestedBatchResult; also stored as self.evidence."""
+        from mbb_emcee_tpu.nested import nested_sample_batch
+
+        if self.flux is None:
+            raise RuntimeError("no data; call set_data")
+        spec = self._effective_spec()
+        lnprob, _ = build_lnprob_data(
+            self.shape, spec, response_pack=self._response_pack())
+        wave = np.asarray(self.wave, np.float32)
+
+        def ll(theta_free, flux, iunc):
+            return lnprob(theta_free, wave, flux, iunc)
+
+        free_idx = spec.free_indices
+        data = (jnp.asarray(self.flux, jnp.float32),
+                jnp.asarray(1.0 / self.unc, jnp.float32))
+        key = jax.random.key(self.seed if seed is None else int(seed))
+        res = nested_sample_batch(
+            ll, spec.lower[free_idx], spec.upper[free_idx], key, data,
+            nlive=nlive, nbatch=nbatch, nsteps=nsteps, max_iter=max_iter,
+            tol=tol)
+        # expand weighted samples to the full 5-parameter space
+        fs = FreeSpace(free_idx=free_idx,
+                       template=np.where(spec.fixed, spec.fixed_values, 0.0),
+                       lower=spec.lower[free_idx].copy(),
+                       upper=spec.upper[free_idx].copy())
+        res.samples = fs.expand(res.samples)
+        self.evidence = res
+        if verbose:
+            from mbb_emcee_tpu.utils.log import enable_console
+            enable_console().info(
+                f"nested sampling over {self.nsources} sources: lnZ in "
+                f"[{res.logz.min():.2f}, {res.logz.max():.2f}], median err "
+                f"{np.median(res.logz_err):.3f}, iterations "
+                f"{res.n_iter.min()}-{res.n_iter.max()}")
+        return res
 
     def peaklambda_cen(self, percentile=68.3):
         if getattr(self, "peaklambda_chain", None) is None:

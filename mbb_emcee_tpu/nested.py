@@ -43,6 +43,10 @@ import numpy as np
 from jax.scipy.special import logsumexp
 
 
+def _np_dtype(dtype):
+    return np.dtype(jnp.dtype(dtype).name)
+
+
 @dataclasses.dataclass
 class NestedResult:
     """Evidence + weighted posterior samples from one nested run."""
@@ -74,7 +78,7 @@ class NestedResult:
 
 @partial(jax.jit, static_argnames=("loglike", "nlive", "nbatch", "nsteps",
                                    "max_iter"))
-def _nested_run(key, loglike, u0, lnl0, nlive, nbatch,
+def _nested_run(key, loglike, u0, lnl0, data, nlive, nbatch,
                 nsteps, max_iter, a, logtol):
     dtype = u0.dtype
     ndim = u0.shape[1]
@@ -91,7 +95,7 @@ def _nested_run(key, loglike, u0, lnl0, nlive, nbatch,
     lnw_rel = jnp.asarray(np.log(xk[:-1] - xk[1:]), dtype)
     lnshrink = jnp.asarray(-shr[-1], dtype)
 
-    batch_ll = jax.vmap(loglike)
+    batch_ll = jax.vmap(lambda y: loglike(y, *data))
 
     def replace(key, live, lnl, order, lstar):
         """Evolve B copies of random survivors by K constrained stretch
@@ -129,6 +133,18 @@ def _nested_run(key, loglike, u0, lnl0, nlive, nbatch,
         return (it < max_iter) & jnp.logical_not(done)
 
     def body(c):
+        # Under vmap (nested_sample_batch) the while_loop runs until ALL
+        # sources are done and the body executes for every source each
+        # iteration -- so it must be an exact identity for sources whose
+        # `done` flag is already set (the final tree_map masks every
+        # carry update, key included: a finished source's state is
+        # bitwise-frozen, which test_batch_matches_single relies on).
+        new_c = _body_inner(c)
+        done = c[1]
+        return jax.tree_util.tree_map(
+            lambda n, o: jnp.where(done, o, n), new_c, c)
+
+    def _body_inner(c):
         (it, _, key, live, lnl, lnx, lnz, dead_x, dead_l, dead_w) = c
         order = jnp.argsort(lnl)                        # ascending
         worst = order[:nbatch]
@@ -191,8 +207,9 @@ def nested_sample(loglike, lower, upper, key, nlive=512, nbatch=32,
     if nbatch >= nlive:
         raise ValueError(f"nbatch={nbatch} must be < nlive={nlive}")
     width = upper - lower
-    lo = jnp.asarray(lower, dtype)
-    wd = jnp.asarray(width, dtype)
+    # host-numpy closures (device constants cost trace-time fetches here)
+    lo = np.asarray(lower, _np_dtype(dtype))
+    wd = np.asarray(width, _np_dtype(dtype))
 
     def ll_unit(u):
         return loglike(lo + wd * u)
@@ -202,7 +219,7 @@ def nested_sample(loglike, lower, upper, key, nlive=512, nbatch=32,
     lnl0 = jax.vmap(ll_unit)(u0)
 
     (it, lnz, live, lnl, live_w, dead_x, dead_l, dead_w) = _nested_run(
-        key, ll_unit, u0, lnl0, int(nlive), int(nbatch),
+        key, ll_unit, u0, lnl0, (), int(nlive), int(nbatch),
         int(nsteps), int(max_iter), float(a), float(np.log(tol)))
 
     it = int(it)
@@ -222,3 +239,119 @@ def nested_sample(loglike, lower, upper, key, nlive=512, nbatch=32,
         logz=logz, logz_err=float(np.sqrt(max(h, 0.0) / nlive)), h=h,
         samples=xs, loglike=np.asarray(ls, np.float64), logwt=lw,
         n_iter=it, n_like=nlive + it * nbatch * nsteps)
+
+
+@dataclasses.dataclass
+class NestedBatchResult:
+    """Per-source evidences from one batched nested run over S sources.
+
+    Arrays are padded to the slowest source's iteration count; padded
+    dead-point slots carry -inf log-weights (zero posterior weight), so
+    summaries need no masking. Index with [s] for a per-source
+    NestedResult (trimmed to that source's own dead points)."""
+    logz: np.ndarray            # (S,)
+    logz_err: np.ndarray        # (S,)
+    h: np.ndarray               # (S,)
+    samples: np.ndarray         # (S, ndead_max + nlive, ndim)
+    loglike: np.ndarray         # (S, ndead_max + nlive)
+    logwt: np.ndarray           # (S, ndead_max + nlive)
+    n_iter: np.ndarray          # (S,)
+    n_like: np.ndarray          # (S,)
+    nbatch: int
+    nlive: int
+
+    @property
+    def nsources(self):
+        return self.logz.shape[0]
+
+    def __getitem__(self, s):
+        s = int(s)
+        ndead = int(self.n_iter[s]) * self.nbatch
+        keep = np.concatenate([np.arange(ndead),
+                               np.arange(self.samples.shape[1] - self.nlive,
+                                         self.samples.shape[1])])
+        return NestedResult(
+            logz=float(self.logz[s]), logz_err=float(self.logz_err[s]),
+            h=float(self.h[s]), samples=self.samples[s][keep],
+            loglike=self.loglike[s][keep], logwt=self.logwt[s][keep],
+            n_iter=int(self.n_iter[s]), n_like=int(self.n_like[s]))
+
+    def posterior_weights(self):
+        """(S, n) normalized importance weights (padded slots are 0)."""
+        w = np.exp(self.logwt - self.logz[:, None])
+        return w / w.sum(axis=1, keepdims=True)
+
+    def posterior_mean(self):
+        w = self.posterior_weights()
+        return (w[:, :, None] * self.samples).sum(axis=1)
+
+
+def nested_sample_batch(loglike, lower, upper, key, data, nlive=512,
+                        nbatch=32, nsteps=32, max_iter=3000, a=2.0,
+                        tol=1e-4, dtype=jnp.float32) -> NestedBatchResult:
+    """Evidence for S independent sources sharing one likelihood FORM in
+    a single device program: `loglike(theta, *data_s)` where `data` is a
+    tuple of arrays with leading source axis S (e.g. per-source flux and
+    1/sigma). The S nested runs advance in lockstep under vmap -- every
+    iteration is an (S x nbatch x nsteps)-shaped batch of likelihood
+    evaluations, the shape the TPU wants -- and each source freezes
+    bitwise at ITS OWN termination iteration (the loop body is masked to
+    identity once a source's stopping rule fires, so a batched run
+    reproduces the single-source run exactly, key for key).
+
+    The prior box is shared across sources (it is part of the model
+    being compared). Returns NestedBatchResult with (S,)-shaped
+    summaries and padded per-source sample sets."""
+    lower = np.asarray(lower, np.float64)
+    upper = np.asarray(upper, np.float64)
+    if not (np.all(np.isfinite(lower)) and np.all(np.isfinite(upper))):
+        raise ValueError("nested sampling requires a finite prior box")
+    if nbatch >= nlive:
+        raise ValueError(f"nbatch={nbatch} must be < nlive={nlive}")
+    data = tuple(jnp.asarray(d) for d in data)
+    if not data:
+        raise ValueError("data must be a non-empty tuple of (S, ...) arrays")
+    S = data[0].shape[0]
+    width = upper - lower
+    # host-numpy closures (device constants cost trace-time fetches here)
+    lo = np.asarray(lower, _np_dtype(dtype))
+    wd = np.asarray(width, _np_dtype(dtype))
+
+    def ll_unit(u, *d):
+        return loglike(lo + wd * u, *d)
+
+    keys = jax.random.split(key, 2 * S)
+    kinit, krun = keys[:S], keys[S:]
+    u0 = jax.vmap(lambda k: jax.random.uniform(k, (nlive, lower.size),
+                                               dtype))(kinit)
+    lnl0 = jax.vmap(lambda u, *d: jax.vmap(
+        lambda x: ll_unit(x, *d))(u))(u0, *data)
+
+    run = jax.vmap(
+        lambda k, u, l, *d: _nested_run(
+            k, ll_unit, u, l, d, int(nlive), int(nbatch), int(nsteps),
+            int(max_iter), float(a), float(np.log(tol))))
+    (it, lnz, live, lnl, live_w, dead_x, dead_l, dead_w) = run(
+        krun, u0, lnl0, *data)
+
+    it = np.asarray(it)
+    ndead_max = int(it.max()) * nbatch
+    xs = np.concatenate([np.asarray(dead_x)[:, :ndead_max],
+                         np.asarray(live)], axis=1)
+    ls = np.concatenate([np.asarray(dead_l)[:, :ndead_max],
+                         np.asarray(lnl)], axis=1).astype(np.float64)
+    ws = np.concatenate([np.asarray(dead_w)[:, :ndead_max],
+                         np.asarray(live_w)], axis=1).astype(np.float64)
+    xs = lower + width * xs.astype(np.float64)
+    logz = np.asarray(lnz, np.float64)
+    lw = ws + ls
+    p = np.exp(lw - logz[:, None])
+    p = p / p.sum(axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        h = np.nansum(p * (ls - logz[:, None]), axis=1)
+    return NestedBatchResult(
+        logz=logz, logz_err=np.sqrt(np.maximum(h, 0.0) / nlive), h=h,
+        samples=xs, loglike=ls, logwt=lw,
+        n_iter=it.astype(np.int64),
+        n_like=nlive + it.astype(np.int64) * nbatch * nsteps,
+        nbatch=int(nbatch), nlive=int(nlive))

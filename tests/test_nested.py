@@ -12,8 +12,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from mbb_emcee_tpu.nested import nested_sample
+from mbb_emcee_tpu.nested import nested_sample, nested_sample_batch
 from mbb_emcee_tpu.fitter import MBBFitter
+from mbb_emcee_tpu.multifit import MultiFitter
 from mbb_emcee_tpu.models.modified_blackbody import ModifiedBlackbody
 from mbb_emcee_tpu.results import MBBResults
 
@@ -160,6 +161,116 @@ def test_evidence_hdf5_roundtrip(tmp_path):
     assert back.evidence.n_like == f.evidence.n_like
     w = back.evidence.posterior_weights()
     np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-6)
+
+
+def _batch_ll():
+    sig = jnp.asarray(SIG, jnp.float32)
+    lognorm = float(np.sum(np.log(SIG * np.sqrt(2.0 * np.pi))))
+
+    def ll(x, mu):
+        return -0.5 * jnp.sum(((x - mu) / sig) ** 2) - lognorm
+
+    return ll
+
+
+def test_batch_gaussian_evidences():
+    """S sources = S Gaussian centers; every per-source lnZ must match
+    the analytic -ln V, and per-source posterior means the centers --
+    including sources whose runs terminate at different iterations."""
+    centers = np.stack([MU, MU + 0.8, MU - 0.5, MU * 0.0], axis=0)
+    r = nested_sample_batch(_batch_ll(), LOWER, UPPER,
+                            jax.random.PRNGKey(3),
+                            (jnp.asarray(centers, jnp.float32),),
+                            nlive=400, nbatch=32, nsteps=24)
+    assert r.nsources == 4
+    for s in range(4):
+        assert abs(r.logz[s] - (-LNV)) < max(4.0 * r.logz_err[s], 0.06), s
+    np.testing.assert_allclose(r.posterior_mean(), centers, atol=0.05)
+    w = r.posterior_weights()
+    np.testing.assert_allclose(w.sum(axis=1), 1.0, rtol=1e-6)
+    # per-source extraction agrees with the batched summaries
+    one = r[2]
+    assert one.logz == float(r.logz[2])
+    np.testing.assert_allclose(one.posterior_mean(), centers[2], atol=0.05)
+
+
+def test_batch_matches_single_bitwise():
+    """The vmapped while_loop keeps iterating until the SLOWEST source
+    finishes; a finished source's masked body must be an exact identity,
+    so a batched run reproduces each single-source run bitwise when fed
+    the same per-source key. Source 1's much wider Gaussian makes its
+    run terminates much EARLIER (a nearly-flat likelihood has little
+    information to accumulate), forcing it through many masked
+    iterations while source 0's narrow peak keeps shrinking."""
+    widths = np.stack([0.3 * np.ones(3), 3.0 * np.ones(3)], axis=0)
+
+    def ll(x, w):
+        return -0.5 * jnp.sum(((x - jnp.asarray(MU, jnp.float32)) / w) ** 2)
+
+    key = jax.random.PRNGKey(9)
+    r = nested_sample_batch(ll, LOWER, UPPER, key,
+                            (jnp.asarray(widths, jnp.float32),),
+                            nlive=200, nbatch=16, nsteps=12)
+    assert r.n_iter[1] < r.n_iter[0]
+    # replicate the EARLY-finishing source 1 exactly (same derived key,
+    # same data): it sat frozen for n_iter[0]-n_iter[1] masked
+    # iterations in the batch, so equality proves the mask is identity
+    keys = jax.random.split(key, 4)
+    from mbb_emcee_tpu.nested import _nested_run
+    u0 = jax.random.uniform(keys[1], (200, 3), jnp.float32)
+    w0 = jnp.asarray(widths[1], jnp.float32)
+    lo = np.asarray(LOWER, np.float32)
+    wd = np.asarray(UPPER - LOWER, np.float32)
+
+    def ll_unit(u, w):
+        return ll(lo + wd * u, w)
+
+    lnl0 = jax.vmap(lambda x: ll_unit(x, w0))(u0)
+    out = _nested_run(keys[3], ll_unit, u0, lnl0, (w0,), 200, 16, 12,
+                      3000, 2.0, float(np.log(1e-4)))
+    it_single, lnz_single = int(out[0]), float(out[1])
+    assert it_single == int(r.n_iter[1])
+    assert lnz_single == float(r.logz[1])
+
+
+def test_multifitter_compute_evidence():
+    """Batched evidence through the serving surface: S=3 synthetic
+    sources; per-source lnZ finite and the weighted dead points must
+    reproduce each source's own MCMC posterior mean (T is genuinely
+    weakly constrained by 4 bands here -- truth is NOT the posterior,
+    the stretch-move chain is)."""
+    rng = np.random.default_rng(21)
+    wave = np.array([250.0, 350.0, 500.0, 850.0])
+    Ts = np.array([25.0, 32.0, 40.0])
+    fn = np.array([30.0, 50.0, 80.0])
+    flux = np.empty((3, 4))
+    for s in range(3):
+        m = ModifiedBlackbody(T=Ts[s], beta=1.8, lambda0=250.0, alpha=2.0,
+                              fnorm=fn[s], opthin=True, noalpha=True)
+        flux[s] = np.asarray(m(wave))
+    unc = 0.05 * flux
+    flux = flux + rng.normal(0.0, unc)
+
+    mf = MultiFitter(nwalkers=64, opthin=True, noalpha=True)
+    mf.set_data(wave, flux, unc)
+    mf.set_lowlim("T", 10.0); mf.set_uplim("T", 70.0)
+    mf.set_lowlim("beta", 0.5); mf.set_uplim("beta", 4.0)
+    mf.set_lowlim("fnorm", 5.0); mf.set_uplim("fnorm", 300.0)
+    r = mf.compute_evidence(nlive=256, nbatch=32, nsteps=16, seed=4)
+    assert r is mf.evidence
+    assert r.logz.shape == (3,) and np.all(np.isfinite(r.logz))
+    assert r.samples.shape[2] == 5   # full parameter space
+    mean = r.posterior_mean()
+    mf.run(nburn=150, nsteps=500)
+    flat = np.asarray(mf.chain).reshape(3, -1, 5)
+    mcmc_mean = flat.mean(axis=1)
+    mcmc_std = flat.std(axis=1)
+    for i in (0, 1, 4):   # T, beta, fnorm
+        np.testing.assert_array_less(
+            np.abs(mean[:, i] - mcmc_mean[:, i]), 0.35 * mcmc_std[:, i])
+    # determinism through the serving surface
+    r2 = mf.compute_evidence(nlive=256, nbatch=32, nsteps=16, seed=4)
+    np.testing.assert_array_equal(r.logz, r2.logz)
 
 
 @pytest.mark.slow
