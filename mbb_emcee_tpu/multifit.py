@@ -900,6 +900,21 @@ class MultiFitter(ParamSpaceMixin):
             for name in ("lower", "upper", "fixed", "fixed_values",
                          "prior_mean", "prior_isigma"):
                 sp.create_dataset(name, data=getattr(spec, name))
+            if self.evidence is not None:
+                ev = self.evidence
+                g = f.create_group("Evidence")
+                g.attrs["nbatch"] = ev.nbatch
+                g.attrs["nlive"] = ev.nlive
+                for name, arr in (("LogZ", ev.logz),
+                                  ("LogZErr", ev.logz_err), ("H", ev.h),
+                                  ("NIter", ev.n_iter),
+                                  ("NLike", ev.n_like)):
+                    g.create_dataset(name, data=arr)
+                for name, arr in (("Samples", ev.samples),
+                                  ("LogLike", ev.loglike),
+                                  ("LogWt", ev.logwt)):
+                    g.create_dataset(name, data=np.asarray(arr, np.float32),
+                                     compression="gzip")
         return filename
 
     @classmethod
@@ -933,6 +948,20 @@ class MultiFitter(ParamSpaceMixin):
             mf.lnprobability = jnp.asarray(np.asarray(f["LnProbability"]))
             mf.acceptance_fraction = np.asarray(f["AcceptanceFraction"])
             mf.thin = int(f.attrs["thin"])
+            if "Evidence" in f:
+                from mbb_emcee_tpu.nested import NestedBatchResult
+                g = f["Evidence"]
+                mf.evidence = NestedBatchResult(
+                    logz=np.asarray(g["LogZ"]),
+                    logz_err=np.asarray(g["LogZErr"]),
+                    h=np.asarray(g["H"]),
+                    samples=np.asarray(g["Samples"], np.float64),
+                    loglike=np.asarray(g["LogLike"], np.float64),
+                    logwt=np.asarray(g["LogWt"], np.float64),
+                    n_iter=np.asarray(g["NIter"]),
+                    n_like=np.asarray(g["NLike"]),
+                    nbatch=int(g.attrs["nbatch"]),
+                    nlive=int(g.attrs["nlive"]))
         return mf
 
     # -- single-source views -------------------------------------------------------

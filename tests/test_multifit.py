@@ -222,6 +222,16 @@ def test_batch_hdf5_roundtrip(fitted, tmp_path):
     assert np.all(lir > 0)
     res = back.results(1, redshift=2.0)
     assert np.isfinite(res.par_cen("beta")).all()
+    # batch evidence persists and round-trips (stored float32)
+    mf.compute_evidence(nlive=64, nbatch=8, nsteps=8, seed=2)
+    path2 = str(tmp_path / "batch_ev.h5")
+    mf.writeToHDF5(path2, thin=2)
+    back2 = MultiFitter.from_h5(path2)
+    assert back2.evidence is not None
+    np.testing.assert_allclose(back2.evidence.logz, mf.evidence.logz,
+                               rtol=1e-6)
+    np.testing.assert_allclose(back2.evidence.posterior_mean(),
+                               mf.evidence.posterior_mean(), rtol=1e-3)
 
 
 def test_extend_after_set_data_raises_on_fused_state(monkeypatch):
