@@ -11,6 +11,8 @@ A ground-up JAX/XLA/Pallas rebuild of the capabilities of aconley/mbb_emcee:
     over the reference, whose NumPy model is not differentiable)
   * nested sampling for Bayesian evidence / model comparison (batched
     constrained stretch-move replacement, one jitted program; additive)
+  * parallel tempering with replica exchange for multimodal posteriors
+    (K rungs x W walkers as one batch; thermodynamic lnZ; additive)
   * derived-quantity posteriors (L_IR, dust mass, peak wavelength) as batched
     on-device quadrature / optimization over stored chains
   * HDF5 persistence with round-trip loading
@@ -27,6 +29,8 @@ from mbb_emcee_tpu.sampler import EnsembleSampler, SamplerState
 from mbb_emcee_tpu.hmc import hmc_sample, HMCResult
 from mbb_emcee_tpu.nested import (
     nested_sample, nested_sample_batch, NestedResult, NestedBatchResult)
+from mbb_emcee_tpu.tempering import (
+    pt_sample, PTResult, ParallelTemperingSampler, geometric_ladder)
 from mbb_emcee_tpu.fitter import MBBFitter
 from mbb_emcee_tpu.results import MBBResults
 from mbb_emcee_tpu.multifit import MultiFitter
@@ -43,6 +47,8 @@ __all__ = [
     "hmc_sample", "HMCResult",
     "nested_sample", "nested_sample_batch",
     "NestedResult", "NestedBatchResult",
+    "pt_sample", "PTResult", "ParallelTemperingSampler",
+    "geometric_ladder",
     "MBBFitter", "MBBResults", "MultiFitter",
     "__version__",
 ]

@@ -74,6 +74,18 @@ def build_parser():
                    help="leapfrog steps per HMC trajectory (default 16)")
     g.add_argument("--hmc-target-accept", type=float, default=0.8,
                    help="dual-averaging target acceptance (default 0.8)")
+    g.add_argument("--pt", action="store_true",
+                   help="parallel tempering: K temperature rungs with "
+                        "replica exchange (mixes the T-lambda0 bimodality "
+                        "of optically-thick fits that traps a "
+                        "single-temperature ensemble; also reports the "
+                        "thermodynamic-integration lnZ; additive)")
+    g.add_argument("--pt-rungs", type=int, default=12,
+                   help="temperature rungs for --pt (default 12)")
+    g.add_argument("--pt-beta-min", type=float, default=None,
+                   help="hottest nonzero inverse temperature (default: "
+                        "auto -- sized after burn-in so the evidence "
+                        "ladder bridges the prior box)")
 
     g = p.add_argument_group("model")
     g.add_argument("--opthin", action="store_true",
@@ -227,7 +239,21 @@ def main(argv=None):
         total_steps = args.nsteps + (
             args.burn if args.no_recenter_burn else 2 * args.burn)
     with trace(args.profile_dir):
-        if args.hmc:
+        if args.hmc and args.pt:
+            raise SystemExit("--hmc and --pt are mutually exclusive")
+        if args.pt:
+            if args.checkpoint or args.resume:
+                raise SystemExit(
+                    "--pt does not support --checkpoint/--resume")
+            with timer.phase("fit (tempered burn + production)",
+                             args.burn + args.nsteps):
+                fit.run_pt(nrungs=args.pt_rungs,
+                           beta_min=(args.pt_beta_min
+                                     if args.pt_beta_min is not None
+                                     else "auto"),
+                           nburn=args.burn, nsteps=args.nsteps,
+                           thin=args.thin, verbose=args.verbose)
+        elif args.hmc:
             if args.checkpoint or args.resume:
                 raise SystemExit(
                     "--hmc does not support --checkpoint/--resume")

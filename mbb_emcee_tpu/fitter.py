@@ -499,6 +499,75 @@ class MBBFitter(ParamSpaceMixin):
                 log.info(f"  autocorrelation time [{n}]: {t:.1f} steps")
         return self
 
+    def run_pt(self, nrungs=12, beta_min="auto", nburn=300, nsteps=1000,
+               nchains=None, thin=1, p0=None, verbose=False):
+        """Parallel-tempering alternative to run(): K temperature rungs
+        of the same posterior advance as one (K, W)-batched device
+        program with replica exchange between adjacent rungs
+        (tempering.py). ADDITIVE -- the reference's single-temperature
+        emcee ensemble is exactly what traps on the REAL T-lambda0
+        bimodality of optically-thick fits (DESIGN.md): here hot rungs
+        cross between modes freely and hand mixed states down the
+        ladder. The production run also yields the Bayesian evidence
+        two ways: self.logz_pt = (lnZ, err) from the robust
+        stepping-stone estimator (headline -- safe on wide prior
+        boxes), and self.logz_ti from thermodynamic integration (a
+        diagnostic that degrades on wide priors; see tempering.py).
+        Both share compute_evidence's prior convention, so all three
+        cross-check.
+
+        The recorded chain is the COLD (beta=1) rung -- downstream
+        analysis (MBBResults, gelman_rubin, writeToHDF5) is unchanged.
+        extend() does not apply; re-run with more nsteps."""
+        from mbb_emcee_tpu.tempering import pt_sample
+
+        nchains = self.nwalkers if nchains is None else int(nchains)
+        self._auto_init_fnorm()
+        spec = self._effective_spec()
+        lnprob, free_space = build_lnprob(
+            self._require_data(), self.shape, spec,
+            response_pack=self._response_pack(), dtype=self.dtype)
+        self.free_space = free_space
+        self.thin = int(thin)
+
+        key = jax.random.key(self.seed, impl=self.prng_impl)
+        key, kball = jax.random.split(key)
+        if p0 is None:
+            center = self._init[free_space.free_idx]
+            scatter = self._scatter[free_space.free_idx]
+            p0 = make_initial_ball(kball, center, scatter, nchains,
+                                   free_space.lower, free_space.upper,
+                                   dtype=self.dtype)
+        else:
+            p0 = jnp.asarray(p0, self.dtype)
+            if p0.shape[-1] == NPARAMS:
+                p0 = p0[..., free_space.free_idx]
+
+        res = pt_sample(lnprob, p0, key, nrungs=nrungs, beta_min=beta_min,
+                        nburn=nburn, nsteps=nsteps, thin=thin,
+                        a=self.a, dtype=self.dtype)
+        self.chain_free = jnp.asarray(res.chain)
+        self.lnprobability = jnp.asarray(res.lnprob)
+        self.acceptance_fraction = res.acceptance_fraction[0]  # cold rung
+        self.logz_pt = (res.logz, res.logz_err)
+        self.logz_ti = (res.logz_ti, res.logz_ti_err)
+        self.pt_result = res
+        self.burn_chain_free = None
+        self.sampler = None
+        self.final_state = None
+        self._mf = None
+        self._backend_used = "pt"
+        if verbose:
+            from mbb_emcee_tpu.utils.log import enable_console
+            log = enable_console()
+            log.info(f"PT: {res.betas.size} rungs x {nchains} walkers, cold "
+                     f"acceptance {res.acceptance_fraction[0].mean():.3f}, "
+                     f"swap fractions "
+                     f"{np.array2string(res.swap_fraction, precision=2)}")
+            log.info(f"  stepping-stone lnZ = {res.logz:.3f} "
+                     f"+/- {res.logz_err:.3f}")
+        return self
+
     def compute_evidence(self, nlive=512, nbatch=32, nsteps=32,
                          max_iter=3000, tol=1e-4, seed=None, verbose=False):
         """Bayesian evidence ln Z of THIS model configuration via nested
@@ -658,11 +727,11 @@ class MBBFitter(ParamSpaceMixin):
             self._mf.extend(nsteps, verbose=verbose)
             self._merge_ensembles(self._mf)
             return self
-        if getattr(self, "_backend_used", None) == "hmc":
+        if getattr(self, "_backend_used", None) in ("hmc", "pt"):
             raise RuntimeError(
-                "extend() continues a stretch-move run; after run_hmc() "
-                "re-run with a larger nsteps instead (HMC keeps no "
-                "resumable sampler state)")
+                "extend() continues a plain stretch-move run; after "
+                "run_hmc()/run_pt() re-run with a larger nsteps instead "
+                "(neither keeps resumable sampler state here)")
         if nsteps % self.thin:
             raise ValueError(
                 f"nsteps={nsteps} not divisible by thin={self.thin}")

@@ -105,6 +105,14 @@ def _write_results(f, res):
         g.create_dataset("LogWt", data=np.asarray(ev.logwt, np.float64),
                          compression="gzip", compression_opts=4)
 
+    lz = getattr(res, "logz_pt", None)
+    if lz is not None:
+        g = f.create_group("PTEvidence")
+        g.attrs["logz"], g.attrs["logz_err"] = lz
+        lzti = getattr(res, "logz_ti", None)
+        if lzti is not None:
+            g.attrs["logz_ti"], g.attrs["logz_ti_err"] = lzti
+
 
 def read_results(filename):
     """Read back into a dict of MBBResults attribute values."""
@@ -176,4 +184,10 @@ def _read_results(f):
             loglike=np.asarray(g["LogLike"]),
             logwt=np.asarray(g["LogWt"]),
             n_iter=int(g.attrs["n_iter"]), n_like=int(g.attrs["n_like"]))
+    if "PTEvidence" in f:
+        g = f["PTEvidence"]
+        out["logz_pt"] = (float(g.attrs["logz"]), float(g.attrs["logz_err"]))
+        if "logz_ti" in g.attrs:
+            out["logz_ti"] = (float(g.attrs["logz_ti"]),
+                              float(g.attrs["logz_ti_err"]))
     return out

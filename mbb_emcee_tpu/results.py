@@ -84,6 +84,8 @@ class MBBResults:
         self.dustmass_meta = None
         self.peaklambda_chain = None
         self.evidence = None  # NestedResult (compute_evidence on the fitter)
+        self.logz_pt = None   # (lnZ, err) stepping-stone, from run_pt()
+        self.logz_ti = None   # (lnZ, err) thermodynamic-integration check
 
         if fit is not None:
             self._from_fit(fit)
@@ -106,6 +108,8 @@ class MBBResults:
         # n_ensembles>1 merges K ensembles into one wider walker axis
         self.nwalkers = getattr(fit, "nwalkers_total", None) or fit.nwalkers
         self.evidence = getattr(fit, "evidence", None)
+        self.logz_pt = getattr(fit, "logz_pt", None)
+        self.logz_ti = getattr(fit, "logz_ti", None)
         self._fit = fit
 
     def _from_h5(self, h5file):

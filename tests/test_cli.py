@@ -151,6 +151,36 @@ def test_cli_hmc(tmp_path, capsys):
     assert abs(res.par_cen("T")[0] - TRUE[0]) < 10.0
 
 
+def test_cli_pt(tmp_path, capsys):
+    phot = str(tmp_path / "phot.txt")
+    out = str(tmp_path / "fit_pt.h5")
+    _write_photfile(phot, MBBShape(opthin=True, noalpha=True))
+    rc = main([phot, out,
+               "--opthin", "--noalpha", "--pt", "--pt-rungs", "6",
+               "-w", "32", "-b", "80", "-n", "120",
+               "--seed", "5", "-v"])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "PT" in captured and "lnZ" in captured
+    res = MBBResults(h5file=out)
+    assert res.chain.shape[0] == 32
+    assert abs(res.par_cen("T")[0] - TRUE[0]) < 10.0
+    # stepping-stone evidence round-trips through the HDF5 file
+    assert res.logz_pt is not None and np.isfinite(res.logz_pt[0])
+    assert res.logz_ti is not None
+
+
+def test_cli_pt_rejects_checkpoint_and_hmc(tmp_path):
+    phot = str(tmp_path / "phot.txt")
+    _write_photfile(phot, MBBShape(opthin=True, noalpha=True))
+    import pytest
+    with pytest.raises(SystemExit):
+        main([phot, str(tmp_path / "o.h5"), "--pt",
+              "--checkpoint", str(tmp_path / "c.h5")])
+    with pytest.raises(SystemExit):
+        main([phot, str(tmp_path / "o.h5"), "--pt", "--hmc"])
+
+
 def test_cli_hmc_rejects_checkpoint(tmp_path):
     phot = str(tmp_path / "phot.txt")
     _write_photfile(phot, MBBShape(opthin=True, noalpha=True))

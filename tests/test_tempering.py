@@ -1,0 +1,242 @@
+"""Parallel-tempering tests (tempering.py). ADDITIVE over the reference
+(single-temperature emcee): validated on analytic targets -- cold-chain
+moment recovery, decisive bimodal mixing where the plain stretch move
+traps, thermodynamic-integration evidence against the analytic value
+and against the nested sampler, determinism, and the single-program
+trace guarantee.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mbb_emcee_tpu.tempering import (
+    ParallelTemperingSampler, pt_sample, geometric_ladder,
+    thermodynamic_logz)
+from mbb_emcee_tpu.sampler import EnsembleSampler
+
+MU = np.array([1.0, -0.5, 2.0])
+SIG = np.array([0.4, 0.8, 0.25])
+LOWER = MU - 6.0 * SIG
+UPPER = MU + 6.0 * SIG
+LNV = float(np.sum(np.log(UPPER - LOWER)))
+FLOOR = -1e30
+
+
+def _boxed_gauss(mu=MU, sig=SIG, lower=LOWER, upper=UPPER):
+    mu32 = jnp.asarray(mu, jnp.float32)
+    sig32 = jnp.asarray(sig, jnp.float32)
+    lo32 = jnp.asarray(lower, jnp.float32)
+    hi32 = jnp.asarray(upper, jnp.float32)
+    lognorm = float(np.sum(np.log(np.asarray(sig) * np.sqrt(2 * np.pi))))
+
+    def lnprob(x):
+        inbox = jnp.all((x >= lo32) & (x <= hi32))
+        lnl = -0.5 * jnp.sum(((x - mu32) / sig32) ** 2) - lognorm
+        return jnp.where(inbox, lnl, jnp.float32(FLOOR))
+
+    return lnprob
+
+
+def _ball(key, center, scatter, n):
+    return center + scatter * np.asarray(
+        jax.random.normal(key, (n, len(center))))
+
+
+def test_cold_chain_moments_and_swaps():
+    key = jax.random.PRNGKey(0)
+    p0 = _ball(jax.random.PRNGKey(1), MU, 0.1 * SIG, 64)
+    res = pt_sample(_boxed_gauss(), p0, key, nrungs=10,
+                    nburn=300, nsteps=1200)
+    flat = res.chain.reshape(-1, 3)
+    assert np.all(np.abs(flat.mean(axis=0) - MU) < 0.1 * SIG)
+    np.testing.assert_allclose(flat.std(axis=0), SIG, rtol=0.1)
+    # every adjacent pair must actually exchange (a dead link would
+    # disconnect the hot rungs from the cold chain)
+    assert np.all(res.swap_fraction > 0.05)
+    assert 0.1 < res.acceptance_fraction.mean() < 0.9
+
+
+def test_evidence_analytic_and_vs_nested():
+    """lnZ against the normalized uniform box prior is -ln V for a
+    normalized Gaussian well inside the box: the stepping-stone
+    estimator (headline), thermodynamic integration (diagnostic), and
+    the nested sampler must all land on it."""
+    key = jax.random.PRNGKey(2)
+    p0 = _ball(jax.random.PRNGKey(3), MU, 0.1 * SIG, 64)
+    res = pt_sample(_boxed_gauss(), p0, key, nrungs=16,
+                    nburn=300, nsteps=1500)
+    assert abs(res.logz - (-LNV)) < max(0.35, 5.0 * res.logz_err)
+    assert abs(res.logz_ti - (-LNV)) < max(0.35, 3.0 * res.logz_ti_err)
+
+    from mbb_emcee_tpu.nested import nested_sample
+    rn = nested_sample(_boxed_gauss(), LOWER, UPPER,
+                       jax.random.PRNGKey(4), nlive=400, nbatch=32,
+                       nsteps=24)
+    assert abs(res.logz - rn.logz) < max(
+        0.4, 3.0 * np.hypot(res.logz_err, rn.logz_err))
+
+
+def test_evidence_wide_prior():
+    """The regression that motivated the adaptive ladder: a sharp
+    Gaussian (sigma 1e-3) inside a +/-100 box has prior-corner lnL of
+    order -1e10, so a fixed beta_min = 1e-3 ladder cannot bridge the
+    beta ~ 0 end and stepping stone comes out low by thousands of nats
+    (measured -1.8e4 vs -25.6 on the real MBB posterior). auto sizing
+    must recover the analytic lnZ = -ln V."""
+    d = 3
+    sig = jnp.float32(1e-3)
+    lo, hi = -100.0, 100.0
+    lnz_true = -d * np.log(hi - lo)
+    lognorm = d * float(np.log(1e-3 * np.sqrt(2 * np.pi)))
+
+    def lnprob(x):
+        inbox = jnp.all((x >= lo) & (x <= hi))
+        lnl = -0.5 * jnp.sum((x / sig) ** 2) - lognorm
+        return jnp.where(inbox, lnl, jnp.float32(FLOOR))
+
+    p0 = 1e-4 * np.asarray(
+        jax.random.normal(jax.random.PRNGKey(13), (64, d)))
+    res = pt_sample(lnprob, p0, jax.random.PRNGKey(14),
+                    nburn=500, nsteps=1200)
+    # auto must have extended the ladder far below the fixed default
+    assert res.betas[-2] < 1e-6
+    assert res.betas.size > 12
+    assert abs(res.logz - lnz_true) < max(1.5, 5.0 * res.logz_err), (
+        res.logz, lnz_true, res.logz_err)
+
+
+def _bimodal(sep=8.0):
+    """Two equal-weight Gaussians at +/- sep/2 along x, unit-ish sigma,
+    in a finite box; the modes are far enough apart that a cold-only
+    stretch ensemble started in one mode essentially never crosses."""
+    s = jnp.float32(0.5)
+    c = jnp.float32(sep / 2.0)
+    lo, hi = -12.0, 12.0
+
+    def lnprob(x):
+        inbox = jnp.all((x >= lo) & (x <= hi))
+        a = -0.5 * ((x[0] - c) ** 2 + x[1] ** 2) / s ** 2
+        b = -0.5 * ((x[0] + c) ** 2 + x[1] ** 2) / s ** 2
+        return jnp.where(inbox, jnp.logaddexp(a, b), jnp.float32(FLOOR))
+
+    return lnprob
+
+
+def test_bimodal_mixing_beats_cold_stretch():
+    """Headline capability: started entirely in ONE mode of a
+    well-separated bimodal target, the plain stretch ensemble stays
+    trapped while parallel tempering recovers both modes at ~equal
+    mass (DESIGN.md documents the same failure on the real T-lambda0
+    bimodality of optically-thick fits)."""
+    lnprob = _bimodal(sep=8.0)
+    p0 = np.array([4.0, 0.0]) + 0.3 * np.asarray(
+        jax.random.normal(jax.random.PRNGKey(5), (64, 2)))
+
+    # cold-only ensemble: trapped
+    samp = EnsembleSampler(64, 2, lnprob)
+    st = samp.init_state(jax.random.PRNGKey(6), p0)
+    st = samp.advance(st, 300)
+    _, chain, _ = samp.run_mcmc(st, 1500)
+    frac_cold = float((np.asarray(chain)[..., 0] < 0).mean())
+    assert frac_cold < 0.05
+
+    # tempered: mixed
+    res = pt_sample(lnprob, p0, jax.random.PRNGKey(7), nrungs=10,
+                    beta_min=3e-3, nburn=400, nsteps=1500)
+    frac_pt = float((res.chain[..., 0] < 0).mean())
+    assert 0.30 < frac_pt < 0.70, frac_pt
+
+
+def test_determinism_and_single_trace():
+    lnprob = _boxed_gauss()
+    p0 = _ball(jax.random.PRNGKey(8), MU, 0.1 * SIG, 32)
+
+    def run(seed):
+        return pt_sample(lnprob, p0, jax.random.PRNGKey(seed), nrungs=6,
+                         nburn=50, nsteps=100)
+
+    r1, r2, r3 = run(11), run(11), run(12)
+    np.testing.assert_array_equal(r1.chain, r2.chain)
+    assert r1.logz_ti == r2.logz_ti
+    assert not np.array_equal(r1.chain, r3.chain)
+
+    # one compiled program serves burn, production and both geometries
+    samp = ParallelTemperingSampler(32, 3, lnprob, geometric_ladder(6))
+    st = samp.init_state(jax.random.PRNGKey(0),
+                         jnp.broadcast_to(jnp.asarray(p0, jnp.float32),
+                                          (6, 32, 3)))
+    st = samp.advance(st, 37)
+    st, _, _, _ = samp.run_mcmc(st, 100)
+    st, _, _, _ = samp.run_mcmc(st, 60, thin=2)
+    assert samp.trace_count == 1
+
+
+def _mock_fit(**kw):
+    from mbb_emcee_tpu.models.modified_blackbody import ModifiedBlackbody
+    from mbb_emcee_tpu.fitter import MBBFitter
+    rng = np.random.default_rng(11)
+    wave = np.array([250.0, 350.0, 500.0, 850.0, 1100.0])
+    true = ModifiedBlackbody(T=32.0, beta=1.9, lambda0=250.0, alpha=2.0,
+                             fnorm=40.0, opthin=True, noalpha=True)
+    flux = np.asarray(true(wave))
+    unc = 0.05 * flux
+    flux = flux + rng.normal(0.0, unc)
+    f = MBBFitter(nwalkers=64, opthin=True, noalpha=True, **kw)
+    f.set_data(wave, flux, unc)
+    return f
+
+
+def test_run_pt_matches_stretch_posterior():
+    """PT at beta=1 targets the identical posterior as the plain
+    stretch ensemble: medians and widths on a well-constrained
+    3-param opthin fit must agree within MC error, and the TI
+    evidence must agree with the nested sampler's."""
+    from mbb_emcee_tpu.results import MBBResults
+
+    fp = _mock_fit(seed=3)
+    fp.run_pt(nrungs=8, nburn=250, nsteps=600)
+    rp = MBBResults(fit=fp)
+
+    fs = _mock_fit(seed=4)
+    fs.run(nburn=300, nsteps=800)
+    rs = MBBResults(fit=fs)
+
+    for p in ("T", "beta", "fnorm"):
+        cp, cs = rp.par_cen(p), rs.par_cen(p)
+        assert abs(cp[0] - cs[0]) < 0.35 * (cs[1] + cs[2]), p
+        np.testing.assert_allclose(cp[1] + cp[2], cs[1] + cs[2],
+                                   rtol=0.30, err_msg=p)
+
+    lz, lz_err = fp.logz_pt
+    ev = fs.compute_evidence(nlive=256, nbatch=32, nsteps=24)
+    assert abs(lz - ev.logz) < max(1.0, 3.0 * np.hypot(lz_err, ev.logz_err))
+
+
+def test_run_pt_downstream_analysis():
+    from mbb_emcee_tpu.results import MBBResults
+    f = _mock_fit(seed=9)
+    f.run_pt(nrungs=6, nburn=100, nsteps=200, nchains=16, thin=2)
+    assert f.chain_free.shape == (100, 16, 3)
+    r = MBBResults(fit=f)
+    assert np.isfinite(r.best_fit[1])
+    assert np.all(np.isfinite(f.gelman_rubin()))
+    assert np.all(np.isfinite(f.autocorrelation_time()))
+    assert np.isfinite(f.logz_pt[0])
+    assert np.all(f.pt_result.swap_fraction >= 0)
+    with pytest.raises(RuntimeError, match="run_pt"):
+        f.extend(100)
+
+
+def test_ladder_and_validation():
+    b = geometric_ladder(8, 1e-3)
+    assert b[0] == 1.0 and b[-1] == 0.0 and b.size == 8
+    assert np.all(np.diff(b) < 0)
+    with pytest.raises(ValueError, match="betas"):
+        ParallelTemperingSampler(32, 2, _boxed_gauss(), [0.5, 0.1, 0.0])
+    with pytest.raises(ValueError, match="even"):
+        ParallelTemperingSampler(33, 2, _boxed_gauss(), b)
+    # trapezoid sanity: constant integrand integrates exactly
+    lz, err = thermodynamic_logz(b, np.full(8, -3.0))
+    np.testing.assert_allclose(lz, -3.0, rtol=1e-12)
