@@ -151,6 +151,10 @@ class MultiFitter(ParamSpaceMixin):
         self.thin = 1
         self._run_cache = {}
         self.evidence = None    # NestedBatchResult from compute_evidence()
+        self.logz_pt = None     # ((S,), (S,)) stepping-stone, run_pt()
+        self.logz_ti = None     # ((S,), (S,)) TI cross-check, run_pt()
+        self.swap_fraction = None
+        self.pt_betas = None
 
     # -- data -----------------------------------------------------------------
     def set_data(self, wave, flux, unc, band_names=None):
@@ -520,6 +524,242 @@ class MultiFitter(ParamSpaceMixin):
                 f"Mean acceptance fraction over {S} sources: "
                   f"{af.mean():.3f} (per-source min {af.mean(1).min():.3f}, "
                   f"max {af.mean(1).max():.3f}) [fused kernel]")
+        return self
+
+    def run_pt(self, nrungs=12, beta_min="auto", nburn=300, nsteps=1000,
+               thin=1, verbose=False):
+        """Batched parallel tempering: the serving analog of
+        MBBFitter.run_pt. Every source gets K temperature rungs x W
+        walkers, and the WHOLE (S, K, W) block advances as one device
+        program -- a per-source tempered body (tempering.pt_step: vmapped
+        stretch move over rungs + alternating adjacent-rung replica
+        exchange) vmapped over sources and, with a mesh, shard_mapped
+        over the source axis (embarrassingly parallel, no collectives).
+
+        Two phases, both compiled once per geometry: a SCOUT burn on a
+        shared coarse ladder, then -- with beta_min="auto" -- per-source
+        ladders rebuilt from each source's own worst sampled lnL
+        (tempering.auto_ladder_batch; betas are runtime operands with
+        one shared static K, so sources with very different likelihood
+        scales share the program), seeded rung-by-nearest-rung from the
+        scout state, re-burned, and sampled.
+
+        The recorded chain is each source's cold rung -- chain_free /
+        lnprobability / acceptance_fraction have exactly run()'s shapes,
+        so every batched summary (par_cen, gelman_rubin, compute_lir,
+        results(i), writeToHDF5) works unchanged. Per-source evidence:
+        self.logz_pt = (lnZ (S,), err (S,)) by stepping stone, with
+        thermodynamic integration in self.logz_ti as the cross-check of
+        compute_evidence(). extend() does not apply; re-run with more
+        nsteps."""
+        from mbb_emcee_tpu.tempering import (
+            PTState, pt_step, geometric_ladder, auto_ladder_batch,
+            SSStats, thermodynamic_logz, _SUPPORT_FLOOR)
+
+        if self.flux is None:
+            raise RuntimeError("no data; call set_data")
+        if nsteps % thin:
+            raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
+        if self.nwalkers % 2:
+            raise ValueError("nwalkers must be even")
+        spec = self._effective_spec()
+        lnprob_data, free_space = build_lnprob_data(
+            self.shape, spec, response_pack=self._response_pack())
+        self.free_space = free_space
+        self.thin = int(thin)
+        S, W = self.nsources, self.nwalkers
+        d = free_space.nfree
+        a = self.a
+        nrec = int(nsteps // thin)
+        thin_i = int(thin)
+        adapt = beta_min == "auto"
+
+        if self.mesh is not None:
+            ndev = self.mesh.devices.size
+            if S % ndev:
+                raise ValueError(
+                    f"the mesh size ({ndev} devices) must divide "
+                    f"nsources={S}")
+        mesh_axis = (self.mesh.axis_names[0]
+                     if self.mesh is not None else None)
+
+        def _vary(x):
+            if mesh_axis is None:
+                return x
+            return jax.lax.pcast(x, (mesh_axis,), to="varying")
+
+        wave = jnp.asarray(self.wave, jnp.float32)
+        flux = jnp.asarray(self.flux, jnp.float32)
+        iunc = jnp.asarray(1.0 / self.unc, jnp.float32)
+        key = jax.random.key(self.seed, impl=self.prng_impl)
+        kball, kscout, kmain = jax.random.split(key, 3)
+        centers, scatters = self._init_centers()
+        cen_f = jnp.asarray(centers[:, free_space.free_idx], jnp.float32)
+        sca_f = jnp.asarray(scatters[:, free_space.free_idx], jnp.float32)
+        lower, upper = free_space.lower, free_space.upper
+
+        def _pt_state(k, pos, bflat, K):
+            lnp = bflat(pos.reshape(-1, d)).reshape(K, W)
+            return PTState(
+                key=k, pos=pos, lnp=lnp,
+                naccept=_vary(jnp.zeros((K, W), jnp.int32)),
+                nswap=_vary(jnp.zeros(K - 1, jnp.int32)),
+                nswap_prop=_vary(jnp.zeros(K - 1, jnp.int32)),
+                nsteps=_vary(jnp.array(0, jnp.int32)))
+
+        def _advance(st, n, bflat, betas):
+            return jax.lax.fori_loop(
+                st.nsteps, st.nsteps + n,
+                lambda i, s: pt_step(s, bflat, betas, a, swap_parity=i), st)
+
+        K1 = int(nrungs)
+
+        def scout_one(idx, cen_s, sca_s, flux_s, iunc_s, betas,
+                      kball, kscout, wave):
+            bflat = jax.vmap(
+                lambda th: lnprob_data(th, wave, flux_s, iunc_s))
+            p0 = make_initial_ball(jax.random.fold_in(kball, idx),
+                                   cen_s, sca_s, W, lower, upper)
+            st = _pt_state(jax.random.fold_in(kscout, idx),
+                           jnp.broadcast_to(p0, (K1, W, d)), bflat, K1)
+            st = _advance(st, nburn, bflat, betas)
+            return st.pos, st.lnp
+
+        def main_one(idx, pos0_s, flux_s, iunc_s, betas_s, kmain, wave,
+                     nburn2, K2):
+            bflat = jax.vmap(
+                lambda th: lnprob_data(th, wave, flux_s, iunc_s))
+            dbeta = (betas_s[:-1] - betas_s[1:]).astype(jnp.float32)
+            st = _pt_state(jax.random.fold_in(kmain, idx), pos0_s,
+                           bflat, K2)
+            if nburn2 > 0:
+                st = _advance(st, nburn2, bflat, betas_s)
+                st = st._replace(
+                    naccept=jnp.zeros_like(st.naccept),
+                    nswap=jnp.zeros_like(st.nswap),
+                    nswap_prop=jnp.zeros_like(st.nswap_prop),
+                    nsteps=jnp.zeros_like(st.nsteps))
+
+            def inner(carry, _):
+                s, m, s1, s2, acc = carry
+                s = _advance(s, thin_i, bflat, betas_s)
+                v = dbeta[:, None] * s.lnp[1:].astype(jnp.float32)
+                newm = jnp.maximum(m, v.max(axis=1))
+                scale = jnp.where(jnp.isfinite(m), jnp.exp(m - newm), 0.0)
+                e = jnp.exp(v - newm[:, None])
+                s1 = s1 * scale + e.sum(axis=1)
+                s2 = s2 * scale ** 2 + (e * e).sum(axis=1)
+                acc = acc + s.lnp.mean(axis=1).astype(jnp.float32)
+                return (s, newm, s1, s2, acc), (s.pos[0], s.lnp[0])
+
+            carry0 = (st,
+                      _vary(jnp.full((K2 - 1,), -jnp.inf, jnp.float32)),
+                      _vary(jnp.zeros((K2 - 1,), jnp.float32)),
+                      _vary(jnp.zeros((K2 - 1,), jnp.float32)),
+                      _vary(jnp.zeros((K2,), jnp.float32)))
+            (st, m, s1, s2, acc), (chain, lnpch) = jax.lax.scan(
+                inner, carry0, None, length=nrec)
+            return (chain, lnpch, st.naccept, st.nswap, st.nswap_prop,
+                    st.nsteps, acc, m, s1, s2)
+
+        def _compiled(tag, fn, in_axes, sharded_in, sharded_out, **static):
+            ck = (tag, S, W, d, nrec, thin_i, int(nburn),
+                  _spec_token(spec, self.shape), id(self.mesh),
+                  id(self.responses),
+                  None if self.band_names is None
+                  else tuple(self.band_names),
+                  tuple(sorted(static.items())))
+            if ck not in self._run_cache:
+                f = jax.vmap(lambda *args: fn(*args, **static),
+                             in_axes=in_axes)
+                if self.mesh is not None:
+                    f = jax.shard_map(f, mesh=self.mesh,
+                                      in_specs=sharded_in,
+                                      out_specs=sharded_out)
+                self._run_cache[ck] = jax.jit(f)
+            return self._run_cache[ck]
+
+        ax = mesh_axis
+        # -- phase 1: scout burn on a shared coarse ladder ------------------
+        scout_betas = geometric_ladder(
+            K1, 1e-2 if adapt else float(beta_min))
+        scout = _compiled(
+            "pt_scout", scout_one,
+            (0, 0, 0, 0, 0, None, None, None, None),
+            (P(ax), P(ax, None), P(ax, None), P(ax, None), P(ax, None),
+             P(None), P(), P(), P(None)),
+            (P(ax, None, None, None), P(ax, None, None)))
+        pos_sc, lnp_sc = scout(
+            self._shard(jnp.arange(S)), self._shard(cen_f),
+            self._shard(sca_f), self._shard(flux), self._shard(iunc),
+            jnp.asarray(scout_betas, jnp.float32), kball, kscout, wave)
+
+        # -- ladder adaptation (host, tiny) ---------------------------------
+        if adapt:
+            lnp_h = np.asarray(lnp_sc, np.float64)         # (S, K1, W)
+            masked = np.where(lnp_h > _SUPPORT_FLOOR, lnp_h, np.nan)
+            worst = np.nanmin(masked.reshape(S, -1), axis=1)
+            worst = np.where(np.isfinite(worst), worst, -1e6)
+            betas_b = auto_ladder_batch(worst, nrungs_min=K1)  # (S, K2)
+            K2 = betas_b.shape[1]
+            lb_new = np.log10(np.maximum(betas_b, 1e-30))
+            lb_old = np.log10(np.maximum(scout_betas, 1e-30))
+            nearest = np.abs(lb_new[:, :, None]
+                             - lb_old[None, None, :]).argmin(axis=2)
+            pos0 = np.asarray(pos_sc)[np.arange(S)[:, None], nearest]
+            nburn2 = max(int(nburn) // 2, 50)
+        else:
+            betas_b = np.broadcast_to(scout_betas, (S, K1)).copy()
+            K2 = K1
+            pos0 = np.asarray(pos_sc)
+            nburn2 = 0
+
+        # -- phase 2: (re-)burn + production with evidence accumulators -----
+        main = _compiled(
+            "pt_main", main_one,
+            (0, 0, 0, 0, 0, None, None),
+            (P(ax), P(ax, None, None, None), P(ax, None), P(ax, None),
+             P(ax, None), P(), P(None)),
+            (P(ax, None, None, None), P(ax, None, None), P(ax, None, None),
+             P(ax, None), P(ax, None), P(ax), P(ax, None), P(ax, None),
+             P(ax, None), P(ax, None)),
+            nburn2=nburn2, K2=K2)
+        (chain, lnpch, naccept, nswap, nswap_prop, nsteps_dev,
+         acc, ss_m, ss_s1, ss_s2) = main(
+            self._shard(jnp.arange(S)),
+            self._shard(jnp.asarray(pos0, jnp.float32)),
+            self._shard(flux), self._shard(iunc),
+            self._shard(jnp.asarray(betas_b, jnp.float32)),
+            kmain, wave)
+
+        self.chain_free = chain                        # (S, nrec, W, d)
+        self.lnprobability = lnpch                     # (S, nrec, W)
+        denom = np.maximum(np.asarray(nsteps_dev, np.int64), 1)
+        self.acceptance_fraction = (np.asarray(naccept)[:, 0, :]
+                                    / denom[:, None])  # cold rung (S, W)
+        self.swap_fraction = (np.asarray(nswap)
+                              / np.maximum(np.asarray(nswap_prop), 1))
+        self.pt_betas = betas_b
+        ss = SSStats(np.asarray(ss_m, np.float64),
+                     np.asarray(ss_s1, np.float64),
+                     np.asarray(ss_s2, np.float64), float(nrec * W))
+        logz, logz_err = ss.logz()                     # (S,), (S,)
+        mean_lnp = np.asarray(acc, np.float64) / nrec  # (S, K2)
+        ti, ti_err = thermodynamic_logz(betas_b, mean_lnp)
+        self.logz_pt = (logz, logz_err)
+        self.logz_ti = (ti, ti_err)
+        self._backend_used = "pt"
+        self._sampler = None                           # extend() refuses
+        self.final_state = None
+        if verbose:
+            af = self.acceptance_fraction
+            from mbb_emcee_tpu.utils.log import enable_console
+            enable_console().info(
+                f"PT over {S} sources: {K2} rungs x {W} walkers, mean "
+                f"cold acceptance {af.mean():.3f}, min adjacent swap "
+                f"fraction {self.swap_fraction.min(axis=1).min():.2f}, "
+                f"lnZ in [{logz.min():.2f}, {logz.max():.2f}] "
+                f"(median err {np.median(logz_err):.3f})")
         return self
 
     # -- batched summaries -------------------------------------------------------
@@ -915,6 +1155,14 @@ class MultiFitter(ParamSpaceMixin):
                                   ("LogWt", ev.logwt)):
                     g.create_dataset(name, data=np.asarray(arr, np.float32),
                                      compression="gzip")
+            if self.logz_pt is not None:
+                g = f.create_group("PTEvidence")
+                g.create_dataset("LogZ", data=self.logz_pt[0])
+                g.create_dataset("LogZErr", data=self.logz_pt[1])
+                g.create_dataset("LogZTI", data=self.logz_ti[0])
+                g.create_dataset("LogZTIErr", data=self.logz_ti[1])
+                g.create_dataset("Betas", data=self.pt_betas)
+                g.create_dataset("SwapFraction", data=self.swap_fraction)
         return filename
 
     @classmethod
@@ -962,6 +1210,14 @@ class MultiFitter(ParamSpaceMixin):
                     n_like=np.asarray(g["NLike"]),
                     nbatch=int(g.attrs["nbatch"]),
                     nlive=int(g.attrs["nlive"]))
+            if "PTEvidence" in f:
+                g = f["PTEvidence"]
+                mf.logz_pt = (np.asarray(g["LogZ"]),
+                              np.asarray(g["LogZErr"]))
+                mf.logz_ti = (np.asarray(g["LogZTI"]),
+                              np.asarray(g["LogZTIErr"]))
+                mf.pt_betas = np.asarray(g["Betas"])
+                mf.swap_fraction = np.asarray(g["SwapFraction"])
         return mf
 
     # -- single-source views -------------------------------------------------------
@@ -993,6 +1249,11 @@ class _SourceView:
         self._init = mf._init.copy()
         self.thin = mf.thin
         self.nwalkers = mf.nwalkers
+        if getattr(mf, "logz_pt", None) is not None:
+            self.logz_pt = (float(mf.logz_pt[0][i]),
+                            float(mf.logz_pt[1][i]))
+            self.logz_ti = (float(mf.logz_ti[0][i]),
+                            float(mf.logz_ti[1][i]))
 
 
 def _spec_token(spec: LikelihoodSpec, shape: MBBShape):

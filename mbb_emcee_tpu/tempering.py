@@ -69,6 +69,23 @@ class PTState(NamedTuple):
     nsteps: jax.Array       # () int32
 
 
+def auto_ladder_batch(worst_lnl, nrungs_min=12, nrungs_max=48, target=3.0):
+    """Batched auto_ladder: per-source geometric ladders (S, K) sharing
+    ONE static rung count K -- the largest any source needs -- so a
+    whole batch of tempered fits stays a single fixed-shape device
+    program while each source gets a beta_min matched to ITS likelihood
+    scale (betas are runtime operands, not compiled constants)."""
+    worst = np.clip(np.abs(np.asarray(worst_lnl, np.float64)),
+                    1.0, 1e25).ravel()
+    beta_min = np.minimum(1e-2, target / worst)          # (S,)
+    decades = np.log10(1.0 / beta_min)
+    nrungs = int(np.clip(2 + np.ceil(2.0 * decades.max()),
+                         nrungs_min, nrungs_max))
+    expo = np.linspace(0.0, 1.0, nrungs - 1)[None, :]    # 1 -> beta_min
+    b = np.power(beta_min[:, None], expo)                # (S, K-1)
+    return np.concatenate([b, np.zeros((b.shape[0], 1))], axis=1)
+
+
 class SSStats(NamedTuple):
     """Streaming stepping-stone accumulators per adjacent rung pair
     (K-1,): running max M of v = dbeta * lnL over the hotter rung's
@@ -87,7 +104,9 @@ class SSStats(NamedTuple):
                        self.n + other.n)
 
     def logz(self):
-        """(lnZ, naive MC error): sum of per-pair log ratios; the error
+        """(lnZ, naive MC error): sum of per-pair log ratios over the
+        LAST axis (so (K-1,) accumulators give scalars and batched
+        (S, K-1) accumulators give per-source (S,) vectors); the error
         propagates each ratio's variance-of-the-mean in quadrature
         (walker/step autocorrelation not corrected -- treat as a
         lower bound)."""
@@ -95,7 +114,7 @@ class SSStats(NamedTuple):
         ln_r = self.m + np.log(self.s1) - np.log(self.n)
         var_mean = np.maximum(self.s2 / self.n - m1 ** 2, 0.0) / self.n
         rel = np.sqrt(var_mean) / m1
-        return float(ln_r.sum()), float(np.sqrt(np.sum(rel ** 2)))
+        return ln_r.sum(axis=-1), np.sqrt(np.sum(rel ** 2, axis=-1))
 
 
 @dataclasses.dataclass
@@ -372,15 +391,17 @@ class ParallelTemperingSampler:
 
 
 def thermodynamic_logz(betas, mean_lnp):
-    """Trapezoid of E_beta[lnprob] d(beta) over the descending ladder.
-    Error proxy: |trapezoid - left-Riemann| / 2 per interval, summed --
-    a discretization-scale bound, not an MC error."""
-    b = np.asarray(betas, np.float64)[::-1]          # ascending 0 -> 1
-    m = np.asarray(mean_lnp, np.float64)[::-1]
-    db = np.diff(b)
-    trap = float(np.sum(0.5 * (m[1:] + m[:-1]) * db))
-    left = float(np.sum(m[:-1] * db))
-    return trap, abs(trap - left) / 2.0
+    """Trapezoid of E_beta[lnprob] d(beta) over the descending ladder
+    (last axis; batched leading axes broadcast, so (S, K) inputs give
+    per-source (S,) results). Error proxy: |trapezoid - left-Riemann|
+    / 2 per interval, summed -- a discretization-scale bound, not an
+    MC error."""
+    b = np.asarray(betas, np.float64)[..., ::-1]     # ascending 0 -> 1
+    m = np.asarray(mean_lnp, np.float64)[..., ::-1]
+    db = np.diff(b, axis=-1)
+    trap = np.sum(0.5 * (m[..., 1:] + m[..., :-1]) * db, axis=-1)
+    left = np.sum(m[..., :-1] * db, axis=-1)
+    return trap, np.abs(trap - left) / 2.0
 
 
 def pt_sample(lnprob, p0, key, betas=None, nrungs=12, beta_min="auto",
@@ -436,5 +457,6 @@ def pt_sample(lnprob, p0, key, betas=None, nrungs=12, beta_min="auto",
         acceptance_fraction=np.asarray(state.naccept)
         / max(int(state.nsteps), 1),
         swap_fraction=np.asarray(state.nswap) / denom,
-        mean_lnp=np.asarray(mean_lnp), logz=logz_ss, logz_err=dz_ss,
-        logz_ti=logz_ti, logz_ti_err=dz_ti)
+        mean_lnp=np.asarray(mean_lnp), logz=float(logz_ss),
+        logz_err=float(dz_ss), logz_ti=float(logz_ti),
+        logz_ti_err=float(dz_ti))

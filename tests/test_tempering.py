@@ -229,6 +229,91 @@ def test_run_pt_downstream_analysis():
         f.extend(100)
 
 
+def _mock_batch(S=3, seed=7, **kw):
+    from mbb_emcee_tpu.models.modified_blackbody import ModifiedBlackbody
+    from mbb_emcee_tpu.multifit import MultiFitter
+    rng = np.random.default_rng(seed)
+    wave = np.array([250.0, 350.0, 500.0, 850.0, 1100.0])
+    T = np.linspace(25.0, 38.0, S)
+    fn = np.linspace(30.0, 55.0, S)
+    flux = np.stack([np.asarray(ModifiedBlackbody(
+        T=T[i], beta=1.9, lambda0=250.0, alpha=2.0, fnorm=fn[i],
+        opthin=True, noalpha=True)(wave)) for i in range(S)])
+    unc = 0.05 * flux
+    flux = flux + rng.normal(0.0, unc)
+    mf = MultiFitter(nwalkers=64, opthin=True, noalpha=True,
+                     sampler_backend="xla", **kw)
+    mf.set_data(wave, flux, unc)
+    return mf, T, fn
+
+
+def test_multifit_run_pt_matches_plain_run():
+    """Batched PT cold chains target each source's own posterior: per-
+    source medians must agree with the plain batched stretch run within
+    MC error, and the per-source stepping-stone lnZ must agree with
+    the batched nested-sampling evidence."""
+    mp, T, fn = _mock_batch(seed=7)
+    mp.run_pt(nrungs=8, nburn=200, nsteps=500)
+    assert mp.chain_free.shape == (3, 500, 64, 3)
+    assert mp.acceptance_fraction.shape == (3, 64)
+    assert np.all(mp.swap_fraction > 0.02)
+
+    ms, _, _ = _mock_batch(seed=7)
+    ms.run(nburn=250, nsteps=700)
+
+    for p in ("T", "fnorm"):
+        cp, cs = mp.par_cen(p), ms.par_cen(p)   # (S, 3)
+        assert np.all(np.abs(cp[:, 0] - cs[:, 0])
+                      < 0.4 * (cs[:, 1] + cs[:, 2])), p
+
+    lz, lz_err = mp.logz_pt
+    ev = ms.compute_evidence(nlive=256, nbatch=32, nsteps=24)
+    assert np.all(np.abs(lz - ev.logz)
+                  < np.maximum(1.5, 4.0 * np.hypot(lz_err, ev.logz_err)))
+    # per-source ladders were auto-sized (beta_min varies with the
+    # source's own likelihood scale and every ladder ends at beta = 0)
+    assert mp.pt_betas.shape[0] == 3
+    assert np.all(mp.pt_betas[:, -1] == 0.0)
+    assert np.all(mp.pt_betas[:, 0] == 1.0)
+
+
+def test_multifit_run_pt_downstream_and_persistence(tmp_path):
+    from mbb_emcee_tpu.multifit import MultiFitter
+    mf, T, fn = _mock_batch(seed=11)
+    mf.run_pt(nrungs=6, nburn=80, nsteps=150, thin=3)
+    assert mf.chain_free.shape == (3, 50, 64, 3)
+    assert np.all(np.isfinite(mf.gelman_rubin()))
+    assert np.all(np.isfinite(mf.autocorrelation_time()))
+    with pytest.raises(RuntimeError, match="extend"):
+        mf.extend(100)
+    # single-source view carries its slice of the PT evidence
+    r0 = mf.results(0, redshift=1.5)
+    assert np.isfinite(r0.logz_pt[0])
+    # round-trip
+    path = str(tmp_path / "batch_pt.h5")
+    mf.writeToHDF5(path)
+    back = MultiFitter.from_h5(path)
+    np.testing.assert_allclose(back.logz_pt[0], mf.logz_pt[0])
+    np.testing.assert_allclose(back.pt_betas, mf.pt_betas)
+    np.testing.assert_allclose(back.swap_fraction, mf.swap_fraction)
+
+
+def test_multifit_run_pt_mesh_matches_single_device():
+    """Source-sharded PT over the virtual mesh: with the
+    partition-invariant threefry generator the sharded run must
+    reproduce the unsharded chains bitwise."""
+    from mbb_emcee_tpu.parallel import walker_mesh
+    m1, _, _ = _mock_batch(S=4, seed=5, prng_impl="threefry2x32")
+    m1.run_pt(nrungs=6, nburn=60, nsteps=120)
+    m2, _, _ = _mock_batch(S=4, seed=5, prng_impl="threefry2x32",
+                           mesh=walker_mesh(4))
+    m2.run_pt(nrungs=6, nburn=60, nsteps=120)
+    np.testing.assert_array_equal(np.asarray(m1.chain_free),
+                                  np.asarray(m2.chain_free))
+    np.testing.assert_allclose(np.asarray(m1.logz_pt[0]),
+                               np.asarray(m2.logz_pt[0]), rtol=1e-5)
+
+
 def test_ladder_and_validation():
     b = geometric_ladder(8, 1e-3)
     assert b[0] == 1.0 and b[-1] == 0.0 and b.size == 8
