@@ -75,10 +75,18 @@ def _make_lnpost(lnprob, lower, width):
     return lnpost
 
 
-@partial(jax.jit, static_argnames=("lnprob", "nwarmup", "nsteps", "thin",
-                                   "n_leapfrog", "target_accept"))
-def _hmc_run(key, lnprob, lower, width, u0, nwarmup, nsteps, thin,
-             n_leapfrog, target_accept):
+def hmc_core(key, lnprob, lower, width, u0, nwarmup, nsteps, thin,
+             n_leapfrog, target_accept, vary=None):
+    """Traceable HMC program body (both warmup phases + production).
+
+    Pure function of its inputs -- `hmc_sample` jits it directly for the
+    single-fit path, and MultiFitter.run_hmc vmaps it over sources (one
+    batched device program for a whole serving batch). `vary` marks the
+    constant-initialized loop carries device-varying when the caller
+    runs under shard_map (lax.scan/fori carries must match the varying
+    state they join; everything else auto-joins)."""
+    if vary is None:
+        vary = lambda x: x
     dtype = u0.dtype
     nchains, nfree = u0.shape
     lnpost = _make_lnpost(lnprob, lower, width)
@@ -135,10 +143,12 @@ def _hmc_run(key, lnprob, lower, width, u0, nwarmup, nsteps, thin,
 
     def warmup_phase(key, u, g, lp, raw, mass, eps0, niter, collect):
         mu = jnp.log(10.0 * eps0)
-        da0 = (jnp.log(eps0), jnp.log(eps0), jnp.asarray(0.0, dtype), mu)
+        da0 = jax.tree.map(vary, (jnp.log(eps0), jnp.log(eps0),
+                                  jnp.asarray(0.0, dtype), mu))
         # Moment accumulators for the diagonal mass (second half only).
-        acc0 = (jnp.zeros((), dtype), jnp.zeros((nfree,), dtype),
-                jnp.zeros((nfree,), dtype))
+        acc0 = jax.tree.map(vary, (jnp.zeros((), dtype),
+                                   jnp.zeros((nfree,), dtype),
+                                   jnp.zeros((nfree,), dtype)))
 
         def body(carry, m):
             key, u, g, lp, raw, da, acc = carry
@@ -199,10 +209,15 @@ def _hmc_run(key, lnprob, lower, width, u0, nwarmup, nsteps, thin,
         x = lower + width * jax.nn.sigmoid(u)
         return carry, (x, raw)
 
-    nacc0 = jnp.zeros((nchains,), jnp.int32)
+    nacc0 = vary(jnp.zeros((nchains,), jnp.int32))
     (key, u, g, lp, raw, nacc), (chain, lnp_chain) = jax.lax.scan(
         prod_record, (key, u, g, lp, raw, nacc0), None, length=nrec)
     return chain, lnp_chain, nacc, eps_b, mass
+
+
+_hmc_run = jax.jit(hmc_core, static_argnames=(
+    "lnprob", "nwarmup", "nsteps", "thin", "n_leapfrog", "target_accept",
+    "vary"))
 
 
 def hmc_sample(lnprob, lower, upper, x0, key, nwarmup=500, nsteps=1000,

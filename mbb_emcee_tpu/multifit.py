@@ -155,6 +155,8 @@ class MultiFitter(ParamSpaceMixin):
         self.logz_ti = None     # ((S,), (S,)) TI cross-check, run_pt()
         self.swap_fraction = None
         self.pt_betas = None
+        self.hmc_step_size = None   # (S,) adapted step sizes, run_hmc()
+        self.hmc_mass = None        # (S, nfree) diagonal metric, run_hmc()
 
     # -- data -----------------------------------------------------------------
     def set_data(self, wave, flux, unc, band_names=None):
@@ -760,6 +762,135 @@ class MultiFitter(ParamSpaceMixin):
                 f"fraction {self.swap_fraction.min(axis=1).min():.2f}, "
                 f"lnZ in [{logz.min():.2f}, {logz.max():.2f}] "
                 f"(median err {np.median(logz_err):.3f})")
+        return self
+
+    def run_hmc(self, nwarmup=500, nsteps=1000, thin=1, n_leapfrog=16,
+                target_accept=0.8, verbose=False):
+        """Batched gradient-based sampling: the serving analog of
+        MBBFitter.run_hmc. Every source runs W independent HMC chains
+        and the WHOLE (S, W) block advances as one device program --
+        hmc.hmc_core (dual-averaged step size + diagonal-mass two-phase
+        warmup, leapfrog + MH production) vmapped over sources and,
+        with a mesh, shard_mapped over the source axis (embarrassingly
+        parallel, no collectives). Forces are jax.grad of the fused
+        lnprob with each source's own flux/unc as runtime operands, so
+        every source adapts its OWN step size (self.hmc_step_size,
+        (S,)) and diagonal metric (self.hmc_mass, (S, nfree)) inside
+        the shared compiled program.
+
+        The recorded chains have exactly run()'s shapes -- chain_free /
+        lnprobability / acceptance_fraction feed every batched summary
+        (par_cen, gelman_rubin, compute_lir, results(i), writeToHDF5)
+        unchanged. extend() does not apply; re-run with more nsteps.
+        Uses the portable XLA likelihood (the Pallas lnprob kernel is
+        not differentiable)."""
+        from mbb_emcee_tpu.hmc import hmc_core, _to_unconstrained
+
+        if self.flux is None:
+            raise RuntimeError("no data; call set_data")
+        if nsteps % thin:
+            raise ValueError(f"nsteps={nsteps} not divisible by "
+                             f"thin={thin}")
+        spec = self._effective_spec()
+        lnprob_data, free_space = build_lnprob_data(
+            self.shape, spec, response_pack=self._response_pack())
+        self.free_space = free_space
+        if not (np.all(np.isfinite(free_space.lower))
+                and np.all(np.isfinite(free_space.upper))):
+            raise ValueError(
+                "HMC requires finite box bounds on every free parameter "
+                "(the defaults are finite; see set_lowlim/set_uplim)")
+        self.thin = int(thin)
+        S, W = self.nsources, self.nwalkers
+        d = free_space.nfree
+        nrec = int(nsteps) // int(thin)
+
+        if self.mesh is not None:
+            ndev = self.mesh.devices.size
+            if S % ndev:
+                raise ValueError(
+                    f"the mesh size ({ndev} devices) must divide "
+                    f"nsources={S}")
+        mesh_axis = (self.mesh.axis_names[0]
+                     if self.mesh is not None else None)
+
+        def vary(x):
+            # Idempotent: hmc_core applies it to loop-carry seeds that are
+            # constants in warmup phase A but already device-varying in
+            # phase B (pcast rejects varying -> varying).
+            if mesh_axis in jax.typeof(x).vma:
+                return x
+            return jax.lax.pcast(x, (mesh_axis,), to="varying")
+
+        if mesh_axis is None:
+            vary = None
+
+        flux = jnp.asarray(self.flux, jnp.float32)
+        iunc = jnp.asarray(1.0 / self.unc, jnp.float32)
+        key = jax.random.key(self.seed, impl=self.prng_impl)
+        kball, kmain = jax.random.split(key)
+        centers, scatters = self._init_centers()
+        cen_f = jnp.asarray(centers[:, free_space.free_idx], jnp.float32)
+        sca_f = jnp.asarray(scatters[:, free_space.free_idx], jnp.float32)
+        # Host numpy closures (never device-array constants).
+        lower = np.asarray(free_space.lower, np.float32)
+        width = np.asarray(free_space.upper - free_space.lower, np.float32)
+
+        def hmc_one(idx, cen_s, sca_s, flux_s, iunc_s, kball, kmain, wave):
+            lnprob = lambda th: lnprob_data(th, wave, flux_s, iunc_s)
+            p0 = make_initial_ball(
+                jax.random.fold_in(kball, idx), cen_s, sca_s, W,
+                free_space.lower, free_space.upper)
+            u0 = _to_unconstrained(jnp.asarray(p0, jnp.float32),
+                                   lower, width)
+            return hmc_core(
+                jax.random.fold_in(kmain, idx), lnprob, lower, width, u0,
+                int(nwarmup), int(nsteps), int(thin), int(n_leapfrog),
+                float(target_accept), vary=vary)
+
+        ax = mesh_axis
+        ck = ("hmc", S, W, d, nrec, int(thin), int(nwarmup),
+              int(n_leapfrog), float(target_accept),
+              _spec_token(spec, self.shape), id(self.mesh),
+              id(self.responses),
+              None if self.band_names is None
+              else tuple(self.band_names))
+        if ck not in self._run_cache:
+            f = jax.vmap(hmc_one,
+                         in_axes=(0, 0, 0, 0, 0, None, None, None))
+            if self.mesh is not None:
+                f = jax.shard_map(
+                    f, mesh=self.mesh,
+                    in_specs=(P(ax), P(ax, None), P(ax, None),
+                              P(ax, None), P(ax, None), P(), P(),
+                              P(None)),
+                    out_specs=(P(ax, None, None, None),
+                               P(ax, None, None), P(ax, None), P(ax),
+                               P(ax, None)))
+            self._run_cache[ck] = jax.jit(f)
+        chain, lnpch, nacc, eps, mass = self._run_cache[ck](
+            self._shard(jnp.arange(S)), self._shard(cen_f),
+            self._shard(sca_f), self._shard(flux), self._shard(iunc),
+            kball, kmain, jnp.asarray(self.wave, jnp.float32))
+
+        self.chain_free = chain                        # (S, nrec, W, d)
+        self.lnprobability = lnpch                     # (S, nrec, W)
+        self.acceptance_fraction = (np.asarray(nacc, np.float64)
+                                    / int(nsteps))     # (S, W)
+        self.hmc_step_size = np.asarray(eps, np.float64)
+        self.hmc_mass = np.asarray(mass, np.float64)
+        self._backend_used = "hmc"
+        self._sampler = None                           # extend() refuses
+        self.final_state = None
+        if verbose:
+            af = self.acceptance_fraction
+            from mbb_emcee_tpu.utils.log import enable_console
+            enable_console().info(
+                f"HMC over {S} sources: {W} chains x {nsteps} steps, "
+                f"mean acceptance {af.mean():.3f} (per-source min "
+                f"{af.mean(1).min():.3f}), step sizes in "
+                f"[{self.hmc_step_size.min():.4g}, "
+                f"{self.hmc_step_size.max():.4g}]")
         return self
 
     # -- batched summaries -------------------------------------------------------

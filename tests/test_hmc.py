@@ -154,3 +154,93 @@ def test_run_hmc_uplims_and_covariance():
     assert 0.3 < f.acceptance_fraction.mean() <= 1.0
     c = r.par_cen("T")
     assert np.all(np.isfinite(c)) and c[0] > 0
+
+
+# -- batched serving path: MultiFitter.run_hmc ------------------------------
+
+def _mock_batch(S=3, seed=7, **kw):
+    from mbb_emcee_tpu.multifit import MultiFitter
+    rng = np.random.default_rng(seed)
+    wave = np.array([250.0, 350.0, 500.0, 850.0, 1100.0])
+    T = np.linspace(26.0, 34.0, S)
+    fn = np.linspace(30.0, 55.0, S)
+    flux = np.stack([np.asarray(ModifiedBlackbody(
+        T=T[i], beta=1.9, lambda0=250.0, alpha=2.0, fnorm=fn[i],
+        opthin=True, noalpha=True)(wave)) for i in range(S)])
+    unc = 0.05 * flux
+    flux = flux + rng.normal(0.0, unc)
+    mf = MultiFitter(nwalkers=32, opthin=True, noalpha=True,
+                     sampler_backend="xla", **kw)
+    # Constrain T to the physical range: with >=250 um photometry only,
+    # the default box to 1000 K leaves most prior volume on the
+    # degenerate Rayleigh-Jeans ridge (DESIGN.md), making medians and
+    # widths run-dependent ridge-mass estimates rather than sampler
+    # fidelity checks.
+    mf.set_uplim("T", 80.0)
+    mf.set_data(wave, flux, unc)
+    return mf, T, fn
+
+
+def test_multifit_run_hmc_matches_plain_run():
+    """Batched HMC targets each source's own posterior: per-source
+    medians and CI widths must agree with the plain batched stretch run
+    within MC error, and each source must adapt its OWN step size."""
+    mh, T, fn = _mock_batch(seed=7)
+    mh.run_hmc(nwarmup=250, nsteps=500)
+    assert mh.chain_free.shape == (3, 500, 32, 3)
+    assert mh.acceptance_fraction.shape == (3, 32)
+    assert 0.5 < mh.acceptance_fraction.mean() < 0.95
+    assert mh.hmc_step_size.shape == (3,)
+    assert mh.hmc_mass.shape == (3, 3)
+    assert np.all(mh.hmc_step_size > 0)
+
+    ms, _, _ = _mock_batch(seed=7)
+    ms.run(nburn=300, nsteps=700)
+
+    for p in ("T", "fnorm"):
+        ch, cs = mh.par_cen(p), ms.par_cen(p)   # (S, 3)
+        assert np.all(np.abs(ch[:, 0] - cs[:, 0])
+                      < 0.45 * (cs[:, 1] + cs[:, 2])), p
+        wh, ws = ch[:, 1] + ch[:, 2], cs[:, 1] + cs[:, 2]
+        np.testing.assert_allclose(wh, ws, rtol=0.35, err_msg=p)
+
+
+def test_multifit_run_hmc_downstream(tmp_path):
+    from mbb_emcee_tpu.multifit import MultiFitter
+    mf, T, fn = _mock_batch(seed=11)
+    mf.run_hmc(nwarmup=120, nsteps=150, thin=3)
+    assert mf.chain_free.shape == (3, 50, 32, 3)
+    assert np.all(np.isfinite(mf.gelman_rubin()))
+    assert np.all(np.isfinite(mf.autocorrelation_time()))
+    with pytest.raises(RuntimeError, match="extend"):
+        mf.extend(100)
+    r0 = mf.results(0, redshift=1.5)
+    assert np.isfinite(r0.par_cen("T")[0])
+    path = str(tmp_path / "batch_hmc.h5")
+    mf.writeToHDF5(path)
+    back = MultiFitter_from_h5(path)
+    assert back.chain_free.shape == mf.chain_free.shape
+
+
+def MultiFitter_from_h5(path):
+    from mbb_emcee_tpu.multifit import MultiFitter
+    return MultiFitter.from_h5(path)
+
+
+def test_multifit_run_hmc_mesh_statistical():
+    """Source-sharded HMC over the virtual mesh samples the same
+    posterior as the unsharded run. NOT bitwise: the dual-averaging
+    statistic is a cross-chain float reduction whose XLA lowering
+    differs between per-device batch sizes, and the adapted step size
+    feeds chaotic dynamics -- so the contract is statistical."""
+    from mbb_emcee_tpu.parallel import walker_mesh
+    m1, _, _ = _mock_batch(S=4, seed=5)
+    m1.run_hmc(nwarmup=250, nsteps=500)
+    m2, _, _ = _mock_batch(S=4, seed=5, mesh=walker_mesh(4))
+    m2.run_hmc(nwarmup=250, nsteps=500)
+    np.testing.assert_allclose(m1.hmc_step_size, m2.hmc_step_size,
+                               rtol=0.5)
+    for p in ("T", "beta", "fnorm"):
+        c1, c2 = m1.par_cen(p), m2.par_cen(p)
+        assert np.all(np.abs(c1[:, 0] - c2[:, 0])
+                      < 0.45 * (c1[:, 1] + c1[:, 2])), p
