@@ -1294,6 +1294,10 @@ class MultiFitter(ParamSpaceMixin):
                 g.create_dataset("LogZTIErr", data=self.logz_ti[1])
                 g.create_dataset("Betas", data=self.pt_betas)
                 g.create_dataset("SwapFraction", data=self.swap_fraction)
+            if self.hmc_step_size is not None:
+                g = f.create_group("HMC")
+                g.create_dataset("StepSize", data=self.hmc_step_size)
+                g.create_dataset("Mass", data=self.hmc_mass)
         return filename
 
     @classmethod
@@ -1349,6 +1353,10 @@ class MultiFitter(ParamSpaceMixin):
                               np.asarray(g["LogZTIErr"]))
                 mf.pt_betas = np.asarray(g["Betas"])
                 mf.swap_fraction = np.asarray(g["SwapFraction"])
+            if "HMC" in f:
+                g = f["HMC"]
+                mf.hmc_step_size = np.asarray(g["StepSize"])
+                mf.hmc_mass = np.asarray(g["Mass"])
         return mf
 
     # -- single-source views -------------------------------------------------------
@@ -1385,6 +1393,9 @@ class _SourceView:
                             float(mf.logz_pt[1][i]))
             self.logz_ti = (float(mf.logz_ti[0][i]),
                             float(mf.logz_ti[1][i]))
+        if getattr(mf, "hmc_step_size", None) is not None:
+            self.hmc_step_size = float(mf.hmc_step_size[i])
+            self.hmc_mass = mf.hmc_mass[i].copy()
 
 
 def _spec_token(spec: LikelihoodSpec, shape: MBBShape):

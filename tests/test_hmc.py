@@ -220,6 +220,8 @@ def test_multifit_run_hmc_downstream(tmp_path):
     mf.writeToHDF5(path)
     back = MultiFitter_from_h5(path)
     assert back.chain_free.shape == mf.chain_free.shape
+    np.testing.assert_allclose(back.hmc_step_size, mf.hmc_step_size)
+    np.testing.assert_allclose(back.hmc_mass, mf.hmc_mass)
 
 
 def MultiFitter_from_h5(path):
