@@ -34,6 +34,7 @@ from mbb_emcee_tpu.tempering import (
 from mbb_emcee_tpu.fitter import MBBFitter
 from mbb_emcee_tpu.results import MBBResults
 from mbb_emcee_tpu.multifit import MultiFitter
+from mbb_emcee_tpu.catalog import Catalog, read_catalog
 
 __version__ = "0.1.0"
 
@@ -50,5 +51,6 @@ __all__ = [
     "pt_sample", "PTResult", "ParallelTemperingSampler",
     "geometric_ladder",
     "MBBFitter", "MBBResults", "MultiFitter",
+    "Catalog", "read_catalog",
     "__version__",
 ]

@@ -1,0 +1,99 @@
+"""Survey-catalog ingest for batched fits.
+
+The reference fits one photometry file per process (SURVEY.md §3.1); a
+survey pipeline fits a CATALOG -- many sources sharing one band setup --
+which is exactly the batch axis MultiFitter puts on the device
+(multifit.py). This module reads that catalog from a plain text file:
+
+    # comments and blank lines are ignored
+    wave  = 100 160 250 350 500          # shared band wavelengths, um
+    bands = PACS_100 PACS_160 SPIRE_250 SPIRE_350 SPIRE_500   # optional
+    SMM_J0001   2.20   11.2 0.8  32.1 1.9  44.8 2.4  38.2 2.1  22.9 1.5
+    SMM_J0002   1.85    9.4 0.7  28.8 1.7  40.1 2.2  35.5 2.0  21.3 1.4
+    ...
+
+One source per row: identifier, redshift (``nan`` if unknown), then
+(flux, unc) mJy pairs in the ``wave`` order. The optional ``bands`` row
+names each column for instrument-response mode (the names resolve
+against a filter list file or the built-in instrument library,
+response.py). The '=' after the header keywords is optional.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Catalog:
+    """Parsed catalog: S sources x nb shared bands."""
+    names: list                 # (S,) source identifiers
+    redshifts: np.ndarray       # (S,) float; NaN where unknown
+    wave: np.ndarray            # (nb,) um
+    flux: np.ndarray            # (S, nb) mJy
+    unc: np.ndarray             # (S, nb) mJy
+    band_names: list | None = None
+
+    @property
+    def nsources(self):
+        return self.flux.shape[0]
+
+    @property
+    def has_redshifts(self):
+        return bool(np.all(np.isfinite(self.redshifts)))
+
+
+def _header_values(parts):
+    """Tokens after a header keyword, tolerating 'wave = 1 2' / 'wave: 1 2'."""
+    vals = parts[1:]
+    if vals and vals[0] in ("=", ":"):
+        vals = vals[1:]
+    return vals
+
+
+def read_catalog(path):
+    """Parse a catalog file (module docstring format) into a Catalog."""
+    wave = None
+    band_names = None
+    names, redshifts, rows = [], [], []
+    with open(path) as fh:
+        for lineno, line in enumerate(fh, 1):
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            parts = line.replace("=", " = ").split()
+            key = parts[0].lower()
+            if key == "wave":
+                wave = np.array([float(v) for v in _header_values(parts)])
+                continue
+            if key == "bands":
+                band_names = list(_header_values(parts))
+                continue
+            if wave is None:
+                raise ValueError(
+                    f"{path}:{lineno}: the 'wave = ...' header row must "
+                    "precede the first source row")
+            expect = 2 + 2 * wave.size
+            if len(parts) != expect:
+                raise ValueError(
+                    f"{path}:{lineno}: expected {expect} columns "
+                    f"(name z + {wave.size} flux/unc pairs), got "
+                    f"{len(parts)}")
+            names.append(parts[0])
+            redshifts.append(float(parts[1]))
+            rows.append([float(v) for v in parts[2:]])
+    if wave is None or not rows:
+        raise ValueError(f"{path}: no 'wave' header or no source rows")
+    if band_names is not None and len(band_names) != wave.size:
+        raise ValueError(
+            f"{path}: {len(band_names)} band names for {wave.size} bands")
+    data = np.asarray(rows, np.float64).reshape(len(rows), wave.size, 2)
+    flux, unc = data[:, :, 0], data[:, :, 1]
+    if np.any(unc <= 0):
+        bad = names[int(np.argwhere(np.any(unc <= 0, axis=1))[0, 0])]
+        raise ValueError(f"{path}: non-positive uncertainty (source {bad})")
+    return Catalog(names=names,
+                   redshifts=np.asarray(redshifts, np.float64),
+                   wave=wave, flux=flux, unc=unc, band_names=band_names)

@@ -1,0 +1,388 @@
+"""Batch-serving command-line driver.
+
+The reference CLI fits ONE photometry file per process (SURVEY.md C8);
+survey pipelines fit thousands. This driver reads a source CATALOG
+(catalog.py format: shared bands, one row per source) and fits the whole
+batch as ONE device program through MultiFitter -- on TPU the fused
+multi-source kernel advances 8 sources per vector op, so a 256-source x
+250-walker fit costs ~0.5 s, not 256 CLI invocations.
+
+Usage example:
+    run_mbb_emcee_tpu_batch catalog.txt batch.h5 -b 150 -n 1000 \
+        --get-lir --get-peaklambda --summary
+
+The option surface mirrors the single-source CLI (cli.py) wherever the
+concept carries over: model shape, per-parameter limits / priors /
+fixing, response mode, sampler choice (stretch / --hmc / --pt),
+checkpoint/resume, evidence, derived quantities (using the catalog's
+per-source redshift column). Additive over the reference: the serving
+loop `--extend-until RHAT` keeps extending the production run until every
+source's split-R-hat converges.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from mbb_emcee_tpu.constants import PARAM_NAMES
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="run_mbb_emcee_tpu_batch",
+        description="Fit a catalog of modified-blackbody sources as one "
+                    "batched device program.")
+    p.add_argument("catalog", help="catalog file: 'wave = ...' header + "
+                                   "'name z flux unc [flux unc ...]' rows")
+    p.add_argument("outfile", help="output HDF5 file (whole batch; reload "
+                                   "with MultiFitter.from_h5)")
+
+    g = p.add_argument_group("sampler")
+    g.add_argument("-w", "--nwalkers", type=int, default=250)
+    g.add_argument("-b", "--burn", type=int, default=50,
+                   help="burn-in steps (default 50)")
+    g.add_argument("-n", "--nsteps", type=int, default=250,
+                   help="production steps per walker (default 250)")
+    g.add_argument("--thin", type=int, default=1,
+                   help="record every THIN-th step")
+    g.add_argument("--no-recenter-burn", action="store_true",
+                   help="skip the per-source re-center-on-best-walker "
+                        "re-burn phase")
+    g.add_argument("--seed", type=int, default=1234)
+    g.add_argument("--stretch-a", type=float, default=2.0,
+                   help="stretch-move scale parameter a (default 2)")
+    g.add_argument("--sampler-backend", choices=["auto", "xla", "fused"],
+                   default="auto",
+                   help="'fused' = whole batched run as one Pallas TPU "
+                        "kernel with sources on the sublanes; 'auto' "
+                        "(default) picks it on TPU")
+    g.add_argument("--checkpoint", default=None,
+                   help="HDF5 file to flush per-source chain blocks + "
+                        "batched sampler state to during production "
+                        "(fused backend)")
+    g.add_argument("--checkpoint-interval", type=int, default=100,
+                   help="recorded steps between checkpoint flushes")
+    g.add_argument("--resume", action="store_true",
+                   help="resume an interrupted run from --checkpoint")
+    g.add_argument("--hmc", action="store_true",
+                   help="gradient-based Hamiltonian MC instead of the "
+                        "stretch move (--burn becomes the warmup length)")
+    g.add_argument("--hmc-leapfrog", type=int, default=16,
+                   help="leapfrog steps per HMC trajectory (default 16)")
+    g.add_argument("--hmc-target-accept", type=float, default=0.8,
+                   help="dual-averaging target acceptance (default 0.8)")
+    g.add_argument("--pt", action="store_true",
+                   help="parallel tempering with replica exchange "
+                        "(mixes the optically-thick T-lambda0 bimodality; "
+                        "also reports per-source stepping-stone lnZ)")
+    g.add_argument("--pt-rungs", type=int, default=12,
+                   help="temperature rungs for --pt (default 12)")
+    g.add_argument("--pt-beta-min", type=float, default=None,
+                   help="hottest nonzero inverse temperature "
+                        "(default: auto)")
+
+    g = p.add_argument_group(
+        "serving loop",
+        "run-until-converged: after the production run, keep extending "
+        "until every source's split-R-hat is below the threshold "
+        "(fused backend; stretch move only)")
+    g.add_argument("--extend-until", type=float, default=None,
+                   metavar="RHAT",
+                   help="extend production until max per-source split-"
+                        "R-hat < RHAT (e.g. 1.05)")
+    g.add_argument("--extend-step", type=int, default=None,
+                   help="steps per extension (default: --nsteps)")
+    g.add_argument("--max-steps", type=int, default=None,
+                   help="stop extending after this many total production "
+                        "steps (default: 10x --nsteps)")
+    g.add_argument("--tau-mult", type=float, default=None,
+                   help="additionally require chain length >= TAU_MULT x "
+                        "the largest autocorrelation time (emcee's rule "
+                        "of thumb is ~50)")
+
+    g = p.add_argument_group("model")
+    g.add_argument("--opthin", action="store_true",
+                   help="optically thin model (drops lambda0)")
+    g.add_argument("--noalpha", action="store_true",
+                   help="no Wien-side power-law merge (drops alpha)")
+    g.add_argument("--wavenorm", type=float, default=500.0,
+                   help="observer-frame normalization wavelength, um")
+
+    g = p.add_argument_group("parameters",
+                             f"PARAM is one of {', '.join(PARAM_NAMES)}; "
+                             "applied to every source in the batch")
+    g.add_argument("--initval", nargs=2, action="append", default=[],
+                   metavar=("PARAM", "VALUE"))
+    g.add_argument("--initscatter", nargs=2, action="append", default=[],
+                   metavar=("PARAM", "SCATTER"))
+    g.add_argument("--lowlim", nargs=2, action="append", default=[],
+                   metavar=("PARAM", "VALUE"))
+    g.add_argument("--uplim", nargs=2, action="append", default=[],
+                   metavar=("PARAM", "VALUE"))
+    g.add_argument("--fixed", nargs=2, action="append", default=[],
+                   metavar=("PARAM", "VALUE"))
+    g.add_argument("--prior", nargs=3, action="append", default=[],
+                   metavar=("PARAM", "MEAN", "SIGMA"),
+                   help="Gaussian prior")
+
+    g = p.add_argument_group("data")
+    g.add_argument("--responsefile", default=None,
+                   help="filter list file ('band spec' lines) enabling "
+                        "response-integrated fluxes (catalog needs a "
+                        "'bands = ...' header row)")
+    g.add_argument("--responsedir", default=None,
+                   help="directory filter files are relative to")
+    g.add_argument("--builtin-responses", action="store_true",
+                   help="resolve the catalog's 'bands' header against the "
+                        "built-in instrument library (PACS/SPIRE/SCUBA2/"
+                        "...) and fit with response-integrated fluxes")
+    g.add_argument("--photon-counter", action="store_true",
+                   help="photon-counting detector convention for responses")
+
+    g = p.add_argument_group(
+        "derived quantities",
+        "computed for the whole batch in one device program, using the "
+        "catalog's per-source redshift column")
+    g.add_argument("--cosmology", default="WMAP9",
+                   help="named cosmology (WMAP5/7/9, Planck13/15/18)")
+    g.add_argument("--get-lir", action="store_true",
+                   help="compute per-source L_IR(8-1000um rest) posteriors")
+    g.add_argument("--lir-wavemin", type=float, default=8.0)
+    g.add_argument("--lir-wavemax", type=float, default=1000.0)
+    g.add_argument("--get-dustmass", action="store_true")
+    g.add_argument("--kappa", type=float, default=2.64,
+                   help="dust opacity m^2/kg (default 2.64)")
+    g.add_argument("--kappa-wave", type=float, default=125.0,
+                   help="rest wavelength of kappa, um (default 125)")
+    g.add_argument("--get-peaklambda", action="store_true")
+    g.add_argument("--derived-thin", type=int, default=1,
+                   help="thin factor for derived-quantity chains")
+    g.add_argument("--get-evidence", action="store_true",
+                   help="per-source Bayesian evidence lnZ by batched "
+                        "nested sampling (compare two runs for per-source "
+                        "Bayes factors between model variants)")
+    g.add_argument("--nlive", type=int, default=512,
+                   help="nested-sampling live points (default 512)")
+
+    g = p.add_argument_group("output")
+    g.add_argument("--store-thin", type=int, default=1,
+                   help="thin the STORED chains by this factor (full "
+                        "multi-source chains are multi-GB; summaries "
+                        "printed here always use the full chain)")
+    g.add_argument("--summary", action="store_true",
+                   help="print a per-source summary table (median +/- "
+                        "errors, R-hat, lnZ when computed)")
+
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the batch fit")
+    # test-only: run the fused kernel through the Pallas interpreter
+    p.add_argument("--interpret", action="store_true",
+                   help=argparse.SUPPRESS)
+    return p
+
+
+def _summary_table(mf):
+    """Per-source summary lines: free-parameter medians +/- 1 sigma,
+    split-R-hat, and lnZ columns when evidence was computed."""
+    import numpy as np
+    names = mf.free_param_names
+    cen = {p: mf.par_cen(p) for p in names}          # (S, 3) each
+    rhat = mf.gelman_rubin().max(axis=1)
+    lines = ["#   source            " +
+             "".join(f"{p:>24}" for p in names) +
+             f"{'max-Rhat':>10}" +
+             ("" if mf.logz_pt is None else f"{'lnZ(PT)':>12}") +
+             ("" if mf.evidence is None else f"{'lnZ':>12}")]
+    srcnames = mf.source_names or [f"src{i}" for i in range(mf.nsources)]
+    for i, nm in enumerate(srcnames):
+        cells = "".join(
+            f"  {cen[p][i, 0]:>10.4g} -{cen[p][i, 1]:.3g}/+{cen[p][i, 2]:.3g}"
+            .rjust(24) for p in names)
+        line = f"{i:>3} {nm:<16}{cells}{rhat[i]:>10.3f}"
+        if mf.logz_pt is not None:
+            line += f"{mf.logz_pt[0][i]:>12.2f}"
+        if mf.evidence is not None:
+            line += f"{mf.evidence.logz[i]:>12.2f}"
+        lines.append(line)
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    # Import lazily so --help works instantly (no JAX init).
+    import numpy as np
+    from mbb_emcee_tpu.catalog import read_catalog
+    from mbb_emcee_tpu.multifit import MultiFitter
+    from mbb_emcee_tpu.response import ResponseSet
+
+    cat = read_catalog(args.catalog)
+
+    responses = None
+    if args.responsefile is not None or args.builtin_responses:
+        if cat.band_names is None:
+            raise SystemExit(
+                "response mode requires a 'bands = ...' header row in the "
+                "catalog naming each column")
+        if args.responsefile is not None:
+            responses = ResponseSet.from_file(
+                args.responsefile, dir=args.responsedir,
+                photon_counter=args.photon_counter)
+        else:
+            kw = {"photon_counter": True} if args.photon_counter else {}
+            responses = ResponseSet.builtin(cat.band_names, **kw)
+
+    mf = MultiFitter(nwalkers=args.nwalkers, wavenorm=args.wavenorm,
+                     noalpha=args.noalpha, opthin=args.opthin,
+                     responses=responses, seed=args.seed,
+                     a=args.stretch_a,
+                     sampler_backend=args.sampler_backend,
+                     interpret=args.interpret)
+    mf.set_data(cat.wave, cat.flux, cat.unc, band_names=cat.band_names,
+                source_names=cat.names,
+                redshifts=cat.redshifts if cat.has_redshifts else None)
+
+    for param, v in args.initval:
+        mf.set_param_init(param, float(v))
+    for param, v in args.initscatter:
+        mf.set_param_init(param, scatter=float(v))
+    for param, v in args.lowlim:
+        mf.set_lowlim(param, float(v))
+    for param, v in args.uplim:
+        mf.set_uplim(param, float(v))
+    for param, v in args.fixed:
+        mf.fix_param(param, float(v))
+    for param, m, s in args.prior:
+        mf.set_gaussian_prior(param, float(m), float(s))
+
+    import logging
+
+    from mbb_emcee_tpu.utils.log import enable_console
+    from mbb_emcee_tpu.utils.profiling import StepTimer, trace
+
+    log = enable_console(logging.INFO if args.verbose else logging.WARNING)
+    if args.verbose:
+        log.info(f"Batch fit: {cat.nsources} sources x {args.nwalkers} "
+                 f"walkers, burn={args.burn}, steps={args.nsteps}")
+    if args.hmc and args.pt:
+        raise SystemExit("--hmc and --pt are mutually exclusive")
+    if args.extend_until is not None and (args.hmc or args.pt):
+        raise SystemExit("--extend-until works with the stretch-move "
+                         "sampler only")
+    timer = StepTimer(args.nwalkers * cat.nsources)
+    with trace(args.profile_dir):
+        if args.pt:
+            if args.checkpoint or args.resume:
+                raise SystemExit(
+                    "--pt does not support --checkpoint/--resume")
+            with timer.phase("batch fit (tempered burn + production)",
+                             args.burn + args.nsteps):
+                mf.run_pt(nrungs=args.pt_rungs,
+                          beta_min=(args.pt_beta_min
+                                    if args.pt_beta_min is not None
+                                    else "auto"),
+                          nburn=args.burn, nsteps=args.nsteps,
+                          thin=args.thin, verbose=args.verbose)
+        elif args.hmc:
+            if args.checkpoint or args.resume:
+                raise SystemExit(
+                    "--hmc does not support --checkpoint/--resume")
+            with timer.phase("batch fit (warmup + production)",
+                             args.burn + args.nsteps):
+                mf.run_hmc(nwarmup=args.burn, nsteps=args.nsteps,
+                           thin=args.thin,
+                           n_leapfrog=args.hmc_leapfrog,
+                           target_accept=args.hmc_target_accept,
+                           verbose=args.verbose)
+        else:
+            total = args.nsteps + (
+                args.burn if args.no_recenter_burn else 2 * args.burn)
+            with timer.phase("batch fit (burn + production)", total):
+                mf.run(nburn=args.burn, nsteps=args.nsteps, thin=args.thin,
+                       recenter_burn=not args.no_recenter_burn,
+                       verbose=args.verbose,
+                       checkpoint=args.checkpoint,
+                       checkpoint_interval=args.checkpoint_interval,
+                       resume=args.resume)
+
+        if args.extend_until is not None:
+            if getattr(mf, "_sampler", None) is None:
+                raise SystemExit(
+                    "--extend-until requires the fused sampler backend "
+                    "(the XLA path compiles the whole run as one program "
+                    "without retaining state); rerun on TPU or with "
+                    "--sampler-backend fused")
+            step = args.extend_step or args.nsteps
+            max_steps = args.max_steps or 10 * args.nsteps
+            # Fixed window + stride=ceil(nrec/window): the reduction
+            # measures the FULL chain span (the standard R-hat diagnostic,
+            # lower noise floor than a tail window) yet keeps a fixed
+            # compiled shape as the chain grows -- when step is a multiple
+            # of nsteps, every iteration reuses one compiled program.
+            window = max(4, args.nsteps // max(args.thin, 1))
+
+            def _converged():
+                nrec = int(mf.chain_free.shape[1])
+                return mf.converged(rhat_max=args.extend_until,
+                                    window=window,
+                                    stride=-(-nrec // window),
+                                    tau_mult=args.tau_mult)
+
+            total = args.nsteps
+            while total < max_steps:
+                ok = _converged()
+                n_bad = int(np.sum(~ok))
+                if n_bad == 0:
+                    break
+                if args.verbose:
+                    log.info(f"  {n_bad}/{mf.nsources} sources above "
+                             f"full-span R-hat {args.extend_until}; "
+                             f"extending by {step} steps")
+                with timer.phase(f"extend +{step}", step):
+                    mf.extend(step, verbose=args.verbose)
+                total += step
+            else:
+                ok = _converged()
+            if args.verbose:
+                log.info(f"serving loop done at {total} production steps: "
+                         f"{int(np.sum(ok))}/{mf.nsources} sources "
+                         f"converged")
+
+    if args.verbose:
+        log.info(timer.report())
+
+    if args.get_evidence:
+        ev = mf.compute_evidence(nlive=args.nlive, verbose=args.verbose)
+        print(f"ln Z: median {np.median(ev.logz):.4f} over "
+              f"{mf.nsources} sources (median err "
+              f"{np.median(ev.logz_err):.4f})")
+
+    if not cat.has_redshifts and (args.get_lir or args.get_dustmass):
+        raise SystemExit("--get-lir/--get-dustmass need finite redshifts "
+                         "in the catalog's z column")
+    if args.get_lir:
+        mf.compute_lir(wavemin=args.lir_wavemin, wavemax=args.lir_wavemax,
+                       thin=args.derived_thin, cosmology=args.cosmology)
+    if args.get_dustmass:
+        mf.compute_dustmass(kappa=args.kappa, kappa_wave=args.kappa_wave,
+                            thin=args.derived_thin,
+                            cosmology=args.cosmology)
+    if args.get_peaklambda:
+        mf.compute_peaklambda(thin=args.derived_thin)
+
+    mf.writeToHDF5(args.outfile, thin=args.store_thin)
+
+    if args.summary:
+        print(_summary_table(mf))
+    else:
+        rhat = mf.gelman_rubin().max(axis=1)
+        print(f"{mf.nsources} sources fit; max split-R-hat "
+              f"{rhat.max():.3f} (median {np.median(rhat):.3f}); "
+              f"batch written to {args.outfile}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -157,10 +157,22 @@ class MultiFitter(ParamSpaceMixin):
         self.pt_betas = None
         self.hmc_step_size = None   # (S,) adapted step sizes, run_hmc()
         self.hmc_mass = None        # (S, nfree) diagonal metric, run_hmc()
+        self.source_names = None    # (S,) catalog identifiers, set_data()
+        self.redshifts = None       # (S,) per-source z, set_data()
+        self.lir_chain = None       # (S, nsamp), compute_lir()
+        self.dustmass_chain = None  # (S, nsamp), compute_dustmass()
+        self.peaklambda_chain = None  # (S, nsamp), compute_peaklambda()
 
     # -- data -----------------------------------------------------------------
-    def set_data(self, wave, flux, unc, band_names=None):
-        """wave: (nb,) shared wavelengths (um); flux/unc: (S, nb) mJy."""
+    def set_data(self, wave, flux, unc, band_names=None, source_names=None,
+                 redshifts=None):
+        """wave: (nb,) shared wavelengths (um); flux/unc: (S, nb) mJy.
+
+        `source_names` ((S,) catalog identifiers) and `redshifts` ((S,)
+        per-source z) are optional metadata: names label the summary /
+        HDF5 output, and a stored redshift vector becomes the default for
+        compute_lir/compute_dustmass (the batch CLI's catalog carries
+        both)."""
         wave = np.atleast_1d(np.asarray(wave, np.float64))
         flux = np.atleast_2d(np.asarray(flux, np.float64))
         unc = np.atleast_2d(np.asarray(unc, np.float64))
@@ -171,6 +183,16 @@ class MultiFitter(ParamSpaceMixin):
             raise ValueError("uncertainties must be positive")
         self.wave, self.flux, self.unc = wave, flux, unc
         self.band_names = band_names
+        if source_names is not None:
+            source_names = [str(n) for n in source_names]
+            if len(source_names) != flux.shape[0]:
+                raise ValueError("need one source name per source")
+        self.source_names = source_names
+        if redshifts is not None:
+            redshifts = np.asarray(redshifts, np.float64).ravel()
+            if redshifts.size != flux.shape[0]:
+                raise ValueError("need one redshift per source")
+        self.redshifts = redshifts
         return self
 
     @property
@@ -1004,7 +1026,7 @@ class MultiFitter(ParamSpaceMixin):
         self._require_run()
         return [PARAM_NAMES[i] for i in self.free_space.free_idx]
 
-    def gelman_rubin(self, window=None):
+    def gelman_rubin(self, window=None, stride=None):
         """(S, nfree) split-R-hat per source: ONE device reduction over
         the whole batch (see MBBResults.gelman_rubin for the statistic).
         In a serving pipeline this is the per-source convergence flag --
@@ -1016,9 +1038,18 @@ class MultiFitter(ParamSpaceMixin):
         steps. In an extend() loop this keeps the reduction's input shape
         fixed (one compiled program regardless of how long the chain has
         grown) and measures convergence of the RECENT chain rather than
-        averaging in the early transient."""
+        averaging in the early transient.
+
+        `stride` subsamples every stride-th record FIRST (device-side).
+        Passing stride=ceil(nrec/window) measures R-hat over the FULL
+        chain span at the same fixed compiled shape -- the serving loop's
+        predicate (cli_batch --extend-until): full-span R-hat is the
+        standard diagnostic and has a lower noise floor than the
+        tail-window variant at equal reduction cost."""
         self._require_run()
         ch = self.chain_free                   # (S, nrec, nw, nfree) dev
+        if stride is not None:
+            ch = ch[:, ::max(int(stride), 1)]
         if window is not None:
             ch = ch[:, -int(window):]
         if int(ch.shape[1]) // 2 < 2:
@@ -1027,18 +1058,21 @@ class MultiFitter(ParamSpaceMixin):
         # convergence loop re-uses one compiled program per input shape
         return np.asarray(_batched_split_rhat(ch), np.float64)
 
-    def converged(self, rhat_max=1.1, window=None, tau_mult=None):
+    def converged(self, rhat_max=1.1, window=None, tau_mult=None,
+                  stride=None):
         """(S,) boolean mask: every free parameter's split-R-hat below
         `rhat_max`. The serving loop's 'which sources need more steps'
         predicate (pair with extend(); pass a fixed `window` so the check
-        compiles once no matter how long the chains grow).
+        compiles once no matter how long the chains grow, and
+        stride=ceil(nrec/window) to measure the FULL chain span at that
+        fixed shape -- see gelman_rubin).
 
         With `tau_mult` (emcee's rule of thumb is ~50), additionally
         require each source's recorded chain to be at least
         tau_mult x its largest autocorrelation time -- R-hat alone can
         look converged on a chain too short to estimate tails."""
-        ok = np.all(self.gelman_rubin(window=window) < float(rhat_max),
-                    axis=1)
+        ok = np.all(self.gelman_rubin(window=window, stride=stride)
+                    < float(rhat_max), axis=1)
         if tau_mult is not None:
             tau = self.autocorrelation_time(window=window)
             # The length criterion is about the WHOLE recorded chain (has
@@ -1052,6 +1086,20 @@ class MultiFitter(ParamSpaceMixin):
         return ok
 
     # -- batched derived quantities ------------------------------------------------
+    def _source_redshifts(self, redshifts):
+        """Resolve the per-source redshift vector: explicit argument wins,
+        otherwise the one stored by set_data()."""
+        if redshifts is None:
+            redshifts = self.redshifts
+        if redshifts is None:
+            raise ValueError(
+                "no redshifts: pass redshifts= or store them via "
+                "set_data(..., redshifts=...)")
+        z = np.asarray(redshifts, np.float64).ravel()
+        if z.size != self.nsources:
+            raise ValueError("need one redshift per source")
+        return z
+
     def _dl_mpc(self, redshifts, lumdists=None, cosmology="WMAP9"):
         if lumdists is not None:
             return np.asarray(lumdists, np.float64)
@@ -1090,14 +1138,13 @@ class MultiFitter(ParamSpaceMixin):
                for i in range(0, N, chunk)]
         return np.concatenate(out, axis=1)
 
-    def compute_lir(self, redshifts, wavemin=8.0, wavemax=1000.0, thin=1,
-                    lumdists=None, cosmology="WMAP9"):
+    def compute_lir(self, redshifts=None, wavemin=8.0, wavemax=1000.0,
+                    thin=1, lumdists=None, cosmology="WMAP9"):
         """(S, nsamp) L_IR posteriors in L_sun; one batched quadrature over
-        sources x samples (per-source nodes scale with 1+z)."""
+        sources x samples (per-source nodes scale with 1+z). `redshifts`
+        defaults to the vector stored by set_data()."""
         self._require_run()
-        z = np.asarray(redshifts, np.float64).ravel()
-        if z.size != self.nsources:
-            raise ValueError("need one redshift per source")
+        z = self._source_redshifts(redshifts)
         opz = 1.0 + z
         base_lam, base_w = loglam_nodes(_LIR_NODES, wavemin, wavemax)
         # lambda -> lambda*(1+z) scales nodes AND log-spaced weights by
@@ -1127,13 +1174,12 @@ class MultiFitter(ParamSpaceMixin):
         return np.stack([_percentile_summary(c, percentile)
                          for c in self.lir_chain])
 
-    def compute_dustmass(self, redshifts, kappa=2.64, kappa_wave=125.0,
+    def compute_dustmass(self, redshifts=None, kappa=2.64, kappa_wave=125.0,
                          thin=1, lumdists=None, cosmology="WMAP9"):
-        """(S, nsamp) dust-mass posteriors in M_sun."""
+        """(S, nsamp) dust-mass posteriors in M_sun. `redshifts` defaults
+        to the vector stored by set_data()."""
         self._require_run()
-        z = np.asarray(redshifts, np.float64).ravel()
-        if z.size != self.nsources:
-            raise ValueError("need one redshift per source")
+        z = self._source_redshifts(redshifts)
         opz = 1.0 + z
         lam_obs = jnp.asarray(kappa_wave * opz, jnp.float32)      # (S,)
         shape = self.shape
@@ -1267,6 +1313,17 @@ class MultiFitter(ParamSpaceMixin):
             if self.band_names is not None:
                 f.attrs["band_names"] = np.array(
                     [n.encode() for n in self.band_names])
+            if self.source_names is not None:
+                f.create_dataset("SourceNames", data=np.array(
+                    [n.encode() for n in self.source_names]))
+            if self.redshifts is not None:
+                f.create_dataset("Redshifts", data=self.redshifts)
+            for ds, chain in (("LIRChain", self.lir_chain),
+                              ("DustMassChain", self.dustmass_chain),
+                              ("PeakLambdaChain", self.peaklambda_chain)):
+                if chain is not None:
+                    f.create_dataset(ds, data=np.asarray(chain, np.float32),
+                                     compression="gzip")
             sp = f.create_group("ParamSpec")
             for name in ("lower", "upper", "fixed", "fixed_values",
                          "prior_mean", "prior_isigma"):
@@ -1314,7 +1371,17 @@ class MultiFitter(ParamSpaceMixin):
             names = (None if "band_names" not in f.attrs else
                      [n.decode() for n in f.attrs["band_names"]])
             mf.set_data(np.asarray(f["Wave"]), np.asarray(f["Flux"]),
-                        np.asarray(f["Unc"]), band_names=names)
+                        np.asarray(f["Unc"]), band_names=names,
+                        source_names=(
+                            None if "SourceNames" not in f else
+                            [n.decode() for n in f["SourceNames"]]),
+                        redshifts=(None if "Redshifts" not in f else
+                                   np.asarray(f["Redshifts"])))
+            for ds, attr in (("LIRChain", "lir_chain"),
+                             ("DustMassChain", "dustmass_chain"),
+                             ("PeakLambdaChain", "peaklambda_chain")):
+                if ds in f:
+                    setattr(mf, attr, np.asarray(f[ds], np.float64))
             sp = f["ParamSpec"]
             mf._spec = dataclasses.replace(
                 mf._spec,
@@ -1362,10 +1429,14 @@ class MultiFitter(ParamSpaceMixin):
     # -- single-source views -------------------------------------------------------
     def results(self, i, redshift=None, cosmology="WMAP9", lumdist=None):
         """Full MBBResults for source i (summaries, derived quantities,
-        writeToHDF5 -- the complete single-source analysis surface)."""
+        writeToHDF5 -- the complete single-source analysis surface).
+        `redshift` defaults to the per-source vector stored by
+        set_data()."""
         from mbb_emcee_tpu.results import MBBResults
         self._require_run()
         i = int(i)
+        if redshift is None and self.redshifts is not None:
+            redshift = float(self.redshifts[i])
         view = _SourceView(self, i)
         return MBBResults(fit=view, redshift=redshift, cosmology=cosmology,
                           lumdist=lumdist)

@@ -1,0 +1,168 @@
+"""Batch CLI end-to-end: catalog file in -> one batched fit -> HDF5 out
+(the serving analog of the SURVEY.md section 3.1 call stack; additive over
+the reference, whose CLI fits one source per process)."""
+
+import h5py
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mbb_emcee_tpu.catalog import read_catalog
+from mbb_emcee_tpu.cli_batch import build_parser, main
+from mbb_emcee_tpu.models.modified_blackbody import MBBShape, mbb_fnu
+from mbb_emcee_tpu.multifit import MultiFitter
+
+WAVE = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
+
+
+def _write_catalog(path, nsources=3, shape=None, bands=None, seed=0):
+    shape = shape or MBBShape(opthin=True, noalpha=True)
+    rng = np.random.default_rng(seed)
+    trues = np.column_stack([
+        rng.uniform(25.0, 40.0, nsources),     # T
+        rng.uniform(1.5, 2.2, nsources),       # beta
+        np.full(nsources, 250.0),              # lambda0 (unused if opthin)
+        np.full(nsources, 3.5),                # alpha (unused if noalpha)
+        rng.uniform(20.0, 60.0, nsources),     # fnorm
+    ])
+    z = rng.uniform(1.0, 3.0, nsources)
+    lines = ["# mock survey catalog", "wave = " +
+             " ".join(f"{w:g}" for w in WAVE)]
+    if bands:
+        lines.append("bands = " + " ".join(bands))
+    for i in range(nsources):
+        f = np.asarray(mbb_fnu(jnp.asarray(trues[i], jnp.float32),
+                               jnp.asarray(WAVE, jnp.float32), shape),
+                       np.float64)
+        unc = 0.05 * f
+        flux = f + unc * rng.standard_normal(f.size)
+        row = f"SRC{i:03d} {z[i]:.3f} " + " ".join(
+            f"{flux[j]:.4f} {unc[j]:.4f}" for j in range(WAVE.size))
+        lines.append(row)
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return trues, z
+
+
+def test_batch_parser():
+    assert build_parser().prog == "run_mbb_emcee_tpu_batch"
+
+
+def test_read_catalog(tmp_path):
+    path = str(tmp_path / "cat.txt")
+    trues, z = _write_catalog(path, nsources=4,
+                              bands=["B1", "B2", "B3", "B4", "B5"])
+    cat = read_catalog(path)
+    assert cat.nsources == 4
+    assert cat.names == [f"SRC{i:03d}" for i in range(4)]
+    np.testing.assert_allclose(cat.redshifts, z, atol=5e-4)
+    np.testing.assert_array_equal(cat.wave, WAVE)
+    assert cat.band_names == ["B1", "B2", "B3", "B4", "B5"]
+    assert cat.flux.shape == cat.unc.shape == (4, 5)
+    assert cat.has_redshifts
+
+
+def test_read_catalog_errors(tmp_path):
+    p = tmp_path / "bad.txt"
+    p.write_text("SRC0 1.0 1 0.1\n")           # source row before wave
+    with pytest.raises(ValueError, match="wave"):
+        read_catalog(str(p))
+    p.write_text("wave = 100 200\nSRC0 1.0 1 0.1\n")   # wrong column count
+    with pytest.raises(ValueError, match="columns"):
+        read_catalog(str(p))
+    p.write_text("wave = 100\nSRC0 1.0 1 -0.1\n")      # bad uncertainty
+    with pytest.raises(ValueError, match="uncertainty"):
+        read_catalog(str(p))
+
+
+def test_batch_cli_full_run(tmp_path, capsys):
+    cat = str(tmp_path / "cat.txt")
+    out = str(tmp_path / "batch.h5")
+    trues, z = _write_catalog(cat, nsources=3)
+    rc = main([cat, out, "--opthin", "--noalpha",
+               "-w", "64", "-b", "40", "-n", "120",
+               "--uplim", "T", "100", "--uplim", "beta", "5",
+               "--get-lir", "--get-peaklambda", "--derived-thin", "8",
+               "--seed", "5", "--summary"])
+    assert rc == 0
+    table = capsys.readouterr().out
+    assert "SRC000" in table and "max-Rhat" in table
+
+    back = MultiFitter.from_h5(out)
+    assert back.nsources == 3
+    assert back.source_names == ["SRC000", "SRC001", "SRC002"]
+    np.testing.assert_allclose(back.redshifts, z, atol=5e-4)
+    # recovered temperatures near truth
+    t_cen = back.par_cen("T")
+    assert np.all(np.abs(t_cen[:, 0] - trues[:, 0]) < 10.0)
+    # derived chains persisted and reusable after reload
+    assert back.lir_chain is not None and np.all(back.lir_chain > 0)
+    assert back.peaklambda_chain is not None
+    assert back.lir_cen().shape == (3, 3)
+    # stored redshifts drive a fresh derived computation
+    dm = back.compute_dustmass(thin=16)
+    assert dm.shape[0] == 3 and np.all(dm > 0)
+    with h5py.File(out) as f:
+        assert "SourceNames" in f and "Redshifts" in f and "LIRChain" in f
+
+
+def test_batch_cli_fixed_prior_and_store_thin(tmp_path):
+    cat = str(tmp_path / "cat.txt")
+    out = str(tmp_path / "batch.h5")
+    _write_catalog(cat, nsources=2)
+    rc = main([cat, out, "--opthin", "--noalpha",
+               "-w", "32", "-b", "20", "-n", "64",
+               "--fixed", "beta", "2.0",
+               "--prior", "T", "30", "5",
+               "--store-thin", "4", "--seed", "7"])
+    assert rc == 0
+    back = MultiFitter.from_h5(out)
+    np.testing.assert_allclose(back.chain[..., 1], 2.0)   # beta fixed
+    assert back.chain_free.shape[1] == 64 // 4            # stored thin
+
+
+def test_batch_cli_flag_conflicts(tmp_path):
+    cat = str(tmp_path / "cat.txt")
+    _write_catalog(cat, nsources=2)
+    with pytest.raises(SystemExit):
+        main([cat, "x.h5", "--hmc", "--pt"])
+    with pytest.raises(SystemExit):
+        main([cat, "x.h5", "--hmc", "--extend-until", "1.1"])
+    with pytest.raises(SystemExit):
+        main([cat, "x.h5", "--pt", "--checkpoint", "c.h5"])
+    # extend-until on the XLA backend (no retained state) exits cleanly
+    with pytest.raises(SystemExit, match="fused"):
+        main([cat, str(tmp_path / "y.h5"), "--opthin", "--noalpha",
+              "-w", "16", "-b", "8", "-n", "16",
+              "--sampler-backend", "xla", "--extend-until", "1.5"])
+
+
+def test_batch_cli_no_redshift_guard(tmp_path):
+    cat = str(tmp_path / "cat.txt")
+    _write_catalog(cat, nsources=2)
+    # blank out the z column
+    lines = open(cat).read().splitlines()
+    lines = [(" ".join([l.split()[0], "nan"] + l.split()[2:])
+              if l.startswith("SRC") else l) for l in lines]
+    open(cat, "w").write("\n".join(lines))
+    with pytest.raises(SystemExit, match="redshift"):
+        main([cat, str(tmp_path / "z.h5"), "--opthin", "--noalpha",
+              "-w", "16", "-b", "8", "-n", "16", "--get-lir"])
+
+
+def test_batch_cli_extend_until_interpret(tmp_path, capsys):
+    """The run-until-converged serving loop through the fused kernel
+    (Pallas interpreter on CPU)."""
+    cat = str(tmp_path / "cat.txt")
+    out = str(tmp_path / "batch.h5")
+    _write_catalog(cat, nsources=2)
+    rc = main([cat, out, "--opthin", "--noalpha",
+               "-w", "32", "-b", "16", "-n", "32",
+               "--sampler-backend", "fused", "--interpret",
+               "--extend-until", "1.5", "--extend-step", "32",
+               "--max-steps", "96", "--seed", "3", "-v"])
+    assert rc == 0
+    back = MultiFitter.from_h5(out)
+    # at least one extension happened or it converged immediately; the
+    # chain length is 32, 64, or 96 records
+    assert back.chain_free.shape[1] in (32, 64, 96)
