@@ -57,6 +57,11 @@ def build_parser():
                    help="'fused' = whole batched run as one Pallas TPU "
                         "kernel with sources on the sublanes; 'auto' "
                         "(default) picks it on TPU")
+    g.add_argument("--mesh-devices", type=int, default=None, metavar="N",
+                   help="shard the source axis over an N-device mesh "
+                        "(embarrassingly parallel, zero collectives; N "
+                        "must divide the source count; omit for "
+                        "single-chip)")
     g.add_argument("--checkpoint", default=None,
                    help="HDF5 file to flush per-source chain blocks + "
                         "batched sampler state to during production "
@@ -234,10 +239,20 @@ def main(argv=None):
             kw = {"photon_counter": True} if args.photon_counter else {}
             responses = ResponseSet.builtin(cat.band_names, **kw)
 
+    mesh = None
+    if args.mesh_devices is not None:
+        from mbb_emcee_tpu.parallel import walker_mesh
+        mesh = walker_mesh(args.mesh_devices)
+        if cat.nsources % args.mesh_devices:
+            raise SystemExit(
+                f"--mesh-devices {args.mesh_devices} must divide the "
+                f"source count ({cat.nsources}); pad the catalog or "
+                f"change the mesh size")
+
     mf = MultiFitter(nwalkers=args.nwalkers, wavenorm=args.wavenorm,
                      noalpha=args.noalpha, opthin=args.opthin,
                      responses=responses, seed=args.seed,
-                     a=args.stretch_a,
+                     a=args.stretch_a, mesh=mesh,
                      sampler_backend=args.sampler_backend,
                      interpret=args.interpret)
     mf.set_data(cat.wave, cat.flux, cat.unc, band_names=cat.band_names,

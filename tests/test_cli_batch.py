@@ -150,6 +150,25 @@ def test_batch_cli_no_redshift_guard(tmp_path):
               "-w", "16", "-b", "8", "-n", "16", "--get-lir"])
 
 
+def test_batch_cli_mesh(tmp_path):
+    """--mesh-devices shards the source axis over the virtual 8-CPU mesh
+    (conftest forces xla_force_host_platform_device_count=8)."""
+    cat = str(tmp_path / "cat.txt")
+    out = str(tmp_path / "batch.h5")
+    _write_catalog(cat, nsources=8)
+    rc = main([cat, out, "--opthin", "--noalpha",
+               "-w", "32", "-b", "16", "-n", "48",
+               "--mesh-devices", "8", "--seed", "2"])
+    assert rc == 0
+    back = MultiFitter.from_h5(out)
+    assert back.nsources == 8
+    assert back.chain_free.shape[1] == 48
+    # mesh size must divide the source count
+    with pytest.raises(SystemExit, match="divide"):
+        main([cat, str(tmp_path / "m.h5"), "--opthin", "--noalpha",
+              "-w", "16", "-b", "8", "-n", "16", "--mesh-devices", "3"])
+
+
 def test_batch_cli_extend_until_interpret(tmp_path, capsys):
     """The run-until-converged serving loop through the fused kernel
     (Pallas interpreter on CPU)."""
