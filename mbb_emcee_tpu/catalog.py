@@ -8,6 +8,7 @@ which is exactly the batch axis MultiFitter puts on the device
     # comments and blank lines are ignored
     wave  = 100 160 250 350 500          # shared band wavelengths, um
     bands = PACS_100 PACS_160 SPIRE_250 SPIRE_350 SPIRE_500   # optional
+    uplims = 0 0 0 0 1                   # optional: 1 = upper-limit band
     SMM_J0001   2.20   11.2 0.8  32.1 1.9  44.8 2.4  38.2 2.1  22.9 1.5
     SMM_J0002   1.85    9.4 0.7  28.8 1.7  40.1 2.2  35.5 2.0  21.3 1.4
     ...
@@ -16,7 +17,9 @@ One source per row: identifier, redshift (``nan`` if unknown), then
 (flux, unc) mJy pairs in the ``wave`` order. The optional ``bands`` row
 names each column for instrument-response mode (the names resolve
 against a filter list file or the built-in instrument library,
-response.py). The '=' after the header keywords is optional.
+response.py). The optional ``uplims`` row flags bands whose flux column
+is a photometric upper limit (one-sided likelihood, shared across the
+batch). The '=' after the header keywords is optional.
 """
 
 from __future__ import annotations
@@ -35,6 +38,7 @@ class Catalog:
     flux: np.ndarray            # (S, nb) mJy
     unc: np.ndarray             # (S, nb) mJy
     band_names: list | None = None
+    uplim_bands: np.ndarray | None = None  # (nb,) bool
 
     @property
     def nsources(self):
@@ -57,6 +61,7 @@ def read_catalog(path):
     """Parse a catalog file (module docstring format) into a Catalog."""
     wave = None
     band_names = None
+    uplim_bands = None
     names, redshifts, rows = [], [], []
     with open(path) as fh:
         for lineno, line in enumerate(fh, 1):
@@ -70,6 +75,10 @@ def read_catalog(path):
                 continue
             if key == "bands":
                 band_names = list(_header_values(parts))
+                continue
+            if key == "uplims":
+                uplim_bands = np.array(
+                    [bool(int(v)) for v in _header_values(parts)])
                 continue
             if wave is None:
                 raise ValueError(
@@ -89,6 +98,9 @@ def read_catalog(path):
     if band_names is not None and len(band_names) != wave.size:
         raise ValueError(
             f"{path}: {len(band_names)} band names for {wave.size} bands")
+    if uplim_bands is not None and uplim_bands.size != wave.size:
+        raise ValueError(
+            f"{path}: {uplim_bands.size} uplim flags for {wave.size} bands")
     data = np.asarray(rows, np.float64).reshape(len(rows), wave.size, 2)
     flux, unc = data[:, :, 0], data[:, :, 1]
     if np.any(unc <= 0):
@@ -96,4 +108,5 @@ def read_catalog(path):
         raise ValueError(f"{path}: non-positive uncertainty (source {bad})")
     return Catalog(names=names,
                    redshifts=np.asarray(redshifts, np.float64),
-                   wave=wave, flux=flux, unc=unc, band_names=band_names)
+                   wave=wave, flux=flux, unc=unc, band_names=band_names,
+                   uplim_bands=uplim_bands)

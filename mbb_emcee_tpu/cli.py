@@ -130,6 +130,12 @@ def build_parser():
                         "with response-integrated fluxes")
     g.add_argument("--photon-counter", action="store_true",
                    help="photon-counting detector convention for responses")
+    g.add_argument("--phot-uplim", action="append", default=[],
+                   metavar="BAND",
+                   help="flag this photometry band (name or 0-based "
+                        "index) as an UPPER LIMIT: one-sided likelihood, "
+                        "no penalty for models below the quoted flux "
+                        "(repeatable)")
 
     g = p.add_argument_group("derived quantities")
     g.add_argument("-z", "--redshift", type=float, default=None)
@@ -173,6 +179,28 @@ def build_parser():
     return p
 
 
+def _uplim_mask(specs, nbands, band_names):
+    """Resolve repeated --phot-uplim values (band name or 0-based index)
+    into an (nbands,) boolean mask."""
+    import numpy as np
+    mask = np.zeros(nbands, bool)
+    for b in specs:
+        try:
+            i = int(b)
+        except ValueError:
+            if band_names is None or b not in band_names:
+                known = ", ".join(band_names) if band_names else "none"
+                raise SystemExit(
+                    f"--phot-uplim {b!r}: unknown band name "
+                    f"(known: {known}); use a 0-based index instead")
+            i = band_names.index(b)
+        if not 0 <= i < nbands:
+            raise SystemExit(f"--phot-uplim {b}: index out of range "
+                             f"(have {nbands} bands)")
+        mask[i] = True
+    return mask
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
@@ -207,6 +235,10 @@ def main(argv=None):
                     n_ensembles=args.n_ensembles)
     if args.covfile is not None:
         fit.read_cov(args.covfile, args.covextn, args.cov_is_total)
+    if args.phot_uplim:
+        phot = fit._require_data()
+        fit.set_phot_upperlimits(
+            _uplim_mask(args.phot_uplim, phot.nbands, phot.band_names))
 
     for param, v in args.initval:
         fit.set_param_init(param, float(v))

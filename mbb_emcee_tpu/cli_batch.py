@@ -144,6 +144,11 @@ def build_parser():
                         "...) and fit with response-integrated fluxes")
     g.add_argument("--photon-counter", action="store_true",
                    help="photon-counting detector convention for responses")
+    g.add_argument("--phot-uplim", action="append", default=[],
+                   metavar="BAND",
+                   help="flag this band (name or 0-based index) as an "
+                        "UPPER LIMIT for every source, in addition to "
+                        "any 'uplims' catalog header row (repeatable)")
 
     g = p.add_argument_group(
         "derived quantities",
@@ -258,6 +263,14 @@ def main(argv=None):
     mf.set_data(cat.wave, cat.flux, cat.unc, band_names=cat.band_names,
                 source_names=cat.names,
                 redshifts=cat.redshifts if cat.has_redshifts else None)
+    uplims = (np.zeros(cat.wave.size, bool) if cat.uplim_bands is None
+              else cat.uplim_bands.copy())
+    if args.phot_uplim:
+        from mbb_emcee_tpu.cli import _uplim_mask
+        uplims |= _uplim_mask(args.phot_uplim, cat.wave.size,
+                              cat.band_names)
+    if uplims.any():
+        mf.set_phot_upperlimits(uplims)
 
     for param, v in args.initval:
         mf.set_param_init(param, float(v))

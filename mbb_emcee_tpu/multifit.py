@@ -195,6 +195,22 @@ class MultiFitter(ParamSpaceMixin):
         self.redshifts = redshifts
         return self
 
+    def set_phot_upperlimits(self, mask):
+        """Flag bands whose flux column is an UPPER LIMIT (for every
+        source -- bands are shared across the batch). Mirrors
+        MBBFitter.set_phot_upperlimits: an upper-limit band contributes
+        to the likelihood only when the model EXCEEDS the quoted flux
+        (one-sided Gaussian; likelihood.py), in both the XLA and the
+        fused multi-source kernel paths."""
+        from mbb_emcee_tpu.paramspace import _replace
+        if self.wave is None:
+            raise RuntimeError("no data; call set_data first")
+        mask = np.asarray(mask, bool)
+        if mask.size != self.wave.size:
+            raise ValueError("upper-limit mask length mismatch")
+        self._spec = _replace(self._spec, uplim_bands=mask)
+        return self
+
     @property
     def nsources(self):
         if self.flux is None:
@@ -1226,6 +1242,30 @@ class MultiFitter(ParamSpaceMixin):
         self.peaklambda_chain = self._chunked_samples(batched, samples, 8)
         return self.peaklambda_chain
 
+    def sed_percentiles(self, waves, percentile=68.3, thin=1):
+        """(S, 3, nwave) posterior-predictive SED bands for the whole
+        batch: per-wavelength [median, upper, lower] f_nu percentiles in
+        mJy at the OBSERVED wavelengths `waves` (micron). One batched
+        device evaluation over (sources x samples x wavelengths) -- the
+        serving-side QA surface (does each source's posterior band cover
+        its photometry?); the batch analog of
+        MBBResults.sed_percentiles."""
+        self._require_run()
+        shape = self.shape
+        waves_j = jnp.asarray(np.atleast_1d(waves), jnp.float32)
+
+        def sed(theta):
+            return jnp.exp(log_mbb_fnu(theta, waves_j, shape))
+
+        samples = jnp.asarray(self._thinned(thin), jnp.float32)
+        batched = jax.jit(jax.vmap(jax.vmap(sed)))
+        fluxes = self._chunked_samples(batched, samples,
+                                       int(waves_j.size))  # (S, N, nwave)
+        p = float(percentile)
+        lo, mid, hi = np.percentile(
+            fluxes, [50.0 - p / 2, 50.0, 50.0 + p / 2], axis=1)
+        return np.stack([mid, hi, lo], axis=1)
+
     def compute_evidence(self, nlive=512, nbatch=32, nsteps=32,
                          max_iter=3000, tol=1e-4, seed=None, verbose=False):
         """Per-source Bayesian evidences ln Z for the whole batch in ONE
@@ -1328,6 +1368,8 @@ class MultiFitter(ParamSpaceMixin):
             for name in ("lower", "upper", "fixed", "fixed_values",
                          "prior_mean", "prior_isigma"):
                 sp.create_dataset(name, data=getattr(spec, name))
+            if spec.uplim_bands is not None:
+                sp.create_dataset("uplim_bands", data=spec.uplim_bands)
             if self.evidence is not None:
                 ev = self.evidence
                 g = f.create_group("Evidence")
@@ -1390,7 +1432,9 @@ class MultiFitter(ParamSpaceMixin):
                 fixed=np.asarray(sp["fixed"], bool),
                 fixed_values=np.asarray(sp["fixed_values"]),
                 prior_mean=np.asarray(sp["prior_mean"]),
-                prior_isigma=np.asarray(sp["prior_isigma"]))
+                prior_isigma=np.asarray(sp["prior_isigma"]),
+                uplim_bands=(np.asarray(sp["uplim_bands"], bool)
+                             if "uplim_bands" in sp else None))
             from mbb_emcee_tpu.likelihood import build_lnprob_data
             _, mf.free_space = build_lnprob_data(mf.shape,
                                                  mf._effective_spec())

@@ -150,6 +150,66 @@ def test_batch_cli_no_redshift_guard(tmp_path):
               "-w", "16", "-b", "8", "-n", "16", "--get-lir"])
 
 
+def test_batch_cli_uplims(tmp_path):
+    """The catalog's 'uplims' header flags one-sided photometry bands and
+    survives the HDF5 round-trip."""
+    cat = str(tmp_path / "cat.txt")
+    out = str(tmp_path / "batch.h5")
+    _write_catalog(cat, nsources=2)
+    lines = open(cat).read().splitlines()
+    lines.insert(2, "uplims = 0 0 0 0 1")
+    open(cat, "w").write("\n".join(lines) + "\n")
+    parsed = read_catalog(cat)
+    np.testing.assert_array_equal(parsed.uplim_bands,
+                                  [False, False, False, False, True])
+    rc = main([cat, out, "--opthin", "--noalpha",
+               "-w", "32", "-b", "16", "-n", "48", "--seed", "4"])
+    assert rc == 0
+    back = MultiFitter.from_h5(out)
+    np.testing.assert_array_equal(back._spec.uplim_bands,
+                                  [False, False, False, False, True])
+    # the one-sided band relaxes the likelihood: a model BELOW the quoted
+    # flux in the uplim band pays no penalty there, so the posterior must
+    # admit lower fnorm values than the two-sided fit of the same data
+    assert np.all(np.isfinite(back.par_cen("T")))
+
+
+def test_phot_uplim_flag_resolution():
+    from mbb_emcee_tpu.cli import _uplim_mask
+    mask = _uplim_mask(["4", "SPIRE_500"], 5,
+                       ["PACS_100", "PACS_160", "SPIRE_250", "SPIRE_350",
+                        "SPIRE_500"])
+    np.testing.assert_array_equal(mask, [False] * 4 + [True])
+    with pytest.raises(SystemExit, match="unknown band"):
+        _uplim_mask(["NOPE"], 5, ["A", "B", "C", "D", "E"])
+    with pytest.raises(SystemExit, match="out of range"):
+        _uplim_mask(["7"], 5, None)
+
+
+def test_batch_cli_phot_uplim_flag(tmp_path):
+    cat = str(tmp_path / "cat.txt")
+    out = str(tmp_path / "batch.h5")
+    _write_catalog(cat, nsources=2)
+    rc = main([cat, out, "--opthin", "--noalpha",
+               "-w", "32", "-b", "16", "-n", "48",
+               "--phot-uplim", "4", "--seed", "4"])
+    assert rc == 0
+    back = MultiFitter.from_h5(out)
+    np.testing.assert_array_equal(back._spec.uplim_bands,
+                                  [False, False, False, False, True])
+
+
+def test_multifit_set_phot_upperlimits_validation():
+    mf = MultiFitter(nwalkers=16)
+    with pytest.raises(RuntimeError, match="set_data"):
+        mf.set_phot_upperlimits([True])
+    mf.set_data(WAVE, np.ones((2, 5)), np.full((2, 5), 0.1))
+    with pytest.raises(ValueError, match="mismatch"):
+        mf.set_phot_upperlimits([True, False])
+    mf.set_phot_upperlimits([False] * 4 + [True])
+    assert mf._effective_spec().uplim_bands[-1]
+
+
 def test_batch_cli_mesh(tmp_path):
     """--mesh-devices shards the source axis over the virtual 8-CPU mesh
     (conftest forces xla_force_host_platform_device_count=8)."""

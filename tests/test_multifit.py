@@ -118,6 +118,19 @@ def test_derived_quantities_batched(fitted):
                                np.median(lir_full[1]), rtol=1e-5)
 
 
+def test_sed_percentiles_batched(fitted):
+    mf = fitted
+    waves = np.array([120.0, 300.0, 600.0])
+    band = mf.sed_percentiles(waves, thin=1)
+    assert band.shape == (4, 3, 3)
+    # ordering: lower <= median <= upper at every wavelength
+    assert np.all(band[:, 2] <= band[:, 0]) and np.all(band[:, 0] <= band[:, 1])
+    # per-source agreement with the single-source MBBResults computation
+    res2 = mf.results(2, redshift=2.5)
+    np.testing.assert_allclose(res2.sed_percentiles(waves, thin=1),
+                               band[2], rtol=2e-5)
+
+
 def test_results_view_roundtrip(fitted, tmp_path):
     mf = fitted
     res = mf.results(2, redshift=2.5)
