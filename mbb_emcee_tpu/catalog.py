@@ -70,15 +70,24 @@ def read_catalog(path):
                 continue
             parts = line.replace("=", " = ").split()
             key = parts[0].lower()
-            if key == "wave":
-                wave = np.array([float(v) for v in _header_values(parts)])
-                continue
-            if key == "bands":
-                band_names = list(_header_values(parts))
-                continue
-            if key == "uplims":
-                uplim_bands = np.array(
-                    [bool(int(v)) for v in _header_values(parts)])
+            # Header keywords are only recognized BEFORE the first source
+            # row (so a source that happens to be named 'wave'/'bands'/
+            # 'uplims' after data starts is parsed as data, not silently
+            # swallowed), and each may appear once (a stray second 'wave'
+            # row must not silently rebind the band grid mid-file).
+            if not rows and key in ("wave", "bands", "uplims"):
+                if (wave, band_names, uplim_bands)[
+                        ("wave", "bands", "uplims").index(key)] is not None:
+                    raise ValueError(
+                        f"{path}:{lineno}: duplicate '{key}' header row")
+                if key == "wave":
+                    wave = np.array(
+                        [float(v) for v in _header_values(parts)])
+                elif key == "bands":
+                    band_names = list(_header_values(parts))
+                else:
+                    uplim_bands = np.array(
+                        [bool(int(v)) for v in _header_values(parts)])
                 continue
             if wave is None:
                 raise ValueError(

@@ -208,7 +208,7 @@ def _summary_table(mf):
     srcnames = mf.source_names or [f"src{i}" for i in range(mf.nsources)]
     for i, nm in enumerate(srcnames):
         cells = "".join(
-            f"  {cen[p][i, 0]:>10.4g} -{cen[p][i, 1]:.3g}/+{cen[p][i, 2]:.3g}"
+            f"  {cen[p][i, 0]:>10.4g} +{cen[p][i, 1]:.3g}/-{cen[p][i, 2]:.3g}"
             .rjust(24) for p in names)
         line = f"{i:>3} {nm:<16}{cells}{rhat[i]:>10.3f}"
         if mf.logz_pt is not None:
@@ -299,6 +299,15 @@ def main(argv=None):
     if args.extend_until is not None and (args.hmc or args.pt):
         raise SystemExit("--extend-until works with the stretch-move "
                          "sampler only")
+    if (args.extend_until is not None
+            and args.nsteps // max(args.thin, 1) < 4):
+        # Catch this BEFORE burning+sampling: the split-R-hat predicate
+        # needs >= 4 recorded steps, and discovering that after the full
+        # production run would abort exactly when the user asked to extend.
+        raise SystemExit(
+            f"--extend-until needs at least 4 recorded steps per pass; "
+            f"--nsteps {args.nsteps} / --thin {args.thin} records only "
+            f"{args.nsteps // max(args.thin, 1)}")
     timer = StepTimer(args.nwalkers * cat.nsources)
     with trace(args.profile_dir):
         if args.pt:

@@ -29,23 +29,21 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mbb_emcee_tpu.constants import (
-    PARAM_NAMES, NPARAMS, HCOK_UM_K, C_UM_HZ, MPC_M, LSUN_W, MSUN_KG,
-    MJY_WM2HZ, H_JS, KB_JK)
-from mbb_emcee_tpu.models.modified_blackbody import MBBShape, log_mbb_fnu
+    PARAM_NAMES, NPARAMS, HCOK_UM_K)
+from mbb_emcee_tpu.models.modified_blackbody import MBBShape
 from mbb_emcee_tpu.likelihood import (
     LikelihoodSpec, FreeSpace, build_lnprob_data, param_index, Photometry)
 from mbb_emcee_tpu.models.cosmology import Cosmology, luminosity_distance
-from mbb_emcee_tpu.ops.quadrature import loglam_nodes
-from mbb_emcee_tpu.ops.rootfind import golden_max
 from mbb_emcee_tpu.sampler import (
     SamplerState, ensemble_step, make_initial_ball)
 from mbb_emcee_tpu.fitter import DEFAULT_INIT, DEFAULT_SCATTER
 from mbb_emcee_tpu.paramspace import ParamSpaceMixin
 from mbb_emcee_tpu.results import _percentile_summary
+from mbb_emcee_tpu import derived
 
-_LIR_NODES = 128
-_PEAK_RANGE = (1.0, 5.0e4)
-_PEAK_ITERS = 64
+# Derived-quantity kernels + tuning constants are shared with the
+# single-source path (results.MBBResults) via derived.py.
+_PEAK_RANGE = derived.PEAK_RANGE
 
 
 def _split_rhat_one(c):
@@ -227,6 +225,12 @@ class MultiFitter(ParamSpaceMixin):
             raise ValueError("response mode requires band_names in set_data")
         return self.responses.pack(self.band_names)
 
+    def _responses_token(self):
+        """Content cache key for the response curves baked into compiled
+        programs (see _pack_token)."""
+        return None if self.responses is None else _pack_token(
+            self._response_pack())
+
     def _shard(self, x):
         """Shard the leading (source) axis over the mesh, if given."""
         if self.mesh is None:
@@ -289,6 +293,11 @@ class MultiFitter(ParamSpaceMixin):
             raise RuntimeError("no data; call set_data")
         if nsteps % thin:
             raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
+        if resume and not checkpoint:
+            raise ValueError(
+                "resume=True requires checkpoint= (the path the previous "
+                "run flushed state to); without it the run would silently "
+                "restart from scratch")
         spec = self._effective_spec()
         backend = self.sampler_backend
         if backend == "auto":
@@ -396,11 +405,11 @@ class MultiFitter(ParamSpaceMixin):
         # ~10 s of recompilation per call; keys/wavelengths/data are
         # runtime arguments).
         cache_key = (S, nw, free_space.nfree, nrec, thin_i, int(nburn),
-                     bool(recenter_burn), id(self.mesh),
+                     bool(recenter_burn), _mesh_token(self.mesh),
                      _spec_token(spec, self.shape),
                      # the response pack (if any) is baked into the jitted
                      # program as a constant
-                     id(self.responses),
+                     self._responses_token(),
                      None if self.band_names is None
                      else tuple(self.band_names))
         if cache_key not in self._run_cache:
@@ -447,8 +456,8 @@ class MultiFitter(ParamSpaceMixin):
         # are refreshed below, so fitting successive same-shape batches
         # reuses the compiled kernel.
         token = ("fused", self.nwalkers, _spec_token(spec, self.shape),
-                 self.flux.shape, self.wave.tobytes(), id(self.responses),
-                 id(self.mesh),
+                 self.flux.shape, self.wave.tobytes(),
+                 self._responses_token(), _mesh_token(self.mesh),
                  None if self.band_names is None
                  else tuple(self.band_names))
         if getattr(self, "_fused_token", None) != token:
@@ -594,7 +603,7 @@ class MultiFitter(ParamSpaceMixin):
         nsteps."""
         from mbb_emcee_tpu.tempering import (
             PTState, pt_step, geometric_ladder, auto_ladder_batch,
-            SSStats, thermodynamic_logz, _SUPPORT_FLOOR)
+            SSStats, thermodynamic_logz, ss_stream_update, _SUPPORT_FLOOR)
 
         if self.flux is None:
             raise RuntimeError("no data; call set_data")
@@ -683,14 +692,9 @@ class MultiFitter(ParamSpaceMixin):
             def inner(carry, _):
                 s, m, s1, s2, acc = carry
                 s = _advance(s, thin_i, bflat, betas_s)
-                v = dbeta[:, None] * s.lnp[1:].astype(jnp.float32)
-                newm = jnp.maximum(m, v.max(axis=1))
-                scale = jnp.where(jnp.isfinite(m), jnp.exp(m - newm), 0.0)
-                e = jnp.exp(v - newm[:, None])
-                s1 = s1 * scale + e.sum(axis=1)
-                s2 = s2 * scale ** 2 + (e * e).sum(axis=1)
+                m, s1, s2 = ss_stream_update(m, s1, s2, dbeta, s.lnp[1:])
                 acc = acc + s.lnp.mean(axis=1).astype(jnp.float32)
-                return (s, newm, s1, s2, acc), (s.pos[0], s.lnp[0])
+                return (s, m, s1, s2, acc), (s.pos[0], s.lnp[0])
 
             carry0 = (st,
                       _vary(jnp.full((K2 - 1,), -jnp.inf, jnp.float32)),
@@ -703,9 +707,9 @@ class MultiFitter(ParamSpaceMixin):
                     st.nsteps, acc, m, s1, s2)
 
         def _compiled(tag, fn, in_axes, sharded_in, sharded_out, **static):
-            ck = (tag, S, W, d, nrec, thin_i, int(nburn),
-                  _spec_token(spec, self.shape), id(self.mesh),
-                  id(self.responses),
+            ck = (tag, S, W, d, nrec, thin_i, int(nburn), K1,
+                  _spec_token(spec, self.shape), _mesh_token(self.mesh),
+                  self._responses_token(),
                   None if self.band_names is None
                   else tuple(self.band_names),
                   tuple(sorted(static.items())))
@@ -889,8 +893,8 @@ class MultiFitter(ParamSpaceMixin):
         ax = mesh_axis
         ck = ("hmc", S, W, d, nrec, int(thin), int(nwarmup),
               int(n_leapfrog), float(target_accept),
-              _spec_token(spec, self.shape), id(self.mesh),
-              id(self.responses),
+              _spec_token(spec, self.shape), _mesh_token(self.mesh),
+              self._responses_token(),
               None if self.band_names is None
               else tuple(self.band_names))
         if ck not in self._run_cache:
@@ -1161,26 +1165,17 @@ class MultiFitter(ParamSpaceMixin):
         defaults to the vector stored by set_data()."""
         self._require_run()
         z = self._source_redshifts(redshifts)
-        opz = 1.0 + z
-        base_lam, base_w = loglam_nodes(_LIR_NODES, wavemin, wavemax)
-        # lambda -> lambda*(1+z) scales nodes AND log-spaced weights by
-        # (1+z); the 1/lambda^2 flux->Fnu factor then contributes 1/(1+z)^2.
-        lam = jnp.asarray(np.outer(opz, base_lam), jnp.float32)   # (S, K)
-        w = jnp.asarray(np.outer(1.0 / opz, base_w / base_lam ** 2),
-                        jnp.float32)
-        shape = self.shape
-
-        def one(theta, lam_s, w_s):
-            f = jnp.exp(log_mbb_fnu(theta, lam_s, shape))
-            return jnp.sum(w_s * f)
+        lam_h, w_h = derived.lir_nodes_weights(1.0 + z, wavemin, wavemax)
+        lam = jnp.asarray(lam_h, jnp.float32)                     # (S, K)
+        w = jnp.asarray(w_h, jnp.float32)
+        one = derived.lir_integrand(self.shape)
 
         samples = jnp.asarray(self._thinned(thin), jnp.float32)
         batched = jax.jit(jax.vmap(jax.vmap(one, in_axes=(0, None, None)),
                                    in_axes=(0, 0, 0)))
         integ = self._chunked_samples(lambda s: batched(s, lam, w),
-                                      samples, _LIR_NODES)
-        dl_m = self._dl_mpc(z, lumdists, cosmology) * MPC_M
-        prefac = 4.0 * np.pi * dl_m ** 2 * MJY_WM2HZ * C_UM_HZ / LSUN_W
+                                      samples, derived.LIR_NODES)
+        prefac = derived.lir_prefactor(self._dl_mpc(z, lumdists, cosmology))
         self.lir_chain = prefac[:, None] * integ
         return self.lir_chain
 
@@ -1198,23 +1193,15 @@ class MultiFitter(ParamSpaceMixin):
         z = self._source_redshifts(redshifts)
         opz = 1.0 + z
         lam_obs = jnp.asarray(kappa_wave * opz, jnp.float32)      # (S,)
-        shape = self.shape
-
-        def one(theta, lam_s):
-            s_mjy = jnp.exp(log_mbb_fnu(theta, lam_s[None], shape))[0]
-            x = HCOK_UM_K / (lam_s * theta[0])
-            return s_mjy * jnp.expm1(jnp.minimum(x, 80.0))
+        one = derived.dustmass_integrand(self.shape)
 
         samples = jnp.asarray(self._thinned(thin), jnp.float32)
         batched = jax.jit(jax.vmap(jax.vmap(one, in_axes=(0, None)),
                                    in_axes=(0, 0)))
         g = self._chunked_samples(lambda s: batched(s, lam_obs),
                                   samples, 4)
-        dl_m = self._dl_mpc(z, lumdists, cosmology) * MPC_M
-        c_ms = 2.99792458e8
-        nu_rest = c_ms / (kappa_wave * 1e-6)
-        planck_amp = 2.0 * H_JS * nu_rest ** 3 / c_ms ** 2
-        prefac = dl_m ** 2 * MJY_WM2HZ / (opz * kappa * planck_amp) / MSUN_KG
+        prefac = derived.dustmass_prefactor(
+            self._dl_mpc(z, lumdists, cosmology), opz, kappa, kappa_wave)
         self.dustmass_chain = prefac[:, None] * g
         return self.dustmass_chain
 
@@ -1228,15 +1215,7 @@ class MultiFitter(ParamSpaceMixin):
                            hi=_PEAK_RANGE[1]):
         """(S, nsamp) observed peak-wavelength posteriors in um."""
         self._require_run()
-        shape = self.shape
-        ulo, uhi = float(np.log(lo)), float(np.log(hi))
-
-        def peak(theta):
-            def log_flux(u):
-                return log_mbb_fnu(theta, jnp.exp(u), shape)
-            um, _ = golden_max(log_flux, ulo, uhi, iters=_PEAK_ITERS)
-            return jnp.exp(um)
-
+        peak = derived.peak_finder(self.shape, lo, hi)
         samples = jnp.asarray(self._thinned(thin), jnp.float32)
         batched = jax.jit(jax.vmap(jax.vmap(peak)))
         self.peaklambda_chain = self._chunked_samples(batched, samples, 8)
@@ -1251,20 +1230,13 @@ class MultiFitter(ParamSpaceMixin):
         its photometry?); the batch analog of
         MBBResults.sed_percentiles."""
         self._require_run()
-        shape = self.shape
         waves_j = jnp.asarray(np.atleast_1d(waves), jnp.float32)
-
-        def sed(theta):
-            return jnp.exp(log_mbb_fnu(theta, waves_j, shape))
-
+        sed = derived.sed_eval(self.shape, waves_j)
         samples = jnp.asarray(self._thinned(thin), jnp.float32)
         batched = jax.jit(jax.vmap(jax.vmap(sed)))
         fluxes = self._chunked_samples(batched, samples,
                                        int(waves_j.size))  # (S, N, nwave)
-        p = float(percentile)
-        lo, mid, hi = np.percentile(
-            fluxes, [50.0 - p / 2, 50.0, 50.0 + p / 2], axis=1)
-        return np.stack([mid, hi, lo], axis=1)
+        return derived.sed_band(fluxes, percentile, sample_axis=1)
 
     def compute_evidence(self, nlive=512, nbatch=32, nsteps=32,
                          max_iter=3000, tol=1e-4, seed=None, verbose=False):
@@ -1511,6 +1483,31 @@ class _SourceView:
         if getattr(mf, "hmc_step_size", None) is not None:
             self.hmc_step_size = float(mf.hmc_step_size[i])
             self.hmc_mass = mf.hmc_mass[i].copy()
+        if getattr(mf, "evidence", None) is not None:
+            # Per-source NestedResult so MBBResults picks up lnZ and
+            # writeToHDF5 emits the Evidence group, exactly as a
+            # single-source MBBFitter.compute_evidence() would.
+            self.evidence = mf.evidence[i]
+
+
+def _mesh_token(mesh):
+    """Content key for a mesh. id(mesh) is unsafe in a cache key: a freed
+    mesh's address can be recycled by a NEW mesh with different devices,
+    silently reusing a program sharded for the old one."""
+    if mesh is None:
+        return None
+    return (tuple(mesh.axis_names), mesh.devices.shape,
+            tuple(int(d.id) for d in mesh.devices.flat))
+
+
+def _pack_token(pack):
+    """Content key for a response pack (the (waves, weights) arrays baked
+    into the compiled program as constants). id(self.responses) is unsafe
+    for the same address-recycling reason as _mesh_token."""
+    if pack is None:
+        return None
+    waves, wts = pack
+    return (waves.tobytes(), wts.tobytes())
 
 
 def _spec_token(spec: LikelihoodSpec, shape: MBBShape):

@@ -29,18 +29,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mbb_emcee_tpu.constants import (
-    PARAM_NAMES, NPARAMS, HCOK_UM_K, C_UM_HZ, MPC_M, LSUN_W, MSUN_KG,
-    MJY_WM2HZ, H_JS, KB_JK)
-from mbb_emcee_tpu.models.modified_blackbody import log_mbb_fnu, MBBShape
+from mbb_emcee_tpu.constants import PARAM_NAMES, NPARAMS
 from mbb_emcee_tpu.models.cosmology import Cosmology, luminosity_distance
-from mbb_emcee_tpu.ops.quadrature import loglam_nodes
-from mbb_emcee_tpu.ops.rootfind import golden_max
+from mbb_emcee_tpu import derived
 from mbb_emcee_tpu import hdf5io
 
-_LIR_NODES = 128
-_PEAK_RANGE = (1.0, 5.0e4)   # observed um search window for the SED peak
-_PEAK_ITERS = 64
+# The per-sample kernels + tuning constants are shared with the batched
+# serving path (multifit.MultiFitter) via derived.py.
+_PEAK_RANGE = derived.PEAK_RANGE
 
 
 def _percentile_summary(samples, percentile=68.3):
@@ -209,18 +205,11 @@ class MBBResults:
 
         Returns (3, nwave): [median, upper, lower] in mJy at the OBSERVED
         wavelengths `waves` (micron)."""
-        shape = self.shape
         waves_j = jnp.asarray(np.atleast_1d(waves), jnp.float32)
-
-        def sed(theta):
-            return jnp.exp(log_mbb_fnu(theta, waves_j, shape))
-
+        sed = derived.sed_eval(self.shape, waves_j)
         samples = jnp.asarray(self._thinned(thin), jnp.float32)
         fluxes = np.asarray(jax.jit(jax.vmap(sed))(samples), np.float64)
-        p = float(percentile)
-        lo, mid, hi = np.percentile(
-            fluxes, [50.0 - p / 2, 50.0, 50.0 + p / 2], axis=0)
-        return np.stack([mid, hi, lo])
+        return derived.sed_band(fluxes, percentile, sample_axis=0)
 
     @property
     def free_param_names(self):
@@ -280,25 +269,16 @@ class MBBResults:
         """Posterior of L_IR(wavemin-wavemax um REST) in L_sun
         (ref: mbb_results.compute_lir). One batched GL quadrature over the
         thinned chain."""
-        opz = self._opz()
-        lo, hi = wavemin * opz, wavemax * opz
-        lam, w = loglam_nodes(_LIR_NODES, lo, hi)
+        lam, w = derived.lir_nodes_weights(self._opz(), wavemin, wavemax)
         lam_j = jnp.asarray(lam, jnp.float32)
-        # weights for int f_nu dnu = int f * (c/lam^2) dlam; factor the
-        # large constant c out to the host prefactor for fp32 headroom.
-        w_j = jnp.asarray(w / lam ** 2, jnp.float32)
-        shape = self.shape
-
-        def flux_integral(theta):   # mJy * (1/um): c folded into prefac
-            f = jnp.exp(log_mbb_fnu(theta, lam_j, shape))
-            return jnp.sum(w_j * f)
+        w_j = jnp.asarray(w, jnp.float32)
+        one = derived.lir_integrand(self.shape)
 
         samples = jnp.asarray(self._thinned(thin), jnp.float32)
-        integ = np.asarray(jax.jit(jax.vmap(flux_integral))(samples),
-                           np.float64)
-        dl_m = self._dl_mpc() * MPC_M
-        prefac = 4.0 * np.pi * dl_m ** 2 * MJY_WM2HZ * C_UM_HZ / LSUN_W
-        self.lir_chain = prefac * integ
+        integ = np.asarray(
+            jax.jit(jax.vmap(lambda th: one(th, lam_j, w_j)))(samples),
+            np.float64)
+        self.lir_chain = derived.lir_prefactor(self._dl_mpc()) * integ
         self.lir_meta = {"wavemin": float(wavemin), "wavemax": float(wavemax),
                          "thin": int(thin)}
         return self.lir_chain
@@ -317,28 +297,15 @@ class MBBResults:
         """Posterior of dust mass in M_sun (ref: mbb_results.compute_dustmass;
         kappa = 2.64 m^2 kg^-1 at rest 125 um, Dunne et al. 2003)."""
         opz = self._opz()
-        lam_obs = kappa_wave * opz
-        shape = self.shape
-        lam_j = jnp.asarray([lam_obs], jnp.float32)
-
-        def dev(theta):
-            # S_obs(lam_obs) in mJy and the Planck occupation at the REST
-            # frequency for the rest-frame temperature T_rest = T_fit*(1+z):
-            # x = h nu_rest / (k T_rest) = HCOK / (kappa_wave * opz * T_fit)
-            # -- identical to the observed-frame x at lam_obs.
-            s_mjy = jnp.exp(log_mbb_fnu(theta, lam_j, shape))[0]
-            x = HCOK_UM_K / (lam_obs * theta[0])
-            return s_mjy * jnp.expm1(jnp.minimum(x, 80.0))
+        lam_obs = jnp.asarray(kappa_wave * opz, jnp.float32)
+        one = derived.dustmass_integrand(self.shape)
 
         samples = jnp.asarray(self._thinned(thin), jnp.float32)
-        g = np.asarray(jax.jit(jax.vmap(dev))(samples), np.float64)
-
-        dl_m = self._dl_mpc() * MPC_M
-        # nu_rest in Hz: c[m/s] / (kappa_wave in metres).
-        c_ms = 2.99792458e8
-        nu_rest = c_ms / (kappa_wave * 1e-6)
-        planck_amp = 2.0 * H_JS * nu_rest ** 3 / c_ms ** 2
-        prefac = dl_m ** 2 * MJY_WM2HZ / (opz * kappa * planck_amp) / MSUN_KG
+        g = np.asarray(
+            jax.jit(jax.vmap(lambda th: one(th, lam_obs)))(samples),
+            np.float64)
+        prefac = derived.dustmass_prefactor(self._dl_mpc(), opz, kappa,
+                                            kappa_wave)
         self.dustmass_chain = prefac * g
         self.dustmass_meta = {"kappa": float(kappa),
                               "kappa_wave": float(kappa_wave),
@@ -360,15 +327,7 @@ class MBBResults:
         """Posterior of the OBSERVED f_nu peak wavelength in um
         (ref: mbb_results.compute_peaklambda). Batched golden-section in
         ln-lambda replaces the reference's per-sample bounded optimizer."""
-        shape = self.shape
-        ulo, uhi = float(np.log(lo)), float(np.log(hi))
-
-        def peak(theta):
-            def log_flux(u):
-                return log_mbb_fnu(theta, jnp.exp(u), shape)
-            um, _ = golden_max(log_flux, ulo, uhi, iters=_PEAK_ITERS)
-            return jnp.exp(um)
-
+        peak = derived.peak_finder(self.shape, lo, hi)
         samples = jnp.asarray(self._thinned(thin), jnp.float32)
         self.peaklambda_chain = np.asarray(
             jax.jit(jax.vmap(peak))(samples), np.float64)

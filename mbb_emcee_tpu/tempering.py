@@ -117,6 +117,23 @@ class SSStats(NamedTuple):
         return ln_r.sum(axis=-1), np.sqrt(np.sum(rel ** 2, axis=-1))
 
 
+def ss_stream_update(m, s1, s2, dbeta, lnp_hot):
+    """One streaming-logsumexp update of the stepping-stone accumulators.
+
+    ``v = dbeta * lnL`` over the HOTTER rung's walkers; (m, s1, s2) are the
+    running per-pair max / sum(e) / sum(e^2) that SSStats consumes. Shapes:
+    dbeta (K-1,), lnp_hot (K-1, W), accumulators (K-1,). Traced-jnp and
+    shared by the single-fit PT run and the batched MultiFitter.run_pt so
+    the two evidence paths cannot drift numerically."""
+    v = dbeta[:, None] * lnp_hot.astype(jnp.float32)
+    newm = jnp.maximum(m, v.max(axis=1))
+    scale = jnp.where(jnp.isfinite(m), jnp.exp(m - newm), 0.0)
+    e = jnp.exp(v - newm[:, None])
+    s1 = s1 * scale + e.sum(axis=1)
+    s2 = s2 * scale ** 2 + (e * e).sum(axis=1)
+    return newm, s1, s2
+
+
 @dataclasses.dataclass
 class PTResult:
     """Cold-chain samples + evidence (stepping-stone headline, TI check)."""
@@ -246,6 +263,16 @@ class ParallelTemperingSampler:
         betas = np.asarray(betas, np.float64)
         if betas[0] != 1.0 or np.any(np.diff(betas) >= 0):
             raise ValueError("betas must start at 1.0 and strictly decrease")
+        if betas[-1] != 0.0:
+            # The stepping-stone sum telescopes to ln Z(1) - ln Z(beta_min);
+            # only a terminal beta = 0 rung makes the reference term vanish
+            # (Z(0) = 1 for the normalized box prior), which is the contract
+            # PTResult.logz documents. A ladder stopping above 0 would be
+            # silently biased by ln Z(beta_min) -- many nats on wide priors.
+            raise ValueError(
+                "betas must end at exactly 0.0 (the uniform-box prior rung "
+                "the evidence is measured against); append a 0 rung or use "
+                "geometric_ladder()/auto_ladder()")
         self.nwalkers = int(nwalkers)
         self.ndim = int(ndim)
         self.nrungs = betas.size
@@ -294,6 +321,16 @@ class ParallelTemperingSampler:
                 f"betas size {betas.size} != nrungs {self.nrungs}")
         if betas[0] != 1.0 or np.any(np.diff(betas) >= 0):
             raise ValueError("betas must start at 1.0 and strictly decrease")
+        if betas[-1] != 0.0:
+            # The stepping-stone sum telescopes to ln Z(1) - ln Z(beta_min);
+            # only a terminal beta = 0 rung makes the reference term vanish
+            # (Z(0) = 1 for the normalized box prior), which is the contract
+            # PTResult.logz documents. A ladder stopping above 0 would be
+            # silently biased by ln Z(beta_min) -- many nats on wide priors.
+            raise ValueError(
+                "betas must end at exactly 0.0 (the uniform-box prior rung "
+                "the evidence is measured against); append a 0 rung or use "
+                "geometric_ladder()/auto_ladder()")
         self.betas = betas
 
     def _get_run(self):
@@ -323,14 +360,8 @@ class ParallelTemperingSampler:
                 cb = jax.lax.dynamic_update_index_in_dim(cb, s.pos[0], r, 0)
                 lb = jax.lax.dynamic_update_index_in_dim(lb, s.lnp[0], r, 0)
                 acc = acc + s.lnp.mean(axis=1).astype(jnp.float32)
-                # v = dbeta * lnL over the HOTTER rung's walkers (K-1, W)
-                v = dbeta[:, None] * s.lnp[1:].astype(jnp.float32)
-                newm = jnp.maximum(m, v.max(axis=1))
-                scale = jnp.where(jnp.isfinite(m), jnp.exp(m - newm), 0.0)
-                e = jnp.exp(v - newm[:, None])
-                s1 = s1 * scale + e.sum(axis=1)
-                s2 = s2 * scale ** 2 + (e * e).sum(axis=1)
-                return s, cb, lb, acc, newm, s1, s2
+                m, s1, s2 = ss_stream_update(m, s1, s2, dbeta, s.lnp[1:])
+                return s, cb, lb, acc, m, s1, s2
 
             state, chain_buf, lnp_buf, lnp_sum, ss_m, ss_s1, ss_s2 = (
                 jax.lax.fori_loop(

@@ -245,3 +245,56 @@ def test_batch_cli_extend_until_interpret(tmp_path, capsys):
     # at least one extension happened or it converged immediately; the
     # chain length is 32, 64, or 96 records
     assert back.chain_free.shape[1] in (32, 64, 96)
+
+
+def test_read_catalog_header_rules(tmp_path):
+    p = tmp_path / "cat.txt"
+    # a duplicate header row must not silently rebind the band grid
+    p.write_text("wave = 100 200\nwave = 100 300\nS0 1.0 1 0.1 2 0.2\n")
+    with pytest.raises(ValueError, match="duplicate 'wave'"):
+        read_catalog(str(p))
+    # a source that happens to be NAMED like a header keyword after data
+    # rows started is parsed as data, not swallowed as a header
+    p.write_text("wave = 100 200\n"
+                 "S0     1.0 1.0 0.1 2.0 0.2\n"
+                 "uplims 1.5 3.0 0.2 4.0 0.3\n")
+    cat = read_catalog(str(p))
+    assert cat.names == ["S0", "uplims"]
+    assert cat.uplim_bands is None
+    np.testing.assert_allclose(cat.flux[1], [3.0, 4.0])
+
+
+def test_extend_until_needs_enough_records(tmp_path):
+    """--extend-until with < 4 recorded steps must abort BEFORE the fit,
+    not crash in the R-hat predicate after burn+production already ran."""
+    cat = str(tmp_path / "cat.txt")
+    _write_catalog(cat, nsources=2)
+    with pytest.raises(SystemExit, match="at least 4 recorded"):
+        main([cat, str(tmp_path / "o.h5"), "--opthin", "--noalpha",
+              "-w", "16", "-b", "8", "-n", "100", "--thin", "50",
+              "--sampler-backend", "fused", "--interpret",
+              "--extend-until", "1.1"])
+
+
+def test_summary_table_error_bar_order():
+    """The +/- columns must match par_cen's (median, +err, -err) order;
+    a skewed posterior printed with swapped bars is silently wrong
+    scientific output."""
+    from mbb_emcee_tpu.cli_batch import _summary_table
+    shape = MBBShape(opthin=True, noalpha=True)
+    rng = np.random.default_rng(7)
+    trues = np.array([[30.0, 1.8, 250.0, 3.5, 40.0],
+                      [38.0, 2.0, 250.0, 3.5, 55.0]])
+    flux = np.stack([
+        np.asarray(mbb_fnu(jnp.asarray(t, jnp.float32),
+                           jnp.asarray(WAVE, jnp.float32), shape),
+                   np.float64) for t in trues])
+    unc = 0.05 * flux
+    flux = flux + unc * rng.standard_normal(flux.shape)
+    mf = MultiFitter(nwalkers=16, opthin=True, noalpha=True, seed=9,
+                     sampler_backend="xla")
+    mf.set_data(WAVE, flux, unc)
+    mf.run(nburn=20, nsteps=40)
+    table = _summary_table(mf)
+    cen = mf.par_cen("T")
+    assert f"+{cen[0, 1]:.3g}/-{cen[0, 2]:.3g}" in table

@@ -309,3 +309,31 @@ def test_converged_length_criterion_uses_full_chain(fitted):
     assert tau_mult * tmax <= nrec
     ok = mf.converged(rhat_max=1e9, window=w, tau_mult=tau_mult)
     np.testing.assert_array_equal(ok, np.ones(mf.nsources, bool))
+
+
+def test_compile_cache_tokens_are_content_based():
+    """Cache keys must key on CONTENT, not id(): a freed ResponseSet/Mesh
+    whose address is recycled by a new object must not silently reuse a
+    program with the old curves/devices baked in as constants."""
+    from mbb_emcee_tpu.multifit import _pack_token, _mesh_token
+    a = (np.ones((2, 3), np.float32), np.ones((2, 3), np.float32))
+    same = (a[0].copy(), a[1].copy())
+    diff = (a[0], np.full((2, 3), 2.0, np.float32))
+    assert _pack_token(a) == _pack_token(same)
+    assert _pack_token(a) != _pack_token(diff)
+    assert _pack_token(None) is None
+    assert _mesh_token(None) is None
+    m8 = walker_mesh(8)
+    assert _mesh_token(m8) == _mesh_token(walker_mesh(8))
+
+
+def test_resume_requires_checkpoint_path():
+    """resume=True without checkpoint= must raise, not silently restart
+    a multi-hour batch from scratch."""
+    flux, unc = _mock_batch(TRUES[:2])
+    for backend in ("xla", "fused"):
+        mf = MultiFitter(nwalkers=8, opthin=True, noalpha=True,
+                         sampler_backend=backend)
+        mf.set_data(WAVE, flux, unc)
+        with pytest.raises(ValueError, match="checkpoint"):
+            mf.run(nburn=2, nsteps=4, resume=True)

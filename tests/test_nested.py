@@ -271,6 +271,11 @@ def test_multifitter_compute_evidence():
     # determinism through the serving surface
     r2 = mf.compute_evidence(nlive=256, nbatch=32, nsteps=16, seed=4)
     np.testing.assert_array_equal(r.logz, r2.logz)
+    # results(i) forwards the per-source evidence exactly as a
+    # single-source compute_evidence() would have left it
+    res0 = mf.results(0)
+    assert res0.evidence is not None
+    assert res0.evidence.logz == pytest.approx(float(r.logz[0]))
 
 
 @pytest.mark.slow

@@ -325,3 +325,31 @@ def test_ladder_and_validation():
     # trapezoid sanity: constant integrand integrates exactly
     lz, err = thermodynamic_logz(b, np.full(8, -3.0))
     np.testing.assert_allclose(lz, -3.0, rtol=1e-12)
+
+
+def test_betas_must_end_at_zero():
+    """A user ladder stopping above beta=0 would silently bias the
+    stepping-stone evidence by ln Z(beta_min); the sampler refuses it."""
+    from mbb_emcee_tpu.tempering import ParallelTemperingSampler
+    with pytest.raises(ValueError, match="end at exactly 0"):
+        ParallelTemperingSampler(8, 2, lambda th: -jnp.sum(th ** 2),
+                                 betas=np.geomspace(1.0, 1e-3, 6))
+
+
+def test_multifit_run_pt_different_nrungs_reuses_process():
+    """Two run_pt calls with different rung counts in one process must
+    each compile/execute correctly (the scout program cache is keyed on
+    the rung count, not just the run geometry)."""
+    from mbb_emcee_tpu import MultiFitter
+    rng = np.random.default_rng(3)
+    wave = np.array([250.0, 350.0, 500.0])
+    flux = np.array([[30.0, 25.0, 15.0], [50.0, 42.0, 26.0]])
+    unc = 0.06 * flux
+    flux = flux + unc * rng.standard_normal(flux.shape)
+    mf = MultiFitter(nwalkers=16, opthin=True, noalpha=True, seed=5)
+    mf.set_data(wave, flux, unc)
+    mf.run_pt(nrungs=4, beta_min=1e-2, nburn=10, nsteps=20)
+    lz4 = np.array(mf.logz_pt[0])
+    mf.run_pt(nrungs=6, beta_min=1e-2, nburn=10, nsteps=20)
+    assert np.all(np.isfinite(mf.logz_pt[0]))
+    assert np.all(np.isfinite(lz4))
