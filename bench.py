@@ -11,6 +11,8 @@ solve per call -- the reference's hot-loop structure (SURVEY.md section 3.1).
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -117,17 +119,96 @@ def bench_tpu(flux, unc, n_short=50000, n_long=450000):
     return NWALKERS * (n_long - n_short) / max(t_long - t_short, 1e-9)
 
 
+def _tpu_responsive(timeout=90):
+    """Probe the tunneled TPU in a SUBPROCESS with a hard timeout.
+
+    The tunnel can wedge outright for tens of minutes (observed
+    2026-08-17: even jit(a+1) on an (8,8) array would not round-trip);
+    once a process has initialized the wedged backend there is no
+    in-process recovery, so the probe must be expendable."""
+    code = ("import numpy as np, jax, jax.numpy as jnp\n"
+            "y = jax.jit(lambda a: a + 1)(jnp.ones((8, 8)))\n"
+            "assert float(np.asarray(y)[0, 0]) == 2.0\n")
+    try:
+        return subprocess.run([sys.executable, "-c", code],
+                              capture_output=True,
+                              timeout=timeout).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def bench_xla_cpu(flux, unc, n_short=400, n_long=2400):
+    """Last-resort fallback when the TPU tunnel is unresponsive: the
+    portable XLA sampler on the host CPU backend (forced BEFORE any jax
+    backend init -- the ambient plugin ignores JAX_PLATFORMS afterwards).
+    Keeps the bench artifact a valid JSON line instead of an indefinite
+    hang; the number measures CPU XLA throughput, not the TPU."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from mbb_emcee_tpu.models.modified_blackbody import MBBShape
+    from mbb_emcee_tpu.likelihood import (
+        Photometry, LikelihoodSpec, build_lnprob)
+    from mbb_emcee_tpu.sampler import EnsembleSampler, make_initial_ball
+
+    shape = MBBShape(opthin=OPTHIN, noalpha=NOALPHA)
+    spec = LikelihoodSpec.default()
+    spec.upper[0] = 100.0
+    spec.upper[1] = 5.0
+    lnprob, fs = build_lnprob(Photometry(WAVE, flux, unc), shape, spec)
+    sampler = EnsembleSampler(NWALKERS, fs.nfree, lnprob)
+    center = TRUE[fs.free_idx]
+    p0 = make_initial_ball(jax.random.PRNGKey(2), center,
+                           0.05 * np.abs(center), NWALKERS,
+                           fs.lower, fs.upper)
+    state = sampler.init_state(jax.random.PRNGKey(3), p0)
+
+    def timed(n, reps=3):
+        nonlocal state
+        state = sampler.advance(state, n)
+        np.asarray(state.pos_a)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            state = sampler.advance(state, n)
+            np.asarray(state.pos_a)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    t_short, t_long = timed(n_short), timed(n_long)
+    return NWALKERS * (n_long - n_short) / max(t_long - t_short, 1e-9)
+
+
 def main():
     flux, unc = _mock_data()
     cpu_rate = bench_cpu(flux, unc)
-    tpu_rate = bench_tpu(flux, unc)
-    print(json.dumps({
+
+    # Wait (bounded) for a responsive TPU; the CPU-oracle bench above
+    # already burned a few minutes of that window.
+    wait_s = float(os.environ.get("BENCH_TPU_WAIT_S", "600"))
+    deadline = time.time() + wait_s
+    up = _tpu_responsive()
+    while not up and time.time() < deadline:
+        time.sleep(45)
+        up = _tpu_responsive()
+
+    note = None
+    if up:
+        rate = bench_tpu(flux, unc)
+    else:
+        rate = bench_xla_cpu(flux, unc)
+        note = (f"TPU tunnel unresponsive for {int(wait_s)}s; "
+                "CPU-backend XLA fallback (not a TPU measurement)")
+
+    out = {
         "metric": "walker-steps/sec, 250 walkers x 5 bands, "
                   "full 5-param MBB",
-        "value": round(tpu_rate, 1),
+        "value": round(rate, 1),
         "unit": "walker-steps/s",
-        "vs_baseline": round(tpu_rate / cpu_rate, 2),
-    }))
+        "vs_baseline": round(rate / cpu_rate, 2),
+    }
+    if note:
+        out["note"] = note
+    print(json.dumps(out))
     return 0
 
 
