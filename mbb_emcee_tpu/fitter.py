@@ -40,7 +40,7 @@ DEFAULT_SCATTER = np.array([2.0, 0.3, 50.0, 0.8, 8.0])
 
 class MBBFitter(ParamSpaceMixin):
     def __init__(self, nwalkers=250, photfile=None, covfile=None, covextn=0,
-                 wavenorm=500.0, noalpha=False, opthin=False,
+                 wavenorm=500.0, noalpha=False, opthin=False, redshift=None,
                  responses: "ResponseSet | None" = None,
                  nthreads=None, seed=1234, a=2.0, dtype=jnp.float32,
                  prng_impl="rbg", lnprob_backend="xla",
@@ -51,6 +51,10 @@ class MBBFitter(ParamSpaceMixin):
         self.nwalkers = int(nwalkers)
         self.shape = MBBShape(opthin=bool(opthin), noalpha=bool(noalpha),
                               wavenorm=float(wavenorm))
+        # Stored for the results layer (upstream mbb_fitter carries the
+        # source redshift too); MBBResults(fit=...) uses it as the default
+        # when no explicit redshift= is given there.
+        self.redshift = None if redshift is None else float(redshift)
         self.a = float(a)
         self.dtype = dtype
         self.seed = int(seed)

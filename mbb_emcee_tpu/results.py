@@ -92,6 +92,8 @@ class MBBResults:
     def _from_fit(self, fit):
         if fit.chain_free is None:
             raise RuntimeError("fitter has not been run")
+        if self.redshift is None and getattr(fit, "redshift", None) is not None:
+            self.redshift = float(fit.redshift)
         self.chain = fit.chain                    # (nwalkers, nsteps, 5)
         self.lnprobability = np.transpose(
             np.asarray(fit.lnprobability), (1, 0))  # (nwalkers, nsteps)
