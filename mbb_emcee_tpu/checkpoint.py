@@ -18,7 +18,94 @@ import jax.numpy as jnp
 
 from mbb_emcee_tpu.sampler import SamplerState
 
-_VERSION = 1
+_VERSION = 2
+
+
+def new_run_id() -> str:
+    """Unique id tying a checkpoint file's segments to ONE run: a fresh
+    run flushing to a path that still holds an unrelated old checkpoint
+    must overwrite it, never adopt its segments as a prefix."""
+    import secrets
+    return secrets.token_hex(8)
+
+
+def _write_segments(f, prev_path, chain_blocks, lnp_blocks, axis):
+    """Flush chain/lnp blocks as APPEND-ONLY segments.
+
+    Naively re-concatenating and re-gzipping the whole accumulated chain
+    on every checkpoint interval is O(n^2) total I/O over a long run.
+    Instead the already-flushed records are copied RAW from the previous
+    checkpoint file (h5py Group.copy -> H5Ocopy moves compressed chunks
+    without re-filtering) and only records beyond them are gzipped, so
+    each flush costs O(new segment). Layout: /Segments/segNNNNN/{Chain,
+    Lnp}; the version-1 single ChainSoFar dataset is adopted as the
+    first segment when resuming from an old file."""
+    segs = f.create_group("Segments")
+    nseg = 0
+    nrec_prev = 0
+    run_id = f.attrs.get("run_id")
+    if prev_path is not None and os.path.exists(prev_path):
+        try:
+            with h5py.File(prev_path, "r") as prev:
+                prev_id = prev.attrs.get("run_id")
+                if isinstance(prev_id, bytes):
+                    prev_id = prev_id.decode()
+                if isinstance(run_id, bytes):
+                    run_id = run_id.decode()
+                if (run_id is None or prev_id is None
+                        or str(prev_id) != str(run_id)):
+                    raise OSError("different run; flush fresh")
+                if "Segments" in prev:
+                    for name in sorted(prev["Segments"]):
+                        prev.copy(prev["Segments"][name], segs, name=name)
+                        nrec_prev += segs[name]["Chain"].shape[axis]
+                        nseg += 1
+        except OSError:
+            # Previous file belongs to a different run, or is unreadable
+            # (a partial write the atomic rename protocol should
+            # prevent): flush everything fresh instead of adopting it.
+            for name in list(segs):
+                del segs[name]
+            nseg = nrec_prev = 0
+    total = sum(b.shape[axis] for b in chain_blocks)
+    new = total - nrec_prev
+    if new > 0:
+        # Only the tail blocks covering the new records are touched --
+        # the accumulated prefix is never concatenated again.
+        tail_c, tail_l, have = [], [], 0
+        for b_c, b_l in zip(reversed(chain_blocks), reversed(lnp_blocks)):
+            tail_c.append(b_c)
+            tail_l.append(b_l)
+            have += b_c.shape[axis]
+            if have >= new:
+                break
+        chain = np.concatenate(tail_c[::-1], axis=axis)
+        lnp = np.concatenate(tail_l[::-1], axis=axis)
+        sl = [slice(None)] * chain.ndim
+        sl[axis] = slice(have - new, None)
+        g = segs.create_group(f"seg{nseg:05d}")
+        g.create_dataset("Chain", data=chain[tuple(sl)],
+                         compression="gzip", compression_opts=4)
+        sl_l = sl[:lnp.ndim]
+        g.create_dataset("Lnp", data=lnp[tuple(sl_l)],
+                         compression="gzip", compression_opts=4)
+
+
+def _read_segments(f, axis):
+    """(chain, lnp) concatenated from v2 segments or the v1 datasets;
+    (None, None) if nothing was flushed."""
+    if "Segments" in f and len(f["Segments"]):
+        names = sorted(f["Segments"])
+        chain = np.concatenate(
+            [np.asarray(f["Segments"][n]["Chain"]) for n in names],
+            axis=axis)
+        lnp = np.concatenate(
+            [np.asarray(f["Segments"][n]["Lnp"]) for n in names],
+            axis=axis)
+        return chain, lnp
+    if "ChainSoFar" in f:
+        return np.asarray(f["ChainSoFar"]), np.asarray(f["LnpSoFar"])
+    return None, None
 
 
 def data_fingerprint(*arrays) -> str:
@@ -40,6 +127,23 @@ def data_fingerprint(*arrays) -> str:
         else:  # band names etc.
             h.update(repr(arr.tolist()).encode())
     return h.hexdigest()[:32]
+
+
+def spec_fingerprint(spec, shape, a) -> str:
+    """Content hash of the POSTERIOR a run was sampling: box limits,
+    priors, fixed params, photometric-uplim mask, model shape flags, and
+    the stretch parameter a. Stored in checkpoint meta and re-checked on
+    resume -- resuming after set_gaussian_prior/set_lowlim/fix_param (or
+    a changed a=) would silently splice chains from two different
+    targets, exactly the failure class data_fingerprint guards for the
+    data side."""
+    uplim = (None if spec.uplim_bands is None
+             else np.asarray(spec.uplim_bands))
+    return data_fingerprint(
+        spec.lower, spec.upper, spec.fixed, spec.fixed_values,
+        spec.prior_mean, spec.prior_isigma, uplim,
+        np.asarray([float(shape.opthin), float(shape.noalpha),
+                    float(shape.wavenorm), float(a)]))
 
 
 def _key_to_np(key):
@@ -74,12 +178,7 @@ def save_checkpoint(path, state: SamplerState, chain_blocks, lnp_blocks,
         st.attrs["naccept_is_tuple"] = isinstance(state.naccept, tuple)
         st.create_dataset("nsteps", data=int(state.nsteps))
         if chain_blocks:
-            f.create_dataset("ChainSoFar",
-                             data=np.concatenate(chain_blocks, axis=0),
-                             compression="gzip", compression_opts=4)
-            f.create_dataset("LnpSoFar",
-                             data=np.concatenate(lnp_blocks, axis=0),
-                             compression="gzip", compression_opts=4)
+            _write_segments(f, path, chain_blocks, lnp_blocks, axis=0)
     os.replace(tmp, path)
 
 
@@ -107,8 +206,7 @@ def load_checkpoint(path):
             lnp_b=jnp.asarray(np.asarray(st["lnp_b"])),
             naccept=naccept,
             nsteps=jnp.array(int(np.asarray(st["nsteps"])), jnp.int32))
-        chain = np.asarray(f["ChainSoFar"]) if "ChainSoFar" in f else None
-        lnp = np.asarray(f["LnpSoFar"]) if "LnpSoFar" in f else None
+        chain, lnp = _read_segments(f, axis=0)
     return state, chain, lnp, meta
 
 
@@ -131,12 +229,7 @@ def save_multi_checkpoint(path, state, chain_blocks, lnp_blocks,
         st.create_dataset("naccept", data=np.asarray(state.naccept))
         st.create_dataset("nsteps", data=int(state.nsteps))
         if chain_blocks:
-            f.create_dataset("ChainSoFar",
-                             data=np.concatenate(chain_blocks, axis=1),
-                             compression="gzip", compression_opts=4)
-            f.create_dataset("LnpSoFar",
-                             data=np.concatenate(lnp_blocks, axis=1),
-                             compression="gzip", compression_opts=4)
+            _write_segments(f, path, chain_blocks, lnp_blocks, axis=1)
     os.replace(tmp, path)
 
 
@@ -160,8 +253,7 @@ def load_multi_checkpoint(path):
             lnp=jnp.asarray(np.asarray(st["lnp"])),
             naccept=jnp.asarray(np.asarray(st["naccept"])),
             nsteps=jnp.array(int(np.asarray(st["nsteps"])), jnp.int32))
-        chain = np.asarray(f["ChainSoFar"]) if "ChainSoFar" in f else None
-        lnp = np.asarray(f["LnpSoFar"]) if "LnpSoFar" in f else None
+        chain, lnp = _read_segments(f, axis=1)
     return state, chain, lnp, meta
 
 

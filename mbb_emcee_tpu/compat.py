@@ -38,13 +38,20 @@ __all__ = ["mbb_fitter", "mbb_results", "modified_blackbody",
 
 class mbb_fitter(MBBFitter):
     """Upstream-named fitter (ref: mbb_emcee/mbb_fit.py class mbb_fitter
-    [reconstructed]). MBBFitter already accepts the upstream constructor
-    arguments (nwalkers, photfile, covfile, covextn, wavenorm, noalpha,
-    opthin, nthreads, redshift) with the upstream defaults; `nthreads` is
-    accepted and ignored -- walker parallelism is one fused device step,
-    not a multiprocessing pool. All upstream methods exist under their
-    upstream names (read_data, set_data, set_uplim/set_lowlim,
+    [reconstructed]) with the upstream POSITIONAL order -- nthreads sits
+    in the 8th slot, before redshift, so upstream positional calls like
+    mbb_fitter(250, "phot.txt", None, 0, 500.0, False, False, 4) bind 4
+    to nthreads (accepted and ignored: walker parallelism is one fused
+    device step), never to redshift. All upstream methods exist under
+    their upstream names (read_data, set_data, set_uplim/set_lowlim,
     set_gaussian_prior, fix_param, run(nburn, nsteps), __call__)."""
+
+    def __init__(self, nwalkers=250, photfile=None, covfile=None,
+                 covextn=0, wavenorm=500.0, noalpha=False, opthin=False,
+                 nthreads=1, redshift=None, **kwargs):
+        super().__init__(nwalkers, photfile, covfile, covextn, wavenorm,
+                         noalpha, opthin, nthreads=nthreads,
+                         redshift=redshift, **kwargs)
 
     def like(self, params):
         """Upstream alias: lnprob at a full parameter vector."""

@@ -40,11 +40,18 @@ DEFAULT_SCATTER = np.array([2.0, 0.3, 50.0, 0.8, 8.0])
 
 class MBBFitter(ParamSpaceMixin):
     def __init__(self, nwalkers=250, photfile=None, covfile=None, covextn=0,
-                 wavenorm=500.0, noalpha=False, opthin=False, redshift=None,
+                 wavenorm=500.0, noalpha=False, opthin=False, *,
+                 redshift=None,
                  responses: "ResponseSet | None" = None,
                  nthreads=None, seed=1234, a=2.0, dtype=jnp.float32,
                  prng_impl="rbg", lnprob_backend="xla",
                  sampler_backend="auto", mesh=None, n_ensembles=1):
+        # Everything past `opthin` is keyword-only: the upstream
+        # constructor puts nthreads in the next positional slot
+        # (SURVEY.md L3 row), so accepting positionals here would bind an
+        # upstream-style `nthreads=4` positional to redshift= and produce
+        # silently wrong derived quantities. compat.mbb_fitter provides
+        # the exact upstream positional order.
         del nthreads  # walker parallelism is on-device (see module docstring)
         from mbb_emcee_tpu.utils.compilecache import enable_persistent_cache
         enable_persistent_cache()
@@ -253,10 +260,25 @@ class MBBFitter(ParamSpaceMixin):
         open_spec = _replace(
             spec, fixed=np.zeros(NPARAMS, bool),
             fixed_values=np.zeros(NPARAMS))
-        lnprob, _ = build_lnprob(self._require_data(), self.shape, open_spec,
-                                 response_pack=self._response_pack(),
-                                 dtype=self.dtype)
-        return float(lnprob(jnp.asarray(params, self.dtype)))
+        # Cache the built (and jitted) closure on a content token: ported
+        # upstream code calls this in per-sample loops, and rebuilding the
+        # whole likelihood (covariance Cholesky included) per evaluation
+        # is orders of magnitude slower than one cached compile.
+        from mbb_emcee_tpu.checkpoint import (
+            data_fingerprint, spec_fingerprint)
+        phot = self._require_data()
+        pack = self._response_pack()
+        token = (spec_fingerprint(open_spec, self.shape, self.a),
+                 data_fingerprint(phot.wave, phot.flux, phot.unc, phot.cov),
+                 None if pack is None else data_fingerprint(*pack),
+                 np.dtype(self.dtype).str)
+        cache = getattr(self, "_call_cache", None)
+        if cache is None or cache[0] != token:
+            lnprob, _ = build_lnprob(phot, self.shape, open_spec,
+                                     response_pack=pack, dtype=self.dtype)
+            cache = (token, jax.jit(lnprob))
+            self._call_cache = cache
+        return float(cache[1](jnp.asarray(params, self.dtype)))
 
     # -- the run -------------------------------------------------------------------
     def run(self, nburn=50, nsteps=250, thin=1, p0=None,
@@ -289,24 +311,41 @@ class MBBFitter(ParamSpaceMixin):
         self._auto_init_fnorm()
         lnprob, free_space, sampler = self.build()
         self.free_space = free_space
+        if int(thin) < 1:
+            raise ValueError(f"thin={thin} must be >= 1")
         self.thin = int(thin)
-        if int(nsteps) % max(int(thin), 1):
+        if int(nsteps) % int(thin):
             # Validate up front so the checkpointed path can't silently
             # truncate a run the plain path would reject.
             raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
+        if resume and not checkpoint:
+            raise ValueError(
+                "resume=True requires checkpoint= (the path the previous "
+                "run flushed state to)")
 
         resuming = bool(checkpoint and resume and os.path.exists(checkpoint))
+        if resuming and p0 is not None:
+            raise ValueError(
+                "p0= combined with an actual resume is ambiguous: the "
+                "checkpointed state would silently win; drop p0 (or the "
+                "checkpoint file) to make the intent explicit")
         phot = self._require_data()
-        data_fp = None
+        data_fp = spec_fp = None
         if checkpoint is not None:
-            from mbb_emcee_tpu.checkpoint import data_fingerprint
+            from mbb_emcee_tpu.checkpoint import (
+                data_fingerprint, spec_fingerprint)
             data_fp = data_fingerprint(phot.wave, phot.flux, phot.unc,
                                        phot.cov)
+            spec_fp = spec_fingerprint(self._spec, self.shape, self.a)
 
+        resume_run_id = None
         if resuming:
             from mbb_emcee_tpu.checkpoint import (
                 load_checkpoint, check_resume_meta)
             state, prev_chain, prev_lnp, meta = load_checkpoint(checkpoint)
+            resume_run_id = meta.get("run_id")
+            if isinstance(resume_run_id, bytes):
+                resume_run_id = resume_run_id.decode()
             if int(meta.get("nwalkers", self.nwalkers)) != self.nwalkers \
                     or int(meta.get("thin", thin)) != thin:
                 raise ValueError(
@@ -316,7 +355,11 @@ class MBBFitter(ParamSpaceMixin):
                 {"sampler_backend": self._backend_used,
                  "lnprob_backend": self.lnprob_backend,
                  "prng_impl": self.prng_impl,
-                 "data_fingerprint": data_fp},
+                 "data_fingerprint": data_fp,
+                 # Priors/limits/fixed params and the stretch a are part
+                 # of the posterior; resuming under a changed spec would
+                 # splice chains from two different targets.
+                 "spec_fingerprint": spec_fp},
                 checkpoint)
             self.burn_chain_free = None
         else:
@@ -363,7 +406,7 @@ class MBBFitter(ParamSpaceMixin):
             state, chain, lnpchain = sampler.run_mcmc(state, nsteps, thin)
         else:
             from mbb_emcee_tpu.checkpoint import (
-                save_checkpoint, load_checkpoint)
+                save_checkpoint, new_run_id)
             chain_blocks, lnp_blocks = [], []
             done = 0
             if resuming and prev_chain is not None:
@@ -379,7 +422,11 @@ class MBBFitter(ParamSpaceMixin):
                     "sampler_backend": self._backend_used,
                     "lnprob_backend": self.lnprob_backend,
                     "seed": self.seed,
-                    "data_fingerprint": data_fp}
+                    "data_fingerprint": data_fp,
+                    "spec_fingerprint": spec_fp,
+                    # Ties this run's segment flushes together so a later
+                    # unrelated run at the same path never adopts them.
+                    "run_id": resume_run_id or new_run_id()}
             seg = max(int(checkpoint_interval), 1) * thin
             while done < nsteps:
                 n = min(seg, nsteps - done)

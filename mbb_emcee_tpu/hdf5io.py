@@ -47,6 +47,15 @@ def _write_results(f, res):
                            else res.redshift)
     f.attrs["lumdist"] = np.nan if res.lumdist is None else res.lumdist
     f.attrs["cosmology"] = (res.cosmology_name or "").encode()
+    # Numeric cosmology parameters ride along so a CUSTOM Cosmology
+    # object (no name) survives the round-trip instead of silently
+    # degrading to the WMAP9 default on reload.
+    cosmo = getattr(res, "_cosmo", None)
+    if cosmo is not None:
+        f.attrs["cosmology_H0"] = float(cosmo.H0)
+        f.attrs["cosmology_Om0"] = float(cosmo.Om0)
+        f.attrs["cosmology_Ol0"] = (np.nan if cosmo.Ol0 is None
+                                    else float(cosmo.Ol0))
 
     f.create_dataset("Chain", data=np.asarray(res.chain, np.float32),
                      compression="gzip", compression_opts=4)
@@ -137,6 +146,11 @@ def _read_results(f):
     cname = f.attrs["cosmology"]
     cname = cname.decode() if isinstance(cname, bytes) else str(cname)
     out["cosmology_name"] = cname or None
+    if "cosmology_H0" in f.attrs:
+        ol0 = float(f.attrs["cosmology_Ol0"])
+        out["cosmology_params"] = (float(f.attrs["cosmology_H0"]),
+                                   float(f.attrs["cosmology_Om0"]),
+                                   None if np.isnan(ol0) else ol0)
 
     out["chain"] = np.asarray(f["Chain"], np.float64)
     out["lnprobability"] = np.asarray(f["LogLike"], np.float64)

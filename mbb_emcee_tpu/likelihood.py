@@ -36,6 +36,15 @@ from mbb_emcee_tpu.utils.fits import read_fits_image
 # Finite lnprob floor standing in for -inf (see module docstring).
 LNPROB_FLOOR = -1e30
 
+# Acceptance-guard threshold: any lnprob above this is "in support", any
+# at/below it is the out-of-box floor. The guard exists because an
+# acceptance uniform can be EXACTLY 0 in fp32 (P ~ 2^-23 per draw), and
+# log(0) = -inf compares below even the finite LNPROB_FLOOR -- emcee's
+# true -inf floor rejects that case (-inf < -inf is False), so samplers
+# here must add `& (lnp_prop > SUPPORT_FLOOR)` to their accept masks or a
+# production-scale run records out-of-box positions.
+SUPPORT_FLOOR = -1e25
+
 # Default hard box (observer frame). Wide enough to act as "no limit set",
 # finite so clamping is always possible. Users narrow via set_lowlim/uplim.
 DEFAULT_LOWER = np.array([0.1, 0.01, 1.0, 0.01, 1e-5], dtype=np.float64)

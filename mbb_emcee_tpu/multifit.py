@@ -291,6 +291,8 @@ class MultiFitter(ParamSpaceMixin):
         """
         if self.flux is None:
             raise RuntimeError("no data; call set_data")
+        if int(thin) < 1:
+            raise ValueError(f"thin={thin} must be >= 1")
         if nsteps % thin:
             raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
         if resume and not checkpoint:
@@ -475,16 +477,22 @@ class MultiFitter(ParamSpaceMixin):
         fs = samp.free_space
 
         resuming = bool(checkpoint and resume and os.path.exists(checkpoint))
-        data_fp = None
+        data_fp = spec_fp = None
         if checkpoint is not None:
-            from mbb_emcee_tpu.checkpoint import data_fingerprint
+            from mbb_emcee_tpu.checkpoint import (
+                data_fingerprint, spec_fingerprint)
             data_fp = data_fingerprint(self.wave, self.flux, self.unc)
+            spec_fp = spec_fingerprint(spec, self.shape, self.a)
         prev_chain = prev_lnp = None
+        resume_run_id = None
         if resuming:
             from mbb_emcee_tpu.checkpoint import (
                 load_multi_checkpoint, check_resume_meta)
             state, prev_chain, prev_lnp, meta = load_multi_checkpoint(
                 checkpoint)
+            resume_run_id = meta.get("run_id")
+            if isinstance(resume_run_id, bytes):
+                resume_run_id = resume_run_id.decode()
             if (int(meta.get("nwalkers", nw)) != nw
                     or int(meta.get("nsources", S)) != S
                     or int(meta.get("thin", thin)) != thin):
@@ -493,7 +501,8 @@ class MultiFitter(ParamSpaceMixin):
             check_resume_meta(
                 meta, {"sampler_backend": "fused",
                        "prng_impl": self.prng_impl,
-                       "data_fingerprint": data_fp}, checkpoint)
+                       "data_fingerprint": data_fp,
+                       "spec_fingerprint": spec_fp}, checkpoint)
         else:
             key = jax.random.key(self.seed, impl=self.prng_impl)
             kball, kstate, krecenter = jax.random.split(key, 3)
@@ -523,7 +532,7 @@ class MultiFitter(ParamSpaceMixin):
             state, chain, lnpchain = samp.run_mcmc(state, nsteps, thin)
         else:
             from mbb_emcee_tpu.checkpoint import (
-                save_multi_checkpoint, load_multi_checkpoint)
+                save_multi_checkpoint, new_run_id)
             chain_blocks, lnp_blocks = [], []
             done = 0
             if resuming and prev_chain is not None:
@@ -533,7 +542,9 @@ class MultiFitter(ParamSpaceMixin):
             meta = {"nwalkers": nw, "nsources": S, "thin": thin,
                     "nsteps_target": nsteps, "sampler_backend": "fused",
                     "seed": self.seed,
-                    "data_fingerprint": data_fp}
+                    "data_fingerprint": data_fp,
+                    "spec_fingerprint": spec_fp,
+                    "run_id": resume_run_id or new_run_id()}
             seg = max(int(checkpoint_interval), 1) * thin
             while done < nsteps:
                 n = min(seg, nsteps - done)

@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
 
 from mbb_emcee_tpu.constants import HCOK_UM_K, NPARAMS
+from mbb_emcee_tpu.likelihood import SUPPORT_FLOOR
 from mbb_emcee_tpu.ops.pallas_lnprob import (
     _LANE, LNPROB_FLOOR, make_log_s_mbb, merge_log_x_pallas)
 
@@ -252,7 +253,11 @@ def _make_multi_kernel(cfg, *, nfree, half, wp, s_tile, thin, a,
             lnp_prop = lnprob(props)
             lnp_active = q_of(active, _Q_LNP)
             log_ratio = d_exp * jnp.log(z) + lnp_prop - lnp_active
-            accept = jnp.log(u3[2 * S:3 * S]) < log_ratio      # (S, wp)
+            # Support guard: u can be exactly 0 in fp32 and log(0) = -inf
+            # would accept an out-of-box proposal sitting at the finite
+            # LNPROB_FLOOR (see likelihood.SUPPORT_FLOOR).
+            accept = ((jnp.log(u3[2 * S:3 * S]) < log_ratio)
+                      & (lnp_prop > SUPPORT_FLOOR))            # (S, wp)
             new_rows = [jnp.where(accept, props[q],
                                   q_of(active, q))
                         for q in range(NPARAMS)]

@@ -46,6 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mbb_emcee_tpu.constants import NPARAMS
+from mbb_emcee_tpu.likelihood import SUPPORT_FLOOR
 from mbb_emcee_tpu.ops.pallas_lnprob import (
     _make_lnp_compute, prepare_lnprob_inputs, _LANE)
 from mbb_emcee_tpu.sampler import SamplerState
@@ -143,7 +144,11 @@ def _make_sampler_kernel(cfg, *, nfree, half, wp, thin, a, external_rng):
             lnp_prop = lnprob(prop)
             lnp_active = active[_ROW_LNP:_ROW_LNP + 1, :]
             log_ratio = d_exp * jnp.log(z) + lnp_prop - lnp_active
-            accept = jnp.log(u3[2:3]) < log_ratio             # (1, wp)
+            # Support guard: u can be exactly 0 in fp32 and log(0) = -inf
+            # would accept an out-of-box proposal sitting at the finite
+            # LNPROB_FLOOR (see likelihood.SUPPORT_FLOOR).
+            accept = ((jnp.log(u3[2:3]) < log_ratio)
+                      & (lnp_prop > SUPPORT_FLOOR))            # (1, wp)
             new_rows = jnp.where(accept, prop, active)
             new_lnp = jnp.where(accept, lnp_prop, lnp_active)
             new_acc = (active[_ROW_ACC:_ROW_ACC + 1, :]

@@ -124,6 +124,13 @@ class MBBResults:
         if payload.get("cosmology_name") and not self._cosmology_explicit:
             self._cosmo = Cosmology.named(payload["cosmology_name"])
             self.cosmology_name = payload["cosmology_name"]
+        elif (payload.get("cosmology_params")
+                and not self._cosmology_explicit):
+            # A custom (unnamed) Cosmology was stored parameter-by-
+            # parameter; rebuild it rather than degrading to the default.
+            h0, om0, ol0 = payload["cosmology_params"]
+            self._cosmo = Cosmology(H0=h0, Om0=om0, Ol0=ol0)
+            self.cosmology_name = None
         else:
             # restore the constructor's choice (the payload loop above
             # overwrote cosmology_name with the stored value)

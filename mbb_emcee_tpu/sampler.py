@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mbb_emcee_tpu.likelihood import SUPPORT_FLOOR
+
 
 class SamplerState(NamedTuple):
     """Ensemble state. Positions are in the sampling (free-parameter) space.
@@ -75,7 +77,10 @@ def stretch_half_step_from_uniforms(u3, active, passive, lnp_active,
     proposal = partners + z[:, None] * (active - partners)
     lnp_prop = lnprob_batch(proposal)
     log_ratio = (ndim - 1) * jnp.log(z) + lnp_prop - lnp_active
-    accept = jnp.log(u3[2]) < log_ratio
+    # The support guard matters: u3[2] can be exactly 0 (fp32), and
+    # log(0) = -inf would accept an out-of-box proposal whose lnprob is
+    # only the finite LNPROB_FLOOR (likelihood.SUPPORT_FLOOR docs).
+    accept = (jnp.log(u3[2]) < log_ratio) & (lnp_prop > SUPPORT_FLOOR)
     new_active = jnp.where(accept[:, None], proposal, active)
     new_lnp = jnp.where(accept, lnp_prop, lnp_active)
     return new_active, new_lnp, accept

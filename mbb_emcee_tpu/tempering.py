@@ -54,7 +54,7 @@ import numpy as np
 # uniform-on-everything (beta * FLOOR is 0 exactly there, so without the
 # explicit check the hottest rung would accept out-of-box proposals and
 # poison the thermodynamic-integration accumulators).
-_SUPPORT_FLOOR = -1e25
+from mbb_emcee_tpu.likelihood import SUPPORT_FLOOR as _SUPPORT_FLOOR
 
 
 class PTState(NamedTuple):

@@ -207,3 +207,45 @@ def test_thin_mismatch_rejected_before_sampling(tmp_path):
     with pytest.raises(ValueError, match="divisible"):
         _fit().run(nburn=5, nsteps=7, thin=3, checkpoint=ck)
     assert not os.path.exists(ck)
+
+
+def test_resume_refuses_changed_spec(tmp_path):
+    """Changing priors/limits between runs changes the posterior; a
+    resume must refuse to splice chains from two different targets."""
+    import pytest
+    ck = str(tmp_path / "spec.ckpt.h5")
+    _fit().run(nburn=10, nsteps=40, checkpoint=ck, checkpoint_interval=20)
+    changed = _fit()
+    changed.set_gaussian_prior("beta", 1.9, 0.2)
+    with pytest.raises(ValueError, match="spec_fingerprint"):
+        changed.run(nburn=10, nsteps=80, checkpoint=ck,
+                    checkpoint_interval=20, resume=True)
+
+
+def test_fresh_run_overwrites_stale_checkpoint(tmp_path):
+    """A fresh (resume=False) run writing to a path that still holds an
+    old checkpoint must not adopt the old segments as a chain prefix."""
+    ck = str(tmp_path / "stale.ckpt.h5")
+    _fit(seed=1).run(nburn=10, nsteps=80, checkpoint=ck,
+                     checkpoint_interval=20)
+    fresh = _fit(seed=2).run(nburn=10, nsteps=40, checkpoint=ck,
+                             checkpoint_interval=20)
+    assert fresh.chain.shape[1] == 40
+    plain = _fit(seed=2).run(nburn=10, nsteps=40)
+    np.testing.assert_array_equal(fresh.chain, plain.chain)
+
+
+def test_run_argument_validation(tmp_path):
+    import pytest
+    fit = _fit()
+    with pytest.raises(ValueError, match="thin=0"):
+        fit.run(nburn=2, nsteps=10, thin=0)
+    with pytest.raises(ValueError, match="requires checkpoint"):
+        fit.run(nburn=2, nsteps=10, resume=True)
+    # p0 combined with an ACTUAL resume is ambiguous
+    ck = str(tmp_path / "p0.ckpt.h5")
+    fit2 = _fit()
+    fit2.run(nburn=5, nsteps=20, checkpoint=ck, checkpoint_interval=10)
+    p0 = np.asarray(fit2.chain_free)[-1]
+    with pytest.raises(ValueError, match="p0"):
+        _fit().run(nburn=5, nsteps=40, p0=p0, checkpoint=ck, resume=True)

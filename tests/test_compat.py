@@ -47,6 +47,19 @@ def test_upstream_fit_and_results_flow(photfile, tmp_path):
                                rtol=1e-6)
 
 
+def test_upstream_positional_order(photfile):
+    """Upstream positional calls put nthreads in slot 8; it must bind to
+    nthreads (ignored), never to redshift."""
+    fit = mbb_fitter(64, photfile, None, 0, 500.0, False, True, 4)
+    assert fit.redshift is None
+    fit2 = mbb_fitter(64, photfile, None, 0, 500.0, False, True, 4, 2.5)
+    assert fit2.redshift == 2.5
+    # The native class refuses the ambiguity outright.
+    from mbb_emcee_tpu import MBBFitter
+    with pytest.raises(TypeError):
+        MBBFitter(64, photfile, None, 0, 500.0, False, True, 4)
+
+
 def test_cosmo_type_keyword(photfile):
     fit = mbb_fitter(nwalkers=32, photfile=photfile, redshift=1.5,
                      opthin=True, noalpha=True, seed=3)

@@ -291,3 +291,22 @@ def test_h5_cosmology_precedence(tmp_path, small_fit):
     explicit = MBBResults(h5file=path, cosmology="WMAP9")
     assert explicit.cosmology_name == "WMAP9"
     assert explicit._cosmo.H0 == Cosmology.named("WMAP9").H0
+
+
+def test_h5_custom_cosmology_roundtrip(tmp_path, small_fit):
+    """A custom (unnamed) Cosmology must survive the HDF5 round-trip
+    instead of silently degrading to the WMAP9 default on reload."""
+    from mbb_emcee_tpu.models.cosmology import Cosmology
+    custom = Cosmology(H0=63.0, Om0=0.35)
+    res = MBBResults(fit=small_fit, redshift=2.0, cosmology=custom)
+    lir = res.compute_lir(thin=16).copy()
+    path = str(tmp_path / "custom_cosmo.h5")
+    res.writeToHDF5(path)
+
+    back = MBBResults(h5file=path)
+    assert back.cosmology_name is None
+    assert back._cosmo.H0 == 63.0 and back._cosmo.Om0 == 0.35
+    np.testing.assert_allclose(back.compute_lir(thin=16), lir, rtol=1e-6)
+    # an explicit constructor choice still wins over the stored one
+    named = MBBResults(h5file=path, cosmology="WMAP9")
+    assert named.cosmology_name == "WMAP9"

@@ -186,3 +186,25 @@ def test_run_mcmc_segments_past_rec_cap():
     np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
     np.testing.assert_array_equal(np.asarray(sa.position),
                                   np.asarray(sb.position))
+
+
+def test_zero_uniform_does_not_accept_out_of_box():
+    """An acceptance uniform of exactly 0 (possible in fp32) must not
+    accept an out-of-box proposal: log(0) = -inf compares below even the
+    finite LNPROB_FLOOR, which is how emcee's true -inf floor behaves
+    (-inf < -inf is False)."""
+    from mbb_emcee_tpu.sampler import stretch_half_step_from_uniforms
+    from mbb_emcee_tpu.likelihood import LNPROB_FLOOR
+
+    def lnprob(x):   # support is x0 <= 1
+        return jnp.where(x[:, 0] <= 1.0, 0.0, LNPROB_FLOOR)
+
+    active = jnp.ones((4, 1))
+    passive = jnp.full((4, 1), 0.9)
+    # u3[0]=1 -> z=2 -> proposal 0.9 + 2*0.1 = 1.1 (out of box);
+    # u3[2]=0 -> log(0) = -inf would accept without the support guard.
+    u3 = jnp.stack([jnp.ones(4), jnp.zeros(4), jnp.zeros(4)])
+    new, lnp, acc = stretch_half_step_from_uniforms(
+        u3, active, passive, lnprob(active), lnprob)
+    assert not bool(jnp.any(acc))
+    assert float(jnp.max(new)) <= 1.0
