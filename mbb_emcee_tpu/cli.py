@@ -185,15 +185,19 @@ def _uplim_mask(specs, nbands, band_names):
     import numpy as np
     mask = np.zeros(nbands, bool)
     for b in specs:
-        try:
-            i = int(b)
-        except ValueError:
-            if band_names is None or b not in band_names:
+        # NAME match first: photometry band names are often numeric
+        # ('850', '450' for SCUBA-2), and int-first parsing would make
+        # those bands unaddressable by name.
+        if band_names is not None and b in band_names:
+            i = band_names.index(b)
+        else:
+            try:
+                i = int(b)
+            except ValueError:
                 known = ", ".join(band_names) if band_names else "none"
                 raise SystemExit(
                     f"--phot-uplim {b!r}: unknown band name "
                     f"(known: {known}); use a 0-based index instead")
-            i = band_names.index(b)
         if not 0 <= i < nbands:
             raise SystemExit(f"--phot-uplim {b}: index out of range "
                              f"(have {nbands} bands)")
@@ -215,6 +219,8 @@ def main(argv=None):
             args.responsefile, dir=args.responsedir,
             photon_counter=args.photon_counter)
     elif args.builtin_responses:
+        # Peek at the band-name column only (the fitter re-reads the
+        # photometry as the canonical parse; names are all we need here).
         from mbb_emcee_tpu.likelihood import Photometry
         names = Photometry.from_file(args.photfile).band_names
         if names is None:

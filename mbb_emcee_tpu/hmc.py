@@ -182,17 +182,29 @@ def hmc_core(key, lnprob, lower, width, u0, nwarmup, nsteps, thin,
     mass0 = jnp.ones((nfree,), dtype)
     eps0 = jnp.asarray(0.1, dtype)
 
-    # Phase A: unit metric; adapt eps, estimate u-space variances.
-    na = max(int(0.6 * nwarmup), 1)
-    nb = max(nwarmup - na, 1)
-    key, u, g, lp, raw, eps_a, var = warmup_phase(
-        key, u, g, lp, raw, mass0, eps0, na, collect=True)
-    # Phase B: mass = 1/var (metric ~ inverse posterior covariance), so
-    # momenta p ~ N(0, mass) give position updates eps * var * p with the
-    # posterior's per-dimension scales; re-adapt eps under the new metric.
-    mass = 1.0 / var
-    key, u, g, lp, raw, eps_b, _ = warmup_phase(
-        key, u, g, lp, raw, mass, eps_a, nb, collect=False)
+    if nwarmup <= 0:
+        # Honor "no warmup" literally: fixed eps0 + unit mass (for users
+        # supplying pre-tuned expectations), instead of silently running
+        # 2 noisy adaptation steps.
+        eps_b, mass = eps0, mass0
+    elif nwarmup < 4:
+        # Too few samples for a variance-based metric; adapt eps only.
+        key, u, g, lp, raw, eps_b, _ = warmup_phase(
+            key, u, g, lp, raw, mass0, eps0, int(nwarmup), collect=False)
+        mass = mass0
+    else:
+        # Phase A: unit metric; adapt eps, estimate u-space variances.
+        na = int(0.6 * nwarmup)
+        nb = nwarmup - na
+        key, u, g, lp, raw, eps_a, var = warmup_phase(
+            key, u, g, lp, raw, mass0, eps0, na, collect=True)
+        # Phase B: mass = 1/var (metric ~ inverse posterior covariance),
+        # so momenta p ~ N(0, mass) give position updates eps * var * p
+        # with the posterior's per-dimension scales; re-adapt eps under
+        # the new metric.
+        mass = 1.0 / var
+        key, u, g, lp, raw, eps_b, _ = warmup_phase(
+            key, u, g, lp, raw, mass, eps_a, nb, collect=False)
 
     # Production at fixed (eps, mass), recording every thin-th state.
     nrec = nsteps // thin

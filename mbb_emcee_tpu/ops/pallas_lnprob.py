@@ -36,7 +36,9 @@ _MERGE_NEWTON = 2
 _TAU_BIG = 60.0
 _EXP_CUT = 25.0
 _LANE = 128
-LNPROB_FLOOR = -1e30
+# Single source of truth: the samplers' accept guard compares proposals
+# against likelihood.SUPPORT_FLOOR, which must stay above this floor.
+from mbb_emcee_tpu.likelihood import LNPROB_FLOOR  # noqa: E402
 
 
 # Mosaic (Pallas TPU) does not lower expm1/log1p; these use exp/log with a
@@ -296,13 +298,16 @@ def prepare_lnprob_inputs(phot, shape, spec, response_pack=None):
         whiten_np = np.diag(1.0 / phot.unc)
         use_chol = False
 
-    # Box limits for FREE params. Fixed params get a wide FINITE box (the
-    # kernel uses the same rows for both the in-box check and the NaN-safety
-    # clip, so the bounds must stay finite) -- the template value always
-    # passes.
+    # Box limits for FREE params. Fixed params get a FINITE window
+    # CENTERED ON THE FIXED VALUE (the kernel uses the same rows for both
+    # the inclusive in-box check and the NaN-safety clip, so the bounds
+    # must stay finite AND contain the value -- a hardcoded [1e-6, 1e30]
+    # window floored lnprob for fix_param('alpha', 0.0) while the XLA
+    # backend accepted it).
+    fv = np.asarray(spec.fixed_values, np.float64)
     lim = np.zeros((2, 8), np.float32)
-    lim[0, :NPARAMS] = np.where(spec.fixed, 1e-6, spec.lower)
-    lim[1, :NPARAMS] = np.where(spec.fixed, 1e30, spec.upper)
+    lim[0, :NPARAMS] = np.where(spec.fixed, fv - 1.0, spec.lower)
+    lim[1, :NPARAMS] = np.where(spec.fixed, fv + 1.0, spec.upper)
     pri = np.zeros((2, 8), np.float32)
     pri[0, :NPARAMS] = spec.prior_mean
     pri[1, :NPARAMS] = spec.prior_isigma

@@ -388,8 +388,12 @@ class FusedMultiPallasSampler:
             jnp.float32)
 
         lim = np.zeros((2, 8), np.float32)
-        lim[0, :NPARAMS] = np.where(spec.fixed, 1e-6, spec.lower)
-        lim[1, :NPARAMS] = np.where(spec.fixed, 1e30, spec.upper)
+        # Fixed params: finite window CENTERED ON THE FIXED VALUE (see
+        # prepare_lnprob_inputs -- a value-independent window floors
+        # lnprob for fixed values outside it, e.g. alpha fixed at 0).
+        fv = np.asarray(spec.fixed_values, np.float64)
+        lim[0, :NPARAMS] = np.where(spec.fixed, fv - 1.0, spec.lower)
+        lim[1, :NPARAMS] = np.where(spec.fixed, fv + 1.0, spec.upper)
         pri = np.zeros((2, 8), np.float32)
         pri[0, :NPARAMS] = spec.prior_mean
         pri[1, :NPARAMS] = spec.prior_isigma

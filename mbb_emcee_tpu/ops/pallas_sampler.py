@@ -273,8 +273,9 @@ class FusedPallasSampler:
     # -- layout helpers -------------------------------------------------------
     def _pack_half(self, pos_half, lnp_half, acc_half):
         """(half, nfree) free positions + (half,) lnp/acc -> packed (8, wp)
-        block. Pad lanes replicate walker 0 (they must stay finite through
-        the kernel's matmul gather)."""
+        block. Pad lanes replicate the LAST walker of the half (jnp.pad
+        mode='edge'; they only need to stay finite through the kernel's
+        matmul gather and are sliced off at unpack)."""
         template = self.np_consts["template"]
         scatter = self.np_consts["scatter"]
         full = template[None, :] + pos_half @ scatter.T        # (half, 5)
@@ -401,6 +402,10 @@ class FusedPallasSampler:
             raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
         if nsteps <= 0:
             raise ValueError("nsteps must be positive")
+        if uniforms is not None and self.rng != "external":
+            raise ValueError(
+                "uniforms= requires rng='external'; the hardware-PRNG "
+                "sampler would silently ignore the provided stream")
         nrecord = nsteps // thin
         c = self.consts
         cargs = (c["limits"], c["priors"], c["flux"], c["whiten"],

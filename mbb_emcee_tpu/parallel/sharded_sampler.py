@@ -26,7 +26,7 @@ from mbb_emcee_tpu.sampler import SamplerState
 
 
 def _sharded_half_step(key_rep, active, passive, lnp_active, lnprob_batch,
-                       a, ndim_free):
+                       a):
     """Update the local shard of one half against the gathered other half.
     Runs INSIDE shard_map; `active`/`passive`/`lnp_active` are local blocks,
     `key_rep` is the replicated per-step key."""
@@ -45,8 +45,11 @@ class ShardedEnsembleSampler:
     """Same sampling semantics as sampler.EnsembleSampler, walker axis
     sharded over `mesh`. nwalkers/2 must divide the mesh size."""
 
+    # Record cap of the single compiled run program (see _get_run).
+    REC_CAP = 512
+
     def __init__(self, nwalkers: int, ndim: int, lnprob_fn, mesh: Mesh,
-                 a: float = 2.0, dtype=jnp.float32):
+                 a: float = 2.0, dtype=jnp.float32, rec_cap=None):
         ndev = mesh.devices.size
         if nwalkers % 2:
             raise ValueError("nwalkers must be even")
@@ -65,7 +68,9 @@ class ShardedEnsembleSampler:
             self.lnprob_batch = lnprob_fn
         else:
             self.lnprob_batch = jax.vmap(lnprob_fn)
-        self._run_cache = {}
+        self.rec_cap = int(rec_cap) if rec_cap else self.REC_CAP
+        self._run_dyn = None
+        self.trace_count = 0
 
         self._half_sharding = NamedSharding(mesh, P(WALKER_AXIS, None))
         self._lnp_sharding = NamedSharding(mesh, P(WALKER_AXIS))
@@ -85,6 +90,11 @@ class ShardedEnsembleSampler:
         pos_b = jax.device_put(p0[half:], self._half_sharding)
         zeros_half = jax.device_put(jnp.zeros(half, jnp.int32),
                                     self._lnp_sharding)
+        # Replicate the key over the mesh NOW: the mesh's explicit axis
+        # types put shardings in the jit trace signature, so a single-
+        # device fresh key vs the mesh-replicated key a run returns would
+        # cost one extra trace+compile of the run program.
+        key = jax.device_put(key, NamedSharding(self.mesh, P()))
         # naccept is kept as a (half_a, half_b) TUPLE so the counters stay
         # shard-resident (a concatenated view would need cross-shard
         # slicing at every dispatch).
@@ -101,75 +111,122 @@ class ShardedEnsembleSampler:
             nsteps=jnp.zeros_like(state.nsteps))
 
     # -- run --------------------------------------------------------------------
-    def _make_run(self, nrecord: int, thin: int, record: bool):
-        a, ndim = self.a, self.ndim
+    def _get_run(self):
+        """ONE compiled shard_map program serves every (nsteps, thin)
+        geometry: record count and thin factor are traced replicated
+        scalars driving dynamic-bound fori_loops over rec_cap-record
+        preallocated SHARD-LOCAL chain buffers -- the same capped-grid
+        treatment EnsembleSampler._get_run got (per-geometry recompiles
+        cost 1-400 s each over this environment's TPU tunnel, and a
+        standard run() dispatches at least three geometries)."""
+        if self._run_dyn is not None:
+            return self._run_dyn
+        a = self.a
         lnprob_batch = self.lnprob_batch
-        half = self.nwalkers // 2
+        rec_cap = self.rec_cap
 
-        def body(key, pos_a, pos_b, lnp_a, lnp_b, nacc_a, nacc_b):
-            # Everything below sees LOCAL walker blocks.
-            def one_step(carry, _unused):
+        def body(nrec, thin, key, pos_a, pos_b, lnp_a, lnp_b,
+                 nacc_a, nacc_b):
+            # Everything below sees LOCAL walker blocks. Constant-
+            # initialized buffers must be marked device-varying so the
+            # fori_loop carry keeps a stable vma type across iterations.
+            def vary(x):
+                return jax.lax.pcast(x, (WALKER_AXIS,), to="varying")
+
+            half_loc = pos_a.shape[0]
+            chain_a = vary(jnp.zeros((rec_cap, half_loc, self.ndim),
+                                     self.dtype))
+            chain_b = vary(jnp.zeros((rec_cap, half_loc, self.ndim),
+                                     self.dtype))
+            lnpc_a = vary(jnp.zeros((rec_cap, half_loc), self.dtype))
+            lnpc_b = vary(jnp.zeros((rec_cap, half_loc), self.dtype))
+
+            def one_step(i, carry):
                 key, pa, pb, la, lb, na, nb = carry
                 key, k0, k1 = jax.random.split(key, 3)
                 pa, la, acc_a = _sharded_half_step(
-                    k0, pa, pb, la, lnprob_batch, a, ndim)
+                    k0, pa, pb, la, lnprob_batch, a)
                 pb, lb, acc_b = _sharded_half_step(
-                    k1, pb, pa, lb, lnprob_batch, a, ndim)
+                    k1, pb, pa, lb, lnprob_batch, a)
                 return (key, pa, pb, la, lb,
                         na + acc_a.astype(jnp.int32),
-                        nb + acc_b.astype(jnp.int32)), None
+                        nb + acc_b.astype(jnp.int32))
 
-            def record_block(carry, _unused):
-                carry, _ = jax.lax.scan(one_step, carry, None, length=thin)
-                _, pa, pb, la, lb, _, _ = carry
-                return carry, (pa, pb, la, lb)
+            def record(r, carry):
+                inner, ca, cb, lca, lcb = carry
+                inner = jax.lax.fori_loop(0, thin, one_step, inner)
+                _, pa, pb, la, lb, _, _ = inner
+                ca = jax.lax.dynamic_update_index_in_dim(ca, pa, r, 0)
+                cb = jax.lax.dynamic_update_index_in_dim(cb, pb, r, 0)
+                lca = jax.lax.dynamic_update_index_in_dim(lca, la, r, 0)
+                lcb = jax.lax.dynamic_update_index_in_dim(lcb, lb, r, 0)
+                return inner, ca, cb, lca, lcb
 
-            carry = (key, pos_a, pos_b, lnp_a, lnp_b, nacc_a, nacc_b)
-            if record:
-                carry, (ca, cb, la_c, lb_c) = jax.lax.scan(
-                    record_block, carry, None, length=nrecord)
-            else:
-                carry, _ = jax.lax.scan(one_step, carry, None,
-                                        length=nrecord * thin)
-                ca = cb = la_c = lb_c = jnp.zeros((0,), jnp.float32)
-            key, pa, pb, la, lb, na, nb = carry
-            return key, pa, pb, la, lb, na, nb, ca, cb, la_c, lb_c
+            inner = (key, pos_a, pos_b, lnp_a, lnp_b, nacc_a, nacc_b)
+            inner, chain_a, chain_b, lnpc_a, lnpc_b = jax.lax.fori_loop(
+                0, nrec, record,
+                (inner, chain_a, chain_b, lnpc_a, lnpc_b))
+            key, pa, pb, la, lb, na, nb = inner
+            return key, pa, pb, la, lb, na, nb, chain_a, chain_b, \
+                lnpc_a, lnpc_b
 
         w = P(WALKER_AXIS, None)
         v = P(WALKER_AXIS)
         cw = P(None, WALKER_AXIS, None)
         cv = P(None, WALKER_AXIS)
-        chain_specs = (cw, cw, cv, cv) if record else (P(), P(), P(), P())
-        return jax.jit(jax.shard_map(
+        fn = jax.shard_map(
             body, mesh=self.mesh,
-            in_specs=(P(), w, w, v, v, v, v),
-            out_specs=(P(), w, w, v, v, v, v) + chain_specs))
+            in_specs=(P(), P(), P(), w, w, v, v, v, v),
+            out_specs=(P(), w, w, v, v, v, v, cw, cw, cv, cv))
+
+        def traced_run(nrec, thin, *args):
+            self.trace_count += 1
+            return fn(nrec, thin, *args)
+
+        self._run_dyn = jax.jit(traced_run)
+        return self._run_dyn
 
     def _dispatch(self, state: SamplerState, nrecord, thin, record):
-        key = (nrecord, thin, record)
-        if key not in self._run_cache:
-            self._run_cache[key] = self._make_run(nrecord, thin, record)
+        run = self._get_run()
         nacc_a, nacc_b = state.naccept
-        (k, pa, pb, la, lb, na, nb, ca, cb, lca, lcb) = self._run_cache[key](
-            state.key, state.pos_a, state.pos_b, state.lnp_a, state.lnp_b,
-            nacc_a, nacc_b)
+        chains, lnps = [], []
+        done = 0
+        k, pa, pb, la, lb = (state.key, state.pos_a, state.pos_b,
+                             state.lnp_a, state.lnp_b)
+        while True:
+            n = min(self.rec_cap, nrecord - done)
+            (k, pa, pb, la, lb, nacc_a, nacc_b, ca, cb, lca, lcb) = run(
+                jnp.asarray(n, jnp.int32), jnp.asarray(thin, jnp.int32),
+                k, pa, pb, la, lb, nacc_a, nacc_b)
+            if record:
+                chains.append(jnp.concatenate([ca[:n], cb[:n]], axis=1))
+                lnps.append(jnp.concatenate([lca[:n], lcb[:n]], axis=1))
+            done += n
+            if done >= nrecord:
+                break
         new_state = SamplerState(
             key=k, pos_a=pa, pos_b=pb, lnp_a=la, lnp_b=lb,
-            naccept=(na, nb),
+            naccept=(nacc_a, nacc_b),
             nsteps=state.nsteps + nrecord * thin)
         if record:
-            chain = jnp.concatenate([ca, cb], axis=1)
-            lnpchain = jnp.concatenate([lca, lcb], axis=1)
+            chain = (chains[0] if len(chains) == 1
+                     else jnp.concatenate(chains, axis=0))
+            lnpchain = (lnps[0] if len(lnps) == 1
+                        else jnp.concatenate(lnps, axis=0))
             return new_state, chain, lnpchain
         return new_state, None, None
 
     def run_mcmc(self, state: SamplerState, nsteps: int, thin: int = 1):
         if nsteps % thin:
             raise ValueError("nsteps must be divisible by thin")
+        if nsteps <= 0:
+            raise ValueError("nsteps must be positive")
         return self._dispatch(state, nsteps // thin, thin, record=True)
 
     def advance(self, state: SamplerState, nsteps: int) -> SamplerState:
-        state, _, _ = self._dispatch(state, nsteps, 1, record=False)
+        """Advance without recording (burn-in): the same single compiled
+        program, one record of `nsteps` thinned-away updates."""
+        state, _, _ = self._dispatch(state, 1, nsteps, record=False)
         return state
 
     @staticmethod

@@ -159,3 +159,29 @@ def test_pallas_uplim_cov_unsupported():
     spec = dataclasses.replace(spec, uplim_bands=ul)
     with _pytest.raises(NotImplementedError):
         build_pallas_lnprob(phot, shape, spec, interpret=True)
+
+
+def test_pallas_fixed_param_at_zero_matches_xla():
+    """A parameter FIXED at a value outside the old hardcoded
+    [1e-6, 1e30] placeholder window (e.g. alpha = 0) must not floor the
+    Pallas lnprob: fixed values define their own box window."""
+    phot = _phot()
+    shape = MBBShape()
+    spec = LikelihoodSpec.default()
+    spec.fixed[3] = True
+    spec.fixed_values[3] = 0.0           # alpha pinned at 0
+    lnp_xla, fs = build_lnprob(phot, shape, spec)
+    lnp_pal, fs2 = build_pallas_lnprob(phot, shape, spec, interpret=True)
+    np.testing.assert_array_equal(fs.free_idx, fs2.free_idx)
+    rng = np.random.default_rng(5)
+    th = (TRUE[fs.free_idx][None, :]
+          * rng.uniform(0.9, 1.1, (16, fs.nfree))).astype(np.float32)
+    ref = np.asarray(jax.vmap(lnp_xla)(jnp.asarray(th)), np.float64)
+    got = np.asarray(lnp_pal(jnp.asarray(th)), np.float64)
+    assert np.all(ref > LNPROB_FLOOR / 2) and np.all(got > LNPROB_FLOOR / 2)
+    # alpha = 0 puts the Wien merge root AT the SED peak (zero slope ->
+    # double root), where both backends' fp32 fixed-iteration solves lose
+    # precision differently; parity is loose here by construction. The
+    # bug under test is the FLOOR (old kernels returned -1e30), asserted
+    # strictly above.
+    np.testing.assert_allclose(got, ref, rtol=8e-2, atol=5e-2)

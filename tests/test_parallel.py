@@ -152,3 +152,19 @@ def test_mbbfitter_mesh_end_to_end():
     fit2.set_data(wave, flux, unc)
     with pytest.raises(ValueError):
         fit2.run(nburn=2, nsteps=4)
+
+
+def test_sharded_single_trace_across_geometries():
+    """One compiled shard_map program serves every (nburn, nsteps, thin)
+    geometry (the capped dynamic-length treatment EnsembleSampler got):
+    per-geometry recompiles cost 1-400 s each over the TPU tunnel."""
+    mesh = walker_mesh()
+    s = ShardedEnsembleSampler(16, NDIM, _lnprob, mesh)
+    p0 = make_initial_ball(jax.random.PRNGKey(0), MEAN, 0.3 * SIG, 16)
+    state = s.init_state(jax.random.PRNGKey(1), p0)
+    state = s.advance(state, 7)
+    state, c1, _ = s.run_mcmc(state, 12, thin=3)
+    state = s.advance(state, 3)
+    state, c2, _ = s.run_mcmc(state, 10, thin=2)
+    assert c1.shape == (4, 16, NDIM) and c2.shape == (5, 16, NDIM)
+    assert s.trace_count == 1
