@@ -21,6 +21,13 @@ from mbb_emcee_tpu.sampler import SamplerState
 _VERSION = 2
 
 
+def _segment_order(group):
+    """Segment names ordered by their integer suffix: lexicographic sort
+    would splice seg100000 before seg99999 once the zero padding is
+    exhausted -- silently scrambled chain order."""
+    return sorted(group, key=lambda n: int(n[3:]))
+
+
 def new_run_id() -> str:
     """Unique id tying a checkpoint file's segments to ONE run: a fresh
     run flushing to a path that still holds an unrelated old checkpoint
@@ -32,14 +39,18 @@ def new_run_id() -> str:
 def _write_segments(f, prev_path, chain_blocks, lnp_blocks, axis):
     """Flush chain/lnp blocks as APPEND-ONLY segments.
 
-    Naively re-concatenating and re-gzipping the whole accumulated chain
-    on every checkpoint interval is O(n^2) total I/O over a long run.
-    Instead the already-flushed records are copied RAW from the previous
-    checkpoint file (h5py Group.copy -> H5Ocopy moves compressed chunks
-    without re-filtering) and only records beyond them are gzipped, so
-    each flush costs O(new segment). Layout: /Segments/segNNNNN/{Chain,
-    Lnp}; the version-1 single ChainSoFar dataset is adopted as the
-    first segment when resuming from an old file."""
+    Naively re-concatenating and re-GZIPPING the whole accumulated chain
+    on every checkpoint interval dominates long runs. Instead the
+    already-flushed records are copied RAW from the previous checkpoint
+    file (h5py Group.copy -> H5Ocopy moves compressed chunks without
+    re-filtering) and only records beyond them are compressed: the
+    expensive gzip work is O(new segment) per flush. The raw byte copy
+    is still O(total-so-far) per flush (the atomic tmp+rename protocol
+    rewrites one self-contained file); at HDF5 raw-copy bandwidth that
+    is cheap for any chain that fits this problem (tens of MB-GB) --
+    a per-segment-file manifest would make it O(new) outright at the
+    cost of multi-file checkpoints. Layout: /Segments/segNNNNN/{Chain,
+    Lnp}, ordered by the integer suffix."""
     segs = f.create_group("Segments")
     nseg = 0
     nrec_prev = 0
@@ -56,7 +67,7 @@ def _write_segments(f, prev_path, chain_blocks, lnp_blocks, axis):
                         or str(prev_id) != str(run_id)):
                     raise OSError("different run; flush fresh")
                 if "Segments" in prev:
-                    for name in sorted(prev["Segments"]):
+                    for name in _segment_order(prev["Segments"]):
                         prev.copy(prev["Segments"][name], segs, name=name)
                         nrec_prev += segs[name]["Chain"].shape[axis]
                         nseg += 1
@@ -95,7 +106,7 @@ def _read_segments(f, axis):
     """(chain, lnp) concatenated from v2 segments or the v1 datasets;
     (None, None) if nothing was flushed."""
     if "Segments" in f and len(f["Segments"]):
-        names = sorted(f["Segments"])
+        names = _segment_order(f["Segments"])
         chain = np.concatenate(
             [np.asarray(f["Segments"][n]["Chain"]) for n in names],
             axis=axis)

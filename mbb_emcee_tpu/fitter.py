@@ -361,6 +361,11 @@ class MBBFitter(ParamSpaceMixin):
                  # splice chains from two different targets.
                  "spec_fingerprint": spec_fp},
                 checkpoint)
+            if self._backend_used == "sharded":
+                # Host-loaded arrays are unsharded; re-applying the
+                # init layout avoids an extra trace+compile of the
+                # sharded run program (explicit-sharding avals).
+                state = sampler.shard_state(state)
             self.burn_chain_free = None
         else:
             key = jax.random.key(self.seed, impl=self.prng_impl)

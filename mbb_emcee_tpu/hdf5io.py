@@ -49,13 +49,21 @@ def _write_results(f, res):
     f.attrs["cosmology"] = (res.cosmology_name or "").encode()
     # Numeric cosmology parameters ride along so a CUSTOM Cosmology
     # object (no name) survives the round-trip instead of silently
-    # degrading to the WMAP9 default on reload.
+    # degrading to the WMAP9 default on reload. Best-effort: a
+    # duck-typed cosmology (anything exposing luminosity_distance but
+    # not these attributes) must not make persistence fail.
     cosmo = getattr(res, "_cosmo", None)
     if cosmo is not None:
-        f.attrs["cosmology_H0"] = float(cosmo.H0)
-        f.attrs["cosmology_Om0"] = float(cosmo.Om0)
-        f.attrs["cosmology_Ol0"] = (np.nan if cosmo.Ol0 is None
-                                    else float(cosmo.Ol0))
+        try:
+            h0, om0 = float(cosmo.H0), float(cosmo.Om0)
+            ol0 = getattr(cosmo, "Ol0", None)
+            ol0 = np.nan if ol0 is None else float(ol0)
+        except (AttributeError, TypeError, ValueError):
+            pass
+        else:
+            f.attrs["cosmology_H0"] = h0
+            f.attrs["cosmology_Om0"] = om0
+            f.attrs["cosmology_Ol0"] = ol0
 
     f.create_dataset("Chain", data=np.asarray(res.chain, np.float32),
                      compression="gzip", compression_opts=4)

@@ -481,8 +481,12 @@ class MultiFitter(ParamSpaceMixin):
         if checkpoint is not None:
             from mbb_emcee_tpu.checkpoint import (
                 data_fingerprint, spec_fingerprint)
+            # Fingerprint the RAW user spec (as MBBFitter.run does): the
+            # effective spec embeds _init values for shape-dropped params
+            # that never enter the likelihood, and hashing those would
+            # spuriously refuse a resume after a harmless init tweak.
             data_fp = data_fingerprint(self.wave, self.flux, self.unc)
-            spec_fp = spec_fingerprint(spec, self.shape, self.a)
+            spec_fp = spec_fingerprint(self._spec, self.shape, self.a)
         prev_chain = prev_lnp = None
         resume_run_id = None
         if resuming:

@@ -110,6 +110,26 @@ class ShardedEnsembleSampler:
             naccept=jax.tree.map(jnp.zeros_like, state.naccept),
             nsteps=jnp.zeros_like(state.nsteps))
 
+    def shard_state(self, state: SamplerState) -> SamplerState:
+        """Re-apply init_state's sharding layout to a host-loaded state
+        (checkpoint resume): feeding unsharded arrays into the run would
+        pay an extra trace+compile (explicit-sharding avals) -- exactly
+        the cost the single-program design exists to avoid."""
+        nacc_a, nacc_b = state.naccept
+        put_h = lambda x: jax.device_put(jnp.asarray(x, self.dtype),
+                                         self._half_sharding)
+        put_vf = lambda x: jax.device_put(jnp.asarray(x, self.dtype),
+                                          self._lnp_sharding)
+        put_vi = lambda x: jax.device_put(jnp.asarray(x, jnp.int32),
+                                          self._lnp_sharding)
+        return SamplerState(
+            key=jax.device_put(state.key,
+                               NamedSharding(self.mesh, P())),
+            pos_a=put_h(state.pos_a), pos_b=put_h(state.pos_b),
+            lnp_a=put_vf(state.lnp_a), lnp_b=put_vf(state.lnp_b),
+            naccept=(put_vi(nacc_a), put_vi(nacc_b)),
+            nsteps=state.nsteps)
+
     # -- run --------------------------------------------------------------------
     def _get_run(self):
         """ONE compiled shard_map program serves every (nsteps, thin)

@@ -168,3 +168,40 @@ def test_sharded_single_trace_across_geometries():
     state, c2, _ = s.run_mcmc(state, 10, thin=2)
     assert c1.shape == (4, 16, NDIM) and c2.shape == (5, 16, NDIM)
     assert s.trace_count == 1
+
+
+def test_mesh_checkpoint_resume_bitwise():
+    """Checkpoint/resume through the SHARDED backend: the resumed chain
+    is bitwise-identical to an uninterrupted checkpointed run, and the
+    host-loaded state is re-sharded (shard_state) rather than paying an
+    extra trace."""
+    import tempfile, os
+    from mbb_emcee_tpu import MBBFitter
+    from mbb_emcee_tpu.models.modified_blackbody import mbb_fnu, MBBShape
+
+    true = np.array([30.0, 2.0, 250.0, 3.2, 50.0])
+    wave = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
+    f = np.asarray(mbb_fnu(jnp.asarray(true, jnp.float32),
+                           jnp.asarray(wave, jnp.float32), MBBShape()),
+                   np.float64)
+    unc = 0.05 * f
+    flux = f + unc * np.random.default_rng(0).standard_normal(5)
+
+    def fit():
+        m = MBBFitter(nwalkers=16, seed=11, mesh=walker_mesh(8))
+        m.set_data(wave, flux, unc)
+        return m
+
+    with tempfile.TemporaryDirectory() as d:
+        ck1 = os.path.join(d, "full.ckpt.h5")
+        full = fit().run(nburn=10, nsteps=60, checkpoint=ck1,
+                         checkpoint_interval=20)
+        full_chain = np.asarray(full.chain)
+
+        ck2 = os.path.join(d, "part.ckpt.h5")
+        fit().run(nburn=10, nsteps=20, checkpoint=ck2,
+                  checkpoint_interval=20)
+        resumed = fit().run(nburn=10, nsteps=60, checkpoint=ck2,
+                            checkpoint_interval=20, resume=True)
+        np.testing.assert_array_equal(np.asarray(resumed.chain),
+                                      full_chain)
