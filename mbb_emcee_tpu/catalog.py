@@ -14,7 +14,9 @@ which is exactly the batch axis MultiFitter puts on the device
     ...
 
 One source per row: identifier, redshift (``nan`` if unknown), then
-(flux, unc) mJy pairs in the ``wave`` order. The optional ``bands`` row
+(flux, unc) mJy pairs in the ``wave`` order. A ``nan nan`` pair marks a
+MISSING band for that source (ragged surveys: not every source is
+observed in every band) -- it carries zero likelihood weight. The optional ``bands`` row
 names each column for instrument-response mode (the names resolve
 against a filter list file or the built-in instrument library,
 response.py). The optional ``uplims`` row flags bands whose flux column
@@ -112,8 +114,13 @@ def read_catalog(path):
             f"{path}: {uplim_bands.size} uplim flags for {wave.size} bands")
     data = np.asarray(rows, np.float64).reshape(len(rows), wave.size, 2)
     flux, unc = data[:, :, 0], data[:, :, 1]
-    if np.any(unc <= 0):
-        bad = names[int(np.argwhere(np.any(unc <= 0, axis=1))[0, 0])]
+    # 'nan nan' (or 'nan <anything>') pairs mark MISSING bands -- ragged
+    # catalogs where not every source is detected in every band;
+    # MultiFitter.set_data carries them as zero-weight slots.
+    present = np.isfinite(flux) & np.isfinite(unc)
+    if np.any((unc <= 0) & present):
+        bad = names[int(np.argwhere(
+            np.any((unc <= 0) & present, axis=1))[0, 0])]
         raise ValueError(f"{path}: non-positive uncertainty (source {bad})")
     return Catalog(names=names,
                    redshifts=np.asarray(redshifts, np.float64),

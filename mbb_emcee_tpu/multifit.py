@@ -166,6 +166,14 @@ class MultiFitter(ParamSpaceMixin):
                  redshifts=None):
         """wave: (nb,) shared wavelengths (um); flux/unc: (S, nb) mJy.
 
+        MISSING bands (real catalogs are ragged -- not every source is
+        detected in every band) are flagged with a NaN flux or a
+        non-finite uncertainty in that slot: the band is carried as
+        (flux=0, unc=inf), so its inverse uncertainty is exactly 0 and it
+        contributes nothing to that source's likelihood (or its
+        gradient) in any backend, while the batch keeps one static
+        (S, nb) shape for the single compiled program.
+
         `source_names` ((S,) catalog identifiers) and `redshifts` ((S,)
         per-source z) are optional metadata: names label the summary /
         HDF5 output, and a stored redshift vector becomes the default for
@@ -177,7 +185,16 @@ class MultiFitter(ParamSpaceMixin):
         if flux.shape != unc.shape or flux.shape[1] != wave.size:
             raise ValueError(
                 f"flux {flux.shape} / unc {unc.shape} must be (S, {wave.size})")
-        if np.any(unc <= 0):
+        missing = ~np.isfinite(flux) | ~np.isfinite(unc)
+        if missing.any():
+            flux = np.where(missing, 0.0, flux)
+            unc = np.where(missing, np.inf, unc)
+            if missing.all(axis=1).any():
+                bad = int(np.argwhere(missing.all(axis=1))[0, 0])
+                raise ValueError(
+                    f"source index {bad} has no bands at all (every "
+                    f"flux/unc pair is missing)")
+        if np.any(unc[~missing] <= 0):
             raise ValueError("uncertainties must be positive")
         self.wave, self.flux, self.unc = wave, flux, unc
         self.band_names = band_names

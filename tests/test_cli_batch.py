@@ -298,3 +298,18 @@ def test_summary_table_error_bar_order():
     table = _summary_table(mf)
     cen = mf.par_cen("T")
     assert f"+{cen[0, 1]:.3g}/-{cen[0, 2]:.3g}" in table
+
+
+def test_catalog_missing_band_pairs(tmp_path):
+    """'nan nan' pairs mark missing bands; they parse and fit (zero
+    likelihood weight) instead of erroring."""
+    p = tmp_path / "ragged.txt"
+    p.write_text("wave = 160 250 500\n"
+                 "S0 2.0 30.0 1.5 45.0 2.2 22.0 1.1\n"
+                 "S1 1.5 28.0 1.4 nan nan 20.0 1.0\n")
+    cat = read_catalog(str(p))
+    assert np.isnan(cat.flux[1, 1]) and np.isnan(cat.unc[1, 1])
+    mf = MultiFitter(nwalkers=16, opthin=True, noalpha=True, seed=2)
+    mf.set_data(cat.wave, cat.flux, cat.unc, redshifts=cat.redshifts)
+    mf.run(nburn=10, nsteps=20)
+    assert np.isfinite(np.asarray(mf.lnprobability)).all()

@@ -337,3 +337,46 @@ def test_resume_requires_checkpoint_path():
         mf.set_data(WAVE, flux, unc)
         with pytest.raises(ValueError, match="checkpoint"):
             mf.run(nburn=2, nsteps=4, resume=True)
+
+
+def test_missing_bands_zero_weight():
+    """NaN flux/unc slots (missing bands) carry exactly zero likelihood
+    weight: the batched lnprob with a zeroed band equals the lnprob of
+    the reduced band set."""
+    import jax
+    from mbb_emcee_tpu.likelihood import (
+        LikelihoodSpec, build_lnprob_data)
+    from mbb_emcee_tpu.models.modified_blackbody import MBBShape
+
+    shape = MBBShape(opthin=True, noalpha=True)
+    spec = LikelihoodSpec.default()
+    lnp, fs = build_lnprob_data(shape, spec)
+    th = jnp.asarray([31.0, 1.8, 250.0, 3.5, 42.0], jnp.float32)
+
+    wave5 = jnp.asarray(WAVE, jnp.float32)
+    flux5 = jnp.asarray([10.0, 30.0, 45.0, 38.0, 22.0], jnp.float32)
+    iunc5 = jnp.asarray([0.5, 0.3, 0.0, 0.4, 0.6], jnp.float32)  # band 2 missing
+    keep = np.array([0, 1, 3, 4])
+    full = float(lnp(th, wave5, flux5, iunc5))
+    red = float(lnp(th, wave5[keep], flux5[keep], iunc5[keep]))
+    assert full == red
+
+
+def test_multifit_missing_bands_end_to_end():
+    """A ragged batch (one source missing a band) fits, stays finite,
+    and the missing band is carried as (0, inf)."""
+    flux, unc = _mock_batch(TRUES[:3])
+    flux = flux.copy(); unc = unc.copy()
+    flux[1, 2] = np.nan                       # source 1 not observed at 250um
+    mf = MultiFitter(nwalkers=32, opthin=True, noalpha=True, seed=4)
+    mf.set_data(WAVE, flux, unc)
+    assert mf.flux[1, 2] == 0.0 and np.isinf(mf.unc[1, 2])
+    mf.run(nburn=40, nsteps=120)
+    assert np.isfinite(np.asarray(mf.lnprobability)).all()
+    cen = mf.par_cen("T")
+    assert np.all(np.isfinite(cen))
+    # an entirely-missing source is rejected up front
+    allnan = flux.copy(); allnan[0, :] = np.nan
+    mf2 = MultiFitter(nwalkers=16, opthin=True, noalpha=True)
+    with pytest.raises(ValueError, match="no bands at all"):
+        mf2.set_data(WAVE, allnan, unc)
