@@ -166,7 +166,8 @@ class LikelihoodSpec:
     prior_isigma: np.ndarray   # (5,) 1/sigma, 0 disables the prior
     # Photometric upper limits: one-sided Gaussian penalty above the limit
     # for bands flagged here (flux column = limit value).
-    uplim_bands: np.ndarray | None = None  # (nbands,) bool
+    uplim_bands: np.ndarray | None = None  # (nbands,) bool; the batched
+    # serving path also accepts a per-source (S, nbands) mask
 
     @classmethod
     def default(cls):
@@ -296,6 +297,21 @@ def build_lnprob(phot: Photometry, shape: MBBShape, spec: LikelihoodSpec,
     return lnprob, free_space
 
 
+def signed_iunc(unc, uplim_bands=None):
+    """(..., nb) inverse uncertainties with NEGATIVE sign marking
+    upper-limit slots (the sign encoding build_lnprob_data's batch
+    likelihood reads). `uplim_bands` may be a shared (nb,) mask, a
+    per-source (S, nb) mask, or None; non-finite unc (missing bands)
+    maps to exactly 0 weight either way."""
+    unc = np.asarray(unc, np.float64)
+    with np.errstate(divide="ignore"):
+        iunc = np.where(np.isfinite(unc), 1.0 / unc, 0.0)
+    if uplim_bands is not None:
+        m = np.broadcast_to(np.asarray(uplim_bands, bool), iunc.shape)
+        iunc = np.where(m, -iunc, iunc)
+    return iunc
+
+
 def build_lnprob_data(shape: MBBShape, spec: LikelihoodSpec,
                       response_pack=None, dtype=jnp.float32):
     """Data-parameterized variant of build_lnprob for BATCHED multi-source
@@ -304,18 +320,14 @@ def build_lnprob_data(shape: MBBShape, spec: LikelihoodSpec,
 
     Returns (lnprob_fn, free_space) with
         lnprob_fn(theta_free (nfree,), wave (nb,), flux (nb,), iunc (nb,))
-    Diagonal errors only (iunc = 1/sigma); box/priors/fixed params are the
-    shared static `spec`, exactly as in build_lnprob.
+    Diagonal errors only; iunc is SIGNED 1/sigma (negative = that band's
+    flux is a one-sided upper limit; see signed_iunc). Box/priors/fixed
+    params are the shared static `spec`, exactly as in build_lnprob.
     """
     free_idx = spec.free_indices
     nfree = free_idx.size
     if nfree == 0:
         raise ValueError("all parameters are fixed; nothing to sample")
-    if spec.uplim_bands is not None and spec.uplim_bands.any():
-        uplim_mask = np.asarray(spec.uplim_bands.astype(np.float64), dtype)
-        det_mask = 1.0 - uplim_mask
-    else:
-        uplim_mask = det_mask = None
 
     template_np = np.where(spec.fixed, spec.fixed_values, 0.0)
     scatter_np = np.zeros((NPARAMS, nfree))
@@ -346,9 +358,15 @@ def build_lnprob_data(shape: MBBShape, spec: LikelihoodSpec,
             vals = jnp.exp(log_mbb_fnu(theta_safe, resp_waves, shape))
             model = jnp.sum(resp_weights * vals, axis=-1)
         delta = model - flux
-        if uplim_mask is not None:
-            delta = det_mask * delta + uplim_mask * jnp.maximum(delta, 0.0)
-        r = delta * iunc
+        # Sign-encoded upper limits: iunc < 0 marks a band whose flux is
+        # an upper limit for THIS source (one-sided likelihood -- only
+        # model flux ABOVE the limit is penalized); the magnitude is
+        # 1/sigma either way. Riding the sign of an existing per-source
+        # operand keeps the masks out of the compiled program: no extra
+        # operands, and one program regardless of which sources have
+        # limits (see signed_iunc).
+        delta = jnp.where(iunc < 0, jnp.maximum(delta, 0.0), delta)
+        r = delta * jnp.abs(iunc)
         lnl = -0.5 * jnp.sum(r * r)
         dp = (theta - prior_mean) * prior_isig
         lnpri = -0.5 * jnp.sum(dp * dp)

@@ -32,7 +32,8 @@ from mbb_emcee_tpu.constants import (
     PARAM_NAMES, NPARAMS, HCOK_UM_K)
 from mbb_emcee_tpu.models.modified_blackbody import MBBShape
 from mbb_emcee_tpu.likelihood import (
-    LikelihoodSpec, FreeSpace, build_lnprob_data, param_index, Photometry)
+    LikelihoodSpec, FreeSpace, build_lnprob_data, param_index, Photometry,
+    signed_iunc)
 from mbb_emcee_tpu.models.cosmology import Cosmology, luminosity_distance
 from mbb_emcee_tpu.sampler import (
     SamplerState, ensemble_step, make_initial_ball)
@@ -211,20 +212,33 @@ class MultiFitter(ParamSpaceMixin):
         return self
 
     def set_phot_upperlimits(self, mask):
-        """Flag bands whose flux column is an UPPER LIMIT (for every
-        source -- bands are shared across the batch). Mirrors
+        """Flag bands whose flux column is an UPPER LIMIT. Mirrors
         MBBFitter.set_phot_upperlimits: an upper-limit band contributes
         to the likelihood only when the model EXCEEDS the quoted flux
         (one-sided Gaussian; likelihood.py), in both the XLA and the
-        fused multi-source kernel paths."""
+        fused multi-source kernel paths.
+
+        `mask` is either (nb,) -- shared across the batch -- or a
+        PER-SOURCE (S, nb) matrix (ragged surveys where only some
+        sources' bands are limits). Either way the mask rides the SIGN
+        of the inverse-uncertainty operand (likelihood.signed_iunc), so
+        changing it never changes the compiled program."""
         from mbb_emcee_tpu.paramspace import _replace
         if self.wave is None:
             raise RuntimeError("no data; call set_data first")
         mask = np.asarray(mask, bool)
-        if mask.size != self.wave.size:
-            raise ValueError("upper-limit mask length mismatch")
+        nb = self.wave.size
+        if mask.shape not in ((nb,), (self.nsources, nb)):
+            raise ValueError(
+                f"upper-limit mask must be ({nb},) or "
+                f"({self.nsources}, {nb}); got {mask.shape}")
         self._spec = _replace(self._spec, uplim_bands=mask)
         return self
+
+    def _iunc_operand(self):
+        """(S, nb) float64 SIGNED inverse uncertainties: negative marks
+        upper-limit slots, 0 marks missing bands (signed_iunc)."""
+        return signed_iunc(self.unc, self._spec.uplim_bands)
 
     @property
     def nsources(self):
@@ -356,7 +370,7 @@ class MultiFitter(ParamSpaceMixin):
 
         wave = jnp.asarray(self.wave, jnp.float32)
         flux = jnp.asarray(self.flux, jnp.float32)
-        iunc = jnp.asarray(1.0 / self.unc, jnp.float32)
+        iunc = jnp.asarray(self._iunc_operand(), jnp.float32)
         key = jax.random.key(self.seed, impl=self.prng_impl)
         kball, kstate, krecenter = jax.random.split(key, 3)
         centers, scatters = self._init_centers()
@@ -671,7 +685,7 @@ class MultiFitter(ParamSpaceMixin):
 
         wave = jnp.asarray(self.wave, jnp.float32)
         flux = jnp.asarray(self.flux, jnp.float32)
-        iunc = jnp.asarray(1.0 / self.unc, jnp.float32)
+        iunc = jnp.asarray(self._iunc_operand(), jnp.float32)
         key = jax.random.key(self.seed, impl=self.prng_impl)
         kball, kscout, kmain = jax.random.split(key, 3)
         centers, scatters = self._init_centers()
@@ -900,7 +914,7 @@ class MultiFitter(ParamSpaceMixin):
             vary = None
 
         flux = jnp.asarray(self.flux, jnp.float32)
-        iunc = jnp.asarray(1.0 / self.unc, jnp.float32)
+        iunc = jnp.asarray(self._iunc_operand(), jnp.float32)
         key = jax.random.key(self.seed, impl=self.prng_impl)
         kball, kmain = jax.random.split(key)
         centers, scatters = self._init_centers()
@@ -1297,7 +1311,7 @@ class MultiFitter(ParamSpaceMixin):
 
         free_idx = spec.free_indices
         data = (jnp.asarray(self.flux, jnp.float32),
-                jnp.asarray(1.0 / self.unc, jnp.float32))
+                jnp.asarray(self._iunc_operand(), jnp.float32))
         key = jax.random.key(self.seed if seed is None else int(seed))
         res = nested_sample_batch(
             ll, spec.lower[free_idx], spec.upper[free_idx], key, data,
@@ -1504,6 +1518,12 @@ class _SourceView:
         self.phot = Photometry(mf.wave, mf.flux[i], mf.unc[i],
                                band_names=mf.band_names)
         self.spec = mf._effective_spec()
+        if (self.spec.uplim_bands is not None
+                and self.spec.uplim_bands.ndim == 2):
+            # per-source mask: this view carries its own row
+            from mbb_emcee_tpu.paramspace import _replace
+            self.spec = _replace(self.spec,
+                                 uplim_bands=self.spec.uplim_bands[i])
         self._init = mf._init.copy()
         self.thin = mf.thin
         self.nwalkers = mf.nwalkers

@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
 
 from mbb_emcee_tpu.constants import HCOK_UM_K, NPARAMS
-from mbb_emcee_tpu.likelihood import SUPPORT_FLOOR
+from mbb_emcee_tpu.likelihood import SUPPORT_FLOOR, signed_iunc
 from mbb_emcee_tpu.ops.pallas_lnprob import (
     _LANE, LNPROB_FLOOR, make_log_s_mbb, merge_log_x_pallas)
 
@@ -104,7 +104,6 @@ def _make_multi_lnp(cfg):
         log_fnorm = jnp.log(fnorm)
         ls_norm = log_s(_LOG_C2 - log_wavenorm - log_T)
 
-        uplim = cfg.get("uplim") or (False,) * nb
         nnodes = cfg["nnodes"]
         # ALL nb*nnodes wavelengths in ONE packed (R, S, W) tile-op chain.
         # wnodes_ref is a VMEM (R, 1, 1) array of ln-space node constants
@@ -122,10 +121,13 @@ def _make_multi_lnp(cfg):
         for b in range(nb):
             model = jnp.sum(wv[b * nnodes:(b + 1) * nnodes], axis=0)
             d = model - flux_blk[:, b:b + 1]
-            if uplim[b]:
-                # upper-limit band: penalize only flux above the limit
-                d = jnp.maximum(d, 0.0)
-            r = d * iunc_blk[:, b:b + 1]
+            u = iunc_blk[:, b:b + 1]
+            # Sign-encoded upper limits (likelihood.signed_iunc): u < 0
+            # marks a one-sided band for THIS source -- penalize only
+            # model flux above the limit. Mask changes are operand
+            # changes, so every uplim configuration shares one program.
+            d = jnp.where(u < 0, jnp.maximum(d, 0.0), d)
+            r = d * jnp.abs(u)
             chi2 = chi2 + r * r
 
         lnp = -0.5 * chi2
@@ -379,13 +381,17 @@ class FusedMultiPallasSampler:
         s_pad = self.ntiles * self.s_tile
         pad = s_pad - self.nsources
         self.s_pad = s_pad
+        self._uplim_bands = spec.uplim_bands
         flux_p = np.concatenate([flux, np.repeat(flux[:1], pad, 0)], 0)
-        unc_p = np.concatenate([unc, np.repeat(unc[:1], pad, 0)], 0)
+        # SIGNED inverse uncertainties: negative marks upper-limit slots
+        # (shared (nb,) or per-source (S, nb) mask), 0 marks missing
+        # bands -- the masks ride a runtime operand, never the program.
+        si = signed_iunc(unc, self._uplim_bands)
+        si_p = np.concatenate([si, np.repeat(si[:1], pad, 0)], 0)
         self._flux = jnp.asarray(
             flux_p.reshape(self.ntiles, self.s_tile, nb), jnp.float32)
         self._iunc = jnp.asarray(
-            (1.0 / unc_p).reshape(self.ntiles, self.s_tile, nb),
-            jnp.float32)
+            si_p.reshape(self.ntiles, self.s_tile, nb), jnp.float32)
 
         lim = np.zeros((2, 8), np.float32)
         # Fixed params: finite window CENTERED ON THE FIXED VALUE (see
@@ -407,12 +413,10 @@ class FusedMultiPallasSampler:
         scat[self.free_space.free_idx, np.arange(self.ndim)] = 1.0
         self._scatter = scat
 
-        uplim = ((False,) * nb if spec.uplim_bands is None
-                 else tuple(bool(u) for u in spec.uplim_bands))
         self.nbands = nb
         self.cfg = dict(opthin=shape.opthin, noalpha=shape.noalpha,
                         nbands=nb, nnodes=self.nnodes,
-                        wavenorm=shape.wavenorm, uplim=uplim)
+                        wavenorm=shape.wavenorm)
         self._run_cache = {}
         # Fixed per-launch record cap (hw mode): one compiled program per
         # geometry serves any run length via <=rec_cap-record segments.
@@ -430,12 +434,12 @@ class FusedMultiPallasSampler:
                 f"flux/unc must be ({self.nsources}, {nb})")
         pad = self.s_pad - self.nsources
         flux_p = np.concatenate([flux, np.repeat(flux[:1], pad, 0)], 0)
-        unc_p = np.concatenate([unc, np.repeat(unc[:1], pad, 0)], 0)
+        si = signed_iunc(unc, self._uplim_bands)
+        si_p = np.concatenate([si, np.repeat(si[:1], pad, 0)], 0)
         self._flux = jnp.asarray(
             flux_p.reshape(self.ntiles, self.s_tile, nb), jnp.float32)
         self._iunc = jnp.asarray(
-            (1.0 / unc_p).reshape(self.ntiles, self.s_tile, nb),
-            jnp.float32)
+            si_p.reshape(self.ntiles, self.s_tile, nb), jnp.float32)
         return self
 
     # -- state ------------------------------------------------------------------

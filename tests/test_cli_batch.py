@@ -204,10 +204,18 @@ def test_multifit_set_phot_upperlimits_validation():
     with pytest.raises(RuntimeError, match="set_data"):
         mf.set_phot_upperlimits([True])
     mf.set_data(WAVE, np.ones((2, 5)), np.full((2, 5), 0.1))
-    with pytest.raises(ValueError, match="mismatch"):
+    with pytest.raises(ValueError, match="upper-limit mask"):
         mf.set_phot_upperlimits([True, False])
+    with pytest.raises(ValueError, match="upper-limit mask"):
+        mf.set_phot_upperlimits(np.zeros((3, 5), bool))  # wrong S
     mf.set_phot_upperlimits([False] * 4 + [True])
     assert mf._effective_spec().uplim_bands[-1]
+    # per-source (S, nb) masks are accepted and ride the iunc sign
+    m = np.zeros((2, 5), bool)
+    m[1, 0] = True
+    mf.set_phot_upperlimits(m)
+    iunc = mf._iunc_operand()
+    assert iunc[1, 0] < 0 and iunc[0, 0] > 0
 
 
 def test_batch_cli_mesh(tmp_path):

@@ -380,3 +380,43 @@ def test_multifit_missing_bands_end_to_end():
     mf2 = MultiFitter(nwalkers=16, opthin=True, noalpha=True)
     with pytest.raises(ValueError, match="no bands at all"):
         mf2.set_data(WAVE, allnan, unc)
+
+
+def test_per_source_uplim_semantics():
+    """Sign-encoded upper limits: a negative-iunc band penalizes only
+    model flux ABOVE the limit, per source, with no change to the
+    compiled program's operands."""
+    from mbb_emcee_tpu.likelihood import (
+        LikelihoodSpec, build_lnprob_data, signed_iunc)
+    from mbb_emcee_tpu.models.modified_blackbody import MBBShape, mbb_fnu
+
+    shape = MBBShape(opthin=True, noalpha=True)
+    spec = LikelihoodSpec.default()
+    lnp, fs = build_lnprob_data(shape, spec)
+    th5 = np.array([31.0, 1.8, 250.0, 3.5, 42.0])
+    th = jnp.asarray(th5[fs.free_idx], jnp.float32)
+    wave = jnp.asarray(WAVE, jnp.float32)
+    model = np.asarray(mbb_fnu(jnp.asarray(th5, jnp.float32), wave, shape))
+
+    flux = model.copy()
+    unc = 0.1 * model
+    base_iunc = signed_iunc(unc)
+
+    # limit ABOVE the model -> zero contribution from that band
+    lim_above = flux.copy(); lim_above[2] = model[2] * 2.0
+    iu = base_iunc.copy(); iu[2] = -iu[2]
+    v_lim = float(lnp(th, wave, jnp.asarray(lim_above, jnp.float32),
+                      jnp.asarray(iu, jnp.float32)))
+    keep = np.array([0, 1, 3, 4])
+    v_wo = float(lnp(th, wave[keep],
+                     jnp.asarray(flux[keep], jnp.float32),
+                     jnp.asarray(base_iunc[keep], jnp.float32)))
+    assert v_lim == v_wo
+
+    # limit BELOW the model -> same penalty as a detection at the limit
+    lim_below = flux.copy(); lim_below[2] = model[2] * 0.5
+    v_onesided = float(lnp(th, wave, jnp.asarray(lim_below, jnp.float32),
+                           jnp.asarray(iu, jnp.float32)))
+    v_twosided = float(lnp(th, wave, jnp.asarray(lim_below, jnp.float32),
+                           jnp.asarray(np.abs(iu), jnp.float32)))
+    assert v_onesided == v_twosided
