@@ -16,12 +16,17 @@ which is exactly the batch axis MultiFitter puts on the device
 One source per row: identifier, redshift (``nan`` if unknown), then
 (flux, unc) mJy pairs in the ``wave`` order. A ``nan nan`` pair marks a
 MISSING band for that source (ragged surveys: not every source is
-observed in every band) -- it carries zero likelihood weight. The optional ``bands`` row
-names each column for instrument-response mode (the names resolve
-against a filter list file or the built-in instrument library,
-response.py). The optional ``uplims`` row flags bands whose flux column
-is a photometric upper limit (one-sided likelihood, shared across the
-batch). The '=' after the header keywords is optional.
+observed in every band) -- it carries zero likelihood weight. A flux
+written ``<value`` (e.g. ``<4.5 1.5``) marks that single (source, band)
+measurement as a photometric UPPER LIMIT: the limit is ``value``, the
+second number stays the 1-sigma scale of the one-sided penalty
+(likelihood.py), and only that source's band goes one-sided. The
+optional ``bands`` row names each column for instrument-response mode
+(the names resolve against a filter list file or the built-in
+instrument library, response.py). The optional ``uplims`` row flags
+bands whose flux column is an upper limit for EVERY source; per-source
+``<`` flags and the shared row combine by OR (Catalog.uplim_mask). The
+'=' after the header keywords is optional.
 """
 
 from __future__ import annotations
@@ -40,7 +45,8 @@ class Catalog:
     flux: np.ndarray            # (S, nb) mJy
     unc: np.ndarray             # (S, nb) mJy
     band_names: list | None = None
-    uplim_bands: np.ndarray | None = None  # (nb,) bool
+    uplim_bands: np.ndarray | None = None  # (nb,) bool, 'uplims' header row
+    uplim_src: np.ndarray | None = None    # (S, nb) bool, '<flux' tokens
 
     @property
     def nsources(self):
@@ -49,6 +55,17 @@ class Catalog:
     @property
     def has_redshifts(self):
         return bool(np.all(np.isfinite(self.redshifts)))
+
+    def uplim_mask(self):
+        """Effective photometric-upper-limit mask for
+        MultiFitter.set_phot_upperlimits: None (no limits anywhere),
+        shared (nb,) (only the 'uplims' header row), or per-source
+        (S, nb) (any '<flux' token; OR-combined with the shared row)."""
+        if self.uplim_src is None:
+            return self.uplim_bands
+        if self.uplim_bands is None:
+            return self.uplim_src
+        return self.uplim_src | self.uplim_bands
 
 
 def _header_values(parts):
@@ -64,7 +81,7 @@ def read_catalog(path):
     wave = None
     band_names = None
     uplim_bands = None
-    names, redshifts, rows = [], [], []
+    names, redshifts, rows, limrows = [], [], [], []
     with open(path) as fh:
         for lineno, line in enumerate(fh, 1):
             line = line.split("#", 1)[0].strip()
@@ -103,7 +120,26 @@ def read_catalog(path):
                     f"{len(parts)}")
             names.append(parts[0])
             redshifts.append(float(parts[1]))
-            rows.append([float(v) for v in parts[2:]])
+            vals, flags = [], []
+            for j, tok in enumerate(parts[2:]):
+                is_flux = (j % 2 == 0)
+                lim = is_flux and tok.startswith("<")
+                if lim:
+                    tok = tok[1:]
+                try:
+                    v = float(tok)
+                except ValueError:
+                    raise ValueError(
+                        f"{path}:{lineno}: bad number {tok!r}") from None
+                if lim and not np.isfinite(v):
+                    raise ValueError(
+                        f"{path}:{lineno}: '<' upper-limit flux must be "
+                        f"a finite value, got {tok!r}")
+                vals.append(v)
+                if is_flux:
+                    flags.append(lim)
+            rows.append(vals)
+            limrows.append(flags)
     if wave is None or not rows:
         raise ValueError(f"{path}: no 'wave' header or no source rows")
     if band_names is not None and len(band_names) != wave.size:
@@ -122,7 +158,17 @@ def read_catalog(path):
         bad = names[int(np.argwhere(
             np.any((unc <= 0) & present, axis=1))[0, 0])]
         raise ValueError(f"{path}: non-positive uncertainty (source {bad})")
+    uplim_src = np.asarray(limrows, bool)
+    if not uplim_src.any():
+        uplim_src = None
+    elif np.any(uplim_src & ~present):
+        bad = names[int(np.argwhere(
+            np.any(uplim_src & ~present, axis=1))[0, 0])]
+        raise ValueError(
+            f"{path}: '<' upper-limit flag on a MISSING band (source "
+            f"{bad}): an upper limit needs a finite 1-sigma scale in "
+            f"the uncertainty column")
     return Catalog(names=names,
                    redshifts=np.asarray(redshifts, np.float64),
                    wave=wave, flux=flux, unc=unc, band_names=band_names,
-                   uplim_bands=uplim_bands)
+                   uplim_bands=uplim_bands, uplim_src=uplim_src)

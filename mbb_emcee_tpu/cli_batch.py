@@ -263,13 +263,15 @@ def main(argv=None):
     mf.set_data(cat.wave, cat.flux, cat.unc, band_names=cat.band_names,
                 source_names=cat.names,
                 redshifts=cat.redshifts if cat.has_redshifts else None)
-    uplims = (np.zeros(cat.wave.size, bool) if cat.uplim_bands is None
-              else cat.uplim_bands.copy())
+    # None, shared (nb,), or per-source (S, nb) when the catalog used
+    # '<flux' tokens; --phot-uplim bands OR in (broadcasting over sources)
+    uplims = cat.uplim_mask()
     if args.phot_uplim:
         from mbb_emcee_tpu.cli import _uplim_mask
-        uplims |= _uplim_mask(args.phot_uplim, cat.wave.size,
-                              cat.band_names)
-    if uplims.any():
+        shared = _uplim_mask(args.phot_uplim, cat.wave.size,
+                             cat.band_names)
+        uplims = shared if uplims is None else (uplims | shared)
+    if uplims is not None and uplims.any():
         mf.set_phot_upperlimits(uplims)
 
     for param, v in args.initval:

@@ -197,6 +197,13 @@ class MultiFitter(ParamSpaceMixin):
                     f"flux/unc pair is missing)")
         if np.any(unc[~missing] <= 0):
             raise ValueError("uncertainties must be positive")
+        ub = self._spec.uplim_bands
+        if ub is not None and ub.shape not in (
+                (wave.size,), (flux.shape[0], wave.size)):
+            raise ValueError(
+                f"existing upper-limit mask {ub.shape} does not fit the "
+                f"new data (S={flux.shape[0]}, nb={wave.size}); call "
+                f"set_phot_upperlimits again for this batch")
         self.wave, self.flux, self.unc = wave, flux, unc
         self.band_names = band_names
         if source_names is not None:

@@ -75,6 +75,48 @@ def test_read_catalog_errors(tmp_path):
         read_catalog(str(p))
 
 
+def test_read_catalog_per_source_uplims(tmp_path):
+    p = tmp_path / "cat.txt"
+    p.write_text("wave = 100 200\n"
+                 "uplims = 0 1\n"
+                 "SRC0 1.0  10.0 1.0  <5.0 0.5\n"
+                 "SRC1 2.0  <3.0 0.3  4.0 0.4\n")
+    cat = read_catalog(str(p))
+    # '<' strips to the limit value in the flux matrix
+    np.testing.assert_allclose(cat.flux, [[10.0, 5.0], [3.0, 4.0]])
+    np.testing.assert_array_equal(cat.uplim_src,
+                                  [[False, True], [True, False]])
+    # effective mask ORs the shared 'uplims' row with per-source flags
+    np.testing.assert_array_equal(cat.uplim_mask(),
+                                  [[False, True], [True, True]])
+
+    # shared row only -> 1-D mask passes through
+    p.write_text("wave = 100 200\nuplims = 0 1\nSRC0 1.0 10 1 5 .5\n")
+    assert read_catalog(str(p)).uplim_mask().shape == (2,)
+
+    # '<' needs a finite limit and a present band
+    p.write_text("wave = 100\nSRC0 1.0 <nan 0.5\n")
+    with pytest.raises(ValueError, match="finite"):
+        read_catalog(str(p))
+    p.write_text("wave = 100 200\nSRC0 1.0 <5.0 nan 4.0 0.4\n")
+    with pytest.raises(ValueError, match="MISSING"):
+        read_catalog(str(p))
+    p.write_text("wave = 100\nSRC0 1.0 abc 0.5\n")
+    with pytest.raises(ValueError, match="bad number"):
+        read_catalog(str(p))
+
+
+def test_set_data_stale_uplim_mask_guard():
+    mf = MultiFitter(nwalkers=16)
+    mf.set_data(WAVE, np.ones((3, 5)), np.full((3, 5), 0.1))
+    mf.set_phot_upperlimits(np.zeros((3, 5), bool))
+    with pytest.raises(ValueError, match="set_phot_upperlimits"):
+        mf.set_data(WAVE, np.ones((2, 5)), np.full((2, 5), 0.1))
+    # a shared (nb,) mask survives a source-count change
+    mf.set_phot_upperlimits(np.zeros(5, bool))
+    mf.set_data(WAVE, np.ones((2, 5)), np.full((2, 5), 0.1))
+
+
 def test_batch_cli_full_run(tmp_path, capsys):
     cat = str(tmp_path / "cat.txt")
     out = str(tmp_path / "batch.h5")
