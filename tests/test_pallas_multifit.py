@@ -46,7 +46,13 @@ def _problem(nsources, opthin=False, noalpha=False, seed=9, uplim=False):
     spec = LikelihoodSpec.default()
     spec = dataclasses.replace(
         spec, upper=np.array([100.0, 5.0, 2e4, 60.0, 1e7]))
-    if uplim:
+    if uplim == "per_source":
+        # ragged limits: different sources go one-sided in different bands
+        ul = np.zeros((nsources, NB), bool)
+        ul[0, 0] = True
+        ul[-1, NB - 1] = True
+        spec = dataclasses.replace(spec, uplim_bands=ul)
+    elif uplim:
         ul = np.zeros(NB, bool)
         ul[0] = True
         spec = dataclasses.replace(spec, uplim_bands=ul)
@@ -89,6 +95,7 @@ def _reference_source(uniforms, s, p0_s, lnprob_batch, half, thin, nrec,
     # the packed-node response test below and the single-source suite,
     # and at full scale in the slow lane).
     (3, True, True, False),
+    (3, True, True, "per_source"),
     pytest.param(3, False, False, True, marks=pytest.mark.slow),
     pytest.param(8, False, False, False, marks=pytest.mark.slow),
 ])
@@ -119,8 +126,13 @@ def test_multi_kernel_matches_per_source_xla(nsources, opthin, noalpha,
 
     half = NW // 2
     for s in range(nsources):
+        spec_s = spec
+        if spec.uplim_bands is not None and spec.uplim_bands.ndim == 2:
+            # single-source oracle takes that source's own mask row
+            spec_s = dataclasses.replace(spec,
+                                         uplim_bands=spec.uplim_bands[s])
         lnprob_batch, _ = build_pallas_lnprob(
-            Photometry(WAVE, flux[s], unc[s]), shape, spec,
+            Photometry(WAVE, flux[s], unc[s]), shape, spec_s,
             interpret=True)
         ref_chain, ref_lnp, ref_acc = _reference_source(
             np.asarray(uniforms), s, p0[s], lnprob_batch, half, thin,
