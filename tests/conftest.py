@@ -26,6 +26,37 @@ jax.config.update("jax_compilation_cache_dir",
                                "mbb_emcee_tpu", "jax-test-cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
+# Environment resilience: this box intermittently loses disk blocks to
+# I/O errors (EIO), and the stdlib codec module files are among the
+# casualties. pytest's parametrize-ID escaping calls
+# str.encode("unicode_escape"), whose codec lookup imports
+# encodings.unicode_escape from disk -- if that file is unreadable the
+# WHOLE suite fails at collection. The codec itself is implemented in C
+# (_codecs); register it directly when the module import fails so
+# collection never depends on those disk blocks.
+try:
+    import encodings.unicode_escape  # noqa: F401
+except OSError:
+    # Seed sys.modules so the stdlib encodings search function finds the
+    # codec without touching the unreadable file (it __import__s
+    # 'encodings.unicode_escape'; a pre-seeded entry short-circuits the
+    # disk read). Only the encode/decode pair matters for .encode().
+    import _codecs
+    import codecs
+    import sys
+    import types
+
+    _m = types.ModuleType("encodings.unicode_escape")
+
+    def _getregentry():
+        return codecs.CodecInfo(
+            encode=_codecs.unicode_escape_encode,
+            decode=_codecs.unicode_escape_decode,
+            name="unicode-escape")
+
+    _m.getregentry = _getregentry
+    sys.modules["encodings.unicode_escape"] = _m
+
 import pytest  # noqa: E402
 
 
