@@ -149,6 +149,16 @@ def build_parser():
                    help="flag this band (name or 0-based index) as an "
                         "UPPER LIMIT for every source, in addition to "
                         "any 'uplims' catalog header row (repeatable)")
+    g.add_argument("--corrfile", default=None,
+                   help="FITS image with the shared (nb, nb) band "
+                        "CORRELATION matrix (correlated calibration "
+                        "errors; each source's covariance is D_s R D_s "
+                        "with its own catalog uncertainties). A "
+                        "covariance matrix is accepted and normalized "
+                        "to its correlation. XLA batch backend only; "
+                        "not combinable with upper limits")
+    g.add_argument("--corrextn", type=int, default=0,
+                   help="FITS extension of --corrfile (default 0)")
 
     g = p.add_argument_group(
         "derived quantities",
@@ -273,6 +283,25 @@ def main(argv=None):
         uplims = shared if uplims is None else (uplims | shared)
     if uplims is not None and uplims.any():
         mf.set_phot_upperlimits(uplims)
+
+    if args.corrfile is not None:
+        from mbb_emcee_tpu.utils.fits import read_fits_image
+        R = np.asarray(read_fits_image(args.corrfile, extn=args.corrextn),
+                       np.float64)
+        if R.ndim != 2 or R.shape[0] != R.shape[1]:
+            raise SystemExit(
+                f"--corrfile must hold a square matrix; got {R.shape}")
+        d = np.diag(R)
+        if np.any(d <= 0):
+            raise SystemExit("--corrfile matrix has non-positive diagonal")
+        if not np.allclose(d, 1.0, atol=1e-8):
+            # covariance given: keep only its correlation structure (the
+            # per-source error scales come from the catalog unc columns)
+            R = R / np.sqrt(np.outer(d, d))
+        try:
+            mf.set_band_correlation(R)
+        except ValueError as e:
+            raise SystemExit(f"--corrfile: {e}")
 
     for param, v in args.initval:
         mf.set_param_init(param, float(v))

@@ -313,7 +313,8 @@ def signed_iunc(unc, uplim_bands=None):
 
 
 def build_lnprob_data(shape: MBBShape, spec: LikelihoodSpec,
-                      response_pack=None, dtype=jnp.float32):
+                      response_pack=None, dtype=jnp.float32,
+                      correlated=False):
     """Data-parameterized variant of build_lnprob for BATCHED multi-source
     fitting (multifit.py): the photometry arrives as ARGUMENTS so one traced
     function serves every source under vmap.
@@ -323,11 +324,24 @@ def build_lnprob_data(shape: MBBShape, spec: LikelihoodSpec,
     Diagonal errors only; iunc is SIGNED 1/sigma (negative = that band's
     flux is a one-sided upper limit; see signed_iunc). Box/priors/fixed
     params are the shared static `spec`, exactly as in build_lnprob.
+
+    With correlated=True the 4th argument is instead a per-source
+    (nb, nb) WHITENING matrix W with r = W @ delta (correlated band
+    errors -- the batch analog of build_lnprob's covariance mode; see
+    MultiFitter.set_band_correlation, which builds W host-side honoring
+    each source's missing-band pattern). One-sided upper limits do not
+    compose with correlated errors, mirroring the single-fit refusal
+    (ops/pallas_lnprob.py); spec.uplim_bands must be unset.
     """
     free_idx = spec.free_indices
     nfree = free_idx.size
     if nfree == 0:
         raise ValueError("all parameters are fixed; nothing to sample")
+    if correlated and spec.uplim_bands is not None and np.any(
+            np.asarray(spec.uplim_bands)):
+        raise ValueError(
+            "photometric upper limits (one-sided likelihood) do not "
+            "compose with correlated band errors; unset one of them")
 
     template_np = np.where(spec.fixed, spec.fixed_values, 0.0)
     scatter_np = np.zeros((NPARAMS, nfree))
@@ -358,15 +372,22 @@ def build_lnprob_data(shape: MBBShape, spec: LikelihoodSpec,
             vals = jnp.exp(log_mbb_fnu(theta_safe, resp_waves, shape))
             model = jnp.sum(resp_weights * vals, axis=-1)
         delta = model - flux
-        # Sign-encoded upper limits: iunc < 0 marks a band whose flux is
-        # an upper limit for THIS source (one-sided likelihood -- only
-        # model flux ABOVE the limit is penalized); the magnitude is
-        # 1/sigma either way. Riding the sign of an existing per-source
-        # operand keeps the masks out of the compiled program: no extra
-        # operands, and one program regardless of which sources have
-        # limits (see signed_iunc).
-        delta = jnp.where(iunc < 0, jnp.maximum(delta, 0.0), delta)
-        r = delta * jnp.abs(iunc)
+        if correlated:
+            # iunc is a per-source (nb, nb) whitening matrix (zero
+            # rows/cols at missing bands -- exact marginalization,
+            # precomputed host-side from the pattern submatrices).
+            r = iunc @ delta
+        else:
+            # Sign-encoded upper limits: iunc < 0 marks a band whose
+            # flux is an upper limit for THIS source (one-sided
+            # likelihood -- only model flux ABOVE the limit is
+            # penalized); the magnitude is 1/sigma either way. Riding
+            # the sign of an existing per-source operand keeps the
+            # masks out of the compiled program: no extra operands, and
+            # one program regardless of which sources have limits (see
+            # signed_iunc).
+            delta = jnp.where(iunc < 0, jnp.maximum(delta, 0.0), delta)
+            r = delta * jnp.abs(iunc)
         lnl = -0.5 * jnp.sum(r * r)
         dp = (theta - prior_mean) * prior_isig
         lnpri = -0.5 * jnp.sum(dp * dp)

@@ -142,6 +142,7 @@ class MultiFitter(ParamSpaceMixin):
         self.wave = None
         self.flux = None
         self.unc = None
+        self._band_corr = None      # (nb, nb) shared band correlation
         self.band_names = None
         self.chain_free = None
         self.lnprobability = None
@@ -204,6 +205,12 @@ class MultiFitter(ParamSpaceMixin):
                 f"existing upper-limit mask {ub.shape} does not fit the "
                 f"new data (S={flux.shape[0]}, nb={wave.size}); call "
                 f"set_phot_upperlimits again for this batch")
+        if (self._band_corr is not None
+                and self._band_corr.shape != (wave.size, wave.size)):
+            raise ValueError(
+                f"existing band correlation {self._band_corr.shape} does "
+                f"not fit the new data (nb={wave.size}); call "
+                f"set_band_correlation again")
         self.wave, self.flux, self.unc = wave, flux, unc
         self.band_names = band_names
         if source_names is not None:
@@ -239,6 +246,10 @@ class MultiFitter(ParamSpaceMixin):
             raise ValueError(
                 f"upper-limit mask must be ({nb},) or "
                 f"({self.nsources}, {nb}); got {mask.shape}")
+        if mask.any() and self._band_corr is not None:
+            raise ValueError(
+                "a band correlation is set; one-sided upper limits do "
+                "not compose with correlated band errors")
         self._spec = _replace(self._spec, uplim_bands=mask)
         return self
 
@@ -246,6 +257,96 @@ class MultiFitter(ParamSpaceMixin):
         """(S, nb) float64 SIGNED inverse uncertainties: negative marks
         upper-limit slots, 0 marks missing bands (signed_iunc)."""
         return signed_iunc(self.unc, self._spec.uplim_bands)
+
+    def set_band_correlation(self, corr):
+        """Correlated band errors for the whole batch: a shared (nb, nb)
+        CORRELATION matrix R (unit diagonal, positive definite), with each
+        source's covariance C_s = D_s R D_s built from its own
+        uncertainties D_s = diag(unc_s). This is the batch analog of the
+        single-fit covariance mode (MBBFitter covfile; likelihood.py
+        build_lnprob) for the realistic survey case -- one instrument
+        calibration-floor correlation structure shared across the
+        catalog, per-source error scales.
+
+        Missing bands are marginalized EXACTLY: each source's whitening
+        matrix comes from the Cholesky factor of R restricted to that
+        source's observed-band pattern (computed once per unique
+        pattern), so ragged catalogs stay one compiled program with a
+        per-source (nb, nb) whitening operand.
+
+        XLA batch backend only (run/run_hmc/run_pt/compute_evidence);
+        the fused Pallas kernel keeps diagonal errors. Not composable
+        with photometric upper limits (one-sided + correlated is
+        ill-defined; the single-fit path refuses the combination too).
+        Pass None to clear."""
+        if corr is None:
+            self._band_corr = None
+            return self
+        if self.wave is None:
+            raise RuntimeError("no data; call set_data first")
+        corr = np.asarray(corr, np.float64)
+        nb = self.wave.size
+        if corr.shape != (nb, nb):
+            raise ValueError(
+                f"correlation matrix must be ({nb}, {nb}); got {corr.shape}")
+        if not np.allclose(corr, corr.T, atol=1e-10):
+            raise ValueError("correlation matrix must be symmetric")
+        if not np.allclose(np.diag(corr), 1.0, atol=1e-8):
+            raise ValueError(
+                "correlation matrix needs a unit diagonal (per-source "
+                "error scales come from the catalog's unc columns); "
+                "normalize a covariance with cov / sqrt(outer(d, d)), "
+                "d = diag(cov)")
+        try:
+            np.linalg.cholesky(corr)
+        except np.linalg.LinAlgError:
+            raise ValueError("correlation matrix is not positive definite")
+        if (self._spec.uplim_bands is not None
+                and np.any(self._spec.uplim_bands)):
+            raise ValueError(
+                "photometric upper limits are set; one-sided likelihoods "
+                "do not compose with correlated band errors")
+        self._band_corr = corr.copy()
+        return self
+
+    def _whiten_operand(self):
+        """(S, nb, nb) float64 per-source whitening matrices W_s with
+        r_s = W_s @ (model - flux_s): rows/cols of missing bands are
+        zero and the observed block is chol(R_pp)^-1 @ diag(iunc_p) --
+        the EXACT marginal likelihood of each source's observed bands
+        under C_s = D_s R D_s. One Cholesky per unique missing-band
+        pattern, then a per-source column scaling."""
+        S, nb = self.unc.shape
+        iunc = signed_iunc(self.unc)                    # >= 0, 0 = missing
+        present = iunc > 0
+        out = np.zeros((S, nb, nb), np.float64)
+        linv_cache = {}
+        for s in range(S):
+            p = present[s]
+            key = p.tobytes()
+            linv = linv_cache.get(key)
+            if linv is None:
+                sub = self._band_corr[np.ix_(p, p)]
+                linv = np.linalg.inv(np.linalg.cholesky(sub))
+                linv_cache[key] = linv
+            w = linv * iunc[s, p][None, :]
+            out[s][np.ix_(p, p)] = w
+        return out
+
+    def _data_operand(self):
+        """The per-source likelihood operand + the `correlated` flag for
+        build_lnprob_data: (S, nb) signed inverse uncertainties, or
+        (S, nb, nb) whitening matrices when a band correlation is set."""
+        if self._band_corr is None:
+            return self._iunc_operand(), False
+        return self._whiten_operand(), True
+
+    def _require_diag_errors(self, what):
+        if self._band_corr is not None:
+            raise ValueError(
+                f"{what} supports diagonal errors only; clear the band "
+                f"correlation (set_band_correlation(None)) or use the "
+                f"XLA batch backend")
 
     @property
     def nsources(self):
@@ -345,9 +446,11 @@ class MultiFitter(ParamSpaceMixin):
                 on_tpu = jax.default_backend() == "tpu"
             except Exception:
                 on_tpu = False
-            backend = "fused" if (on_tpu and self.mesh is None) else "xla"
+            backend = ("fused" if (on_tpu and self.mesh is None
+                                   and self._band_corr is None) else "xla")
         self._backend_used = backend
         if backend == "fused":
+            self._require_diag_errors("the fused Pallas sampler backend")
             return self._run_fused(nburn, nsteps, thin, recenter_burn,
                                    verbose, spec, checkpoint=checkpoint,
                                    checkpoint_interval=checkpoint_interval,
@@ -357,8 +460,10 @@ class MultiFitter(ParamSpaceMixin):
                 "checkpoint/resume requires the fused sampler backend "
                 "(the XLA backend compiles the whole batched run as one "
                 "program); use sampler_backend='fused' on TPU")
+        iunc_np, correlated = self._data_operand()
         lnprob_data, free_space = build_lnprob_data(
-            self.shape, spec, response_pack=self._response_pack())
+            self.shape, spec, response_pack=self._response_pack(),
+            correlated=correlated)
         self.free_space = free_space
         self.thin = int(thin)
         S, nw = self.nsources, self.nwalkers
@@ -377,7 +482,7 @@ class MultiFitter(ParamSpaceMixin):
 
         wave = jnp.asarray(self.wave, jnp.float32)
         flux = jnp.asarray(self.flux, jnp.float32)
-        iunc = jnp.asarray(self._iunc_operand(), jnp.float32)
+        iunc = jnp.asarray(iunc_np, jnp.float32)
         key = jax.random.key(self.seed, impl=self.prng_impl)
         kball, kstate, krecenter = jax.random.split(key, 3)
         centers, scatters = self._init_centers()
@@ -445,7 +550,8 @@ class MultiFitter(ParamSpaceMixin):
         # ~10 s of recompilation per call; keys/wavelengths/data are
         # runtime arguments).
         cache_key = (S, nw, free_space.nfree, nrec, thin_i, int(nburn),
-                     bool(recenter_burn), _mesh_token(self.mesh),
+                     bool(recenter_burn), correlated,
+                     _mesh_token(self.mesh),
                      _spec_token(spec, self.shape),
                      # the response pack (if any) is baked into the jitted
                      # program as a constant
@@ -665,8 +771,10 @@ class MultiFitter(ParamSpaceMixin):
         if self.nwalkers % 2:
             raise ValueError("nwalkers must be even")
         spec = self._effective_spec()
+        iunc_np, correlated = self._data_operand()
         lnprob_data, free_space = build_lnprob_data(
-            self.shape, spec, response_pack=self._response_pack())
+            self.shape, spec, response_pack=self._response_pack(),
+            correlated=correlated)
         self.free_space = free_space
         self.thin = int(thin)
         S, W = self.nsources, self.nwalkers
@@ -692,7 +800,7 @@ class MultiFitter(ParamSpaceMixin):
 
         wave = jnp.asarray(self.wave, jnp.float32)
         flux = jnp.asarray(self.flux, jnp.float32)
-        iunc = jnp.asarray(self._iunc_operand(), jnp.float32)
+        iunc = jnp.asarray(iunc_np, jnp.float32)
         key = jax.random.key(self.seed, impl=self.prng_impl)
         kball, kscout, kmain = jax.random.split(key, 3)
         centers, scatters = self._init_centers()
@@ -760,7 +868,7 @@ class MultiFitter(ParamSpaceMixin):
                     st.nsteps, acc, m, s1, s2)
 
         def _compiled(tag, fn, in_axes, sharded_in, sharded_out, **static):
-            ck = (tag, S, W, d, nrec, thin_i, int(nburn), K1,
+            ck = (tag, S, W, d, nrec, thin_i, int(nburn), K1, correlated,
                   _spec_token(spec, self.shape), _mesh_token(self.mesh),
                   self._responses_token(),
                   None if self.band_names is None
@@ -887,8 +995,10 @@ class MultiFitter(ParamSpaceMixin):
             raise ValueError(f"nsteps={nsteps} not divisible by "
                              f"thin={thin}")
         spec = self._effective_spec()
+        iunc_np, correlated = self._data_operand()
         lnprob_data, free_space = build_lnprob_data(
-            self.shape, spec, response_pack=self._response_pack())
+            self.shape, spec, response_pack=self._response_pack(),
+            correlated=correlated)
         self.free_space = free_space
         if not (np.all(np.isfinite(free_space.lower))
                 and np.all(np.isfinite(free_space.upper))):
@@ -921,7 +1031,7 @@ class MultiFitter(ParamSpaceMixin):
             vary = None
 
         flux = jnp.asarray(self.flux, jnp.float32)
-        iunc = jnp.asarray(self._iunc_operand(), jnp.float32)
+        iunc = jnp.asarray(iunc_np, jnp.float32)
         key = jax.random.key(self.seed, impl=self.prng_impl)
         kball, kmain = jax.random.split(key)
         centers, scatters = self._init_centers()
@@ -945,7 +1055,7 @@ class MultiFitter(ParamSpaceMixin):
 
         ax = mesh_axis
         ck = ("hmc", S, W, d, nrec, int(thin), int(nwarmup),
-              int(n_leapfrog), float(target_accept),
+              int(n_leapfrog), float(target_accept), correlated,
               _spec_token(spec, self.shape), _mesh_token(self.mesh),
               self._responses_token(),
               None if self.band_names is None
@@ -1309,8 +1419,10 @@ class MultiFitter(ParamSpaceMixin):
         if self.flux is None:
             raise RuntimeError("no data; call set_data")
         spec = self._effective_spec()
+        iunc_np, correlated = self._data_operand()
         lnprob, _ = build_lnprob_data(
-            self.shape, spec, response_pack=self._response_pack())
+            self.shape, spec, response_pack=self._response_pack(),
+            correlated=correlated)
         wave = np.asarray(self.wave, np.float32)
 
         def ll(theta_free, flux, iunc):
@@ -1318,7 +1430,7 @@ class MultiFitter(ParamSpaceMixin):
 
         free_idx = spec.free_indices
         data = (jnp.asarray(self.flux, jnp.float32),
-                jnp.asarray(self._iunc_operand(), jnp.float32))
+                jnp.asarray(iunc_np, jnp.float32))
         key = jax.random.key(self.seed if seed is None else int(seed))
         res = nested_sample_batch(
             ll, spec.lower[free_idx], spec.upper[free_idx], key, data,
@@ -1395,6 +1507,8 @@ class MultiFitter(ParamSpaceMixin):
                 sp.create_dataset(name, data=getattr(spec, name))
             if spec.uplim_bands is not None:
                 sp.create_dataset("uplim_bands", data=spec.uplim_bands)
+            if self._band_corr is not None:
+                sp.create_dataset("band_correlation", data=self._band_corr)
             if self.evidence is not None:
                 ev = self.evidence
                 g = f.create_group("Evidence")
@@ -1460,6 +1574,9 @@ class MultiFitter(ParamSpaceMixin):
                 prior_isigma=np.asarray(sp["prior_isigma"]),
                 uplim_bands=(np.asarray(sp["uplim_bands"], bool)
                              if "uplim_bands" in sp else None))
+            if "band_correlation" in sp:
+                mf._band_corr = np.asarray(sp["band_correlation"],
+                                           np.float64)
             from mbb_emcee_tpu.likelihood import build_lnprob_data
             _, mf.free_space = build_lnprob_data(mf.shape,
                                                  mf._effective_spec())
@@ -1522,7 +1639,13 @@ class _SourceView:
         self.lnprobability = np.asarray(mf.lnprobability[i])
         self.acceptance_fraction = mf.acceptance_fraction[i]
         self.shape = mf.shape
-        self.phot = Photometry(mf.wave, mf.flux[i], mf.unc[i],
+        cov = None
+        if mf._band_corr is not None and np.all(np.isfinite(mf.unc[i])):
+            # this source's full covariance C = D R D (the error model
+            # the batch actually sampled under)
+            d = mf.unc[i]
+            cov = mf._band_corr * np.outer(d, d)
+        self.phot = Photometry(mf.wave, mf.flux[i], mf.unc[i], cov=cov,
                                band_names=mf.band_names)
         self.spec = mf._effective_spec()
         if (self.spec.uplim_bands is not None

@@ -363,3 +363,31 @@ def test_catalog_missing_band_pairs(tmp_path):
     mf.set_data(cat.wave, cat.flux, cat.unc, redshifts=cat.redshifts)
     mf.run(nburn=10, nsteps=20)
     assert np.isfinite(np.asarray(mf.lnprobability)).all()
+
+
+def test_batch_cli_corrfile(tmp_path):
+    """--corrfile: correlated calibration errors through the batch CLI,
+    given as a covariance FITS (normalized to its correlation)."""
+    from mbb_emcee_tpu.utils.fits import write_fits_image
+
+    cat = str(tmp_path / "cat.txt")
+    out = str(tmp_path / "corr.h5")
+    _write_catalog(cat, nsources=3)
+    # covariance with a common 30% calibration floor
+    sig = np.array([1.0, 2.0, 2.5, 2.0, 1.5])
+    C = 0.3 * np.outer(sig, sig) + 0.7 * np.diag(sig ** 2)
+    corr = str(tmp_path / "cov.fits")
+    write_fits_image(corr, C)
+    rc = main([cat, out, "--opthin", "--noalpha",
+               "-w", "32", "-b", "20", "-n", "60", "--seed", "5",
+               "--corrfile", corr])
+    assert rc == 0
+    back = MultiFitter.from_h5(out)
+    want = C / np.sqrt(np.outer(np.diag(C), np.diag(C)))
+    np.testing.assert_allclose(back._band_corr, want, rtol=1e-12)
+
+    # upper limits and correlation refuse to combine, at the CLI level
+    with pytest.raises(SystemExit, match="corrfile"):
+        main([cat, out, "--opthin", "--noalpha", "-w", "32",
+              "-b", "4", "-n", "8", "--corrfile", corr,
+              "--phot-uplim", "4"])

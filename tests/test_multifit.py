@@ -420,3 +420,156 @@ def test_per_source_uplim_semantics():
     v_twosided = float(lnp(th, wave, jnp.asarray(lim_below, jnp.float32),
                            jnp.asarray(np.abs(iu), jnp.float32)))
     assert v_onesided == v_twosided
+
+
+# -- correlated band errors (set_band_correlation) ---------------------------
+
+def _random_corr(nb, seed=7, strength=0.4):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((nb, nb))
+    C = A @ A.T + nb * np.eye(nb)
+    d = np.sqrt(np.diag(C))
+    R = C / np.outer(d, d)
+    return (1 - strength) * np.eye(nb) + strength * R
+
+
+def test_correlated_lnprob_matches_fp64_marginal():
+    """The correlated batch likelihood equals the exact fp64 Gaussian
+    -0.5 d^T C^-1 d with C = D R D, including EXACT marginalization of a
+    missing band (submatrix of R, not of R^-1)."""
+    from mbb_emcee_tpu.likelihood import (LikelihoodSpec, build_lnprob_data)
+
+    shape = MBBShape(opthin=True, noalpha=True)
+    spec = LikelihoodSpec.default()
+    lnp_corr, fs = build_lnprob_data(shape, spec, correlated=True)
+    lnp_diag, _ = build_lnprob_data(shape, spec)
+
+    R = _random_corr(NB)
+    th5 = np.array([31.0, 1.8, 250.0, 3.5, 42.0])
+    th = jnp.asarray(th5[fs.free_idx], jnp.float32)
+    wave = jnp.asarray(WAVE, jnp.float32)
+    model = np.asarray(
+        mbb_fnu(jnp.asarray(th5, jnp.float32), wave, shape), np.float64)
+
+    rng = np.random.default_rng(5)
+    unc = 0.08 * model
+    flux = model * (1 + 0.1 * rng.standard_normal(NB))
+    flux2 = flux.copy(); unc2 = unc.copy()
+    flux2[1] = np.nan; unc2[1] = np.nan          # source 1 misses band 1
+
+    mf = MultiFitter(nwalkers=16, opthin=True, noalpha=True)
+    mf.set_data(WAVE, np.stack([flux, flux2]), np.stack([unc, unc2]))
+    mf.set_band_correlation(R)
+    W, corr = mf._data_operand()
+    assert corr and W.shape == (2, NB, NB)
+
+    # fp32 delta exactly as the device computes it, fp64 quadratic form
+    model32 = np.asarray(mbb_fnu(jnp.asarray(th5, jnp.float32), wave,
+                                 shape), np.float64)
+    for s, (fx, p) in enumerate([(flux, np.ones(NB, bool)),
+                                 (flux2, np.isfinite(flux2))]):
+        got = float(lnp_corr(th, wave,
+                             jnp.asarray(mf.flux[s], jnp.float32),
+                             jnp.asarray(W[s], jnp.float32)))
+        d = (model32 - np.where(p, fx, 0.0))[p]
+        C = (R[np.ix_(p, p)]
+             * np.outer(unc[p] if s == 0 else unc2[p],
+                        unc[p] if s == 0 else unc2[p]))
+        want = -0.5 * float(d @ np.linalg.solve(C, d))
+        np.testing.assert_allclose(got, want, rtol=2e-4, err_msg=f"s={s}")
+
+    # identity correlation reproduces the diagonal likelihood exactly
+    mf.set_band_correlation(np.eye(NB))
+    W_id, _ = mf._data_operand()
+    for s in range(2):
+        v_corr = float(lnp_corr(th, wave,
+                                jnp.asarray(mf.flux[s], jnp.float32),
+                                jnp.asarray(W_id[s], jnp.float32)))
+        v_diag = float(lnp_diag(th, wave,
+                                jnp.asarray(mf.flux[s], jnp.float32),
+                                jnp.asarray(mf._iunc_operand()[s],
+                                            jnp.float32)))
+        np.testing.assert_allclose(v_corr, v_diag, rtol=1e-6)
+
+
+def test_band_correlation_validation():
+    flux, unc = _mock_batch(TRUES)
+    mf = MultiFitter(nwalkers=16, opthin=True, noalpha=True)
+    with pytest.raises(RuntimeError, match="set_data"):
+        mf.set_band_correlation(np.eye(NB))
+    mf.set_data(WAVE, flux, unc)
+    with pytest.raises(ValueError, match="must be"):
+        mf.set_band_correlation(np.eye(NB - 1))
+    bad = np.eye(NB); bad[0, 1] = 0.5
+    with pytest.raises(ValueError, match="symmetric"):
+        mf.set_band_correlation(bad)
+    with pytest.raises(ValueError, match="unit diagonal"):
+        mf.set_band_correlation(2.0 * np.eye(NB))
+    bad = np.ones((NB, NB))
+    np.fill_diagonal(bad, 1.0)
+    with pytest.raises(ValueError, match="positive definite"):
+        mf.set_band_correlation(bad)
+    # mutual exclusion with one-sided upper limits, both orders
+    mf.set_phot_upperlimits([True] + [False] * (NB - 1))
+    with pytest.raises(ValueError, match="upper limits"):
+        mf.set_band_correlation(_random_corr(NB))
+    mf.set_phot_upperlimits(np.zeros(NB, bool))
+    mf.set_band_correlation(_random_corr(NB))
+    with pytest.raises(ValueError, match="correlated"):
+        mf.set_phot_upperlimits([True] + [False] * (NB - 1))
+    # fused backend refuses correlated errors
+    mf2 = MultiFitter(nwalkers=16, opthin=True, noalpha=True,
+                      sampler_backend="fused", interpret=True)
+    mf2.set_data(WAVE, flux, unc)
+    mf2.set_band_correlation(_random_corr(NB))
+    with pytest.raises(ValueError, match="diagonal errors"):
+        mf2.run(nburn=4, nsteps=8)
+    # a stale correlation must not survive an incompatible set_data
+    mf3 = MultiFitter(nwalkers=16, opthin=True, noalpha=True)
+    mf3.set_data(WAVE, flux, unc)
+    mf3.set_band_correlation(_random_corr(NB))
+    with pytest.raises(ValueError, match="set_band_correlation"):
+        mf3.set_data(WAVE[:3], flux[:, :3], unc[:, :3])
+
+
+def test_correlated_run_end_to_end(tmp_path):
+    """Stretch-move batch fit under a shared band correlation: posteriors
+    stay sane, HDF5 round-trips the correlation, and the per-source
+    results view carries the full covariance."""
+    flux, unc = _mock_batch(TRUES)
+    R = _random_corr(NB, strength=0.3)
+    mf = MultiFitter(nwalkers=64, opthin=True, noalpha=True, seed=11)
+    mf.set_data(WAVE, flux, unc)
+    mf.set_band_correlation(R)
+    mf.run(nburn=60, nsteps=200)
+    assert mf._backend_used == "xla"
+    cen = mf.par_cen("T")
+    assert np.all(np.abs(cen[:, 0] - TRUES[:, 0]) < 8.0)
+
+    out = str(tmp_path / "corr.h5")
+    mf.writeToHDF5(out)
+    back = MultiFitter.from_h5(out)
+    np.testing.assert_allclose(back._band_corr, R)
+    res1 = back.results(1, redshift=2.0)
+    np.testing.assert_allclose(res1.phot.cov,
+                               R * np.outer(unc[1], unc[1]), rtol=1e-12)
+
+    # evidence path accepts the correlated likelihood
+    ev = mf.compute_evidence(nlive=64, nbatch=8, nsteps=8, max_iter=400)
+    assert np.all(np.isfinite(ev.logz))
+
+
+def test_correlated_hmc_and_pt_smoke():
+    """The gradient-based and tempered batch paths accept the correlated
+    likelihood (the whitening matmul is differentiable and
+    temperature-independent)."""
+    flux, unc = _mock_batch(TRUES[:2])
+    R = _random_corr(NB, strength=0.3)
+    mf = MultiFitter(nwalkers=16, opthin=True, noalpha=True, seed=4)
+    mf.set_data(WAVE, flux[:2], unc[:2])
+    mf.set_band_correlation(R)
+    mf.run_hmc(nwarmup=10, nsteps=12, n_leapfrog=4)
+    assert np.all(np.isfinite(np.asarray(mf.chain_free)))
+    mf.run_pt(nrungs=4, nburn=10, nsteps=12)
+    assert np.all(np.isfinite(np.asarray(mf.chain_free)))
+    assert np.all(np.isfinite(mf.logz_pt[0]))
