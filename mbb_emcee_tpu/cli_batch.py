@@ -376,12 +376,11 @@ def main(argv=None):
                        resume=args.resume)
 
         if args.extend_until is not None:
-            if getattr(mf, "_sampler", None) is None:
+            if (getattr(mf, "_sampler", None) is None
+                    and getattr(mf, "_xla_keys", None) is None):
                 raise SystemExit(
-                    "--extend-until requires the fused sampler backend "
-                    "(the XLA path compiles the whole run as one program "
-                    "without retaining state); rerun on TPU or with "
-                    "--sampler-backend fused")
+                    "--extend-until requires a continuable stretch-move "
+                    "run (fused or XLA backend)")
             step = args.extend_step or args.nsteps
             max_steps = args.max_steps or 10 * args.nsteps
             # Fixed window + stride=ceil(nrec/window): the reduction

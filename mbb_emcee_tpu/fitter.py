@@ -773,10 +773,10 @@ class MBBFitter(ParamSpaceMixin):
         extend(n2) and run(n1+n2) are two equally valid realizations of
         the same posterior.
 
-        With n_ensembles > 1 this delegates to MultiFitter.extend, which
-        requires the fused sampler backend (TPU): on CPU / the XLA
-        backend the whole batched run compiles as one program without
-        retained state, so re-run() with more steps there instead."""
+        With n_ensembles > 1 this delegates to MultiFitter.extend (works
+        on both stretch-move backends: the fused kernel continues from
+        its retained device state; the XLA path restarts from the final
+        key + last chain record, exactly the longer run's chain)."""
         if self.chain_free is None:
             raise RuntimeError("run() has not been called")
         if getattr(self, "_mf", None) is not None:

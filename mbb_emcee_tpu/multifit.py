@@ -150,6 +150,7 @@ class MultiFitter(ParamSpaceMixin):
         self.free_space: FreeSpace | None = None
         self.thin = 1
         self._run_cache = {}
+        self._xla_keys = None       # per-source PRNG keys, XLA extend()
         self.evidence = None    # NestedBatchResult from compute_evidence()
         self.logz_pt = None     # ((S,), (S,)) stepping-stone, run_pt()
         self.logz_ti = None     # ((S,), (S,)) TI cross-check, run_pt()
@@ -543,7 +544,11 @@ class MultiFitter(ParamSpaceMixin):
 
             state, (chain, lnpchain) = jax.lax.scan(
                 inner, state, None, length=nrec)
-            return chain, lnpchain, state.naccept, state.nsteps
+            # The final per-source PRNG key makes the run CONTINUABLE:
+            # positions/lnprob of the final state are the last chain
+            # record, so (key, last record) is a complete restart point
+            # for extend() on this backend.
+            return chain, lnpchain, state.naccept, state.nsteps, state.key
 
         # Cache the compiled program across run() calls with the same
         # static geometry + parameter-space config (a fresh jit here costs
@@ -569,18 +574,31 @@ class MultiFitter(ParamSpaceMixin):
                               P(ax, None), P(ax, None),
                               P(), P(), P(), P(None)),
                     out_specs=(P(ax, None, None, None), P(ax, None, None),
-                               P(ax, None), P(ax)))
+                               P(ax, None), P(ax), P(ax)))
             self._run_cache[cache_key] = jax.jit(f)
-        chain, lnpchain, naccept, nsteps_dev = self._run_cache[cache_key](
-            self._shard(jnp.arange(S)), self._shard(cen_f),
-            self._shard(sca_f), self._shard(flux), self._shard(iunc),
-            kball, kstate, krecenter, wave)
+        chain, lnpchain, naccept, nsteps_dev, keys = (
+            self._run_cache[cache_key](
+                self._shard(jnp.arange(S)), self._shard(cen_f),
+                self._shard(sca_f), self._shard(flux), self._shard(iunc),
+                kball, kstate, krecenter, wave))
 
         self.chain_free = chain                        # (S, nrec, nw, nfree)
         self.lnprobability = lnpchain                  # (S, nrec, nw)
         denom = np.maximum(np.asarray(nsteps_dev), 1)
         self.acceptance_fraction = (np.asarray(naccept)
                                     / denom[:, None])
+        # Continuation state for extend() on this backend.
+        self._sampler = None
+        self.final_state = None
+        self._xla_keys = keys
+        self._xla_counters = (naccept, nsteps_dev)
+        self._xla_token = (S, nw, free_space.nfree, thin_i, correlated,
+                           _mesh_token(self.mesh),
+                           _spec_token(spec, self.shape),
+                           self._responses_token(),
+                           None if self.band_names is None
+                           else tuple(self.band_names))
+        self._run_data = (self.flux.copy(), self.unc.copy())
         if verbose:
             af = self.acceptance_fraction
             from mbb_emcee_tpu.utils.log import enable_console
@@ -714,6 +732,7 @@ class MultiFitter(ParamSpaceMixin):
             lnpchain = jnp.asarray(np.concatenate(lnp_blocks, axis=1))
         self.final_state = state
         self._sampler = samp
+        self._xla_keys = None
         # extend() continues against the data the sampler was built with;
         # remember the CONTENT (not object identity -- in-place mutation
         # or a set_data with an array that np.asarray returned unchanged
@@ -956,6 +975,7 @@ class MultiFitter(ParamSpaceMixin):
         self._backend_used = "pt"
         self._sampler = None                           # extend() refuses
         self.final_state = None
+        self._xla_keys = None
         if verbose:
             af = self.acceptance_fraction
             from mbb_emcee_tpu.utils.log import enable_console
@@ -1087,6 +1107,7 @@ class MultiFitter(ParamSpaceMixin):
         self._backend_used = "hmc"
         self._sampler = None                           # extend() refuses
         self.final_state = None
+        self._xla_keys = None
         if verbose:
             af = self.acceptance_fraction
             from mbb_emcee_tpu.utils.log import enable_console
@@ -1170,13 +1191,18 @@ class MultiFitter(ParamSpaceMixin):
 
     def extend(self, nsteps, verbose=False):
         """Continue the production run for all sources from the stored
-        final state (fused backend; pairs with converged() for
-        run-until-converged serving loops)."""
+        final state (pairs with converged() for run-until-converged
+        serving loops). Works on both stretch-move backends: the fused
+        kernel continues from its retained device state; the XLA backend
+        restarts from (final PRNG key, last chain record), which IS the
+        complete sampler state."""
         if getattr(self, "_sampler", None) is None:
+            if getattr(self, "_xla_keys", None) is not None:
+                return self._extend_xla(nsteps, verbose)
             raise RuntimeError(
-                "extend() requires a prior run() on the fused backend "
-                "(the XLA backend compiles the whole run as one program "
-                "without retaining state; re-run with more steps there)")
+                "extend() requires a prior stretch-move run() "
+                "(run_hmc/run_pt runs are not continuable; re-run with "
+                "more steps)")
         if getattr(self, "_run_data", None) is not None and not (
                 np.array_equal(self._run_data[0], self.flux)
                 and np.array_equal(self._run_data[1], self.unc)):
@@ -1196,6 +1222,107 @@ class MultiFitter(ParamSpaceMixin):
         self.final_state = state
         denom = max(int(state.nsteps), 1)
         self.acceptance_fraction = np.asarray(state.naccept) / denom
+        if verbose:
+            from mbb_emcee_tpu.utils.log import enable_console
+            enable_console().info(
+                f"  extended by {nsteps} steps -> "
+                f"{self.chain_free.shape[1]} recorded per source")
+        return self
+
+    def _extend_xla(self, nsteps, verbose):
+        """extend() on the XLA batch backend: the stretch-move state is
+        (PRNG key, positions, lnprob) and the last chain record holds the
+        positions/lnprob exactly, so continuation needs only the stored
+        per-source keys (one compiled continue-program per extension
+        geometry, cached like run()'s)."""
+        if getattr(self, "_run_data", None) is not None and not (
+                np.array_equal(self._run_data[0], self.flux)
+                and np.array_equal(self._run_data[1], self.unc)):
+            raise RuntimeError(
+                "set_data() was called after run(); extend() would keep "
+                "sampling the PREVIOUS batch's posterior -- call run() "
+                "for the new data instead")
+        if nsteps % self.thin:
+            raise ValueError(
+                f"nsteps={nsteps} not divisible by thin={self.thin}")
+        spec = self._effective_spec()
+        iunc_np, correlated = self._data_operand()
+        S, nw = self.nsources, self.nwalkers
+        half = nw // 2
+        thin_i = int(self.thin)
+        nrec_e = int(nsteps) // thin_i
+        if nrec_e <= 0:
+            raise ValueError(f"nsteps={nsteps} extends by zero records "
+                             f"at thin={self.thin}")
+        token = (S, nw, self.free_space.nfree, thin_i, correlated,
+                 _mesh_token(self.mesh), _spec_token(spec, self.shape),
+                 self._responses_token(),
+                 None if self.band_names is None
+                 else tuple(self.band_names))
+        if token != self._xla_token:
+            raise RuntimeError(
+                "the parameter space / model configuration changed after "
+                "run(); extend() would splice chains from different "
+                "posteriors -- call run() instead")
+        lnprob_data, _ = build_lnprob_data(
+            self.shape, spec, response_pack=self._response_pack(),
+            correlated=correlated)
+        a = self.a
+
+        def one_source_cont(flux_s, iunc_s, key_s, pos_s, lnp_s,
+                            nacc_s, nst_s, wave):
+            batched = jax.vmap(
+                lambda th: lnprob_data(th, wave, flux_s, iunc_s))
+            state = SamplerState(
+                key=key_s, pos_a=pos_s[:half], pos_b=pos_s[half:],
+                lnp_a=lnp_s[:half], lnp_b=lnp_s[half:],
+                naccept=nacc_s, nsteps=nst_s)
+
+            def inner(carry, _):
+                s = jax.lax.fori_loop(
+                    0, thin_i, lambda i, x: ensemble_step(x, batched, a),
+                    carry)
+                return s, (s.position, s.lnprob)
+
+            state, (chain, lnpchain) = jax.lax.scan(
+                inner, state, None, length=nrec_e)
+            return chain, lnpchain, state.naccept, state.nsteps, state.key
+
+        cache_key = ("xla_extend", nrec_e) + token
+        if cache_key not in self._run_cache:
+            f = jax.vmap(one_source_cont,
+                         in_axes=(0, 0, 0, 0, 0, 0, 0, None))
+            if self.mesh is not None:
+                ax = self.mesh.axis_names[0]
+                f = jax.shard_map(
+                    f, mesh=self.mesh,
+                    in_specs=(P(ax, None), P(ax, None), P(ax),
+                              P(ax, None, None), P(ax, None),
+                              P(ax, None), P(ax), P(None)),
+                    out_specs=(P(ax, None, None, None), P(ax, None, None),
+                               P(ax, None), P(ax), P(ax)))
+            self._run_cache[cache_key] = jax.jit(f)
+
+        naccept0, nsteps0 = self._xla_counters
+        chain, lnpchain, naccept, nsteps_dev, keys = (
+            self._run_cache[cache_key](
+                self._shard(jnp.asarray(self.flux, jnp.float32)),
+                self._shard(jnp.asarray(iunc_np, jnp.float32)),
+                self._shard(self._xla_keys),
+                self._shard(jnp.asarray(self.chain_free)[:, -1]),
+                self._shard(jnp.asarray(self.lnprobability)[:, -1]),
+                self._shard(jnp.asarray(naccept0)),
+                self._shard(jnp.asarray(nsteps0)),
+                jnp.asarray(self.wave, jnp.float32)))
+
+        self.chain_free = jnp.concatenate(
+            [jnp.asarray(self.chain_free), chain], axis=1)
+        self.lnprobability = jnp.concatenate(
+            [jnp.asarray(self.lnprobability), lnpchain], axis=1)
+        self._xla_keys = keys
+        self._xla_counters = (naccept, nsteps_dev)
+        denom = np.maximum(np.asarray(nsteps_dev), 1)
+        self.acceptance_fraction = np.asarray(naccept) / denom[:, None]
         if verbose:
             from mbb_emcee_tpu.utils.log import enable_console
             enable_console().info(

@@ -167,6 +167,12 @@ def test_source_sharded_run_matches_unsharded():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(a.acceptance_fraction,
                                   b.acceptance_fraction)
+    # XLA extend() continues identically under the mesh too
+    a.extend(20)
+    b.extend(20)
+    np.testing.assert_allclose(np.asarray(a.chain_free),
+                               np.asarray(b.chain_free),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_multifit_validation():
@@ -573,3 +579,52 @@ def test_correlated_hmc_and_pt_smoke():
     mf.run_pt(nrungs=4, nburn=10, nsteps=12)
     assert np.all(np.isfinite(np.asarray(mf.chain_free)))
     assert np.all(np.isfinite(mf.logz_pt[0]))
+
+
+def test_xla_extend_matches_longer_run():
+    """extend() on the XLA backend continues the EXACT chain the longer
+    uninterrupted run would have produced (the continuation state --
+    final key + last record -- is complete)."""
+    flux, unc = _mock_batch(TRUES)
+
+    def fresh(corr=None):
+        mf = MultiFitter(nwalkers=32, opthin=True, noalpha=True, seed=9,
+                         sampler_backend="xla")
+        mf.set_data(WAVE, flux, unc)
+        if corr is not None:
+            mf.set_band_correlation(corr)
+        return mf
+
+    whole = fresh().run(nburn=20, nsteps=60, thin=2)
+    split = fresh().run(nburn=20, nsteps=40, thin=2).extend(20)
+    np.testing.assert_array_equal(np.asarray(whole.chain_free),
+                                  np.asarray(split.chain_free))
+    np.testing.assert_array_equal(np.asarray(whole.lnprobability),
+                                  np.asarray(split.lnprobability))
+    np.testing.assert_array_equal(whole.acceptance_fraction,
+                                  split.acceptance_fraction)
+
+    # continuation under correlated errors (the case that FORCES the XLA
+    # backend and motivated extend() support there)
+    R = _random_corr(NB, strength=0.3)
+    w2 = fresh(R).run(nburn=20, nsteps=40, thin=1)
+    s2 = fresh(R).run(nburn=20, nsteps=20, thin=1).extend(10).extend(10)
+    np.testing.assert_array_equal(np.asarray(w2.chain_free),
+                                  np.asarray(s2.chain_free))
+
+    # guards: stale data, changed parameter space, bad thin multiple
+    mf = fresh().run(nburn=10, nsteps=20, thin=2)
+    with pytest.raises(ValueError, match="divisible"):
+        mf.extend(21)
+    mf.set_uplim("T", 90.0)
+    with pytest.raises(RuntimeError, match="configuration changed"):
+        mf.extend(20)
+    mf2 = fresh().run(nburn=10, nsteps=20)
+    mf2.set_data(WAVE, flux + 0.01, unc)
+    with pytest.raises(RuntimeError, match="set_data"):
+        mf2.extend(20)
+    # HMC/PT runs are not continuable
+    mf3 = fresh()
+    mf3.run_hmc(nwarmup=8, nsteps=8, n_leapfrog=4)
+    with pytest.raises(RuntimeError, match="not continuable"):
+        mf3.extend(8)
