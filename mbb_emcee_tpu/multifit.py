@@ -200,12 +200,20 @@ class MultiFitter(ParamSpaceMixin):
         if np.any(unc[~missing] <= 0):
             raise ValueError("uncertainties must be positive")
         ub = self._spec.uplim_bands
-        if ub is not None and ub.shape not in (
-                (wave.size,), (flux.shape[0], wave.size)):
+        if ub is not None and ub.ndim == 2 and self.flux is not None:
+            # A per-source mask binds to SOURCE IDENTITIES, not to the
+            # batch geometry: carrying it onto a new same-shape catalog
+            # would flag the wrong sources' bands one-sided. A shared
+            # (nb,) mask is band-bound and carries over.
             raise ValueError(
-                f"existing upper-limit mask {ub.shape} does not fit the "
-                f"new data (S={flux.shape[0]}, nb={wave.size}); call "
-                f"set_phot_upperlimits again for this batch")
+                "a per-source upper-limit mask is set; it cannot carry "
+                "over to a new batch -- call set_phot_upperlimits again "
+                "after set_data")
+        if ub is not None and ub.ndim == 1 and ub.size != wave.size:
+            raise ValueError(
+                f"existing upper-limit mask ({ub.size},) does not fit "
+                f"the new data (nb={wave.size}); call "
+                f"set_phot_upperlimits again")
         if (self._band_corr is not None
                 and self._band_corr.shape != (wave.size, wave.size)):
             raise ValueError(
@@ -341,6 +349,18 @@ class MultiFitter(ParamSpaceMixin):
         if self._band_corr is None:
             return self._iunc_operand(), False
         return self._whiten_operand(), True
+
+    def _posterior_token(self, spec, correlated):
+        """Identity of the posterior a run sampled (extend() refuses to
+        splice chains across a change): parameter space + mask + band
+        correlation CONTENT + wavelengths + geometry."""
+        return (self.nsources, self.nwalkers, int(self.thin), correlated,
+                None if self._band_corr is None
+                else self._band_corr.tobytes(),
+                self.wave.tobytes(), _mesh_token(self.mesh),
+                _spec_token(spec, self.shape), self._responses_token(),
+                None if self.band_names is None
+                else tuple(self.band_names))
 
     def _require_diag_errors(self, what):
         if self._band_corr is not None:
@@ -557,7 +577,9 @@ class MultiFitter(ParamSpaceMixin):
         cache_key = (S, nw, free_space.nfree, nrec, thin_i, int(nburn),
                      bool(recenter_burn), correlated,
                      _mesh_token(self.mesh),
-                     _spec_token(spec, self.shape),
+                     # uplim masks excluded: they ride the iunc operand,
+                     # so mask changes REUSE this program (_compile_token)
+                     _compile_token(spec, self.shape),
                      # the response pack (if any) is baked into the jitted
                      # program as a constant
                      self._responses_token(),
@@ -592,13 +614,9 @@ class MultiFitter(ParamSpaceMixin):
         self.final_state = None
         self._xla_keys = keys
         self._xla_counters = (naccept, nsteps_dev)
-        self._xla_token = (S, nw, free_space.nfree, thin_i, correlated,
-                           _mesh_token(self.mesh),
-                           _spec_token(spec, self.shape),
-                           self._responses_token(),
-                           None if self.band_names is None
-                           else tuple(self.band_names))
-        self._run_data = (self.flux.copy(), self.unc.copy())
+        self._xla_token = self._posterior_token(spec, correlated)
+        self._run_data = (self.flux.copy(), self.unc.copy(),
+                          self.wave.copy())
         if verbose:
             af = self.acceptance_fraction
             from mbb_emcee_tpu.utils.log import enable_console
@@ -616,10 +634,11 @@ class MultiFitter(ParamSpaceMixin):
         from mbb_emcee_tpu.ops.pallas_multifit import FusedMultiPallasSampler
 
         # The token covers everything COMPILED into the sampler (geometry,
-        # spec, band setup); per-source flux/unc are runtime operands and
-        # are refreshed below, so fitting successive same-shape batches
-        # reuses the compiled kernel.
-        token = ("fused", self.nwalkers, _spec_token(spec, self.shape),
+        # spec, band setup); per-source flux/unc AND the upper-limit mask
+        # are runtime operands (the mask rides the iunc sign) and are
+        # refreshed below, so fitting successive same-shape batches --
+        # including mask changes -- reuses the compiled kernel.
+        token = ("fused", self.nwalkers, _compile_token(spec, self.shape),
                  self.flux.shape, self.wave.tobytes(),
                  self._responses_token(), _mesh_token(self.mesh),
                  None if self.band_names is None
@@ -631,7 +650,8 @@ class MultiFitter(ParamSpaceMixin):
                 mesh=self.mesh, interpret=self.interpret)
             self._fused_token = token
         else:
-            self._fused.set_data(self.flux, self.unc)
+            self._fused.set_data(self.flux, self.unc,
+                                 uplim_bands=spec.uplim_bands)
         samp = self._fused
         self.free_space = samp.free_space
         self.thin = int(thin)
@@ -738,7 +758,8 @@ class MultiFitter(ParamSpaceMixin):
         # or a set_data with an array that np.asarray returned unchanged
         # would slip through an `is` check) so a data change in between is
         # caught instead of silently sampling the old batch's posterior.
-        self._run_data = (self.flux.copy(), self.unc.copy())
+        self._run_data = (self.flux.copy(), self.unc.copy(),
+                          self.wave.copy())
         self.thin = int(thin)
         self.chain_free = chain
         self.lnprobability = lnpchain
@@ -888,7 +909,7 @@ class MultiFitter(ParamSpaceMixin):
 
         def _compiled(tag, fn, in_axes, sharded_in, sharded_out, **static):
             ck = (tag, S, W, d, nrec, thin_i, int(nburn), K1, correlated,
-                  _spec_token(spec, self.shape), _mesh_token(self.mesh),
+                  _compile_token(spec, self.shape), _mesh_token(self.mesh),
                   self._responses_token(),
                   None if self.band_names is None
                   else tuple(self.band_names),
@@ -1076,7 +1097,7 @@ class MultiFitter(ParamSpaceMixin):
         ax = mesh_axis
         ck = ("hmc", S, W, d, nrec, int(thin), int(nwarmup),
               int(n_leapfrog), float(target_accept), correlated,
-              _spec_token(spec, self.shape), _mesh_token(self.mesh),
+              _compile_token(spec, self.shape), _mesh_token(self.mesh),
               self._responses_token(),
               None if self.band_names is None
               else tuple(self.band_names))
@@ -1205,7 +1226,8 @@ class MultiFitter(ParamSpaceMixin):
                 "more steps)")
         if getattr(self, "_run_data", None) is not None and not (
                 np.array_equal(self._run_data[0], self.flux)
-                and np.array_equal(self._run_data[1], self.unc)):
+                and np.array_equal(self._run_data[1], self.unc)
+                and np.array_equal(self._run_data[2], self.wave)):
             raise RuntimeError(
                 "set_data() was called after run(); extend() would keep "
                 "sampling the PREVIOUS batch's posterior -- call run() "
@@ -1237,7 +1259,8 @@ class MultiFitter(ParamSpaceMixin):
         geometry, cached like run()'s)."""
         if getattr(self, "_run_data", None) is not None and not (
                 np.array_equal(self._run_data[0], self.flux)
-                and np.array_equal(self._run_data[1], self.unc)):
+                and np.array_equal(self._run_data[1], self.unc)
+                and np.array_equal(self._run_data[2], self.wave)):
             raise RuntimeError(
                 "set_data() was called after run(); extend() would keep "
                 "sampling the PREVIOUS batch's posterior -- call run() "
@@ -1254,16 +1277,11 @@ class MultiFitter(ParamSpaceMixin):
         if nrec_e <= 0:
             raise ValueError(f"nsteps={nsteps} extends by zero records "
                              f"at thin={self.thin}")
-        token = (S, nw, self.free_space.nfree, thin_i, correlated,
-                 _mesh_token(self.mesh), _spec_token(spec, self.shape),
-                 self._responses_token(),
-                 None if self.band_names is None
-                 else tuple(self.band_names))
-        if token != self._xla_token:
+        if self._posterior_token(spec, correlated) != self._xla_token:
             raise RuntimeError(
-                "the parameter space / model configuration changed after "
-                "run(); extend() would splice chains from different "
-                "posteriors -- call run() instead")
+                "the parameter space / error model / band configuration "
+                "changed after run(); extend() would splice chains from "
+                "different posteriors -- call run() instead")
         lnprob_data, _ = build_lnprob_data(
             self.shape, spec, response_pack=self._response_pack(),
             correlated=correlated)
@@ -1288,7 +1306,12 @@ class MultiFitter(ParamSpaceMixin):
                 inner, state, None, length=nrec_e)
             return chain, lnpchain, state.naccept, state.nsteps, state.key
 
-        cache_key = ("xla_extend", nrec_e) + token
+        cache_key = ("xla_extend", S, nw, self.free_space.nfree, nrec_e,
+                     thin_i, correlated, _mesh_token(self.mesh),
+                     _compile_token(spec, self.shape),
+                     self._responses_token(),
+                     None if self.band_names is None
+                     else tuple(self.band_names))
         if cache_key not in self._run_cache:
             f = jax.vmap(one_source_cont,
                          in_axes=(0, 0, 0, 0, 0, 0, 0, None))
@@ -1767,11 +1790,18 @@ class _SourceView:
         self.acceptance_fraction = mf.acceptance_fraction[i]
         self.shape = mf.shape
         cov = None
-        if mf._band_corr is not None and np.all(np.isfinite(mf.unc[i])):
+        if mf._band_corr is not None:
             # this source's full covariance C = D R D (the error model
-            # the batch actually sampled under)
+            # the batch actually sampled under); a missing band is an
+            # infinite-variance row/col with zero cross terms -- the
+            # exact limit the marginalized whitening implements
             d = mf.unc[i]
             cov = mf._band_corr * np.outer(d, d)
+            miss = ~np.isfinite(d)
+            if miss.any():
+                cov[miss, :] = 0.0
+                cov[:, miss] = 0.0
+                cov[miss, miss] = np.inf
         self.phot = Photometry(mf.wave, mf.flux[i], mf.unc[i], cov=cov,
                                band_names=mf.band_names)
         self.spec = mf._effective_spec()
@@ -1819,12 +1849,24 @@ def _pack_token(pack):
     return (waves.tobytes(), wts.tobytes())
 
 
-def _spec_token(spec: LikelihoodSpec, shape: MBBShape):
-    """Hashable snapshot of everything that is baked into the compiled run
-    as a constant (parameter-space config + model shape)."""
-    uplim = (None if spec.uplim_bands is None
-             else np.asarray(spec.uplim_bands).tobytes())
+def _compile_token(spec: LikelihoodSpec, shape: MBBShape):
+    """Hashable snapshot of everything that is baked into the compiled
+    BATCH run as a constant (parameter-space config + model shape).
+    Upper-limit masks are deliberately EXCLUDED: in the batch paths they
+    ride the sign of the inverse-uncertainty operand (signed_iunc), so a
+    mask change must reuse the compiled program -- that is the point of
+    the encoding. Use _spec_token when identifying the POSTERIOR (extend
+    guards), where the mask does matter."""
     return (spec.lower.tobytes(), spec.upper.tobytes(),
             spec.fixed.tobytes(), spec.fixed_values.tobytes(),
             spec.prior_mean.tobytes(), spec.prior_isigma.tobytes(),
-            uplim, shape.opthin, shape.noalpha, shape.wavenorm)
+            shape.opthin, shape.noalpha, shape.wavenorm)
+
+
+def _spec_token(spec: LikelihoodSpec, shape: MBBShape):
+    """Posterior-identity snapshot: _compile_token plus the upper-limit
+    mask (an operand, not a compiled constant, but it changes WHICH
+    posterior the chain samples -- extend() must refuse to splice)."""
+    uplim = (None if spec.uplim_bands is None
+             else np.asarray(spec.uplim_bands).tobytes())
+    return _compile_token(spec, shape) + (uplim,)

@@ -422,16 +422,23 @@ class FusedMultiPallasSampler:
         # geometry serves any run length via <=rec_cap-record segments.
         self.rec_cap = 256
 
-    def set_data(self, flux, unc):
-        """Replace the per-source photometry (same S and band count). Flux
-        and uncertainties are RUNTIME kernel operands, so this does not
-        recompile -- the serving path for fitting successive batches."""
+    _KEEP = object()    # set_data sentinel: "mask not given, keep current"
+
+    def set_data(self, flux, unc, uplim_bands=_KEEP):
+        """Replace the per-source photometry (same S and band count). Flux,
+        uncertainties AND the upper-limit mask are RUNTIME kernel operands
+        (the mask rides the iunc sign), so this does not recompile -- the
+        serving path for fitting successive batches. Pass `uplim_bands`
+        ((nb,) or (S, nb) or None) to also replace the mask; omitting it
+        keeps the current one."""
         flux = np.atleast_2d(np.asarray(flux, np.float64))
         unc = np.atleast_2d(np.asarray(unc, np.float64))
         nb = self.nbands
         if flux.shape != (self.nsources, nb) or unc.shape != flux.shape:
             raise ValueError(
                 f"flux/unc must be ({self.nsources}, {nb})")
+        if uplim_bands is not FusedMultiPallasSampler._KEEP:
+            self._uplim_bands = uplim_bands
         pad = self.s_pad - self.nsources
         flux_p = np.concatenate([flux, np.repeat(flux[:1], pad, 0)], 0)
         si = signed_iunc(unc, self._uplim_bands)

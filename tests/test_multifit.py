@@ -628,3 +628,71 @@ def test_xla_extend_matches_longer_run():
     mf3.run_hmc(nwarmup=8, nsteps=8, n_leapfrog=4)
     with pytest.raises(RuntimeError, match="not continuable"):
         mf3.extend(8)
+
+
+def test_uplim_mask_change_reuses_compiled_programs():
+    """The central promise of the sign-encoded masks: changing WHICH
+    bands/sources are upper limits must not grow the compile cache (XLA)
+    or rebuild the fused sampler."""
+    flux, unc = _mock_batch(TRUES)
+    mf = MultiFitter(nwalkers=32, opthin=True, noalpha=True, seed=2,
+                     sampler_backend="xla")
+    mf.set_data(WAVE, flux, unc)
+    mf.run(nburn=10, nsteps=20)
+    n0 = len(mf._run_cache)
+    mf.set_phot_upperlimits([False] * (NB - 1) + [True])
+    mf.run(nburn=10, nsteps=20)
+    m = np.zeros((TRUES.shape[0], NB), bool)
+    m[0, 0] = True
+    mf.set_phot_upperlimits(m)
+    mf.run(nburn=10, nsteps=20)
+    assert len(mf._run_cache) == n0, "mask change recompiled the XLA run"
+
+    mff = MultiFitter(nwalkers=32, opthin=True, noalpha=True, seed=2,
+                      sampler_backend="fused", interpret=True)
+    mff.set_data(WAVE, flux, unc)
+    mff.run(nburn=4, nsteps=8)
+    samp_id = id(mff._fused)
+    mff.set_phot_upperlimits(m)
+    mff.run(nburn=4, nsteps=8)
+    assert id(mff._fused) == samp_id, "mask change rebuilt the fused kernel"
+    # ... and the refreshed mask actually reached the kernel operands
+    assert float(np.asarray(mff._fused._iunc)[0, 0, 0]) < 0
+
+
+def test_extend_refuses_changed_error_model():
+    """extend() must refuse when the band correlation CONTENT (not just
+    its presence) changed after run() -- else it splices chains from two
+    different posteriors."""
+    flux, unc = _mock_batch(TRUES)
+    mf = MultiFitter(nwalkers=32, opthin=True, noalpha=True, seed=2,
+                     sampler_backend="xla")
+    mf.set_data(WAVE, flux, unc)
+    mf.set_band_correlation(_random_corr(NB, seed=1))
+    mf.run(nburn=10, nsteps=20)
+    mf.set_band_correlation(_random_corr(NB, seed=2))
+    with pytest.raises(RuntimeError, match="changed after"):
+        mf.extend(20)
+    # unchanged correlation still extends
+    mf.set_band_correlation(_random_corr(NB, seed=1))
+    mf.extend(20)
+    assert mf.chain_free.shape[1] == 40
+
+
+def test_source_view_cov_with_missing_band():
+    """results(i) for a ragged source under a band correlation carries
+    the exact limiting covariance: missing band = infinite variance,
+    zero cross terms."""
+    flux, unc = _mock_batch(TRUES[:2])
+    flux2 = flux.copy(); unc2 = unc.copy()
+    flux2[1, 0] = np.nan; unc2[1, 0] = np.nan
+    R = _random_corr(NB, strength=0.3)
+    mf = MultiFitter(nwalkers=32, opthin=True, noalpha=True, seed=2)
+    mf.set_data(WAVE, flux2, unc2)
+    mf.set_band_correlation(R)
+    mf.run(nburn=10, nsteps=20)
+    cov = mf.results(1, redshift=2.0).phot.cov
+    assert np.isinf(cov[0, 0])
+    assert np.all(cov[0, 1:] == 0.0) and np.all(cov[1:, 0] == 0.0)
+    sub = R[1:, 1:] * np.outer(mf.unc[1, 1:], mf.unc[1, 1:])
+    np.testing.assert_allclose(cov[1:, 1:], sub, rtol=1e-12)
