@@ -696,3 +696,48 @@ def test_source_view_cov_with_missing_band():
     assert np.all(cov[0, 1:] == 0.0) and np.all(cov[1:, 0] == 0.0)
     sub = R[1:, 1:] * np.outer(mf.unc[1, 1:], mf.unc[1, 1:])
     np.testing.assert_allclose(cov[1:, 1:], sub, rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_correlated_fit_statistically_calibrated():
+    """End-to-end statistics of the correlated batch path: draw band
+    noise from the TRUE covariance C_s = D_s R D_s for many sources,
+    fit under the same R, and check the pooled parameter pulls
+    (truth - median)/sigma_post are standard-normal-ish. A miscoded
+    whitening (e.g. R^-1 submatrix instead of submatrix Cholesky, or a
+    transposed factor) shows up as badly over/under-dispersed pulls."""
+    S = 16
+    rng = np.random.default_rng(42)
+    trues = np.column_stack([
+        rng.uniform(26.0, 42.0, S),
+        rng.uniform(1.5, 2.1, S),
+        np.full(S, 250.0),
+        np.full(S, 4.0),
+        rng.uniform(25.0, 55.0, S),
+    ])
+    shape = MBBShape(opthin=True, noalpha=True)
+    R = _random_corr(NB, seed=8, strength=0.5)
+    L = np.linalg.cholesky(R)
+    flux, unc = [], []
+    for t in trues:
+        f = np.asarray(mbb_fnu(jnp.asarray(t, jnp.float32),
+                               jnp.asarray(WAVE, jnp.float32), shape),
+                       np.float64)
+        u = 0.05 * f
+        noise = u * (L @ rng.standard_normal(NB))   # cov = D R D
+        flux.append(f + noise)
+        unc.append(u)
+    mf = MultiFitter(nwalkers=96, opthin=True, noalpha=True, seed=77)
+    mf.set_data(WAVE, np.array(flux), np.array(unc))
+    mf.set_band_correlation(R)
+    mf.run(nburn=150, nsteps=600)
+
+    pulls = []
+    for pi, name in ((0, "T"), (1, "beta"), (4, "fnorm")):
+        cen = mf.par_cen(name)                       # (S, 3)
+        sig = 0.5 * (cen[:, 1] + cen[:, 2])
+        pulls.append((trues[:, pi] - cen[:, 0]) / sig)
+    pulls = np.concatenate(pulls)                    # 48 pulls
+    # pooled pulls: mean ~ 0 (se ~ 1/sqrt(48) ~ 0.14), std ~ 1
+    assert abs(pulls.mean()) < 0.5, pulls.mean()
+    assert 0.6 < pulls.std() < 1.6, pulls.std()
