@@ -235,3 +235,19 @@ def test_n_ensembles_merged_product():
     fit2.set_data(WAVE, flux, unc, cov=np.diag(unc ** 2))
     with pytest.raises(ValueError, match="diagonal"):
         fit2.run(nburn=2, nsteps=4)
+
+
+def test_n_ensembles_extend_on_xla_backend():
+    """extend() with n_ensembles works on CPU now that the XLA batch
+    backend is continuable (ADVICE r1 item 1: it used to raise)."""
+    shape = MBBShape(opthin=True, noalpha=True)
+    flux, unc = _mock(TRUE, shape)
+    fit = MBBFitter(nwalkers=16, opthin=True, noalpha=True, seed=7,
+                    n_ensembles=2)
+    fit.set_data(WAVE, flux, unc)
+    fit.run(nburn=15, nsteps=30)
+    n0 = fit.chain_free.shape[0]
+    w0 = fit.chain_free.shape[1]
+    fit.extend(30)
+    assert fit.chain_free.shape == (n0 * 2, w0, fit.free_space.nfree)
+    assert np.all(np.isfinite(fit.gelman_rubin()))
