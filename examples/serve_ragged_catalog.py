@@ -1,0 +1,96 @@
+"""Ragged survey serving: missing bands, per-source upper limits, and
+correlated calibration errors -- all in ONE compiled batch program.
+
+Real catalogs are ragged: not every source is observed in every band,
+some measurements are upper limits, and the instrument's calibration
+errors are correlated across bands. Each of those rides a RUNTIME
+operand here (missing band = zero inverse uncertainty, upper limit =
+its sign, correlation = a per-source whitening matrix precomputed from
+the pattern submatrices), so any missingness/limit pattern reuses the
+same compiled program.
+
+The same pipeline is one shell command:
+    run_mbb_emcee_tpu_batch catalog.txt out.h5 --corrfile cov.fits \
+        --extend-until 1.05 --get-lir --summary
+with '<flux' tokens and 'nan nan' pairs directly in the catalog file.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+# runnable as `python examples/<name>.py` from anywhere
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+from mbb_emcee_tpu import MultiFitter
+
+rng = np.random.default_rng(3)
+wave = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
+nb = wave.size
+
+
+def fake_ragged_batch(nsources):
+    import jax.numpy as jnp
+    from mbb_emcee_tpu.models.modified_blackbody import mbb_fnu, MBBShape
+
+    shape = MBBShape(opthin=True, noalpha=True)
+    trues = np.column_stack([
+        rng.uniform(20.0, 45.0, nsources),
+        rng.uniform(1.4, 2.2, nsources),
+        np.full(nsources, 250.0),
+        np.full(nsources, 3.5),
+        rng.uniform(10.0, 80.0, nsources),
+    ])
+    # a shared 30% calibration floor correlates the band errors
+    corr = 0.3 * np.ones((nb, nb)) + 0.7 * np.eye(nb)
+    L = np.linalg.cholesky(corr)
+    flux, unc = [], []
+    for t in trues:
+        f = np.asarray(mbb_fnu(jnp.asarray(t, jnp.float32),
+                               jnp.asarray(wave, jnp.float32), shape),
+                       np.float64)
+        u = 0.05 * f
+        flux.append(f + u * (L @ rng.standard_normal(nb)))
+        unc.append(u)
+    flux, unc = np.array(flux), np.array(unc)
+    # raggedness: every 3rd source missing the 100um band; every 4th
+    # source's 500um flux is only an upper limit
+    flux[::3, 0] = np.nan
+    unc[::3, 0] = np.nan
+    uplims = np.zeros((nsources, nb), bool)
+    uplims[::4, nb - 1] = True
+    flux[::4, nb - 1] *= 1.5          # quote the limit above the model
+    return flux, unc, corr, uplims
+
+
+S = 64
+flux, unc, corr, uplims = fake_ragged_batch(S)
+
+mf = MultiFitter(nwalkers=250, opthin=True, noalpha=True, seed=1)
+mf.set_uplim("T", 100.0).set_uplim("beta", 5.0)
+mf.set_data(wave, flux, unc)
+
+# Upper limits and correlated errors do not compose (one-sided +
+# correlation is ill-defined); pick per batch. Here: correlation.
+mf.set_band_correlation(corr)
+mf.run(nburn=150, nsteps=500)
+
+# run-until-converged serving loop (works on both backends)
+while True:
+    ok = mf.converged(rhat_max=1.1, window=250)
+    if ok.all() or mf.chain_free.shape[1] >= 4000:
+        break
+    print(f"{int((~ok).sum())}/{S} sources above R-hat 1.1; extending")
+    mf.extend(500)
+
+cen = mf.par_cen("T")
+print(f"fit {S} ragged sources; T medians "
+      f"{cen[:, 0].min():.1f}-{cen[:, 0].max():.1f} K, "
+      f"max split-R-hat {mf.gelman_rubin().max():.3f}")
+
+# the one-sided path instead (diagonal errors):
+mf2 = MultiFitter(nwalkers=250, opthin=True, noalpha=True, seed=2)
+mf2.set_data(wave, flux, unc)
+mf2.set_phot_upperlimits(uplims)     # per-source (S, nb) mask
+mf2.run(nburn=150, nsteps=500)
+print(f"one-sided batch: max split-R-hat {mf2.gelman_rubin().max():.3f}")
