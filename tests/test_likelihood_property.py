@@ -1,0 +1,139 @@
+"""Randomized property sweep of the fused likelihood vs an fp64 oracle.
+
+The targeted tests in test_likelihood.py pin each feature (fixed params,
+priors, upper limits, covariance whitening) at one configuration; this
+sweep samples RANDOM combinations of all of them and checks
+build_lnprob's fp32 device value against a straightforward fp64 NumPy
+computation built on tests/reference_impl's brentq oracle -- the
+config-interaction bugs (e.g. a prior applied in the wrong space when a
+parameter is fixed, or a mask composed wrongly with whitening) that
+single-feature tests cannot see.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from mbb_emcee_tpu.likelihood import (
+    Photometry, LikelihoodSpec, build_lnprob, LNPROB_FLOOR)
+from mbb_emcee_tpu.models.modified_blackbody import MBBShape
+from mbb_emcee_tpu.paramspace import _replace
+from tests.reference_impl.mbb_oracle import ModifiedBlackbodyOracle
+
+WAVE = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
+NB = WAVE.size
+
+
+def _oracle_lnprob(theta, wave, flux, unc, cov, spec, shape):
+    """fp64 reference: box -> model -> one-sided masks -> whitening ->
+    Gaussian priors, mirroring likelihood.build_lnprob's conventions
+    (priors apply to the FULL theta, fixed entries included)."""
+    theta = np.asarray(theta, np.float64)
+    free = ~spec.fixed
+    if np.any(theta[free] < spec.lower[free]) or np.any(
+            theta[free] > spec.upper[free]):
+        return LNPROB_FLOOR
+    model = ModifiedBlackbodyOracle(
+        *theta, wavenorm=shape.wavenorm, noalpha=shape.noalpha,
+        opthin=shape.opthin)(wave)
+    delta = model - flux
+    if spec.uplim_bands is not None:
+        m = np.asarray(spec.uplim_bands, bool)
+        delta = np.where(m, np.maximum(delta, 0.0), delta)
+    if cov is not None:
+        r = np.linalg.solve(np.linalg.cholesky(cov), delta)
+    else:
+        r = delta / unc
+    lnl = -0.5 * float(r @ r)
+    dp = (theta - spec.prior_mean) * spec.prior_isigma
+    return lnl - 0.5 * float(dp @ dp)
+
+
+def _random_config(rng):
+    shape = MBBShape(opthin=bool(rng.integers(2)),
+                     noalpha=bool(rng.integers(2)))
+    truth = np.array([rng.uniform(20.0, 45.0), rng.uniform(1.4, 2.2),
+                      rng.uniform(180.0, 320.0), rng.uniform(2.8, 4.5),
+                      rng.uniform(15.0, 70.0)])
+    spec = LikelihoodSpec.default()
+    spec = _replace(spec, upper=np.array([100.0, 5.0, 2e4, 60.0, 1e7]))
+
+    # random fixed subset among the shape's live params (never all)
+    live = [0, 1, 4]
+    if not shape.opthin:
+        live.append(2)
+    if not shape.noalpha:
+        live.append(3)
+    nfix = int(rng.integers(0, len(live) - 1))
+    fixed = np.asarray(spec.fixed).copy()
+    fixed_values = np.asarray(spec.fixed_values).copy()
+    for i in rng.permutation(live)[:nfix]:
+        fixed[i] = True
+        fixed_values[i] = truth[i]
+    spec = _replace(spec, fixed=fixed, fixed_values=fixed_values)
+
+    # random Gaussian priors on a subset
+    pm = np.asarray(spec.prior_mean).copy()
+    pis = np.asarray(spec.prior_isigma).copy()
+    for i in live:
+        if rng.random() < 0.4:
+            pm[i] = truth[i] * rng.uniform(0.9, 1.1)
+            pis[i] = 1.0 / (abs(truth[i]) * rng.uniform(0.05, 0.5))
+    spec = _replace(spec, prior_mean=pm, prior_isigma=pis)
+
+    # error model: diagonal, one-sided, or full covariance (never both)
+    mode = rng.choice(["diag", "uplim", "cov"])
+    uplim = None
+    cov = None
+    if mode == "uplim":
+        uplim = rng.random(NB) < 0.4
+        if not uplim.any():
+            uplim[int(rng.integers(NB))] = True
+        spec = _replace(spec, uplim_bands=uplim)
+    elif mode == "cov":
+        A = rng.standard_normal((NB, NB))
+        corr = A @ A.T + NB * np.eye(NB)
+        d = np.sqrt(np.diag(corr))
+        corr = corr / np.outer(d, d)
+    return shape, truth, spec, mode, (corr if mode == "cov" else None)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_lnprob_matches_oracle_random_configs(seed):
+    rng = np.random.default_rng(100 + seed)
+    for trial in range(8):
+        shape, truth, spec, mode, corr = _random_config(rng)
+        oracle = ModifiedBlackbodyOracle(
+            *truth, wavenorm=shape.wavenorm, noalpha=shape.noalpha,
+            opthin=shape.opthin)
+        f_true = oracle(WAVE)
+        unc = 0.05 * f_true
+        flux = f_true + unc * rng.standard_normal(NB)
+        cov = None
+        if corr is not None:
+            cov = corr * np.outer(unc, unc)
+        phot = Photometry(WAVE, flux, unc, cov=cov)
+        lnprob, fs = build_lnprob(phot, shape, spec)
+
+        for k in range(4):
+            theta = truth * rng.uniform(0.9, 1.1, 5)
+            theta = np.where(spec.fixed, spec.fixed_values, theta)
+            want = _oracle_lnprob(theta, WAVE, flux, unc, cov, spec, shape)
+            got = float(lnprob(jnp.asarray(theta[fs.free_idx],
+                                           jnp.float32)))
+            # fp32 model vs fp64 oracle: relative on the lnprob magnitude
+            # with an absolute floor for near-zero values
+            tol = max(2e-3 * abs(want), 0.05)
+            assert abs(got - want) < tol, (
+                f"seed={seed} trial={trial} k={k} mode={mode} "
+                f"shape=({shape.opthin},{shape.noalpha}) "
+                f"fixed={np.nonzero(spec.fixed)[0]} got={got} want={want}")
+
+        # a free parameter pushed outside its box floors the lnprob
+        free0 = fs.free_idx[0]
+        theta_out = truth.copy()
+        theta_out = np.where(spec.fixed, spec.fixed_values, theta_out)
+        theta_out[free0] = spec.upper[free0] * 1.5
+        got = float(lnprob(jnp.asarray(theta_out[fs.free_idx],
+                                       jnp.float32)))
+        assert got <= LNPROB_FLOOR / 2
