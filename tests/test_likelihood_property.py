@@ -137,3 +137,83 @@ def test_lnprob_matches_oracle_random_configs(seed):
         got = float(lnprob(jnp.asarray(theta_out[fs.free_idx],
                                        jnp.float32)))
         assert got <= LNPROB_FLOOR / 2
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_batch_lnprob_matches_oracle_random_patterns(seed):
+    """The BATCH likelihood's operand encodings (signed iunc for
+    per-source one-sided limits, zero iunc for missing bands, per-source
+    whitening matrices for correlated errors with exact pattern
+    marginalization) against the fp64 oracle, over random ragged
+    patterns."""
+    from mbb_emcee_tpu.likelihood import build_lnprob_data, signed_iunc
+    from mbb_emcee_tpu.multifit import MultiFitter
+
+    rng = np.random.default_rng(300 + seed)
+    shape = MBBShape(opthin=bool(rng.integers(2)),
+                     noalpha=bool(rng.integers(2)))
+    spec = LikelihoodSpec.default()
+    spec = _replace(spec, upper=np.array([100.0, 5.0, 2e4, 60.0, 1e7]))
+    wave_j = jnp.asarray(WAVE, jnp.float32)
+
+    S = 6
+    truths = np.column_stack([
+        rng.uniform(22.0, 42.0, S), rng.uniform(1.5, 2.1, S),
+        rng.uniform(200.0, 300.0, S), rng.uniform(3.0, 4.2, S),
+        rng.uniform(15.0, 60.0, S)])
+    flux, unc = [], []
+    for t in truths:
+        f = ModifiedBlackbodyOracle(
+            *t, wavenorm=shape.wavenorm, noalpha=shape.noalpha,
+            opthin=shape.opthin)(WAVE)
+        u = 0.05 * f
+        flux.append(f + u * rng.standard_normal(NB))
+        unc.append(u)
+    flux, unc = np.array(flux), np.array(unc)
+    # ragged: random missing bands (at most 2 per source)
+    missing = np.zeros((S, NB), bool)
+    for s in range(S):
+        for j in rng.permutation(NB)[:rng.integers(0, 3)]:
+            missing[s, j] = True
+    flux2 = np.where(missing, np.nan, flux)
+    unc2 = np.where(missing, np.nan, unc)
+
+    for mode in ("uplim", "corr"):
+        mf = MultiFitter(nwalkers=16, opthin=shape.opthin,
+                         noalpha=shape.noalpha)
+        mf.set_data(WAVE, flux2, unc2)
+        if mode == "uplim":
+            m = (rng.random((S, NB)) < 0.3) & ~missing
+            mf.set_phot_upperlimits(m)
+        else:
+            A = rng.standard_normal((NB, NB))
+            corr = A @ A.T + NB * np.eye(NB)
+            d = np.sqrt(np.diag(corr))
+            corr = corr / np.outer(d, d)
+            mf.set_band_correlation(corr)
+        operand, correlated = mf._data_operand()
+        lnp, fs = build_lnprob_data(
+            mf.shape, mf._effective_spec(), correlated=correlated)
+
+        for s in range(S):
+            theta = truths[s] * rng.uniform(0.92, 1.08, 5)
+            got = float(lnp(jnp.asarray(theta[fs.free_idx], jnp.float32),
+                            wave_j,
+                            jnp.asarray(mf.flux[s], jnp.float32),
+                            jnp.asarray(operand[s], jnp.float32)))
+            # fp64 oracle over this source's OBSERVED bands only
+            p = ~missing[s]
+            model = ModifiedBlackbodyOracle(
+                *theta, wavenorm=shape.wavenorm, noalpha=shape.noalpha,
+                opthin=shape.opthin)(WAVE)[p]
+            delta = model - flux[s, p]
+            if mode == "uplim":
+                delta = np.where(m[s, p], np.maximum(delta, 0.0), delta)
+                r = delta / unc[s, p]
+            else:
+                C = corr[np.ix_(p, p)] * np.outer(unc[s, p], unc[s, p])
+                r = np.linalg.solve(np.linalg.cholesky(C), delta)
+            want = -0.5 * float(r @ r)
+            tol = max(2e-3 * abs(want), 0.05)
+            assert abs(got - want) < tol, (
+                f"seed={seed} mode={mode} s={s} got={got} want={want}")
