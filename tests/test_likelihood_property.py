@@ -217,3 +217,66 @@ def test_batch_lnprob_matches_oracle_random_patterns(seed):
             tol = max(2e-3 * abs(want), 0.05)
             assert abs(got - want) < tol, (
                 f"seed={seed} mode={mode} s={s} got={got} want={want}")
+
+
+def test_batch_lnprob_response_mode_with_correlation():
+    """Instrument-response quadrature composes with the correlated error
+    model and ragged patterns in the batch likelihood: band fluxes come
+    from the pack contraction, whitening from the pattern submatrices."""
+    from mbb_emcee_tpu import ResponseSet
+    from mbb_emcee_tpu.likelihood import build_lnprob_data
+    from mbb_emcee_tpu.multifit import MultiFitter
+
+    rng = np.random.default_rng(77)
+    shape = MBBShape(opthin=True, noalpha=True)
+    rs = ResponseSet()
+    names = []
+    for w in WAVE:
+        name = f"BOX{int(w)}"
+        rs.add(name, f"box:{w}:{0.3 * w:.1f}")
+        names.append(name)
+    pack = rs.pack(names)
+    pw, pwt = np.asarray(pack[0], np.float64), np.asarray(pack[1],
+                                                          np.float64)
+
+    S = 4
+    truths = np.column_stack([
+        rng.uniform(24.0, 40.0, S), rng.uniform(1.5, 2.1, S),
+        np.full(S, 250.0), np.full(S, 4.0), rng.uniform(20.0, 55.0, S)])
+
+    def band_model(theta):
+        o = ModifiedBlackbodyOracle(*theta, opthin=True, noalpha=True)
+        return np.array([(pwt[b] * o(pw[b])).sum() for b in range(NB)])
+
+    flux = np.stack([band_model(t) for t in truths])
+    unc = 0.05 * flux
+    flux = flux + unc * rng.standard_normal(flux.shape)
+    flux2 = flux.copy(); unc2 = unc.copy()
+    flux2[2, 1] = np.nan; unc2[2, 1] = np.nan       # ragged
+
+    A = rng.standard_normal((NB, NB))
+    corr = A @ A.T + NB * np.eye(NB)
+    d = np.sqrt(np.diag(corr))
+    corr = corr / np.outer(d, d)
+
+    mf = MultiFitter(nwalkers=16, opthin=True, noalpha=True, responses=rs)
+    mf.set_data(WAVE, flux2, unc2, band_names=names)
+    mf.set_band_correlation(corr)
+    operand, correlated = mf._data_operand()
+    assert correlated
+    spec = mf._effective_spec()
+    lnp, fs = build_lnprob_data(mf.shape, spec, response_pack=pack,
+                                correlated=True)
+
+    for s in range(S):
+        theta = truths[s] * rng.uniform(0.95, 1.05, 5)
+        got = float(lnp(jnp.asarray(theta[fs.free_idx], jnp.float32),
+                        jnp.asarray(WAVE, jnp.float32),
+                        jnp.asarray(mf.flux[s], jnp.float32),
+                        jnp.asarray(operand[s], jnp.float32)))
+        p = np.isfinite(flux2[s])
+        delta = band_model(theta)[p] - flux[s, p]
+        C = corr[np.ix_(p, p)] * np.outer(unc[s, p], unc[s, p])
+        r = np.linalg.solve(np.linalg.cholesky(C), delta)
+        want = -0.5 * float(r @ r)
+        assert abs(got - want) < max(2e-3 * abs(want), 0.05), (s, got, want)
