@@ -349,7 +349,8 @@ class FusedMultiPallasSampler:
         self.wp = _round_up(self.half, _LANE)
 
         # free space + template/scatter from the shared batched-likelihood
-        # contract (validates spec, rejects photometric upper limits)
+        # contract (validates the spec; upper-limit masks ride the signed
+        # iunc operand, so they are NOT compiled in)
         _, self.free_space = build_lnprob_data(shape, spec)
         self.ndim = self.free_space.nfree
         if nwalkers < 2 * self.ndim:
