@@ -86,6 +86,13 @@ def build_parser():
     g.add_argument("--pt-beta-min", type=float, default=None,
                    help="hottest nonzero inverse temperature "
                         "(default: auto)")
+    g.add_argument("--map", action="store_true",
+                   help="TRIAGE mode: MAP point + Laplace error bars per "
+                        "source instead of MCMC (seconds for a whole "
+                        "catalog; sources flagged 'edge' need the full "
+                        "run). Writes a MAPFit-only HDF5")
+    g.add_argument("--map-starts", type=int, default=8,
+                   help="optimizer multi-starts per source (default 8)")
 
     g = p.add_argument_group(
         "serving loop",
@@ -332,6 +339,43 @@ def main(argv=None):
     from mbb_emcee_tpu.utils.profiling import StepTimer, trace
 
     log = enable_console(logging.INFO if args.verbose else logging.WARNING)
+
+    if args.map:
+        if args.hmc or args.pt or args.extend_until is not None:
+            raise SystemExit("--map is a triage mode; drop --hmc/--pt/"
+                             "--extend-until")
+        if args.checkpoint or args.resume:
+            raise SystemExit("--map runs in seconds; checkpointing does "
+                             "not apply")
+        if args.get_lir or args.get_dustmass or args.get_peaklambda \
+                or args.get_evidence:
+            raise SystemExit("derived-quantity posteriors need chains; "
+                             "run without --map for them")
+        import time as _time
+        t0 = _time.time()
+        mf.run_map(nstarts=args.map_starts, verbose=args.verbose)
+        dt = _time.time() - t0
+        mf.write_map_h5(args.outfile)
+        names = mf.free_param_names
+        hdr = ("#   source            "
+               + "".join(f"{p:>20}" for p in names) + "      lnp  flag")
+        lines = [hdr]
+        srcnames = (mf.source_names
+                    or [f"src{i}" for i in range(mf.nsources)])
+        for i, nm in enumerate(srcnames):
+            cells = "".join(
+                f"{mf.map_cen(p)[i, 0]:>12.4g} +-{mf.map_cen(p)[i, 1]:<.2g}"
+                .rjust(20) for p in names)
+            flag = "" if mf.map_interior[i] else "edge"
+            lines.append(f"{i:>3} {nm:<16}{cells}"
+                         f"{mf.map_lnprob[i]:>9.2f}  {flag}")
+        print("\n".join(lines))
+        n_edge = int((~mf.map_interior).sum())
+        print(f"{mf.nsources} sources MAP-fit in {dt:.1f}s "
+              f"({args.map_starts} starts each); {n_edge} flagged 'edge' "
+              f"(run the MCMC for those); written to {args.outfile}")
+        return 0
+
     if args.verbose:
         log.info(f"Batch fit: {cat.nsources} sources x {args.nwalkers} "
                  f"walkers, burn={args.burn}, steps={args.nsteps}")

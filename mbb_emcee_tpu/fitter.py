@@ -624,6 +624,74 @@ class MBBFitter(ParamSpaceMixin):
                      f"+/- {res.logz_err:.3f}")
         return self
 
+    def fit_map(self, nstarts=8, n_adam=150, n_newton=12, adam_lr=0.1,
+                verbose=False):
+        """MAP point + Laplace error bars in one device program
+        (mapfit.py): `nstarts` multi-starts through a fixed-iteration
+        Adam-then-damped-Newton optimizer, then the inverse Hessian at
+        the mode. Seconds instead of an MCMC run -- the triage/starting
+        point workflow the reference never had. Works with every
+        likelihood configuration build_lnprob supports (full covariance
+        included). Returns a MAPResult (free-parameter space; also
+        stored as self.map_result); when `interior` is False the mode
+        sits within ~2 Laplace sigmas of a box bound and the Gaussian
+        error bars should not be trusted -- run the MCMC."""
+        from mbb_emcee_tpu.mapfit import (
+            MAPResult, map_core, neg_hessian, laplace_cov_host,
+            interior_mask, _to_unconstrained)
+
+        self._auto_init_fnorm()
+        spec = self._effective_spec()
+        lnprob, free_space = build_lnprob(
+            self._require_data(), self.shape, spec,
+            response_pack=self._response_pack(), dtype=self.dtype)
+        if not (np.all(np.isfinite(free_space.lower))
+                and np.all(np.isfinite(free_space.upper))):
+            raise ValueError(
+                "MAP fitting requires finite box bounds on every free "
+                "parameter (the defaults are finite)")
+        lower = np.asarray(free_space.lower, np.float32)
+        width = np.asarray(free_space.upper - free_space.lower, np.float32)
+        key = jax.random.key(self.seed, impl=self.prng_impl)
+        x0 = make_initial_ball(key, self._init[free_space.free_idx],
+                               self._scatter[free_space.free_idx],
+                               int(nstarts), free_space.lower,
+                               free_space.upper)
+
+        def compute(x0):
+            u0 = _to_unconstrained(jnp.asarray(x0, jnp.float32),
+                                   lower, width)
+            u_map, lnp_map = map_core(lnprob, lower, width, u0,
+                                      int(n_adam), int(n_newton),
+                                      float(adam_lr))
+            x_map = lower + width * jax.nn.sigmoid(u_map)
+            H = neg_hessian(lnprob, x_map)
+            g = jax.grad(lnprob)(x_map)
+            return x_map, lnp_map, H, jnp.sqrt(jnp.sum(g * g))
+
+        x_map, lnp_map, H, gn = jax.jit(compute)(x0)
+        x_np = np.asarray(x_map, np.float64)
+        cov_np = laplace_cov_host(H)
+        sigma = np.sqrt(np.maximum(np.diag(cov_np), 0.0))
+        interior = bool(np.asarray(interior_mask(
+            x_np, sigma, np.asarray(free_space.lower, np.float64),
+            np.asarray(free_space.upper, np.float64))))
+        self.map_result = MAPResult(
+            x=x_np, lnprob=float(lnp_map), cov=cov_np, sigma=sigma,
+            interior=interior, grad_norm=float(gn))
+        self.free_space = free_space
+        if verbose:
+            from mbb_emcee_tpu.utils.log import enable_console
+            names = [PARAM_NAMES[i] for i in free_space.free_idx]
+            parts = [f"{n}={v:.4g}+/-{s:.3g}"
+                     for n, v, s in zip(names, x_np, sigma)]
+            enable_console().info(
+                f"MAP fit ({nstarts} starts): " + ", ".join(parts)
+                + f"; lnprob={float(lnp_map):.2f}"
+                + ("" if interior else
+                   " [mode near a box bound -- Laplace suspect]"))
+        return self.map_result
+
     def compute_evidence(self, nlive=512, nbatch=32, nsteps=32,
                          max_iter=3000, tol=1e-4, seed=None, verbose=False):
         """Bayesian evidence ln Z of THIS model configuration via nested

@@ -1140,6 +1140,114 @@ class MultiFitter(ParamSpaceMixin):
                 f"{self.hmc_step_size.max():.4g}]")
         return self
 
+    def run_map(self, nstarts=8, n_adam=150, n_newton=12, adam_lr=0.1,
+                verbose=False):
+        """Batched MAP + Laplace quick fits: S sources x `nstarts`
+        multi-starts, each a fixed-iteration Adam-then-damped-Newton
+        optimizer, in ONE device program (mapfit.py) -- survey triage
+        before (or instead of) the full MCMC. Works with every data
+        configuration the XLA batch likelihood supports: missing bands,
+        per-source upper limits, correlated calibration errors, response
+        mode.
+
+        Stores per-source results (free-parameter space):
+            map_params   (S, 5) full-space MAP points
+            map_lnprob   (S,)   posterior log-density at the mode
+            map_cov      (S, nfree, nfree) Laplace covariance
+            map_sigma    (S, nfree) sqrt(diag)
+            map_interior (S,) bool -- mode safely inside the box
+                         (a False flag means the Laplace error bars are
+                         not trustworthy; run the MCMC for that source)
+        and returns self. `map_cen(param)` gives (S, 2) value +/- sigma
+        summaries."""
+        from mbb_emcee_tpu.mapfit import (
+            map_core, neg_hessian, laplace_cov_host, interior_mask,
+            _to_unconstrained)
+
+        if self.flux is None:
+            raise RuntimeError("no data; call set_data")
+        spec = self._effective_spec()
+        iunc_np, correlated = self._data_operand()
+        lnprob_data, free_space = build_lnprob_data(
+            self.shape, spec, response_pack=self._response_pack(),
+            correlated=correlated)
+        self.free_space = free_space
+        if not (np.all(np.isfinite(free_space.lower))
+                and np.all(np.isfinite(free_space.upper))):
+            raise ValueError(
+                "MAP fitting requires finite box bounds on every free "
+                "parameter (the defaults are finite)")
+        S = self.nsources
+        d = free_space.nfree
+        lower = np.asarray(free_space.lower, np.float32)
+        width = np.asarray(free_space.upper - free_space.lower, np.float32)
+        wave = jnp.asarray(self.wave, jnp.float32)
+
+        centers, scatters = self._init_centers()
+        cen_f = jnp.asarray(centers[:, free_space.free_idx], jnp.float32)
+        sca_f = jnp.asarray(scatters[:, free_space.free_idx], jnp.float32)
+        key = jax.random.key(self.seed, impl=self.prng_impl)
+
+        def one_source(idx, cen_s, sca_s, flux_s, iunc_s):
+            lnp = lambda x: lnprob_data(x, wave, flux_s, iunc_s)
+            x0 = make_initial_ball(
+                jax.random.fold_in(key, idx), cen_s, sca_s, nstarts,
+                free_space.lower, free_space.upper)
+            u0 = _to_unconstrained(jnp.asarray(x0, jnp.float32),
+                                   lower, width)
+            u_map, lnp_map = map_core(lnp, lower, width, u0,
+                                      int(n_adam), int(n_newton),
+                                      float(adam_lr))
+            x_map = lower + width * jax.nn.sigmoid(u_map)
+            H = neg_hessian(lnp, x_map)
+            g = jax.grad(lnp)(x_map)
+            return x_map, lnp_map, H, jnp.sqrt(jnp.sum(g * g))
+
+        ck = ("map", S, d, int(nstarts), int(n_adam), int(n_newton),
+              float(adam_lr), correlated,
+              _compile_token(spec, self.shape), self._responses_token(),
+              None if self.band_names is None
+              else tuple(self.band_names))
+        if ck not in self._run_cache:
+            self._run_cache[ck] = jax.jit(
+                jax.vmap(one_source, in_axes=(0, 0, 0, 0, 0)))
+        x_map, lnp_map, H, gn = self._run_cache[ck](
+            jnp.arange(S), cen_f, sca_f,
+            jnp.asarray(self.flux, jnp.float32),
+            jnp.asarray(iunc_np, jnp.float32))
+
+        x_np = np.asarray(x_map, np.float64)
+        self.map_params = free_space.expand(x_np)          # (S, 5)
+        self.map_lnprob = np.asarray(lnp_map, np.float64)
+        self.map_cov = laplace_cov_host(H)
+        self.map_sigma = np.sqrt(np.maximum(
+            np.diagonal(self.map_cov, axis1=1, axis2=2), 0.0))
+        self.map_interior = np.asarray(interior_mask(
+            x_np, self.map_sigma, np.asarray(free_space.lower, np.float64),
+            np.asarray(free_space.upper, np.float64)))
+        self.map_grad_norm = np.asarray(gn, np.float64)
+        if verbose:
+            from mbb_emcee_tpu.utils.log import enable_console
+            n_bad = int((~self.map_interior).sum())
+            enable_console().info(
+                f"MAP triage over {S} sources x {nstarts} starts: "
+                f"lnprob in [{self.map_lnprob.min():.1f}, "
+                f"{self.map_lnprob.max():.1f}]; {n_bad} modes at the box "
+                f"edge (Laplace suspect -- run the MCMC for those)")
+        return self
+
+    def map_cen(self, param):
+        """(S, 2) MAP value +/- Laplace sigma for `param` (sigma = 0 for
+        fixed parameters)."""
+        if getattr(self, "map_params", None) is None:
+            raise RuntimeError("run_map() has not been called")
+        i = param_index(param)
+        vals = self.map_params[:, i]
+        free_idx = list(self.free_space.free_idx)
+        sig = (self.map_sigma[:, free_idx.index(i)]
+               if i in free_idx else np.zeros(self.nsources))
+        return np.column_stack([vals, sig])
+
     # -- batched summaries -------------------------------------------------------
     def _require_run(self):
         if self.chain_free is None:
@@ -1356,7 +1464,9 @@ class MultiFitter(ParamSpaceMixin):
     @property
     def free_param_names(self):
         """Free-parameter names in chain-column order."""
-        self._require_run()
+        if self.free_space is None:
+            raise RuntimeError("no fit yet (run()/run_map() set the "
+                               "free-parameter space)")
         return [PARAM_NAMES[i] for i in self.free_space.free_idx]
 
     def gelman_rubin(self, window=None, stride=None):
@@ -1686,6 +1796,40 @@ class MultiFitter(ParamSpaceMixin):
                 g = f.create_group("HMC")
                 g.create_dataset("StepSize", data=self.hmc_step_size)
                 g.create_dataset("Mass", data=self.hmc_mass)
+            if getattr(self, "map_params", None) is not None:
+                self._write_map_group(f)
+        return filename
+
+    def _write_map_group(self, f):
+        g = f.create_group("MAPFit")
+        g.create_dataset("Params", data=self.map_params)
+        g.create_dataset("LnProb", data=self.map_lnprob)
+        g.create_dataset("Cov", data=self.map_cov)
+        g.create_dataset("Sigma", data=self.map_sigma)
+        g.create_dataset("Interior", data=self.map_interior)
+        g.create_dataset("GradNorm", data=self.map_grad_norm)
+
+    def write_map_h5(self, filename):
+        """Persist a MAP-only triage result (no chains -- the --map CLI
+        flow): data + config + the MAPFit group. Reload the arrays with
+        h5py; this is a triage artifact, not a from_h5 input."""
+        import h5py
+        if getattr(self, "map_params", None) is None:
+            raise RuntimeError("run_map() has not been called")
+        with h5py.File(filename, "w") as f:
+            f.attrs["nwalkers"] = self.nwalkers
+            f.attrs["wavenorm"] = self.shape.wavenorm
+            f.attrs["opthin"] = self.shape.opthin
+            f.attrs["noalpha"] = self.shape.noalpha
+            f.create_dataset("Wave", data=self.wave)
+            f.create_dataset("Flux", data=self.flux)
+            f.create_dataset("Unc", data=self.unc)
+            if self.source_names is not None:
+                f.create_dataset("SourceNames", data=np.array(
+                    [n.encode() for n in self.source_names]))
+            if self.redshifts is not None:
+                f.create_dataset("Redshifts", data=self.redshifts)
+            self._write_map_group(f)
         return filename
 
     @classmethod
@@ -1734,6 +1878,14 @@ class MultiFitter(ParamSpaceMixin):
             mf.lnprobability = jnp.asarray(np.asarray(f["LnProbability"]))
             mf.acceptance_fraction = np.asarray(f["AcceptanceFraction"])
             mf.thin = int(f.attrs["thin"])
+            if "MAPFit" in f:
+                g = f["MAPFit"]
+                mf.map_params = np.asarray(g["Params"], np.float64)
+                mf.map_lnprob = np.asarray(g["LnProb"], np.float64)
+                mf.map_cov = np.asarray(g["Cov"], np.float64)
+                mf.map_sigma = np.asarray(g["Sigma"], np.float64)
+                mf.map_interior = np.asarray(g["Interior"], bool)
+                mf.map_grad_norm = np.asarray(g["GradNorm"], np.float64)
             if "Evidence" in f:
                 from mbb_emcee_tpu.nested import NestedBatchResult
                 g = f["Evidence"]

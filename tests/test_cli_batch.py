@@ -394,3 +394,22 @@ def test_batch_cli_corrfile(tmp_path):
         main([cat, out, "--opthin", "--noalpha", "-w", "32",
               "-b", "4", "-n", "8", "--corrfile", corr,
               "--phot-uplim", "4"])
+
+
+def test_batch_cli_map_triage(tmp_path, capsys):
+    cat = str(tmp_path / "cat.txt")
+    out = str(tmp_path / "map.h5")
+    trues, z = _write_catalog(cat, nsources=3)
+    rc = main([cat, out, "--opthin", "--noalpha", "--map", "--seed", "3"])
+    assert rc == 0
+    table = capsys.readouterr().out
+    assert "SRC000" in table and "MAP-fit" in table
+    import h5py
+    with h5py.File(out) as f:
+        p = np.asarray(f["MAPFit"]["Params"])
+    assert np.all(np.abs(p[:, 0] - trues[:, 0]) < 8.0)
+    # triage refuses chain-only options
+    with pytest.raises(SystemExit, match="chains"):
+        main([cat, out, "--map", "--get-lir"])
+    with pytest.raises(SystemExit, match="triage"):
+        main([cat, out, "--map", "--hmc"])

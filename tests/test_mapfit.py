@@ -1,0 +1,190 @@
+"""MAP + Laplace quick fits (mapfit.py) and the unrolled small-SPD
+linear algebra they run on (ops/smalllinalg.py)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mbb_emcee_tpu import MBBFitter, MultiFitter
+from mbb_emcee_tpu.models.modified_blackbody import MBBShape, mbb_fnu
+
+NB = 5
+WAVE = np.linspace(100.0, 500.0, NB)
+
+
+def _mock(theta, shape, frac=0.03, seed=0):
+    f = np.asarray(mbb_fnu(jnp.asarray(theta, jnp.float32),
+                           jnp.asarray(WAVE, jnp.float32), shape),
+                   np.float64)
+    unc = frac * f
+    rng = np.random.default_rng(seed)
+    return f + unc * rng.standard_normal(NB), unc
+
+
+def test_smalllinalg_matches_numpy():
+    from mbb_emcee_tpu.ops.smalllinalg import (
+        cholesky_small, spd_solve_small, spd_inverse_small)
+    rng = np.random.default_rng(0)
+    for n in (1, 2, 3, 5):
+        A0 = rng.standard_normal((7, n, n))
+        A = A0 @ np.swapaxes(A0, -1, -2) + n * np.eye(n)
+        b = rng.standard_normal((7, n))
+        L = np.asarray(cholesky_small(jnp.asarray(A)))
+        np.testing.assert_allclose(L @ np.swapaxes(L, -1, -2), A,
+                                   rtol=1e-5, atol=1e-6)
+        x = np.asarray(spd_solve_small(jnp.asarray(A), jnp.asarray(b)))
+        want = np.stack([np.linalg.solve(A[i], b[i]) for i in range(7)])
+        np.testing.assert_allclose(x, want, rtol=2e-4, atol=1e-6)
+        inv = np.asarray(spd_inverse_small(jnp.asarray(A)))
+        winv = np.stack([np.linalg.inv(A[i]) for i in range(7)])
+        np.testing.assert_allclose(inv, winv, rtol=2e-3, atol=1e-6)
+    # indefinite input: floored factor stays finite (the regularization
+    # the damped-Newton caller wants instead of NaNs)
+    bad = np.array([[1.0, 0.0], [0.0, -2.0]])
+    L = np.asarray(cholesky_small(jnp.asarray(bad)))
+    assert np.all(np.isfinite(L))
+
+
+def test_fit_map_matches_posterior():
+    """Well-constrained problem: MAP lands on the truth, the Laplace
+    sigmas track the MCMC posterior widths, and the mode is interior."""
+    shape = MBBShape(opthin=True, noalpha=True)
+    true = np.array([32.0, 1.9, 250.0, 3.5, 45.0])
+    flux, unc = _mock(true, shape, frac=0.02)
+    fit = MBBFitter(nwalkers=64, opthin=True, noalpha=True, seed=5)
+    fit.set_data(WAVE, flux, unc)
+    fit.set_uplim("T", 100.0).set_uplim("beta", 5.0)
+    r = fit.fit_map()
+    assert r.interior
+    assert r.grad_norm < 1.0
+    assert np.all(np.isfinite(r.sigma))
+    # MAP within ~3 sigma of truth on every free parameter
+    truth_free = true[fit.free_space.free_idx]
+    assert np.all(np.abs(r.x - truth_free) < 3.0 * r.sigma + 1e-3)
+
+    fit.run(nburn=100, nsteps=400)
+    # the optimizer's mode beats anything the chain sampled
+    assert r.lnprob >= float(np.asarray(fit.lnprobability).max()) - 1e-3
+    from mbb_emcee_tpu import MBBResults
+    res = MBBResults(fit=fit)
+    for k, name in enumerate(["T", "beta", "fnorm"]):
+        cen = res.par_cen(name)
+        mcmc_sig = 0.5 * (cen[1] + cen[2])
+        assert 0.5 < r.sigma[k] / mcmc_sig < 2.0, (name, r.sigma[k],
+                                                   mcmc_sig)
+
+
+def test_fit_map_degenerate_flags_non_interior():
+    """The exactly-determined full 5-parameter fit to 5 bands has a flat
+    T-lambda0 ridge: the Laplace sigmas must come back finite (floored)
+    and the result flagged non-interior -- 'run the MCMC'."""
+    shape = MBBShape()
+    true = np.array([32.0, 1.9, 250.0, 3.5, 45.0])
+    flux, unc = _mock(true, shape)
+    fit = MBBFitter(nwalkers=64, seed=5)
+    fit.set_data(WAVE, flux, unc)
+    fit.set_uplim("T", 100.0).set_uplim("beta", 5.0)
+    r = fit.fit_map()
+    assert np.all(np.isfinite(r.sigma))
+    assert not r.interior
+
+
+def test_run_map_batched_matches_single():
+    """Batched triage equals the single-source fit per source, and works
+    through the ragged encodings (missing band, per-source uplim)."""
+    shape = MBBShape(opthin=True, noalpha=True)
+    rng = np.random.default_rng(8)
+    S = 5
+    trues = np.column_stack([
+        rng.uniform(25.0, 40.0, S), rng.uniform(1.6, 2.1, S),
+        np.full(S, 250.0), np.full(S, 4.0), rng.uniform(25.0, 55.0, S)])
+    flux = np.stack([_mock(t, shape, seed=i)[0]
+                     for i, t in enumerate(trues)])
+    unc = np.stack([_mock(t, shape, seed=i)[1]
+                    for i, t in enumerate(trues)])
+    flux2 = flux.copy(); unc2 = unc.copy()
+    flux2[2, 0] = np.nan; unc2[2, 0] = np.nan          # missing band
+    m = np.zeros((S, NB), bool); m[3, NB - 1] = True   # per-source limit
+
+    mf = MultiFitter(nwalkers=64, opthin=True, noalpha=True, seed=3)
+    mf.set_data(WAVE, flux2, unc2)
+    mf.set_phot_upperlimits(m)
+    mf.run_map()
+    assert mf.map_params.shape == (S, 5)
+    assert np.all(np.isfinite(mf.map_lnprob))
+    assert mf.map_cen("T").shape == (S, 2)
+    # fixed-by-shape parameters report zero sigma
+    assert np.all(mf.map_cen("lambda0")[:, 1] == 0.0)
+    # sources with clean bands recover their truths
+    clean = [0, 1, 4]
+    assert np.all(np.abs(mf.map_params[clean, 0] - trues[clean, 0]) < 4.0)
+
+    # per-source agreement with the single-source optimizer (well-
+    # conditioned source, same data; starts differ so compare loosely
+    # against the Laplace scale)
+    fit = MBBFitter(nwalkers=64, opthin=True, noalpha=True, seed=3)
+    fit.set_data(WAVE, flux[0], unc[0])
+    r0 = fit.fit_map()
+    d = np.abs(r0.x - mf.map_params[0, mf.free_space.free_idx])
+    assert np.all(d < 0.2 * r0.sigma + 1e-3), (d, r0.sigma)
+
+
+def test_run_map_with_correlation():
+    """MAP triage under the correlated error model (the whitening
+    operand feeds straight through)."""
+    shape = MBBShape(opthin=True, noalpha=True)
+    rng = np.random.default_rng(9)
+    S = 4
+    trues = np.column_stack([
+        rng.uniform(25.0, 40.0, S), rng.uniform(1.6, 2.1, S),
+        np.full(S, 250.0), np.full(S, 4.0), rng.uniform(25.0, 55.0, S)])
+    R = 0.3 * np.ones((NB, NB)) + 0.7 * np.eye(NB)
+    L = np.linalg.cholesky(R)
+    flux, unc = [], []
+    for t in trues:
+        f = np.asarray(mbb_fnu(jnp.asarray(t, jnp.float32),
+                               jnp.asarray(WAVE, jnp.float32), shape),
+                       np.float64)
+        u = 0.03 * f
+        flux.append(f + u * (L @ rng.standard_normal(NB)))  # cov = D R D
+        unc.append(u)
+    flux, unc = np.array(flux), np.array(unc)
+    mf = MultiFitter(nwalkers=64, opthin=True, noalpha=True, seed=3)
+    mf.set_data(WAVE, flux, unc)
+    mf.set_band_correlation(R)
+    mf.run_map()
+    assert np.all(np.isfinite(mf.map_lnprob))
+    # pulls under the MATCHED error model
+    sig_T = mf.map_cen("T")[:, 1]
+    pulls = (mf.map_params[:, 0] - trues[:, 0]) / np.maximum(sig_T, 1e-3)
+    assert np.all(np.abs(pulls) < 4.0), (mf.map_params[:, 0], trues[:, 0],
+                                         sig_T)
+
+
+def test_run_map_hdf5_roundtrip(tmp_path):
+    shape = MBBShape(opthin=True, noalpha=True)
+    true = np.array([32.0, 1.9, 250.0, 3.5, 45.0])
+    flux, unc = _mock(true, shape)
+    mf = MultiFitter(nwalkers=32, opthin=True, noalpha=True, seed=3)
+    mf.set_data(WAVE, np.stack([flux, flux * 1.1]),
+                np.stack([unc, unc]))
+    mf.run_map(nstarts=4)
+
+    # triage-only artifact
+    p1 = str(tmp_path / "map.h5")
+    mf.write_map_h5(p1)
+    import h5py
+    with h5py.File(p1) as f:
+        np.testing.assert_allclose(np.asarray(f["MAPFit"]["Params"]),
+                                   mf.map_params)
+
+    # MAPFit rides the full results file and from_h5 restores it
+    mf.run(nburn=20, nsteps=40)
+    p2 = str(tmp_path / "full.h5")
+    mf.writeToHDF5(p2)
+    back = MultiFitter.from_h5(p2)
+    np.testing.assert_allclose(back.map_params, mf.map_params)
+    np.testing.assert_allclose(back.map_sigma, mf.map_sigma)
+    np.testing.assert_array_equal(back.map_interior, mf.map_interior)
+    assert back.map_cen("T").shape == (2, 2)
