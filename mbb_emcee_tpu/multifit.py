@@ -401,10 +401,33 @@ class MultiFitter(ParamSpaceMixin):
             return jax.device_put(a, NamedSharding(self.mesh, spec))
         return jax.tree.map(put, x)
 
-    def _init_centers(self):
+    def _init_centers(self, init="auto"):
         """Per-source initial centers: fnorm seeded from each source's flux
         nearest wavenorm, T from each source's brightest band (the batched
-        analog of MBBFitter._auto_init_fnorm)."""
+        analog of MBBFitter._auto_init_fnorm).
+
+        init="map" seeds each source's walker ball at ITS OWN MAP point
+        with ~2 Laplace-sigma scatter (run_map first) -- the
+        triage-then-refine workflow: the ensemble starts in the typical
+        set, so short burns suffice."""
+        if init == "map":
+            if getattr(self, "map_params", None) is None:
+                raise RuntimeError(
+                    "init='map' requires run_map() on this data first")
+            if (self.map_params.shape[0] != self.nsources
+                    or self.map_sigma.shape[1] != self.free_space.nfree):
+                raise RuntimeError(
+                    "stored MAP results are for a different batch or "
+                    "parameter space; re-run run_map()")
+            S = self.nsources
+            centers = self.map_params.copy()
+            scatters = np.broadcast_to(self._scatter, (S, NPARAMS)).copy()
+            idx = self.free_space.free_idx
+            sig = np.clip(2.0 * self.map_sigma, 1e-6, None)
+            # huge floored-Laplace sigmas (degenerate modes) would throw
+            # walkers across the whole box; cap at the default scatter
+            scatters[:, idx] = np.minimum(sig, scatters[:, idx] * 10.0)
+            return centers, scatters
         S = self.nsources
         centers = np.broadcast_to(self._init, (S, NPARAMS)).copy()
         scatters = np.broadcast_to(self._scatter, (S, NPARAMS)).copy()
@@ -429,7 +452,7 @@ class MultiFitter(ParamSpaceMixin):
 
     def run(self, nburn=50, nsteps=250, thin=1, recenter_burn=True,
             verbose=False, checkpoint=None, checkpoint_interval=100,
-            resume=False):
+            resume=False, init="auto"):
         """Burn -> per-source re-center on its best walker -> re-burn ->
         reset -> production, all sources in lockstep on device.
 
@@ -475,7 +498,7 @@ class MultiFitter(ParamSpaceMixin):
             return self._run_fused(nburn, nsteps, thin, recenter_burn,
                                    verbose, spec, checkpoint=checkpoint,
                                    checkpoint_interval=checkpoint_interval,
-                                   resume=resume)
+                                   resume=resume, init=init)
         if checkpoint is not None or resume:
             raise ValueError(
                 "checkpoint/resume requires the fused sampler backend "
@@ -506,7 +529,7 @@ class MultiFitter(ParamSpaceMixin):
         iunc = jnp.asarray(iunc_np, jnp.float32)
         key = jax.random.key(self.seed, impl=self.prng_impl)
         kball, kstate, krecenter = jax.random.split(key, 3)
-        centers, scatters = self._init_centers()
+        centers, scatters = self._init_centers(init)
         cen_f = jnp.asarray(centers[:, free_space.free_idx], jnp.float32)
         sca_f = jnp.asarray(scatters[:, free_space.free_idx], jnp.float32)
         lower, upper = free_space.lower, free_space.upper
@@ -627,7 +650,8 @@ class MultiFitter(ParamSpaceMixin):
         return self
 
     def _run_fused(self, nburn, nsteps, thin, recenter_burn, verbose, spec,
-                   checkpoint=None, checkpoint_interval=100, resume=False):
+                   checkpoint=None, checkpoint_interval=100, resume=False,
+                   init="auto"):
         """Fused-kernel path: burn / per-source re-center / production, each
         phase one Pallas launch (ops/pallas_multifit.py)."""
         import os
@@ -692,7 +716,7 @@ class MultiFitter(ParamSpaceMixin):
         else:
             key = jax.random.key(self.seed, impl=self.prng_impl)
             kball, kstate, krecenter = jax.random.split(key, 3)
-            centers, scatters = self._init_centers()
+            centers, scatters = self._init_centers(init)
             cen_f = jnp.asarray(centers[:, fs.free_idx], jnp.float32)
             sca_f = jnp.asarray(scatters[:, fs.free_idx], jnp.float32)
             vball = jax.vmap(

@@ -188,3 +188,30 @@ def test_run_map_hdf5_roundtrip(tmp_path):
     np.testing.assert_allclose(back.map_sigma, mf.map_sigma)
     np.testing.assert_array_equal(back.map_interior, mf.map_interior)
     assert back.map_cen("T").shape == (2, 2)
+
+
+def test_map_seeded_mcmc():
+    """run(init='map'): the triage-then-refine workflow -- walkers start
+    in the typical set, so a SHORT burn already yields a converged-ish,
+    truth-covering posterior."""
+    shape = MBBShape(opthin=True, noalpha=True)
+    rng = np.random.default_rng(11)
+    S = 4
+    trues = np.column_stack([
+        rng.uniform(25.0, 40.0, S), rng.uniform(1.6, 2.1, S),
+        np.full(S, 250.0), np.full(S, 4.0), rng.uniform(25.0, 55.0, S)])
+    flux = np.stack([_mock(t, shape, seed=20 + i)[0]
+                     for i, t in enumerate(trues)])
+    unc = np.stack([_mock(t, shape, seed=20 + i)[1]
+                    for i, t in enumerate(trues)])
+    mf = MultiFitter(nwalkers=64, opthin=True, noalpha=True, seed=3)
+    mf.set_data(WAVE, flux, unc)
+    with pytest.raises(RuntimeError, match="run_map"):
+        mf.run(nburn=4, nsteps=8, init="map")
+    mf.run_map(nstarts=4)
+    mf.run(nburn=20, nsteps=150, init="map")
+    cen = mf.par_cen("T")
+    err = np.maximum(cen[:, 1], cen[:, 2])
+    assert np.all(np.abs(cen[:, 0] - trues[:, 0]) < 5.0 * err)
+    af = mf.acceptance_fraction.mean(axis=1)
+    assert np.all(af > 0.15) and np.all(af < 0.8)
