@@ -86,6 +86,13 @@ def build_parser():
                    help="hottest nonzero inverse temperature (default: "
                         "auto -- sized after burn-in so the evidence "
                         "ladder bridges the prior box)")
+    g.add_argument("--map", action="store_true",
+                   help="TRIAGE: print the MAP point + Laplace error "
+                        "bars (seconds; no chains/HDF5) and exit. A "
+                        "'mode near a box bound' note means run the "
+                        "full MCMC")
+    g.add_argument("--map-starts", type=int, default=8,
+                   help="optimizer multi-starts for --map (default 8)")
 
     g = p.add_argument_group("model")
     g.add_argument("--opthin", action="store_true",
@@ -265,6 +272,26 @@ def main(argv=None):
 
     import logging
     log = enable_console(logging.INFO if args.verbose else logging.WARNING)
+
+    if args.map:
+        if args.hmc or args.pt or args.checkpoint or args.resume:
+            raise SystemExit("--map is a triage mode; drop "
+                             "--hmc/--pt/--checkpoint/--resume")
+        import time as _time
+        import numpy as _np
+        from mbb_emcee_tpu.constants import PARAM_NAMES as _PN
+        t0 = _time.time()
+        r = fit.fit_map(nstarts=args.map_starts)
+        names = [_PN[i] for i in fit.free_space.free_idx]
+        for n, v, s in zip(names, r.x, r.sigma):
+            print(f"  {n:8s} {v:.5g} +/- {s:.3g}  (MAP, Laplace)")
+        print(f"  lnprob   {r.lnprob:.3f}   "
+              f"({_time.time() - t0:.1f}s, {args.map_starts} starts)"
+              + ("" if r.interior else
+                 "\n  note: mode near a box bound -- Laplace error bars "
+                 "are not trustworthy; run the full MCMC"))
+        return 0
+
     if args.verbose:
         log.info(f"Running fit: {args.nwalkers} walkers, burn={args.burn}, "
                  f"steps={args.nsteps}, thin={args.thin}")

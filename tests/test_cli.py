@@ -188,3 +188,17 @@ def test_cli_hmc_rejects_checkpoint(tmp_path):
     with pytest.raises(SystemExit):
         main([phot, str(tmp_path / "o.h5"), "--hmc",
               "--checkpoint", str(tmp_path / "c.h5")])
+
+
+def test_cli_map_triage(tmp_path, capsys):
+    phot = tmp_path / "phot.txt"
+    phot.write_text("100.0 11.2 0.8\n160.0 32.1 1.9\n250.0 44.8 2.4\n"
+                    "350.0 38.2 2.1\n500.0 22.9 1.5\n")
+    rc = main([str(phot), str(tmp_path / "x.h5"), "--opthin", "--noalpha",
+               "--map"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "MAP, Laplace" in out and "lnprob" in out
+    import pytest
+    with pytest.raises(SystemExit, match="triage"):
+        main([str(phot), "x.h5", "--map", "--hmc"])

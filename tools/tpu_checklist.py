@@ -79,7 +79,9 @@ STEPS = [
      "assert mf._backend_used == 'xla'\n"
      "cen = mf.par_cen('T')\n"
      "assert np.all(np.abs(cen[:, 0] - t[:, 0]) < 10.0), cen[:, 0]\n"
-     "print('correlated batch on TPU (XLA backend) ok')\n"),
+     "mf.run_map()\n"
+     "assert np.all(np.isfinite(mf.map_lnprob))\n"
+     "print('correlated batch + MAP triage on TPU ok')\n"),
 ]
 
 
