@@ -1260,6 +1260,103 @@ class MultiFitter(ParamSpaceMixin):
                 f"edge (Laplace suspect -- run the MCMC for those)")
         return self
 
+    def map_importance(self, nsamples=512, seed=None, verbose=False):
+        """Laplace IMPORTANCE SAMPLING: upgrade run_map()'s Gaussian
+        approximation to real weighted posteriors without MCMC. Draws
+        `nsamples` per source from each Laplace Gaussian, evaluates the
+        true posterior in one batched device program, and keeps
+        importance weights w = p/q (q known in closed form from the
+        standard-normal draws -- no solves). Stores:
+
+            map_samples (S, N, nfree), map_logw (S, N),
+            map_ess (S,) -- effective sample size per source.
+
+        map_par_cen() then gives weighted percentile summaries. The ESS
+        is the triage signal importance sampling adds over the bare
+        Laplace flag: ess/N near 1 means the posterior IS Gaussian-like
+        and these summaries are trustworthy; a small ess means the
+        Laplace proposal misses the posterior's shape -- run the MCMC
+        for that source. Returns map_ess."""
+        if getattr(self, "map_params", None) is None:
+            raise RuntimeError("run_map() has not been called")
+        spec = self._effective_spec()
+        iunc_np, correlated = self._data_operand()
+        lnprob_data, free_space = build_lnprob_data(
+            self.shape, spec, response_pack=self._response_pack(),
+            correlated=correlated)
+        S = self.nsources
+        d = free_space.nfree
+        N = int(nsamples)
+
+        # host fp64 proposal pieces: Cholesky factors + log-normalizers
+        L = np.linalg.cholesky(self.map_cov)            # (S, d, d)
+        logdet = np.sum(np.log(np.diagonal(L, axis1=1, axis2=2)), axis=1)
+        mu = self.map_params[:, free_space.free_idx]    # (S, d)
+
+        key = jax.random.key(self.seed if seed is None else int(seed))
+        eps = jax.random.normal(key, (S, N, d), jnp.float32)
+        x = (jnp.asarray(mu, jnp.float32)[:, None, :]
+             + jnp.einsum("snd,sed->sne", eps,
+                          jnp.asarray(L, jnp.float32)))
+        wave = jnp.asarray(self.wave, jnp.float32)
+
+        def one(x_s, flux_s, iunc_s):
+            return jax.vmap(
+                lambda th: lnprob_data(th, wave, flux_s, iunc_s))(x_s)
+
+        lnp = jax.jit(jax.vmap(one))(
+            x, jnp.asarray(self.flux, jnp.float32),
+            jnp.asarray(iunc_np, jnp.float32))          # (S, N)
+
+        # q(x) from the draws themselves: -0.5|eps|^2 - logdet - d/2 ln2pi
+        lnq = (-0.5 * np.sum(np.asarray(eps, np.float64) ** 2, axis=2)
+               - logdet[:, None]
+               - 0.5 * d * np.log(2.0 * np.pi))
+        logw = np.asarray(lnp, np.float64) - lnq        # (S, N)
+        logw -= logw.max(axis=1, keepdims=True)
+        w = np.exp(logw)
+        w_sum = w.sum(axis=1, keepdims=True)
+        ess = (w_sum[:, 0] ** 2) / np.maximum((w * w).sum(axis=1), 1e-300)
+
+        self.map_samples = np.asarray(x, np.float64)
+        self.map_logw = logw
+        self.map_ess = ess
+        if verbose:
+            from mbb_emcee_tpu.utils.log import enable_console
+            frac = ess / N
+            enable_console().info(
+                f"Laplace importance sampling: N={N}/source, ess/N "
+                f"median {np.median(frac):.2f} (min {frac.min():.2f}); "
+                f"{int((frac < 0.2).sum())} sources below 0.2 -- run "
+                f"the MCMC for those")
+        return ess
+
+    def map_par_cen(self, param, percentile=68.3):
+        """(S, 3) weighted (median, +err, -err) from the importance-
+        refined Laplace posterior (map_importance first). Fixed
+        parameters report zero errors."""
+        if getattr(self, "map_samples", None) is None:
+            raise RuntimeError("map_importance() has not been called")
+        from mbb_emcee_tpu.likelihood import param_index
+        i = param_index(param)
+        free_idx = list(self.free_space.free_idx)
+        if i not in free_idx:
+            vals = self.map_params[:, i]
+            return np.column_stack([vals, np.zeros_like(vals),
+                                    np.zeros_like(vals)])
+        col = self.map_samples[:, :, free_idx.index(i)]   # (S, N)
+        w = np.exp(self.map_logw)
+        p = float(percentile)
+        qs = np.array([50.0 - p / 2, 50.0, 50.0 + p / 2]) / 100.0
+        out = np.empty((self.nsources, 3))
+        for s in range(self.nsources):
+            order = np.argsort(col[s])
+            cw = np.cumsum(w[s][order])
+            cw /= cw[-1]
+            lo, mid, hi = np.interp(qs, cw, col[s][order])
+            out[s] = (mid, hi - mid, mid - lo)
+        return out
+
     def map_cen(self, param):
         """(S, 2) MAP value +/- Laplace sigma for `param` (sigma = 0 for
         fixed parameters)."""

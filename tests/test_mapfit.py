@@ -215,3 +215,43 @@ def test_map_seeded_mcmc():
     assert np.all(np.abs(cen[:, 0] - trues[:, 0]) < 5.0 * err)
     af = mf.acceptance_fraction.mean(axis=1)
     assert np.all(af > 0.15) and np.all(af < 0.8)
+
+
+def test_map_importance_matches_mcmc():
+    """Importance-refined Laplace posteriors agree with the MCMC on
+    well-conditioned sources (the whole point: MCMC-quality summaries
+    without MCMC), and ESS reflects Gaussian-ness."""
+    shape = MBBShape(opthin=True, noalpha=True)
+    rng = np.random.default_rng(13)
+    S = 4
+    trues = np.column_stack([
+        rng.uniform(27.0, 38.0, S), rng.uniform(1.7, 2.0, S),
+        np.full(S, 250.0), np.full(S, 4.0), rng.uniform(30.0, 50.0, S)])
+    flux = np.stack([_mock(t, shape, frac=0.02, seed=30 + i)[0]
+                     for i, t in enumerate(trues)])
+    unc = np.stack([_mock(t, shape, frac=0.02, seed=30 + i)[1]
+                    for i, t in enumerate(trues)])
+    mf = MultiFitter(nwalkers=96, opthin=True, noalpha=True, seed=3)
+    mf.set_data(WAVE, flux, unc)
+    mf.run_map()
+    ess = mf.map_importance(nsamples=512)
+    assert ess.shape == (S,)
+    assert np.all(ess > 100), ess      # near-Gaussian posteriors
+    cen_is = mf.map_par_cen("T")
+
+    mf.run(nburn=120, nsteps=500, init="map")
+    cen_mc = mf.par_cen("T")
+    # medians agree within the Monte-Carlo scale, widths within ~30%
+    sig = 0.5 * (cen_mc[:, 1] + cen_mc[:, 2])
+    assert np.all(np.abs(cen_is[:, 0] - cen_mc[:, 0]) < 0.5 * sig), (
+        cen_is[:, 0], cen_mc[:, 0], sig)
+    w_is = 0.5 * (cen_is[:, 1] + cen_is[:, 2])
+    assert np.all(np.abs(w_is / sig - 1.0) < 0.35), (w_is, sig)
+
+    # fixed parameters report zero errors
+    assert np.all(mf.map_par_cen("lambda0")[:, 1:] == 0.0)
+    # guard: importance sampling needs run_map first
+    mf2 = MultiFitter(nwalkers=16, opthin=True, noalpha=True)
+    mf2.set_data(WAVE, flux, unc)
+    with pytest.raises(RuntimeError, match="run_map"):
+        mf2.map_importance()
