@@ -277,6 +277,10 @@ def main(argv=None):
         if args.hmc or args.pt or args.checkpoint or args.resume:
             raise SystemExit("--map is a triage mode; drop "
                              "--hmc/--pt/--checkpoint/--resume")
+        if (args.get_lir or args.get_dustmass or args.get_peaklambda
+                or args.get_evidence):
+            raise SystemExit("derived-quantity posteriors need chains; "
+                             "run without --map for them")
         import time as _time
         import numpy as _np
         from mbb_emcee_tpu.constants import PARAM_NAMES as _PN
@@ -290,6 +294,24 @@ def main(argv=None):
               + ("" if r.interior else
                  "\n  note: mode near a box bound -- Laplace error bars "
                  "are not trustworthy; run the full MCMC"))
+        # the mandatory outfile gets the triage artifact (MAPFit-only
+        # layout, matching the batch CLI's --map output)
+        import h5py
+        with h5py.File(args.outfile, "w") as f:
+            f.attrs["wavenorm"] = fit.shape.wavenorm
+            f.attrs["opthin"] = fit.shape.opthin
+            f.attrs["noalpha"] = fit.shape.noalpha
+            f.create_dataset("Wave", data=fit.phot.wave)
+            f.create_dataset("Flux", data=fit.phot.flux)
+            f.create_dataset("Unc", data=fit.phot.unc)
+            g = f.create_group("MAPFit")
+            g.create_dataset("Params",
+                             data=fit.free_space.expand(r.x))
+            g.create_dataset("LnProb", data=r.lnprob)
+            g.create_dataset("Cov", data=r.cov)
+            g.create_dataset("Sigma", data=r.sigma)
+            g.create_dataset("Interior", data=r.interior)
+            g.create_dataset("GradNorm", data=r.grad_norm)
         return 0
 
     if args.verbose:

@@ -357,6 +357,7 @@ def main(argv=None):
         dt = _time.time() - t0
         mf.write_map_h5(args.outfile)
         names = mf.free_param_names
+        cols = {p: mf.map_cen(p) for p in names}   # (S, 2) each, ONCE
         hdr = ("#   source            "
                + "".join(f"{p:>20}" for p in names) + "      lnp  flag")
         lines = [hdr]
@@ -364,7 +365,7 @@ def main(argv=None):
                     or [f"src{i}" for i in range(mf.nsources)])
         for i, nm in enumerate(srcnames):
             cells = "".join(
-                f"{mf.map_cen(p)[i, 0]:>12.4g} +-{mf.map_cen(p)[i, 1]:<.2g}"
+                f"{cols[p][i, 0]:>12.4g} +-{cols[p][i, 1]:<.2g}"
                 .rjust(20) for p in names)
             flag = "" if mf.map_interior[i] else "edge"
             lines.append(f"{i:>3} {nm:<16}{cells}"

@@ -669,11 +669,29 @@ class MBBFitter(ParamSpaceMixin):
             g = jax.grad(lnprob)(x_map)
             return x_map, lnp_map, H, jnp.sqrt(jnp.sum(g * g))
 
-        x_map, lnp_map, H, gn = jax.jit(compute)(x0)
+        # One compiled program per (posterior, data, geometry): repeated
+        # triage (set_data in a loop) must not pay a compile per call.
+        # The content token mirrors __call__'s caching; the likelihood
+        # closure bakes the data in, so data belongs in the token.
+        from mbb_emcee_tpu.checkpoint import (
+            data_fingerprint, spec_fingerprint)
+        phot = self._require_data()
+        pack = self._response_pack()
+        token = ("map", int(nstarts), int(n_adam), int(n_newton),
+                 float(adam_lr),
+                 spec_fingerprint(spec, self.shape, self.a),
+                 data_fingerprint(phot.wave, phot.flux, phot.unc,
+                                  phot.cov),
+                 None if pack is None else data_fingerprint(*pack))
+        cache = getattr(self, "_map_cache", None)
+        if cache is None or cache[0] != token:
+            cache = (token, jax.jit(compute))
+            self._map_cache = cache
+        x_map, lnp_map, H, gn = cache[1](x0)
         x_np = np.asarray(x_map, np.float64)
-        cov_np = laplace_cov_host(H)
+        cov_np, h_ok = laplace_cov_host(np.asarray(H, np.float64))
         sigma = np.sqrt(np.maximum(np.diag(cov_np), 0.0))
-        interior = bool(np.asarray(interior_mask(
+        interior = bool(h_ok) and bool(np.asarray(interior_mask(
             x_np, sigma, np.asarray(free_space.lower, np.float64),
             np.asarray(free_space.upper, np.float64))))
         self.map_result = MAPResult(

@@ -140,12 +140,21 @@ def laplace_cov_host(H, floor=1e-10):
     """fp64 host Laplace covariance from -hessian values (any leading
     batch dims): eigendecompose, floor eigenvalues at floor * max|w| (a
     degenerate/boundary mode gets a HUGE but finite variance along its
-    flat direction, which is the honest answer), invert."""
+    flat direction, which is the honest answer), invert.
+
+    Returns (cov, ok): a source whose fp32 device Hessian came back
+    non-finite (saturated model at an extreme in-box corner) gets
+    ok=False and an identity covariance -- one pathological source must
+    not abort the triage of a whole catalog, and the caller flags it
+    untrustworthy."""
     H = np.asarray(H, np.float64)
+    ok = np.all(np.isfinite(H), axis=(-2, -1))
+    n = H.shape[-1]
+    H = np.where(ok[..., None, None], H, np.eye(n))
     w, V = np.linalg.eigh(H)
     scale = np.maximum(np.abs(w).max(axis=-1, keepdims=True), 1e-300)
     w = np.maximum(w, floor * scale)
-    return np.einsum("...ij,...j,...kj->...ik", V, 1.0 / w, V)
+    return np.einsum("...ij,...j,...kj->...ik", V, 1.0 / w, V), ok
 
 
 def interior_mask(x, sigma, lower, upper, k=2.0):

@@ -33,7 +33,7 @@ from mbb_emcee_tpu.constants import (
 from mbb_emcee_tpu.models.modified_blackbody import MBBShape
 from mbb_emcee_tpu.likelihood import (
     LikelihoodSpec, FreeSpace, build_lnprob_data, param_index, Photometry,
-    signed_iunc)
+    signed_iunc, SUPPORT_FLOOR as _SUPPORT_FLOOR)
 from mbb_emcee_tpu.models.cosmology import Cosmology, luminosity_distance
 from mbb_emcee_tpu.sampler import (
     SamplerState, ensemble_step, make_initial_ball)
@@ -362,6 +362,25 @@ class MultiFitter(ParamSpaceMixin):
                 None if self.band_names is None
                 else tuple(self.band_names))
 
+    def _require_map_fresh(self, what):
+        """Refuse to consume stored MAP results after the posterior or the
+        data changed underneath them (same nfree does NOT mean the same
+        free parameters -- the sigma columns would map onto the wrong
+        axes)."""
+        spec = self._effective_spec()
+        _, correlated = (None, self._band_corr is not None)
+        token = (self.nsources, _spec_token(spec, self.shape), correlated)
+        data = getattr(self, "_map_data", None)
+        if (getattr(self, "_map_token", None) != token
+                or data is None
+                or not (np.array_equal(data[0], self.flux)
+                        and np.array_equal(data[1], self.unc)
+                        and np.array_equal(data[2], self.wave))):
+            raise RuntimeError(
+                f"{what}: the stored MAP results are for a different "
+                f"batch / parameter space / error model; re-run "
+                f"run_map() first")
+
     def _require_diag_errors(self, what):
         if self._band_corr is not None:
             raise ValueError(
@@ -414,18 +433,14 @@ class MultiFitter(ParamSpaceMixin):
             if getattr(self, "map_params", None) is None:
                 raise RuntimeError(
                     "init='map' requires run_map() on this data first")
-            if (self.map_params.shape[0] != self.nsources
-                    or self.map_sigma.shape[1] != self.free_space.nfree):
-                raise RuntimeError(
-                    "stored MAP results are for a different batch or "
-                    "parameter space; re-run run_map()")
+            self._require_map_fresh("init='map'")
             S = self.nsources
             centers = self.map_params.copy()
             scatters = np.broadcast_to(self._scatter, (S, NPARAMS)).copy()
             idx = self.free_space.free_idx
             sig = np.clip(2.0 * self.map_sigma, 1e-6, None)
             # huge floored-Laplace sigmas (degenerate modes) would throw
-            # walkers across the whole box; cap at the default scatter
+            # walkers across the whole box; cap at 10x the default scatter
             scatters[:, idx] = np.minimum(sig, scatters[:, idx] * 10.0)
             return centers, scatters
         S = self.nsources
@@ -1205,14 +1220,17 @@ class MultiFitter(ParamSpaceMixin):
         d = free_space.nfree
         lower = np.asarray(free_space.lower, np.float32)
         width = np.asarray(free_space.upper - free_space.lower, np.float32)
-        wave = jnp.asarray(self.wave, jnp.float32)
 
+        if self.mesh is not None and S % self.mesh.devices.size:
+            raise ValueError(
+                f"the mesh size ({self.mesh.devices.size} devices) must "
+                f"divide nsources={S}")
         centers, scatters = self._init_centers()
         cen_f = jnp.asarray(centers[:, free_space.free_idx], jnp.float32)
         sca_f = jnp.asarray(scatters[:, free_space.free_idx], jnp.float32)
         key = jax.random.key(self.seed, impl=self.prng_impl)
 
-        def one_source(idx, cen_s, sca_s, flux_s, iunc_s):
+        def one_source(idx, cen_s, sca_s, flux_s, iunc_s, key, wave):
             lnp = lambda x: lnprob_data(x, wave, flux_s, iunc_s)
             x0 = make_initial_ball(
                 jax.random.fold_in(key, idx), cen_s, sca_s, nstarts,
@@ -1227,29 +1245,49 @@ class MultiFitter(ParamSpaceMixin):
             g = jax.grad(lnp)(x_map)
             return x_map, lnp_map, H, jnp.sqrt(jnp.sum(g * g))
 
+        # keys/wavelengths/data are runtime arguments, exactly as in the
+        # sampler paths -- a cache hit must never reuse stale constants
         ck = ("map", S, d, int(nstarts), int(n_adam), int(n_newton),
-              float(adam_lr), correlated,
+              float(adam_lr), correlated, _mesh_token(self.mesh),
               _compile_token(spec, self.shape), self._responses_token(),
               None if self.band_names is None
               else tuple(self.band_names))
         if ck not in self._run_cache:
-            self._run_cache[ck] = jax.jit(
-                jax.vmap(one_source, in_axes=(0, 0, 0, 0, 0)))
+            f = jax.vmap(one_source,
+                         in_axes=(0, 0, 0, 0, 0, None, None))
+            if self.mesh is not None:
+                ax = self.mesh.axis_names[0]
+                f = jax.shard_map(
+                    f, mesh=self.mesh,
+                    in_specs=(P(ax), P(ax, None), P(ax, None),
+                              P(ax, None), P(ax, None), P(), P(None)),
+                    out_specs=(P(ax, None), P(ax), P(ax, None, None),
+                               P(ax)))
+            self._run_cache[ck] = jax.jit(f)
         x_map, lnp_map, H, gn = self._run_cache[ck](
-            jnp.arange(S), cen_f, sca_f,
-            jnp.asarray(self.flux, jnp.float32),
-            jnp.asarray(iunc_np, jnp.float32))
+            self._shard(jnp.arange(S)), self._shard(cen_f),
+            self._shard(sca_f),
+            self._shard(jnp.asarray(self.flux, jnp.float32)),
+            self._shard(jnp.asarray(iunc_np, jnp.float32)),
+            key, jnp.asarray(self.wave, jnp.float32))
 
         x_np = np.asarray(x_map, np.float64)
         self.map_params = free_space.expand(x_np)          # (S, 5)
         self.map_lnprob = np.asarray(lnp_map, np.float64)
-        self.map_cov = laplace_cov_host(H)
+        self.map_cov, h_ok = laplace_cov_host(np.asarray(H, np.float64))
         self.map_sigma = np.sqrt(np.maximum(
             np.diagonal(self.map_cov, axis1=1, axis2=2), 0.0))
-        self.map_interior = np.asarray(interior_mask(
+        # a non-finite Hessian (saturated model at an extreme corner) is
+        # never trustworthy, whatever the sigma-based check says
+        self.map_interior = h_ok & np.asarray(interior_mask(
             x_np, self.map_sigma, np.asarray(free_space.lower, np.float64),
             np.asarray(free_space.upper, np.float64)))
         self.map_grad_norm = np.asarray(gn, np.float64)
+        # staleness token for init='map' and map_importance: the MAP
+        # results bind to this posterior AND this data
+        self._map_token = (S, _spec_token(spec, self.shape), correlated)
+        self._map_data = (self.flux.copy(), self.unc.copy(),
+                          self.wave.copy())
         if verbose:
             from mbb_emcee_tpu.utils.log import enable_console
             n_bad = int((~self.map_interior).sum())
@@ -1279,6 +1317,7 @@ class MultiFitter(ParamSpaceMixin):
         for that source. Returns map_ess."""
         if getattr(self, "map_params", None) is None:
             raise RuntimeError("run_map() has not been called")
+        self._require_map_fresh("map_importance()")
         spec = self._effective_spec()
         iunc_np, correlated = self._data_operand()
         lnprob_data, free_space = build_lnprob_data(
@@ -1298,25 +1337,52 @@ class MultiFitter(ParamSpaceMixin):
         x = (jnp.asarray(mu, jnp.float32)[:, None, :]
              + jnp.einsum("snd,sed->sne", eps,
                           jnp.asarray(L, jnp.float32)))
-        wave = jnp.asarray(self.wave, jnp.float32)
 
-        def one(x_s, flux_s, iunc_s):
+        def one(x_s, flux_s, iunc_s, wave):
             return jax.vmap(
                 lambda th: lnprob_data(th, wave, flux_s, iunc_s))(x_s)
 
-        lnp = jax.jit(jax.vmap(one))(
-            x, jnp.asarray(self.flux, jnp.float32),
-            jnp.asarray(iunc_np, jnp.float32))          # (S, N)
+        ck = ("map_is", S, d, N, correlated, _mesh_token(self.mesh),
+              _compile_token(spec, self.shape), self._responses_token(),
+              None if self.band_names is None
+              else tuple(self.band_names))
+        if ck not in self._run_cache:
+            f = jax.vmap(one, in_axes=(0, 0, 0, None))
+            if self.mesh is not None:
+                ax = self.mesh.axis_names[0]
+                f = jax.shard_map(
+                    f, mesh=self.mesh,
+                    in_specs=(P(ax), P(ax, None), P(ax, None), P(None)),
+                    out_specs=P(ax, None))
+            self._run_cache[ck] = jax.jit(f)
+        lnp = self._run_cache[ck](
+            self._shard(x),
+            self._shard(jnp.asarray(self.flux, jnp.float32)),
+            self._shard(jnp.asarray(iunc_np, jnp.float32)),
+            jnp.asarray(self.wave, jnp.float32))        # (S, N)
 
         # q(x) from the draws themselves: -0.5|eps|^2 - logdet - d/2 ln2pi
         lnq = (-0.5 * np.sum(np.asarray(eps, np.float64) ** 2, axis=2)
                - logdet[:, None]
                - 0.5 * d * np.log(2.0 * np.pi))
-        logw = np.asarray(lnp, np.float64) - lnq        # (S, N)
-        logw -= logw.max(axis=1, keepdims=True)
+        lnp = np.asarray(lnp, np.float64)
+        logw = lnp - lnq                                # (S, N)
+        # Out-of-box draws sit at the finite LNPROB_FLOOR, which ABSORBS
+        # lnq in fp64 (-1e30 - O(10) == -1e30): without masking, an
+        # all-out-of-box source gets UNIFORM weights and a perfect
+        # ess = N -- a fake certificate for exactly the degenerate
+        # sources this diagnostic exists to flag. Mask them to -inf.
+        logw = np.where(lnp > _SUPPORT_FLOOR, logw, -np.inf)
+        mx = logw.max(axis=1, keepdims=True)
+        any_in = np.isfinite(mx[:, 0])
+        logw = np.where(any_in[:, None], logw - np.where(
+            np.isfinite(mx), mx, 0.0), -np.inf)
         w = np.exp(logw)
         w_sum = w.sum(axis=1, keepdims=True)
-        ess = (w_sum[:, 0] ** 2) / np.maximum((w * w).sum(axis=1), 1e-300)
+        ess = np.where(
+            any_in,
+            (w_sum[:, 0] ** 2) / np.maximum((w * w).sum(axis=1), 1e-300),
+            0.0)
 
         self.map_samples = np.asarray(x, np.float64)
         self.map_logw = logw
@@ -1352,6 +1418,11 @@ class MultiFitter(ParamSpaceMixin):
         for s in range(self.nsources):
             order = np.argsort(col[s])
             cw = np.cumsum(w[s][order])
+            if cw[-1] <= 0.0:
+                # no draw landed in the prior box (ess = 0): report the
+                # MAP point with NaN errors, never proposal noise
+                out[s] = (self.map_params[s, i], np.nan, np.nan)
+                continue
             cw /= cw[-1]
             lo, mid, hi = np.interp(qs, cw, col[s][order])
             out[s] = (mid, hi - mid, mid - lo)
@@ -2007,6 +2078,13 @@ class MultiFitter(ParamSpaceMixin):
                 mf.map_sigma = np.asarray(g["Sigma"], np.float64)
                 mf.map_interior = np.asarray(g["Interior"], bool)
                 mf.map_grad_norm = np.asarray(g["GradNorm"], np.float64)
+                # the restored results bind to the restored spec + data
+                mf._map_token = (mf.nsources,
+                                 _spec_token(mf._effective_spec(),
+                                             mf.shape),
+                                 mf._band_corr is not None)
+                mf._map_data = (mf.flux.copy(), mf.unc.copy(),
+                                mf.wave.copy())
             if "Evidence" in f:
                 from mbb_emcee_tpu.nested import NestedBatchResult
                 g = f["Evidence"]

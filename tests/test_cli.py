@@ -199,6 +199,10 @@ def test_cli_map_triage(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "MAP, Laplace" in out and "lnprob" in out
+    with h5py.File(tmp_path / "x.h5") as f:       # triage artifact written
+        assert "MAPFit" in f and f["MAPFit"]["Params"].shape == (5,)
     import pytest
     with pytest.raises(SystemExit, match="triage"):
         main([str(phot), "x.h5", "--map", "--hmc"])
+    with pytest.raises(SystemExit, match="chains"):
+        main([str(phot), "x.h5", "--map", "--get-lir"])

@@ -255,3 +255,77 @@ def test_map_importance_matches_mcmc():
     mf2.set_data(WAVE, flux, unc)
     with pytest.raises(RuntimeError, match="run_map"):
         mf2.map_importance()
+
+
+def test_run_map_wave_change_not_stale():
+    """Regression (review): the run_map compile cache must not bake in
+    stale wavelengths -- same-shape new data with DIFFERENT wavelengths
+    must produce different MAP fits."""
+    shape = MBBShape(opthin=True, noalpha=True)
+    true = np.array([32.0, 1.9, 250.0, 4.0, 45.0])
+    mf = MultiFitter(nwalkers=16, opthin=True, noalpha=True, seed=3)
+
+    wave2 = WAVE * 1.6
+    f1 = np.asarray(mbb_fnu(jnp.asarray(true, jnp.float32),
+                            jnp.asarray(WAVE, jnp.float32), shape),
+                    np.float64)
+    f2 = np.asarray(mbb_fnu(jnp.asarray(true, jnp.float32),
+                            jnp.asarray(wave2, jnp.float32), shape),
+                    np.float64)
+    mf.set_data(WAVE, f1[None, :], 0.03 * f1[None, :])
+    mf.run_map(nstarts=4)
+    t1 = float(mf.map_params[0, 0])
+    mf.set_data(wave2, f2[None, :], 0.03 * f2[None, :])
+    mf.run_map(nstarts=4)
+    t2 = float(mf.map_params[0, 0])
+    # same true T fits both, but a stale-wave program would return the
+    # FIRST fit's numbers identically; with correct plumbing both land
+    # near the truth from different data
+    assert abs(t1 - true[0]) < 5.0 and abs(t2 - true[0]) < 5.0
+    assert not np.allclose(mf._map_data[2], WAVE)
+
+
+def test_map_importance_floored_source_gets_zero_ess():
+    """Regression (review): an all-out-of-box Laplace proposal (floored
+    degenerate covariance) must report ess ~ 0 and NaN errors, never a
+    perfect certificate built from uniform floor weights."""
+    shape = MBBShape(opthin=True, noalpha=True)
+    true = np.array([32.0, 1.9, 250.0, 4.0, 45.0])
+    flux, unc = _mock(true, shape)
+    mf = MultiFitter(nwalkers=16, opthin=True, noalpha=True, seed=3)
+    mf.set_data(WAVE, flux[None, :], unc[None, :])
+    mf.run_map(nstarts=4)
+    # sabotage: a proposal 1e9x too wide puts essentially every draw
+    # outside the box
+    mf.map_cov = mf.map_cov * 1e18
+    ess = mf.map_importance(nsamples=64)
+    assert ess[0] < 5.0, ess
+    if ess[0] == 0.0:
+        cen = mf.map_par_cen("T")
+        assert np.isnan(cen[0, 1]) and cen[0, 0] == mf.map_params[0, 0]
+
+
+def test_map_staleness_guards():
+    """Regression (review): init='map' and map_importance refuse stored
+    MAP results after the posterior or data changed -- including a
+    same-nfree change of WHICH parameters are free."""
+    shape = MBBShape(opthin=False, noalpha=True)
+    true = np.array([32.0, 1.9, 250.0, 4.0, 45.0])
+    flux, unc = _mock(true, shape)
+    mf = MultiFitter(nwalkers=16, opthin=False, noalpha=True, seed=3)
+    mf.set_data(WAVE, flux[None, :], unc[None, :])
+    mf.fix_param("T", 32.0)            # free: beta, lambda0, fnorm
+    mf.run_map(nstarts=4)
+    mf.unfix_param("T")
+    mf.fix_param("beta", 1.9)          # free: T, lambda0, fnorm (same nfree)
+    with pytest.raises(RuntimeError, match="re-run"):
+        mf.run(nburn=4, nsteps=8, init="map")
+    with pytest.raises(RuntimeError, match="re-run"):
+        mf.map_importance(nsamples=16)
+    # data change is refused too
+    mf2 = MultiFitter(nwalkers=16, opthin=True, noalpha=True, seed=3)
+    mf2.set_data(WAVE, flux[None, :], unc[None, :])
+    mf2.run_map(nstarts=4)
+    mf2.set_data(WAVE, flux[None, :] * 1.1, unc[None, :])
+    with pytest.raises(RuntimeError, match="re-run"):
+        mf2.run(nburn=4, nsteps=8, init="map")

@@ -26,9 +26,9 @@ STEPS = [
      "y = jax.jit(lambda a: a + 1)(jnp.ones((8, 8)))\n"
      "assert float(np.asarray(y)[0, 0]) == 2.0\n"),
     ("cli_fit", 600, True, ["__CLI__"]),
-    ("bench", 900, True, ["python", "bench.py"]),
+    ("bench", 900, True, [sys.executable, "bench.py"]),
     ("parity_validator", 2400, False,
-     ["python", "tools/validate_tpu_parity.py"]),
+     [sys.executable, "tools/validate_tpu_parity.py"]),
     ("fused_multifit_smoke", 900, False,
      "import numpy as np, jax, jax.numpy as jnp\n"
      "from mbb_emcee_tpu.models.modified_blackbody import mbb_fnu, MBBShape\n"
@@ -93,7 +93,7 @@ def run_step(name, timeout, payload):
         with open(phot, "w") as fh:
             fh.write("100.0 11.2 0.8\n160.0 32.1 1.9\n250.0 44.8 2.4\n"
                      "350.0 38.2 2.1\n500.0 22.9 1.5\n")
-        payload = ["python", "-m", "mbb_emcee_tpu.cli", phot, f"{d}/fit.h5",
+        payload = [sys.executable, "-m", "mbb_emcee_tpu.cli", phot, f"{d}/fit.h5",
                    "-z", "2.2", "-w", "250", "-b", "60", "-n", "300",
                    "--seed", "77", "--get-lir", "--get-peaklambda"]
     argv = (payload if isinstance(payload, list)
