@@ -710,6 +710,72 @@ class MBBFitter(ParamSpaceMixin):
                    " [mode near a box bound -- Laplace suspect]"))
         return self.map_result
 
+    def map_importance(self, nsamples=2048, seed=None):
+        """Laplace importance sampling after fit_map(): weighted
+        true-posterior summaries without MCMC (the single-fit analog of
+        MultiFitter.map_importance; works with the full-covariance
+        likelihood too). Returns (samples (N, nfree), logw (N,), ess);
+        also stored as self.map_is = (samples, logw, ess). ess/nsamples
+        near 1 certifies the Gaussian approximation; small ess (or an
+        earlier interior=False flag) says run the MCMC."""
+        r = getattr(self, "map_result", None)
+        if r is None:
+            raise RuntimeError("fit_map() has not been called")
+        spec = self._effective_spec()
+        lnprob, free_space = build_lnprob(
+            self._require_data(), self.shape, spec,
+            response_pack=self._response_pack(), dtype=self.dtype)
+        d = free_space.nfree
+        N = int(nsamples)
+        L = np.linalg.cholesky(r.cov)
+        logdet = float(np.sum(np.log(np.diag(L))))
+        key = jax.random.key(self.seed if seed is None else int(seed))
+        eps = np.asarray(jax.random.normal(key, (N, d), jnp.float32),
+                         np.float64)
+        x = r.x[None, :] + eps @ L.T
+        lnp = np.asarray(jax.jit(jax.vmap(lnprob))(
+            jnp.asarray(x, self.dtype)), np.float64)
+        lnq = (-0.5 * np.sum(eps ** 2, axis=1) - logdet
+               - 0.5 * d * np.log(2.0 * np.pi))
+        from mbb_emcee_tpu.likelihood import SUPPORT_FLOOR
+        logw = np.where(lnp > SUPPORT_FLOOR, lnp - lnq, -np.inf)
+        mx = logw.max()
+        if not np.isfinite(mx):
+            self.map_is = (x, logw, 0.0)
+            return self.map_is
+        logw = logw - mx
+        w = np.exp(logw)
+        ess = float(w.sum() ** 2 / np.maximum((w * w).sum(), 1e-300))
+        self.map_is = (x, logw, ess)
+        return self.map_is
+
+    def map_par_cen(self, param, percentile=68.3):
+        """(median, +err, -err) from the importance-refined Laplace
+        posterior (map_importance first). Fixed parameters report zero
+        errors; an ess = 0 result reports the MAP point with NaN
+        errors."""
+        if getattr(self, "map_is", None) is None:
+            raise RuntimeError("map_importance() has not been called")
+        from mbb_emcee_tpu.likelihood import param_index
+        i = param_index(param)
+        r = self.map_result
+        free_idx = list(self.free_space.free_idx)
+        if i not in free_idx:
+            v = float(self._effective_spec().fixed_values[i])
+            return np.array([v, 0.0, 0.0])
+        x, logw, ess = self.map_is
+        col = x[:, free_idx.index(i)]
+        w = np.exp(logw)
+        if w.sum() <= 0.0:
+            return np.array([r.x[free_idx.index(i)], np.nan, np.nan])
+        order = np.argsort(col)
+        cw = np.cumsum(w[order])
+        cw /= cw[-1]
+        p = float(percentile)
+        qs = np.array([50.0 - p / 2, 50.0, 50.0 + p / 2]) / 100.0
+        lo, mid, hi = np.interp(qs, cw, col[order])
+        return np.array([mid, hi - mid, mid - lo])
+
     def compute_evidence(self, nlive=512, nbatch=32, nsteps=32,
                          max_iter=3000, tol=1e-4, seed=None, verbose=False):
         """Bayesian evidence ln Z of THIS model configuration via nested

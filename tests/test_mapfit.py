@@ -329,3 +329,29 @@ def test_map_staleness_guards():
     mf2.set_data(WAVE, flux[None, :] * 1.1, unc[None, :])
     with pytest.raises(RuntimeError, match="re-run"):
         mf2.run(nburn=4, nsteps=8, init="map")
+
+
+def test_single_fit_map_importance():
+    """MBBFitter.map_importance: MCMC-quality single-fit summaries
+    without MCMC, covariance likelihood included."""
+    shape = MBBShape(opthin=True, noalpha=True)
+    true = np.array([32.0, 1.9, 250.0, 4.0, 45.0])
+    flux, unc = _mock(true, shape, frac=0.02)
+    cov = 0.3 * np.outer(unc, unc) + 0.7 * np.diag(unc ** 2)
+    fit = MBBFitter(nwalkers=96, opthin=True, noalpha=True, seed=5)
+    fit.set_data(WAVE, flux, unc, cov=cov)
+    with pytest.raises(RuntimeError, match="fit_map"):
+        fit.map_importance()
+    fit.fit_map()
+    x, logw, ess = fit.map_importance(nsamples=2048)
+    assert ess > 400, ess
+    cen_is = fit.map_par_cen("T")
+    # fixed-by-shape parameter: carried value, zero errors
+    np.testing.assert_allclose(fit.map_par_cen("lambda0")[1:], 0.0)
+
+    fit.run(nburn=120, nsteps=500)
+    from mbb_emcee_tpu import MBBResults
+    cen_mc = MBBResults(fit=fit).par_cen("T")
+    sig = 0.5 * (cen_mc[1] + cen_mc[2])
+    assert abs(cen_is[0] - cen_mc[0]) < 0.5 * sig
+    assert abs(0.5 * (cen_is[1] + cen_is[2]) / sig - 1.0) < 0.35
