@@ -73,7 +73,14 @@ mf.set_data(wave, flux, unc)
 # Upper limits and correlated errors do not compose (one-sided +
 # correlation is ill-defined); pick per batch. Here: correlation.
 mf.set_band_correlation(corr)
-mf.run(nburn=150, nsteps=500)
+
+# triage first: MAP + Laplace for the whole batch in one program,
+# then seed the MCMC at each source's own mode (short burns suffice)
+mf.run_map(verbose=True)
+ess = mf.map_importance()           # weighted posteriors + ESS certificate
+print(f"triage: median ess/N = {np.median(ess) / 512:.2f}; "
+      f"{int((~mf.map_interior).sum())}/{S} modes at a box edge")
+mf.run(nburn=150, nsteps=500, init="map")
 
 # run-until-converged serving loop (works on both backends)
 while True:
