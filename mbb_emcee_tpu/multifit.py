@@ -104,7 +104,10 @@ class MultiFitter(ParamSpaceMixin):
 
     Shared across sources: model shape, box limits, Gaussian priors, fixed
     parameters, walker count, band geometry (wavelengths or instrument
-    responses). Per source: fluxes, uncertainties (diagonal), redshift.
+    responses). Per source: fluxes, uncertainties, redshift, missing-band
+    pattern, upper-limit flags. Errors are diagonal by default; a shared
+    band-correlation matrix with per-source sigmas is supported on the
+    XLA backend (set_band_correlation).
     """
 
     def __init__(self, nwalkers=250, wavenorm=500.0, noalpha=False,

@@ -27,9 +27,9 @@ Same PRNG contract as the single-source kernel: hardware PRNG seeded per
 for CPU/interpret-mode equivalence tests (the TPU interpreter stubs the
 hardware PRNG).
 
-Diagonal errors only (the batched likelihood contract of
-likelihood.build_lnprob_data). Reference equivalent: one emcee process per
-source (SURVEY.md section 2, parallelism row).
+Diagonal errors only (correlated band errors run on the XLA batch
+backend; multifit.set_band_correlation). Reference equivalent: one emcee
+process per source (SURVEY.md section 2, parallelism row).
 """
 
 from __future__ import annotations
