@@ -13,6 +13,8 @@ A ground-up JAX/XLA/Pallas rebuild of the capabilities of aconley/mbb_emcee:
     constrained stretch-move replacement, one jitted program; additive)
   * parallel tempering with replica exchange for multimodal posteriors
     (K rungs x W walkers as one batch; thermodynamic lnZ; additive)
+  * MAP + Laplace triage with importance-sampling refinement (whole
+    catalogs of quick fits in one device program; additive)
   * derived-quantity posteriors (L_IR, dust mass, peak wavelength) as batched
     on-device quadrature / optimization over stored chains
   * HDF5 persistence with round-trip loading
@@ -31,6 +33,7 @@ from mbb_emcee_tpu.nested import (
     nested_sample, nested_sample_batch, NestedResult, NestedBatchResult)
 from mbb_emcee_tpu.tempering import (
     pt_sample, PTResult, ParallelTemperingSampler, geometric_ladder)
+from mbb_emcee_tpu.mapfit import MAPResult
 from mbb_emcee_tpu.fitter import MBBFitter
 from mbb_emcee_tpu.results import MBBResults
 from mbb_emcee_tpu.multifit import MultiFitter
@@ -49,7 +52,7 @@ __all__ = [
     "nested_sample", "nested_sample_batch",
     "NestedResult", "NestedBatchResult",
     "pt_sample", "PTResult", "ParallelTemperingSampler",
-    "geometric_ladder",
+    "geometric_ladder", "MAPResult",
     "MBBFitter", "MBBResults", "MultiFitter",
     "Catalog", "read_catalog",
     "__version__",
