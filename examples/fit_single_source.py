@@ -18,12 +18,17 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 from mbb_emcee_tpu import MBBFitter, MBBResults
 
+# MBB_EXAMPLE_QUICK=1 shrinks the run so the test suite can smoke-run
+# every example in seconds (tests/test_examples.py).
+QUICK = bool(os.environ.get("MBB_EXAMPLE_QUICK"))
+NWALKERS, NBURN, NSTEPS = (64, 30, 60) if QUICK else (250, 200, 1000)
+
 # Mock 5-band Herschel-like photometry (wave um, flux mJy, 1-sigma mJy).
 wave = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
 flux = np.array([11.2, 32.1, 44.8, 38.2, 22.9])
 unc = 0.06 * flux
 
-fit = MBBFitter(nwalkers=250, seed=42)
+fit = MBBFitter(nwalkers=NWALKERS, seed=42)
 fit.set_data(wave, flux, unc)
 
 # Parameter-space configuration (all optional):
@@ -32,7 +37,7 @@ fit.set_gaussian_prior("beta", 2.0, 0.5)
 # fit.fix_param("alpha", 3.5)           # remove a parameter from sampling
 # fit.set_phot_upperlimits([True, False, False, False, False])
 
-fit.run(nburn=200, nsteps=1000, verbose=True)
+fit.run(nburn=NBURN, nsteps=NSTEPS, verbose=True)
 
 res = MBBResults(fit=fit, redshift=2.2, cosmology="WMAP9")
 res.compute_lir()          # 8-1000 um rest-frame IR luminosity posterior

@@ -17,6 +17,10 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 from mbb_emcee_tpu import MBBFitter, MBBResults, ResponseSet
 
+# MBB_EXAMPLE_QUICK=1 shrinks the run for the suite's example smoke test.
+QUICK = bool(os.environ.get("MBB_EXAMPLE_QUICK"))
+NWALKERS, NBURN, NSTEPS = (64, 30, 60) if QUICK else (250, 200, 800)
+
 here = os.path.dirname(os.path.abspath(__file__))
 
 rs = ResponseSet()
@@ -32,9 +36,9 @@ wave = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
 flux = np.array([11.2, 32.1, 44.8, 38.2, 22.9])
 unc = 0.06 * flux
 
-fit = MBBFitter(nwalkers=250, responses=rs, seed=7)
+fit = MBBFitter(nwalkers=NWALKERS, responses=rs, seed=7)
 fit.set_data(wave, flux, unc, band_names=names)
-fit.run(nburn=200, nsteps=800, verbose=True)
+fit.run(nburn=NBURN, nsteps=NSTEPS, verbose=True)
 
 res = MBBResults(fit=fit, redshift=1.5)
 res.compute_peaklambda()

@@ -21,6 +21,10 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 from mbb_emcee_tpu import MBBFitter, ModifiedBlackbody
 
+# MBB_EXAMPLE_QUICK=1 shrinks the run for the suite's example smoke test.
+QUICK = bool(os.environ.get("MBB_EXAMPLE_QUICK"))
+NLIVE = 96 if QUICK else 512
+
 # Synthetic photometry drawn from an optically-THIN greybody, so we know
 # which model should win.
 rng = np.random.default_rng(7)
@@ -47,8 +51,9 @@ def make_fitter(opthin):
     return f
 
 
-z_thin = make_fitter(opthin=True).compute_evidence(nlive=512, verbose=True)
-z_thick = make_fitter(opthin=False).compute_evidence(nlive=512, verbose=True)
+z_thin = make_fitter(opthin=True).compute_evidence(nlive=NLIVE, verbose=True)
+z_thick = make_fitter(opthin=False).compute_evidence(nlive=NLIVE,
+                                                     verbose=True)
 
 dlnz = z_thin.logz - z_thick.logz
 err = np.hypot(z_thin.logz_err, z_thick.logz_err)

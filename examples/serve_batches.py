@@ -19,10 +19,15 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 from mbb_emcee_tpu import MultiFitter
 
+# MBB_EXAMPLE_QUICK=1 shrinks the run for the suite's example smoke test.
+QUICK = bool(os.environ.get("MBB_EXAMPLE_QUICK"))
+NSOURCES, NBATCHES = (8, 1) if QUICK else (256, 3)
+NWALKERS, NBURN, NSTEPS = (64, 30, 60) if QUICK else (250, 150, 1000)
+
 rng = np.random.default_rng(0)
 wave = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
 
-mf = MultiFitter(nwalkers=250, seed=1)
+mf = MultiFitter(nwalkers=NWALKERS, seed=1)
 mf.set_uplim("T", 100.0).set_uplim("beta", 5.0)
 
 
@@ -48,27 +53,28 @@ def fake_batch(nsources):
     return flux + unc * rng.standard_normal(flux.shape), unc
 
 
-for batch_idx in range(3):
-    flux, unc = fake_batch(256)
+for batch_idx in range(NBATCHES):
+    flux, unc = fake_batch(NSOURCES)
     mf.set_data(wave, flux, unc)
     t0 = time.perf_counter()
-    mf.run(nburn=150, nsteps=1000)
+    mf.run(nburn=NBURN, nsteps=NSTEPS)
     dt = time.perf_counter() - t0
-    t_cen = mf.par_cen("T")                # (256, 3) per-source summaries
-    print(f"batch {batch_idx}: 256 sources in {dt:.2f}s  "
+    t_cen = mf.par_cen("T")                # (S, 3) per-source summaries
+    print(f"batch {batch_idx}: {NSOURCES} sources in {dt:.2f}s  "
           f"(median T = {np.median(t_cen[:, 0]):.1f} K)")
 
 # Batched derived-quantity posteriors with per-source redshifts. Thin the
 # chains for derived quantities: 256 sources x 250k samples x 128
 # quadrature nodes unthinned is ~33 GB of intermediates; every ~50th
 # sample is statistically equivalent for percentile summaries.
-redshifts = rng.uniform(1.0, 3.5, 256)
-mf.compute_lir(redshifts, thin=50)
-print("L_IR percentiles per source:", mf.lir_cen().shape)   # (256, 3)
+redshifts = rng.uniform(1.0, 3.5, NSOURCES)
+mf.compute_lir(redshifts, thin=10 if QUICK else 50)
+print("L_IR percentiles per source:", mf.lir_cen().shape)   # (S, 3)
 
 # Any single source still gets the full single-source analysis surface:
-res = mf.results(17, redshift=float(redshifts[17]))
-res.compute_dustmass(thin=50)
+pick = min(17, NSOURCES - 1)
+res = mf.results(pick, redshift=float(redshifts[pick]))
+res.compute_dustmass(thin=10 if QUICK else 50)
 res.writeToHDF5("source17.h5")
 print(res)
 

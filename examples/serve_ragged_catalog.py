@@ -24,6 +24,9 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 from mbb_emcee_tpu import MultiFitter
 
+# MBB_EXAMPLE_QUICK=1 shrinks the run for the suite's example smoke test.
+QUICK = bool(os.environ.get("MBB_EXAMPLE_QUICK"))
+
 rng = np.random.default_rng(3)
 wave = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
 nb = wave.size
@@ -63,10 +66,11 @@ def fake_ragged_batch(nsources):
     return flux, unc, corr, uplims
 
 
-S = 64
+S = 8 if QUICK else 64
+NWALKERS, NBURN, NSTEPS = (64, 30, 60) if QUICK else (250, 150, 500)
 flux, unc, corr, uplims = fake_ragged_batch(S)
 
-mf = MultiFitter(nwalkers=250, opthin=True, noalpha=True, seed=1)
+mf = MultiFitter(nwalkers=NWALKERS, opthin=True, noalpha=True, seed=1)
 mf.set_uplim("T", 100.0).set_uplim("beta", 5.0)
 mf.set_data(wave, flux, unc)
 
@@ -77,18 +81,20 @@ mf.set_band_correlation(corr)
 # triage first: MAP + Laplace for the whole batch in one program,
 # then seed the MCMC at each source's own mode (short burns suffice)
 mf.run_map(verbose=True)
-ess = mf.map_importance()           # weighted posteriors + ESS certificate
-print(f"triage: median ess/N = {np.median(ess) / 512:.2f}; "
+n_is = 128 if QUICK else 512
+ess = mf.map_importance(n_is)       # weighted posteriors + ESS certificate
+print(f"triage: median ess/N = {np.median(ess) / n_is:.2f}; "
       f"{int((~mf.map_interior).sum())}/{S} modes at a box edge")
-mf.run(nburn=150, nsteps=500, init="map")
+mf.run(nburn=NBURN, nsteps=NSTEPS, init="map")
 
 # run-until-converged serving loop (works on both backends)
+max_records = 240 if QUICK else 4000
 while True:
-    ok = mf.converged(rhat_max=1.1, window=250)
-    if ok.all() or mf.chain_free.shape[1] >= 4000:
+    ok = mf.converged(rhat_max=1.1, window=min(250, NSTEPS // 2))
+    if ok.all() or mf.chain_free.shape[1] >= max_records:
         break
     print(f"{int((~ok).sum())}/{S} sources above R-hat 1.1; extending")
-    mf.extend(500)
+    mf.extend(NSTEPS)
 
 cen = mf.par_cen("T")
 print(f"fit {S} ragged sources; T medians "
@@ -96,8 +102,8 @@ print(f"fit {S} ragged sources; T medians "
       f"max split-R-hat {mf.gelman_rubin().max():.3f}")
 
 # the one-sided path instead (diagonal errors):
-mf2 = MultiFitter(nwalkers=250, opthin=True, noalpha=True, seed=2)
+mf2 = MultiFitter(nwalkers=NWALKERS, opthin=True, noalpha=True, seed=2)
 mf2.set_data(wave, flux, unc)
 mf2.set_phot_upperlimits(uplims)     # per-source (S, nb) mask
-mf2.run(nburn=150, nsteps=500)
+mf2.run(nburn=NBURN, nsteps=NSTEPS)
 print(f"one-sided batch: max split-R-hat {mf2.gelman_rubin().max():.3f}")
