@@ -22,6 +22,7 @@ SLOW = [
     "serve_batches.py",
     "serve_ragged_catalog.py",
     "model_comparison.py",
+    "custom_model.py",
 ]
 
 
