@@ -6,11 +6,14 @@ its truth: under CORRECT inference F_post(theta_true) is exactly
 Uniform(0,1) (probability integral transform), independent of the data
 realization. Any systematic error -- biased medians, mis-scaled CI
 widths (e.g. an fp32 likelihood floor), a broken prior/limit treatment,
-an unconverged burn-in protocol -- shows up as non-uniform ranks.
+an unconverged burn-in protocol, a wrong whitening or quadrature -- shows
+up as non-uniform ranks.
 
 This is stronger than the pull test in test_multifit.py: pulls only
 check the first two moments against a Gaussian shape; SBC ranks check
-the whole distribution, with no Gaussianity assumption.
+the whole distribution, with no Gaussianity assumption. Three pipeline
+variants are calibrated: plain diagonal errors, band-integrated
+(instrument response) likelihoods, and correlated calibration errors.
 
 Reference anchor: SURVEY.md section 4 (sampler statistics tests) and the
 BASELINE accuracy contract. Runs in the slow lane.
@@ -20,7 +23,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from mbb_emcee_tpu import MultiFitter
+from mbb_emcee_tpu import MultiFitter, ResponseSet
 from mbb_emcee_tpu.models.modified_blackbody import mbb_fnu, MBBShape
 
 WAVE = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
@@ -29,13 +32,27 @@ WAVE = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
 # the sampled prior IS the drawing prior).
 BOX = {"T": (15.0, 60.0), "beta": (0.8, 3.0), "fnorm": (10.0, 200.0)}
 
+SHAPE = MBBShape(opthin=True, noalpha=True)
 
-@pytest.mark.slow
-def test_sbc_ranks_uniform():
-    S = 48
+
+def _point_flux(t):
+    return np.asarray(mbb_fnu(jnp.asarray(t, jnp.float32),
+                              jnp.asarray(WAVE, jnp.float32), SHAPE),
+                      np.float64)
+
+
+def _make_responses():
+    rs = ResponseSet()
+    rs.add("B100", "gauss:100:35")
+    rs.add("B160", "gauss:160:60")
+    rs.add("B250", "box:250:70")
+    rs.add("B350", "box:350:90")
+    rs.add("B500", "gauss:500:150")
+    return rs
+
+
+def _sbc_ranks(mode, S=48):
     rng = np.random.default_rng(20260818)
-    shape = MBBShape(opthin=True, noalpha=True)
-
     trues = np.column_stack([
         rng.uniform(*BOX["T"], S),
         rng.uniform(*BOX["beta"], S),
@@ -43,20 +60,43 @@ def test_sbc_ranks_uniform():
         np.full(S, 4.0),                   # inert under noalpha
         rng.uniform(*BOX["fnorm"], S),
     ])
+
+    kw = {}
+    corr = None
+    if mode == "response":
+        rs = _make_responses()
+        names = list(rs.keys())
+        kw["responses"] = rs
+
+        def forward(t):
+            tj = jnp.asarray(t, jnp.float32)
+            return np.array([rs[n](lambda w: mbb_fnu(tj, w, SHAPE))
+                             for n in names])
+    else:
+        names = None
+        forward = _point_flux
+    if mode == "correlated":
+        corr = 0.4 * np.ones((WAVE.size, WAVE.size)) \
+            + 0.6 * np.eye(WAVE.size)
+        L = np.linalg.cholesky(corr)
+
     flux, unc = [], []
     for t in trues:
-        f = np.asarray(mbb_fnu(jnp.asarray(t, jnp.float32),
-                               jnp.asarray(WAVE, jnp.float32), shape),
-                       np.float64)
+        f = forward(t)
         u = 0.05 * f
-        flux.append(f + u * rng.standard_normal(WAVE.size))
+        noise = (u * (L @ rng.standard_normal(WAVE.size))
+                 if mode == "correlated"
+                 else u * rng.standard_normal(WAVE.size))
+        flux.append(f + noise)
         unc.append(u)
 
-    mf = MultiFitter(nwalkers=64, opthin=True, noalpha=True, seed=99)
+    mf = MultiFitter(nwalkers=64, opthin=True, noalpha=True, seed=99, **kw)
     for name, (lo, hi) in BOX.items():
         mf.set_lowlim(name, lo)
         mf.set_uplim(name, hi)
-    mf.set_data(WAVE, np.array(flux), np.array(unc))
+    mf.set_data(WAVE, np.array(flux), np.array(unc), band_names=names)
+    if corr is not None:
+        mf.set_band_correlation(corr)
     mf.run(nburn=250, nsteps=600, thin=2)
 
     # F_post(true) per source x free param. mf.chain is in the FULL
@@ -69,8 +109,13 @@ def test_sbc_ranks_uniform():
         true_p = trues[:, idx[name]]
         flat = chain[..., idx[name]].reshape(S, -1)
         ranks.append((flat < true_p[:, None]).mean(axis=1))
-    ranks = np.concatenate(ranks)          # 3*S values in [0, 1]
+    return np.concatenate(ranks), S     # 3*S values in [0, 1]
 
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["plain", "response", "correlated"])
+def test_sbc_ranks_uniform(mode):
+    ranks, S = _sbc_ranks(mode)
     n = ranks.size
     # KS distance against U(0,1). Ranks of one source's params are
     # correlated (posterior correlations), so the effective n is below
@@ -78,13 +123,13 @@ def test_sbc_ranks_uniform():
     # at n_eff = S).
     grid = np.sort(ranks)
     ks = np.max(np.abs(grid - (np.arange(1, n + 1) / n)))
-    assert ks < 2.3 / np.sqrt(S), f"SBC ranks not uniform: KS={ks:.3f}"
+    assert ks < 2.3 / np.sqrt(S), f"[{mode}] ranks not uniform: KS={ks:.3f}"
     # First two moments as a diagnostic with direction information:
     # mean shift = biased medians; variance shift = CI widths wrong
     # (var < 1/12 means posteriors too WIDE, > means too narrow).
-    assert abs(ranks.mean() - 0.5) < 0.10, ranks.mean()
-    assert 0.6 / 12 < ranks.var() < 1.6 / 12, ranks.var()
+    assert abs(ranks.mean() - 0.5) < 0.10, (mode, ranks.mean())
+    assert 0.6 / 12 < ranks.var() < 1.6 / 12, (mode, ranks.var())
     # No rank piled at the box edges (a broken limit/reflection would
     # concentrate truths outside the sampled support).
-    assert (ranks < 0.02).mean() < 0.15
-    assert (ranks > 0.98).mean() < 0.15
+    assert (ranks < 0.02).mean() < 0.15, mode
+    assert (ranks > 0.98).mean() < 0.15, mode
