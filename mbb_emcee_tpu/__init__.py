@@ -39,7 +39,7 @@ from mbb_emcee_tpu.results import MBBResults
 from mbb_emcee_tpu.multifit import MultiFitter
 from mbb_emcee_tpu.catalog import Catalog, read_catalog
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "PARAM_NAMES", "NPARAMS",

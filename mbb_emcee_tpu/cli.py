@@ -94,6 +94,24 @@ def build_parser():
     g.add_argument("--map-starts", type=int, default=8,
                    help="optimizer multi-starts for --map (default 8)")
 
+    g = p.add_argument_group(
+        "serving loop",
+        "run-until-converged: after the production run, keep extending "
+        "until split-R-hat is below the threshold (stretch move only; "
+        "same flags as the batch CLI)")
+    g.add_argument("--extend-until", type=float, default=None,
+                   metavar="RHAT",
+                   help="extend production until max split-R-hat < RHAT "
+                        "(e.g. 1.05)")
+    g.add_argument("--extend-step", type=int, default=None,
+                   help="steps per extension (default: --nsteps)")
+    g.add_argument("--max-steps", type=int, default=None,
+                   help="stop extending after this many total production "
+                        "steps (default: 10x --nsteps)")
+    g.add_argument("--tau-mult", type=float, default=None,
+                   help="additionally require recorded chain length >= "
+                        "TAU_MULT x the integrated autocorrelation time")
+
     g = p.add_argument_group("model")
     g.add_argument("--opthin", action="store_true",
                    help="optically thin model (drops lambda0)")
@@ -325,6 +343,18 @@ def main(argv=None):
     else:
         total_steps = args.nsteps + (
             args.burn if args.no_recenter_burn else 2 * args.burn)
+    if args.extend_until is not None:
+        if args.hmc or args.pt:
+            raise SystemExit("--extend-until works with the stretch-move "
+                             "sampler only")
+        if args.nsteps // max(args.thin, 1) < 4:
+            # catch BEFORE burning+sampling: split-R-hat needs >= 4
+            # recorded steps, and failing after the production run would
+            # abort exactly when the user asked to extend
+            raise SystemExit(
+                f"--extend-until needs at least 4 recorded steps per "
+                f"pass; --nsteps {args.nsteps} / --thin {args.thin} "
+                f"records only {args.nsteps // max(args.thin, 1)}")
     with trace(args.profile_dir):
         if args.hmc and args.pt:
             raise SystemExit("--hmc and --pt are mutually exclusive")
@@ -359,6 +389,40 @@ def main(argv=None):
                         checkpoint=args.checkpoint,
                         checkpoint_interval=args.checkpoint_interval,
                         resume=args.resume)
+
+        if args.extend_until is not None:
+            import numpy as _np
+            step = args.extend_step or args.nsteps
+            max_steps = args.max_steps or 10 * args.nsteps
+
+            def _converged():
+                rhat = float(_np.max(fit.gelman_rubin()))
+                if rhat >= args.extend_until:
+                    return False, rhat
+                if args.tau_mult is not None:
+                    nrec = fit.chain_free.shape[0] * 1.0
+                    tau = float(_np.max(fit.autocorrelation_time()))
+                    if nrec < args.tau_mult * tau:
+                        return False, rhat
+                return True, rhat
+
+            total = args.nsteps
+            while total < max_steps:
+                ok, rhat = _converged()
+                if ok:
+                    break
+                if args.verbose:
+                    log.info(f"  split-R-hat {rhat:.4f} >= "
+                             f"{args.extend_until}; extending by {step}")
+                with timer.phase(f"extend +{step}", step):
+                    fit.extend(step, verbose=args.verbose)
+                total += step
+            else:
+                ok, rhat = _converged()
+            if args.verbose:
+                log.info(f"  serving loop done at {total} production "
+                         f"steps: split-R-hat {rhat:.4f} "
+                         f"({'converged' if ok else 'max-steps cap hit'})")
     if args.verbose:
         log.info(timer.report())
         if args.profile_dir:

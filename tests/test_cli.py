@@ -206,3 +206,29 @@ def test_cli_map_triage(tmp_path, capsys):
         main([str(phot), "x.h5", "--map", "--hmc"])
     with pytest.raises(SystemExit, match="chains"):
         main([str(phot), "x.h5", "--map", "--get-lir"])
+
+
+def test_cli_extend_until(tmp_path, capsys):
+    """Single-fit serving loop: --extend-until keeps extending production
+    until split-R-hat converges (the batch CLI's loop, same flags)."""
+    phot = str(tmp_path / "phot.txt")
+    out = str(tmp_path / "fit.h5")
+    _write_photfile(phot, MBBShape(opthin=True, noalpha=True))
+    rc = main([phot, out, "--opthin", "--noalpha",
+               "-w", "64", "-b", "40", "-n", "40",
+               "--extend-until", "1.05", "--extend-step", "40",
+               "--max-steps", "400", "--seed", "5", "-v"])
+    assert rc == 0
+    res = MBBResults(h5file=out)
+    # the loop either converged below threshold or hit the 400-step cap
+    nrec = res.nsteps
+    assert nrec >= 40
+    if nrec < 400:
+        assert float(np.max(res.gelman_rubin())) < 1.05
+    # guards: wrong sampler / too few records per pass
+    import pytest
+    with pytest.raises(SystemExit, match="stretch-move"):
+        main([phot, out, "--hmc", "--extend-until", "1.05"])
+    with pytest.raises(SystemExit, match="4 recorded"):
+        main([phot, out, "-n", "9", "--thin", "3",
+              "--extend-until", "1.05"])
