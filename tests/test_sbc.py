@@ -11,9 +11,12 @@ up as non-uniform ranks.
 
 This is stronger than the pull test in test_multifit.py: pulls only
 check the first two moments against a Gaussian shape; SBC ranks check
-the whole distribution, with no Gaussianity assumption. Three pipeline
+the whole distribution, with no Gaussianity assumption. Five pipeline
 variants are calibrated: plain diagonal errors, band-integrated
-(instrument response) likelihoods, and correlated calibration errors.
+(instrument response) likelihoods, correlated calibration errors, the
+gradient-based HMC tier, and the parallel-tempering tier (same targets,
+entirely different kernels -- a leapfrog/metric bug or a broken swap
+acceptance would decalibrate these without touching the stretch move).
 
 Reference anchor: SURVEY.md section 4 (sampler statistics tests) and the
 BASELINE accuracy contract. Runs in the slow lane.
@@ -97,7 +100,12 @@ def _sbc_ranks(mode, S=48):
     mf.set_data(WAVE, np.array(flux), np.array(unc), band_names=names)
     if corr is not None:
         mf.set_band_correlation(corr)
-    mf.run(nburn=250, nsteps=600, thin=2)
+    if mode == "hmc":
+        mf.run_hmc(nwarmup=300, nsteps=600, thin=2)
+    elif mode == "pt":
+        mf.run_pt(nrungs=8, nburn=250, nsteps=600, thin=2)
+    else:
+        mf.run(nburn=250, nsteps=600, thin=2)
 
     # F_post(true) per source x free param. mf.chain is in the FULL
     # 5-parameter space (S, nwalkers, nrec, 5) -- index by full-space
@@ -113,7 +121,8 @@ def _sbc_ranks(mode, S=48):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mode", ["plain", "response", "correlated"])
+@pytest.mark.parametrize(
+    "mode", ["plain", "response", "correlated", "hmc", "pt"])
 def test_sbc_ranks_uniform(mode):
     ranks, S = _sbc_ranks(mode)
     n = ranks.size
