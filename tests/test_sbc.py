@@ -11,12 +11,14 @@ up as non-uniform ranks.
 
 This is stronger than the pull test in test_multifit.py: pulls only
 check the first two moments against a Gaussian shape; SBC ranks check
-the whole distribution, with no Gaussianity assumption. Five pipeline
+the whole distribution, with no Gaussianity assumption. Six pipeline
 variants are calibrated: plain diagonal errors, band-integrated
 (instrument response) likelihoods, correlated calibration errors, the
-gradient-based HMC tier, and the parallel-tempering tier (same targets,
+gradient-based HMC tier, the parallel-tempering tier (same targets,
 entirely different kernels -- a leapfrog/metric bug or a broken swap
-acceptance would decalibrate these without touching the stretch move).
+acceptance would decalibrate these without touching the stretch move),
+and the MAP + Laplace-importance triage tier (weighted CDF at truth --
+the exact statistical claim map_par_cen makes).
 
 Reference anchor: SURVEY.md section 4 (sampler statistics tests) and the
 BASELINE accuracy contract. Runs in the slow lane.
@@ -100,6 +102,25 @@ def _sbc_ranks(mode, S=48):
     mf.set_data(WAVE, np.array(flux), np.array(unc), band_names=names)
     if corr is not None:
         mf.set_band_correlation(corr)
+    idx = {"T": 0, "beta": 1, "fnorm": 4}
+    if mode == "map_is":
+        # Triage tier: MAP + Laplace importance sampling. The WEIGHTED
+        # CDF at truth must be uniform wherever the importance weights
+        # are healthy -- this is exactly the statistical claim
+        # map_par_cen() makes ("matches MCMC on well-conditioned
+        # sources").
+        mf.run_map(nstarts=4)
+        ess = mf.map_importance(1024)
+        assert np.median(ess) / 1024 > 0.3          # healthy proposals
+        w = np.exp(mf.map_logw - mf.map_logw.max(axis=1, keepdims=True))
+        w /= w.sum(axis=1, keepdims=True)           # (S, N)
+        ranks = []
+        for p, name in enumerate(mf.free_param_names):
+            true_p = trues[:, idx[name]]
+            below = mf.map_samples[:, :, p] < true_p[:, None]
+            ranks.append((w * below).sum(axis=1))
+        return np.concatenate(ranks), S
+
     if mode == "hmc":
         mf.run_hmc(nwarmup=300, nsteps=600, thin=2)
     elif mode == "pt":
@@ -111,7 +132,6 @@ def _sbc_ranks(mode, S=48):
     # 5-parameter space (S, nwalkers, nrec, 5) -- index by full-space
     # position, not free-space order.
     chain = np.asarray(mf.chain)
-    idx = {"T": 0, "beta": 1, "fnorm": 4}
     ranks = []
     for name in mf.free_param_names:
         true_p = trues[:, idx[name]]
@@ -122,7 +142,7 @@ def _sbc_ranks(mode, S=48):
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "mode", ["plain", "response", "correlated", "hmc", "pt"])
+    "mode", ["plain", "response", "correlated", "hmc", "pt", "map_is"])
 def test_sbc_ranks_uniform(mode):
     ranks, S = _sbc_ranks(mode)
     n = ranks.size
