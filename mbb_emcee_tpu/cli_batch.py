@@ -193,6 +193,14 @@ def build_parser():
                    help="nested-sampling live points (default 512)")
 
     g = p.add_argument_group("output")
+    g.add_argument("--chunk-size", type=int, default=None, metavar="C",
+                   help="process the catalog in fixed C-source chunks "
+                        "(bounds host/HBM memory for huge catalogs; every "
+                        "chunk reuses ONE compiled program because the "
+                        "batch shape never changes). The final chunk "
+                        "overlaps the previous one so it is exactly C "
+                        "sources. Writes OUTFILE.partNNN.h5 per chunk "
+                        "(each a normal MultiFitter file)")
     g.add_argument("--store-thin", type=int, default=1,
                    help="thin the STORED chains by this factor (full "
                         "multi-source chains are multi-GB; summaries "
@@ -210,9 +218,11 @@ def build_parser():
     return p
 
 
-def _summary_table(mf):
+def _summary_table(mf, offset=0):
     """Per-source summary lines: free-parameter medians +/- 1 sigma,
-    split-R-hat, and lnZ columns when evidence was computed."""
+    split-R-hat, and lnZ columns when evidence was computed. `offset`
+    shifts the printed indices to catalog-global positions (chunked
+    serving)."""
     import numpy as np
     names = mf.free_param_names
     cen = {p: mf.par_cen(p) for p in names}          # (S, 3) each
@@ -222,12 +232,13 @@ def _summary_table(mf):
              f"{'max-Rhat':>10}" +
              ("" if mf.logz_pt is None else f"{'lnZ(PT)':>12}") +
              ("" if mf.evidence is None else f"{'lnZ':>12}")]
-    srcnames = mf.source_names or [f"src{i}" for i in range(mf.nsources)]
+    srcnames = mf.source_names or [f"src{i + offset}"
+                                   for i in range(mf.nsources)]
     for i, nm in enumerate(srcnames):
         cells = "".join(
             f"  {cen[p][i, 0]:>10.4g} +{cen[p][i, 1]:.3g}/-{cen[p][i, 2]:.3g}"
             .rjust(24) for p in names)
-        line = f"{i:>3} {nm:<16}{cells}{rhat[i]:>10.3f}"
+        line = f"{i + offset:>3} {nm:<16}{cells}{rhat[i]:>10.3f}"
         if mf.logz_pt is not None:
             line += f"{mf.logz_pt[0][i]:>12.2f}"
         if mf.evidence is not None:
@@ -265,11 +276,17 @@ def main(argv=None):
     if args.mesh_devices is not None:
         from mbb_emcee_tpu.parallel import walker_mesh
         mesh = walker_mesh(args.mesh_devices)
-        if cat.nsources % args.mesh_devices:
+        # with --chunk-size the per-program batch is the chunk, not the
+        # whole catalog
+        eff = (args.chunk_size
+               if args.chunk_size and args.chunk_size < cat.nsources
+               else cat.nsources)
+        if eff % args.mesh_devices:
+            what = ("--chunk-size" if eff != cat.nsources
+                    else f"the source count ({cat.nsources})")
             raise SystemExit(
-                f"--mesh-devices {args.mesh_devices} must divide the "
-                f"source count ({cat.nsources}); pad the catalog or "
-                f"change the mesh size")
+                f"--mesh-devices {args.mesh_devices} must divide "
+                f"{what}; pad the catalog or change the mesh size")
 
     mf = MultiFitter(nwalkers=args.nwalkers, wavenorm=args.wavenorm,
                      noalpha=args.noalpha, opthin=args.opthin,
@@ -377,9 +394,6 @@ def main(argv=None):
               f"(run the MCMC for those); written to {args.outfile}")
         return 0
 
-    if args.verbose:
-        log.info(f"Batch fit: {cat.nsources} sources x {args.nwalkers} "
-                 f"walkers, burn={args.burn}, steps={args.nsteps}")
     if args.hmc and args.pt:
         raise SystemExit("--hmc and --pt are mutually exclusive")
     if args.extend_until is not None and (args.hmc or args.pt):
@@ -394,7 +408,66 @@ def main(argv=None):
             f"--extend-until needs at least 4 recorded steps per pass; "
             f"--nsteps {args.nsteps} / --thin {args.thin} records only "
             f"{args.nsteps // max(args.thin, 1)}")
-    timer = StepTimer(args.nwalkers * cat.nsources)
+
+    C = args.chunk_size
+    if C is not None and C <= 0:
+        raise SystemExit("--chunk-size must be positive")
+    if C is None or C >= cat.nsources:
+        return _fit_and_write(mf, args, log, args.outfile)
+
+    # Chunked serving: fixed C-source tiles so every chunk reuses the
+    # SAME compiled programs (the batch shape never changes -- data are
+    # runtime operands). The final chunk OVERLAPS the previous one
+    # instead of padding, so every written part holds real sources.
+    if args.checkpoint or args.resume:
+        raise SystemExit(
+            "--chunk-size is not combinable with --checkpoint/--resume "
+            "(chunks are already bounded; checkpoint a single-chunk run "
+            "instead)")
+    import os as _os
+    starts = list(range(0, cat.nsources - C + 1, C))
+    if starts[-1] + C < cat.nsources:
+        starts.append(cat.nsources - C)
+    base, ext = _os.path.splitext(args.outfile)
+    nb = cat.wave.size
+    for ci, s0 in enumerate(starts):
+        sl = slice(s0, s0 + C)
+        if uplims is not None and uplims.ndim == 2:
+            # a per-source mask binds to source identities; clear before
+            # re-binding data (set_data refuses a stale 2-D mask)
+            mf.set_phot_upperlimits(np.zeros(nb, bool))
+        mf.set_data(cat.wave, cat.flux[sl], cat.unc[sl],
+                    band_names=cat.band_names,
+                    source_names=list(cat.names[s0:s0 + C]),
+                    redshifts=(cat.redshifts[sl]
+                               if cat.has_redshifts else None))
+        if uplims is not None and uplims.any():
+            mf.set_phot_upperlimits(
+                uplims[sl] if uplims.ndim == 2 else uplims)
+        part = f"{base}.part{ci:03d}{ext or '.h5'}"
+        if args.verbose:
+            log.info(f"chunk {ci + 1}/{len(starts)}: sources "
+                     f"{s0}..{s0 + C - 1} -> {part}")
+        _fit_and_write(mf, args, log, part, offset=s0)
+    print(f"{cat.nsources} sources served in {len(starts)} chunks of {C} "
+          f"(fixed batch shape; final chunk overlaps its predecessor) "
+          f"-> {base}.part*{ext or '.h5'}")
+    return 0
+
+
+def _fit_and_write(mf, args, log, outfile, offset=0):
+    """Fit the currently-bound batch and write `outfile`: run (stretch /
+    HMC / PT), the --extend-until serving loop, evidence, derived
+    posteriors, HDF5, and the summary print. Factored out of main() so
+    chunked serving (--chunk-size) drives it once per source tile."""
+    import numpy as np
+
+    from mbb_emcee_tpu.utils.profiling import StepTimer, trace
+
+    if args.verbose:
+        log.info(f"Batch fit: {mf.nsources} sources x {args.nwalkers} "
+                 f"walkers, burn={args.burn}, steps={args.nsteps}")
+    timer = StepTimer(args.nwalkers * mf.nsources)
     with trace(args.profile_dir):
         if args.pt:
             if args.checkpoint or args.resume:
@@ -481,7 +554,7 @@ def main(argv=None):
               f"{mf.nsources} sources (median err "
               f"{np.median(ev.logz_err):.4f})")
 
-    if not cat.has_redshifts and (args.get_lir or args.get_dustmass):
+    if mf.redshifts is None and (args.get_lir or args.get_dustmass):
         raise SystemExit("--get-lir/--get-dustmass need finite redshifts "
                          "in the catalog's z column")
     if args.get_lir:
@@ -494,15 +567,15 @@ def main(argv=None):
     if args.get_peaklambda:
         mf.compute_peaklambda(thin=args.derived_thin)
 
-    mf.writeToHDF5(args.outfile, thin=args.store_thin)
+    mf.writeToHDF5(outfile, thin=args.store_thin)
 
     if args.summary:
-        print(_summary_table(mf))
+        print(_summary_table(mf, offset=offset))
     else:
         rhat = mf.gelman_rubin().max(axis=1)
         print(f"{mf.nsources} sources fit; max split-R-hat "
               f"{rhat.max():.3f} (median {np.median(rhat):.3f}); "
-              f"batch written to {args.outfile}")
+              f"batch written to {outfile}")
     return 0
 
 

@@ -413,3 +413,78 @@ def test_batch_cli_map_triage(tmp_path, capsys):
         main([cat, out, "--map", "--get-lir"])
     with pytest.raises(SystemExit, match="triage"):
         main([cat, out, "--map", "--hmc"])
+
+
+def test_batch_cli_chunked(tmp_path, capsys):
+    """--chunk-size: a 10-source catalog served in three 4-source tiles
+    (final tile overlaps), one part file per chunk, global indices in
+    each summary, and every part a normal MultiFitter file."""
+    cat = str(tmp_path / "cat.txt")
+    out = str(tmp_path / "batch.h5")
+    trues, z = _write_catalog(cat, nsources=10)
+    rc = main([cat, out, "--opthin", "--noalpha",
+               "-w", "64", "-b", "40", "-n", "120",
+               "--chunk-size", "4", "--seed", "5", "--summary"])
+    assert rc == 0
+    table = capsys.readouterr().out
+    assert "3 chunks of 4" in table
+    parts = sorted(tmp_path.glob("batch.part*.h5"))
+    assert [p.name for p in parts] == [
+        "batch.part000.h5", "batch.part001.h5", "batch.part002.h5"]
+    # chunk slices: [0:4], [4:8], overlap [6:10]
+    expected = [range(0, 4), range(4, 8), range(6, 10)]
+    for p, idxs in zip(parts, expected):
+        back = MultiFitter.from_h5(str(p))
+        assert back.nsources == 4
+        assert back.source_names == [f"SRC{i:03d}" for i in idxs]
+        np.testing.assert_allclose(back.redshifts, z[list(idxs)],
+                                   atol=5e-4)
+        t_cen = back.par_cen("T")
+        assert np.all(np.abs(t_cen[:, 0] - trues[list(idxs), 0]) < 10.0)
+    # global indices in the summary
+    assert "  9 SRC009" in table
+    # chunk >= nsources falls back to the single-program path
+    rc = main([cat, str(tmp_path / "one.h5"), "--opthin", "--noalpha",
+               "-w", "64", "-b", "40", "-n", "120",
+               "--chunk-size", "64", "--seed", "5"])
+    assert rc == 0
+    assert MultiFitter.from_h5(str(tmp_path / "one.h5")).nsources == 10
+
+
+def test_batch_cli_chunked_per_source_uplims(tmp_path, capsys):
+    """Chunking slices a per-source '<flux' mask to each tile (the 2-D
+    mask binds to source identities, so it is cleared and re-bound per
+    chunk)."""
+    cat = str(tmp_path / "cat.txt")
+    trues, z = _write_catalog(cat, nsources=6)
+    # rewrite source 5's 500um flux as an upper limit token
+    lines = open(cat).read().splitlines()
+    toks = lines[-1].split()
+    toks[-2] = "<" + toks[-2]
+    lines[-1] = " ".join(toks)
+    open(cat, "w").write("\n".join(lines) + "\n")
+
+    out = str(tmp_path / "b.h5")
+    rc = main([cat, out, "--opthin", "--noalpha",
+               "-w", "64", "-b", "30", "-n", "80",
+               "--chunk-size", "3", "--seed", "5"])
+    assert rc == 0
+    back0 = MultiFitter.from_h5(str(tmp_path / "b.part000.h5"))
+    back1 = MultiFitter.from_h5(str(tmp_path / "b.part001.h5"))
+    assert back0.nsources == back1.nsources == 3
+    # both chunks produced finite posteriors with the mask applied
+    assert np.isfinite(back0.par_cen("T")).all()
+    assert np.isfinite(back1.par_cen("T")).all()
+
+
+def test_batch_cli_chunked_guards(tmp_path):
+    cat = str(tmp_path / "cat.txt")
+    _write_catalog(cat, nsources=10)
+    with pytest.raises(SystemExit, match="checkpoint"):
+        main([cat, str(tmp_path / "o.h5"), "--chunk-size", "4",
+              "--checkpoint", str(tmp_path / "c.h5")])
+    with pytest.raises(SystemExit, match="chunk-size"):
+        main([cat, str(tmp_path / "o.h5"), "--chunk-size", "0"])
+    with pytest.raises(SystemExit, match="divide"):
+        main([cat, str(tmp_path / "o.h5"), "--chunk-size", "6",
+              "--mesh-devices", "4"])
