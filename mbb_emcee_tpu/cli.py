@@ -19,6 +19,25 @@ import sys
 from mbb_emcee_tpu.constants import PARAM_NAMES
 
 
+def _validate_extend_flags(args):
+    """--extend-step/--max-steps sanity, shared with the batch CLI.
+    extend() continues with the production `thin`, so the extension
+    length must satisfy the same positivity/divisibility rules -- catch
+    them BEFORE burning+sampling (an uncaught ValueError after the full
+    production run would abort exactly when the user asked to extend,
+    losing the fit)."""
+    thin = max(args.thin, 1)
+    step = args.extend_step if args.extend_step is not None else args.nsteps
+    if step <= 0:
+        raise SystemExit(f"--extend-step must be positive; got {step}")
+    if step % thin:
+        raise SystemExit(
+            f"--extend-step {step} must be divisible by --thin {thin} "
+            f"(extensions record every thin-th step)")
+    if args.max_steps is not None and args.max_steps <= 0:
+        raise SystemExit("--max-steps must be positive")
+
+
 def build_parser():
     p = argparse.ArgumentParser(
         prog="run_mbb_emcee_tpu",
@@ -93,6 +112,11 @@ def build_parser():
                         "full MCMC")
     g.add_argument("--map-starts", type=int, default=8,
                    help="optimizer multi-starts for --map (default 8)")
+    g.add_argument("--init-map", action="store_true",
+                   help="triage-then-refine: run the MAP fit first and "
+                        "seed the walker ball at the mode with "
+                        "Laplace-scaled scatter (short burns suffice); "
+                        "stretch move only")
 
     g = p.add_argument_group(
         "serving loop",
@@ -292,9 +316,11 @@ def main(argv=None):
     log = enable_console(logging.INFO if args.verbose else logging.WARNING)
 
     if args.map:
-        if args.hmc or args.pt or args.checkpoint or args.resume:
+        if (args.hmc or args.pt or args.checkpoint or args.resume
+                or args.extend_until is not None or args.init_map):
             raise SystemExit("--map is a triage mode; drop "
-                             "--hmc/--pt/--checkpoint/--resume")
+                             "--hmc/--pt/--checkpoint/--resume/"
+                             "--extend-until/--init-map")
         if (args.get_lir or args.get_dustmass or args.get_peaklambda
                 or args.get_evidence):
             raise SystemExit("derived-quantity posteriors need chains; "
@@ -355,6 +381,10 @@ def main(argv=None):
                 f"--extend-until needs at least 4 recorded steps per "
                 f"pass; --nsteps {args.nsteps} / --thin {args.thin} "
                 f"records only {args.nsteps // max(args.thin, 1)}")
+        _validate_extend_flags(args)
+    if args.init_map and (args.hmc or args.pt or args.resume):
+        raise SystemExit("--init-map seeds the stretch-move walker "
+                         "ball; drop --hmc/--pt/--resume")
     with trace(args.profile_dir):
         if args.hmc and args.pt:
             raise SystemExit("--hmc and --pt are mutually exclusive")
@@ -382,13 +412,18 @@ def main(argv=None):
                             target_accept=args.hmc_target_accept,
                             verbose=args.verbose)
         else:
+            if args.init_map:
+                with timer.phase("MAP triage", args.map_starts):
+                    fit.fit_map(nstarts=args.map_starts,
+                                verbose=args.verbose)
             with timer.phase("fit (burn + production)", total_steps):
                 fit.run(nburn=args.burn, nsteps=args.nsteps, thin=args.thin,
                         recenter_burn=not args.no_recenter_burn,
                         verbose=args.verbose,
                         checkpoint=args.checkpoint,
                         checkpoint_interval=args.checkpoint_interval,
-                        resume=args.resume)
+                        resume=args.resume,
+                        init="map" if args.init_map else "auto")
 
         if args.extend_until is not None:
             import numpy as _np
@@ -396,15 +431,11 @@ def main(argv=None):
             max_steps = args.max_steps or 10 * args.nsteps
 
             def _converged():
+                # one predicate shared with MultiFitter.converged
+                # semantics (NaN tau counts as 1, not as converged)
                 rhat = float(_np.max(fit.gelman_rubin()))
-                if rhat >= args.extend_until:
-                    return False, rhat
-                if args.tau_mult is not None:
-                    nrec = fit.chain_free.shape[0] * 1.0
-                    tau = float(_np.max(fit.autocorrelation_time()))
-                    if nrec < args.tau_mult * tau:
-                        return False, rhat
-                return True, rhat
+                return fit.converged(rhat_max=args.extend_until,
+                                     tau_mult=args.tau_mult), rhat
 
             total = args.nsteps
             while total < max_steps:

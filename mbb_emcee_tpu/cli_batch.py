@@ -93,6 +93,11 @@ def build_parser():
                         "run). Writes a MAPFit-only HDF5")
     g.add_argument("--map-starts", type=int, default=8,
                    help="optimizer multi-starts per source (default 8)")
+    g.add_argument("--init-map", action="store_true",
+                   help="triage-then-refine: MAP-fit the batch first and "
+                        "seed each source's walker ball at its own mode "
+                        "with Laplace-scaled scatter (short burns "
+                        "suffice); stretch move only")
 
     g = p.add_argument_group(
         "serving loop",
@@ -294,9 +299,20 @@ def main(argv=None):
                      a=args.stretch_a, mesh=mesh,
                      sampler_backend=args.sampler_backend,
                      interpret=args.interpret)
-    mf.set_data(cat.wave, cat.flux, cat.unc, band_names=cat.band_names,
-                source_names=cat.names,
-                redshifts=cat.redshifts if cat.has_redshifts else None)
+    # With --chunk-size, never bind the whole catalog -- the chunk loop
+    # binds each C-source tile; binding 500k sources here just to discard
+    # them would defeat the flag's purpose. The first tile is bound now
+    # so data-dependent setters (set_band_correlation needs wave) work.
+    C = args.chunk_size
+    if C is not None and C <= 0:
+        raise SystemExit("--chunk-size must be positive")
+    chunked = C is not None and C < cat.nsources
+    first = slice(0, C) if chunked else slice(None)
+    mf.set_data(cat.wave, cat.flux[first], cat.unc[first],
+                band_names=cat.band_names,
+                source_names=list(cat.names[first]),
+                redshifts=cat.redshifts[first] if cat.has_redshifts
+                else None)
     # None, shared (nb,), or per-source (S, nb) when the catalog used
     # '<flux' tokens; --phot-uplim bands OR in (broadcasting over sources)
     uplims = cat.uplim_mask()
@@ -306,7 +322,9 @@ def main(argv=None):
                              cat.band_names)
         uplims = shared if uplims is None else (uplims | shared)
     if uplims is not None and uplims.any():
-        mf.set_phot_upperlimits(uplims)
+        # chunked mode applies the per-tile slice inside the loop
+        mf.set_phot_upperlimits(
+            uplims[first] if uplims.ndim == 2 else uplims)
 
     if args.corrfile is not None:
         if args.sampler_backend == "fused":
@@ -358,9 +376,10 @@ def main(argv=None):
     log = enable_console(logging.INFO if args.verbose else logging.WARNING)
 
     if args.map:
-        if args.hmc or args.pt or args.extend_until is not None:
+        if (args.hmc or args.pt or args.extend_until is not None
+                or args.init_map):
             raise SystemExit("--map is a triage mode; drop --hmc/--pt/"
-                             "--extend-until")
+                             "--extend-until/--init-map")
         if args.checkpoint or args.resume:
             raise SystemExit("--map runs in seconds; checkpointing does "
                              "not apply")
@@ -408,11 +427,14 @@ def main(argv=None):
             f"--extend-until needs at least 4 recorded steps per pass; "
             f"--nsteps {args.nsteps} / --thin {args.thin} records only "
             f"{args.nsteps // max(args.thin, 1)}")
+    if args.extend_until is not None:
+        from mbb_emcee_tpu.cli import _validate_extend_flags
+        _validate_extend_flags(args)
+    if args.init_map and (args.hmc or args.pt or args.resume):
+        raise SystemExit("--init-map seeds the stretch-move walker "
+                         "ball; drop --hmc/--pt/--resume")
 
-    C = args.chunk_size
-    if C is not None and C <= 0:
-        raise SystemExit("--chunk-size must be positive")
-    if C is None or C >= cat.nsources:
+    if not chunked:
         return _fit_and_write(mf, args, log, args.outfile)
 
     # Chunked serving: fixed C-source tiles so every chunk reuses the
@@ -432,7 +454,7 @@ def main(argv=None):
     nb = cat.wave.size
     for ci, s0 in enumerate(starts):
         sl = slice(s0, s0 + C)
-        if uplims is not None and uplims.ndim == 2:
+        if uplims is not None and uplims.ndim == 2 and uplims.any():
             # a per-source mask binds to source identities; clear before
             # re-binding data (set_data refuses a stale 2-D mask)
             mf.set_phot_upperlimits(np.zeros(nb, bool))
@@ -493,12 +515,17 @@ def _fit_and_write(mf, args, log, outfile, offset=0):
                            target_accept=args.hmc_target_accept,
                            verbose=args.verbose)
         else:
+            if args.init_map:
+                with timer.phase("MAP triage", args.map_starts):
+                    mf.run_map(nstarts=args.map_starts,
+                               verbose=args.verbose)
             total = args.nsteps + (
                 args.burn if args.no_recenter_burn else 2 * args.burn)
             with timer.phase("batch fit (burn + production)", total):
                 mf.run(nburn=args.burn, nsteps=args.nsteps, thin=args.thin,
                        recenter_burn=not args.no_recenter_burn,
                        verbose=args.verbose,
+                       init="map" if args.init_map else "auto",
                        checkpoint=args.checkpoint,
                        checkpoint_interval=args.checkpoint_interval,
                        resume=args.resume)
@@ -511,18 +538,21 @@ def _fit_and_write(mf, args, log, outfile, offset=0):
                     "run (fused or XLA backend)")
             step = args.extend_step or args.nsteps
             max_steps = args.max_steps or 10 * args.nsteps
-            # Fixed window + stride=ceil(nrec/window): the reduction
-            # measures the FULL chain span (the standard R-hat diagnostic,
-            # lower noise floor than a tail window) yet keeps a fixed
-            # compiled shape as the chain grows -- when step is a multiple
-            # of nsteps, every iteration reuses one compiled program.
+            # Fixed window + floor stride: the reduction measures the
+            # full chain span (the standard R-hat diagnostic, lower
+            # noise floor than a tail window) yet keeps a fixed compiled
+            # shape as the chain grows -- when step is a multiple of
+            # nsteps, every iteration reuses one compiled program.
             window = max(4, args.nsteps // max(args.thin, 1))
 
             def _converged():
+                # stride = floor(nrec/window) guarantees the subsampled
+                # record count stays >= window (ceil could leave < 4
+                # records and fail the R-hat minimum mid-loop)
                 nrec = int(mf.chain_free.shape[1])
                 return mf.converged(rhat_max=args.extend_until,
                                     window=window,
-                                    stride=-(-nrec // window),
+                                    stride=max(1, nrec // window),
                                     tau_mult=args.tau_mult)
 
             total = args.nsteps

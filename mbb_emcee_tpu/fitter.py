@@ -123,10 +123,15 @@ class MBBFitter(ParamSpaceMixin):
     # -- data ingest ------------------------------------------------------------
     def read_data(self, photfile):
         """Load text photometry (ref: mbb_fitter.read_data)."""
+        self.map_result = None     # MAP binds to data; see set_data
         self.phot = Photometry.from_file(photfile)
         return self
 
     def set_data(self, wave, flux, unc, cov=None, band_names=None):
+        # A MAP fit binds to the data it was run on; new data invalidates
+        # it (init="map" and map_importance must not silently reuse the
+        # old mode).
+        self.map_result = None
         self.phot = Photometry(wave, flux, unc, cov=cov,
                                band_names=band_names)
         return self
@@ -283,7 +288,8 @@ class MBBFitter(ParamSpaceMixin):
     # -- the run -------------------------------------------------------------------
     def run(self, nburn=50, nsteps=250, thin=1, p0=None,
             recenter_burn=True, verbose=False,
-            checkpoint=None, checkpoint_interval=100, resume=False):
+            checkpoint=None, checkpoint_interval=100, resume=False,
+            init="auto"):
         """Burn-in -> re-center on best burn-in sample -> re-burn -> reset ->
         production (ref: mbb_fitter.run protocol, SURVEY.md section 3.1).
 
@@ -293,16 +299,35 @@ class MBBFitter(ParamSpaceMixin):
         interrupted run from that file (the reference has no mid-sampling
         checkpointing -- SURVEY.md section 5).
 
+        init="map" seeds the walker ball at the fit_map() mode with
+        ~2 Laplace-sigma scatter (the triage-then-refine workflow, same
+        semantics as MultiFitter.run(init="map")); requires fit_map()
+        on this data first.
+
         Stores the production chain device-resident; wrap in MBBResults for
         analysis/persistence. Returns self.
         """
         import os
 
+        if init not in ("auto", "map"):
+            raise ValueError(f"init must be 'auto' or 'map'; got {init!r}")
+        if init == "map":
+            if p0 is not None:
+                raise ValueError("init='map' conflicts with an explicit p0")
+            r = getattr(self, "map_result", None)
+            if r is None:
+                raise RuntimeError(
+                    "init='map' requires fit_map() on this data first")
         self._mf = None       # a fresh run() invalidates any merged state
         if self.n_ensembles > 1:
             if p0 is not None:
                 raise ValueError(
                     "n_ensembles > 1 does not combine with an explicit p0")
+            if init == "map":
+                raise ValueError(
+                    "init='map' does not combine with n_ensembles > 1; "
+                    "use MultiFitter.run(init='map') for batched "
+                    "triage-then-refine")
             return self._run_ensembles(
                 nburn, nsteps, thin, recenter_burn, verbose,
                 checkpoint=checkpoint,
@@ -329,6 +354,11 @@ class MBBFitter(ParamSpaceMixin):
                 "p0= combined with an actual resume is ambiguous: the "
                 "checkpointed state would silently win; drop p0 (or the "
                 "checkpoint file) to make the intent explicit")
+        if resuming and init == "map":
+            raise ValueError(
+                "init='map' combined with an actual resume is ambiguous: "
+                "the checkpointed state would silently win; drop init= "
+                "(or the checkpoint file) to make the intent explicit")
         phot = self._require_data()
         data_fp = spec_fp = None
         if checkpoint is not None:
@@ -371,8 +401,24 @@ class MBBFitter(ParamSpaceMixin):
             key = jax.random.key(self.seed, impl=self.prng_impl)
             key, kball = jax.random.split(key)
             if p0 is None:
-                center = self._init[free_space.free_idx]
-                scatter = self._scatter[free_space.free_idx]
+                if init == "map":
+                    # seed at the MAP mode with ~2 Laplace-sigma scatter;
+                    # huge floored-Laplace sigmas (degenerate modes) would
+                    # throw walkers across the whole box -- cap at 10x the
+                    # default scatter (same rule as MultiFitter)
+                    r = self.map_result
+                    if r.x.size != free_space.nfree:
+                        raise RuntimeError(
+                            "the parameter space changed since fit_map() "
+                            "(fixed/freed parameters); re-run fit_map "
+                            "before init='map'")
+                    center = np.asarray(r.x, np.float64)
+                    base = self._scatter[free_space.free_idx]
+                    scatter = np.minimum(
+                        np.clip(2.0 * r.sigma, 1e-6, None), base * 10.0)
+                else:
+                    center = self._init[free_space.free_idx]
+                    scatter = self._scatter[free_space.free_idx]
                 p0 = make_initial_ball(kball, center, scatter, self.nwalkers,
                                        free_space.lower, free_space.upper,
                                        dtype=self.dtype)
@@ -991,3 +1037,20 @@ class MBBFitter(ParamSpaceMixin):
             raise RuntimeError("run() has not been called")
         from mbb_emcee_tpu.sampler import split_rhat
         return split_rhat(np.asarray(self.chain_free))
+
+    def converged(self, rhat_max=1.1, tau_mult=None):
+        """bool: every free parameter's split-R-hat below `rhat_max` --
+        the single-fit analog of MultiFitter.converged, so extend()
+        serving loops share one predicate across both surfaces. With
+        `tau_mult` (emcee's rule of thumb is ~50), additionally require
+        the recorded chain length >= tau_mult x the largest integrated
+        autocorrelation time (a NaN tau estimate counts as 1 -- too
+        short to estimate is not the same as converged)."""
+        ok = bool(np.all(self.gelman_rubin() < float(rhat_max)))
+        if ok and tau_mult is not None:
+            tau = np.nan_to_num(
+                np.asarray(self.autocorrelation_time(), np.float64),
+                nan=1.0)
+            nrec = int(np.asarray(self.chain_free).shape[0])
+            ok = bool(nrec >= float(tau_mult) * float(np.max(tau)))
+        return ok

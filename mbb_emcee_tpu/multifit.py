@@ -1679,11 +1679,13 @@ class MultiFitter(ParamSpaceMixin):
         averaging in the early transient.
 
         `stride` subsamples every stride-th record FIRST (device-side).
-        Passing stride=ceil(nrec/window) measures R-hat over the FULL
-        chain span at the same fixed compiled shape -- the serving loop's
-        predicate (cli_batch --extend-until): full-span R-hat is the
-        standard diagnostic and has a lower noise floor than the
-        tail-window variant at equal reduction cost."""
+        Passing stride=max(1, nrec//window) measures R-hat over (almost)
+        the full chain span at the same fixed compiled shape -- the
+        serving loop's predicate (cli_batch --extend-until): full-span
+        R-hat is the standard diagnostic and has a lower noise floor
+        than the tail-window variant at equal reduction cost. (Floor,
+        not ceil: ceil can leave the strided chain shorter than the
+        4-record minimum.)"""
         self._require_run()
         ch = self.chain_free                   # (S, nrec, nw, nfree) dev
         if stride is not None:
@@ -1702,8 +1704,8 @@ class MultiFitter(ParamSpaceMixin):
         `rhat_max`. The serving loop's 'which sources need more steps'
         predicate (pair with extend(); pass a fixed `window` so the check
         compiles once no matter how long the chains grow, and
-        stride=ceil(nrec/window) to measure the FULL chain span at that
-        fixed shape -- see gelman_rubin).
+        stride=max(1, nrec//window) to measure the full chain span at
+        that fixed shape -- see gelman_rubin).
 
         With `tau_mult` (emcee's rule of thumb is ~50), additionally
         require each source's recorded chain to be at least

@@ -232,3 +232,43 @@ def test_cli_extend_until(tmp_path, capsys):
     with pytest.raises(SystemExit, match="4 recorded"):
         main([phot, out, "-n", "9", "--thin", "3",
               "--extend-until", "1.05"])
+
+
+def test_cli_extend_flag_validation(tmp_path):
+    """--extend-step/--max-steps are validated BEFORE burning+sampling
+    (an uncaught divisibility error after production would lose the
+    fit), and --map refuses the serving-loop flags."""
+    phot = str(tmp_path / "phot.txt")
+    _write_photfile(phot, MBBShape(opthin=True, noalpha=True))
+    out = str(tmp_path / "o.h5")
+    import pytest
+    with pytest.raises(SystemExit, match="divisible"):
+        main([phot, out, "-n", "100", "--thin", "2",
+              "--extend-until", "1.05", "--extend-step", "25"])
+    with pytest.raises(SystemExit, match="positive"):
+        main([phot, out, "-n", "100",
+              "--extend-until", "1.05", "--extend-step", "-50"])
+    with pytest.raises(SystemExit, match="positive"):
+        main([phot, out, "-n", "100",
+              "--extend-until", "1.05", "--max-steps", "0"])
+    with pytest.raises(SystemExit, match="triage"):
+        main([phot, out, "--map", "--extend-until", "1.05"])
+
+
+def test_cli_init_map(tmp_path, capsys):
+    """--init-map: MAP triage seeds the walker ball (triage-then-refine
+    as one command), with the sampler-conflict guards."""
+    phot = str(tmp_path / "phot.txt")
+    out = str(tmp_path / "fit.h5")
+    _write_photfile(phot, MBBShape(opthin=True, noalpha=True))
+    rc = main([phot, out, "--opthin", "--noalpha",
+               "-w", "64", "-b", "20", "-n", "120",
+               "--init-map", "--map-starts", "4", "--seed", "5", "-v"])
+    assert rc == 0
+    res = MBBResults(h5file=out)
+    assert abs(res.par_cen("T")[0] - TRUE[0]) < 10.0
+    import pytest
+    with pytest.raises(SystemExit, match="init-map"):
+        main([phot, out, "--hmc", "--init-map"])
+    with pytest.raises(SystemExit, match="triage"):
+        main([phot, out, "--map", "--init-map"])

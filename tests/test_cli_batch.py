@@ -488,3 +488,42 @@ def test_batch_cli_chunked_guards(tmp_path):
     with pytest.raises(SystemExit, match="divide"):
         main([cat, str(tmp_path / "o.h5"), "--chunk-size", "6",
               "--mesh-devices", "4"])
+
+
+def test_batch_extend_until_small_steps_stride(tmp_path):
+    """Regression: with tiny -n/--extend-step the floor-stride full-span
+    R-hat subsampling must never drop below the 4-record minimum
+    (ceil-stride left 3 records at nrec=6 and crashed mid-loop)."""
+    cat = str(tmp_path / "cat.txt")
+    _write_catalog(cat, nsources=3)
+    rc = main([cat, str(tmp_path / "o.h5"), "--opthin", "--noalpha",
+               "-w", "64", "-b", "30", "-n", "4",
+               "--extend-until", "1.0001", "--extend-step", "2",
+               "--max-steps", "12", "--seed", "5"])
+    assert rc == 0                      # hits max-steps without crashing
+
+
+def test_batch_extend_flag_validation(tmp_path):
+    cat = str(tmp_path / "cat.txt")
+    _write_catalog(cat, nsources=3)
+    with pytest.raises(SystemExit, match="divisible"):
+        main([cat, str(tmp_path / "o.h5"), "-n", "100", "--thin", "2",
+              "--extend-until", "1.05", "--extend-step", "25"])
+    with pytest.raises(SystemExit, match="positive"):
+        main([cat, str(tmp_path / "o.h5"), "-n", "100",
+              "--extend-until", "1.05", "--extend-step", "-50"])
+
+
+def test_batch_cli_init_map(tmp_path):
+    cat = str(tmp_path / "cat.txt")
+    out = str(tmp_path / "b.h5")
+    trues, z = _write_catalog(cat, nsources=3)
+    rc = main([cat, out, "--opthin", "--noalpha",
+               "-w", "64", "-b", "20", "-n", "120",
+               "--init-map", "--map-starts", "4", "--seed", "5"])
+    assert rc == 0
+    back = MultiFitter.from_h5(out)
+    t_cen = back.par_cen("T")
+    assert np.all(np.abs(t_cen[:, 0] - trues[:, 0]) < 10.0)
+    with pytest.raises(SystemExit, match="init-map"):
+        main([cat, out, "--pt", "--init-map"])

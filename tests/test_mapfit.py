@@ -355,3 +355,48 @@ def test_single_fit_map_importance():
     sig = 0.5 * (cen_mc[1] + cen_mc[2])
     assert abs(cen_is[0] - cen_mc[0]) < 0.5 * sig
     assert abs(0.5 * (cen_is[1] + cen_is[2]) / sig - 1.0) < 0.35
+
+
+def test_single_fit_map_seeded_mcmc():
+    """MBBFitter.run(init='map'): the single-fit triage-then-refine
+    workflow (mirrors MultiFitter.run(init='map')), plus its guards --
+    no fit_map yet, new data invalidating the mode, p0/resume conflicts,
+    and a changed parameter space."""
+    shape = MBBShape(opthin=True, noalpha=True)
+    true = np.array([32.0, 1.9, 250.0, 4.0, 45.0])
+    flux, unc = _mock(true, shape, seed=5)
+    fit = MBBFitter(nwalkers=64, opthin=True, noalpha=True, seed=9)
+    fit.set_data(WAVE, flux, unc)
+
+    with pytest.raises(RuntimeError, match="fit_map"):
+        fit.run(nburn=4, nsteps=8, init="map")
+    with pytest.raises(ValueError, match="init"):
+        fit.run(nburn=4, nsteps=8, init="bogus")
+
+    fit.fit_map(nstarts=4)
+    with pytest.raises(ValueError, match="p0"):
+        fit.run(nburn=4, nsteps=8, init="map",
+                p0=np.tile(true[[0, 1, 4]], (64, 1)))
+
+    fit.run(nburn=20, nsteps=150, init="map")
+    cen = fit.chain[..., 0]
+    med = np.median(cen)
+    assert abs(med - true[0]) < 6.0
+    af = float(np.mean(fit.acceptance_fraction))
+    assert 0.15 < af < 0.8
+    assert fit.converged(rhat_max=2.0)          # loose smoke of the helper
+    assert isinstance(fit.converged(rhat_max=1.0001, tau_mult=1e9), bool)
+
+    # new data invalidates the stored mode (init='map' and
+    # map_importance must not silently reuse it)
+    fit.set_data(WAVE, flux * 1.5, unc * 1.5)
+    with pytest.raises(RuntimeError, match="fit_map"):
+        fit.run(nburn=4, nsteps=8, init="map")
+
+    # changed parameter space since fit_map
+    fit2 = MBBFitter(nwalkers=64, opthin=True, noalpha=True, seed=9)
+    fit2.set_data(WAVE, flux, unc)
+    fit2.fit_map(nstarts=4)
+    fit2.fix_param("beta", 1.9)
+    with pytest.raises(RuntimeError, match="parameter space"):
+        fit2.run(nburn=4, nsteps=8, init="map")
