@@ -11,14 +11,17 @@ up as non-uniform ranks.
 
 This is stronger than the pull test in test_multifit.py: pulls only
 check the first two moments against a Gaussian shape; SBC ranks check
-the whole distribution, with no Gaussianity assumption. Six pipeline
+the whole distribution, with no Gaussianity assumption. Eight pipeline
 variants are calibrated: plain diagonal errors, band-integrated
 (instrument response) likelihoods, correlated calibration errors, the
 gradient-based HMC tier, the parallel-tempering tier (same targets,
 entirely different kernels -- a leapfrog/metric bug or a broken swap
 acceptance would decalibrate these without touching the stretch move),
-and the MAP + Laplace-importance triage tier (weighted CDF at truth --
-the exact statistical claim map_par_cen makes).
+the MAP + Laplace-importance triage tier (weighted CDF at truth -- the
+exact statistical claim map_par_cen makes), and the single-fit surface
+both through its full burn -> re-center -> production protocol and
+through the fit_map -> run(init='map') short-burn workflow (a seeding
+that biased the stationary distribution would skew these ranks).
 
 Reference anchor: SURVEY.md section 4 (sampler statistics tests) and the
 BASELINE accuracy contract. Runs in the slow lane.
@@ -103,6 +106,34 @@ def _sbc_ranks(mode, S=48):
     if corr is not None:
         mf.set_band_correlation(corr)
     idx = {"T": 0, "beta": 1, "fnorm": 4}
+    if mode in ("single", "single_map_init"):
+        # The single-fit surface: S independent MBBFitter runs through
+        # the full burn -> re-center -> re-burn -> production protocol
+        # (all S share the compiled programs -- same geometry).
+        # "single_map_init" additionally calibrates the
+        # fit_map -> run(init='map') short-burn workflow: if the
+        # Laplace-scaled seeding biased the stationary distribution,
+        # these ranks would skew.
+        from mbb_emcee_tpu import MBBFitter
+        ranks = [[] for _ in range(3)]
+        for s in range(S):
+            fit = MBBFitter(nwalkers=64, opthin=True, noalpha=True,
+                            seed=1000 + s)
+            for name, (lo, hi) in BOX.items():
+                fit.set_lowlim(name, lo)
+                fit.set_uplim(name, hi)
+            fit.set_data(WAVE, flux[s], unc[s])
+            if mode == "single_map_init":
+                fit.fit_map(nstarts=4)
+                fit.run(nburn=60, nsteps=600, thin=2, init="map")
+            else:
+                fit.run(nburn=250, nsteps=600, thin=2)
+            chain = np.asarray(fit.chain)          # (nwalkers, nrec, 5)
+            for p, name in enumerate(fit.free_param_names):
+                flat = chain[..., idx[name]].ravel()
+                ranks[p].append((flat < trues[s, idx[name]]).mean())
+        return np.concatenate([np.asarray(r) for r in ranks]), S
+
     if mode == "map_is":
         # Triage tier: MAP + Laplace importance sampling. The WEIGHTED
         # CDF at truth must be uniform wherever the importance weights
@@ -142,9 +173,12 @@ def _sbc_ranks(mode, S=48):
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "mode", ["plain", "response", "correlated", "hmc", "pt", "map_is"])
+    "mode", ["plain", "response", "correlated", "hmc", "pt", "map_is",
+             "single", "single_map_init"])
 def test_sbc_ranks_uniform(mode):
-    ranks, S = _sbc_ranks(mode)
+    # single-fit modes run S separate (program-cached) fits on the host
+    # loop; a smaller S keeps the slow lane bounded
+    ranks, S = _sbc_ranks(mode, S=32 if mode.startswith("single") else 48)
     n = ranks.size
     # KS distance against U(0,1). Ranks of one source's params are
     # correlated (posterior correlations), so the effective n is below
