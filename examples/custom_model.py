@@ -37,7 +37,7 @@ from mbb_emcee_tpu.models.modified_blackbody import MBBShape
 from mbb_emcee_tpu.sampler import make_initial_ball
 
 # MBB_EXAMPLE_QUICK=1 shrinks the run for the suite's example smoke test.
-QUICK = bool(os.environ.get("MBB_EXAMPLE_QUICK"))
+QUICK = os.environ.get("MBB_EXAMPLE_QUICK", "") not in ("", "0")
 NWALKERS, NBURN, NSTEPS = (64, 150, 400) if QUICK else (256, 400, 1200)
 NLIVE = 96 if QUICK else 400
 

@@ -20,7 +20,7 @@ from mbb_emcee_tpu import MBBFitter, MBBResults
 
 # MBB_EXAMPLE_QUICK=1 shrinks the run so the test suite can smoke-run
 # every example in seconds (tests/test_examples.py).
-QUICK = bool(os.environ.get("MBB_EXAMPLE_QUICK"))
+QUICK = os.environ.get("MBB_EXAMPLE_QUICK", "") not in ("", "0")
 NWALKERS, NBURN, NSTEPS = (64, 30, 60) if QUICK else (250, 200, 1000)
 
 # Mock 5-band Herschel-like photometry (wave um, flux mJy, 1-sigma mJy).

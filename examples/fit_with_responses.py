@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 from mbb_emcee_tpu import MBBFitter, MBBResults, ResponseSet
 
 # MBB_EXAMPLE_QUICK=1 shrinks the run for the suite's example smoke test.
-QUICK = bool(os.environ.get("MBB_EXAMPLE_QUICK"))
+QUICK = os.environ.get("MBB_EXAMPLE_QUICK", "") not in ("", "0")
 NWALKERS, NBURN, NSTEPS = (64, 30, 60) if QUICK else (250, 200, 800)
 
 here = os.path.dirname(os.path.abspath(__file__))

@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 from mbb_emcee_tpu import MBBFitter, ModifiedBlackbody
 
 # MBB_EXAMPLE_QUICK=1 shrinks the run for the suite's example smoke test.
-QUICK = bool(os.environ.get("MBB_EXAMPLE_QUICK"))
+QUICK = os.environ.get("MBB_EXAMPLE_QUICK", "") not in ("", "0")
 NLIVE = 96 if QUICK else 512
 
 # Synthetic photometry drawn from an optically-THIN greybody, so we know

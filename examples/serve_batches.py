@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 from mbb_emcee_tpu import MultiFitter
 
 # MBB_EXAMPLE_QUICK=1 shrinks the run for the suite's example smoke test.
-QUICK = bool(os.environ.get("MBB_EXAMPLE_QUICK"))
+QUICK = os.environ.get("MBB_EXAMPLE_QUICK", "") not in ("", "0")
 NSOURCES, NBATCHES = (8, 1) if QUICK else (256, 3)
 NWALKERS, NBURN, NSTEPS = (64, 30, 60) if QUICK else (250, 150, 1000)
 

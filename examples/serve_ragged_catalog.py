@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 from mbb_emcee_tpu import MultiFitter
 
 # MBB_EXAMPLE_QUICK=1 shrinks the run for the suite's example smoke test.
-QUICK = bool(os.environ.get("MBB_EXAMPLE_QUICK"))
+QUICK = os.environ.get("MBB_EXAMPLE_QUICK", "") not in ("", "0")
 
 rng = np.random.default_rng(3)
 wave = np.array([100.0, 160.0, 250.0, 350.0, 500.0])

@@ -432,10 +432,13 @@ def main(argv=None):
 
             def _converged():
                 # one predicate shared with MultiFitter.converged
-                # semantics (NaN tau counts as 1, not as converged)
-                rhat = float(_np.max(fit.gelman_rubin()))
-                return fit.converged(rhat_max=args.extend_until,
-                                     tau_mult=args.tau_mult), rhat
+                # semantics (NaN tau counts as 1, not as converged);
+                # the R-hat reduction runs ONCE and feeds both the
+                # display and the predicate
+                rhat = fit.gelman_rubin()
+                ok = fit.converged(rhat_max=args.extend_until,
+                                   tau_mult=args.tau_mult, rhat=rhat)
+                return ok, float(_np.max(rhat))
 
             total = args.nsteps
             while total < max_steps:

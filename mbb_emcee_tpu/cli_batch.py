@@ -205,7 +205,8 @@ def build_parser():
                         "batch shape never changes). The final chunk "
                         "overlaps the previous one so it is exactly C "
                         "sources. Writes OUTFILE.partNNN.h5 per chunk "
-                        "(each a normal MultiFitter file)")
+                        "(each a normal MultiFitter file; with --map, "
+                        "each a MAPFit-only file)")
     g.add_argument("--store-thin", type=int, default=1,
                    help="thin the STORED chains by this factor (full "
                         "multi-source chains are multi-GB; summaries "
@@ -387,31 +388,12 @@ def main(argv=None):
                 or args.get_evidence:
             raise SystemExit("derived-quantity posteriors need chains; "
                              "run without --map for them")
-        import time as _time
-        t0 = _time.time()
-        mf.run_map(nstarts=args.map_starts, verbose=args.verbose)
-        dt = _time.time() - t0
-        mf.write_map_h5(args.outfile)
-        names = mf.free_param_names
-        cols = {p: mf.map_cen(p) for p in names}   # (S, 2) each, ONCE
-        hdr = ("#   source            "
-               + "".join(f"{p:>20}" for p in names) + "      lnp  flag")
-        lines = [hdr]
-        srcnames = (mf.source_names
-                    or [f"src{i}" for i in range(mf.nsources)])
-        for i, nm in enumerate(srcnames):
-            cells = "".join(
-                f"{cols[p][i, 0]:>12.4g} +-{cols[p][i, 1]:<.2g}"
-                .rjust(20) for p in names)
-            flag = "" if mf.map_interior[i] else "edge"
-            lines.append(f"{i:>3} {nm:<16}{cells}"
-                         f"{mf.map_lnprob[i]:>9.2f}  {flag}")
-        print("\n".join(lines))
-        n_edge = int((~mf.map_interior).sum())
-        print(f"{mf.nsources} sources MAP-fit in {dt:.1f}s "
-              f"({args.map_starts} starts each); {n_edge} flagged 'edge' "
-              f"(run the MCMC for those); written to {args.outfile}")
-        return 0
+        if not chunked:
+            return _map_and_write(mf, args, log, args.outfile)
+        # chunked triage: the huge-catalog case --map exists for; every
+        # tile reuses the one compiled MAP program
+        return _serve_chunked(mf, cat, args, log, uplims, C,
+                              _map_and_write, what="MAP-triaged")
 
     if args.hmc and args.pt:
         raise SystemExit("--hmc and --pt are mutually exclusive")
@@ -436,17 +418,26 @@ def main(argv=None):
 
     if not chunked:
         return _fit_and_write(mf, args, log, args.outfile)
-
-    # Chunked serving: fixed C-source tiles so every chunk reuses the
-    # SAME compiled programs (the batch shape never changes -- data are
-    # runtime operands). The final chunk OVERLAPS the previous one
-    # instead of padding, so every written part holds real sources.
     if args.checkpoint or args.resume:
         raise SystemExit(
             "--chunk-size is not combinable with --checkpoint/--resume "
             "(chunks are already bounded; checkpoint a single-chunk run "
             "instead)")
+    return _serve_chunked(mf, cat, args, log, uplims, C, _fit_and_write,
+                          what="served")
+
+
+def _serve_chunked(mf, cat, args, log, uplims, C, serve_fn, what):
+    """Chunked serving: fixed C-source tiles so every chunk reuses the
+    SAME compiled programs (the batch shape never changes -- data are
+    runtime operands). The final chunk OVERLAPS the previous one
+    instead of padding, so every written part holds real sources.
+    `serve_fn(mf, args, log, outfile, offset)` fits whatever is bound
+    (full MCMC serving or MAP triage) and writes one part file."""
     import os as _os
+
+    import numpy as np
+
     starts = list(range(0, cat.nsources - C + 1, C))
     if starts[-1] + C < cat.nsources:
         starts.append(cat.nsources - C)
@@ -470,10 +461,42 @@ def main(argv=None):
         if args.verbose:
             log.info(f"chunk {ci + 1}/{len(starts)}: sources "
                      f"{s0}..{s0 + C - 1} -> {part}")
-        _fit_and_write(mf, args, log, part, offset=s0)
-    print(f"{cat.nsources} sources served in {len(starts)} chunks of {C} "
+        serve_fn(mf, args, log, part, offset=s0)
+    print(f"{cat.nsources} sources {what} in {len(starts)} chunks of {C} "
           f"(fixed batch shape; final chunk overlaps its predecessor) "
           f"-> {base}.part*{ext or '.h5'}")
+    return 0
+
+
+def _map_and_write(mf, args, log, outfile, offset=0):
+    """MAP-triage the currently-bound batch and write `outfile` (a
+    MAPFit-only HDF5) + the per-source summary print. `offset` shifts
+    printed indices to catalog-global positions (chunked serving)."""
+    import time as _time
+
+    t0 = _time.time()
+    mf.run_map(nstarts=args.map_starts, verbose=args.verbose)
+    dt = _time.time() - t0
+    mf.write_map_h5(outfile)
+    names = mf.free_param_names
+    cols = {p: mf.map_cen(p) for p in names}   # (S, 2) each, ONCE
+    hdr = ("#   source            "
+           + "".join(f"{p:>20}" for p in names) + "      lnp  flag")
+    lines = [hdr]
+    srcnames = (mf.source_names
+                or [f"src{i + offset}" for i in range(mf.nsources)])
+    for i, nm in enumerate(srcnames):
+        cells = "".join(
+            f"{cols[p][i, 0]:>12.4g} +-{cols[p][i, 1]:<.2g}"
+            .rjust(20) for p in names)
+        flag = "" if mf.map_interior[i] else "edge"
+        lines.append(f"{i + offset:>3} {nm:<16}{cells}"
+                     f"{mf.map_lnprob[i]:>9.2f}  {flag}")
+    print("\n".join(lines))
+    n_edge = int((~mf.map_interior).sum())
+    print(f"{mf.nsources} sources MAP-fit in {dt:.1f}s "
+          f"({args.map_starts} starts each); {n_edge} flagged 'edge' "
+          f"(run the MCMC for those); written to {outfile}")
     return 0
 
 

@@ -314,10 +314,8 @@ class MBBFitter(ParamSpaceMixin):
         if init == "map":
             if p0 is not None:
                 raise ValueError("init='map' conflicts with an explicit p0")
-            r = getattr(self, "map_result", None)
-            if r is None:
-                raise RuntimeError(
-                    "init='map' requires fit_map() on this data first")
+            if self.n_ensembles == 1:
+                self._require_map_fresh("run(init='map')")
         self._mf = None       # a fresh run() invalidates any merged state
         if self.n_ensembles > 1:
             if p0 is not None:
@@ -670,6 +668,35 @@ class MBBFitter(ParamSpaceMixin):
                      f"+/- {res.logz_err:.3f}")
         return self
 
+    def _require_map_fresh(self, what):
+        """Refuse to consume stored MAP results after the posterior or
+        the data changed underneath them (mirrors
+        MultiFitter._require_map_fresh). A size-only check is not
+        enough: the same nfree does NOT mean the same free parameters,
+        and a prior/limit/uplim-mask edit moves the posterior while
+        leaving the stored mode/Laplace sigmas in place -- a
+        Laplace-scaled walker ball seeded at the OLD mode with the short
+        burns this workflow advertises would bias the chain silently."""
+        r = getattr(self, "map_result", None)
+        if r is None:
+            raise RuntimeError(f"{what} requires fit_map() on this data "
+                               f"first")
+        from mbb_emcee_tpu.checkpoint import (
+            data_fingerprint, spec_fingerprint)
+        spec = self._effective_spec()
+        phot = self._require_data()
+        pack = self._response_pack()
+        token = (
+            spec_fingerprint(spec, self.shape, self.a),
+            data_fingerprint(phot.wave, phot.flux, phot.unc, phot.cov),
+            None if pack is None else data_fingerprint(*pack))
+        if getattr(self, "_map_token", None) != token:
+            raise RuntimeError(
+                f"{what}: the stored MAP fit is for a different "
+                f"posterior -- the parameter space (priors / limits / "
+                f"fixed / uplim mask), data, or responses changed since "
+                f"fit_map(); re-run fit_map() first")
+
     def fit_map(self, nstarts=8, n_adam=150, n_newton=12, adam_lr=0.1,
                 verbose=False):
         """MAP point + Laplace error bars in one device program
@@ -723,12 +750,12 @@ class MBBFitter(ParamSpaceMixin):
             data_fingerprint, spec_fingerprint)
         phot = self._require_data()
         pack = self._response_pack()
+        post_token = (
+            spec_fingerprint(spec, self.shape, self.a),
+            data_fingerprint(phot.wave, phot.flux, phot.unc, phot.cov),
+            None if pack is None else data_fingerprint(*pack))
         token = ("map", int(nstarts), int(n_adam), int(n_newton),
-                 float(adam_lr),
-                 spec_fingerprint(spec, self.shape, self.a),
-                 data_fingerprint(phot.wave, phot.flux, phot.unc,
-                                  phot.cov),
-                 None if pack is None else data_fingerprint(*pack))
+                 float(adam_lr)) + post_token
         cache = getattr(self, "_map_cache", None)
         if cache is None or cache[0] != token:
             cache = (token, jax.jit(compute))
@@ -743,6 +770,7 @@ class MBBFitter(ParamSpaceMixin):
         self.map_result = MAPResult(
             x=x_np, lnprob=float(lnp_map), cov=cov_np, sigma=sigma,
             interior=interior, grad_norm=float(gn))
+        self._map_token = post_token
         self.free_space = free_space
         if verbose:
             from mbb_emcee_tpu.utils.log import enable_console
@@ -764,9 +792,8 @@ class MBBFitter(ParamSpaceMixin):
         also stored as self.map_is = (samples, logw, ess). ess/nsamples
         near 1 certifies the Gaussian approximation; small ess (or an
         earlier interior=False flag) says run the MCMC."""
-        r = getattr(self, "map_result", None)
-        if r is None:
-            raise RuntimeError("fit_map() has not been called")
+        self._require_map_fresh("map_importance")
+        r = self.map_result
         spec = self._effective_spec()
         lnprob, free_space = build_lnprob(
             self._require_data(), self.shape, spec,
@@ -1038,15 +1065,19 @@ class MBBFitter(ParamSpaceMixin):
         from mbb_emcee_tpu.sampler import split_rhat
         return split_rhat(np.asarray(self.chain_free))
 
-    def converged(self, rhat_max=1.1, tau_mult=None):
+    def converged(self, rhat_max=1.1, tau_mult=None, rhat=None):
         """bool: every free parameter's split-R-hat below `rhat_max` --
         the single-fit analog of MultiFitter.converged, so extend()
         serving loops share one predicate across both surfaces. With
         `tau_mult` (emcee's rule of thumb is ~50), additionally require
         the recorded chain length >= tau_mult x the largest integrated
         autocorrelation time (a NaN tau estimate counts as 1 -- too
-        short to estimate is not the same as converged)."""
-        ok = bool(np.all(self.gelman_rubin() < float(rhat_max)))
+        short to estimate is not the same as converged). Pass `rhat`
+        (a gelman_rubin() result) to reuse an already-computed
+        reduction instead of hauling the chain to host twice."""
+        if rhat is None:
+            rhat = self.gelman_rubin()
+        ok = bool(np.all(np.asarray(rhat) < float(rhat_max)))
         if ok and tau_mult is not None:
             tau = np.nan_to_num(
                 np.asarray(self.autocorrelation_time(), np.float64),

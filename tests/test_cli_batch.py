@@ -415,6 +415,32 @@ def test_batch_cli_map_triage(tmp_path, capsys):
         main([cat, out, "--map", "--hmc"])
 
 
+def test_batch_cli_map_chunked(tmp_path, capsys):
+    """Regression (review): --map combined with --chunk-size must triage
+    the WHOLE catalog (it used to fit only the first tile and exit 0),
+    writing one MAPFit part per chunk with global indices."""
+    cat = str(tmp_path / "cat.txt")
+    out = str(tmp_path / "map.h5")
+    trues, z = _write_catalog(cat, nsources=5)
+    rc = main([cat, out, "--opthin", "--noalpha", "--map",
+               "--chunk-size", "2", "--seed", "3"])
+    assert rc == 0
+    table = capsys.readouterr().out
+    assert "3 chunks of 2" in table
+    assert "  4 SRC004" in table          # global index in last chunk
+    parts = sorted(tmp_path.glob("map.part*.h5"))
+    assert [p.name for p in parts] == [
+        "map.part000.h5", "map.part001.h5", "map.part002.h5"]
+    # chunk slices: [0:2], [2:4], overlap [3:5] -- every source covered
+    expected = [range(0, 2), range(2, 4), range(3, 5)]
+    for p, idxs in zip(parts, expected):
+        with h5py.File(str(p)) as f:
+            prm = np.asarray(f["MAPFit"]["Params"])
+            names = [s.decode() for s in f["SourceNames"][()]]
+        assert names == [f"SRC{i:03d}" for i in idxs]
+        assert np.all(np.abs(prm[:, 0] - trues[list(idxs), 0]) < 8.0)
+
+
 def test_batch_cli_chunked(tmp_path, capsys):
     """--chunk-size: a 10-source catalog served in three 4-source tiles
     (final tile overlaps), one part file per chunk, global indices in

@@ -400,3 +400,26 @@ def test_single_fit_map_seeded_mcmc():
     fit2.fix_param("beta", 1.9)
     with pytest.raises(RuntimeError, match="parameter space"):
         fit2.run(nburn=4, nsteps=8, init="map")
+
+    # Regression (review): posterior edits that keep the free-parameter
+    # COUNT unchanged -- a prior, a moved box limit, an uplim mask --
+    # must also invalidate the stored mode (the size-only check missed
+    # them; the Laplace ball would seed at the OLD posterior's mode)
+    fit3 = MBBFitter(nwalkers=64, opthin=True, noalpha=True, seed=9)
+    fit3.set_data(WAVE, flux, unc)
+    fit3.fit_map(nstarts=4)
+    fit3.set_gaussian_prior("T", 20.0, 1.0)
+    with pytest.raises(RuntimeError, match="re-run"):
+        fit3.run(nburn=4, nsteps=8, init="map")
+    with pytest.raises(RuntimeError, match="re-run"):
+        fit3.map_importance(nsamples=16)
+    fit3.fit_map(nstarts=4)                    # refresh clears the guard
+    fit3.set_uplim("T", 38.0)
+    with pytest.raises(RuntimeError, match="re-run"):
+        fit3.run(nburn=4, nsteps=8, init="map")
+    fit3.fit_map(nstarts=4)
+    fit3.set_phot_upperlimits(np.array([0, 0, 0, 0, 1], bool))
+    with pytest.raises(RuntimeError, match="re-run"):
+        fit3.run(nburn=4, nsteps=8, init="map")
+    fit3.fit_map(nstarts=4)
+    fit3.run(nburn=4, nsteps=8, init="map")    # fresh: accepted
