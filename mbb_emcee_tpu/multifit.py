@@ -358,6 +358,7 @@ class MultiFitter(ParamSpaceMixin):
         splice chains across a change): parameter space + mask + band
         correlation CONTENT + wavelengths + geometry."""
         return (self.nsources, self.nwalkers, int(self.thin), correlated,
+                float(self.a),
                 None if self._band_corr is None
                 else self._band_corr.tobytes(),
                 self.wave.tobytes(), _mesh_token(self.mesh),
@@ -432,6 +433,11 @@ class MultiFitter(ParamSpaceMixin):
         with ~2 Laplace-sigma scatter (run_map first) -- the
         triage-then-refine workflow: the ensemble starts in the typical
         set, so short burns suffice."""
+        if init not in ("auto", "map"):
+            # a typo ('MAP', 'map ') must not silently fall back to the
+            # flux-heuristic seeding -- the short-burn-suffices
+            # assumption of triage-then-refine would be violated quietly
+            raise ValueError(f"init must be 'auto' or 'map'; got {init!r}")
         if init == "map":
             if getattr(self, "map_params", None) is None:
                 raise RuntimeError(
@@ -617,6 +623,8 @@ class MultiFitter(ParamSpaceMixin):
         # runtime arguments).
         cache_key = (S, nw, free_space.nfree, nrec, thin_i, int(nburn),
                      bool(recenter_burn), correlated,
+                     # a is baked into ensemble_step as a closure constant
+                     float(self.a),
                      _mesh_token(self.mesh),
                      # uplim masks excluded: they ride the iunc operand,
                      # so mask changes REUSE this program (_compile_token)
@@ -655,7 +663,7 @@ class MultiFitter(ParamSpaceMixin):
         self.final_state = None
         self._xla_keys = keys
         self._xla_counters = (naccept, nsteps_dev)
-        self._xla_token = self._posterior_token(spec, correlated)
+        self._post_token = self._posterior_token(spec, correlated)
         self._run_data = (self.flux.copy(), self.unc.copy(),
                           self.wave.copy())
         if verbose:
@@ -680,7 +688,8 @@ class MultiFitter(ParamSpaceMixin):
         # are runtime operands (the mask rides the iunc sign) and are
         # refreshed below, so fitting successive same-shape batches --
         # including mask changes -- reuses the compiled kernel.
-        token = ("fused", self.nwalkers, _compile_token(spec, self.shape),
+        token = ("fused", self.nwalkers, float(self.a),
+                 _compile_token(spec, self.shape),
                  self.flux.shape, self.wave.tobytes(),
                  self._responses_token(), _mesh_token(self.mesh),
                  None if self.band_names is None
@@ -802,6 +811,11 @@ class MultiFitter(ParamSpaceMixin):
         # caught instead of silently sampling the old batch's posterior.
         self._run_data = (self.flux.copy(), self.unc.copy(),
                           self.wave.copy())
+        # ... and the posterior identity (spec/mask/a): the retained
+        # fused sampler holds the operands from run() time, so a
+        # parameter-space edit in between must refuse extend() exactly
+        # as the XLA twin does (fused backend is diag-errors-only).
+        self._post_token = self._posterior_token(spec, False)
         self.thin = int(thin)
         self.chain_free = chain
         self.lnprobability = lnpchain
@@ -951,6 +965,7 @@ class MultiFitter(ParamSpaceMixin):
 
         def _compiled(tag, fn, in_axes, sharded_in, sharded_out, **static):
             ck = (tag, S, W, d, nrec, thin_i, int(nburn), K1, correlated,
+                  float(self.a),
                   _compile_token(spec, self.shape), _mesh_token(self.mesh),
                   self._responses_token(),
                   None if self.band_names is None
@@ -1535,6 +1550,17 @@ class MultiFitter(ParamSpaceMixin):
                 "set_data() was called after run(); extend() would keep "
                 "sampling the PREVIOUS batch's posterior -- call run() "
                 "for the new data instead")
+        # Posterior-identity guard (mirrors _extend_xla): the retained
+        # fused sampler holds operands/spec from run() time, so a
+        # parameter-space / uplim-mask / a= edit in between would be
+        # silently ignored while par_cen interprets the spliced chain
+        # under the NEW spec.
+        spec = self._effective_spec()
+        if self._posterior_token(spec, False) != self._post_token:
+            raise RuntimeError(
+                "the parameter space / error model / band configuration "
+                "changed after run(); extend() would splice chains from "
+                "different posteriors -- call run() instead")
         if nsteps % self.thin:
             raise ValueError(
                 f"nsteps={nsteps} not divisible by thin={self.thin}")
@@ -1580,7 +1606,7 @@ class MultiFitter(ParamSpaceMixin):
         if nrec_e <= 0:
             raise ValueError(f"nsteps={nsteps} extends by zero records "
                              f"at thin={self.thin}")
-        if self._posterior_token(spec, correlated) != self._xla_token:
+        if self._posterior_token(spec, correlated) != self._post_token:
             raise RuntimeError(
                 "the parameter space / error model / band configuration "
                 "changed after run(); extend() would splice chains from "
@@ -1610,7 +1636,8 @@ class MultiFitter(ParamSpaceMixin):
             return chain, lnpchain, state.naccept, state.nsteps, state.key
 
         cache_key = ("xla_extend", S, nw, self.free_space.nfree, nrec_e,
-                     thin_i, correlated, _mesh_token(self.mesh),
+                     thin_i, correlated, float(self.a),
+                     _mesh_token(self.mesh),
                      _compile_token(spec, self.shape),
                      self._responses_token(),
                      None if self.band_names is None
@@ -1870,29 +1897,48 @@ class MultiFitter(ParamSpaceMixin):
         vectors for per-source Bayes factors.
 
         Needs data (set_data) but not a prior run(). Returns
-        NestedBatchResult; also stored as self.evidence."""
-        from mbb_emcee_tpu.nested import nested_sample_batch
+        NestedBatchResult; also stored as self.evidence.
+
+        The compiled program is cached like every other batched entry
+        point (geometry + posterior config key; data/keys are runtime
+        operands), so chunked serving over same-shape tiles pays ONE
+        compile, and a configured mesh shards the independent
+        per-source runs over the source axis."""
+        from mbb_emcee_tpu.nested import make_nested_batch_runner
 
         if self.flux is None:
             raise RuntimeError("no data; call set_data")
         spec = self._effective_spec()
         iunc_np, correlated = self._data_operand()
-        lnprob, _ = build_lnprob_data(
-            self.shape, spec, response_pack=self._response_pack(),
-            correlated=correlated)
-        wave = np.asarray(self.wave, np.float32)
-
-        def ll(theta_free, flux, iunc):
-            return lnprob(theta_free, wave, flux, iunc)
-
+        S = self.nsources
+        if self.mesh is not None and S % self.mesh.devices.size:
+            raise ValueError(
+                f"the mesh size ({self.mesh.devices.size} devices) must "
+                f"divide nsources={S}")
         free_idx = spec.free_indices
+        ck = ("nested", S, int(nlive), int(nbatch), int(nsteps),
+              int(max_iter), float(tol), correlated,
+              _mesh_token(self.mesh), _compile_token(spec, self.shape),
+              self._responses_token(), self.wave.tobytes(),
+              None if self.band_names is None
+              else tuple(self.band_names))
+        if ck not in self._run_cache:
+            lnprob, _ = build_lnprob_data(
+                self.shape, spec, response_pack=self._response_pack(),
+                correlated=correlated)
+            wave = np.asarray(self.wave, np.float32)
+
+            def ll(theta_free, flux, iunc):
+                return lnprob(theta_free, wave, flux, iunc)
+
+            self._run_cache[ck] = make_nested_batch_runner(
+                ll, spec.lower[free_idx], spec.upper[free_idx],
+                nlive=nlive, nbatch=nbatch, nsteps=nsteps,
+                max_iter=max_iter, tol=tol, mesh=self.mesh)
         data = (jnp.asarray(self.flux, jnp.float32),
                 jnp.asarray(iunc_np, jnp.float32))
         key = jax.random.key(self.seed if seed is None else int(seed))
-        res = nested_sample_batch(
-            ll, spec.lower[free_idx], spec.upper[free_idx], key, data,
-            nlive=nlive, nbatch=nbatch, nsteps=nsteps, max_iter=max_iter,
-            tol=tol)
+        res = self._run_cache[ck](key, data)
         # expand weighted samples to the full 5-parameter space
         fs = FreeSpace(free_idx=free_idx,
                        template=np.where(spec.fixed, spec.fixed_values, 0.0),

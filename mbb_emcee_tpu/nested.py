@@ -286,6 +286,90 @@ class NestedBatchResult:
         return (w[:, :, None] * self.samples).sum(axis=1)
 
 
+def make_nested_batch_runner(loglike, lower, upper, nlive=512, nbatch=32,
+                             nsteps=32, max_iter=3000, a=2.0, tol=1e-4,
+                             dtype=jnp.float32, mesh=None):
+    """Compile-once batched nested-sampling runner: returns
+    ``run_batch(key, data) -> NestedBatchResult`` for S-source data
+    tuples of fixed shape. The whole (init + max_iter-step while_loop)
+    device program is built ONCE and reused across calls -- rebuilding
+    the loglike closures per call (as a bare nested_sample_batch call
+    does) makes the static-jit-argument identity change every time, so
+    chunked serving would retrace/recompile per chunk. With `mesh`, the
+    independent per-source runs shard over the source axis
+    (embarrassingly parallel -- no collectives)."""
+    lower = np.asarray(lower, np.float64)
+    upper = np.asarray(upper, np.float64)
+    if not (np.all(np.isfinite(lower)) and np.all(np.isfinite(upper))):
+        raise ValueError("nested sampling requires a finite prior box")
+    if nbatch >= nlive:
+        raise ValueError(f"nbatch={nbatch} must be < nlive={nlive}")
+    width = upper - lower
+    ndim = int(lower.size)
+    # host-numpy closures (device constants cost trace-time fetches here)
+    lo = np.asarray(lower, _np_dtype(dtype))
+    wd = np.asarray(width, _np_dtype(dtype))
+
+    def ll_unit(u, *d):
+        return loglike(lo + wd * u, *d)
+
+    def one(kinit, krun, *d):
+        u0 = jax.random.uniform(kinit, (nlive, ndim), dtype)
+        lnl0 = jax.vmap(lambda x: ll_unit(x, *d))(u0)
+        return _nested_run(
+            krun, ll_unit, u0, lnl0, d, int(nlive), int(nbatch),
+            int(nsteps), int(max_iter), float(a), float(np.log(tol)))
+
+    # The shard_map in_specs depend on the data ranks, which only the
+    # first run_batch call knows -- build (and jit) the core lazily,
+    # once, and hold it in the closure so every later call reuses it.
+    core_cache = {}
+
+    def _core(data):
+        if "f" not in core_cache:
+            f = jax.vmap(one)
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as P
+                ax = mesh.axis_names[0]
+                dspec = tuple(P(ax, *([None] * (d.ndim - 1)))
+                              for d in data)
+                out_specs = (
+                    P(ax), P(ax),                    # it, lnz
+                    P(ax, None, None), P(ax, None),  # live, lnl
+                    P(ax, None),                     # live_w
+                    P(ax, None, None), P(ax, None),  # dead_x, dead_l
+                    P(ax, None))                     # dead_w
+                # check_vma=False: the while_loop carry seeds scalar
+                # accumulators from replicated constants while the body
+                # makes them shard-varying; the run is embarrassingly
+                # parallel (no collectives), so the varying-axis checker
+                # only adds false positives here.
+                f = jax.shard_map(f, mesh=mesh,
+                                  in_specs=(P(ax), P(ax)) + dspec,
+                                  out_specs=out_specs, check_vma=False)
+            core_cache["f"] = jax.jit(f)
+        return core_cache["f"]
+
+    def run_batch(key, data):
+        data = tuple(jnp.asarray(d) for d in data)
+        if not data:
+            raise ValueError(
+                "data must be a non-empty tuple of (S, ...) arrays")
+        S = data[0].shape[0]
+        if mesh is not None and S % mesh.devices.size:
+            raise ValueError(
+                f"the mesh size ({mesh.devices.size} devices) must "
+                f"divide nsources={S}")
+        keys = jax.random.split(key, 2 * S)
+        (it, lnz, live, lnl, live_w, dead_x, dead_l, dead_w) = _core(
+            data)(keys[:S], keys[S:], *data)
+        return _batch_postprocess(it, lnz, live, lnl, live_w, dead_x,
+                                  dead_l, dead_w, lower, width,
+                                  nlive, nbatch, nsteps)
+
+    return run_batch
+
+
 def nested_sample_batch(loglike, lower, upper, key, data, nlive=512,
                         nbatch=32, nsteps=32, max_iter=3000, a=2.0,
                         tol=1e-4, dtype=jnp.float32) -> NestedBatchResult:
@@ -301,39 +385,15 @@ def nested_sample_batch(loglike, lower, upper, key, data, nlive=512,
 
     The prior box is shared across sources (it is part of the model
     being compared). Returns NestedBatchResult with (S,)-shaped
-    summaries and padded per-source sample sets."""
-    lower = np.asarray(lower, np.float64)
-    upper = np.asarray(upper, np.float64)
-    if not (np.all(np.isfinite(lower)) and np.all(np.isfinite(upper))):
-        raise ValueError("nested sampling requires a finite prior box")
-    if nbatch >= nlive:
-        raise ValueError(f"nbatch={nbatch} must be < nlive={nlive}")
-    data = tuple(jnp.asarray(d) for d in data)
-    if not data:
-        raise ValueError("data must be a non-empty tuple of (S, ...) arrays")
-    S = data[0].shape[0]
-    width = upper - lower
-    # host-numpy closures (device constants cost trace-time fetches here)
-    lo = np.asarray(lower, _np_dtype(dtype))
-    wd = np.asarray(width, _np_dtype(dtype))
+    summaries and padded per-source sample sets. Repeated same-shape
+    calls should build the runner once via make_nested_batch_runner."""
+    return make_nested_batch_runner(
+        loglike, lower, upper, nlive=nlive, nbatch=nbatch, nsteps=nsteps,
+        max_iter=max_iter, a=a, tol=tol, dtype=dtype)(key, data)
 
-    def ll_unit(u, *d):
-        return loglike(lo + wd * u, *d)
 
-    keys = jax.random.split(key, 2 * S)
-    kinit, krun = keys[:S], keys[S:]
-    u0 = jax.vmap(lambda k: jax.random.uniform(k, (nlive, lower.size),
-                                               dtype))(kinit)
-    lnl0 = jax.vmap(lambda u, *d: jax.vmap(
-        lambda x: ll_unit(x, *d))(u))(u0, *data)
-
-    run = jax.vmap(
-        lambda k, u, l, *d: _nested_run(
-            k, ll_unit, u, l, d, int(nlive), int(nbatch), int(nsteps),
-            int(max_iter), float(a), float(np.log(tol))))
-    (it, lnz, live, lnl, live_w, dead_x, dead_l, dead_w) = run(
-        krun, u0, lnl0, *data)
-
+def _batch_postprocess(it, lnz, live, lnl, live_w, dead_x, dead_l,
+                       dead_w, lower, width, nlive, nbatch, nsteps):
     it = np.asarray(it)
     ndead_max = int(it.max()) * nbatch
     xs = np.concatenate([np.asarray(dead_x)[:, :ndead_max],

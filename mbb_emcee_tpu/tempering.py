@@ -457,7 +457,12 @@ def pt_sample(lnprob, p0, key, betas=None, nrungs=12, beta_min="auto",
     state = samp.advance(state, int(nburn))
     if adapt:
         lnp = np.asarray(state.lnp, np.float64)
-        worst = lnp[lnp > _SUPPORT_FLOOR].min()
+        inside = lnp[lnp > _SUPPORT_FLOOR]
+        # every walker at/below the support floor (pathological data in
+        # fp32): fall back to a conservative ladder instead of crashing
+        # on an empty .min() -- same guard as MultiFitter.run_pt's
+        # batched twin
+        worst = inside.min() if inside.size else -1e6
         new_betas = auto_ladder(worst, nrungs_min=nrungs)
         if new_betas.size == samp.nrungs:
             samp.set_betas(new_betas)        # no recompile

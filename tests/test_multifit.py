@@ -741,3 +741,100 @@ def test_correlated_fit_statistically_calibrated():
     # pooled pulls: mean ~ 0 (se ~ 1/sqrt(48) ~ 0.14), std ~ 1
     assert abs(pulls.mean()) < 0.5, pulls.mean()
     assert 0.6 < pulls.std() < 1.6, pulls.std()
+
+
+def test_fused_extend_refuses_changed_posterior():
+    """Regression (review): the fused backend's extend() must refuse a
+    parameter-space change made after run() -- the retained sampler
+    holds run()-time operands, so the edit would be silently ignored
+    while par_cen interprets the spliced chain under the NEW spec."""
+    flux, unc = _mock_batch(TRUES[:2])
+    mf = MultiFitter(nwalkers=16, opthin=True, noalpha=True, seed=2,
+                     sampler_backend="fused", interpret=True)
+    mf.set_data(WAVE, flux, unc)
+    mf.run(nburn=4, nsteps=8)
+    orig = float(mf._spec.upper[0])
+    mf.set_uplim("T", 50.0)
+    with pytest.raises(RuntimeError, match="changed after"):
+        mf.extend(8)
+    mf.set_uplim("T", orig)                 # restored -> extend works
+    mf.extend(8)
+    assert mf.chain_free.shape[1] == 16
+
+
+def test_stretch_a_changes_invalidate_caches():
+    """Regression (review): a= is baked into every compiled sampler
+    program as a closure constant, so mutating mf.a must compile a new
+    program (not silently reuse the old proposal law), and extend()
+    must refuse to splice across the change."""
+    flux, unc = _mock_batch(TRUES[:2])
+
+    def fresh(a):
+        mf = MultiFitter(nwalkers=16, opthin=True, noalpha=True, seed=2,
+                         sampler_backend="xla", a=a)
+        mf.set_data(WAVE, flux, unc)
+        return mf
+
+    mf = fresh(2.0)
+    mf.run(nburn=4, nsteps=8)
+    c_a2 = np.asarray(mf.chain_free).copy()
+    mf.a = 3.0
+    mf.run(nburn=4, nsteps=8)
+    c_mut = np.asarray(mf.chain_free)
+    ref = fresh(3.0)
+    ref.run(nburn=4, nsteps=8)
+    # the mutated-a run equals a fresh a=3.0 run bitwise, and differs
+    # from the a=2.0 program it used to (wrongly) reuse
+    np.testing.assert_array_equal(c_mut, np.asarray(ref.chain_free))
+    assert not np.array_equal(c_mut, c_a2)
+    mf.a = 2.5
+    with pytest.raises(RuntimeError, match="changed after"):
+        mf.extend(8)
+
+
+def test_run_init_typo_rejected():
+    """Regression (review): a typo in run(init=...) must raise, not
+    silently fall back to the flux-heuristic seeding."""
+    flux, unc = _mock_batch(TRUES[:2])
+    mf = MultiFitter(nwalkers=16, opthin=True, noalpha=True, seed=2,
+                     sampler_backend="xla")
+    mf.set_data(WAVE, flux, unc)
+    with pytest.raises(ValueError, match="init"):
+        mf.run(nburn=2, nsteps=4, init="MAP")
+
+
+def test_evidence_runner_cached_across_same_shape_batches():
+    """Regression (review): compute_evidence must reuse ONE compiled
+    program across same-shape batches (chunked serving) -- data are
+    runtime operands -- while still producing data-dependent results."""
+    flux, unc = _mock_batch(TRUES[:2])
+    mf = MultiFitter(nwalkers=16, opthin=True, noalpha=True, seed=2)
+    mf.set_data(WAVE, flux, unc)
+    r1 = mf.compute_evidence(nlive=64, nbatch=8, nsteps=8, max_iter=300,
+                             seed=1)
+    n0 = len(mf._run_cache)
+    mf.set_data(WAVE, flux * 1.3, unc)
+    r2 = mf.compute_evidence(nlive=64, nbatch=8, nsteps=8, max_iter=300,
+                             seed=1)
+    assert len(mf._run_cache) == n0         # runner reused, no rebuild
+    assert np.all(np.isfinite(r2.logz))
+    assert not np.allclose(r1.logz, r2.logz)  # new data took effect
+
+
+def test_evidence_sharded_over_mesh_matches_unsharded():
+    """compute_evidence on a mesh-configured MultiFitter shards the
+    independent per-source runs over the source axis and reproduces the
+    unsharded result (same seed, same draws)."""
+    trues = np.tile(TRUES, (2, 1))                    # S=8 on 8 devices
+    flux, unc = _mock_batch(trues)
+    base = MultiFitter(nwalkers=16, opthin=True, noalpha=True, seed=2)
+    base.set_data(WAVE, flux, unc)
+    r0 = base.compute_evidence(nlive=48, nbatch=8, nsteps=6,
+                               max_iter=300, seed=4)
+    mf = MultiFitter(nwalkers=16, opthin=True, noalpha=True, seed=2,
+                     mesh=walker_mesh(8))
+    mf.set_data(WAVE, flux, unc)
+    r1 = mf.compute_evidence(nlive=48, nbatch=8, nsteps=6,
+                             max_iter=300, seed=4)
+    np.testing.assert_allclose(r1.logz, r0.logz, rtol=1e-5)
+    np.testing.assert_allclose(r1.logz_err, r0.logz_err, rtol=1e-4)
