@@ -362,8 +362,13 @@ class MBBFitter(ParamSpaceMixin):
         if checkpoint is not None:
             from mbb_emcee_tpu.checkpoint import (
                 data_fingerprint, spec_fingerprint)
+            # The response pack is posterior identity too: resuming
+            # after swapping filter curves would splice chains sampled
+            # under different band-integration weights.
+            pack = self._response_pack()
             data_fp = data_fingerprint(phot.wave, phot.flux, phot.unc,
-                                       phot.cov)
+                                       phot.cov,
+                                       *(() if pack is None else pack))
             spec_fp = spec_fingerprint(self._spec, self.shape, self.a)
 
         resume_run_id = None

@@ -198,6 +198,25 @@ class FreeSpace:
     def nfree(self):
         return self.free_idx.size
 
+    @classmethod
+    def from_spec(cls, spec):
+        """The reduced space a LikelihoodSpec defines -- the ONE place
+        this mapping is derived (build_lnprob, build_lnprob_data, and
+        both Pallas twins share it; parallel copies drifted once)."""
+        free_idx = spec.free_indices
+        if free_idx.size == 0:
+            raise ValueError("all parameters are fixed; nothing to sample")
+        return cls(free_idx=free_idx,
+                   template=np.where(spec.fixed, spec.fixed_values, 0.0),
+                   lower=spec.lower[free_idx].copy(),
+                   upper=spec.upper[free_idx].copy())
+
+    def scatter_matrix(self, dtype=np.float64):
+        """(NPARAMS, nfree) scatter: theta = template + scatter @ free."""
+        s = np.zeros((NPARAMS, self.nfree), dtype)
+        s[self.free_idx, np.arange(self.nfree)] = 1.0
+        return s
+
     def expand(self, free_vals):
         """(..., nfree) free-space -> (..., 5) full parameter vectors."""
         free_vals = np.asarray(free_vals)
@@ -220,14 +239,10 @@ def build_lnprob(phot: Photometry, shape: MBBShape, spec: LikelihoodSpec,
     band-integrated; otherwise the SED is sampled at the data wavelengths
     (the reference's default point evaluation).
     """
-    free_idx = spec.free_indices
-    nfree = free_idx.size
-    if nfree == 0:
-        raise ValueError("all parameters are fixed; nothing to sample")
-
-    template_np = np.where(spec.fixed, spec.fixed_values, 0.0)
-    scatter_np = np.zeros((NPARAMS, nfree))
-    scatter_np[free_idx, np.arange(nfree)] = 1.0
+    free_space = FreeSpace.from_spec(spec)
+    free_idx = free_space.free_idx
+    template_np = free_space.template
+    scatter_np = free_space.scatter_matrix()
 
     # Closure constants stay HOST numpy: a jnp closure constant must be
     # fetched device->host at trace time to inline as an MLIR constant
@@ -236,8 +251,18 @@ def build_lnprob(phot: Photometry, shape: MBBShape, spec: LikelihoodSpec,
     scatter = np.asarray(scatter_np, dtype)
     lo_free = np.asarray(spec.lower[free_idx], dtype)
     hi_free = np.asarray(spec.upper[free_idx], dtype)
-    lo_full = np.asarray(spec.lower, dtype)
-    hi_full = np.asarray(spec.upper, dtype)
+    # NaN-safety clip bounds for the model eval: they must CONTAIN fixed
+    # values that sit outside the sampling box (fix_param('alpha', 0.0)
+    # with the default box lower of 0.01) -- clamping a fixed parameter
+    # to the box would silently evaluate a different model than the
+    # Pallas kernels, which widen their limits window around the fixed
+    # value (ops/pallas_lnprob.py).
+    lo_full = np.asarray(np.where(spec.fixed,
+                                  np.minimum(spec.lower, spec.fixed_values),
+                                  spec.lower), dtype)
+    hi_full = np.asarray(np.where(spec.fixed,
+                                  np.maximum(spec.upper, spec.fixed_values),
+                                  spec.upper), dtype)
 
     data_flux = np.asarray(phot.flux, dtype)
     data_wave = np.asarray(phot.wave, dtype)
@@ -291,9 +316,6 @@ def build_lnprob(phot: Photometry, shape: MBBShape, spec: LikelihoodSpec,
         lnpri = -0.5 * jnp.sum(dp * dp)
         return jnp.where(inbox, lnl + lnpri, dtype(LNPROB_FLOOR))
 
-    free_space = FreeSpace(free_idx=free_idx, template=template_np,
-                           lower=spec.lower[free_idx].copy(),
-                           upper=spec.upper[free_idx].copy())
     return lnprob, free_space
 
 
@@ -304,6 +326,11 @@ def signed_iunc(unc, uplim_bands=None):
     per-source (S, nb) mask, or None; non-finite unc (missing bands)
     maps to exactly 0 weight either way."""
     unc = np.asarray(unc, np.float64)
+    if np.any(np.isfinite(unc) & (unc <= 0.0)):
+        raise ValueError(
+            "uncertainties must be positive; mark missing bands with "
+            "NaN/inf, not 0 (1/0 = inf would silently floor every "
+            "proposal's lnprob and freeze that source's chain)")
     with np.errstate(divide="ignore"):
         iunc = np.where(np.isfinite(unc), 1.0 / unc, 0.0)
     if uplim_bands is not None:
@@ -333,27 +360,33 @@ def build_lnprob_data(shape: MBBShape, spec: LikelihoodSpec,
     compose with correlated errors, mirroring the single-fit refusal
     (ops/pallas_lnprob.py); spec.uplim_bands must be unset.
     """
-    free_idx = spec.free_indices
-    nfree = free_idx.size
-    if nfree == 0:
-        raise ValueError("all parameters are fixed; nothing to sample")
+    free_space = FreeSpace.from_spec(spec)
+    free_idx = free_space.free_idx
     if correlated and spec.uplim_bands is not None and np.any(
             np.asarray(spec.uplim_bands)):
         raise ValueError(
             "photometric upper limits (one-sided likelihood) do not "
             "compose with correlated band errors; unset one of them")
-
-    template_np = np.where(spec.fixed, spec.fixed_values, 0.0)
-    scatter_np = np.zeros((NPARAMS, nfree))
-    scatter_np[free_idx, np.arange(nfree)] = 1.0
+    template_np = free_space.template
+    scatter_np = free_space.scatter_matrix()
     # Host numpy closures: see build_lnprob (device constants cost a
     # device->host fetch per array at trace time).
     template = np.asarray(template_np, dtype)
     scatter = np.asarray(scatter_np, dtype)
     lo_free = np.asarray(spec.lower[free_idx], dtype)
     hi_free = np.asarray(spec.upper[free_idx], dtype)
-    lo_full = np.asarray(spec.lower, dtype)
-    hi_full = np.asarray(spec.upper, dtype)
+    # NaN-safety clip bounds for the model eval: they must CONTAIN fixed
+    # values that sit outside the sampling box (fix_param('alpha', 0.0)
+    # with the default box lower of 0.01) -- clamping a fixed parameter
+    # to the box would silently evaluate a different model than the
+    # Pallas kernels, which widen their limits window around the fixed
+    # value (ops/pallas_lnprob.py).
+    lo_full = np.asarray(np.where(spec.fixed,
+                                  np.minimum(spec.lower, spec.fixed_values),
+                                  spec.lower), dtype)
+    hi_full = np.asarray(np.where(spec.fixed,
+                                  np.maximum(spec.upper, spec.fixed_values),
+                                  spec.upper), dtype)
     prior_mean = np.asarray(spec.prior_mean, dtype)
     prior_isig = np.asarray(spec.prior_isigma, dtype)
 
@@ -393,7 +426,4 @@ def build_lnprob_data(shape: MBBShape, spec: LikelihoodSpec,
         lnpri = -0.5 * jnp.sum(dp * dp)
         return jnp.where(inbox, lnl + lnpri, dtype(LNPROB_FLOOR))
 
-    free_space = FreeSpace(free_idx=free_idx, template=template_np,
-                           lower=spec.lower[free_idx].copy(),
-                           upper=spec.upper[free_idx].copy())
     return lnprob, free_space

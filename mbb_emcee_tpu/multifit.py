@@ -718,7 +718,11 @@ class MultiFitter(ParamSpaceMixin):
             # effective spec embeds _init values for shape-dropped params
             # that never enter the likelihood, and hashing those would
             # spuriously refuse a resume after a harmless init tweak.
-            data_fp = data_fingerprint(self.wave, self.flux, self.unc)
+            # The response pack is posterior identity too (see
+            # MBBFitter.run): filter-curve swaps must refuse resume.
+            pack = self._response_pack()
+            data_fp = data_fingerprint(self.wave, self.flux, self.unc,
+                                       *(() if pack is None else pack))
             spec_fp = spec_fingerprint(self._spec, self.shape, self.a)
         prev_chain = prev_lnp = None
         resume_run_id = None

@@ -269,16 +269,13 @@ def prepare_lnprob_inputs(phot, shape, spec, response_pack=None):
     environment's TPU tunnel); callers that pass them as jit ARGUMENTS
     (the fused samplers) device_put them once themselves.
     """
-    from mbb_emcee_tpu.likelihood import build_lnprob  # free_space reuse
+    from mbb_emcee_tpu.likelihood import FreeSpace
 
-    _, free_space = build_lnprob(phot, shape, spec,
-                                 response_pack=response_pack)
+    free_space = FreeSpace.from_spec(spec)
     free_idx = free_space.free_idx
     nfree = free_idx.size
     template = np.asarray(free_space.template, np.float32)
-    scatter_np = np.zeros((NPARAMS, nfree), np.float32)
-    scatter_np[free_idx, np.arange(nfree)] = 1.0
-    scatter = scatter_np
+    scatter = free_space.scatter_matrix(np.float32)
 
     nb = phot.nbands
     if response_pack is not None:

@@ -410,9 +410,7 @@ class FusedMultiPallasSampler:
         # is fetched device->host at trace time; ~1 s per array over the
         # TPU tunnel). _limits/_priors/_flux/... are jit ARGUMENTS.
         self._template = np.asarray(self.free_space.template, np.float32)
-        scat = np.zeros((NPARAMS, self.ndim), np.float32)
-        scat[self.free_space.free_idx, np.arange(self.ndim)] = 1.0
-        self._scatter = scat
+        self._scatter = self.free_space.scatter_matrix(np.float32)
 
         self.nbands = nb
         self.cfg = dict(opthin=shape.opthin, noalpha=shape.noalpha,

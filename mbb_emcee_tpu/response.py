@@ -20,7 +20,11 @@ Conventions (documented [MED] reconstruction -- /root/reference was empty):
     at the effective frequency.
   * k(nu) = 1 for energy-integrating detectors, 1/nu (propto lambda) for
     photon counters.
-  * effective wavelength lambda_eff = int R k lam dlam / int R k dlam.
+  * effective wavelength in the SAME d-nu measure as the quoted flux
+    (the band flux is a weighted mean of S_nu with weight R k dnu, so
+    its anchor wavelength uses that weight too):
+    lambda_eff = int R k lam dnu / int R k dnu
+               = int (R k / lam) dlam / int (R k / lam^2) dlam.
 
 Special analytic filters are available by spec string:
     "box:center_um:width_um[:nnodes]"   flat transmission top-hat

@@ -249,3 +249,36 @@ def test_run_argument_validation(tmp_path):
     p0 = np.asarray(fit2.chain_free)[-1]
     with pytest.raises(ValueError, match="p0"):
         _fit().run(nburn=5, nsteps=40, p0=p0, checkpoint=ck, resume=True)
+
+
+def test_resume_refuses_response_swap(tmp_path):
+    """Regression (review): the resume fingerprint must cover the filter
+    response pack -- resuming after swapping a band's curve would splice
+    chains sampled under different band-integration weights."""
+    import pytest
+    from mbb_emcee_tpu.response import ResponseSet
+
+    def fit_with(width):
+        rs = ResponseSet()
+        for w in WAVE:
+            rs.add(f"B{int(w)}", f"box:{w}:{width}")
+        shape = MBBShape(opthin=True, noalpha=True)
+        f = np.asarray(mbb_fnu(jnp.asarray(TRUE, jnp.float32),
+                               jnp.asarray(WAVE, jnp.float32), shape),
+                       np.float64)
+        unc = 0.05 * f
+        rng = np.random.default_rng(0)
+        fit = MBBFitter(nwalkers=32, opthin=True, noalpha=True, seed=21,
+                        responses=rs)
+        fit.set_data(WAVE, f + unc * rng.standard_normal(f.size), unc,
+                     band_names=[f"B{int(w)}" for w in WAVE])
+        return fit
+
+    ck = str(tmp_path / "r.ckpt.h5")
+    fit_with(30.0).run(nburn=10, nsteps=40, checkpoint=ck,
+                       checkpoint_interval=20)
+    with pytest.raises(ValueError, match="data_fingerprint"):
+        fit_with(60.0).run(nburn=10, nsteps=80, checkpoint=ck,
+                           resume=True)
+    # unchanged responses still resume
+    fit_with(30.0).run(nburn=10, nsteps=80, checkpoint=ck, resume=True)

@@ -152,3 +152,57 @@ def test_photfile_parsing(tmp_path):
     p3.write_text("# only comments\n")
     with pytest.raises(ValueError):
         Photometry.from_file(str(p3))
+
+def test_fixed_param_outside_box_evaluates_true_value():
+    """Regression (review): fix_param to a value OUTSIDE the sampling box
+    (alpha=0.0 below the default box lower of 0.01; T=0.05 below 0.1)
+    must evaluate the model AT the fixed value in the XLA backends --
+    not silently clamp to the box edge -- matching the Pallas kernels'
+    widened-window behavior."""
+    from mbb_emcee_tpu.likelihood import build_lnprob_data, signed_iunc
+
+    phot, _ = _mock_phot()
+    spec = LikelihoodSpec.default()
+    spec.fixed[3] = True
+    spec.fixed_values[3] = 0.0            # < box lower 0.01
+    lnprob, fs = build_lnprob(phot, MBBShape(), spec)
+    theta_free = np.array(THETA[fs.free_idx], np.float32)
+    got = float(lnprob(jnp.asarray(theta_free)))
+
+    # oracle: same posterior with a box that CONTAINS alpha=0 (no clamp)
+    spec2 = LikelihoodSpec.default()
+    spec2.lower[3] = -1.0
+    spec2.fixed[3] = True
+    spec2.fixed_values[3] = 0.0
+    lnprob2, fs2 = build_lnprob(phot, MBBShape(), spec2)
+    want = float(lnprob2(jnp.asarray(theta_free)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # the clamped evaluation (alpha=0.01) is genuinely different
+    theta_clamped = THETA.copy(); theta_clamped[3] = 0.01
+    m0 = np.asarray(mbb_fnu(jnp.asarray(theta_clamped, jnp.float32),
+                            jnp.asarray(WAVE, jnp.float32), MBBShape()))
+    theta0 = THETA.copy(); theta0[3] = 0.0
+    m1 = np.asarray(mbb_fnu(jnp.asarray(theta0, jnp.float32),
+                            jnp.asarray(WAVE, jnp.float32), MBBShape()))
+    assert not np.allclose(m0, m1)
+
+    # same contract on the batched builder
+    lnp_d, fsd = build_lnprob_data(MBBShape(), spec)
+    got_d = float(lnp_d(jnp.asarray(theta_free),
+                        jnp.asarray(WAVE, jnp.float32),
+                        jnp.asarray(phot.flux, jnp.float32),
+                        jnp.asarray(signed_iunc(phot.unc), jnp.float32)))
+    np.testing.assert_allclose(got_d, want, rtol=1e-6)
+
+
+def test_signed_iunc_rejects_zero_unc():
+    """Regression (review): a 0.0 'missing band' sentinel must raise, not
+    map to 1/0 = inf and silently freeze the source's chain."""
+    from mbb_emcee_tpu.likelihood import signed_iunc
+
+    unc = np.array([[1.0, 0.0, 2.0]])
+    with pytest.raises(ValueError, match="positive"):
+        signed_iunc(unc)
+    # NaN/inf still mean missing -> exactly zero weight
+    out = signed_iunc(np.array([[1.0, np.nan, np.inf]]))
+    np.testing.assert_array_equal(out, [[1.0, 0.0, 0.0]])
