@@ -89,6 +89,15 @@ def read_catalog(path):
                 continue
             parts = line.replace("=", " = ").split()
             key = parts[0].lower()
+            # 'wave: 1 2' (no space before the colon) tokenizes the key
+            # as 'wave:', which used to fall into the source-row branch
+            # with a misleading missing-header error. Detach a TRAILING
+            # colon from a header keyword only -- a global ':' pad would
+            # corrupt source names like 'SDSS:J1234'.
+            if key.endswith(":") and key[:-1] in ("wave", "bands",
+                                                  "uplims"):
+                parts = [parts[0][:-1], ":"] + parts[1:]
+                key = key[:-1]
             # Header keywords are only recognized BEFORE the first source
             # row (so a source that happens to be named 'wave'/'bands'/
             # 'uplims' after data starts is parsed as data, not silently

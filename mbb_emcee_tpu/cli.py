@@ -281,6 +281,11 @@ def main(argv=None):
         kw = {"photon_counter": True} if args.photon_counter else {}
         responses = ResponseSet.builtin(names, **kw)
 
+    if args.n_ensembles > 1 and args.covfile is not None:
+        raise SystemExit(
+            "--n-ensembles runs through the batched likelihood, which "
+            "supports diagonal uncertainties only; drop --covfile or "
+            "--n-ensembles")
     fit = MBBFitter(nwalkers=args.nwalkers, photfile=args.photfile,
                     wavenorm=args.wavenorm, noalpha=args.noalpha,
                     opthin=args.opthin, responses=responses,
@@ -326,7 +331,6 @@ def main(argv=None):
             raise SystemExit("derived-quantity posteriors need chains; "
                              "run without --map for them")
         import time as _time
-        import numpy as _np
         from mbb_emcee_tpu.constants import PARAM_NAMES as _PN
         t0 = _time.time()
         r = fit.fit_map(nstarts=args.map_starts)
@@ -382,12 +386,17 @@ def main(argv=None):
                 f"pass; --nsteps {args.nsteps} / --thin {args.thin} "
                 f"records only {args.nsteps // max(args.thin, 1)}")
         _validate_extend_flags(args)
-    if args.init_map and (args.hmc or args.pt or args.resume):
+    if args.init_map and (args.hmc or args.pt or args.resume
+                          or args.n_ensembles > 1):
         raise SystemExit("--init-map seeds the stretch-move walker "
-                         "ball; drop --hmc/--pt/--resume")
+                         "ball of a single ensemble; drop "
+                         "--hmc/--pt/--resume/--n-ensembles")
     with trace(args.profile_dir):
         if args.hmc and args.pt:
             raise SystemExit("--hmc and --pt are mutually exclusive")
+        if args.n_ensembles > 1 and (args.hmc or args.pt):
+            raise SystemExit("--n-ensembles applies to the stretch-move "
+                             "sampler only; drop --hmc/--pt")
         if args.pt:
             if args.checkpoint or args.resume:
                 raise SystemExit(

@@ -224,6 +224,18 @@ def build_parser():
     return p
 
 
+def _safe_rhat(mf):
+    """(S,) max split-R-hat per source, NaN when too few steps are
+    recorded for the diagnostic (< 4): a tiny -n / aggressive --thin run
+    must still write its HDF5 and print a summary, not crash after the
+    fit completed (and, chunked, abort every remaining chunk)."""
+    import numpy as np
+    try:
+        return mf.gelman_rubin().max(axis=1)
+    except ValueError:
+        return np.full(mf.nsources, np.nan)
+
+
 def _summary_table(mf, offset=0):
     """Per-source summary lines: free-parameter medians +/- 1 sigma,
     split-R-hat, and lnZ columns when evidence was computed. `offset`
@@ -232,7 +244,7 @@ def _summary_table(mf, offset=0):
     import numpy as np
     names = mf.free_param_names
     cen = {p: mf.par_cen(p) for p in names}          # (S, 3) each
-    rhat = mf.gelman_rubin().max(axis=1)
+    rhat = _safe_rhat(mf)
     lines = ["#   source            " +
              "".join(f"{p:>24}" for p in names) +
              f"{'max-Rhat':>10}" +
@@ -372,7 +384,6 @@ def main(argv=None):
     import logging
 
     from mbb_emcee_tpu.utils.log import enable_console
-    from mbb_emcee_tpu.utils.profiling import StepTimer, trace
 
     log = enable_console(logging.INFO if args.verbose else logging.WARNING)
 
@@ -625,7 +636,7 @@ def _fit_and_write(mf, args, log, outfile, offset=0):
     if args.summary:
         print(_summary_table(mf, offset=offset))
     else:
-        rhat = mf.gelman_rubin().max(axis=1)
+        rhat = _safe_rhat(mf)
         print(f"{mf.nsources} sources fit; max split-R-hat "
               f"{rhat.max():.3f} (median {np.median(rhat):.3f}); "
               f"batch written to {outfile}")

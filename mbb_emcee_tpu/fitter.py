@@ -123,25 +123,47 @@ class MBBFitter(ParamSpaceMixin):
     # -- data ingest ------------------------------------------------------------
     def read_data(self, photfile):
         """Load text photometry (ref: mbb_fitter.read_data)."""
+        phot = Photometry.from_file(photfile)
+        self._check_uplim_mask(phot)
         self.map_result = None     # MAP binds to data; see set_data
-        self.phot = Photometry.from_file(photfile)
+        self.phot = phot
         return self
 
     def set_data(self, wave, flux, unc, cov=None, band_names=None):
         # A MAP fit binds to the data it was run on; new data invalidates
         # it (init="map" and map_importance must not silently reuse the
         # old mode).
+        phot = Photometry(wave, flux, unc, cov=cov,
+                          band_names=band_names)
+        self._check_uplim_mask(phot)
         self.map_result = None
-        self.phot = Photometry(wave, flux, unc, cov=cov,
-                               band_names=band_names)
+        self.phot = phot
         return self
+
+    def _check_uplim_mask(self, phot):
+        """A photometric upper-limit mask binds to a band count; new
+        data with a different count must refuse loudly here (leaving the
+        old data bound), not fail with an opaque broadcast error deep in
+        build_lnprob (the batch surface refuses stale masks the same
+        way)."""
+        ub = self._spec.uplim_bands
+        if ub is not None and ub.size != phot.nbands:
+            raise ValueError(
+                f"the photometric upper-limit mask was set for {ub.size} "
+                f"bands but the new data has {phot.nbands}; call "
+                f"set_phot_upperlimits again (or clear it with None) "
+                f"before binding this data")
 
     def read_cov(self, covfile, covextn=0, is_total=False):
         self._require_data().read_cov(covfile, covextn, is_total)
         return self
 
     def set_phot_upperlimits(self, mask):
-        """Flag bands whose flux column is an upper limit."""
+        """Flag bands whose flux column is an upper limit (None
+        clears the mask)."""
+        if mask is None:
+            self._spec = _replace(self._spec, uplim_bands=None)
+            return self
         mask = np.asarray(mask, bool)
         if mask.size != self._require_data().nbands:
             raise ValueError("upper-limit mask length mismatch")
@@ -557,6 +579,11 @@ class MBBFitter(ParamSpaceMixin):
         lnprob kernel is not differentiable)."""
         from mbb_emcee_tpu.hmc import hmc_sample
 
+        if self.n_ensembles > 1:
+            raise ValueError(
+                "n_ensembles > 1 applies to the stretch-move run() only; "
+                "run_hmc samples one set of chains -- use nchains= for "
+                "more HMC chains")
         nchains = self.nwalkers if nchains is None else int(nchains)
         self._auto_init_fnorm()
         spec = self._effective_spec()
@@ -626,6 +653,11 @@ class MBBFitter(ParamSpaceMixin):
         extend() does not apply; re-run with more nsteps."""
         from mbb_emcee_tpu.tempering import pt_sample
 
+        if self.n_ensembles > 1:
+            raise ValueError(
+                "n_ensembles > 1 applies to the stretch-move run() only; "
+                "run_pt already advances K temperature rungs -- use "
+                "nchains= for more walkers per rung")
         nchains = self.nwalkers if nchains is None else int(nchains)
         self._auto_init_fnorm()
         spec = self._effective_spec()

@@ -272,3 +272,22 @@ def test_cli_init_map(tmp_path, capsys):
         main([phot, out, "--hmc", "--init-map"])
     with pytest.raises(SystemExit, match="triage"):
         main([phot, out, "--map", "--init-map"])
+
+
+def test_cli_n_ensembles_conflicts(tmp_path):
+    """Regression (review): --n-ensembles conflicts (--hmc/--pt/--covfile/
+    --init-map) exit with a clear message BEFORE any device work, not a
+    raw ValueError traceback after the MAP triage ran."""
+    import pytest
+    phot = str(tmp_path / "p.txt")
+    _write_photfile(phot, MBBShape(opthin=True, noalpha=True))
+    out = str(tmp_path / "o.h5")
+    with pytest.raises(SystemExit, match="stretch-move"):
+        main([phot, out, "--n-ensembles", "4", "--hmc"])
+    with pytest.raises(SystemExit, match="n-ensembles"):
+        main([phot, out, "--n-ensembles", "4", "--init-map"])
+    cov = str(tmp_path / "cov.fits")
+    from mbb_emcee_tpu.utils.fits import write_fits_image
+    write_fits_image(cov, np.eye(5) * 0.01)
+    with pytest.raises(SystemExit, match="diagonal"):
+        main([phot, out, "--n-ensembles", "4", "--covfile", cov])

@@ -553,3 +553,34 @@ def test_batch_cli_init_map(tmp_path):
     assert np.all(np.abs(t_cen[:, 0] - trues[:, 0]) < 10.0)
     with pytest.raises(SystemExit, match="init-map"):
         main([cat, out, "--pt", "--init-map"])
+
+
+def test_catalog_header_colon_no_space(tmp_path):
+    """Regression (review): 'wave: 100 ...' (no space before the colon)
+    must parse as a header row, not fall into the source-row branch with
+    a misleading missing-header error."""
+    path = str(tmp_path / "cat.txt")
+    with open(path, "w") as fh:
+        fh.write("wave: 100 250 500\n")
+        fh.write("SRC:A 1.5 10.0 1.0 20.0 1.0 15.0 1.0\n")
+    cat = read_catalog(path)
+    np.testing.assert_array_equal(cat.wave, [100.0, 250.0, 500.0])
+    assert cat.names == ["SRC:A"]          # colons in names survive
+
+
+def test_batch_cli_tiny_run_still_writes(tmp_path, capsys):
+    """Regression (review): a run recording < 4 steps (too few for
+    split-R-hat) must still write its HDF5 and print a summary with
+    R-hat as nan -- not crash after the fit completed."""
+    cat = str(tmp_path / "cat.txt")
+    out = str(tmp_path / "tiny.h5")
+    _write_catalog(cat, nsources=2)
+    rc = main([cat, out, "--opthin", "--noalpha",
+               "-w", "16", "-b", "4", "-n", "3", "--seed", "5"])
+    assert rc == 0
+    assert "nan" in capsys.readouterr().out
+    assert MultiFitter.from_h5(out).nsources == 2
+    rc = main([cat, str(tmp_path / "t2.h5"), "--opthin", "--noalpha",
+               "-w", "16", "-b", "4", "-n", "3", "--seed", "5",
+               "--summary"])
+    assert rc == 0

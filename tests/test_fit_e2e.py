@@ -251,3 +251,31 @@ def test_n_ensembles_extend_on_xla_backend():
     fit.extend(30)
     assert fit.chain_free.shape == (n0 * 2, w0, fit.free_space.nfree)
     assert np.all(np.isfinite(fit.gelman_rubin()))
+
+
+def test_single_fit_guard_regressions():
+    """Regression (review): run_hmc/run_pt refuse n_ensembles > 1
+    (previously silently ran one ensemble), and set_data refuses a
+    stale photometric upper-limit mask when the band count changes
+    (previously failed with an opaque broadcast error in build_lnprob),
+    leaving the old data bound."""
+    import pytest
+    shape = MBBShape(opthin=True, noalpha=True)
+    flux, unc = _mock(TRUE, shape)
+    fit = MBBFitter(nwalkers=16, opthin=True, noalpha=True,
+                    n_ensembles=2)
+    fit.set_data(WAVE, flux, unc)
+    with pytest.raises(ValueError, match="n_ensembles"):
+        fit.run_hmc(nwarmup=4, nsteps=8)
+    with pytest.raises(ValueError, match="n_ensembles"):
+        fit.run_pt(nrungs=3, nburn=4, nsteps=8)
+
+    fit2 = MBBFitter(nwalkers=16, opthin=True, noalpha=True)
+    fit2.set_data(WAVE, flux, unc)
+    fit2.set_phot_upperlimits(np.array([0, 0, 0, 0, 1], bool))
+    with pytest.raises(ValueError, match="set_phot_upperlimits"):
+        fit2.set_data(WAVE[:3], flux[:3], unc[:3])
+    assert fit2.phot.nbands == 5               # old data still bound
+    fit2.set_phot_upperlimits(None)            # clearing unblocks
+    fit2.set_data(WAVE[:3], flux[:3], unc[:3])
+    assert fit2.phot.nbands == 3
