@@ -35,7 +35,7 @@ from mbb_emcee_tpu.tempering import (
     pt_sample, PTResult, ParallelTemperingSampler, geometric_ladder)
 from mbb_emcee_tpu.mapfit import MAPResult
 from mbb_emcee_tpu.fitter import MBBFitter
-from mbb_emcee_tpu.results import MBBResults
+from mbb_emcee_tpu.results import MBBResults, PPCResult
 from mbb_emcee_tpu.multifit import MultiFitter
 from mbb_emcee_tpu.catalog import Catalog, read_catalog
 
@@ -53,7 +53,7 @@ __all__ = [
     "NestedResult", "NestedBatchResult",
     "pt_sample", "PTResult", "ParallelTemperingSampler",
     "geometric_ladder", "MAPResult",
-    "MBBFitter", "MBBResults", "MultiFitter",
+    "MBBFitter", "MBBResults", "PPCResult", "MultiFitter",
     "Catalog", "read_catalog",
     "__version__",
 ]

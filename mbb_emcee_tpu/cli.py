@@ -205,6 +205,11 @@ def build_parser():
     g.add_argument("--get-peaklambda", action="store_true")
     g.add_argument("--derived-thin", type=int, default=1,
                    help="thin factor for derived-quantity chains")
+    g.add_argument("--ppc", action="store_true",
+                   help="posterior-predictive goodness-of-fit check: "
+                        "print the chi-square discrepancy p-value and "
+                        "per-band tail probabilities (p < ~0.01 flags "
+                        "misfit; additive over the reference)")
     g.add_argument("--get-evidence", action="store_true",
                    help="also compute the Bayesian evidence lnZ by nested "
                         "sampling over the parameter box (additive over "
@@ -486,6 +491,17 @@ def main(argv=None):
                              thin=args.derived_thin)
     if args.get_peaklambda:
         res.compute_peaklambda(thin=args.derived_thin)
+    if args.ppc:
+        import math
+        ppc = res.posterior_predictive(thin=args.derived_thin)
+        labels = (ppc.band_names if ppc.band_names is not None
+                  else [f"{w:.0f}um" for w in res.data_wave])
+        bands = "  ".join(
+            f"{n}:{p:.3f}" if math.isfinite(p) else f"{n}:uplim"
+            for n, p in zip(labels, ppc.band_p))
+        print(f"posterior predictive p = {ppc.p_value:.3f} "
+              f"(ndata={ppc.ndata}, nfree={ppc.nfree}); "
+              f"band tail probs: {bands}")
 
     res.writeToHDF5(args.outfile)
 

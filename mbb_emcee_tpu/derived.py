@@ -121,6 +121,28 @@ def sed_eval(shape, waves_j):
     return sed
 
 
+def band_flux_eval(shape, wave, response_pack=None):
+    """Per-sample device closure: the model's BAND fluxes in mJy --
+    point evaluation at the data wavelengths, or band-integrated over a
+    response pack -- exactly the `model_fluxes` the fitted likelihood
+    compared against the data (likelihood.build_lnprob), shared here so
+    posterior-predictive checks test the same model the sampler saw."""
+    if response_pack is None:
+        waves_j = jnp.asarray(np.asarray(wave, np.float32))
+
+        def fluxes(theta):
+            return jnp.exp(log_mbb_fnu(theta, waves_j, shape))
+        return fluxes
+
+    nodes = jnp.asarray(np.asarray(response_pack[0], np.float32))
+    wts = jnp.asarray(np.asarray(response_pack[1], np.float32))
+
+    def fluxes(theta):
+        vals = jnp.exp(log_mbb_fnu(theta, nodes, shape))
+        return jnp.sum(wts * vals, axis=-1)
+    return fluxes
+
+
 def sed_band(fluxes, percentile, sample_axis):
     """[median, upper, lower] percentiles of per-sample SEDs along
     `sample_axis`, stacked where that axis was (results: (3, nwave);

@@ -11,6 +11,9 @@ analysis resumes exactly from the file. Layout:
     /LogLike          (nwalkers, nsteps)
     /AcceptanceFraction (nwalkers,)
     /Photometry/{Wave,Flux,FluxUnc[,Cov][,BandNames]}
+    /ResponsePack/{Nodes,Weights}  (optional: the per-band quadrature the
+              response-mode likelihood used, so reloaded results evaluate
+              model band fluxes the same way -- additive)
     /ParamConfig/{Lower,Upper,Fixed,FixedValues,PriorMean,PriorInvSigma,
                   Initial[,PhotUpperLimits]}
     /LIR, /DustMass, /PeakLambda  (optional derived chains, attrs = meta)
@@ -82,6 +85,12 @@ def _write_results(f, res):
     if res.phot.band_names is not None:
         ph.create_dataset("BandNames", data=np.array(
             [n.encode() for n in res.phot.band_names]))
+
+    pack = getattr(res, "response_pack", None)
+    if pack is not None:
+        g = f.create_group("ResponsePack")
+        g.create_dataset("Nodes", data=np.asarray(pack[0], np.float64))
+        g.create_dataset("Weights", data=np.asarray(pack[1], np.float64))
 
     pc = f.create_group("ParamConfig")
     spec = res.param_spec
@@ -174,6 +183,11 @@ def _read_results(f):
         np.asarray(ph["FluxUnc"]),
         cov=np.asarray(ph["Cov"]) if "Cov" in ph else None,
         band_names=names)
+
+    if "ResponsePack" in f:
+        g = f["ResponsePack"]
+        out["response_pack"] = (np.asarray(g["Nodes"]),
+                                np.asarray(g["Weights"]))
 
     pc = f["ParamConfig"]
     out["param_spec"] = LikelihoodSpec(

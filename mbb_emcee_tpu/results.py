@@ -25,6 +25,8 @@ an fp64 host scalar prefactor.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -46,6 +48,35 @@ def _percentile_summary(samples, percentile=68.3):
     lo, mid, hi = np.percentile(np.asarray(samples, np.float64),
                                 [50.0 - p / 2, 50.0, 50.0 + p / 2])
     return np.array([mid, hi - mid, mid - lo])
+
+
+@dataclasses.dataclass
+class PPCResult:
+    """Posterior-predictive check (MBBResults.posterior_predictive).
+
+    `p_value` is ~uniform on (0,1) when the model describes the data;
+    values below ~0.01 flag misfit (the fitted model cannot reproduce
+    its own photometry), values above ~0.99 flag overestimated errors.
+    `band_p` localizes which band misfits (entries near 0 or 1)."""
+    p_value: float          # P[T_rep >= T_obs] over the thinned chain
+    band_p: np.ndarray      # (nb,) tail prob per band; NaN for uplim bands
+    chi2_obs: np.ndarray    # (nsamples,) whitened chi-sq of the observed data
+    chi2_rep: np.ndarray    # (nsamples,) chi-sq of replicated data (~chi2_ndata)
+    ndata: int              # detected bands entering the statistic
+    nfree: int              # free parameters (dof reference: ndata - nfree)
+    nsamples: int           # thinned chain samples used
+    uplim_bands: np.ndarray  # (nb,) bool; True bands excluded from chi-sq
+    band_names: list | None = None
+
+    def __repr__(self):
+        labels = (self.band_names if self.band_names is not None
+                  else [f"band{i}" for i in range(self.band_p.size)])
+        flagged = [f"{n}={p:.3f}" for n, p in zip(labels, self.band_p)
+                   if np.isfinite(p) and (p < 0.01 or p > 0.99)]
+        extra = ("; suspect bands: " + ", ".join(flagged)) if flagged else ""
+        return (f"PPCResult(p_value={self.p_value:.3f}, "
+                f"ndata={self.ndata}, nfree={self.nfree}, "
+                f"nsamples={self.nsamples}{extra})")
 
 
 class MBBResults:
@@ -72,6 +103,10 @@ class MBBResults:
         self._cosmo = (Cosmology.named(cosmology)
                        if isinstance(cosmology, str) else cosmology)
         self.lumdist = None if lumdist is None else float(lumdist)
+
+        # Instrument-response quadrature pack (None = point evaluation);
+        # set by _from_fit / restored by _from_h5.
+        self.response_pack = None
 
         # Derived-quantity chains (None until computed).
         self.lir_chain = None
@@ -108,6 +143,7 @@ class MBBResults:
         self.evidence = getattr(fit, "evidence", None)
         self.logz_pt = getattr(fit, "logz_pt", None)
         self.logz_ti = getattr(fit, "logz_ti", None)
+        self.response_pack = fit._response_pack()
         self._fit = fit
 
     def _from_h5(self, h5file):
@@ -253,6 +289,104 @@ class MBBResults:
         free = self.chain[:, :, self.param_spec.free_indices]
         # (nwalkers, nsteps, nfree) -> sampler layout (nsteps, nwalkers, .)
         return autocorrelation_time(np.transpose(free, (1, 0, 2)))
+
+    # -- goodness of fit -------------------------------------------------------------
+    def posterior_predictive(self, thin=1, seed=0):
+        """Posterior-predictive goodness-of-fit check (chi-sq discrepancy).
+
+        ADDITIVE capability: the reference offers no absolute
+        goodness-of-fit -- users eyeballed chi-square (SURVEY.md C6).
+        For each (thinned) chain sample theta_t this compares the
+        observed photometry against photometry REPLICATED from the
+        fitted error model around that sample's model band fluxes
+        m_t = m(theta_t):
+
+            T_obs(t) = |W (m_t - y_obs)|^2
+            y_rep(t) = m_t + L eps_t,  eps_t ~ N(0, I)
+            T_rep(t) = |W (m_t - y_rep(t))|^2 = |eps_t|^2
+
+        with L the Cholesky factor of the fit's error model (diag
+        sigma^2 or the full calibration covariance) restricted to
+        DETECTED bands, and W = L^-1 the whitening the likelihood used
+        (the replicated discrepancy needs no matrix ops: W L eps = eps,
+        exactly chi-square with ndata dof). The headline
+
+            p_value = P[T_rep >= T_obs]
+
+        is ~uniform under a well-specified model; p < ~0.01 flags
+        misfit, p > ~0.99 overestimated errors. band_p[b] =
+        P[y_rep,b >= y_obs,b] localizes which band misfits.
+
+        Photometric upper-limit bands are EXCLUDED from the statistic
+        and the replication (their one-sided penalty is not a proper
+        sampling density to draw replicates from); their band_p is NaN.
+        Model band fluxes use the same evaluation mode as the fitted
+        likelihood -- band-integrated when the fit ran with instrument
+        responses (the pack round-trips through HDF5), point evaluation
+        otherwise -- in ONE batched device call over the thinned chain.
+
+        Returns a PPCResult.
+        """
+        spec = self.param_spec
+        wave = np.asarray(self.phot.wave, np.float64)
+        y = np.asarray(self.phot.flux, np.float64)
+        nb = wave.size
+        uplim = (np.zeros(nb, bool) if spec.uplim_bands is None
+                 else np.asarray(spec.uplim_bands, bool))
+        det_idx = np.where(~uplim)[0]
+        ndet = int(det_idx.size)
+        if ndet == 0:
+            raise RuntimeError(
+                "posterior_predictive needs at least one detected "
+                "(non-upper-limit) band")
+
+        # Error model over the detected bands (marginal of the fit's
+        # covariance), precomputed host fp64 like build_lnprob's whitener.
+        if self.phot.cov is not None:
+            chol = np.linalg.cholesky(np.asarray(self.phot.cov, np.float64)
+                                      [np.ix_(det_idx, det_idx)])
+            whiten = np.asarray(np.linalg.inv(chol), np.float32)
+            lmat = np.asarray(chol, np.float32)
+            sig32 = isig = None
+        else:
+            sig = np.asarray(self.phot.unc, np.float64)[det_idx]
+            whiten = lmat = None
+            sig32 = np.asarray(sig, np.float32)
+            isig = np.asarray(1.0 / sig, np.float32)
+
+        fluxes = derived.band_flux_eval(self.shape, wave,
+                                        self.response_pack)
+        y_det = np.asarray(y[det_idx], np.float32)
+
+        def one(theta, key):
+            m = fluxes(theta)[det_idx]
+            d_obs = m - y_det
+            eps = jax.random.normal(key, (ndet,), jnp.float32)
+            if whiten is not None:
+                r_obs = whiten @ d_obs
+                noise = lmat @ eps
+            else:
+                r_obs = d_obs * isig
+                noise = sig32 * eps
+            return jnp.sum(r_obs * r_obs), jnp.sum(eps * eps), m + noise
+
+        samples = jnp.asarray(self._thinned(thin), jnp.float32)
+        n = int(samples.shape[0])
+        keys = jax.random.split(jax.random.PRNGKey(int(seed)), n)
+        chi2_obs, chi2_rep, y_rep = jax.jit(jax.vmap(one))(samples, keys)
+        chi2_obs = np.asarray(chi2_obs, np.float64)
+        chi2_rep = np.asarray(chi2_rep, np.float64)
+        y_rep = np.asarray(y_rep, np.float64)            # (n, ndet)
+
+        band_p = np.full(nb, np.nan)
+        band_p[det_idx] = np.mean(y_rep >= y[det_idx][None, :], axis=0)
+        return PPCResult(
+            p_value=float(np.mean(chi2_rep >= chi2_obs)),
+            band_p=band_p, chi2_obs=chi2_obs, chi2_rep=chi2_rep,
+            ndata=ndet, nfree=len(spec.free_indices), nsamples=n,
+            uplim_bands=uplim,
+            band_names=(list(self.phot.band_names)
+                        if self.phot.band_names is not None else None))
 
     # -- cosmology helpers -----------------------------------------------------------
     def _dl_mpc(self):
