@@ -36,7 +36,7 @@ from mbb_emcee_tpu.tempering import (
 from mbb_emcee_tpu.mapfit import MAPResult
 from mbb_emcee_tpu.fitter import MBBFitter
 from mbb_emcee_tpu.results import MBBResults, PPCResult
-from mbb_emcee_tpu.multifit import MultiFitter
+from mbb_emcee_tpu.multifit import MultiFitter, PPCBatchResult
 from mbb_emcee_tpu.catalog import Catalog, read_catalog
 
 __version__ = "0.2.0"
@@ -53,7 +53,8 @@ __all__ = [
     "NestedResult", "NestedBatchResult",
     "pt_sample", "PTResult", "ParallelTemperingSampler",
     "geometric_ladder", "MAPResult",
-    "MBBFitter", "MBBResults", "PPCResult", "MultiFitter",
+    "MBBFitter", "MBBResults", "PPCResult", "PPCBatchResult",
+    "MultiFitter",
     "Catalog", "read_catalog",
     "__version__",
 ]

@@ -194,6 +194,11 @@ def build_parser():
                    help="per-source Bayesian evidence lnZ by batched "
                         "nested sampling (compare two runs for per-source "
                         "Bayes factors between model variants)")
+    g.add_argument("--ppc", action="store_true",
+                   help="batched posterior-predictive goodness-of-fit "
+                        "sweep: per-source chi-square discrepancy "
+                        "p-values (lists sources with p < 0.01 -- the "
+                        "ones the MBB model does not describe)")
     g.add_argument("--nlive", type=int, default=512,
                    help="nested-sampling live points (default 512)")
 
@@ -396,9 +401,9 @@ def main(argv=None):
             raise SystemExit("--map runs in seconds; checkpointing does "
                              "not apply")
         if args.get_lir or args.get_dustmass or args.get_peaklambda \
-                or args.get_evidence:
-            raise SystemExit("derived-quantity posteriors need chains; "
-                             "run without --map for them")
+                or args.get_evidence or args.ppc:
+            raise SystemExit("derived-quantity posteriors and --ppc need "
+                             "chains; run without --map for them")
         if not chunked:
             return _map_and_write(mf, args, log, args.outfile)
         # chunked triage: the huge-catalog case --map exists for; every
@@ -630,6 +635,17 @@ def _fit_and_write(mf, args, log, outfile, offset=0):
                             cosmology=args.cosmology)
     if args.get_peaklambda:
         mf.compute_peaklambda(thin=args.derived_thin)
+    if args.ppc:
+        ppc = mf.posterior_predictive(thin=args.derived_thin)
+        flagged = np.where(ppc.p_value < 0.01)[0]
+        names = mf.source_names
+        print(f"posterior predictive: median p "
+              f"{np.median(ppc.p_value):.3f} over {mf.nsources} sources; "
+              f"{flagged.size} with p < 0.01"
+              + ("" if not flagged.size else ": " + ", ".join(
+                  (names[i] if names is not None else f"src{i + offset}")
+                  + f"={ppc.p_value[i]:.4f}" for i in flagged[:20])
+                  + (" ..." if flagged.size > 20 else "")))
 
     mf.writeToHDF5(outfile, thin=args.store_thin)
 

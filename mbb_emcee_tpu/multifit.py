@@ -23,6 +23,8 @@ NamedSharding -- XLA partitions the whole run with zero collectives
 
 from __future__ import annotations
 
+import dataclasses as _dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -88,6 +90,32 @@ def _tau_one_dim(x, c=5.0):
 # (S, nrec, nw, nfree) -> (S, nfree): one device call for the whole batch.
 _batched_tau = jax.jit(
     jax.vmap(jax.vmap(_tau_one_dim, in_axes=2), in_axes=0))
+
+
+@_dataclasses.dataclass
+class PPCBatchResult:
+    """Batched posterior-predictive check (MultiFitter.posterior_predictive).
+
+    Per-source p-values are ~uniform on (0,1) under a well-specified
+    model; in a well-calibrated S-source catalog roughly S/100 sources
+    will show p < 0.01 by chance -- flag OUTLIERS in the p histogram,
+    not every small value. `band_p` localizes which band misfits for a
+    flagged source (entries near 0 or 1)."""
+    p_value: np.ndarray     # (S,) P[T_rep >= T_obs] per source
+    band_p: np.ndarray      # (S, nb) tail prob; NaN at excluded slots
+    chi2_obs: np.ndarray    # (S, nsamples) whitened chi-sq of observed data
+    chi2_rep: np.ndarray    # (S, nsamples) chi-sq of replicated data
+    ndata: np.ndarray       # (S,) bands entering each source's statistic
+    nfree: int              # free parameters (dof ref: ndata - nfree)
+    nsamples: int           # thinned samples per source
+    excluded: np.ndarray    # (S, nb) bool: missing or upper-limit slots
+
+    def __repr__(self):
+        p = self.p_value
+        return (f"PPCBatchResult(S={p.size}, nsamples={self.nsamples}, "
+                f"p<0.01: {int((p < 0.01).sum())}, "
+                f"p>0.99: {int((p > 0.99).sum())}, "
+                f"median p={np.median(p):.3f})")
 
 
 class MultiFitter(ParamSpaceMixin):
@@ -1889,6 +1917,109 @@ class MultiFitter(ParamSpaceMixin):
                                        int(waves_j.size))  # (S, N, nwave)
         return derived.sed_band(fluxes, percentile, sample_axis=1)
 
+    def posterior_predictive(self, thin=1, seed=0):
+        """Batched posterior-predictive goodness-of-fit over the catalog.
+
+        The batch analog of MBBResults.posterior_predictive (see there
+        for the statistic): for every source s and (thinned) chain
+        sample t, the whitened chi-square of the observed photometry
+        T_obs is compared against replicated photometry drawn from the
+        fitted error model, T_rep = |eps|^2 -- all (S x nsamples) pairs
+        in one batched device program. Handles the full ragged-catalog
+        error surface the batch likelihood samples under:
+
+        - MISSING bands (NaN flux/unc) and photometric UPPER-LIMIT
+          slots (shared or per-source masks) are excluded from the
+          statistic and the replication (band_p NaN there);
+        - correlated band errors (set_band_correlation): per-source
+          whitening is the exact marginal over each source's observed
+          bands (the same _whiten_operand the likelihood used), and
+          replication draws through its inverse.
+
+        Returns a PPCBatchResult with per-source p-values -- the
+        serving-side QA sweep: which of 10,000 sources does the MBB
+        model NOT describe?
+        """
+        self._require_run()
+        flux = np.asarray(self.flux, np.float64)             # (S, nb)
+        S, nb = flux.shape
+        iunc = self._iunc_operand()          # signed: <0 uplim, 0 missing
+        inc = iunc > 0
+        ndata = inc.sum(axis=1).astype(np.int64)
+        if np.any(ndata == 0):
+            bad = int(np.argwhere(ndata == 0)[0, 0])
+            raise RuntimeError(
+                f"posterior_predictive: source {bad} has no detected "
+                f"(non-missing, non-upper-limit) band")
+        y_h = np.where(inc, np.nan_to_num(flux), 0.0)
+        y = jnp.asarray(y_h.astype(np.float32))
+        mask = jnp.asarray(inc.astype(np.float32))
+
+        fluxes = derived.band_flux_eval(self.shape, self.wave,
+                                        self._response_pack())
+
+        if self._band_corr is None:
+            iu = jnp.asarray(np.where(inc, iunc, 0.0).astype(np.float32))
+            with np.errstate(divide="ignore"):
+                sg = jnp.asarray(np.where(inc, 1.0 / np.where(inc, iunc, 1.0),
+                                          0.0).astype(np.float32))
+
+            def one(theta, key, y_s, a, b, m_s):
+                m = fluxes(theta)
+                d = (m - y_s) * a                 # excluded slots -> 0
+                eps = jax.random.normal(key, (nb,), jnp.float32) * m_s
+                return (jnp.sum(d * d), jnp.sum(eps * eps),
+                        m + b * eps)
+            op_a, op_b = iu, sg
+        else:
+            # (S, nb, nb) exact marginal whitening (zero rows/cols at
+            # missing slots) + its inverse on the observed block for the
+            # replication draw; host fp64 like the likelihood precompute.
+            W = self._whiten_operand()
+            L = np.zeros_like(W)
+            for s in range(S):
+                p = inc[s]
+                L[s][np.ix_(p, p)] = np.linalg.inv(W[s][np.ix_(p, p)])
+
+            def one(theta, key, y_s, a, b, m_s):
+                m = fluxes(theta)
+                d = a @ ((m - y_s) * m_s)
+                eps = jax.random.normal(key, (nb,), jnp.float32) * m_s
+                return (jnp.sum(d * d), jnp.sum(eps * eps),
+                        m + b @ eps)
+            op_a = jnp.asarray(W.astype(np.float32))
+            op_b = jnp.asarray(L.astype(np.float32))
+
+        samples = jnp.asarray(self._thinned(thin), jnp.float32)  # (S,N,5)
+        N = int(samples.shape[1])
+        keys = jax.random.split(jax.random.PRNGKey(int(seed)),
+                                S * N).reshape(S, N, -1)
+        batched = jax.jit(jax.vmap(
+            jax.vmap(one, in_axes=(0, 0, None, None, None, None)),
+            in_axes=(0, 0, 0, 0, 0, 0)))
+
+        # Sample-axis chunking (same memory bound as _chunked_samples;
+        # keys must slice alongside the samples, so inline the loop).
+        chunk = max(1, (64 << 20) // max(S * nb, 1))
+        co, cr, yr = [], [], []
+        for i in range(0, N, chunk):
+            a, b, c = batched(samples[:, i:i + chunk],
+                              keys[:, i:i + chunk], y, op_a, op_b, mask)
+            co.append(np.asarray(a, np.float64))
+            cr.append(np.asarray(b, np.float64))
+            yr.append(np.asarray(c, np.float64))
+        chi2_obs = np.concatenate(co, axis=1)
+        chi2_rep = np.concatenate(cr, axis=1)
+        y_rep = np.concatenate(yr, axis=1)                  # (S, N, nb)
+
+        band_p = np.where(inc, np.mean(y_rep >= y_h[:, None, :], axis=1),
+                          np.nan)
+        return PPCBatchResult(
+            p_value=np.mean(chi2_rep >= chi2_obs, axis=1),
+            band_p=band_p, chi2_obs=chi2_obs, chi2_rep=chi2_rep,
+            ndata=ndata, nfree=self.free_space.nfree, nsamples=N,
+            excluded=~inc)
+
     def compute_evidence(self, nlive=512, nbatch=32, nsteps=32,
                          max_iter=3000, tol=1e-4, seed=None, verbose=False):
         """Per-source Bayesian evidences ln Z for the whole batch in ONE
@@ -2195,6 +2326,7 @@ class _SourceView:
         self.lnprobability = np.asarray(mf.lnprobability[i])
         self.acceptance_fraction = mf.acceptance_fraction[i]
         self.shape = mf.shape
+        self._pack = mf._response_pack()
         cov = None
         if mf._band_corr is not None:
             # this source's full covariance C = D R D (the error model
@@ -2233,6 +2365,9 @@ class _SourceView:
             # writeToHDF5 emits the Evidence group, exactly as a
             # single-source MBBFitter.compute_evidence() would.
             self.evidence = mf.evidence[i]
+
+    def _response_pack(self):
+        return self._pack
 
 
 def _mesh_token(mesh):

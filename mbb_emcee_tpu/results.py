@@ -143,7 +143,10 @@ class MBBResults:
         self.evidence = getattr(fit, "evidence", None)
         self.logz_pt = getattr(fit, "logz_pt", None)
         self.logz_ti = getattr(fit, "logz_ti", None)
-        self.response_pack = fit._response_pack()
+        # Tolerant lookup: adapter views (multifit._SourceView) predate
+        # this attribute; anything exposing the fitter surface works.
+        pack_fn = getattr(fit, "_response_pack", None)
+        self.response_pack = pack_fn() if pack_fn is not None else None
         self._fit = fit
 
     def _from_h5(self, h5file):
@@ -330,10 +333,14 @@ class MBBResults:
         spec = self.param_spec
         wave = np.asarray(self.phot.wave, np.float64)
         y = np.asarray(self.phot.flux, np.float64)
+        unc_all = np.asarray(self.phot.unc, np.float64)
         nb = wave.size
         uplim = (np.zeros(nb, bool) if spec.uplim_bands is None
                  else np.asarray(spec.uplim_bands, bool))
-        det_idx = np.where(~uplim)[0]
+        # MISSING bands (ragged-catalog source views carry NaN flux/unc
+        # and an inf-variance covariance row) are excluded like uplims.
+        present = np.isfinite(y) & np.isfinite(unc_all) & (unc_all > 0)
+        det_idx = np.where(present & ~uplim)[0]
         ndet = int(det_idx.size)
         if ndet == 0:
             raise RuntimeError(

@@ -175,6 +175,192 @@ def test_ppc_response_mode_h5_roundtrip(tmp_path):
     np.testing.assert_allclose(ppc2.chi2_obs, ppc.chi2_obs, rtol=1e-6)
 
 
+@pytest.fixture(scope="module")
+def batch_fit():
+    """4-source batch: sources 0-2 well specified, source 3 carries a
+    band displaced by 10 sigma."""
+    from mbb_emcee_tpu.multifit import MultiFitter
+    f = _model_fluxes()
+    unc = 0.05 * f
+    rng = np.random.default_rng(7)
+    flux = f[None, :] + unc[None, :] * rng.standard_normal((4, f.size))
+    flux[3, 2] += 10.0 * unc[2]
+    mf = MultiFitter(nwalkers=32, seed=19)
+    mf.set_uplim("T", 100.0).set_uplim("beta", 5.0)
+    mf.set_gaussian_prior("lambda0", 250.0, 120.0)
+    mf.set_gaussian_prior("alpha", 3.2, 1.5)
+    mf.set_data(WAVE, flux, np.broadcast_to(unc, flux.shape))
+    mf.run(nburn=50, nsteps=100)
+    return mf, flux, unc
+
+
+def test_ppc_batch_shapes_and_calibration(batch_fit):
+    mf, flux, unc = batch_fit
+    ppc = mf.posterior_predictive(thin=4)
+    assert ppc.p_value.shape == (4,)
+    assert ppc.band_p.shape == (4, 5)
+    assert ppc.chi2_obs.shape == (4, ppc.nsamples)
+    assert np.all(ppc.ndata == 5) and ppc.nfree == 5
+    assert not ppc.excluded.any()
+    # Well-specified sources: moderate p; replicated chi-sq ~ ndata.
+    assert np.all(ppc.p_value[:3] > 0.02) and np.all(ppc.p_value[:3] < 0.98)
+    assert np.allclose(np.mean(ppc.chi2_rep, axis=1), 5.0, atol=0.6)
+    # The misfit source craters; its displaced band is flagged.
+    assert ppc.p_value[3] < 0.01
+    assert ppc.band_p[3, 2] < 0.05
+    assert "p<0.01: 1" in repr(ppc)
+
+
+def test_ppc_batch_chi2_matches_host_oracle(batch_fit):
+    """Batched chi2_obs equals the host fp64 chi-square for spot-checked
+    (source, sample) pairs."""
+    mf, flux, unc = batch_fit
+    thin = 40
+    ppc = mf.posterior_predictive(thin=thin)
+    samples = np.asarray(mf._thinned(thin))           # (S, N, 5)
+    for s in (0, 3):
+        for t in range(0, samples.shape[1], 9):
+            m = np.asarray(
+                mbb_fnu(jnp.asarray(samples[s, t], jnp.float32),
+                        jnp.asarray(WAVE, jnp.float32), mf.shape),
+                np.float64)
+            want = np.sum(((m - flux[s]) / unc) ** 2)
+            np.testing.assert_allclose(ppc.chi2_obs[s, t], want,
+                                       rtol=3e-4)
+
+
+def test_ppc_batch_missing_and_uplim_slots():
+    """A missing band and a per-source upper-limit slot are excluded
+    (band_p NaN; ndata drops) without disturbing the other sources."""
+    from mbb_emcee_tpu.multifit import MultiFitter
+    f = _model_fluxes()
+    unc = 0.05 * f
+    rng = np.random.default_rng(11)
+    flux = f[None, :] + unc[None, :] * rng.standard_normal((3, f.size))
+    u = np.broadcast_to(unc, flux.shape).copy()
+    flux[1, 4] = np.nan                        # missing band
+    m = np.zeros((3, 5), bool)
+    m[2, 0] = True                             # per-source upper limit
+    flux[2, 0] = 2.0 * f[0]
+    mf = MultiFitter(nwalkers=32, seed=23)
+    mf.set_uplim("T", 100.0).set_uplim("beta", 5.0)
+    mf.set_gaussian_prior("lambda0", 250.0, 120.0)
+    mf.set_gaussian_prior("alpha", 3.2, 1.5)
+    mf.set_data(WAVE, flux, u)
+    mf.set_phot_upperlimits(m)
+    mf.run(nburn=50, nsteps=100)
+    ppc = mf.posterior_predictive(thin=4)
+    assert list(ppc.ndata) == [5, 4, 4]
+    assert np.isnan(ppc.band_p[1, 4]) and np.isnan(ppc.band_p[2, 0])
+    assert np.isfinite(ppc.band_p[0]).all()
+    assert ppc.excluded[1, 4] and ppc.excluded[2, 0]
+    assert np.all(ppc.p_value > 0.001)
+    # Host oracle for the ragged source: chi-square over its 4 bands.
+    samples = np.asarray(mf._thinned(40))
+    mm = np.asarray(
+        mbb_fnu(jnp.asarray(samples[1, 0], jnp.float32),
+                jnp.asarray(WAVE, jnp.float32), mf.shape), np.float64)
+    want = np.sum(((mm[:4] - flux[1, :4]) / unc[:4]) ** 2)
+    ppc40 = mf.posterior_predictive(thin=40)
+    np.testing.assert_allclose(ppc40.chi2_obs[1, 0], want, rtol=3e-4)
+
+
+def test_ppc_batch_correlated_matches_host_oracle():
+    """With a shared band correlation, chi2_obs is the Mahalanobis
+    distance under each source's marginal covariance."""
+    from mbb_emcee_tpu.multifit import MultiFitter
+    f = _model_fluxes()
+    unc = 0.05 * f
+    R = 0.4 * np.ones((5, 5)) + 0.6 * np.eye(5)
+    rng = np.random.default_rng(13)
+    flux = f[None, :] + unc[None, :] * rng.standard_normal((2, f.size))
+    flux[1, 3] = np.nan                        # ragged + correlated
+    mf = MultiFitter(nwalkers=32, seed=29)
+    mf.set_uplim("T", 100.0).set_uplim("beta", 5.0)
+    mf.set_gaussian_prior("lambda0", 250.0, 120.0)
+    mf.set_gaussian_prior("alpha", 3.2, 1.5)
+    mf.set_data(WAVE, flux, np.broadcast_to(unc, flux.shape))
+    mf.set_band_correlation(R)
+    mf.run(nburn=50, nsteps=100)
+    ppc = mf.posterior_predictive(thin=40)
+    samples = np.asarray(mf._thinned(40))
+    # full-band source
+    C = R * np.outer(unc, unc)
+    m0 = np.asarray(
+        mbb_fnu(jnp.asarray(samples[0, 0], jnp.float32),
+                jnp.asarray(WAVE, jnp.float32), mf.shape), np.float64)
+    d0 = m0 - flux[0]
+    np.testing.assert_allclose(ppc.chi2_obs[0, 0],
+                               d0 @ np.linalg.inv(C) @ d0, rtol=1e-3)
+    # ragged source: marginal over its present bands
+    p = np.isfinite(flux[1])
+    Cp = (R * np.outer(unc, unc))[np.ix_(p, p)]
+    m1 = np.asarray(
+        mbb_fnu(jnp.asarray(samples[1, 0], jnp.float32),
+                jnp.asarray(WAVE, jnp.float32), mf.shape), np.float64)
+    d1 = (m1 - flux[1])[p]
+    np.testing.assert_allclose(ppc.chi2_obs[1, 0],
+                               d1 @ np.linalg.inv(Cp) @ d1, rtol=1e-3)
+    assert np.isnan(ppc.band_p[1, 3])
+    assert abs(np.mean(ppc.chi2_rep[0]) - 5.0) < 1.0
+    assert abs(np.mean(ppc.chi2_rep[1]) - 4.0) < 1.0
+
+
+def test_ppc_source_view_matches_batch(batch_fit):
+    """MultiFitter.results(i).posterior_predictive works on the per-source
+    view and covers the same sample set as the batched row (the two
+    surfaces flatten the chain walker-major vs step-major, so compare
+    the full thin=1 statistic as sorted multisets)."""
+    mf, flux, unc = batch_fit
+    ppc_b = mf.posterior_predictive(thin=1)
+    ppc_s = mf.results(0).posterior_predictive(thin=1)
+    assert ppc_s.nsamples == ppc_b.nsamples
+    np.testing.assert_allclose(np.sort(ppc_s.chi2_obs),
+                               np.sort(ppc_b.chi2_obs[0]),
+                               rtol=2e-4, atol=1e-3)
+    assert abs(ppc_s.p_value - ppc_b.p_value[0]) < 0.05
+
+
+def test_ppc_batch_cli(tmp_path, capsys):
+    """--ppc on the batch CLI prints the per-source sweep and names the
+    misfit source."""
+    from mbb_emcee_tpu.cli_batch import main as batch_main
+    cat = str(tmp_path / "cat.txt")
+    out = str(tmp_path / "batch.h5")
+    shape = MBBShape(opthin=True, noalpha=True)
+    f = np.asarray(mbb_fnu(jnp.asarray(TRUE, jnp.float32),
+                           jnp.asarray(WAVE, jnp.float32), shape),
+                   np.float64)
+    unc = 0.05 * f
+    rng = np.random.default_rng(31)
+    lines = ["wave = " + " ".join(f"{w:g}" for w in WAVE)]
+    for i in range(3):
+        flux = f + unc * rng.standard_normal(f.size)
+        if i == 2:
+            flux[1] += 10.0 * unc[1]          # misfit source
+        lines.append(f"SRC{i:03d} 2.0 " + " ".join(
+            f"{flux[j]:.4f} {unc[j]:.4f}" for j in range(WAVE.size)))
+    with open(cat, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    rc = batch_main([cat, out, "--opthin", "--noalpha",
+                     "-w", "32", "-b", "40", "-n", "100",
+                     "--uplim", "T", "100", "--uplim", "beta", "5",
+                     "--ppc", "--derived-thin", "4", "--seed", "3"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "posterior predictive: median p" in text
+    assert "SRC002=" in text and "SRC000" not in text.split("\n")[0]
+
+
+def test_ppc_batch_cli_refuses_map(tmp_path):
+    from mbb_emcee_tpu.cli_batch import main as batch_main
+    cat = str(tmp_path / "cat.txt")
+    with open(cat, "w") as fh:
+        fh.write("wave = 100 250\nS0 1.0 10 1 20 2\n")
+    with pytest.raises(SystemExit, match="--ppc"):
+        batch_main([cat, str(tmp_path / "o.h5"), "--map", "--ppc"])
+
+
 def test_ppc_point_mode_h5_roundtrip(tmp_path):
     """Point-mode files carry no ResponsePack group and reload with
     response_pack=None (backward compatible with pre-existing files)."""
