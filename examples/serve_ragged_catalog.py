@@ -101,6 +101,13 @@ print(f"fit {S} ragged sources; T medians "
       f"{cen[:, 0].min():.1f}-{cen[:, 0].max():.1f} K, "
       f"max split-R-hat {mf.gelman_rubin().max():.3f}")
 
+# goodness-of-fit sweep: which sources does the MBB model NOT describe?
+# (per-source chi-square discrepancy p-values; handles the missing
+# bands and the correlated whitening exactly as the likelihood did)
+ppc = mf.posterior_predictive(thin=4)
+print(f"PPC: median p {np.median(ppc.p_value):.2f}; "
+      f"{int((ppc.p_value < 0.01).sum())}/{S} sources flagged p<0.01")
+
 # the one-sided path instead (diagonal errors):
 mf2 = MultiFitter(nwalkers=NWALKERS, opthin=True, noalpha=True, seed=2)
 mf2.set_data(wave, flux, unc)

@@ -321,6 +321,34 @@ def test_ppc_source_view_matches_batch(batch_fit):
     assert abs(ppc_s.p_value - ppc_b.p_value[0]) < 0.05
 
 
+@pytest.mark.slow
+def test_ppc_pvalue_calibration():
+    """Calibration: across many independent noise realizations of a
+    well-specified model, PPC p-values are broadly spread and
+    non-extreme. (Posterior-predictive p-values are known to be
+    CONSERVATIVE -- pulled toward 0.5 by the double use of the data --
+    so this asserts spread + no false alarms, not exact uniformity.)
+    One batched fit: the realizations ARE the source axis."""
+    from mbb_emcee_tpu.multifit import MultiFitter
+    M = 24
+    f = _model_fluxes()
+    unc = 0.05 * f
+    rng = np.random.default_rng(42)
+    flux = f[None, :] + unc[None, :] * rng.standard_normal((M, f.size))
+    mf = MultiFitter(nwalkers=32, seed=37)
+    mf.set_uplim("T", 100.0).set_uplim("beta", 5.0)
+    mf.set_gaussian_prior("lambda0", 250.0, 120.0)
+    mf.set_gaussian_prior("alpha", 3.2, 1.5)
+    mf.set_data(WAVE, flux, np.broadcast_to(unc, flux.shape))
+    mf.run(nburn=60, nsteps=120)
+    p = mf.posterior_predictive(thin=4).p_value
+    # No false alarm on any well-specified realization...
+    assert p.min() > 0.001 and p.max() < 0.9999
+    # ...and real spread (not all stuck at 0.5).
+    assert np.ptp(p) > 0.2
+    assert 0.2 < np.median(p) < 0.85
+
+
 def test_ppc_batch_cli(tmp_path, capsys):
     """--ppc on the batch CLI prints the per-source sweep and names the
     misfit source."""
