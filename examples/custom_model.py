@@ -134,3 +134,23 @@ print(f"lnZ(2-comp) - lnZ(1-comp) = {dlnz:.1f} "
       f"+/- {np.hypot(z2.logz_err, z1.logz_err):.1f}")
 print("the data", "DEMAND the warm component" if dlnz > 5 else
       "do not need two components")
+
+# 4. Or skip the scaffolding: the SEDFitter surface -------------------
+# Everything above (plus covariance handling, response curves, fixed
+# params, priors, L_IR / peak-lambda posteriors, PPC, HDF5) comes
+# packaged: describe the model once and reuse the whole MBB pipeline.
+from mbb_emcee_tpu import SEDModel, SEDFitter
+
+model = SEDModel(fnu=two_mbb_fnu, param_names=names,
+                 lower=LOWER, upper=UPPER, name="two-temp-greybody")
+fit = SEDFitter(model, nwalkers=NWALKERS, redshift=2.0, seed=6)
+fit.set_data(WAVE, flux, unc)
+for nm, v in zip(names, 0.5 * (LOWER + UPPER)):
+    fit.set_param_init(nm, v, 0.15 * v)
+fit.set_gaussian_prior("beta", 1.8, 0.5)
+fit.run(nburn=NBURN, nsteps=NSTEPS)
+res = fit.results()
+ppc = res.posterior_predictive(thin=4)
+print(f"SEDFitter: T_cold = {res.par_cen('T_cold')[0]:.1f}, "
+      f"T_warm = {res.par_cen('T_warm')[0]:.1f}, "
+      f"L_IR = {res.lir_cen()[0]:.3g} Lsun, PPC p = {ppc.p_value:.2f}")

@@ -18,6 +18,8 @@ A ground-up JAX/XLA/Pallas rebuild of the capabilities of aconley/mbb_emcee:
   * derived-quantity posteriors (L_IR, dust mass, peak wavelength) as batched
     on-device quadrature / optimization over stored chains
   * HDF5 persistence with round-trip loading
+  * a generic-model surface (sed.SEDFitter/SEDResults): any pure-JAX
+    fnu(theta, wave) runs the same pipeline end-to-end (additive)
 
 See SURVEY.md for the reference layer map this mirrors.
 """
@@ -38,6 +40,7 @@ from mbb_emcee_tpu.fitter import MBBFitter
 from mbb_emcee_tpu.results import MBBResults, PPCResult
 from mbb_emcee_tpu.multifit import MultiFitter, PPCBatchResult
 from mbb_emcee_tpu.catalog import Catalog, read_catalog
+from mbb_emcee_tpu.sed import SEDModel, SEDFitter, SEDResults
 
 __version__ = "0.2.0"
 
@@ -56,5 +59,6 @@ __all__ = [
     "MBBFitter", "MBBResults", "PPCResult", "PPCBatchResult",
     "MultiFitter",
     "Catalog", "read_catalog",
+    "SEDModel", "SEDFitter", "SEDResults",
     "__version__",
 ]

@@ -177,6 +177,21 @@ class LikelihoodSpec:
                    prior_mean=np.zeros(NPARAMS),
                    prior_isigma=np.zeros(NPARAMS))
 
+    @classmethod
+    def for_box(cls, lower, upper):
+        """Generic-model variant of default(): an npar-sized spec from an
+        explicit hard box (sed.SEDModel parameter spaces)."""
+        lower = np.asarray(lower, np.float64).copy()
+        upper = np.asarray(upper, np.float64).copy()
+        if lower.shape != upper.shape or lower.ndim != 1:
+            raise ValueError("lower/upper must be matching 1-D arrays")
+        if np.any(lower >= upper):
+            raise ValueError("each lower limit must be < its upper limit")
+        n = lower.size
+        return cls(lower=lower, upper=upper, fixed=np.zeros(n, bool),
+                   fixed_values=np.zeros(n), prior_mean=np.zeros(n),
+                   prior_isigma=np.zeros(n))
+
     @property
     def free_indices(self):
         return np.nonzero(~self.fixed)[0]
@@ -212,16 +227,19 @@ class FreeSpace:
                    upper=spec.upper[free_idx].copy())
 
     def scatter_matrix(self, dtype=np.float64):
-        """(NPARAMS, nfree) scatter: theta = template + scatter @ free."""
-        s = np.zeros((NPARAMS, self.nfree), dtype)
+        """(npar, nfree) scatter: theta = template + scatter @ free.
+        Sized from the template so generic models (sed.py) with npar != 5
+        share this mapping."""
+        s = np.zeros((self.template.size, self.nfree), dtype)
         s[self.free_idx, np.arange(self.nfree)] = 1.0
         return s
 
     def expand(self, free_vals):
-        """(..., nfree) free-space -> (..., 5) full parameter vectors."""
+        """(..., nfree) free-space -> (..., npar) full parameter vectors."""
         free_vals = np.asarray(free_vals)
         out = np.broadcast_to(self.template,
-                              free_vals.shape[:-1] + (NPARAMS,)).copy()
+                              free_vals.shape[:-1]
+                              + (self.template.size,)).copy()
         out[..., self.free_idx] = free_vals
         return out
 

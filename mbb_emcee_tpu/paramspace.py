@@ -22,16 +22,22 @@ def _replace(spec: LikelihoodSpec, **kw) -> LikelihoodSpec:
 
 
 class ParamSpaceMixin:
+    def _param_index(self, param):
+        """Name/index -> index. The MBB hosts use the package-wide
+        5-parameter lookup; generic-model hosts (sed.SEDFitter) override
+        this with their model's own names."""
+        return param_index(param)
+
     def set_lowlim(self, param, value):
         """Hard lower box limit (ref: mbb_fitter.set_lowlim)."""
-        i = param_index(param)
+        i = self._param_index(param)
         lo = self._spec.lower.copy()
         lo[i] = float(value)
         self._spec = _replace(self._spec, lower=lo)
         return self
 
     def set_uplim(self, param, value):
-        i = param_index(param)
+        i = self._param_index(param)
         hi = self._spec.upper.copy()
         hi[i] = float(value)
         self._spec = _replace(self._spec, upper=hi)
@@ -42,7 +48,7 @@ class ParamSpaceMixin:
         Unlike the reference's identical-walker trick, fixed params are
         REMOVED from the sampling space (statistically cleaner; SURVEY.md
         'hard parts')."""
-        i = param_index(param)
+        i = self._param_index(param)
         fixed = self._spec.fixed.copy()
         fv = self._spec.fixed_values.copy()
         fixed[i] = True
@@ -51,7 +57,7 @@ class ParamSpaceMixin:
         return self
 
     def unfix_param(self, param):
-        i = param_index(param)
+        i = self._param_index(param)
         fixed = self._spec.fixed.copy()
         fixed[i] = False
         self._spec = _replace(self._spec, fixed=fixed)
@@ -59,7 +65,7 @@ class ParamSpaceMixin:
 
     def set_gaussian_prior(self, param, mean, sigma):
         """(ref: mbb_fitter.set_gaussian_prior)"""
-        i = param_index(param)
+        i = self._param_index(param)
         pm = self._spec.prior_mean.copy()
         ps = self._spec.prior_isigma.copy()
         pm[i] = float(mean)
@@ -76,7 +82,7 @@ class ParamSpaceMixin:
         auto-seed (T from the brightest band, fnorm from the flux near
         wavenorm) active -- the user asked to change the spread, not the
         center."""
-        i = param_index(param)
+        i = self._param_index(param)
         if value is not None:
             self._init[i] = float(value)
             self._user_init[i] = True

@@ -167,15 +167,22 @@ def plot_chain(res, params=None, max_walkers=50, savefig=None):
         params = res.free_param_names
     params = list(params)
     from mbb_emcee_tpu.likelihood import param_index
-    chain = np.asarray(res.chain, float)        # (nwalkers, nsteps, 5)
+
+    def _idx(name):
+        # Generic-model results (sed.SEDResults) resolve names themselves;
+        # the MBB results fall back to the package-wide 5-param lookup.
+        lookup = getattr(res, "_param_index", None)
+        return lookup(name) if lookup is not None else param_index(name)
+
+    chain = np.asarray(res.chain, float)        # (nwalkers, nsteps, npar)
     nw = min(int(max_walkers), chain.shape[0])
     fig, axes = plt.subplots(len(params), 1, sharex=True,
                              figsize=(6.0, 1.6 * len(params)),
                              squeeze=False)
     for ax, name in zip(axes[:, 0], params):
-        tr = chain[:nw, :, param_index(name)]
+        tr = chain[:nw, :, _idx(name)]
         ax.plot(tr.T, color="C0", alpha=0.15, lw=0.5)
-        ax.plot(np.median(chain[:, :, param_index(name)], axis=0),
+        ax.plot(np.median(chain[:, :, _idx(name)], axis=0),
                 color="k", lw=1.2)
         ax.set_ylabel(_LABELS.get(name, name), fontsize=8)
         ax.tick_params(labelsize=7)
