@@ -41,6 +41,7 @@ from mbb_emcee_tpu.results import MBBResults, PPCResult
 from mbb_emcee_tpu.multifit import MultiFitter, PPCBatchResult
 from mbb_emcee_tpu.catalog import Catalog, read_catalog
 from mbb_emcee_tpu.sed import SEDModel, SEDFitter, SEDResults
+from mbb_emcee_tpu.sedmulti import SEDMultiFitter
 
 __version__ = "0.2.0"
 
@@ -59,6 +60,6 @@ __all__ = [
     "MBBFitter", "MBBResults", "PPCResult", "PPCBatchResult",
     "MultiFitter",
     "Catalog", "read_catalog",
-    "SEDModel", "SEDFitter", "SEDResults",
+    "SEDModel", "SEDFitter", "SEDResults", "SEDMultiFitter",
     "__version__",
 ]

@@ -209,6 +209,66 @@ def build_sed_lnprob(phot: Photometry, model: SEDModel,
     return lnprob, free_space
 
 
+def build_sed_lnprob_data(model: SEDModel, spec: LikelihoodSpec,
+                          response_pack=None, dtype=jnp.float32):
+    """Generic-model twin of likelihood.build_lnprob_data: the photometry
+    arrives as ARGUMENTS so one traced function serves every source of a
+    batch under vmap (sedmulti.SEDMultiFitter).
+
+    Returns (lnprob_fn, free_space) with
+        lnprob_fn(theta_free (nfree,), wave (nb,), flux (nb,), iunc (nb,))
+    where iunc is SIGNED 1/sigma: negative marks a one-sided upper-limit
+    band, exactly 0 a missing band (likelihood.signed_iunc). Diagonal
+    errors only -- correlated band errors stay on the MBB batch surface
+    (MultiFitter.set_band_correlation).
+    """
+    free_space = FreeSpace.from_spec(spec)
+    free_idx = free_space.free_idx
+    if spec.lower.size != model.npar:
+        raise ValueError(
+            f"spec is sized for {spec.lower.size} parameters; model "
+            f"{model.name!r} has {model.npar}")
+    template = np.asarray(free_space.template, dtype)
+    scatter = np.asarray(free_space.scatter_matrix(), dtype)
+    lo_free = np.asarray(spec.lower[free_idx], dtype)
+    hi_free = np.asarray(spec.upper[free_idx], dtype)
+    lo_full = np.asarray(np.where(spec.fixed,
+                                  np.minimum(spec.lower, spec.fixed_values),
+                                  spec.lower), dtype)
+    hi_full = np.asarray(np.where(spec.fixed,
+                                  np.maximum(spec.upper, spec.fixed_values),
+                                  spec.upper), dtype)
+    prior_mean = np.asarray(spec.prior_mean, dtype)
+    prior_isig = np.asarray(spec.prior_isigma, dtype)
+
+    if response_pack is not None:
+        resp_waves = np.asarray(response_pack[0]).astype(dtype)
+        resp_weights = np.asarray(response_pack[1]).astype(dtype)
+
+    fnu = model.fnu
+
+    def lnprob(theta_free, wave, flux, iunc):
+        theta = template + scatter @ theta_free
+        inbox = jnp.all((theta_free >= lo_free) & (theta_free <= hi_free))
+        theta_safe = jnp.clip(theta, lo_full, hi_full)
+        if response_pack is None:
+            model_flux = fnu(theta_safe, wave)
+        else:
+            model_flux = jnp.sum(resp_weights * fnu(theta_safe, resp_waves),
+                                 axis=-1)
+        delta = model_flux - flux
+        # Sign-encoded upper limits / missing bands ride the iunc operand
+        # (see likelihood.build_lnprob_data for the design note).
+        delta = jnp.where(iunc < 0, jnp.maximum(delta, 0.0), delta)
+        r = delta * jnp.abs(iunc)
+        lnl = -0.5 * jnp.sum(r * r)
+        dp = (theta - prior_mean) * prior_isig
+        lnpri = -0.5 * jnp.sum(dp * dp)
+        return jnp.where(inbox, lnl + lnpri, dtype(LNPROB_FLOOR))
+
+    return lnprob, free_space
+
+
 class SEDFitter(ParamSpaceMixin):
     """Fit a user SEDModel to photometry with the reference's protocol.
 

@@ -1,0 +1,875 @@
+"""Batched catalog serving for GENERIC models: SEDMultiFitter.
+
+The generic-model analog of multifit.MultiFitter: fit one user SEDModel
+(sed.py) to S independent sources in lockstep -- the whole batch (ball
+init, burn, per-source re-center, production scan) is ONE jitted device
+program, vmapped over sources and optionally shard_mapped over an ICI
+source mesh (embarrassingly parallel, no collectives). The serving
+surface mirrors the MBB batch class: ragged catalogs via NaN-flagged
+missing bands, shared or per-source photometric upper-limit masks
+riding the sign of the inverse-uncertainty operand, device-side
+summaries (par_cen / split-R-hat / tau / converged), the
+extend()-until-converged loop from the stored per-source PRNG keys,
+batched derived posteriors (L_IR, peak lambda, SED bands), the
+posterior-predictive QA sweep, and one-file HDF5 persistence that can
+resume the serving loop after a reload.
+
+Scope bounds (documented, not implied): diagonal error models only
+(correlated calibration errors stay on the MBB surface --
+MultiFitter.set_band_correlation); the XLA stretch-move tier only (the
+fused Pallas kernels are specialized to the 5-parameter MBB chain); no
+data-driven init heuristic (set_param_init supplies centers). Dust
+mass is MBB physics and lives on MultiFitter.
+
+ADDITIVE capability: the reference fits one photometry file per
+process, with no user-model hook at all (SURVEY.md C4, provenance note).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from mbb_emcee_tpu.likelihood import LikelihoodSpec, signed_iunc
+from mbb_emcee_tpu.paramspace import ParamSpaceMixin, _replace
+from mbb_emcee_tpu.sampler import (
+    SamplerState, ensemble_step, make_initial_ball)
+from mbb_emcee_tpu.sed import SEDModel, build_sed_lnprob_data
+from mbb_emcee_tpu.models.cosmology import Cosmology, luminosity_distance
+from mbb_emcee_tpu import derived
+from mbb_emcee_tpu.multifit import (
+    _batched_split_rhat, _batched_tau, _mesh_token)
+from mbb_emcee_tpu.checkpoint import data_fingerprint
+
+_SEDBATCH_SCHEMA_VERSION = 1
+
+
+class SEDMultiFitter(ParamSpaceMixin):
+    """Fit a user SEDModel to a whole catalog in one device program.
+
+    Usage:
+        model = SEDModel(fnu=my_fnu, param_names=(...), lower=..., upper=...)
+        mf = SEDMultiFitter(model, nwalkers=128, seed=3)
+        mf.set_data(wave, flux_SxNb, unc_SxNb, redshifts=z)
+        for name, v in zip(model.param_names, guess):
+            mf.set_param_init(name, v, 0.1 * abs(v))
+        mf.run(nburn=200, nsteps=600)
+        while not mf.converged(window=64).all():
+            mf.extend(200)
+        cen = mf.par_cen("T_cold")            # (S, 3)
+        lir = mf.compute_lir()                # (S, nsamples)
+    """
+
+    def __init__(self, model: SEDModel, nwalkers=250, seed=207, a=2.0,
+                 mesh=None, prng_impl="threefry2x32"):
+        if not isinstance(model, SEDModel):
+            raise TypeError("model must be an SEDModel")
+        model.validate()
+        self.model = model
+        self.nwalkers = int(nwalkers)
+        if self.nwalkers % 2:
+            raise ValueError("nwalkers must be even")
+        self.seed = int(seed)
+        self.a = float(a)
+        self.mesh = mesh
+        # threefry by default: mesh and no-mesh runs produce IDENTICAL
+        # chains (rbg is faster on TPU but partitioning-dependent).
+        self.prng_impl = prng_impl
+        self.responses = None
+
+        self._spec = LikelihoodSpec.for_box(model.lower, model.upper)
+        center = 0.5 * (model.lower + model.upper)
+        self._init = center.copy()
+        self._scatter = np.where(np.abs(center) > 0,
+                                 0.05 * np.abs(center),
+                                 0.05 * (model.upper - model.lower))
+        self._user_init = np.zeros(model.npar, bool)
+        self._user_scatter = np.zeros(model.npar, bool)
+
+        self.wave = self.flux = self.unc = None
+        self.band_names = None
+        self.source_names = None
+        self.redshifts = None
+        self.chain_free = None            # (S, nrec, nw, nfree) device
+        self.lnprobability = None         # (S, nrec, nw)
+        self.acceptance_fraction = None   # (S, nw)
+        self.free_space = None
+        self.thin = 1
+        self._xla_keys = None
+        self._xla_counters = None
+        self._post_token = None
+        self._run_cache = {}
+
+    # -- ParamSpaceMixin hooks ---------------------------------------------------------
+    def _param_index(self, param):
+        return self.model.param_index(param)
+
+    def _effective_spec(self):
+        return self._spec
+
+    # -- data --------------------------------------------------------------------------
+    def set_data(self, wave, flux, unc, band_names=None, source_names=None,
+                 redshifts=None):
+        """wave: (nb,) shared wavelengths (um); flux/unc: (S, nb) mJy.
+        MISSING bands (ragged catalogs) are NaN flux or non-finite unc:
+        carried as (0, inf) so their inverse uncertainty is exactly 0 --
+        no likelihood contribution, one static compiled shape (same
+        encoding as MultiFitter.set_data)."""
+        wave = np.atleast_1d(np.asarray(wave, np.float64))
+        flux = np.atleast_2d(np.asarray(flux, np.float64))
+        unc = np.atleast_2d(np.asarray(unc, np.float64))
+        if flux.shape != unc.shape or flux.shape[1] != wave.size:
+            raise ValueError(
+                f"flux {flux.shape} / unc {unc.shape} must be "
+                f"(S, {wave.size})")
+        missing = ~np.isfinite(flux) | ~np.isfinite(unc)
+        if missing.any():
+            flux = np.where(missing, 0.0, flux)
+            unc = np.where(missing, np.inf, unc)
+            if missing.all(axis=1).any():
+                bad = int(np.argwhere(missing.all(axis=1))[0, 0])
+                raise ValueError(
+                    f"source index {bad} has no bands at all")
+        if np.any(unc[~missing] <= 0):
+            raise ValueError("uncertainties must be positive")
+        ub = self._spec.uplim_bands
+        if ub is not None and ub.ndim == 2 and self.flux is not None:
+            raise ValueError(
+                "a per-source upper-limit mask is set; it cannot carry "
+                "over to a new batch -- call set_phot_upperlimits again "
+                "after set_data")
+        if ub is not None and ub.ndim == 1 and ub.size != wave.size:
+            raise ValueError(
+                f"existing upper-limit mask ({ub.size},) does not fit "
+                f"the new data (nb={wave.size}); call "
+                f"set_phot_upperlimits again")
+        self.wave, self.flux, self.unc = wave, flux, unc
+        self.band_names = band_names
+        if source_names is not None:
+            source_names = [str(n) for n in source_names]
+            if len(source_names) != flux.shape[0]:
+                raise ValueError("need one source name per source")
+        self.source_names = source_names
+        if redshifts is not None:
+            redshifts = np.asarray(redshifts, np.float64).ravel()
+            if redshifts.size != flux.shape[0]:
+                raise ValueError("need one redshift per source")
+        self.redshifts = redshifts
+        return self
+
+    def set_phot_upperlimits(self, mask):
+        """(nb,) shared or (S, nb) per-source upper-limit mask; rides the
+        sign of the iunc operand (no program change)."""
+        if self.wave is None:
+            raise RuntimeError("no data; call set_data first")
+        mask = np.asarray(mask, bool)
+        nb = self.wave.size
+        if mask.shape not in ((nb,), (self.nsources, nb)):
+            raise ValueError(
+                f"upper-limit mask must be ({nb},) or "
+                f"({self.nsources}, {nb}); got {mask.shape}")
+        self._spec = _replace(self._spec, uplim_bands=mask)
+        return self
+
+    def set_responses(self, response_set):
+        """Instrument response curves; requires named photometry bands."""
+        self.responses = response_set
+        return self
+
+    def _response_pack(self):
+        if self.responses is None:
+            return None
+        if self.band_names is None:
+            raise ValueError("response mode requires named photometry bands")
+        return self.responses.pack(self.band_names)
+
+    def _iunc_operand(self):
+        return signed_iunc(self.unc, self._spec.uplim_bands)
+
+    @property
+    def nsources(self):
+        if self.flux is None:
+            raise RuntimeError("no data; call set_data")
+        return self.flux.shape[0]
+
+    def _shard(self, x):
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding
+        spec = P(self.mesh.axis_names[0],
+                 *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(jnp.asarray(x),
+                              NamedSharding(self.mesh, spec))
+
+    def _posterior_token(self):
+        spec = self._effective_spec()
+        uplim = (None if spec.uplim_bands is None
+                 else np.asarray(spec.uplim_bands))
+        pack = self._response_pack()
+        return (data_fingerprint(
+                    self.wave, self.flux, self.unc, uplim,
+                    spec.lower, spec.upper, spec.fixed, spec.fixed_values,
+                    spec.prior_mean, spec.prior_isigma,
+                    np.asarray([self.a]),
+                    *(() if pack is None else pack)),
+                self.model.name)
+
+    def _spec_token(self, spec):
+        """Compile-relevant spec content (uplim masks excluded: they ride
+        the sign of the iunc operand, so mask edits REUSE the program)."""
+        return data_fingerprint(
+            spec.lower, spec.upper, spec.fixed, spec.fixed_values,
+            spec.prior_mean, spec.prior_isigma)
+
+    # -- the run -----------------------------------------------------------------------
+    def run(self, nburn=50, nsteps=250, thin=1, recenter_burn=True,
+            verbose=False):
+        """Burn -> per-source re-center on its best walker -> re-burn ->
+        reset -> production, all sources in lockstep (one jitted program;
+        compiled programs cached across run() calls with the same static
+        geometry). Returns self."""
+        if self.flux is None:
+            raise RuntimeError("no data; call set_data")
+        if int(thin) < 1:
+            raise ValueError(f"thin={thin} must be >= 1")
+        if nsteps % thin:
+            raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
+        spec = self._effective_spec()
+        lnprob_data, free_space = build_sed_lnprob_data(
+            self.model, spec, response_pack=self._response_pack())
+        self.free_space = free_space
+        self.thin = int(thin)
+        S, nw = self.nsources, self.nwalkers
+        half = nw // 2
+        a = self.a
+        nrec = int(nsteps // thin)
+        thin_i = int(thin)
+        if self.mesh is not None:
+            ndev = self.mesh.devices.size
+            if S % ndev:
+                raise ValueError(
+                    f"the mesh size ({ndev} devices) must divide "
+                    f"nsources={S}; pad the source batch to a multiple "
+                    f"of {ndev}")
+
+        wave = jnp.asarray(self.wave, jnp.float32)
+        flux = jnp.asarray(self.flux, jnp.float32)
+        iunc = jnp.asarray(self._iunc_operand(), jnp.float32)
+        key = jax.random.key(self.seed, impl=self.prng_impl)
+        kball, kstate, krecenter = jax.random.split(key, 3)
+        cen_f = self._init[free_space.free_idx]
+        sca_f = self._scatter[free_space.free_idx]
+        lower, upper = free_space.lower, free_space.upper
+        mesh_axis = (self.mesh.axis_names[0]
+                     if self.mesh is not None else None)
+
+        def _vary(x):
+            # vma type stability under shard_map (see multifit.run)
+            if mesh_axis is None:
+                return x
+            return jax.lax.pcast(x, (mesh_axis,), to="varying")
+
+        def one_source(idx, flux_s, iunc_s, kball, kstate, krecenter,
+                       wave, cen, sca):
+            batched = jax.vmap(
+                lambda th: lnprob_data(th, wave, flux_s, iunc_s))
+
+            def init_state(k, p0):
+                lnp = batched(p0)
+                return SamplerState(
+                    key=k, pos_a=p0[:half], pos_b=p0[half:],
+                    lnp_a=lnp[:half], lnp_b=lnp[half:],
+                    naccept=_vary(jnp.zeros(nw, jnp.int32)),
+                    nsteps=_vary(jnp.array(0, jnp.int32)))
+
+            def adv(s, n):
+                return jax.lax.fori_loop(
+                    0, n, lambda i, x: ensemble_step(x, batched, a), s)
+
+            p0 = make_initial_ball(jax.random.fold_in(kball, idx),
+                                   cen, sca, nw, lower, upper)
+            state = init_state(jax.random.fold_in(kstate, idx), p0)
+            if nburn > 0:
+                state = adv(state, nburn)
+                if recenter_burn:
+                    best = state.position[jnp.argmax(state.lnprob)]
+                    kr = jax.random.fold_in(krecenter, idx)
+                    kb2, ks2 = jax.random.split(kr)
+                    p0b = make_initial_ball(kb2, best, 0.1 * sca, nw,
+                                            lower, upper)
+                    state = init_state(ks2, p0b)
+                    state = adv(state, nburn)
+                state = state._replace(
+                    naccept=jnp.zeros_like(state.naccept),
+                    nsteps=jnp.zeros_like(state.nsteps))
+
+            def inner(carry, _):
+                s = jax.lax.fori_loop(
+                    0, thin_i, lambda i, x: ensemble_step(x, batched, a),
+                    carry)
+                return s, (s.position, s.lnprob)
+
+            state, (chain, lnpchain) = jax.lax.scan(
+                inner, state, None, length=nrec)
+            # (final key, last record) is a complete restart point: see
+            # extend().
+            return chain, lnpchain, state.naccept, state.nsteps, state.key
+
+        cache_key = ("run", S, nw, free_space.nfree, nrec, thin_i,
+                     int(nburn), bool(recenter_burn), float(self.a),
+                     _mesh_token(self.mesh), self._spec_token(spec),
+                     self.prng_impl,
+                     None if self.responses is None
+                     else (self._responses_token(),))
+        if cache_key not in self._run_cache:
+            f = jax.vmap(one_source,
+                         in_axes=(0, 0, 0, None, None, None, None, None,
+                                  None))
+            if self.mesh is not None:
+                ax = self.mesh.axis_names[0]
+                f = jax.shard_map(
+                    f, mesh=self.mesh,
+                    in_specs=(P(ax), P(ax, None), P(ax, None),
+                              P(), P(), P(), P(None), P(None), P(None)),
+                    out_specs=(P(ax, None, None, None), P(ax, None, None),
+                               P(ax, None), P(ax), P(ax)))
+            self._run_cache[cache_key] = jax.jit(f)
+        chain, lnpchain, naccept, nsteps_dev, keys = (
+            self._run_cache[cache_key](
+                self._shard(jnp.arange(S)), self._shard(flux),
+                self._shard(iunc), kball, kstate, krecenter, wave,
+                jnp.asarray(cen_f, jnp.float32),
+                jnp.asarray(sca_f, jnp.float32)))
+
+        self.chain_free = chain
+        self.lnprobability = lnpchain
+        denom = np.maximum(np.asarray(nsteps_dev), 1)
+        self.acceptance_fraction = np.asarray(naccept) / denom[:, None]
+        self._xla_keys = keys
+        self._xla_counters = (naccept, nsteps_dev)
+        self._post_token = self._posterior_token()
+        if verbose:
+            af = self.acceptance_fraction
+            from mbb_emcee_tpu.utils.log import enable_console
+            enable_console().info(
+                f"SEDMultiFitter[{self.model.name}]: mean acceptance over "
+                f"{S} sources: {af.mean():.3f} (per-source min "
+                f"{af.mean(1).min():.3f}, max {af.mean(1).max():.3f})")
+        return self
+
+    def _responses_token(self):
+        pack = self._response_pack()
+        return None if pack is None else data_fingerprint(*pack)
+
+    def extend(self, nsteps, verbose=False):
+        """Continue the production run for every source from (stored
+        per-source PRNG key, last chain record) -- the complete sampler
+        state on this backend. Pairs with converged() for
+        run-until-converged serving loops; works after an HDF5 reload."""
+        if self._xla_keys is None:
+            raise RuntimeError("extend() requires a prior run()")
+        if self._posterior_token() != self._post_token:
+            raise RuntimeError(
+                "the parameter space / error model / data / band "
+                "configuration changed after run(); extend() would splice "
+                "chains from different posteriors -- call run() instead")
+        if nsteps % self.thin:
+            raise ValueError(
+                f"nsteps={nsteps} not divisible by thin={self.thin}")
+        spec = self._effective_spec()
+        lnprob_data, _ = build_sed_lnprob_data(
+            self.model, spec, response_pack=self._response_pack())
+        S, nw = self.nsources, self.nwalkers
+        half = nw // 2
+        thin_i = int(self.thin)
+        nrec_e = int(nsteps) // thin_i
+        if nrec_e <= 0:
+            raise ValueError(f"nsteps={nsteps} extends by zero records "
+                             f"at thin={self.thin}")
+        a = self.a
+
+        def one_source_cont(flux_s, iunc_s, key_s, pos_s, lnp_s,
+                            nacc_s, nst_s, wave):
+            batched = jax.vmap(
+                lambda th: lnprob_data(th, wave, flux_s, iunc_s))
+            state = SamplerState(
+                key=key_s, pos_a=pos_s[:half], pos_b=pos_s[half:],
+                lnp_a=lnp_s[:half], lnp_b=lnp_s[half:],
+                naccept=nacc_s, nsteps=nst_s)
+
+            def inner(carry, _):
+                s = jax.lax.fori_loop(
+                    0, thin_i, lambda i, x: ensemble_step(x, batched, a),
+                    carry)
+                return s, (s.position, s.lnprob)
+
+            state, (chain, lnpchain) = jax.lax.scan(
+                inner, state, None, length=nrec_e)
+            return chain, lnpchain, state.naccept, state.nsteps, state.key
+
+        cache_key = ("extend", S, nw, self.free_space.nfree, nrec_e,
+                     thin_i, float(self.a), _mesh_token(self.mesh),
+                     self._spec_token(spec), self.prng_impl,
+                     None if self.responses is None
+                     else (self._responses_token(),))
+        if cache_key not in self._run_cache:
+            f = jax.vmap(one_source_cont,
+                         in_axes=(0, 0, 0, 0, 0, 0, 0, None))
+            if self.mesh is not None:
+                ax = self.mesh.axis_names[0]
+                f = jax.shard_map(
+                    f, mesh=self.mesh,
+                    in_specs=(P(ax, None), P(ax, None), P(ax),
+                              P(ax, None, None), P(ax, None),
+                              P(ax, None), P(ax), P(None)),
+                    out_specs=(P(ax, None, None, None), P(ax, None, None),
+                               P(ax, None), P(ax), P(ax)))
+            self._run_cache[cache_key] = jax.jit(f)
+
+        naccept0, nsteps0 = self._xla_counters
+        chain, lnpchain, naccept, nsteps_dev, keys = (
+            self._run_cache[cache_key](
+                self._shard(jnp.asarray(self.flux, jnp.float32)),
+                self._shard(jnp.asarray(self._iunc_operand(), jnp.float32)),
+                self._shard(self._xla_keys),
+                self._shard(jnp.asarray(self.chain_free)[:, -1]),
+                self._shard(jnp.asarray(self.lnprobability)[:, -1]),
+                self._shard(jnp.asarray(naccept0)),
+                self._shard(jnp.asarray(nsteps0)),
+                jnp.asarray(self.wave, jnp.float32)))
+
+        self.chain_free = jnp.concatenate(
+            [jnp.asarray(self.chain_free), chain], axis=1)
+        self.lnprobability = jnp.concatenate(
+            [jnp.asarray(self.lnprobability), lnpchain], axis=1)
+        self._xla_keys = keys
+        self._xla_counters = (naccept, nsteps_dev)
+        denom = np.maximum(np.asarray(nsteps_dev), 1)
+        self.acceptance_fraction = np.asarray(naccept) / denom[:, None]
+        if verbose:
+            from mbb_emcee_tpu.utils.log import enable_console
+            enable_console().info(
+                f"  extended by {nsteps} steps -> "
+                f"{self.chain_free.shape[1]} recorded per source")
+        return self
+
+    # -- summaries (device-side; see MultiFitter for rationale) -------------------------
+    def _require_run(self):
+        if self.chain_free is None:
+            raise RuntimeError("run() has not been called")
+
+    @property
+    def chain(self):
+        """(S, nwalkers, nrec, npar) full-parameter chains."""
+        self._require_run()
+        free = np.asarray(self.chain_free)
+        full = self.free_space.expand(free)           # (S, nrec, nw, npar)
+        return np.transpose(full, (0, 2, 1, 3))
+
+    def flatchain(self):
+        """(S, nrec*nw, npar)"""
+        self._require_run()
+        free = np.asarray(self.chain_free)
+        S = free.shape[0]
+        return self.free_space.expand(
+            free.reshape(S, -1, self.free_space.nfree))
+
+    @property
+    def free_param_names(self):
+        if self.free_space is None:
+            raise RuntimeError("no fit yet")
+        return [self.model.param_names[i]
+                for i in self.free_space.free_idx]
+
+    def par_cen(self, param, percentile=68.3):
+        """(S, 3) per-source (median, +err, -err), computed on device."""
+        self._require_run()
+        i = self._param_index(param)
+        spec = self._effective_spec()
+        if spec.fixed[i]:
+            v = float(spec.fixed_values[i])
+            return np.tile([v, 0.0, 0.0], (self.nsources, 1))
+        j = int(np.nonzero(self.free_space.free_idx == i)[0][0])
+        data = jnp.reshape(self.chain_free[..., j], (self.nsources, -1))
+        p = float(percentile)
+        qs = jnp.percentile(data, jnp.asarray(
+            [50.0 - p / 2, 50.0, 50.0 + p / 2]), axis=1)
+        lo, mid, hi = np.asarray(qs, np.float64)
+        return np.stack([mid, hi - mid, mid - lo], axis=1)
+
+    def best_fit(self):
+        """(params (S, npar), lnprob (S,)) at each source's max-lnp
+        sample (device-side argmax/gather)."""
+        self._require_run()
+        S = self.nsources
+        lnp = jnp.reshape(self.lnprobability, (S, -1))
+        idx = jnp.argmax(lnp, axis=1)
+        free = jnp.reshape(self.chain_free,
+                           (S, -1, self.free_space.nfree))
+        best_free = jnp.take_along_axis(
+            free, idx[:, None, None], axis=1)[:, 0, :]
+        best_lnp = jnp.take_along_axis(lnp, idx[:, None], axis=1)[:, 0]
+        return (self.free_space.expand(np.asarray(best_free, np.float64)),
+                np.asarray(best_lnp, np.float64))
+
+    def gelman_rubin(self, window=None, stride=None):
+        """(S, nfree) split-R-hat per source (one device reduction; see
+        MultiFitter.gelman_rubin for the window/stride serving-loop
+        conventions)."""
+        self._require_run()
+        ch = self.chain_free
+        if stride is not None:
+            ch = ch[:, ::max(int(stride), 1)]
+        if window is not None:
+            ch = ch[:, -int(window):]
+        if int(ch.shape[1]) // 2 < 2:
+            raise ValueError("need at least 4 recorded steps")
+        return np.asarray(_batched_split_rhat(ch), np.float64)
+
+    def autocorrelation_time(self, window=None):
+        """(S, nfree) integrated autocorrelation times (batched FFT)."""
+        self._require_run()
+        ch = self.chain_free
+        if window is not None:
+            ch = ch[:, -int(window):]
+        return np.asarray(_batched_tau(jnp.asarray(ch)), np.float64)
+
+    def converged(self, rhat_max=1.1, window=None, tau_mult=None,
+                  stride=None):
+        """(S,) convergence mask; same predicate as MultiFitter.converged
+        (R-hat below rhat_max, optionally chain length >= tau_mult*tau)."""
+        ok = np.all(self.gelman_rubin(window=window, stride=stride)
+                    < float(rhat_max), axis=1)
+        if tau_mult is not None:
+            tau = self.autocorrelation_time(window=window)
+            nrec = int(self.chain_free.shape[1])
+            ok = ok & (nrec >= float(tau_mult)
+                       * np.nanmax(np.nan_to_num(tau, nan=1.0), axis=1))
+        return ok
+
+    # -- batched derived quantities -------------------------------------------------------
+    def _source_redshifts(self, redshifts):
+        if redshifts is None:
+            redshifts = self.redshifts
+        if redshifts is None:
+            raise ValueError(
+                "no redshifts: pass redshifts= or store them via "
+                "set_data(..., redshifts=...)")
+        z = np.asarray(redshifts, np.float64).ravel()
+        if z.size != self.nsources:
+            raise ValueError("need one redshift per source")
+        return z
+
+    def _dl_mpc(self, redshifts, lumdists=None, cosmology="WMAP9"):
+        if lumdists is not None:
+            return np.asarray(lumdists, np.float64)
+        cosmo = (Cosmology.named(cosmology)
+                 if isinstance(cosmology, str) else cosmology)
+        return np.array([luminosity_distance(float(z), cosmo)
+                         for z in np.asarray(redshifts).ravel()])
+
+    def _thinned(self, thin):
+        """(S, nsamp, npar) thinned full-parameter samples, device-side."""
+        self._require_run()
+        S = self.nsources
+        nfree = self.free_space.nfree
+        free = jnp.reshape(self.chain_free,
+                           (S, -1, nfree))[:, ::max(int(thin), 1), :]
+        template = jnp.asarray(self.free_space.template, jnp.float32)
+        scat = np.zeros((self.model.npar, nfree), np.float32)
+        scat[self.free_space.free_idx, np.arange(nfree)] = 1.0
+        return template[None, None, :] + free @ jnp.asarray(scat).T
+
+    def compute_lir(self, redshifts=None, wavemin=8.0, wavemax=1000.0,
+                    thin=1, lumdists=None, cosmology="WMAP9"):
+        """(S, nsamples) L_IR posteriors in L_sun: per-source GL
+        quadrature nodes (redshifted band), one batched device program."""
+        fnu = self.model.fnu
+        z = self._source_redshifts(redshifts)
+        lam, w = derived.lir_nodes_weights(1.0 + z, wavemin, wavemax)
+        samples = self._thinned(thin)                 # (S, N, npar)
+
+        def one(theta, lam_s, w_s):
+            return jnp.sum(w_s * fnu(theta, lam_s))
+
+        integ = np.asarray(jax.jit(jax.vmap(jax.vmap(
+            one, in_axes=(0, None, None)), in_axes=(0, 0, 0)))(
+                samples, jnp.asarray(lam, jnp.float32),
+                jnp.asarray(w, jnp.float32)), np.float64)
+        prefac = derived.lir_prefactor(
+            self._dl_mpc(z, lumdists, cosmology))
+        self.lir_chain = prefac[:, None] * integ
+        return self.lir_chain
+
+    def lir_cen(self, percentile=68.3):
+        if getattr(self, "lir_chain", None) is None:
+            self.compute_lir()
+        return _batch_percentiles(self.lir_chain, percentile)
+
+    def compute_peaklambda(self, thin=1, lo=derived.PEAK_RANGE[0],
+                           hi=derived.PEAK_RANGE[1]):
+        """(S, nsamples) observed f_nu peak wavelengths (um): batched
+        golden-section in ln-lambda on log f_nu."""
+        from mbb_emcee_tpu.ops.rootfind import golden_max
+        fnu = self.model.fnu
+        ulo, uhi = float(np.log(lo)), float(np.log(hi))
+        floor = jnp.float32(1e-30)
+
+        def peak(theta):
+            def logf(u):
+                lam = jnp.exp(u)
+                return jnp.log(jnp.maximum(
+                    fnu(theta, lam[None] if jnp.ndim(lam) == 0 else lam),
+                    floor)).reshape(())
+            um, _ = golden_max(logf, ulo, uhi, iters=derived.PEAK_ITERS)
+            return jnp.exp(um)
+
+        samples = self._thinned(thin)
+        self.peaklambda_chain = np.asarray(
+            jax.jit(jax.vmap(jax.vmap(peak)))(samples), np.float64)
+        return self.peaklambda_chain
+
+    def peaklambda_cen(self, percentile=68.3):
+        if getattr(self, "peaklambda_chain", None) is None:
+            self.compute_peaklambda()
+        return _batch_percentiles(self.peaklambda_chain, percentile)
+
+    def sed_percentiles(self, waves, percentile=68.3, thin=1):
+        """(S, 3, nwave) per-source posterior SED bands in mJy."""
+        fnu = self.model.fnu
+        waves_j = jnp.asarray(np.atleast_1d(waves), jnp.float32)
+        samples = self._thinned(thin)
+        fluxes = np.asarray(jax.jit(jax.vmap(jax.vmap(
+            lambda th: fnu(th, waves_j))))(samples), np.float64)
+        return derived.sed_band(fluxes, percentile, sample_axis=1)
+
+    def posterior_predictive(self, thin=1, seed=0):
+        """Batched chi-square-discrepancy PPC over the catalog (diagonal
+        errors; missing bands and upper-limit slots excluded). Returns a
+        multifit.PPCBatchResult -- the same QA sweep as the MBB batch
+        surface, with band fluxes from the generic model."""
+        from mbb_emcee_tpu.multifit import PPCBatchResult
+        self._require_run()
+        flux = np.asarray(self.flux, np.float64)
+        S, nb = flux.shape
+        iunc = self._iunc_operand()
+        inc = iunc > 0
+        ndata = inc.sum(axis=1).astype(np.int64)
+        if np.any(ndata == 0):
+            bad = int(np.argwhere(ndata == 0)[0, 0])
+            raise RuntimeError(
+                f"posterior_predictive: source {bad} has no detected "
+                f"(non-missing, non-upper-limit) band")
+        y_h = np.where(inc, np.nan_to_num(flux), 0.0)
+        y = jnp.asarray(y_h.astype(np.float32))
+        mask = jnp.asarray(inc.astype(np.float32))
+        iu = jnp.asarray(np.where(inc, iunc, 0.0).astype(np.float32))
+        with np.errstate(divide="ignore"):
+            sg = jnp.asarray(np.where(inc, 1.0 / np.where(inc, iunc, 1.0),
+                                      0.0).astype(np.float32))
+
+        fnu = self.model.fnu
+        pack = self._response_pack()
+        if pack is None:
+            wave32 = np.asarray(self.wave, np.float32)
+
+            def fluxes_fn(theta):
+                return fnu(theta, wave32)
+        else:
+            nodes = np.asarray(pack[0], np.float32)
+            wts = np.asarray(pack[1], np.float32)
+
+            def fluxes_fn(theta):
+                return jnp.sum(wts * fnu(theta, nodes), axis=-1)
+
+        def one(theta, key, y_s, a, b, m_s):
+            m = fluxes_fn(theta)
+            d = (m - y_s) * a
+            eps = jax.random.normal(key, (nb,), jnp.float32) * m_s
+            return jnp.sum(d * d), jnp.sum(eps * eps), m + b * eps
+
+        samples = self._thinned(thin)
+        N = int(samples.shape[1])
+        keys = jax.random.split(jax.random.PRNGKey(int(seed)),
+                                S * N).reshape(S, N, -1)
+        batched = jax.jit(jax.vmap(
+            jax.vmap(one, in_axes=(0, 0, None, None, None, None)),
+            in_axes=(0, 0, 0, 0, 0, 0)))
+        chunk = max(1, (64 << 20) // max(S * nb, 1))
+        co, cr, yr = [], [], []
+        for i in range(0, N, chunk):
+            a_, b_, c_ = batched(samples[:, i:i + chunk],
+                                 keys[:, i:i + chunk], y, iu, sg, mask)
+            co.append(np.asarray(a_, np.float64))
+            cr.append(np.asarray(b_, np.float64))
+            yr.append(np.asarray(c_, np.float64))
+        chi2_obs = np.concatenate(co, axis=1)
+        chi2_rep = np.concatenate(cr, axis=1)
+        y_rep = np.concatenate(yr, axis=1)
+        band_p = np.where(inc, np.mean(y_rep >= y_h[:, None, :], axis=1),
+                          np.nan)
+        return PPCBatchResult(
+            p_value=np.mean(chi2_rep >= chi2_obs, axis=1),
+            band_p=band_p, chi2_obs=chi2_obs, chi2_rep=chi2_rep,
+            ndata=ndata, nfree=self.free_space.nfree, nsamples=N,
+            excluded=~inc)
+
+    # -- persistence -----------------------------------------------------------------------
+    def writeToHDF5(self, filename):
+        """One-file batch persistence (kind='sed-batch'); from_h5 restores
+        a fitter that can summarize, compute derived quantities, AND
+        continue the serving loop (per-source PRNG keys stored)."""
+        import h5py
+        from mbb_emcee_tpu.checkpoint import _key_to_np
+        self._require_run()
+        with h5py.File(filename, "w") as f:
+            f.attrs["schema_version"] = _SEDBATCH_SCHEMA_VERSION
+            f.attrs["package"] = "mbb_emcee_tpu"
+            f.attrs["kind"] = "sed-batch"
+            f.attrs["model_name"] = self.model.name.encode()
+            f.attrs["param_names"] = np.array(
+                [n.encode() for n in self.model.param_names])
+            f.attrs["nwalkers"] = self.nwalkers
+            f.attrs["thin"] = self.thin
+            f.attrs["seed"] = self.seed
+            f.attrs["a"] = self.a
+            f.attrs["prng_impl"] = self.prng_impl.encode()
+            f.create_dataset("ChainFree",
+                             data=np.asarray(self.chain_free, np.float32),
+                             compression="gzip")
+            f.create_dataset("LnProbability",
+                             data=np.asarray(self.lnprobability,
+                                             np.float32),
+                             compression="gzip")
+            f.create_dataset("AcceptanceFraction",
+                             data=np.asarray(self.acceptance_fraction,
+                                             np.float32))
+            f.create_dataset("Keys", data=_key_to_np(self._xla_keys))
+            naccept, nsteps_dev = self._xla_counters
+            f.create_dataset("NAccept", data=np.asarray(naccept, np.int64))
+            f.create_dataset("NSteps",
+                             data=np.asarray(nsteps_dev, np.int64))
+            f.create_dataset("Wave", data=self.wave)
+            f.create_dataset("Flux", data=self.flux)
+            f.create_dataset("Unc", data=self.unc)
+            if self.band_names is not None:
+                f.create_dataset("BandNames", data=np.array(
+                    [str(n).encode() for n in self.band_names]))
+            if self.source_names is not None:
+                f.create_dataset("SourceNames", data=np.array(
+                    [n.encode() for n in self.source_names]))
+            if self.redshifts is not None:
+                f.create_dataset("Redshifts", data=self.redshifts)
+            spec = self._spec
+            pc = f.create_group("ParamConfig")
+            pc.create_dataset("Lower", data=spec.lower)
+            pc.create_dataset("Upper", data=spec.upper)
+            pc.create_dataset("Fixed", data=spec.fixed.astype(np.uint8))
+            pc.create_dataset("FixedValues", data=spec.fixed_values)
+            pc.create_dataset("PriorMean", data=spec.prior_mean)
+            pc.create_dataset("PriorInvSigma", data=spec.prior_isigma)
+            pc.create_dataset("Initial", data=self._init)
+            pc.create_dataset("InitScatter", data=self._scatter)
+            if spec.uplim_bands is not None:
+                pc.create_dataset("PhotUpperLimits",
+                                  data=np.asarray(spec.uplim_bands,
+                                                  np.uint8))
+        return filename
+
+    @classmethod
+    def from_h5(cls, filename, model: SEDModel, mesh=None):
+        """Restore a finished batch fit (summaries + derived + PPC +
+        extend all work). The model must match the stored parameter
+        list and name."""
+        import h5py
+        from mbb_emcee_tpu.checkpoint import _key_from_np
+        with h5py.File(filename, "r") as f:
+            if f.attrs.get("kind", b"") not in (b"sed-batch", "sed-batch"):
+                raise ValueError(f"{filename} is not an SEDMultiFitter "
+                                 f"file")
+            stored_names = tuple(
+                n.decode() if isinstance(n, bytes) else str(n)
+                for n in f.attrs["param_names"])
+            stored_model = f.attrs["model_name"]
+            if isinstance(stored_model, bytes):
+                stored_model = stored_model.decode()
+            if tuple(model.param_names) != stored_names:
+                raise ValueError(
+                    f"model {model.name!r} has parameters "
+                    f"{model.param_names}; file stores {stored_names}")
+            if model.name != stored_model:
+                raise ValueError(
+                    f"file was written by model {stored_model!r}, got "
+                    f"{model.name!r}")
+            prng_impl = f.attrs["prng_impl"]
+            if isinstance(prng_impl, bytes):
+                prng_impl = prng_impl.decode()
+            mf = cls(model, nwalkers=int(f.attrs["nwalkers"]),
+                     seed=int(f.attrs["seed"]), a=float(f.attrs["a"]),
+                     mesh=mesh, prng_impl=prng_impl)
+            pc = f["ParamConfig"]
+            uplim = (np.asarray(pc["PhotUpperLimits"], bool)
+                     if "PhotUpperLimits" in pc else None)
+            mf._spec = LikelihoodSpec(
+                lower=np.asarray(pc["Lower"], np.float64),
+                upper=np.asarray(pc["Upper"], np.float64),
+                fixed=np.asarray(pc["Fixed"], bool),
+                fixed_values=np.asarray(pc["FixedValues"], np.float64),
+                prior_mean=np.asarray(pc["PriorMean"], np.float64),
+                prior_isigma=np.asarray(pc["PriorInvSigma"], np.float64),
+                uplim_bands=uplim)
+            mf._init = np.asarray(pc["Initial"], np.float64)
+            mf._scatter = np.asarray(pc["InitScatter"], np.float64)
+            band_names = None
+            if "BandNames" in f:
+                band_names = [n.decode() if isinstance(n, bytes)
+                              else str(n) for n in f["BandNames"][()]]
+            source_names = None
+            if "SourceNames" in f:
+                source_names = [n.decode() if isinstance(n, bytes)
+                                else str(n) for n in f["SourceNames"][()]]
+            mf.wave = np.asarray(f["Wave"], np.float64)
+            mf.flux = np.asarray(f["Flux"], np.float64)
+            mf.unc = np.asarray(f["Unc"], np.float64)
+            mf.band_names = band_names
+            mf.source_names = source_names
+            mf.redshifts = (np.asarray(f["Redshifts"], np.float64)
+                            if "Redshifts" in f else None)
+            mf.thin = int(f.attrs["thin"])
+            mf.chain_free = jnp.asarray(np.asarray(f["ChainFree"],
+                                                   np.float32))
+            mf.lnprobability = jnp.asarray(
+                np.asarray(f["LnProbability"], np.float32))
+            mf.acceptance_fraction = np.asarray(f["AcceptanceFraction"],
+                                                np.float64)
+            mf._xla_keys = _key_from_np(np.asarray(f["Keys"]), prng_impl)
+            mf._xla_counters = (jnp.asarray(np.asarray(f["NAccept"]),
+                                            jnp.int32),
+                                jnp.asarray(np.asarray(f["NSteps"]),
+                                            jnp.int32))
+        from mbb_emcee_tpu.sed import build_sed_lnprob_data as _b
+        _, mf.free_space = _b(model, mf._effective_spec())
+        mf._post_token = mf._posterior_token()
+        return mf
+
+    def __repr__(self):
+        if self.flux is None:
+            return (f"SEDMultiFitter[{self.model.name}] (no data)")
+        run = ("not run" if self.chain_free is None
+               else f"{self.chain_free.shape[1]} recorded steps")
+        return (f"SEDMultiFitter[{self.model.name}]: "
+                f"{self.nsources} sources x {self.nwalkers} walkers, "
+                f"{run}")
+
+
+def _batch_percentiles(chains, percentile=68.3):
+    """(S, 3) (median, +err, -err) per source from (S, nsamples)."""
+    p = float(percentile)
+    lo, mid, hi = np.percentile(
+        np.asarray(chains, np.float64),
+        [50.0 - p / 2, 50.0, 50.0 + p / 2], axis=1)
+    return np.stack([mid, hi - mid, mid - lo], axis=1)

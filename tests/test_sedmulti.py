@@ -1,0 +1,300 @@
+"""Batched generic-model serving (sedmulti.SEDMultiFitter): lockstep
+catalog fits for user JAX SEDs -- ragged data, uplim masks, mesh
+sharding, continuation, batched derived quantities, PPC, persistence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mbb_emcee_tpu import log_mbb_fnu
+from mbb_emcee_tpu.models.modified_blackbody import MBBShape
+from mbb_emcee_tpu.sed import SEDModel, SEDFitter, build_sed_lnprob_data
+from mbb_emcee_tpu.sedmulti import SEDMultiFitter
+
+SHAPE = MBBShape(opthin=True, noalpha=True)
+WAVE = np.array([60.0, 100.0, 160.0, 250.0, 350.0, 500.0, 850.0,
+                 1100.0, 2000.0])
+NAMES = ("T_cold", "T_warm", "beta", "fnorm_cold", "fnorm_warm")
+INIT = np.array([18.0, 45.0, 1.8, 30.0, 1.0])
+
+
+def _two_mbb(theta, wave):
+    t_c, t_w, beta, f_c, f_w = theta
+    p_c = jnp.stack([t_c, beta, 250.0, 4.0, f_c])
+    p_w = jnp.stack([t_w, beta, 250.0, 4.0, f_w])
+    return (jnp.exp(log_mbb_fnu(p_c, wave, SHAPE))
+            + jnp.exp(log_mbb_fnu(p_w, wave, SHAPE)))
+
+
+def _model():
+    return SEDModel(fnu=_two_mbb, param_names=NAMES,
+                    lower=[5.0, 25.0, 0.5, 1e-3, 1e-4],
+                    upper=[25.0, 80.0, 4.0, 1e3, 1e2], name="two-temp")
+
+
+def _mock_batch(S=8, seed=5, frac=0.05):
+    rng = np.random.default_rng(seed)
+    truths = np.column_stack([
+        rng.uniform(15, 22, S), rng.uniform(35, 55, S), np.full(S, 1.8),
+        rng.uniform(10, 60, S), rng.uniform(0.3, 2.0, S)])
+    f = np.stack([np.asarray(_two_mbb(jnp.asarray(t, jnp.float32),
+                                      jnp.asarray(WAVE, jnp.float32)))
+                  for t in truths])
+    unc = frac * f
+    return truths, f + unc * rng.standard_normal(f.shape), unc
+
+
+def _fitter(flux, unc, seed=7, nwalkers=48, mesh=None, **kw):
+    mf = SEDMultiFitter(_model(), nwalkers=nwalkers, seed=seed, mesh=mesh)
+    mf.set_data(WAVE, flux, unc, **kw)
+    for n, v in zip(NAMES, INIT):
+        mf.set_param_init(n, v, 0.15 * abs(v))
+    mf.set_gaussian_prior("beta", 1.8, 0.4)
+    return mf
+
+
+@pytest.fixture(scope="module")
+def batch_fit():
+    truths, flux, unc = _mock_batch()
+    flux = flux.copy()
+    flux[0, 3] = np.nan          # a missing band in a ragged catalog
+    mf = _fitter(flux, unc, redshifts=np.full(8, 2.0))
+    mf.run(nburn=100, nsteps=240)
+    return truths, mf
+
+
+def test_batch_recovers_truths(batch_fit):
+    truths, mf = batch_fit
+    assert mf.chain.shape == (8, 48, 240, 5)
+    for j, name in [(0, "T_cold"), (1, "T_warm"), (3, "fnorm_cold")]:
+        cen = mf.par_cen(name)
+        sig = np.maximum(np.maximum(cen[:, 1], cen[:, 2]), 1e-6)
+        assert np.all(np.abs(cen[:, 0] - truths[:, j]) < 6 * sig), name
+    assert 0.2 < mf.acceptance_fraction.mean() < 0.8
+    assert mf.free_param_names == list(NAMES)
+    best, blnp = mf.best_fit()
+    assert best.shape == (8, 5) and np.isfinite(blnp).all()
+    rhat = mf.gelman_rubin()
+    assert rhat.shape == (8, 5)
+    tau = mf.autocorrelation_time()
+    assert tau.shape == (8, 5) and np.all(tau > 0)
+    assert mf.converged(rhat_max=10.0).all()
+
+
+def test_matches_single_source_sedfitter(batch_fit):
+    """Source 3's batched posterior agrees statistically with a
+    single-source SEDFitter on the same data (different PRNG streams)."""
+    truths, mf = batch_fit
+    s = 3
+    fit = SEDFitter(_model(), nwalkers=48, seed=101)
+    fit.set_data(WAVE, np.asarray(mf.flux[s]), np.asarray(mf.unc[s]))
+    for n, v in zip(NAMES, INIT):
+        fit.set_param_init(n, v, 0.15 * abs(v))
+    fit.set_gaussian_prior("beta", 1.8, 0.4)
+    fit.run(nburn=100, nsteps=240)
+    res = fit.results()
+    for name in ("T_cold", "T_warm", "fnorm_cold"):
+        c_b = mf.par_cen(name)[s]
+        c_s = res.par_cen(name)
+        width = c_s[1] + c_s[2]
+        assert abs(c_b[0] - c_s[0]) < 0.6 * width, (name, c_b, c_s)
+
+
+def test_lnprob_data_matches_single_builder():
+    """build_sed_lnprob_data(theta, wave, flux, iunc) equals
+    build_sed_lnprob on the same single-source posterior."""
+    from mbb_emcee_tpu.sed import build_sed_lnprob
+    from mbb_emcee_tpu.likelihood import Photometry, signed_iunc
+    model = _model()
+    truths, flux, unc = _mock_batch(S=1)
+    mf = SEDMultiFitter(model, nwalkers=16, seed=1)
+    mf.set_data(WAVE, flux, unc)
+    spec = mf._effective_spec()
+    ln_d, fs = build_sed_lnprob_data(model, spec)
+    ln_s, fs2 = build_sed_lnprob(Photometry(WAVE, flux[0], unc[0]),
+                                 model, spec)
+    assert np.array_equal(fs.free_idx, fs2.free_idx)
+    rng = np.random.default_rng(0)
+    thetas = INIT[None, :] * rng.uniform(0.9, 1.1, (16, 5))
+    iunc = jnp.asarray(signed_iunc(unc[0]), jnp.float32)
+    a = np.asarray(jax.vmap(lambda th: ln_d(
+        th, jnp.asarray(WAVE, jnp.float32),
+        jnp.asarray(flux[0], jnp.float32), iunc))(
+            jnp.asarray(thetas, jnp.float32)))
+    b = np.asarray(jax.vmap(ln_s)(jnp.asarray(thetas, jnp.float32)))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_missing_band_excluded(batch_fit):
+    """The NaN-flagged band contributes nothing: its iunc slot is 0 and
+    its PPC band_p is NaN."""
+    truths, mf = batch_fit
+    iunc = mf._iunc_operand()
+    assert iunc[0, 3] == 0.0
+    assert np.all(iunc[1:, 3] > 0)
+    ppc = mf.posterior_predictive(thin=6)
+    assert np.isnan(ppc.band_p[0, 3])
+    assert np.isfinite(ppc.band_p[1, 3])
+    assert ppc.ndata[0] == WAVE.size - 1
+    # well-specified model: no extreme p anywhere
+    assert np.all((ppc.p_value > 0.005) & (ppc.p_value < 0.995))
+
+
+def test_uplim_masks():
+    """Shared and per-source upper-limit masks ride the iunc sign; a
+    model comfortably below the limit is not penalized."""
+    truths, flux, unc = _mock_batch(S=4, seed=9)
+    mf = _fitter(flux, unc, seed=3, nwalkers=16)
+    m = np.zeros((4, WAVE.size), bool)
+    m[2, -1] = True
+    mf.set_phot_upperlimits(m)
+    iunc = mf._iunc_operand()
+    assert iunc[2, -1] < 0 and np.all(iunc[[0, 1, 3], -1] > 0)
+    # shared mask also accepted
+    mf.set_phot_upperlimits(np.zeros(WAVE.size, bool))
+    assert np.all(mf._iunc_operand() > 0)
+    with pytest.raises(ValueError, match="upper-limit mask"):
+        mf.set_phot_upperlimits(np.zeros(3, bool))
+
+
+def test_extend_matches_longer_run():
+    """run(n1) + extend(n2) reproduces run(n1+n2) bitwise (threefry:
+    the stored per-source key + last record IS the sampler state)."""
+    truths, flux, unc = _mock_batch(S=4, seed=11)
+    mf1 = _fitter(flux, unc, seed=13, nwalkers=32)
+    mf1.run(nburn=30, nsteps=60)
+    mf1.extend(40)
+    mf2 = _fitter(flux, unc, seed=13, nwalkers=32)
+    mf2.run(nburn=30, nsteps=100)
+    np.testing.assert_array_equal(np.asarray(mf1.chain_free),
+                                  np.asarray(mf2.chain_free))
+    np.testing.assert_array_equal(np.asarray(mf1.lnprobability),
+                                  np.asarray(mf2.lnprobability))
+
+
+def test_extend_guards():
+    truths, flux, unc = _mock_batch(S=4, seed=11)
+    mf = _fitter(flux, unc, seed=13, nwalkers=16)
+    with pytest.raises(RuntimeError, match="prior run"):
+        mf.extend(10)
+    mf.run(nburn=20, nsteps=40)
+    mf.set_gaussian_prior("T_cold", 18.0, 0.1)
+    with pytest.raises(RuntimeError, match="changed after run"):
+        mf.extend(10)
+
+
+def test_mesh_matches_unsharded():
+    """Source-sharded run over the 8-device CPU mesh produces IDENTICAL
+    chains (threefry PRNG; embarrassingly parallel)."""
+    from mbb_emcee_tpu.parallel import walker_mesh
+    truths, flux, unc = _mock_batch(S=8, seed=21)
+    mf_a = _fitter(flux, unc, seed=29, nwalkers=32)
+    mf_a.run(nburn=30, nsteps=60)
+    mf_b = _fitter(flux, unc, seed=29, nwalkers=32, mesh=walker_mesh(8))
+    mf_b.run(nburn=30, nsteps=60)
+    np.testing.assert_array_equal(np.asarray(mf_a.chain_free),
+                                  np.asarray(mf_b.chain_free))
+    mf_b.extend(20)
+    mf_a.extend(20)
+    np.testing.assert_array_equal(np.asarray(mf_a.chain_free),
+                                  np.asarray(mf_b.chain_free))
+    with pytest.raises(ValueError, match="must divide"):
+        bad = _fitter(flux[:6], unc[:6], mesh=walker_mesh(8))
+        bad.run(nburn=2, nsteps=2)
+
+
+def test_derived_match_single_results(batch_fit):
+    """Batched L_IR / peak-lambda / SED bands equal the single-source
+    SEDResults kernels applied per source to the same chains."""
+    truths, mf = batch_fit
+    z = np.full(8, 2.0)
+    lir = mf.compute_lir(thin=16)
+    pk = mf.compute_peaklambda(thin=16)
+    grid = np.geomspace(50.0, 2000.0, 12)
+    band = mf.sed_percentiles(grid, thin=16)
+
+    # per-source oracle: the derived.py kernels on source s's own
+    # thinned samples (exactly what _thinned hands the batch program)
+    s = 2
+    samples = np.asarray(mf._thinned(16))[s]          # (N, 5)
+    from mbb_emcee_tpu import derived
+    fnu = _two_mbb
+    lam, w = derived.lir_nodes_weights(1.0 + z[s], 8.0, 1000.0)
+    integ = np.asarray(jax.vmap(
+        lambda th: jnp.sum(jnp.asarray(w, jnp.float32)
+                           * fnu(th, jnp.asarray(lam, jnp.float32))))(
+        jnp.asarray(samples, jnp.float32)), np.float64)
+    ref_lir = derived.lir_prefactor(mf._dl_mpc(z))[s] * integ
+    np.testing.assert_allclose(lir[s], ref_lir, rtol=3e-5)
+
+    flx = np.asarray(jax.vmap(
+        lambda th: fnu(th, jnp.asarray(grid, jnp.float32)))(
+        jnp.asarray(samples, jnp.float32)), np.float64)
+    ref_band = derived.sed_band(flx, 68.3, sample_axis=0)
+    np.testing.assert_allclose(band[s], ref_band, rtol=2e-5)
+
+    assert np.all((np.median(pk, axis=1) > 30.0)
+                  & (np.median(pk, axis=1) < 500.0))
+    assert mf.lir_cen().shape == (8, 3)
+    assert mf.peaklambda_cen().shape == (8, 3)
+
+
+def test_hdf5_roundtrip_and_continue(batch_fit, tmp_path):
+    truths, mf = batch_fit
+    path = str(tmp_path / "batch.h5")
+    mf.writeToHDF5(path)
+    mf2 = SEDMultiFitter.from_h5(path, _model())
+    np.testing.assert_array_equal(np.asarray(mf2.chain_free),
+                                  np.asarray(mf.chain_free))
+    np.testing.assert_allclose(mf2.par_cen("T_warm"), mf.par_cen("T_warm"))
+    assert mf2.redshifts is not None
+    # reload continues the serving loop
+    n0 = mf2.chain_free.shape[1]
+    mf2.extend(24)
+    assert mf2.chain_free.shape[1] == n0 + 24
+    # mismatched model refused
+    other = SEDModel(fnu=_two_mbb, param_names=("a",) + NAMES[1:],
+                     lower=[5.0, 25.0, 0.5, 1e-3, 1e-4],
+                     upper=[25.0, 80.0, 4.0, 1e3, 1e2], name="two-temp")
+    with pytest.raises(ValueError, match="parameters"):
+        SEDMultiFitter.from_h5(path, other)
+
+
+def test_response_mode_batch():
+    """Named bands + response curves flow through the batched builder."""
+    from mbb_emcee_tpu.response import ResponseSet
+    truths, flux, unc = _mock_batch(S=4, seed=31)
+    names = [f"b{i}" for i in range(WAVE.size)]
+    rs = ResponseSet()
+    for n, w in zip(names, WAVE):
+        rs.add(n, f"box:{w}:{0.2 * w}:17")
+    mf = _fitter(flux, unc, seed=3, nwalkers=16, band_names=names)
+    mf.set_responses(rs)
+    mf.run(nburn=10, nsteps=20)
+    assert np.isfinite(np.asarray(mf.lnprobability)).all()
+    # PPC in response mode: same band-integration as the likelihood
+    ppc = mf.posterior_predictive(thin=4)
+    assert ppc.p_value.shape == (4,)
+
+
+def test_set_data_validation():
+    model = _model()
+    mf = SEDMultiFitter(model, nwalkers=16)
+    with pytest.raises(RuntimeError, match="no data"):
+        mf.run(nburn=2, nsteps=2)
+    truths, flux, unc = _mock_batch(S=2)
+    with pytest.raises(ValueError, match="must be"):
+        mf.set_data(WAVE, flux[:, :3], unc)
+    bad = flux.copy()
+    bad[1, :] = np.nan
+    with pytest.raises(ValueError, match="no bands at all"):
+        mf.set_data(WAVE, bad, unc)
+    u = unc.copy()
+    u[0, 0] = 0.0
+    with pytest.raises(ValueError, match="positive"):
+        mf.set_data(WAVE, flux, u)
+    with pytest.raises(ValueError, match="one redshift"):
+        mf.set_data(WAVE, flux, unc, redshifts=[1.0])
+    with pytest.raises(ValueError, match="one source name"):
+        mf.set_data(WAVE, flux, unc, source_names=["x"])
