@@ -462,6 +462,8 @@ class SEDFitter(ParamSpaceMixin):
         self.lnprobability = np.asarray(lnp)       # (nrec, nwalkers)
         self._state = state
         self._sampler = sampler
+        self._acceptance = np.asarray(
+            EnsembleSampler.acceptance_fraction(state))
         self._run_token = self._posterior_token()
         if verbose:
             print(f"SEDFitter[{self.model.name}]: acceptance "
@@ -488,6 +490,8 @@ class SEDFitter(ParamSpaceMixin):
         self.lnprobability = np.concatenate(
             [self.lnprobability, np.asarray(lnp)], axis=0)
         self._state = state
+        self._acceptance = np.asarray(
+            EnsembleSampler.acceptance_fraction(state))
         return self
 
     def _posterior_token(self):
@@ -505,6 +509,191 @@ class SEDFitter(ParamSpaceMixin):
                                  *(() if pack is None else pack)),
                 spec_fp, self.model.name)
 
+    # -- alternative sampler tiers (all generic: they see only lnprob) -------------------
+    def run_hmc(self, nwarmup=500, nsteps=1000, thin=1, n_leapfrog=16,
+                target_accept=0.8, nchains=None, p0=None, verbose=False):
+        """Gradient-based HMC alternative to run() -- the user model is
+        pure JAX, so jax.grad works with no extra code (same tier as
+        MBBFitter.run_hmc). Downstream analysis (results(), gelman_rubin,
+        writeToHDF5) is unchanged; extend() does not apply (re-run with
+        more nsteps)."""
+        from mbb_emcee_tpu.hmc import hmc_sample
+
+        nchains = self.nwalkers if nchains is None else int(nchains)
+        lnprob, free_space = build_sed_lnprob(
+            self._require_data(), self.model, self.spec,
+            response_pack=self._response_pack())
+        self.free_space = free_space
+        self.thin = int(thin)
+        key = jax.random.PRNGKey(self.seed)
+        key, kball = jax.random.split(key)
+        if p0 is None:
+            p0 = make_initial_ball(kball, self._init[free_space.free_idx],
+                                   self._scatter[free_space.free_idx],
+                                   nchains, free_space.lower,
+                                   free_space.upper)
+        else:
+            p0 = jnp.asarray(p0, jnp.float32)
+            if p0.shape[-1] == self.model.npar:
+                p0 = p0[..., free_space.free_idx]
+        res = hmc_sample(lnprob, free_space.lower, free_space.upper, p0,
+                         key, nwarmup=nwarmup, nsteps=nsteps, thin=thin,
+                         n_leapfrog=n_leapfrog,
+                         target_accept=target_accept)
+        self.chain_free = res.chain
+        self.lnprobability = np.asarray(res.lnprob)
+        self._acceptance = np.asarray(res.acceptance_fraction)
+        self._state = self._sampler = None   # extend() is stretch-only
+        self.burn_chain_free = None
+        if verbose:
+            print(f"HMC[{self.model.name}]: mean acceptance "
+                  f"{self._acceptance.mean():.3f}, step size "
+                  f"{res.step_size:.4g}, {nchains} chains x {nsteps} steps")
+        return self
+
+    def run_pt(self, nrungs=12, beta_min="auto", nburn=300, nsteps=1000,
+               nchains=None, thin=1, p0=None, verbose=False):
+        """Parallel-tempering alternative to run() for multimodal
+        posteriors (same tier as MBBFitter.run_pt): K rungs advance as
+        one batched device program with replica exchange; the recorded
+        chain is the cold rung, and the run also yields the evidence
+        (self.logz_pt stepping-stone, self.logz_ti thermodynamic
+        check)."""
+        from mbb_emcee_tpu.tempering import pt_sample
+
+        nchains = self.nwalkers if nchains is None else int(nchains)
+        lnprob, free_space = build_sed_lnprob(
+            self._require_data(), self.model, self.spec,
+            response_pack=self._response_pack())
+        self.free_space = free_space
+        self.thin = int(thin)
+        key = jax.random.PRNGKey(self.seed)
+        key, kball = jax.random.split(key)
+        if p0 is None:
+            p0 = make_initial_ball(kball, self._init[free_space.free_idx],
+                                   self._scatter[free_space.free_idx],
+                                   nchains, free_space.lower,
+                                   free_space.upper)
+        else:
+            p0 = jnp.asarray(p0, jnp.float32)
+            if p0.shape[-1] == self.model.npar:
+                p0 = p0[..., free_space.free_idx]
+        res = pt_sample(lnprob, p0, key, nrungs=nrungs, beta_min=beta_min,
+                        nburn=nburn, nsteps=nsteps, thin=thin, a=self.a)
+        self.chain_free = jnp.asarray(res.chain)
+        self.lnprobability = np.asarray(res.lnprob)
+        self._acceptance = np.asarray(res.acceptance_fraction[0])
+        self.logz_pt = (res.logz, res.logz_err)
+        self.logz_ti = (res.logz_ti, res.logz_ti_err)
+        self.pt_result = res
+        self._state = self._sampler = None
+        self.burn_chain_free = None
+        if verbose:
+            print(f"PT[{self.model.name}]: {res.betas.size} rungs x "
+                  f"{nchains} walkers, cold acceptance "
+                  f"{self._acceptance.mean():.3f}, stepping-stone lnZ = "
+                  f"{res.logz:.3f} +/- {res.logz_err:.3f}")
+        return self
+
+    def compute_evidence(self, nlive=512, nbatch=32, nsteps=32,
+                         max_iter=3000, tol=1e-4, seed=None,
+                         verbose=False):
+        """Bayesian evidence ln Z of THIS model configuration via nested
+        sampling -- Bayes factors between model variants (1- vs 2-
+        component, free vs fixed parameters) on the same data and prior
+        convention as MBBFitter.compute_evidence: normalized uniform
+        prior over the free box times any configured Gaussian prior
+        factors. Returns a NestedResult with samples expanded to the
+        full parameter space."""
+        from mbb_emcee_tpu.nested import nested_sample
+
+        lnprob, free_space = build_sed_lnprob(
+            self._require_data(), self.model, self.spec,
+            response_pack=self._response_pack())
+        if not (np.all(np.isfinite(free_space.lower))
+                and np.all(np.isfinite(free_space.upper))):
+            raise ValueError("nested sampling requires finite box bounds")
+        key = jax.random.PRNGKey(self.seed if seed is None else int(seed))
+        res = nested_sample(lnprob, free_space.lower, free_space.upper,
+                            key, nlive=nlive, nbatch=nbatch, nsteps=nsteps,
+                            max_iter=max_iter, tol=tol)
+        res = dataclasses.replace(res,
+                                  samples=free_space.expand(res.samples))
+        self.evidence = res
+        if verbose:
+            print(f"nested[{self.model.name}]: lnZ = {res.logz:.3f} +/- "
+                  f"{res.logz_err:.3f} ({res.n_iter} iterations)")
+        return res
+
+    def fit_map(self, nstarts=8, n_adam=150, n_newton=12, adam_lr=0.1,
+                verbose=False):
+        """MAP point + Laplace error bars in one device program (the
+        triage tier, same machinery as MBBFitter.fit_map): multi-start
+        Adam-then-damped-Newton in the sigmoid-unconstrained box, then
+        the inverse Hessian at the mode. Returns a MAPResult (free
+        space; stored as self.map_result); interior=False flags a mode
+        near a box bound -- run the MCMC."""
+        from mbb_emcee_tpu.mapfit import (
+            MAPResult, map_core, neg_hessian, laplace_cov_host,
+            interior_mask, _to_unconstrained)
+
+        lnprob, free_space = build_sed_lnprob(
+            self._require_data(), self.model, self.spec,
+            response_pack=self._response_pack())
+        if not (np.all(np.isfinite(free_space.lower))
+                and np.all(np.isfinite(free_space.upper))):
+            raise ValueError(
+                "MAP fitting requires finite box bounds on every free "
+                "parameter")
+        lower = np.asarray(free_space.lower, np.float32)
+        width = np.asarray(free_space.upper - free_space.lower, np.float32)
+        key = jax.random.PRNGKey(self.seed)
+        x0 = make_initial_ball(key, self._init[free_space.free_idx],
+                               self._scatter[free_space.free_idx],
+                               int(nstarts), free_space.lower,
+                               free_space.upper)
+
+        def compute(x0):
+            u0 = _to_unconstrained(jnp.asarray(x0, jnp.float32),
+                                   lower, width)
+            u_map, lnp_map = map_core(lnprob, lower, width, u0,
+                                      int(n_adam), int(n_newton),
+                                      float(adam_lr))
+            x_map = lower + width * jax.nn.sigmoid(u_map)
+            H = neg_hessian(lnprob, x_map)
+            g = jax.grad(lnprob)(x_map)
+            return x_map, lnp_map, H, jnp.sqrt(jnp.sum(g * g))
+
+        post_token = self._posterior_token()
+        token = ("map", int(nstarts), int(n_adam), int(n_newton),
+                 float(adam_lr)) + post_token
+        cache = getattr(self, "_map_cache", None)
+        if cache is None or cache[0] != token:
+            cache = (token, jax.jit(compute))
+            self._map_cache = cache
+        x_map, lnp_map, H, gn = cache[1](x0)
+        x_np = np.asarray(x_map, np.float64)
+        cov_np, h_ok = laplace_cov_host(np.asarray(H, np.float64))
+        sigma = np.sqrt(np.maximum(np.diag(cov_np), 0.0))
+        interior = bool(h_ok) and bool(np.asarray(interior_mask(
+            x_np, sigma, np.asarray(free_space.lower, np.float64),
+            np.asarray(free_space.upper, np.float64))))
+        self.map_result = MAPResult(
+            x=x_np, lnprob=float(lnp_map), cov=cov_np, sigma=sigma,
+            interior=interior, grad_norm=float(gn))
+        self._map_token = post_token
+        self.free_space = free_space
+        if verbose:
+            names = [self.model.param_names[i]
+                     for i in free_space.free_idx]
+            parts = [f"{n}={v:.4g}+/-{s:.3g}"
+                     for n, v, s in zip(names, x_np, sigma)]
+            print(f"MAP[{self.model.name}] ({nstarts} starts): "
+                  + ", ".join(parts) + f"; lnprob={float(lnp_map):.2f}"
+                  + ("" if interior else
+                     " [mode near a box bound -- Laplace suspect]"))
+        return self.map_result
+
     # -- chain views ---------------------------------------------------------------------
     def _require_run(self):
         if self.chain_free is None:
@@ -520,7 +709,7 @@ class SEDFitter(ParamSpaceMixin):
     @property
     def acceptance_fraction(self):
         self._require_run()
-        return np.asarray(EnsembleSampler.acceptance_fraction(self._state))
+        return self._acceptance
 
     def gelman_rubin(self):
         """(names, rhat) over the free parameters, MBBFitter convention."""

@@ -442,3 +442,72 @@ def test_plot_hooks(wrapped_fit, tmp_path):
     assert len(fig2.axes) == 9  # 3 free params
     fig3 = res.plot_chain(savefig=str(tmp_path / "chain.png"))
     assert len(fig3.axes) == 3
+
+
+# -- alternative sampler tiers -------------------------------------------------------------
+
+def _thin_fit(nwalkers=48, seed=9):
+    shape = SHAPE_THIN
+    flux, unc = _mock_flux(shape)
+    fit = SEDFitter(_mbb_wrapped(shape), nwalkers=nwalkers, seed=seed)
+    fit.set_data(WAVE, flux, unc)
+    fit.fix_param("lambda0", 250.0).fix_param("alpha", 3.5)
+    fit.set_param_init("T", 30.0, 3.0)
+    fit.set_param_init("fnorm", 40.0, 5.0)
+    return fit
+
+
+def test_run_hmc_matches_stretch():
+    fit = _thin_fit()
+    fit.run_hmc(nwarmup=150, nsteps=250, nchains=16)
+    res_h = fit.results()
+    assert 0.5 < np.mean(fit.acceptance_fraction) <= 1.0
+    # extend() is stretch-only after an HMC run
+    with pytest.raises(RuntimeError, match="finished run"):
+        fit.extend(10)
+    fit2 = _thin_fit()
+    fit2.run(nburn=80, nsteps=250)
+    res_s = fit2.results()
+    for name in ("T", "beta", "fnorm"):
+        c_h, c_s = res_h.par_cen(name), res_s.par_cen(name)
+        width = c_s[1] + c_s[2]
+        assert abs(c_h[0] - c_s[0]) < 0.75 * width, (name, c_h, c_s)
+
+
+def test_run_pt_matches_stretch_and_evidence():
+    fit = _thin_fit()
+    # narrow box: a sane prior volume for the evidence comparison
+    fit.set_lowlim("T", 5.0).set_uplim("T", 80.0)
+    fit.set_lowlim("beta", 0.2).set_uplim("beta", 4.0)
+    fit.set_lowlim("fnorm", 5.0).set_uplim("fnorm", 200.0)
+    fit.run_pt(nrungs=8, nburn=120, nsteps=300, nchains=32)
+    res_p = fit.results()
+    assert np.isfinite(fit.logz_pt[0])
+    fit2 = _thin_fit()
+    fit2.run(nburn=80, nsteps=250)
+    res_s = fit2.results()
+    for name in ("T", "beta", "fnorm"):
+        c_p, c_s = res_p.par_cen(name), res_s.par_cen(name)
+        width = c_s[1] + c_s[2]
+        assert abs(c_p[0] - c_s[0]) < 0.75 * width, (name, c_p, c_s)
+    # nested evidence agrees with the PT stepping-stone lnZ
+    ev = fit.compute_evidence(nlive=200, nbatch=16, nsteps=16,
+                              max_iter=1500)
+    assert ev.samples.shape[-1] == 5
+    tol = 3.0 * np.hypot(ev.logz_err, fit.logz_pt[1]) + 0.5
+    assert abs(ev.logz - fit.logz_pt[0]) < tol, (ev.logz, fit.logz_pt)
+
+
+def test_fit_map_triage():
+    fit = _thin_fit()
+    r = fit.fit_map()
+    assert r.interior
+    # MAP lands near the truth within ~4 Laplace sigma
+    names = [fit.model.param_names[i] for i in fit.free_space.free_idx]
+    true = {"T": 32.0, "beta": 1.9, "fnorm": 45.0}
+    for j, name in enumerate(names):
+        assert abs(r.x[j] - true[name]) < 4 * max(r.sigma[j], 1e-3), (
+            name, r.x[j], r.sigma[j])
+    # MAP cache: a second call with identical config reuses the program
+    r2 = fit.fit_map()
+    np.testing.assert_allclose(r2.x, r.x)
