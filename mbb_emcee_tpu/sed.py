@@ -414,15 +414,21 @@ class SEDFitter(ParamSpaceMixin):
 
     # -- the run -----------------------------------------------------------------------
     def run(self, nburn=50, nsteps=250, thin=1, p0=None,
-            recenter_burn=True, verbose=False):
+            recenter_burn=True, verbose=False, init="auto"):
         """Burn -> re-center on the best burn-in sample -> re-burn ->
         reset -> production (the reference protocol). Stores the
         production chain; wrap in SEDResults for analysis/persistence.
-        Returns self."""
+        init='map' seeds the walker ball at the fit_map() mode with
+        ~2 Laplace-sigma scatter (triage-then-refine; requires fit_map
+        on this data first). Returns self."""
         if int(thin) < 1:
             raise ValueError(f"thin={thin} must be >= 1")
         if int(nsteps) % int(thin):
             raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
+        if init not in ("auto", "map"):
+            raise ValueError(f"init must be 'auto' or 'map'; got {init!r}")
+        if init == "map" and p0 is not None:
+            raise ValueError("init='map' conflicts with an explicit p0")
         thin = int(thin)
         lnprob, free_space, sampler = self.build()
         self.free_space = free_space
@@ -431,8 +437,21 @@ class SEDFitter(ParamSpaceMixin):
         key = jax.random.PRNGKey(self.seed)
         key, kball = jax.random.split(key)
         if p0 is None:
-            center = self._init[free_space.free_idx]
-            scatter = self._scatter[free_space.free_idx]
+            if init == "map":
+                self._require_map_fresh("run(init='map')")
+                r = self.map_result
+                if r.x.size != free_space.nfree:
+                    raise RuntimeError(
+                        "the parameter space changed since fit_map(); "
+                        "re-run fit_map before init='map'")
+                center = np.asarray(r.x, np.float64)
+                base = self._scatter[free_space.free_idx]
+                # cap degenerate Laplace sigmas (same rule as MBBFitter)
+                scatter = np.minimum(
+                    np.clip(2.0 * r.sigma, 1e-6, None), base * 10.0)
+            else:
+                center = self._init[free_space.free_idx]
+                scatter = self._scatter[free_space.free_idx]
             p0 = make_initial_ball(kball, center, scatter, self.nwalkers,
                                    free_space.lower, free_space.upper)
         else:
@@ -693,6 +712,76 @@ class SEDFitter(ParamSpaceMixin):
                   + ("" if interior else
                      " [mode near a box bound -- Laplace suspect]"))
         return self.map_result
+
+    def _require_map_fresh(self, what):
+        if getattr(self, "map_result", None) is None:
+            raise RuntimeError(f"{what} requires fit_map() on this data "
+                               f"first")
+        if getattr(self, "_map_token", None) != self._posterior_token():
+            raise RuntimeError(
+                f"{what}: the stored MAP fit is for a different posterior "
+                f"-- the parameter space, data, or responses changed "
+                f"since fit_map(); re-run fit_map() first")
+
+    def map_importance(self, nsamples=2048, seed=None):
+        """Laplace importance sampling after fit_map(): weighted
+        true-posterior summaries without MCMC (same semantics as
+        MBBFitter.map_importance -- ess/nsamples near 1 certifies the
+        Gaussian; small ess says run the MCMC). Returns (samples, logw,
+        ess), also stored as self.map_is."""
+        from mbb_emcee_tpu.likelihood import SUPPORT_FLOOR
+        self._require_map_fresh("map_importance")
+        r = self.map_result
+        lnprob, free_space = build_sed_lnprob(
+            self._require_data(), self.model, self.spec,
+            response_pack=self._response_pack())
+        d = free_space.nfree
+        N = int(nsamples)
+        L = np.linalg.cholesky(r.cov)
+        logdet = float(np.sum(np.log(np.diag(L))))
+        key = jax.random.PRNGKey(self.seed if seed is None else int(seed))
+        eps = np.asarray(jax.random.normal(key, (N, d), jnp.float32),
+                         np.float64)
+        x = r.x[None, :] + eps @ L.T
+        lnp = np.asarray(jax.jit(jax.vmap(lnprob))(
+            jnp.asarray(x, jnp.float32)), np.float64)
+        lnq = (-0.5 * np.sum(eps ** 2, axis=1) - logdet
+               - 0.5 * d * np.log(2.0 * np.pi))
+        logw = np.where(lnp > SUPPORT_FLOOR, lnp - lnq, -np.inf)
+        mx = logw.max()
+        if not np.isfinite(mx):
+            self.map_is = (x, logw, 0.0)
+            return self.map_is
+        logw = logw - mx
+        w = np.exp(logw)
+        ess = float(w.sum() ** 2 / np.maximum((w * w).sum(), 1e-300))
+        self.map_is = (x, logw, ess)
+        return self.map_is
+
+    def map_par_cen(self, param, percentile=68.3):
+        """(median, +err, -err) from the importance-refined Laplace
+        posterior (map_importance first). Fixed parameters report zero
+        errors; ess = 0 reports the MAP point with NaN errors."""
+        if getattr(self, "map_is", None) is None:
+            raise RuntimeError("map_importance() has not been called")
+        i = self._param_index(param)
+        r = self.map_result
+        free_idx = list(self.free_space.free_idx)
+        if i not in free_idx:
+            v = float(self._effective_spec().fixed_values[i])
+            return np.array([v, 0.0, 0.0])
+        x, logw, ess = self.map_is
+        col = x[:, free_idx.index(i)]
+        w = np.exp(logw)
+        if w.sum() <= 0.0:
+            return np.array([r.x[free_idx.index(i)], np.nan, np.nan])
+        order = np.argsort(col)
+        cw = np.cumsum(w[order])
+        cw /= cw[-1]
+        p = float(percentile)
+        qs = np.array([50.0 - p / 2, 50.0, 50.0 + p / 2]) / 100.0
+        lo, mid, hi = np.interp(qs, cw, col[order])
+        return np.array([mid, hi - mid, mid - lo])
 
     # -- chain views ---------------------------------------------------------------------
     def _require_run(self):

@@ -227,17 +227,22 @@ class SEDMultiFitter(ParamSpaceMixin):
 
     # -- the run -----------------------------------------------------------------------
     def run(self, nburn=50, nsteps=250, thin=1, recenter_burn=True,
-            verbose=False):
+            verbose=False, init="auto"):
         """Burn -> per-source re-center on its best walker -> re-burn ->
         reset -> production, all sources in lockstep (one jitted program;
         compiled programs cached across run() calls with the same static
-        geometry). Returns self."""
+        geometry). init='map' seeds each source's walker ball at its own
+        run_map() mode with ~2 Laplace-sigma scatter (whole-survey
+        triage-then-refine); centers/scatters are runtime operands, so
+        both init modes share the compiled program. Returns self."""
         if self.flux is None:
             raise RuntimeError("no data; call set_data")
         if int(thin) < 1:
             raise ValueError(f"thin={thin} must be >= 1")
         if nsteps % thin:
             raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
+        if init not in ("auto", "map"):
+            raise ValueError(f"init must be 'auto' or 'map'; got {init!r}")
         spec = self._effective_spec()
         lnprob_data, free_space = build_sed_lnprob_data(
             self.model, spec, response_pack=self._response_pack())
@@ -261,8 +266,18 @@ class SEDMultiFitter(ParamSpaceMixin):
         iunc = jnp.asarray(self._iunc_operand(), jnp.float32)
         key = jax.random.key(self.seed, impl=self.prng_impl)
         kball, kstate, krecenter = jax.random.split(key, 3)
-        cen_f = self._init[free_space.free_idx]
-        sca_f = self._scatter[free_space.free_idx]
+        if init == "map":
+            self._require_map_fresh("run(init='map')")
+            cen_f = self.map_params[:, free_space.free_idx]   # (S, nfree)
+            base = self._scatter[free_space.free_idx]
+            sca_f = np.minimum(
+                np.clip(2.0 * self.map_sigma, 1e-6, None),
+                base[None, :] * 10.0)
+        else:
+            cen_f = np.broadcast_to(self._init[free_space.free_idx],
+                                    (S, free_space.nfree))
+            sca_f = np.broadcast_to(self._scatter[free_space.free_idx],
+                                    (S, free_space.nfree))
         lower, upper = free_space.lower, free_space.upper
         mesh_axis = (self.mesh.axis_names[0]
                      if self.mesh is not None else None)
@@ -326,15 +341,17 @@ class SEDMultiFitter(ParamSpaceMixin):
                      None if self.responses is None
                      else (self._responses_token(),))
         if cache_key not in self._run_cache:
+            # centers/scatters are PER-SOURCE operands (in_axes 0): the
+            # 'auto' and 'map' init modes share this compiled program.
             f = jax.vmap(one_source,
-                         in_axes=(0, 0, 0, None, None, None, None, None,
-                                  None))
+                         in_axes=(0, 0, 0, None, None, None, None, 0, 0))
             if self.mesh is not None:
                 ax = self.mesh.axis_names[0]
                 f = jax.shard_map(
                     f, mesh=self.mesh,
                     in_specs=(P(ax), P(ax, None), P(ax, None),
-                              P(), P(), P(), P(None), P(None), P(None)),
+                              P(), P(), P(), P(None), P(ax, None),
+                              P(ax, None)),
                     out_specs=(P(ax, None, None, None), P(ax, None, None),
                                P(ax, None), P(ax), P(ax)))
             self._run_cache[cache_key] = jax.jit(f)
@@ -342,8 +359,8 @@ class SEDMultiFitter(ParamSpaceMixin):
             self._run_cache[cache_key](
                 self._shard(jnp.arange(S)), self._shard(flux),
                 self._shard(iunc), kball, kstate, krecenter, wave,
-                jnp.asarray(cen_f, jnp.float32),
-                jnp.asarray(sca_f, jnp.float32)))
+                self._shard(jnp.asarray(cen_f, jnp.float32)),
+                self._shard(jnp.asarray(sca_f, jnp.float32))))
 
         self.chain_free = chain
         self.lnprobability = lnpchain
@@ -550,6 +567,217 @@ class SEDMultiFitter(ParamSpaceMixin):
             ok = ok & (nrec >= float(tau_mult)
                        * np.nanmax(np.nan_to_num(tau, nan=1.0), axis=1))
         return ok
+
+    # -- MAP triage tier (generic: mapfit sees only lnprob) -------------------------------
+    def run_map(self, nstarts=8, n_adam=150, n_newton=12, adam_lr=0.1,
+                verbose=False):
+        """Batched MAP + Laplace quick fits for the whole catalog in ONE
+        device program (the survey-triage tier; see MultiFitter.run_map
+        for the workflow). Stores map_params (S, npar), map_lnprob (S,),
+        map_cov (S, nfree, nfree), map_sigma (S, nfree), map_interior
+        (S,) and returns self; map_cen(param) gives (S, 2) value+/-sigma."""
+        from mbb_emcee_tpu.mapfit import (
+            map_core, neg_hessian, laplace_cov_host, interior_mask,
+            _to_unconstrained)
+
+        if self.flux is None:
+            raise RuntimeError("no data; call set_data")
+        spec = self._effective_spec()
+        lnprob_data, free_space = build_sed_lnprob_data(
+            self.model, spec, response_pack=self._response_pack())
+        self.free_space = free_space
+        if not (np.all(np.isfinite(free_space.lower))
+                and np.all(np.isfinite(free_space.upper))):
+            raise ValueError(
+                "MAP fitting requires finite box bounds on every free "
+                "parameter")
+        S = self.nsources
+        d = free_space.nfree
+        lower = np.asarray(free_space.lower, np.float32)
+        width = np.asarray(free_space.upper - free_space.lower, np.float32)
+        if self.mesh is not None and S % self.mesh.devices.size:
+            raise ValueError(
+                f"the mesh size ({self.mesh.devices.size} devices) must "
+                f"divide nsources={S}")
+        cen_f = jnp.asarray(self._init[free_space.free_idx], jnp.float32)
+        sca_f = jnp.asarray(self._scatter[free_space.free_idx],
+                            jnp.float32)
+        key = jax.random.key(self.seed, impl=self.prng_impl)
+
+        def one_source(idx, flux_s, iunc_s, key, wave, cen, sca):
+            lnp = lambda x: lnprob_data(x, wave, flux_s, iunc_s)
+            x0 = make_initial_ball(
+                jax.random.fold_in(key, idx), cen, sca, nstarts,
+                free_space.lower, free_space.upper)
+            u0 = _to_unconstrained(jnp.asarray(x0, jnp.float32),
+                                   lower, width)
+            u_map, lnp_map = map_core(lnp, lower, width, u0,
+                                      int(n_adam), int(n_newton),
+                                      float(adam_lr))
+            x_map = lower + width * jax.nn.sigmoid(u_map)
+            H = neg_hessian(lnp, x_map)
+            g = jax.grad(lnp)(x_map)
+            return x_map, lnp_map, H, jnp.sqrt(jnp.sum(g * g))
+
+        ck = ("map", S, d, int(nstarts), int(n_adam), int(n_newton),
+              float(adam_lr), _mesh_token(self.mesh),
+              self._spec_token(spec), self.prng_impl,
+              self._responses_token())
+        if ck not in self._run_cache:
+            f = jax.vmap(one_source,
+                         in_axes=(0, 0, 0, None, None, None, None))
+            if self.mesh is not None:
+                ax = self.mesh.axis_names[0]
+                f = jax.shard_map(
+                    f, mesh=self.mesh,
+                    in_specs=(P(ax), P(ax, None), P(ax, None), P(),
+                              P(None), P(None), P(None)),
+                    out_specs=(P(ax, None), P(ax), P(ax, None, None),
+                               P(ax)))
+            self._run_cache[ck] = jax.jit(f)
+        x_map, lnp_map, H, gn = self._run_cache[ck](
+            self._shard(jnp.arange(S)),
+            self._shard(jnp.asarray(self.flux, jnp.float32)),
+            self._shard(jnp.asarray(self._iunc_operand(), jnp.float32)),
+            key, jnp.asarray(self.wave, jnp.float32), cen_f, sca_f)
+
+        x_np = np.asarray(x_map, np.float64)
+        self.map_params = free_space.expand(x_np)
+        self.map_lnprob = np.asarray(lnp_map, np.float64)
+        self.map_cov, h_ok = laplace_cov_host(np.asarray(H, np.float64))
+        self.map_sigma = np.sqrt(np.maximum(
+            np.diagonal(self.map_cov, axis1=1, axis2=2), 0.0))
+        self.map_interior = h_ok & np.asarray(interior_mask(
+            x_np, self.map_sigma,
+            np.asarray(free_space.lower, np.float64),
+            np.asarray(free_space.upper, np.float64)))
+        self.map_grad_norm = np.asarray(gn, np.float64)
+        self._map_token = self._posterior_token()
+        if verbose:
+            from mbb_emcee_tpu.utils.log import enable_console
+            n_bad = int((~self.map_interior).sum())
+            enable_console().info(
+                f"MAP triage [{self.model.name}] over {S} sources x "
+                f"{nstarts} starts: lnprob in [{self.map_lnprob.min():.1f},"
+                f" {self.map_lnprob.max():.1f}]; {n_bad} modes at the box "
+                f"edge (Laplace suspect -- run the MCMC for those)")
+        return self
+
+    def _require_map_fresh(self, what):
+        if getattr(self, "map_params", None) is None:
+            raise RuntimeError(f"{what} requires run_map() first")
+        if self._posterior_token() != self._map_token:
+            raise RuntimeError(
+                f"{what}: the stored MAP fit is for a different posterior "
+                f"-- the parameter space, data, or responses changed "
+                f"since run_map(); re-run run_map() first")
+
+    def map_importance(self, nsamples=512, seed=None, verbose=False):
+        """Laplace importance sampling over the catalog: weighted
+        true-posterior summaries without MCMC (see
+        MultiFitter.map_importance for the ESS triage semantics).
+        Stores map_samples (S, N, nfree), map_logw (S, N), map_ess (S,);
+        returns map_ess."""
+        from mbb_emcee_tpu.likelihood import SUPPORT_FLOOR
+        self._require_map_fresh("map_importance()")
+        spec = self._effective_spec()
+        lnprob_data, free_space = build_sed_lnprob_data(
+            self.model, spec, response_pack=self._response_pack())
+        S = self.nsources
+        d = free_space.nfree
+        N = int(nsamples)
+
+        L = np.linalg.cholesky(self.map_cov)
+        logdet = np.sum(np.log(np.diagonal(L, axis1=1, axis2=2)), axis=1)
+        mu = self.map_params[:, free_space.free_idx]
+        key = jax.random.key(self.seed if seed is None else int(seed))
+        eps = jax.random.normal(key, (S, N, d), jnp.float32)
+        x = (jnp.asarray(mu, jnp.float32)[:, None, :]
+             + jnp.einsum("snd,sed->sne", eps, jnp.asarray(L, jnp.float32)))
+
+        def one(x_s, flux_s, iunc_s, wave):
+            return jax.vmap(
+                lambda th: lnprob_data(th, wave, flux_s, iunc_s))(x_s)
+
+        ck = ("map_is", S, d, N, _mesh_token(self.mesh),
+              self._spec_token(spec), self._responses_token())
+        if ck not in self._run_cache:
+            f = jax.vmap(one, in_axes=(0, 0, 0, None))
+            if self.mesh is not None:
+                ax = self.mesh.axis_names[0]
+                f = jax.shard_map(
+                    f, mesh=self.mesh,
+                    in_specs=(P(ax), P(ax, None), P(ax, None), P(None)),
+                    out_specs=P(ax, None))
+            self._run_cache[ck] = jax.jit(f)
+        lnp = self._run_cache[ck](
+            self._shard(x),
+            self._shard(jnp.asarray(self.flux, jnp.float32)),
+            self._shard(jnp.asarray(self._iunc_operand(), jnp.float32)),
+            jnp.asarray(self.wave, jnp.float32))
+
+        lnq = (-0.5 * np.sum(np.asarray(eps, np.float64) ** 2, axis=2)
+               - logdet[:, None] - 0.5 * d * np.log(2.0 * np.pi))
+        lnp = np.asarray(lnp, np.float64)
+        logw = np.where(lnp > SUPPORT_FLOOR, lnp - lnq, -np.inf)
+        mx = logw.max(axis=1, keepdims=True)
+        any_in = np.isfinite(mx[:, 0])
+        logw = np.where(any_in[:, None], logw - np.where(
+            np.isfinite(mx), mx, 0.0), -np.inf)
+        w = np.exp(logw)
+        w_sum = w.sum(axis=1, keepdims=True)
+        ess = np.where(
+            any_in,
+            (w_sum[:, 0] ** 2) / np.maximum((w * w).sum(axis=1), 1e-300),
+            0.0)
+        self.map_samples = np.asarray(x, np.float64)
+        self.map_logw = logw
+        self.map_ess = ess
+        if verbose:
+            from mbb_emcee_tpu.utils.log import enable_console
+            frac = ess / N
+            enable_console().info(
+                f"Laplace importance sampling: N={N}/source, ess/N median "
+                f"{np.median(frac):.2f} (min {frac.min():.2f})")
+        return ess
+
+    def map_par_cen(self, param, percentile=68.3):
+        """(S, 3) weighted (median, +err, -err) from the importance-
+        refined Laplace posterior (map_importance first)."""
+        if getattr(self, "map_samples", None) is None:
+            raise RuntimeError("map_importance() has not been called")
+        i = self._param_index(param)
+        free_idx = list(self.free_space.free_idx)
+        if i not in free_idx:
+            vals = self.map_params[:, i]
+            return np.column_stack([vals, np.zeros_like(vals),
+                                    np.zeros_like(vals)])
+        col = self.map_samples[:, :, free_idx.index(i)]
+        w = np.exp(self.map_logw)
+        p = float(percentile)
+        qs = np.array([50.0 - p / 2, 50.0, 50.0 + p / 2]) / 100.0
+        out = np.empty((self.nsources, 3))
+        for s in range(self.nsources):
+            order = np.argsort(col[s])
+            cw = np.cumsum(w[s][order])
+            if cw[-1] <= 0.0:
+                out[s] = (self.map_params[s, i], np.nan, np.nan)
+                continue
+            cw /= cw[-1]
+            lo, mid, hi = np.interp(qs, cw, col[s][order])
+            out[s] = (mid, hi - mid, mid - lo)
+        return out
+
+    def map_cen(self, param):
+        """(S, 2) MAP value +/- Laplace sigma (sigma = 0 for fixed)."""
+        if getattr(self, "map_params", None) is None:
+            raise RuntimeError("run_map() has not been called")
+        i = self._param_index(param)
+        vals = self.map_params[:, i]
+        free_idx = list(self.free_space.free_idx)
+        sig = (self.map_sigma[:, free_idx.index(i)]
+               if i in free_idx else np.zeros(self.nsources))
+        return np.column_stack([vals, sig])
 
     # -- batched derived quantities -------------------------------------------------------
     def _source_redshifts(self, redshifts):

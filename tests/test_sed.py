@@ -511,3 +511,25 @@ def test_fit_map_triage():
     # MAP cache: a second call with identical config reuses the program
     r2 = fit.fit_map()
     np.testing.assert_allclose(r2.x, r.x)
+
+
+def test_map_importance_and_seeded_run():
+    """Single-fit triage-then-refine on the generic surface: importance
+    summaries near the MCMC posterior; init='map' runs; stale guard."""
+    fit = _thin_fit()
+    fit.fit_map()
+    x, logw, ess = fit.map_importance(nsamples=1024)
+    assert ess > 50
+    c_is = fit.map_par_cen("T")
+    fit.run(nburn=60, nsteps=200, init="map")
+    c_mc = fit.results().par_cen("T")
+    assert abs(c_is[0] - c_mc[0]) < 2.0 * (c_mc[1] + c_mc[2])
+    # fixed parameters report zero errors
+    np.testing.assert_allclose(fit.map_par_cen("lambda0"),
+                               [250.0, 0.0, 0.0])
+    # staleness guard
+    fit.set_gaussian_prior("T", 20.0, 0.5)
+    with pytest.raises(RuntimeError, match="different posterior"):
+        fit.map_importance(nsamples=16)
+    with pytest.raises(RuntimeError, match="different posterior"):
+        fit.run(nburn=2, nsteps=2, init="map")

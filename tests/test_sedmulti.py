@@ -298,3 +298,51 @@ def test_set_data_validation():
         mf.set_data(WAVE, flux, unc, redshifts=[1.0])
     with pytest.raises(ValueError, match="one source name"):
         mf.set_data(WAVE, flux, unc, source_names=["x"])
+
+
+# -- MAP triage tier -----------------------------------------------------------------------
+
+def test_run_map_and_importance():
+    """Batched MAP lands near the truths; importance refinement gives
+    weighted summaries; init='map' seeds the MCMC; staleness guarded."""
+    truths, flux, unc = _mock_batch(S=4, seed=41)
+    mf = _fitter(flux, unc, seed=43, nwalkers=32)
+    mf.run_map(nstarts=8)
+    assert mf.map_params.shape == (4, 5)
+    # the cold component is well constrained; check it at the mode
+    assert np.all(np.abs(mf.map_params[:, 0] - truths[:, 0]) < 3.0)
+    ess = mf.map_importance(nsamples=256)
+    assert ess.shape == (4,) and np.all(ess >= 0)
+    cen = mf.map_par_cen("T_cold")
+    assert cen.shape == (4, 3)
+    ok = np.isfinite(cen[:, 1])
+    assert np.all(np.abs(cen[ok, 0] - truths[ok, 0])
+                  < 6 * np.maximum(cen[ok, 1] + cen[ok, 2], 0.3))
+    assert mf.map_cen("T_warm").shape == (4, 2)
+    # triage-then-refine: the map-seeded MCMC runs and recovers
+    mf.run(nburn=30, nsteps=60, init="map")
+    assert mf.chain_free.shape[1] == 60
+    # guards
+    mf.set_gaussian_prior("T_cold", 18.0, 0.5)
+    with pytest.raises(RuntimeError, match="different posterior"):
+        mf.run(nburn=2, nsteps=2, init="map")
+    with pytest.raises(RuntimeError, match="different posterior"):
+        mf.map_importance(nsamples=16)
+    mf2 = _fitter(flux, unc, nwalkers=16)
+    with pytest.raises(RuntimeError, match="run_map"):
+        mf2.run(nburn=2, nsteps=2, init="map")
+
+
+def test_run_map_mesh_matches_unsharded():
+    from mbb_emcee_tpu.parallel import walker_mesh
+    truths, flux, unc = _mock_batch(S=8, seed=47)
+    mf_a = _fitter(flux, unc, seed=51, nwalkers=16)
+    mf_a.run_map(nstarts=4, n_adam=60, n_newton=6)
+    mf_b = _fitter(flux, unc, seed=51, nwalkers=16, mesh=walker_mesh(8))
+    mf_b.run_map(nstarts=4, n_adam=60, n_newton=6)
+    # shard_map compiles a different fp32 reduction order, so optimizer
+    # endpoints agree to fp32 working precision, not bitwise
+    np.testing.assert_allclose(mf_a.map_params, mf_b.map_params,
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(mf_a.map_lnprob, mf_b.map_lnprob,
+                               rtol=1e-3, atol=1e-3)
