@@ -11,7 +11,7 @@ up as non-uniform ranks.
 
 This is stronger than the pull test in test_multifit.py: pulls only
 check the first two moments against a Gaussian shape; SBC ranks check
-the whole distribution, with no Gaussianity assumption. Eight pipeline
+the whole distribution, with no Gaussianity assumption. Nine pipeline
 variants are calibrated: plain diagonal errors, band-integrated
 (instrument response) likelihoods, correlated calibration errors, the
 gradient-based HMC tier, the parallel-tempering tier (same targets,
@@ -21,7 +21,9 @@ the MAP + Laplace-importance triage tier (weighted CDF at truth -- the
 exact statistical claim map_par_cen makes), and the single-fit surface
 both through its full burn -> re-center -> production protocol and
 through the fit_map -> run(init='map') short-burn workflow (a seeding
-that biased the stationary distribution would skew these ranks).
+that biased the stationary distribution would skew these ranks), and
+the GENERIC batch pipeline (sedmulti.SEDMultiFitter on the wrapped
+MBB -- same targets, different orchestration code).
 
 Reference anchor: SURVEY.md section 4 (sampler statistics tests) and the
 BASELINE accuracy contract. Runs in the slow lane.
@@ -152,6 +154,40 @@ def _sbc_ranks(mode, S=48):
             ranks.append((w * below).sum(axis=1))
         return np.concatenate(ranks), S
 
+    if mode == "sedmulti":
+        # The GENERIC batch pipeline (sedmulti.SEDMultiFitter) on the
+        # wrapped MBB: same targets, same prior box, entirely different
+        # orchestration code path -- a broken generic builder, init
+        # ball, or continuation bookkeeping would decalibrate this
+        # without touching the MBB classes.
+        from mbb_emcee_tpu.sed import SEDModel
+        from mbb_emcee_tpu.sedmulti import SEDMultiFitter
+        from mbb_emcee_tpu.models.modified_blackbody import log_mbb_fnu
+
+        def fnu(theta, wave):
+            return jnp.exp(log_mbb_fnu(theta, wave, SHAPE))
+
+        model = SEDModel(
+            fnu=fnu, param_names=("T", "beta", "lambda0", "alpha",
+                                  "fnorm"),
+            lower=[BOX["T"][0], BOX["beta"][0], 1.0, 0.01,
+                   BOX["fnorm"][0]],
+            upper=[BOX["T"][1], BOX["beta"][1], 2e4, 60.0,
+                   BOX["fnorm"][1]], name="mbb-wrapped")
+        smf = SEDMultiFitter(model, nwalkers=64, seed=99)
+        smf.fix_param("lambda0", 250.0).fix_param("alpha", 4.0)
+        smf.set_data(WAVE, np.array(flux), np.array(unc))
+        smf.set_param_init("T", 37.5, 10.0)
+        smf.set_param_init("fnorm", 105.0, 40.0)
+        smf.run(nburn=250, nsteps=600, thin=2)
+        chain = np.asarray(smf.chain)          # (S, nw, nrec, 5)
+        ranks = []
+        for name in smf.free_param_names:
+            true_p = trues[:, idx[name]]
+            flat = chain[..., idx[name]].reshape(S, -1)
+            ranks.append((flat < true_p[:, None]).mean(axis=1))
+        return np.concatenate(ranks), S
+
     if mode == "hmc":
         mf.run_hmc(nwarmup=300, nsteps=600, thin=2)
     elif mode == "pt":
@@ -174,7 +210,7 @@ def _sbc_ranks(mode, S=48):
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "mode", ["plain", "response", "correlated", "hmc", "pt", "map_is",
-             "single", "single_map_init"])
+             "sedmulti", "single", "single_map_init"])
 def test_sbc_ranks_uniform(mode):
     # single-fit modes run S separate (program-cached) fits on the host
     # loop; a smaller S keeps the slow lane bounded
