@@ -391,26 +391,29 @@ class SEDFitter(ParamSpaceMixin):
         return lnprob, free_space, sampler
 
     def __call__(self, params):
-        """lnprob at a FULL parameter vector (fixed slots included), like
-        MBBFitter.__call__. Out-of-box fixed values evaluate the model as
-        given; free values outside the box floor to LNPROB_FLOOR."""
+        """lnprob at a FULL parameter vector (MBBFitter.__call__
+        semantics): fixed-parameter values in `params` override the
+        configured ones for this evaluation; the box and priors still
+        apply to every slot. The built+jitted closure is cached on a
+        content token -- ported per-sample loops must not pay a rebuild
+        per call."""
         params = np.asarray(params, np.float64)
         if params.shape != (self.model.npar,):
             raise ValueError(
                 f"expected a ({self.model.npar},) full parameter vector")
         spec = self.spec
-        free_space = FreeSpace.from_spec(spec)
-        fixed = spec.fixed
-        if np.any(fixed):
-            open_spec = dataclasses.replace(
-                spec, fixed_values=np.where(fixed, params, 0.0))
-        else:
-            open_spec = spec
-        lnprob, _ = build_sed_lnprob(
-            self._require_data(), self.model, open_spec,
-            response_pack=self._response_pack())
-        return float(jax.jit(lnprob)(
-            jnp.asarray(params[free_space.free_idx], jnp.float32)))
+        n = self.model.npar
+        open_spec = dataclasses.replace(
+            spec, fixed=np.zeros(n, bool), fixed_values=np.zeros(n))
+        token = self._posterior_token()
+        cache = getattr(self, "_call_cache", None)
+        if cache is None or cache[0] != token:
+            lnprob, _ = build_sed_lnprob(
+                self._require_data(), self.model, open_spec,
+                response_pack=self._response_pack())
+            cache = (token, jax.jit(lnprob))
+            self._call_cache = cache
+        return float(cache[1](jnp.asarray(params, jnp.float32)))
 
     # -- the run -----------------------------------------------------------------------
     def run(self, nburn=50, nsteps=250, thin=1, p0=None,

@@ -249,6 +249,11 @@ class SEDMultiFitter(ParamSpaceMixin):
         self.free_space = free_space
         self.thin = int(thin)
         S, nw = self.nsources, self.nwalkers
+        if nw < 2 * free_space.nfree:
+            raise ValueError(
+                f"nwalkers={nw} < 2*nfree={2 * free_space.nfree}: the "
+                f"stretch move needs at least twice the dimension "
+                f"(prefer many more)")
         half = nw // 2
         a = self.a
         nrec = int(nsteps // thin)
@@ -1006,6 +1011,13 @@ class SEDMultiFitter(ParamSpaceMixin):
                 pc.create_dataset("PhotUpperLimits",
                                   data=np.asarray(spec.uplim_bands,
                                                   np.uint8))
+            if getattr(self, "lir_chain", None) is not None:
+                f.create_dataset("LIRChain", data=self.lir_chain,
+                                 compression="gzip")
+            if getattr(self, "peaklambda_chain", None) is not None:
+                f.create_dataset("PeakLambdaChain",
+                                 data=self.peaklambda_chain,
+                                 compression="gzip")
         return filename
 
     @classmethod
@@ -1079,6 +1091,11 @@ class SEDMultiFitter(ParamSpaceMixin):
                                             jnp.int32),
                                 jnp.asarray(np.asarray(f["NSteps"]),
                                             jnp.int32))
+            if "LIRChain" in f:
+                mf.lir_chain = np.asarray(f["LIRChain"], np.float64)
+            if "PeakLambdaChain" in f:
+                mf.peaklambda_chain = np.asarray(f["PeakLambdaChain"],
+                                                 np.float64)
         from mbb_emcee_tpu.sed import build_sed_lnprob_data as _b
         _, mf.free_space = _b(model, mf._effective_spec())
         mf._post_token = mf._posterior_token()

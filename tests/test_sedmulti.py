@@ -242,6 +242,7 @@ def test_derived_match_single_results(batch_fit):
 
 def test_hdf5_roundtrip_and_continue(batch_fit, tmp_path):
     truths, mf = batch_fit
+    mf.compute_lir(thin=32)
     path = str(tmp_path / "batch.h5")
     mf.writeToHDF5(path)
     mf2 = SEDMultiFitter.from_h5(path, _model())
@@ -249,6 +250,8 @@ def test_hdf5_roundtrip_and_continue(batch_fit, tmp_path):
                                   np.asarray(mf.chain_free))
     np.testing.assert_allclose(mf2.par_cen("T_warm"), mf.par_cen("T_warm"))
     assert mf2.redshifts is not None
+    # computed derived chains persist
+    np.testing.assert_allclose(mf2.lir_chain, mf.lir_chain)
     # reload continues the serving loop
     n0 = mf2.chain_free.shape[1]
     mf2.extend(24)
