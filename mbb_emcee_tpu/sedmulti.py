@@ -27,8 +27,6 @@ process, with no user-model hook at all (SURVEY.md C4, provenance note).
 
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
 import jax
 import jax.numpy as jnp
