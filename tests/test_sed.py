@@ -533,3 +533,43 @@ def test_map_importance_and_seeded_run():
         fit.map_importance(nsamples=16)
     with pytest.raises(RuntimeError, match="different posterior"):
         fit.run(nburn=2, nsteps=2, init="map")
+
+
+def test_builder_equivalence_random_configs():
+    """Property sweep: on RANDOM combinations of fixed params, priors,
+    box edits, uplims and covariance, the generic builder equals the MBB
+    builder exactly on the wrapped model -- inheriting the MBB builder's
+    own fp64-oracle property sweep (test_likelihood_property.py)
+    transitively."""
+    model = _mbb_wrapped()
+    rng = np.random.default_rng(7)
+    flux, unc = _mock_flux()
+    for trial in range(10):
+        spec = LikelihoodSpec.default()
+        spec.upper[0] = 100.0
+        spec.upper[1] = 5.0
+        fixed = rng.random(5) < 0.3
+        if fixed.all():
+            fixed[rng.integers(5)] = False
+        fixed_vals = np.where(
+            fixed, [30.0, 2.0, 250.0, 3.5, 40.0], 0.0)
+        pm = np.where(rng.random(5) < 0.4,
+                      [30.0, 1.9, 250.0, 3.5, 45.0], 0.0)
+        pis = np.where(pm > 0, 1.0 / rng.uniform(0.2, 3.0, 5), 0.0)
+        uplim = (rng.random(5) < 0.25) if rng.random() < 0.5 else None
+        cov = None
+        if uplim is None and rng.random() < 0.5:
+            cov = np.diag(unc ** 2) + 0.15 * np.outer(unc, unc)
+        spec = dataclasses.replace(
+            spec, fixed=fixed, fixed_values=fixed_vals,
+            prior_mean=pm, prior_isigma=pis, uplim_bands=uplim)
+        phot = Photometry(WAVE, flux, unc, cov=cov)
+        ln_mbb, fs = build_lnprob(phot, SHAPE5, spec)
+        ln_sed, fs2 = build_sed_lnprob(phot, model, spec)
+        assert np.array_equal(fs.free_idx, fs2.free_idx)
+        thetas = (np.array([32.0, 1.9, 250.0, 3.5, 45.0])[fs.free_idx]
+                  [None, :] * rng.uniform(0.85, 1.15, (8, fs.nfree)))
+        a = np.asarray(jax.vmap(ln_mbb)(jnp.asarray(thetas, jnp.float32)))
+        b = np.asarray(jax.vmap(ln_sed)(jnp.asarray(thetas, jnp.float32)))
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-5,
+                                   err_msg=f"trial {trial}")

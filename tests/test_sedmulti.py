@@ -349,3 +349,26 @@ def test_run_map_mesh_matches_unsharded():
                                rtol=5e-3, atol=5e-3)
     np.testing.assert_allclose(mf_a.map_lnprob, mf_b.map_lnprob,
                                rtol=1e-3, atol=1e-3)
+
+
+def test_uplim_mask_change_reuses_compiled_programs():
+    """Sign-encoded masks: changing WHICH bands/sources are upper limits
+    must not grow the generic batch tier's compile cache either."""
+    truths, flux, unc = _mock_batch(S=4, seed=61)
+    mf = _fitter(flux, unc, seed=2, nwalkers=16)
+    mf.run(nburn=6, nsteps=12)
+    n0 = len(mf._run_cache)
+    mf.set_phot_upperlimits([False] * (WAVE.size - 1) + [True])
+    mf.run(nburn=6, nsteps=12)
+    m = np.zeros((4, WAVE.size), bool)
+    m[0, 0] = True
+    mf.set_phot_upperlimits(m)
+    mf.run(nburn=6, nsteps=12)
+    assert len(mf._run_cache) == n0, "mask change recompiled the run"
+    # extend() likewise shares one continue-program across masks
+    mf.extend(12)
+    n1 = len(mf._run_cache)
+    mf.set_phot_upperlimits(np.zeros(WAVE.size, bool))
+    mf.run(nburn=6, nsteps=12)
+    mf.extend(12)
+    assert len(mf._run_cache) == n1, "mask change recompiled extend"
