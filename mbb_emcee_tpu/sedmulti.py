@@ -225,14 +225,25 @@ class SEDMultiFitter(ParamSpaceMixin):
 
     # -- the run -----------------------------------------------------------------------
     def run(self, nburn=50, nsteps=250, thin=1, recenter_burn=True,
-            verbose=False, init="auto"):
+            verbose=False, init="auto", checkpoint=None,
+            checkpoint_interval=100, resume=False):
         """Burn -> per-source re-center on its best walker -> re-burn ->
         reset -> production, all sources in lockstep (one jitted program;
         compiled programs cached across run() calls with the same static
         geometry). init='map' seeds each source's walker ball at its own
         run_map() mode with ~2 Laplace-sigma scatter (whole-survey
         triage-then-refine); centers/scatters are runtime operands, so
-        both init modes share the compiled program. Returns self."""
+        both init modes share the compiled program.
+
+        With checkpoint=path the production run proceeds in
+        checkpoint_interval-record segments, flushing the COMPLETE fitter
+        state (chains + per-source PRNG keys, via writeToHDF5) after each
+        -- a killed batch run loses at most one segment. resume=True
+        continues an interrupted run from that file toward the same
+        nsteps target; extend()'s exact-continuation property makes the
+        segmented chain bitwise-identical to an uninterrupted one.
+        Returns self."""
+        import os
         if self.flux is None:
             raise RuntimeError("no data; call set_data")
         if int(thin) < 1:
@@ -241,6 +252,15 @@ class SEDMultiFitter(ParamSpaceMixin):
             raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
         if init not in ("auto", "map"):
             raise ValueError(f"init must be 'auto' or 'map'; got {init!r}")
+        if resume and not checkpoint:
+            raise ValueError(
+                "resume=True requires checkpoint= (the path the previous "
+                "run flushed state to)")
+        if checkpoint is not None:
+            return self._run_checkpointed(
+                nburn, nsteps, thin, recenter_burn, verbose, init,
+                checkpoint, int(checkpoint_interval),
+                bool(resume and os.path.exists(checkpoint)))
         spec = self._effective_spec()
         lnprob_data, free_space = build_sed_lnprob_data(
             self.model, spec, response_pack=self._response_pack())
@@ -384,6 +404,47 @@ class SEDMultiFitter(ParamSpaceMixin):
     def _responses_token(self):
         pack = self._response_pack()
         return None if pack is None else data_fingerprint(*pack)
+
+    def _run_checkpointed(self, nburn, nsteps, thin, recenter_burn,
+                          verbose, init, checkpoint, interval, resuming):
+        """Segmented production with full-state flushes: burn + first
+        segment through run(), then extend() segments, each followed by
+        writeToHDF5(checkpoint). Resume reloads the file (refusing a
+        mismatched model/posterior via from_h5 + the extend token) and
+        continues toward the original record target."""
+        thin_i = int(thin)
+        target = int(nsteps) // thin_i          # records wanted
+        interval = max(1, int(interval))
+        if resuming:
+            other = SEDMultiFitter.from_h5(checkpoint, self.model,
+                                           mesh=self.mesh)
+            if (other.nwalkers != self.nwalkers
+                    or other.thin != thin_i
+                    or other.seed != self.seed):
+                raise ValueError(
+                    "checkpoint geometry (nwalkers/thin/seed) does not "
+                    "match this fitter")
+            if other._posterior_token() != self._posterior_token():
+                raise RuntimeError(
+                    "checkpointed run's posterior (spec/data/responses) "
+                    "differs from this fitter's; refusing to splice")
+            # adopt the restored state wholesale
+            for attr in ("chain_free", "lnprobability",
+                         "acceptance_fraction", "free_space", "thin",
+                         "_xla_keys", "_xla_counters"):
+                setattr(self, attr, getattr(other, attr))
+            self._post_token = self._posterior_token()
+        else:
+            first = min(interval, target)
+            self.run(nburn=nburn, nsteps=first * thin_i, thin=thin_i,
+                     recenter_burn=recenter_burn, verbose=verbose,
+                     init=init)
+            self.writeToHDF5(checkpoint)
+        while int(self.chain_free.shape[1]) < target:
+            step = min(interval, target - int(self.chain_free.shape[1]))
+            self.extend(step * thin_i, verbose=verbose)
+            self.writeToHDF5(checkpoint)
+        return self
 
     def extend(self, nsteps, verbose=False):
         """Continue the production run for every source from (stored

@@ -372,3 +372,41 @@ def test_uplim_mask_change_reuses_compiled_programs():
     mf.run(nburn=6, nsteps=12)
     mf.extend(12)
     assert len(mf._run_cache) == n1, "mask change recompiled extend"
+
+
+def test_checkpoint_resume_bitwise(tmp_path):
+    """A checkpointed batch run killed between segments resumes to a
+    chain bitwise-identical to an uninterrupted run (extend() is exact
+    continuation; the flushes carry complete sampler state)."""
+    truths, flux, unc = _mock_batch(S=4, seed=71)
+    path = str(tmp_path / "ck.h5")
+
+    # uninterrupted reference
+    ref = _fitter(flux, unc, seed=19, nwalkers=32)
+    ref.run(nburn=20, nsteps=80)
+
+    # checkpointed run, "killed" after the first segment: emulate by
+    # running only the first segment via the checkpoint machinery ...
+    part = _fitter(flux, unc, seed=19, nwalkers=32)
+    part.run(nburn=20, nsteps=40, checkpoint=path, checkpoint_interval=20)
+    assert part.chain_free.shape[1] == 40
+
+    # ... then a FRESH process resumes toward the full target
+    res = _fitter(flux, unc, seed=19, nwalkers=32)
+    res.run(nburn=20, nsteps=80, checkpoint=path, checkpoint_interval=20,
+            resume=True)
+    np.testing.assert_array_equal(np.asarray(res.chain_free),
+                                  np.asarray(ref.chain_free))
+    np.testing.assert_array_equal(np.asarray(res.lnprobability),
+                                  np.asarray(ref.lnprobability))
+
+    # geometry / posterior mismatches refuse
+    bad = _fitter(flux, unc, seed=19, nwalkers=16)
+    with pytest.raises(ValueError, match="geometry"):
+        bad.run(nburn=20, nsteps=80, checkpoint=path, resume=True)
+    bad2 = _fitter(flux, unc, seed=19, nwalkers=32)
+    bad2.set_gaussian_prior("T_cold", 18.0, 0.1)
+    with pytest.raises(RuntimeError, match="refusing to splice"):
+        bad2.run(nburn=20, nsteps=80, checkpoint=path, resume=True)
+    with pytest.raises(ValueError, match="requires checkpoint"):
+        bad2.run(nburn=2, nsteps=4, resume=True)
