@@ -552,10 +552,24 @@ class MultiFitter(ParamSpaceMixin):
                                    checkpoint_interval=checkpoint_interval,
                                    resume=resume, init=init)
         if checkpoint is not None or resume:
-            raise ValueError(
-                "checkpoint/resume requires the fused sampler backend "
-                "(the XLA backend compiles the whole batched run as one "
-                "program); use sampler_backend='fused' on TPU")
+            # XLA-backend checkpointing: segmented run + exact extend()
+            # continuation, flushing the COMPLETE batch state (chains +
+            # per-source PRNG keys) via writeToHDF5 after each segment.
+            # Each flush rewrites the whole file (simple and
+            # self-contained; the fused backend's checkpoint.py format
+            # appends O(new) instead -- prefer it for very long
+            # single-device TPU runs). This path is what makes
+            # checkpointing possible at all for mesh and CPU runs, which
+            # the fused backend does not cover.
+            import os
+            if resume and not checkpoint:
+                raise ValueError(
+                    "resume=True requires checkpoint= (the path the "
+                    "previous run flushed state to)")
+            return self._run_checkpointed_xla(
+                nburn, nsteps, thin, recenter_burn, verbose, init,
+                checkpoint, int(checkpoint_interval),
+                bool(resume and os.path.exists(checkpoint)))
         iunc_np, correlated = self._data_operand()
         lnprob_data, free_space = build_lnprob_data(
             self.shape, spec, response_pack=self._response_pack(),
@@ -701,6 +715,77 @@ class MultiFitter(ParamSpaceMixin):
                 f"Mean acceptance fraction over {S} sources: "
                   f"{af.mean():.3f} (per-source min {af.mean(1).min():.3f}, "
                   f"max {af.mean(1).max():.3f})")
+        return self
+
+    def _run_checkpointed_xla(self, nburn, nsteps, thin, recenter_burn,
+                              verbose, init, checkpoint, interval,
+                              resuming):
+        """Segmented XLA-backend production with full-state flushes (the
+        batch analog of sedmulti's checkpointing; extend() is exact
+        continuation, so the segmented chain is bitwise-identical to an
+        uninterrupted run)."""
+        thin_i = int(thin)
+        target = int(nsteps) // thin_i
+        interval = max(1, int(interval))
+        if resuming:
+            other = MultiFitter.from_h5(checkpoint)
+            if getattr(other, "_xla_keys", None) is None:
+                raise ValueError(
+                    f"{checkpoint} carries no XLA continuation state "
+                    f"(a thinned dump, or a fused-backend checkpoint -- "
+                    f"resume that with sampler_backend='fused')")
+            if (other.nwalkers != self.nwalkers or other.thin != thin_i
+                    or other.seed != self.seed):
+                raise ValueError(
+                    "checkpoint geometry (nwalkers/thin/seed) does not "
+                    "match this fitter")
+            if other.prng_impl != self.prng_impl:
+                raise ValueError(
+                    f"checkpoint was sampled with "
+                    f"prng_impl={other.prng_impl!r}; this fitter uses "
+                    f"{self.prng_impl!r}")
+            if (self.prng_impl != "threefry2x32"
+                    and getattr(other, "_ck_mesh_token", "")
+                    != str(_mesh_token(self.mesh))):
+                raise ValueError(
+                    f"{self.prng_impl!r} PRNG streams depend on the "
+                    f"device partitioning; resume under the SAME mesh "
+                    f"the checkpoint recorded, or run with "
+                    f"prng_impl='threefry2x32' (partition-independent)")
+            # Posterior identity under the RESUMING fitter's mesh/thin:
+            # source sharding does not change the posterior (threefry
+            # streams are partition-independent; rbg is gated above).
+            other.mesh = self.mesh
+            other.thin = thin_i
+            spec = self._effective_spec()
+            token = self._posterior_token(spec,
+                                          self._band_corr is not None)
+            if other._posterior_token(
+                    other._effective_spec(),
+                    other._band_corr is not None) != token:
+                raise RuntimeError(
+                    "checkpointed run's posterior (spec/data/responses) "
+                    "differs from this fitter's; refusing to splice")
+            for attr in ("chain_free", "lnprobability",
+                         "acceptance_fraction", "free_space", "thin",
+                         "_xla_keys", "_xla_counters",
+                         "_run_data", "prng_impl", "a"):
+                setattr(self, attr, getattr(other, attr))
+            self._sampler = None
+            self._backend_used = "xla"
+            # token under THIS fitter's mesh (extend() compares to it)
+            self._post_token = self._posterior_token(
+                spec, self._band_corr is not None)
+        else:
+            first = min(interval, target)
+            self.run(nburn=nburn, nsteps=first * thin_i, thin=thin_i,
+                     recenter_burn=recenter_burn, verbose=verbose,
+                     init=init)
+            self.writeToHDF5(checkpoint)
+        while int(self.chain_free.shape[1]) < target:
+            step = min(interval, target - int(self.chain_free.shape[1]))
+            self.extend(step * thin_i, verbose=verbose)
+            self.writeToHDF5(checkpoint)
         return self
 
     def _run_fused(self, nburn, nsteps, thin, recenter_burn, verbose, spec,
@@ -2176,6 +2261,31 @@ class MultiFitter(ParamSpaceMixin):
                 g.create_dataset("Mass", data=self.hmc_mass)
             if getattr(self, "map_params", None) is not None:
                 self._write_map_group(f)
+            if getattr(self, "_xla_keys", None) is not None and t == 1:
+                # Unthinned dumps carry the XLA backend's complete
+                # continuation state: (final per-source PRNG key, last
+                # chain record) restarts the stretch move exactly, so a
+                # from_h5 reload can extend() -- and run(checkpoint=...)
+                # on this backend flushes through here. Thinned dumps
+                # drop it (the subsampled last record need not be the
+                # true final state).
+                from mbb_emcee_tpu.checkpoint import _key_to_np
+                g = f.create_group("XLAContinuation")
+                g.create_dataset("Keys", data=_key_to_np(self._xla_keys))
+                naccept, nsteps_dev = self._xla_counters
+                g.create_dataset("NAccept",
+                                 data=np.asarray(naccept, np.int64))
+                g.create_dataset("NSteps",
+                                 data=np.asarray(nsteps_dev, np.int64))
+                g.attrs["seed"] = self.seed
+                g.attrs["a"] = self.a
+                g.attrs["prng_impl"] = self.prng_impl.encode()
+                # The mesh the run executed under: threefry streams are
+                # partition-independent, but rbg bits legitimately depend
+                # on the partitioning, so a resume under a DIFFERENT mesh
+                # must be refused for non-threefry runs.
+                g.attrs["mesh_token"] = str(
+                    _mesh_token(self.mesh)).encode()
         return filename
 
     def _write_map_group(self, f):
@@ -2297,6 +2407,27 @@ class MultiFitter(ParamSpaceMixin):
                 g = f["HMC"]
                 mf.hmc_step_size = np.asarray(g["StepSize"])
                 mf.hmc_mass = np.asarray(g["Mass"])
+            if "XLAContinuation" in f:
+                from mbb_emcee_tpu.checkpoint import _key_from_np
+                g = f["XLAContinuation"]
+                impl = g.attrs["prng_impl"]
+                if isinstance(impl, bytes):
+                    impl = impl.decode()
+                mf.seed = int(g.attrs["seed"])
+                mf.a = float(g.attrs["a"])
+                mf.prng_impl = impl
+                mf._xla_keys = _key_from_np(np.asarray(g["Keys"]), impl)
+                mf._xla_counters = (
+                    jnp.asarray(np.asarray(g["NAccept"]), jnp.int32),
+                    jnp.asarray(np.asarray(g["NSteps"]), jnp.int32))
+                tok = g.attrs.get("mesh_token", b"")
+                mf._ck_mesh_token = (tok.decode()
+                                     if isinstance(tok, bytes) else tok)
+                mf._backend_used = "xla"
+                mf._post_token = mf._posterior_token(
+                    mf._effective_spec(), mf._band_corr is not None)
+                mf._run_data = (mf.flux.copy(), mf.unc.copy(),
+                                mf.wave.copy())
         return mf
 
     # -- single-source views -------------------------------------------------------

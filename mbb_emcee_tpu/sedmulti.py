@@ -424,6 +424,11 @@ class SEDMultiFitter(ParamSpaceMixin):
                 raise ValueError(
                     "checkpoint geometry (nwalkers/thin/seed) does not "
                     "match this fitter")
+            if other.prng_impl != self.prng_impl:
+                raise ValueError(
+                    f"checkpoint was sampled with "
+                    f"prng_impl={other.prng_impl!r}; this fitter uses "
+                    f"{self.prng_impl!r}")
             if other._posterior_token() != self._posterior_token():
                 raise RuntimeError(
                     "checkpointed run's posterior (spec/data/responses) "
@@ -1030,6 +1035,9 @@ class SEDMultiFitter(ParamSpaceMixin):
             f.attrs["seed"] = self.seed
             f.attrs["a"] = self.a
             f.attrs["prng_impl"] = self.prng_impl.encode()
+            # threefry streams are partition-independent; rbg bits depend
+            # on the mesh, so resume gates on this token for non-threefry
+            f.attrs["mesh_token"] = str(_mesh_token(self.mesh)).encode()
             f.create_dataset("ChainFree",
                              data=np.asarray(self.chain_free, np.float32),
                              compression="gzip")
@@ -1110,6 +1118,15 @@ class SEDMultiFitter(ParamSpaceMixin):
             mf = cls(model, nwalkers=int(f.attrs["nwalkers"]),
                      seed=int(f.attrs["seed"]), a=float(f.attrs["a"]),
                      mesh=mesh, prng_impl=prng_impl)
+            tok = f.attrs.get("mesh_token", b"")
+            mf._ck_mesh_token = (tok.decode()
+                                 if isinstance(tok, bytes) else tok)
+            if (prng_impl != "threefry2x32"
+                    and mf._ck_mesh_token != str(_mesh_token(mesh))):
+                raise ValueError(
+                    f"{prng_impl!r} PRNG streams depend on the device "
+                    f"partitioning; reload under the SAME mesh the file "
+                    f"recorded (or run with prng_impl='threefry2x32')")
             pc = f["ParamConfig"]
             uplim = (np.asarray(pc["PhotUpperLimits"], bool)
                      if "PhotUpperLimits" in pc else None)

@@ -142,12 +142,18 @@ def test_multifit_checkpoint_resume_bitwise(tmp_path):
         np.asarray(full.final_state.pos), np.asarray(resumed.final_state.pos))
 
 
-def test_multifit_checkpoint_requires_fused():
-    import pytest
+def test_multifit_checkpoint_works_on_xla_backend(tmp_path):
+    """Both batch backends checkpoint: the fused path via checkpoint.py
+    segments, the XLA path (mesh/CPU runs) via segmented full-state
+    writeToHDF5 flushes (see test_multifit_xla_checkpoint_resume_bitwise
+    for the bitwise resume contract)."""
+    import os
+    ck = str(tmp_path / "xla.ck.h5")
     mf = _multi_fitter()
     mf.sampler_backend = "xla"
-    with pytest.raises(ValueError, match="fused"):
-        mf.run(nburn=2, nsteps=4, checkpoint="/tmp/nope.h5")
+    mf.run(nburn=2, nsteps=4, checkpoint=ck, checkpoint_interval=2)
+    assert os.path.exists(ck)
+    assert mf.chain_free.shape[1] == 4
 
 
 def test_multifit_resume_refuses_geometry_mismatch(tmp_path):
@@ -282,3 +288,65 @@ def test_resume_refuses_response_swap(tmp_path):
                            resume=True)
     # unchanged responses still resume
     fit_with(30.0).run(nburn=10, nsteps=80, checkpoint=ck, resume=True)
+
+
+def test_multifit_xla_checkpoint_resume_bitwise(tmp_path):
+    """XLA-backend batch checkpointing (the path that covers mesh and
+    CPU runs, where the fused checkpoint format does not apply): a run
+    killed between segments resumes bitwise, and a bare from_h5 reload
+    of an unthinned dump can extend()."""
+    import pytest
+    import jax.numpy as jnp
+    from mbb_emcee_tpu.multifit import MultiFitter
+    from mbb_emcee_tpu.models.modified_blackbody import mbb_fnu, MBBShape
+
+    wave = np.linspace(100.0, 500.0, 5)
+    true = np.array([32.0, 1.9, 250.0, 3.5, 45.0])
+    shape = MBBShape(opthin=True, noalpha=True)
+    f = np.asarray(mbb_fnu(jnp.asarray(true, jnp.float32),
+                           jnp.asarray(wave, jnp.float32), shape),
+                   np.float64)
+    rng = np.random.default_rng(3)
+    flux = f[None, :] * rng.uniform(0.9, 1.1, (4, wave.size))
+    unc = 0.05 * flux
+    path = str(tmp_path / "batch_ck.h5")
+
+    def make():
+        mf = MultiFitter(nwalkers=32, opthin=True, noalpha=True, seed=5,
+                         sampler_backend="xla")
+        mf.set_data(wave, flux, unc)
+        return mf
+
+    ref = make().run(nburn=20, nsteps=80)
+
+    part = make().run(nburn=20, nsteps=40, checkpoint=path,
+                      checkpoint_interval=20)
+    assert part.chain_free.shape[1] == 40
+
+    res = make().run(nburn=20, nsteps=80, checkpoint=path,
+                     checkpoint_interval=20, resume=True)
+    np.testing.assert_array_equal(np.asarray(res.chain_free),
+                                  np.asarray(ref.chain_free))
+    np.testing.assert_array_equal(np.asarray(res.lnprobability),
+                                  np.asarray(ref.lnprobability))
+
+    # a bare reload of the final (unthinned) dump continues the chain
+    mf2 = MultiFitter.from_h5(path)
+    n0 = mf2.chain_free.shape[1]
+    mf2.extend(20)
+    assert mf2.chain_free.shape[1] == n0 + 20
+
+    # refusals: geometry, posterior, thinned dump
+    bad = MultiFitter(nwalkers=16, opthin=True, noalpha=True, seed=5,
+                      sampler_backend="xla")
+    bad.set_data(wave, flux, unc)
+    with pytest.raises(ValueError, match="geometry"):
+        bad.run(nburn=20, nsteps=80, checkpoint=path, resume=True)
+    bad2 = make()
+    bad2.set_gaussian_prior("T", 30.0, 0.5)
+    with pytest.raises(RuntimeError, match="refusing to splice"):
+        bad2.run(nburn=20, nsteps=80, checkpoint=path, resume=True)
+    thinned = str(tmp_path / "thinned.h5")
+    ref.writeToHDF5(thinned, thin=2)
+    with pytest.raises(ValueError, match="no XLA continuation"):
+        make().run(nburn=20, nsteps=80, checkpoint=thinned, resume=True)

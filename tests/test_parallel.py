@@ -205,3 +205,46 @@ def test_mesh_checkpoint_resume_bitwise():
                             checkpoint_interval=20, resume=True)
         np.testing.assert_array_equal(np.asarray(resumed.chain),
                                       full_chain)
+
+
+def test_multifit_mesh_checkpoint_resume_bitwise(tmp_path):
+    """The XLA batch checkpoint covers MESH runs (the fused format
+    cannot): kill/resume under the same mesh is bitwise, threefry
+    cross-mesh resume is bitwise too (partition-independent streams)."""
+    import jax.numpy as jnp
+    from mbb_emcee_tpu.multifit import MultiFitter
+    from mbb_emcee_tpu.models.modified_blackbody import mbb_fnu, MBBShape
+
+    wave = np.linspace(100.0, 500.0, 5)
+    shape = MBBShape(opthin=True, noalpha=True)
+    f = np.asarray(mbb_fnu(
+        jnp.asarray([32.0, 1.9, 250.0, 3.5, 45.0], jnp.float32),
+        jnp.asarray(wave, jnp.float32), shape), np.float64)
+    rng = np.random.default_rng(3)
+    flux = f[None, :] * rng.uniform(0.9, 1.1, (8, wave.size))
+    unc = 0.05 * flux
+    path = str(tmp_path / "mesh_ck.h5")
+    mesh = walker_mesh(8)
+
+    def make(m):
+        mf = MultiFitter(nwalkers=32, opthin=True, noalpha=True, seed=5,
+                         mesh=m, prng_impl="threefry2x32")
+        mf.set_data(wave, flux, unc)
+        return mf
+
+    ref = make(mesh).run(nburn=10, nsteps=40)
+    make(mesh).run(nburn=10, nsteps=20, checkpoint=path,
+                   checkpoint_interval=10)
+    res = make(mesh).run(nburn=10, nsteps=40, checkpoint=path,
+                         checkpoint_interval=10, resume=True)
+    np.testing.assert_array_equal(np.asarray(res.chain_free),
+                                  np.asarray(ref.chain_free))
+    # threefry streams are partition-independent: an UNSHARDED resume
+    # of the mesh checkpoint reproduces the same chain
+    res2 = make(None).run(nburn=10, nsteps=40, checkpoint=path,
+                          checkpoint_interval=10, resume=True)
+    np.testing.assert_array_equal(np.asarray(res2.chain_free),
+                                  np.asarray(ref.chain_free))
+    # ... and extend() keeps working after a resume
+    res.extend(10)
+    assert res.chain_free.shape[1] == 50
