@@ -350,11 +350,6 @@ def main(argv=None):
                 "--corrfile (correlated errors) runs on the XLA batch "
                 "backend; the fused Pallas kernel keeps diagonal errors "
                 "-- drop --sampler-backend fused")
-        if args.checkpoint or args.resume:
-            raise SystemExit(
-                "--corrfile is not combinable with --checkpoint/--resume "
-                "(checkpointing is a fused-backend feature; correlated "
-                "errors run on the XLA backend)")
         from mbb_emcee_tpu.utils.fits import read_fits_image
         R = np.asarray(read_fits_image(args.corrfile, extn=args.corrextn),
                        np.float64)

@@ -395,6 +395,20 @@ def test_batch_cli_corrfile(tmp_path):
               "-b", "4", "-n", "8", "--corrfile", corr,
               "--phot-uplim", "4"])
 
+    # --corrfile composes with checkpointing (the XLA-backend segmented
+    # checkpoint; this combination was refused while checkpointing was
+    # fused-only)
+    ck = str(tmp_path / "corr.ck.h5")
+    out2 = str(tmp_path / "corr2.h5")
+    rc = main([cat, out2, "--opthin", "--noalpha",
+               "-w", "32", "-b", "10", "-n", "40", "--seed", "5",
+               "--corrfile", corr, "--checkpoint", ck,
+               "--checkpoint-interval", "20"])
+    assert rc == 0
+    back2 = MultiFitter.from_h5(ck)
+    assert back2.chain_free.shape[1] == 40
+    assert back2._band_corr is not None
+
 
 def test_batch_cli_map_triage(tmp_path, capsys):
     cat = str(tmp_path / "cat.txt")
