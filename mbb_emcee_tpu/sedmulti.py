@@ -1015,6 +1015,61 @@ class SEDMultiFitter(ParamSpaceMixin):
             ndata=ndata, nfree=self.free_space.nfree, nsamples=N,
             excluded=~inc)
 
+    def compute_evidence(self, nlive=512, nbatch=32, nsteps=32,
+                         max_iter=3000, tol=1e-4, seed=None,
+                         verbose=False):
+        """Per-source Bayesian evidences ln Z for the whole batch in ONE
+        device program -- the generic-model analog of
+        MultiFitter.compute_evidence (same prior convention: normalized
+        uniform over the free box times configured Gaussian priors); run
+        once per model variant over the same catalog and difference the
+        (S,) logz vectors for per-source Bayes factors. Needs data but
+        not a prior run(); a configured mesh shards the independent
+        per-source runs. Returns NestedBatchResult (samples expanded to
+        the full parameter space); stored as self.evidence."""
+        from mbb_emcee_tpu.nested import make_nested_batch_runner
+
+        if self.flux is None:
+            raise RuntimeError("no data; call set_data")
+        spec = self._effective_spec()
+        S = self.nsources
+        if self.mesh is not None and S % self.mesh.devices.size:
+            raise ValueError(
+                f"the mesh size ({self.mesh.devices.size} devices) must "
+                f"divide nsources={S}")
+        lnprob_data, free_space = build_sed_lnprob_data(
+            self.model, spec, response_pack=self._response_pack())
+        if not (np.all(np.isfinite(free_space.lower))
+                and np.all(np.isfinite(free_space.upper))):
+            raise ValueError("nested sampling requires finite box bounds")
+        ck = ("nested", S, int(nlive), int(nbatch), int(nsteps),
+              int(max_iter), float(tol), _mesh_token(self.mesh),
+              self._spec_token(spec), self._responses_token(),
+              self.wave.tobytes())
+        if ck not in self._run_cache:
+            wave = np.asarray(self.wave, np.float32)
+
+            def ll(theta_free, flux, iunc):
+                return lnprob_data(theta_free, wave, flux, iunc)
+
+            self._run_cache[ck] = make_nested_batch_runner(
+                ll, free_space.lower, free_space.upper, nlive=nlive,
+                nbatch=nbatch, nsteps=nsteps, max_iter=max_iter, tol=tol,
+                mesh=self.mesh)
+        data = (jnp.asarray(self.flux, jnp.float32),
+                jnp.asarray(self._iunc_operand(), jnp.float32))
+        key = jax.random.key(self.seed if seed is None else int(seed))
+        res = self._run_cache[ck](key, data)
+        res.samples = free_space.expand(res.samples)
+        self.evidence = res
+        if verbose:
+            from mbb_emcee_tpu.utils.log import enable_console
+            enable_console().info(
+                f"nested sampling [{self.model.name}] over {S} sources: "
+                f"lnZ in [{res.logz.min():.2f}, {res.logz.max():.2f}], "
+                f"median err {np.median(res.logz_err):.3f}")
+        return res
+
     # -- persistence -----------------------------------------------------------------------
     def writeToHDF5(self, filename):
         """One-file batch persistence (kind='sed-batch'); from_h5 restores

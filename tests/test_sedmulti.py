@@ -410,3 +410,30 @@ def test_checkpoint_resume_bitwise(tmp_path):
         bad2.run(nburn=20, nsteps=80, checkpoint=path, resume=True)
     with pytest.raises(ValueError, match="requires checkpoint"):
         bad2.run(nburn=2, nsteps=4, resume=True)
+
+
+def test_compute_evidence_batch():
+    """Batched generic evidence: per-source lnZ agree with the
+    single-fit SEDFitter.compute_evidence on the same posterior (both
+    wrap nested.py; the batch freezes each source at its own
+    termination)."""
+    truths, flux, unc = _mock_batch(S=4, seed=81)
+    mf = _fitter(flux, unc, seed=3, nwalkers=16)
+    ev = mf.compute_evidence(nlive=96, nbatch=8, nsteps=10, max_iter=800,
+                             seed=11)
+    assert ev.logz.shape == (4,) and np.isfinite(ev.logz).all()
+    assert ev.samples.shape[-1] == 5
+    # single-source cross-check on source 1
+    fit = SEDFitter(_model(), nwalkers=16, seed=3)
+    fit.set_data(WAVE, flux[1], unc[1])
+    fit.set_gaussian_prior("beta", 1.8, 0.4)
+    ev1 = fit.compute_evidence(nlive=96, nbatch=8, nsteps=10,
+                               max_iter=800, seed=13)
+    tol = 4.0 * np.hypot(ev.logz_err[1], ev1.logz_err) + 0.5
+    assert abs(ev.logz[1] - ev1.logz) < tol, (ev.logz[1], ev1.logz)
+    # mesh shards the independent runs
+    from mbb_emcee_tpu.parallel import walker_mesh
+    truths8, flux8, unc8 = _mock_batch(S=8, seed=83)
+    mfm = _fitter(flux8, unc8, seed=3, nwalkers=16, mesh=walker_mesh(8))
+    evm = mfm.compute_evidence(nlive=48, nbatch=8, nsteps=8, max_iter=300)
+    assert evm.logz.shape == (8,) and np.isfinite(evm.logz).all()
