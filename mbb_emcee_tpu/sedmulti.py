@@ -637,6 +637,336 @@ class SEDMultiFitter(ParamSpaceMixin):
                        * np.nanmax(np.nan_to_num(tau, nan=1.0), axis=1))
         return ok
 
+    def run_pt(self, nrungs=12, beta_min="auto", nburn=300, nsteps=1000,
+               thin=1, verbose=False):
+        """Batched parallel tempering for the generic model: every
+        source gets K temperature rungs x W walkers and the whole
+        (S, K, W) block advances as one device program -- the design of
+        MultiFitter.run_pt (scout burn on a shared coarse ladder, then
+        per-source auto ladders as runtime operands, replica exchange,
+        streaming stepping-stone evidence) applied to the generic
+        data-parameterized lnprob. The multimodal posteriors PT exists
+        for (component-swap degeneracies of multi-component user models)
+        are exactly where the single-temperature stretch move traps.
+
+        Records each source's COLD rung with run()'s shapes; per-source
+        evidence in self.logz_pt (stepping stone) and self.logz_ti
+        (thermodynamic check). extend() does not apply."""
+        from mbb_emcee_tpu.tempering import (
+            PTState, pt_step, geometric_ladder, auto_ladder_batch,
+            SSStats, thermodynamic_logz, ss_stream_update, _SUPPORT_FLOOR)
+
+        if self.flux is None:
+            raise RuntimeError("no data; call set_data")
+        if nsteps % thin:
+            raise ValueError(f"nsteps={nsteps} not divisible by "
+                             f"thin={thin}")
+        spec = self._effective_spec()
+        lnprob_data, free_space = build_sed_lnprob_data(
+            self.model, spec, response_pack=self._response_pack())
+        self.free_space = free_space
+        self.thin = int(thin)
+        S, W = self.nsources, self.nwalkers
+        d = free_space.nfree
+        a = self.a
+        nrec = int(nsteps // thin)
+        thin_i = int(thin)
+        adapt = beta_min == "auto"
+        if self.mesh is not None and S % self.mesh.devices.size:
+            raise ValueError(
+                f"the mesh size ({self.mesh.devices.size} devices) must "
+                f"divide nsources={S}")
+        mesh_axis = (self.mesh.axis_names[0]
+                     if self.mesh is not None else None)
+
+        def _vary(x):
+            if mesh_axis is None:
+                return x
+            return jax.lax.pcast(x, (mesh_axis,), to="varying")
+
+        wave = jnp.asarray(self.wave, jnp.float32)
+        flux = jnp.asarray(self.flux, jnp.float32)
+        iunc = jnp.asarray(self._iunc_operand(), jnp.float32)
+        key = jax.random.key(self.seed, impl=self.prng_impl)
+        kball, kscout, kmain = jax.random.split(key, 3)
+        cen_f = np.broadcast_to(self._init[free_space.free_idx],
+                                (S, d)).astype(np.float32)
+        sca_f = np.broadcast_to(self._scatter[free_space.free_idx],
+                                (S, d)).astype(np.float32)
+        lower, upper = free_space.lower, free_space.upper
+
+        def _pt_state(k, pos, bflat, K):
+            lnp = bflat(pos.reshape(-1, d)).reshape(K, W)
+            return PTState(
+                key=k, pos=pos, lnp=lnp,
+                naccept=_vary(jnp.zeros((K, W), jnp.int32)),
+                nswap=_vary(jnp.zeros(K - 1, jnp.int32)),
+                nswap_prop=_vary(jnp.zeros(K - 1, jnp.int32)),
+                nsteps=_vary(jnp.array(0, jnp.int32)))
+
+        def _advance(st, n, bflat, betas):
+            return jax.lax.fori_loop(
+                st.nsteps, st.nsteps + n,
+                lambda i, s: pt_step(s, bflat, betas, a, swap_parity=i),
+                st)
+
+        K1 = int(nrungs)
+
+        def scout_one(idx, cen_s, sca_s, flux_s, iunc_s, betas,
+                      kball, kscout, wave):
+            bflat = jax.vmap(
+                lambda th: lnprob_data(th, wave, flux_s, iunc_s))
+            p0 = make_initial_ball(jax.random.fold_in(kball, idx),
+                                   cen_s, sca_s, W, lower, upper)
+            st = _pt_state(jax.random.fold_in(kscout, idx),
+                           jnp.broadcast_to(p0, (K1, W, d)), bflat, K1)
+            st = _advance(st, nburn, bflat, betas)
+            return st.pos, st.lnp
+
+        def main_one(idx, pos0_s, flux_s, iunc_s, betas_s, kmain, wave,
+                     nburn2, K2):
+            bflat = jax.vmap(
+                lambda th: lnprob_data(th, wave, flux_s, iunc_s))
+            dbeta = (betas_s[:-1] - betas_s[1:]).astype(jnp.float32)
+            st = _pt_state(jax.random.fold_in(kmain, idx), pos0_s,
+                           bflat, K2)
+            if nburn2 > 0:
+                st = _advance(st, nburn2, bflat, betas_s)
+                st = st._replace(
+                    naccept=jnp.zeros_like(st.naccept),
+                    nswap=jnp.zeros_like(st.nswap),
+                    nswap_prop=jnp.zeros_like(st.nswap_prop),
+                    nsteps=jnp.zeros_like(st.nsteps))
+
+            def inner(carry, _):
+                s, m, s1, s2, acc = carry
+                s = _advance(s, thin_i, bflat, betas_s)
+                m, s1, s2 = ss_stream_update(m, s1, s2, dbeta, s.lnp[1:])
+                acc = acc + s.lnp.mean(axis=1).astype(jnp.float32)
+                return (s, m, s1, s2, acc), (s.pos[0], s.lnp[0])
+
+            carry0 = (st,
+                      _vary(jnp.full((K2 - 1,), -jnp.inf, jnp.float32)),
+                      _vary(jnp.zeros((K2 - 1,), jnp.float32)),
+                      _vary(jnp.zeros((K2 - 1,), jnp.float32)),
+                      _vary(jnp.zeros((K2,), jnp.float32)))
+            (st, m, s1, s2, acc), (chain, lnpch) = jax.lax.scan(
+                inner, carry0, None, length=nrec)
+            return (chain, lnpch, st.naccept, st.nswap, st.nswap_prop,
+                    st.nsteps, acc, m, s1, s2)
+
+        def _compiled(tag, fn, in_axes, sharded_in, sharded_out,
+                      **static):
+            ck = (tag, S, W, d, nrec, thin_i, int(nburn), K1,
+                  float(self.a), self._spec_token(spec),
+                  _mesh_token(self.mesh), self.prng_impl,
+                  self._responses_token(),
+                  tuple(sorted(static.items())))
+            if ck not in self._run_cache:
+                f = jax.vmap(lambda *args: fn(*args, **static),
+                             in_axes=in_axes)
+                if self.mesh is not None:
+                    f = jax.shard_map(f, mesh=self.mesh,
+                                      in_specs=sharded_in,
+                                      out_specs=sharded_out)
+                self._run_cache[ck] = jax.jit(f)
+            return self._run_cache[ck]
+
+        ax = mesh_axis
+        # -- phase 1: scout burn on a shared coarse ladder ------------------
+        scout_betas = geometric_ladder(
+            K1, 1e-2 if adapt else float(beta_min))
+        scout = _compiled(
+            "pt_scout", scout_one,
+            (0, 0, 0, 0, 0, None, None, None, None),
+            (P(ax), P(ax, None), P(ax, None), P(ax, None), P(ax, None),
+             P(None), P(), P(), P(None)),
+            (P(ax, None, None, None), P(ax, None, None)))
+        pos_sc, lnp_sc = scout(
+            self._shard(jnp.arange(S)),
+            self._shard(jnp.asarray(cen_f)),
+            self._shard(jnp.asarray(sca_f)), self._shard(flux),
+            self._shard(iunc), jnp.asarray(scout_betas, jnp.float32),
+            kball, kscout, wave)
+
+        # -- ladder adaptation (host, tiny) ---------------------------------
+        if adapt:
+            lnp_h = np.asarray(lnp_sc, np.float64)         # (S, K1, W)
+            masked = np.where(lnp_h > _SUPPORT_FLOOR, lnp_h, np.nan)
+            worst = np.nanmin(masked.reshape(S, -1), axis=1)
+            worst = np.where(np.isfinite(worst), worst, -1e6)
+            betas_b = auto_ladder_batch(worst, nrungs_min=K1)  # (S, K2)
+            K2 = betas_b.shape[1]
+            lb_new = np.log10(np.maximum(betas_b, 1e-30))
+            lb_old = np.log10(np.maximum(scout_betas, 1e-30))
+            nearest = np.abs(lb_new[:, :, None]
+                             - lb_old[None, None, :]).argmin(axis=2)
+            pos0 = np.asarray(pos_sc)[np.arange(S)[:, None], nearest]
+            nburn2 = max(int(nburn) // 2, 50)
+        else:
+            betas_b = np.broadcast_to(scout_betas, (S, K1)).copy()
+            K2 = K1
+            pos0 = np.asarray(pos_sc)
+            nburn2 = 0
+
+        # -- phase 2: (re-)burn + production with evidence accumulators -----
+        main = _compiled(
+            "pt_main", main_one,
+            (0, 0, 0, 0, 0, None, None),
+            (P(ax), P(ax, None, None, None), P(ax, None), P(ax, None),
+             P(ax, None), P(), P(None)),
+            (P(ax, None, None, None), P(ax, None, None),
+             P(ax, None, None), P(ax, None), P(ax, None), P(ax),
+             P(ax, None), P(ax, None), P(ax, None), P(ax, None)),
+            nburn2=nburn2, K2=K2)
+        (chain, lnpch, naccept, nswap, nswap_prop, nsteps_dev,
+         acc, ss_m, ss_s1, ss_s2) = main(
+            self._shard(jnp.arange(S)),
+            self._shard(jnp.asarray(pos0, jnp.float32)),
+            self._shard(flux), self._shard(iunc),
+            self._shard(jnp.asarray(betas_b, jnp.float32)),
+            kmain, wave)
+
+        self.chain_free = chain                        # (S, nrec, W, d)
+        self.lnprobability = lnpch                     # (S, nrec, W)
+        denom = np.maximum(np.asarray(nsteps_dev, np.int64), 1)
+        self.acceptance_fraction = (np.asarray(naccept)[:, 0, :]
+                                    / denom[:, None])  # cold rung
+        self.swap_fraction = (np.asarray(nswap)
+                              / np.maximum(np.asarray(nswap_prop), 1))
+        self.pt_betas = betas_b
+        ss = SSStats(np.asarray(ss_m, np.float64),
+                     np.asarray(ss_s1, np.float64),
+                     np.asarray(ss_s2, np.float64), float(nrec * W))
+        logz, logz_err = ss.logz()                     # (S,), (S,)
+        mean_lnp = np.asarray(acc, np.float64) / nrec  # (S, K2)
+        ti, ti_err = thermodynamic_logz(betas_b, mean_lnp)
+        self.logz_pt = (logz, logz_err)
+        self.logz_ti = (ti, ti_err)
+        self._xla_keys = None                          # extend() refuses
+        self._xla_counters = None
+        if verbose:
+            af = self.acceptance_fraction
+            from mbb_emcee_tpu.utils.log import enable_console
+            enable_console().info(
+                f"PT [{self.model.name}] over {S} sources: {K2} rungs x "
+                f"{W} walkers, mean cold acceptance {af.mean():.3f}, "
+                f"lnZ in [{logz.min():.2f}, {logz.max():.2f}]")
+        return self
+
+    def run_hmc(self, nwarmup=500, nsteps=1000, thin=1, n_leapfrog=16,
+                target_accept=0.8, verbose=False):
+        """Batched gradient-based sampling for the generic model: every
+        source runs W independent HMC chains and the whole (S, W) block
+        advances as one device program (see MultiFitter.run_hmc for the
+        warmup design) -- user models are pure JAX, so the forces are
+        jax.grad of the generic lnprob with each source's flux/iunc as
+        runtime operands; every source adapts its OWN step size
+        (self.hmc_step_size, (S,)) and diagonal metric (self.hmc_mass).
+        Recorded chains have run()'s shapes, so every batched summary
+        and derived quantity works unchanged. extend() does not apply
+        (re-run with more nsteps)."""
+        from mbb_emcee_tpu.hmc import hmc_core, _to_unconstrained
+
+        if self.flux is None:
+            raise RuntimeError("no data; call set_data")
+        if nsteps % thin:
+            raise ValueError(f"nsteps={nsteps} not divisible by "
+                             f"thin={thin}")
+        spec = self._effective_spec()
+        lnprob_data, free_space = build_sed_lnprob_data(
+            self.model, spec, response_pack=self._response_pack())
+        self.free_space = free_space
+        if not (np.all(np.isfinite(free_space.lower))
+                and np.all(np.isfinite(free_space.upper))):
+            raise ValueError(
+                "HMC requires finite box bounds on every free parameter")
+        self.thin = int(thin)
+        S, W = self.nsources, self.nwalkers
+        d = free_space.nfree
+        nrec = int(nsteps) // int(thin)
+        if self.mesh is not None and S % self.mesh.devices.size:
+            raise ValueError(
+                f"the mesh size ({self.mesh.devices.size} devices) must "
+                f"divide nsources={S}")
+        mesh_axis = (self.mesh.axis_names[0]
+                     if self.mesh is not None else None)
+
+        def vary(x):
+            # idempotent pcast; see MultiFitter.run_hmc
+            if mesh_axis in jax.typeof(x).vma:
+                return x
+            return jax.lax.pcast(x, (mesh_axis,), to="varying")
+
+        if mesh_axis is None:
+            vary = None
+
+        flux = jnp.asarray(self.flux, jnp.float32)
+        iunc = jnp.asarray(self._iunc_operand(), jnp.float32)
+        key = jax.random.key(self.seed, impl=self.prng_impl)
+        kball, kmain = jax.random.split(key)
+        cen_f = np.broadcast_to(self._init[free_space.free_idx],
+                                (S, d)).astype(np.float32)
+        sca_f = np.broadcast_to(self._scatter[free_space.free_idx],
+                                (S, d)).astype(np.float32)
+        lower = np.asarray(free_space.lower, np.float32)
+        width = np.asarray(free_space.upper - free_space.lower,
+                           np.float32)
+
+        def hmc_one(idx, cen_s, sca_s, flux_s, iunc_s, kball, kmain,
+                    wave):
+            lnprob = lambda th: lnprob_data(th, wave, flux_s, iunc_s)
+            p0 = make_initial_ball(
+                jax.random.fold_in(kball, idx), cen_s, sca_s, W,
+                free_space.lower, free_space.upper)
+            u0 = _to_unconstrained(jnp.asarray(p0, jnp.float32),
+                                   lower, width)
+            return hmc_core(
+                jax.random.fold_in(kmain, idx), lnprob, lower, width, u0,
+                int(nwarmup), int(nsteps), int(thin), int(n_leapfrog),
+                float(target_accept), vary=vary)
+
+        ax = mesh_axis
+        ck = ("hmc", S, W, d, nrec, int(thin), int(nwarmup),
+              int(n_leapfrog), float(target_accept),
+              self._spec_token(spec), _mesh_token(self.mesh),
+              self.prng_impl, self._responses_token())
+        if ck not in self._run_cache:
+            f = jax.vmap(hmc_one,
+                         in_axes=(0, 0, 0, 0, 0, None, None, None))
+            if self.mesh is not None:
+                f = jax.shard_map(
+                    f, mesh=self.mesh,
+                    in_specs=(P(ax), P(ax, None), P(ax, None),
+                              P(ax, None), P(ax, None), P(), P(),
+                              P(None)),
+                    out_specs=(P(ax, None, None, None),
+                               P(ax, None, None), P(ax, None), P(ax),
+                               P(ax, None)))
+            self._run_cache[ck] = jax.jit(f)
+        chain, lnpch, nacc, eps, mass = self._run_cache[ck](
+            self._shard(jnp.arange(S)),
+            self._shard(jnp.asarray(cen_f)),
+            self._shard(jnp.asarray(sca_f)), self._shard(flux),
+            self._shard(iunc), kball, kmain,
+            jnp.asarray(self.wave, jnp.float32))
+
+        self.chain_free = chain
+        self.lnprobability = lnpch
+        self.acceptance_fraction = (np.asarray(nacc, np.float64)
+                                    / int(nsteps))
+        self.hmc_step_size = np.asarray(eps, np.float64)
+        self.hmc_mass = np.asarray(mass, np.float64)
+        self._xla_keys = None            # extend() is stretch-only
+        self._xla_counters = None
+        if verbose:
+            af = self.acceptance_fraction
+            from mbb_emcee_tpu.utils.log import enable_console
+            enable_console().info(
+                f"HMC [{self.model.name}] over {S} sources: {W} chains x "
+                f"{nsteps} steps, mean acceptance {af.mean():.3f}")
+        return self
+
     # -- MAP triage tier (generic: mapfit sees only lnprob) -------------------------------
     def run_map(self, nstarts=8, n_adam=150, n_newton=12, adam_lr=0.1,
                 verbose=False):
@@ -1103,11 +1433,15 @@ class SEDMultiFitter(ParamSpaceMixin):
             f.create_dataset("AcceptanceFraction",
                              data=np.asarray(self.acceptance_fraction,
                                              np.float32))
-            f.create_dataset("Keys", data=_key_to_np(self._xla_keys))
-            naccept, nsteps_dev = self._xla_counters
-            f.create_dataset("NAccept", data=np.asarray(naccept, np.int64))
-            f.create_dataset("NSteps",
-                             data=np.asarray(nsteps_dev, np.int64))
+            if self._xla_keys is not None:
+                # stretch-move runs persist their continuation state;
+                # HMC/PT chains are not continuable and skip it
+                f.create_dataset("Keys", data=_key_to_np(self._xla_keys))
+                naccept, nsteps_dev = self._xla_counters
+                f.create_dataset("NAccept",
+                                 data=np.asarray(naccept, np.int64))
+                f.create_dataset("NSteps",
+                                 data=np.asarray(nsteps_dev, np.int64))
             f.create_dataset("Wave", data=self.wave)
             f.create_dataset("Flux", data=self.flux)
             f.create_dataset("Unc", data=self.unc)
@@ -1217,11 +1551,12 @@ class SEDMultiFitter(ParamSpaceMixin):
                 np.asarray(f["LnProbability"], np.float32))
             mf.acceptance_fraction = np.asarray(f["AcceptanceFraction"],
                                                 np.float64)
-            mf._xla_keys = _key_from_np(np.asarray(f["Keys"]), prng_impl)
-            mf._xla_counters = (jnp.asarray(np.asarray(f["NAccept"]),
-                                            jnp.int32),
-                                jnp.asarray(np.asarray(f["NSteps"]),
-                                            jnp.int32))
+            if "Keys" in f:
+                mf._xla_keys = _key_from_np(np.asarray(f["Keys"]),
+                                            prng_impl)
+                mf._xla_counters = (
+                    jnp.asarray(np.asarray(f["NAccept"]), jnp.int32),
+                    jnp.asarray(np.asarray(f["NSteps"]), jnp.int32))
             if "LIRChain" in f:
                 mf.lir_chain = np.asarray(f["LIRChain"], np.float64)
             if "PeakLambdaChain" in f:

@@ -437,3 +437,99 @@ def test_compute_evidence_batch():
     mfm = _fitter(flux8, unc8, seed=3, nwalkers=16, mesh=walker_mesh(8))
     evm = mfm.compute_evidence(nlive=48, nbatch=8, nsteps=8, max_iter=300)
     assert evm.logz.shape == (8,) and np.isfinite(evm.logz).all()
+
+
+def test_run_hmc_matches_stretch_batch():
+    """Batched generic HMC agrees with the stretch-move batch posterior
+    (entirely different kernel on the same targets), and the mesh path
+    runs."""
+    truths, flux, unc = _mock_batch(S=4, seed=91)
+    mf_h = _fitter(flux, unc, seed=23, nwalkers=16)
+    mf_h.run_hmc(nwarmup=200, nsteps=300, thin=1)
+    assert mf_h.chain.shape == (4, 16, 300, 5)
+    assert 0.5 < mf_h.acceptance_fraction.mean() <= 1.0
+    assert mf_h.hmc_step_size.shape == (4,)
+    with pytest.raises(RuntimeError, match="prior run"):
+        mf_h.extend(10)          # HMC runs are not continuable
+
+    mf_s = _fitter(flux, unc, seed=29, nwalkers=32)
+    mf_s.run(nburn=120, nsteps=300)
+    for name in ("T_cold", "T_warm", "fnorm_cold"):
+        c_h = mf_h.par_cen(name)
+        c_s = mf_s.par_cen(name)
+        width = c_s[:, 1] + c_s[:, 2]
+        assert np.all(np.abs(c_h[:, 0] - c_s[:, 0]) < 0.9 * width), (
+            name, c_h[:, 0], c_s[:, 0])
+
+    from mbb_emcee_tpu.parallel import walker_mesh
+    truths8, flux8, unc8 = _mock_batch(S=8, seed=93)
+    mfm = _fitter(flux8, unc8, seed=23, nwalkers=16,
+                  mesh=walker_mesh(8))
+    mfm.run_hmc(nwarmup=60, nsteps=80)
+    assert np.isfinite(np.asarray(mfm.lnprobability)).all()
+
+
+def test_run_pt_matches_stretch_batch():
+    """Batched generic PT: cold-rung posterior agrees with the stretch
+    batch; stepping-stone lnZ agrees with compute_evidence; the mesh
+    path runs."""
+    truths, flux, unc = _mock_batch(S=4, seed=95)
+
+    def _narrow(mf):
+        # a sane prior volume: evidence comparisons on a huge box are
+        # dominated by the ladder's tail segment (same narrowing as the
+        # single-fit test_run_pt_matches_stretch_and_evidence); beta is
+        # FIXED so the cross-estimator check integrates a 4-parameter
+        # posterior both estimators handle well at test scale
+        mf.set_lowlim("fnorm_cold", 1.0).set_uplim("fnorm_cold", 120.0)
+        mf.set_lowlim("fnorm_warm", 0.05).set_uplim("fnorm_warm", 10.0)
+        mf.fix_param("beta", 1.8)
+        return mf
+
+    mf_p = _narrow(_fitter(flux, unc, seed=31, nwalkers=32))
+    mf_p.run_pt(nrungs=8, nburn=200, nsteps=500)
+    assert mf_p.chain.shape == (4, 32, 500, 5)
+    assert np.all(mf_p.chain[..., 2] == 1.8)       # fixed beta pinned
+    assert np.isfinite(mf_p.logz_pt[0]).all()
+    with pytest.raises(RuntimeError, match="prior run"):
+        mf_p.extend(10)
+
+    mf_s = _narrow(_fitter(flux, unc, seed=29, nwalkers=32))
+    mf_s.run(nburn=120, nsteps=240)
+    for name in ("T_cold", "T_warm", "fnorm_cold"):
+        c_p = mf_p.par_cen(name)
+        c_s = mf_s.par_cen(name)
+        width = c_s[:, 1] + c_s[:, 2]
+        assert np.all(np.abs(c_p[:, 0] - c_s[:, 0]) < 0.9 * width), (
+            name, c_p[:, 0], c_s[:, 0])
+
+    # cross-estimator agreement at the MBB batch test's convention
+    # (test_tempering.py: floor 1.5 nats or 4 sigma -- a 5-parameter
+    # two-component evidence integral is genuinely hard at test scale)
+    ev = mf_p.compute_evidence(nlive=200, nbatch=16, nsteps=12,
+                               max_iter=1500, seed=7)
+    tol = np.maximum(1.5, 4.0 * np.hypot(ev.logz_err, mf_p.logz_pt[1]))
+    assert np.all(np.abs(ev.logz - mf_p.logz_pt[0]) < tol), (
+        ev.logz, mf_p.logz_pt[0])
+
+    from mbb_emcee_tpu.parallel import walker_mesh
+    truths8, flux8, unc8 = _mock_batch(S=8, seed=97)
+    mfm = _fitter(flux8, unc8, seed=31, nwalkers=16,
+                  mesh=walker_mesh(8))
+    mfm.run_pt(nrungs=4, nburn=40, nsteps=60)
+    assert np.isfinite(np.asarray(mfm.lnprobability)).all()
+
+
+def test_hmc_run_persists_without_continuation(tmp_path):
+    """An HMC batch run (no stretch continuation state) persists and
+    reloads; the reload refuses extend() instead of crashing."""
+    truths, flux, unc = _mock_batch(S=2, seed=99)
+    mf = _fitter(flux, unc, seed=23, nwalkers=16)
+    mf.run_hmc(nwarmup=40, nsteps=60)
+    path = str(tmp_path / "hmc.h5")
+    mf.writeToHDF5(path)
+    mf2 = SEDMultiFitter.from_h5(path, _model())
+    np.testing.assert_array_equal(np.asarray(mf2.chain_free),
+                                  np.asarray(mf.chain_free))
+    with pytest.raises(RuntimeError, match="prior run"):
+        mf2.extend(10)
