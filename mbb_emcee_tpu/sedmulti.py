@@ -1567,6 +1567,25 @@ class SEDMultiFitter(ParamSpaceMixin):
         mf._post_token = mf._posterior_token()
         return mf
 
+    # -- single-source views -----------------------------------------------------------
+    def results(self, i, redshift=None, cosmology="WMAP9", lumdist=None):
+        """Full SEDResults for source i -- summaries, SED bands, L_IR /
+        peak-lambda posteriors, PPC, plots, writeToHDF5: the complete
+        single-source analysis surface on one catalog member (the
+        generic analog of MultiFitter.results). `redshift` defaults to
+        the per-source vector stored by set_data()."""
+        from mbb_emcee_tpu.sed import SEDResults
+        self._require_run()
+        i = int(i)
+        if not 0 <= i < self.nsources:
+            raise IndexError(f"source index {i} out of range "
+                             f"(nsources={self.nsources})")
+        if redshift is None and self.redshifts is not None:
+            redshift = float(self.redshifts[i])
+        view = _SEDSourceView(self, i)
+        return SEDResults(fit=view, redshift=redshift,
+                          cosmology=cosmology, lumdist=lumdist)
+
     def __repr__(self):
         if self.flux is None:
             return (f"SEDMultiFitter[{self.model.name}] (no data)")
@@ -1575,6 +1594,50 @@ class SEDMultiFitter(ParamSpaceMixin):
         return (f"SEDMultiFitter[{self.model.name}]: "
                 f"{self.nsources} sources x {self.nwalkers} walkers, "
                 f"{run}")
+
+
+class _SEDSourceView:
+    """Adapter presenting one source of an SEDMultiFitter as a finished
+    SEDFitter (the attribute surface SEDResults._from_fit consumes)."""
+
+    def __init__(self, mf: SEDMultiFitter, i: int):
+        import dataclasses
+        self.model = mf.model
+        self.redshift = (None if mf.redshifts is None
+                         else float(mf.redshifts[i]))
+        free = np.asarray(mf.chain_free[i])           # (nrec, nw, nfree)
+        full = mf.free_space.expand(free)             # (nrec, nw, npar)
+        self.chain = np.transpose(full, (1, 0, 2))    # (nw, nrec, npar)
+        self.lnprobability = np.asarray(mf.lnprobability[i])  # (nrec, nw)
+        self.acceptance_fraction = np.asarray(
+            mf.acceptance_fraction[i])
+        from mbb_emcee_tpu.likelihood import Photometry
+        names = (list(mf.band_names)
+                 if mf.band_names is not None else None)
+        # missing bands were stored as (0, inf); Photometry accepts inf
+        # unc and the analysis surface excludes non-finite-unc bands
+        self.phot = Photometry(mf.wave, mf.flux[i], mf.unc[i],
+                               band_names=names)
+        spec = mf._effective_spec()
+        ub = spec.uplim_bands
+        if ub is not None and np.ndim(ub) == 2:
+            spec = dataclasses.replace(
+                spec, uplim_bands=np.asarray(ub[i], bool))
+        self._spec = spec
+        self._init = mf._init.copy()
+        self.thin = mf.thin
+        self.nwalkers = mf.nwalkers
+        self._pack = mf._response_pack()
+
+    @property
+    def spec(self):
+        return self._spec
+
+    def _require_run(self):
+        pass
+
+    def _response_pack(self):
+        return self._pack
 
 
 def _batch_percentiles(chains, percentile=68.3):

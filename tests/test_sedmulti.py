@@ -533,3 +533,41 @@ def test_hmc_run_persists_without_continuation(tmp_path):
                                   np.asarray(mf.chain_free))
     with pytest.raises(RuntimeError, match="prior run"):
         mf2.extend(10)
+
+
+def test_results_source_view(batch_fit, tmp_path):
+    """results(i): a full SEDResults for one catalog member -- summaries
+    match the batch reductions; derived / PPC / persistence all work,
+    including on the ragged source (its missing band is excluded)."""
+    truths, mf = batch_fit
+    s = 2
+    res = mf.results(s)
+    assert res.redshift == 2.0                    # from the stored vector
+    np.testing.assert_allclose(res.par_cen("T_warm"),
+                               mf.par_cen("T_warm")[s], rtol=1e-6)
+    b_best, b_lnp = mf.best_fit()
+    r_best, r_lnp = res.best_fit
+    np.testing.assert_allclose(r_best, b_best[s], rtol=1e-5)
+    assert abs(r_lnp - b_lnp[s]) < 1e-3
+    # thinned-sample ORDER differs between the surfaces (walker-major vs
+    # record-major flattening), so compare summaries, not elementwise
+    res.compute_lir(thin=16)
+    mf.compute_lir(thin=16)
+    c_v = res.lir_cen()
+    c_b = mf.lir_cen()[s]
+    assert abs(c_v[0] - c_b[0]) < 0.1 * c_b[0]
+    assert np.isfinite(c_v).all()
+    assert 0.001 < res.posterior_predictive(thin=8).p_value < 0.999
+    path = str(tmp_path / "src2.h5")
+    res.writeToHDF5(path)
+    from mbb_emcee_tpu.sed import SEDResults
+    r2 = SEDResults(h5file=path, model=mf.model)
+    np.testing.assert_allclose(r2.par_cen("T_cold"), res.par_cen("T_cold"))
+
+    # the ragged source: its missing band is excluded from the PPC
+    res0 = mf.results(0)
+    ppc0 = res0.posterior_predictive(thin=8)
+    assert ppc0.ndata == WAVE.size - 1
+    assert np.isnan(ppc0.band_p[3])
+    with pytest.raises(IndexError, match="out of range"):
+        mf.results(99)
