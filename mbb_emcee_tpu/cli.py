@@ -225,6 +225,9 @@ def build_parser():
                    help="save a corner plot of the free parameters")
     g.add_argument("--plot-chain", default=None, metavar="PNG",
                    help="save per-walker trace plots")
+    g.add_argument("--plot-ppc", default=None, metavar="PNG",
+                   help="save the posterior-predictive chi-square "
+                        "figure (implies the --ppc computation)")
 
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--profile-dir", default=None,
@@ -505,7 +508,8 @@ def main(argv=None):
 
     res.writeToHDF5(args.outfile)
 
-    if args.plot_sed or args.plot_corner or args.plot_chain:
+    if (args.plot_sed or args.plot_corner or args.plot_chain
+            or args.plot_ppc):
         import matplotlib
         matplotlib.use("Agg")
         if args.plot_sed:
@@ -514,6 +518,8 @@ def main(argv=None):
             res.plot_corner(savefig=args.plot_corner)
         if args.plot_chain:
             res.plot_chain(savefig=args.plot_chain)
+        if args.plot_ppc:
+            res.plot_ppc(thin=args.derived_thin, savefig=args.plot_ppc)
 
     print(res)
     return 0

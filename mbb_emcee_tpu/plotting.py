@@ -2,7 +2,7 @@
 
 The reference leaves plotting to the user (mbb_emcee ships no plot
 helpers; its README shows hand-rolled matplotlib over par_cen /
-best_fit). These helpers cover the three figures every fit ends with:
+best_fit). These helpers cover the figures every fit ends with:
 
 - plot_sed: photometry + posterior-predictive SED band + best fit.
   The band comes from MBBResults.sed_percentiles, which evaluates the
@@ -11,6 +11,8 @@ best_fit). These helpers cover the three figures every fit ends with:
 - plot_corner: 1-D/2-D marginals of the free parameters (pure
   matplotlib; no corner-package dependency).
 - plot_chain: per-walker traces for convergence eyeballing.
+- plot_ppc: the posterior-predictive goodness-of-fit picture
+  (replicated vs observed chi-square; the distributionalized p-value).
 
 matplotlib is imported lazily so the package works headless without it;
 every function accepts ax/fig handles for composition and returns the
@@ -152,6 +154,45 @@ def plot_corner(res, params=None, bins=40, percentile=68.3, fig=None,
                 ax.set_yticklabels([])
             ax.tick_params(labelsize=7)
     fig.subplots_adjust(hspace=0.08, wspace=0.08)
+    return _finish(fig, savefig)
+
+
+def plot_ppc(res, ppc=None, thin=1, seed=0, bins=40, ax=None,
+             savefig=None):
+    """Posterior-predictive check figure: the replicated chi-square
+    distribution (exactly chi-square with ndata dof) against the
+    observed-discrepancy distribution, with the p-value annotated --
+    the picture behind `posterior_predictive().p_value`. Overlapping
+    histograms mean the model reproduces its own photometry; an
+    observed distribution far to the right means misfit, far to the
+    left means overestimated errors.
+
+    `ppc` takes an existing PPCResult; otherwise one is computed via
+    res.posterior_predictive(thin=thin, seed=seed). Returns the figure.
+    """
+    plt = _mpl()
+    if ppc is None:
+        ppc = res.posterior_predictive(thin=thin, seed=seed)
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(5.4, 3.8))
+    else:
+        fig = ax.figure
+    hi = float(np.percentile(np.concatenate(
+        [ppc.chi2_obs, ppc.chi2_rep]), 99.5))
+    grid = np.linspace(0.0, max(hi, 1.0), int(bins) + 1)
+    ax.hist(ppc.chi2_rep, bins=grid, density=True, alpha=0.45,
+            color="C0", label=r"replicated $\chi^2$ ($T_{\rm rep}$)")
+    ax.hist(ppc.chi2_obs, bins=grid, density=True, histtype="step",
+            lw=1.6, color="C3",
+            label=r"observed discrepancy ($T_{\rm obs}$)")
+    ax.axvline(float(np.median(ppc.chi2_obs)), color="C3", lw=0.9,
+               ls="--")
+    ax.set_xlabel(r"whitened $\chi^2$")
+    ax.set_ylabel("density")
+    ax.set_title(f"posterior predictive: p = {ppc.p_value:.3f} "
+                 f"(ndata = {ppc.ndata}, nfree = {ppc.nfree})",
+                 fontsize=9)
+    ax.legend(loc="best", fontsize=8)
     return _finish(fig, savefig)
 
 

@@ -510,6 +510,12 @@ class MBBResults:
         from mbb_emcee_tpu import plotting
         return plotting.plot_chain(self, **kw)
 
+    def plot_ppc(self, **kw):
+        """Posterior-predictive check figure: replicated vs observed
+        chi-square with the p-value annotated (see plotting.plot_ppc)."""
+        from mbb_emcee_tpu import plotting
+        return plotting.plot_ppc(self, **kw)
+
     # -- persistence -------------------------------------------------------------------------
     def writeToHDF5(self, filename):
         """Persist everything needed to resume analysis

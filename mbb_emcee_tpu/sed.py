@@ -1236,6 +1236,10 @@ class SEDResults:
         from mbb_emcee_tpu import plotting
         return plotting.plot_chain(self, **kw)
 
+    def plot_ppc(self, **kw):
+        from mbb_emcee_tpu import plotting
+        return plotting.plot_ppc(self, **kw)
+
     # -- persistence ------------------------------------------------------------------------------
     def writeToHDF5(self, filename):
         """Persist chains + settings (the MBB schema's logical layout,

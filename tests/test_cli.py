@@ -291,3 +291,24 @@ def test_cli_n_ensembles_conflicts(tmp_path):
     write_fits_image(cov, np.eye(5) * 0.01)
     with pytest.raises(SystemExit, match="diagonal"):
         main([phot, out, "--n-ensembles", "4", "--covfile", cov])
+
+
+def test_cli_plot_flags(tmp_path):
+    """--plot-sed/--plot-corner/--plot-chain/--plot-ppc write figures."""
+    import os
+    import pytest
+    pytest.importorskip("matplotlib")
+    phot = str(tmp_path / "phot.txt")
+    out = str(tmp_path / "fit.h5")
+    _write_photfile(phot, MBBShape(opthin=True, noalpha=True))
+    pngs = {flag: str(tmp_path / f"{flag}.png")
+            for flag in ("sed", "corner", "chain", "ppc")}
+    rc = main([phot, out, "--opthin", "--noalpha",
+               "-w", "32", "-b", "10", "-n", "30", "--seed", "4",
+               "--plot-sed", pngs["sed"],
+               "--plot-corner", pngs["corner"],
+               "--plot-chain", pngs["chain"],
+               "--plot-ppc", pngs["ppc"]])
+    assert rc == 0
+    for flag, path in pngs.items():
+        assert os.path.exists(path) and os.path.getsize(path) > 0, flag

@@ -83,3 +83,17 @@ def test_cli_plot_flags(tmp_path):
     assert rc == 0
     assert sed.exists() and sed.stat().st_size > 0
     assert corner.exists() and corner.stat().st_size > 0
+
+
+def test_plot_ppc(results, tmp_path):
+    out = tmp_path / "ppc.png"
+    fig = results.plot_ppc(thin=4, savefig=str(out))
+    ax = fig.axes[0]
+    assert "posterior predictive: p =" in ax.get_title()
+    labels = [t.get_text() for t in ax.get_legend().get_texts()]
+    assert any("replicated" in t for t in labels)
+    assert out.exists()
+    # also accepts a precomputed PPCResult
+    ppc = results.posterior_predictive(thin=4)
+    fig2 = results.plot_ppc(ppc=ppc)
+    assert f"{ppc.p_value:.3f}" in fig2.axes[0].get_title()
