@@ -178,6 +178,31 @@ def bench_xla_cpu(flux, unc, n_short=400, n_long=2400):
     return NWALKERS * (n_long - n_short) / max(t_long - t_short, 1e-9)
 
 
+def _bench_tpu_subprocess(timeout_s):
+    """Run the TPU measurement in an expendable subprocess with a hard
+    timeout: the tunnel can pass the responsiveness probe and then wedge
+    mid-benchmark (observed failure mode), and a wedged backend offers
+    no in-process recovery -- the parent must be able to give up and
+    fall back. The child re-derives the deterministic mock data and
+    prints the rate as its last line."""
+    code = ("import bench\n"
+            "flux, unc = bench._mock_data()\n"
+            "print('RATE', repr(bench.bench_tpu(flux, unc)))\n")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return None
+    if proc.returncode != 0:
+        return None
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("RATE "):
+            return float(line.split()[1])
+    return None
+
+
 def main():
     flux, unc = _mock_data()
     cpu_rate = bench_cpu(flux, unc)
@@ -192,12 +217,20 @@ def main():
         up = _tpu_responsive()
 
     note = None
+    rate = None
     if up:
-        rate = bench_tpu(flux, unc)
-    else:
+        # Generous ceiling: a cold remote compile alone can cost ~400 s.
+        rate = _bench_tpu_subprocess(
+            float(os.environ.get("BENCH_TPU_TIMEOUT_S", "1500")))
+        if rate is None:
+            note = ("TPU probe passed but the measurement timed out or "
+                    "crashed (tunnel wedge); CPU-backend XLA fallback "
+                    "(not a TPU measurement)")
+    if rate is None:
         rate = bench_xla_cpu(flux, unc)
-        note = (f"TPU tunnel unresponsive for {int(wait_s)}s; "
-                "CPU-backend XLA fallback (not a TPU measurement)")
+        if note is None:
+            note = (f"TPU tunnel unresponsive for {int(wait_s)}s; "
+                    "CPU-backend XLA fallback (not a TPU measurement)")
 
     out = {
         "metric": "walker-steps/sec, 250 walkers x 5 bands, "
