@@ -172,3 +172,20 @@ def test_cli_sed_hmc_and_uplim(tmp_path):
     mf = SEDMultiFitter.from_h5(out, load_model(mpath))
     assert np.asarray(mf._spec.uplim_bands)[4]
     assert mf.chain_free.shape[1] == 60
+
+
+def test_shipped_model_file(tmp_path):
+    """The examples/two_temp_model.py file drives the CLI as shipped."""
+    import os
+    mpath = os.path.join(os.path.dirname(__file__), "..", "examples",
+                         "two_temp_model.py")
+    model = load_model(mpath)
+    assert model.name == "two-temp-greybody"
+    cat, trues = _write_catalog(tmp_path, S=2, seed=13)
+    out = str(tmp_path / "ship.h5")
+    rc = main([mpath, cat, out, "-w", "16", "-b", "10", "-n", "20",
+               "--initval", "T_cold", "18",
+               "--initval", "T_warm", "45",
+               "--initval", "fnorm_cold", "30",
+               "--initval", "fnorm_warm", "1.5"])
+    assert rc == 0 and os.path.exists(out)
