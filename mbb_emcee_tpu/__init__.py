@@ -20,6 +20,9 @@ A ground-up JAX/XLA/Pallas rebuild of the capabilities of aconley/mbb_emcee:
   * HDF5 persistence with round-trip loading
   * a generic-model surface (sed.SEDFitter/SEDResults): any pure-JAX
     fnu(theta, wave) runs the same pipeline end-to-end (additive)
+  * hierarchical population inference over fitted catalogs
+    (hierarchy.fit_population): importance-reweighted hyper-likelihood as
+    one fused (walkers x sources x samples) device evaluation (additive)
 
 See SURVEY.md for the reference layer map this mirrors.
 """
@@ -42,6 +45,8 @@ from mbb_emcee_tpu.multifit import MultiFitter, PPCBatchResult
 from mbb_emcee_tpu.catalog import Catalog, read_catalog
 from mbb_emcee_tpu.sed import SEDModel, SEDFitter, SEDResults
 from mbb_emcee_tpu.sedmulti import SEDMultiFitter
+from mbb_emcee_tpu.hierarchy import (
+    HierarchicalFitter, TruncatedGaussianPopulation, fit_population)
 
 __version__ = "0.2.0"
 
@@ -61,5 +66,6 @@ __all__ = [
     "MultiFitter",
     "Catalog", "read_catalog",
     "SEDModel", "SEDFitter", "SEDResults", "SEDMultiFitter",
+    "HierarchicalFitter", "TruncatedGaussianPopulation", "fit_population",
     "__version__",
 ]

@@ -1,0 +1,531 @@
+"""Hierarchical population inference over fitted catalogs.
+
+The reference fits every source independently and stops there
+(ref: mbb_emcee has no population tier -- SURVEY.md C4/C6 describe
+per-source fits and per-source derived posteriors only [reconstructed;
+/root/reference was an empty mount]).  Serving a whole survey begs the
+next question: what is the *population* distribution of T, beta, ... that
+the catalog was drawn from?  This module answers it with the standard
+posterior-importance-reweighting construction (Hogg, Myers & Bovy 2010;
+Thrane & Talbot 2019 review), which is exactly TPU-shaped:
+
+    ln L(phi) = sum_s ln [ (1/N) sum_n  p(theta_sn | phi) / pi0(theta_sn) ]
+
+where theta_sn are the stored per-source posterior samples (the batched
+chains MultiFitter / SEDMultiFitter already hold on device) drawn under
+the interim per-source prior pi0.  For each hyper-parameter vector phi
+the likelihood is one fused (S, N) evaluation + logsumexp -- vmapped over
+the hyper-ensemble's walkers it becomes a (W, S, N) tensor contraction
+that the MXU eats, and the stretch-move hyper-sampler is the same
+EnsembleSampler every other tier uses.  Multi-chip: the sample tensor
+shards over sources on a provided Mesh (NamedSharding on the leading
+axis); XLA inserts the psum for the source sum.
+
+The importance construction is only as good as its weights; the
+effective sample size per source, ESS_s = (sum_n w_sn)^2 / sum_n w_sn^2,
+is the published diagnostic and `reweight_ess()` reports it at any phi
+(by default the hyper-posterior median).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp, ndtr
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mbb_emcee_tpu.likelihood import LikelihoodSpec, FreeSpace, LNPROB_FLOOR
+from mbb_emcee_tpu.paramspace import ParamSpaceMixin
+from mbb_emcee_tpu.sampler import (
+    EnsembleSampler, make_initial_ball, split_rhat, autocorrelation_time)
+
+__all__ = [
+    "TruncatedGaussianPopulation", "build_hier_lnprob",
+    "HierarchicalFitter", "fit_population",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class TruncatedGaussianPopulation:
+    """Independent truncated normals per population parameter.
+
+    The population density for the K selected parameters is a product of
+    normals N(mu_k, sigma_k) truncated to the interim sampling box
+    [lo_k, hi_k] and renormalized there -- the truncation term
+    ln(Phi(b) - Phi(a)) matters whenever the population presses against a
+    box edge, and dropping it (a classic shortcut) biases sigma low.
+
+    Hyper-parameter vector layout: phi = (mu_1..mu_K, sigma_1..sigma_K).
+    The default hyper box keeps mu inside the interim box and sigma in
+    [width/200, width]; `sigma_log_uniform=True` adds the scale-invariant
+    -sum ln(sigma) hyper-prior.
+
+    Any object with `hyper_names`, `lower`, `upper`, `default_init`,
+    `default_scatter`, `ln_dist(phi, theta)` and `ln_hyper_prior(phi)`
+    plugs into HierarchicalFitter the same way (bring-your-own population
+    model, mirroring sed.SEDModel's contract).
+    """
+    param_names: tuple
+    box_lower: np.ndarray      # (K,) interim sampling box of the params
+    box_upper: np.ndarray      # (K,)
+    sigma_min: np.ndarray      # (K,)
+    sigma_max: np.ndarray      # (K,)
+    sigma_log_uniform: bool = False
+
+    @classmethod
+    def for_box(cls, param_names, lower, upper,
+                sigma_min=None, sigma_max=None, sigma_log_uniform=False):
+        lower = np.asarray(lower, np.float64)
+        upper = np.asarray(upper, np.float64)
+        if lower.ndim != 1 or lower.shape != upper.shape:
+            raise ValueError("lower/upper must be matching 1-D arrays")
+        if len(param_names) != lower.size:
+            raise ValueError("param_names length must match the box")
+        if np.any(lower >= upper):
+            raise ValueError("each lower limit must be < its upper limit")
+        width = upper - lower
+        smin = (width / 200.0 if sigma_min is None
+                else np.broadcast_to(np.asarray(sigma_min, np.float64),
+                                     width.shape).copy())
+        smax = (width if sigma_max is None
+                else np.broadcast_to(np.asarray(sigma_max, np.float64),
+                                     width.shape).copy())
+        if np.any(smin <= 0) or np.any(smax <= smin):
+            raise ValueError("need 0 < sigma_min < sigma_max per parameter")
+        return cls(param_names=tuple(param_names), box_lower=lower.copy(),
+                   box_upper=upper.copy(), sigma_min=np.asarray(smin),
+                   sigma_max=np.asarray(smax),
+                   sigma_log_uniform=bool(sigma_log_uniform))
+
+    @property
+    def nparams(self):
+        return len(self.param_names)
+
+    @property
+    def hyper_names(self):
+        return tuple(f"mu_{p}" for p in self.param_names) + tuple(
+            f"sigma_{p}" for p in self.param_names)
+
+    @property
+    def lower(self):
+        return np.concatenate([self.box_lower, self.sigma_min])
+
+    @property
+    def upper(self):
+        return np.concatenate([self.box_upper, self.sigma_max])
+
+    @property
+    def default_init(self):
+        width = self.box_upper - self.box_lower
+        return np.concatenate([0.5 * (self.box_lower + self.box_upper),
+                               np.minimum(0.25 * width, self.sigma_max)])
+
+    @property
+    def default_scatter(self):
+        width = self.box_upper - self.box_lower
+        return np.concatenate([0.1 * width, 0.05 * width])
+
+    def ln_dist(self, phi, theta):
+        """ln p(theta | phi), normalized over the truncation box.
+
+        phi: (2K,); theta: (..., K) -> (...).  Pure JAX; safe for any phi
+        inside the (possibly clip-widened) hyper box.
+        """
+        k = self.nparams
+        mu, sigma = phi[:k], phi[k:]
+        lo = jnp.asarray(self.box_lower, theta.dtype)
+        hi = jnp.asarray(self.box_upper, theta.dtype)
+        z = (theta - mu) / sigma
+        # truncation normalization: Phi((hi-mu)/s) - Phi((lo-mu)/s);
+        # mu is box-bounded and sigma >= sigma_min so the difference never
+        # degenerates, but clamp against fp32 underflow anyway.
+        trunc = ndtr((hi - mu) / sigma) - ndtr((lo - mu) / sigma)
+        ln_norm = (-jnp.log(sigma) - 0.5 * np.log(2.0 * np.pi)
+                   - jnp.log(jnp.maximum(trunc, 1e-30)))
+        return jnp.sum(-0.5 * z * z + ln_norm, axis=-1)
+
+    def ln_hyper_prior(self, phi):
+        if not self.sigma_log_uniform:
+            return jnp.asarray(0.0, phi.dtype)
+        return -jnp.sum(jnp.log(phi[self.nparams:]))
+
+
+def build_hier_lnprob(samples, population, spec: LikelihoodSpec,
+                      ln_interim=None, dtype=jnp.float32, mesh=None):
+    """Fused hierarchical lnprob over the FREE hyper-parameter space.
+
+    samples: (S, N, K) per-source posterior draws of the K population
+    parameters; ln_interim: optional (S, N) interim ln-prior values at
+    those draws (phi-independent offsets cancel -- only per-sample
+    variation, e.g. Gaussian interim priors, matters; flat-box interim
+    priors pass None).  Returns (lnprob_fn, free_space); lnprob_fn maps a
+    (nfree,) hyper vector to a scalar and follows the package's box-floor
+    / clip-widening / reduced-space conventions exactly
+    (likelihood.build_lnprob design notes).
+
+    Under `mesh` the sample tensor (and ln_interim) is placed with a
+    NamedSharding over the leading source axis; the source sum inside jit
+    then rides ICI via an XLA-inserted psum.
+    """
+    samples = jnp.asarray(samples, dtype)
+    if samples.ndim != 3:
+        raise ValueError(f"samples must be (S, N, K); got {samples.shape}")
+    S, N, K = samples.shape
+    nhyper = spec.lower.size
+    if np.asarray(population.lower).size != nhyper:
+        raise ValueError(
+            f"spec is sized for {nhyper} hyper-parameters; population "
+            f"model declares {np.asarray(population.lower).size}")
+
+    if ln_interim is not None:
+        ln_interim = jnp.asarray(ln_interim, dtype)
+        if ln_interim.shape != (S, N):
+            raise ValueError(
+                f"ln_interim must be (S, N)={S, N}; got {ln_interim.shape}")
+
+    if mesh is not None:
+        if S % mesh.size:
+            raise ValueError(
+                f"mesh size {mesh.size} must divide the source count {S}")
+        ax = mesh.axis_names[0]
+        samples = jax.device_put(
+            samples, NamedSharding(mesh, P(ax, None, None)))
+        if ln_interim is not None:
+            ln_interim = jax.device_put(
+                ln_interim, NamedSharding(mesh, P(ax, None)))
+
+    free_space = FreeSpace.from_spec(spec)
+    free_idx = free_space.free_idx
+    template = np.asarray(free_space.template, dtype)
+    scatter = np.asarray(free_space.scatter_matrix(), dtype)
+    lo_free = np.asarray(spec.lower[free_idx], dtype)
+    hi_free = np.asarray(spec.upper[free_idx], dtype)
+    lo_full = np.asarray(np.where(spec.fixed,
+                                  np.minimum(spec.lower, spec.fixed_values),
+                                  spec.lower), dtype)
+    hi_full = np.asarray(np.where(spec.fixed,
+                                  np.maximum(spec.upper, spec.fixed_values),
+                                  spec.upper), dtype)
+    prior_mean = np.asarray(spec.prior_mean, dtype)
+    prior_isig = np.asarray(spec.prior_isigma, dtype)
+    log_n = float(np.log(N))
+
+    def lnprob(phi_free):
+        phi = template + scatter @ phi_free
+        inbox = jnp.all((phi_free >= lo_free) & (phi_free <= hi_free))
+        phi_safe = jnp.clip(phi, lo_full, hi_full)
+        lw = population.ln_dist(phi_safe, samples)       # (S, N)
+        if ln_interim is not None:
+            lw = lw - ln_interim
+        lnl = jnp.sum(logsumexp(lw, axis=-1) - log_n)    # sum over sources
+        dp = (phi - prior_mean) * prior_isig
+        lnpri = -0.5 * jnp.sum(dp * dp) + population.ln_hyper_prior(phi_safe)
+        return jnp.where(inbox, lnl + lnpri, dtype(LNPROB_FLOOR))
+
+    return lnprob, free_space
+
+
+class HierarchicalFitter(ParamSpaceMixin):
+    """Hyper-parameter sampler over a catalog's stored posteriors.
+
+    Construct directly from a (S, N, K) sample tensor + population model,
+    or via `from_batch(mf, params=...)` on a finished MultiFitter /
+    SEDMultiFitter run.  The run protocol, setter surface
+    (set_lowlim/set_uplim/fix_param/set_gaussian_prior/set_param_init on
+    HYPER-parameters, addressed by the population model's names), extend()
+    continuation and summary accessors mirror the other fitter tiers.
+    """
+
+    def __init__(self, samples, population, ln_interim=None, nwalkers=64,
+                 seed=3033, a=2.0, dtype=jnp.float32, mesh=None):
+        self.samples = np.asarray(samples, np.float32)
+        if self.samples.ndim != 3:
+            raise ValueError(
+                f"samples must be (S, N, K); got {self.samples.shape}")
+        self.population = population
+        self.ln_interim = (None if ln_interim is None
+                           else np.asarray(ln_interim, np.float32))
+        self.nwalkers = int(nwalkers)
+        self.seed = int(seed)
+        self.a = float(a)
+        self.dtype = dtype
+        self.mesh = mesh
+        self._spec = LikelihoodSpec.for_box(population.lower,
+                                            population.upper)
+        self._init = np.asarray(population.default_init, np.float64).copy()
+        self._scatter = np.asarray(population.default_scatter,
+                                   np.float64).copy()
+        self._user_init = np.zeros(self._init.size, bool)
+        self._user_scatter = np.zeros(self._init.size, bool)
+        self.free_space = None
+        self.chain_free = None     # (nrec, nwalkers, nfree)
+        self.lnprobability = None  # (nrec, nwalkers)
+        self.thin = 1
+        self._state = None
+        self._sampler = None
+        self._acceptance = None
+
+    # -- ParamSpaceMixin plumbing ------------------------------------------
+    def _param_index(self, param):
+        if isinstance(param, (int, np.integer)):
+            i = int(param)
+            if not 0 <= i < len(self.population.hyper_names):
+                raise ValueError(f"hyper-parameter index {i} out of range")
+            return i
+        names = [n.lower() for n in self.population.hyper_names]
+        try:
+            return names.index(str(param).lower())
+        except ValueError:
+            raise ValueError(
+                f"unknown hyper-parameter {param!r}; "
+                f"known: {self.population.hyper_names}") from None
+
+    def _effective_spec(self):
+        return self._spec
+
+    @classmethod
+    def from_batch(cls, batch, params, population=None, max_samples=4096,
+                   sigma_log_uniform=False, **kw):
+        """Build the hyper-fitter from a finished batched fit.
+
+        `batch` is a MultiFitter or SEDMultiFitter after run(); `params`
+        names the population parameters (must be free in the fit).  The
+        per-source chains are flattened and strided down to at most
+        `max_samples` draws per source (deterministic stride, so rebuilds
+        are reproducible).  Gaussian interim priors on the selected
+        parameters are divided out automatically; the flat-box factor is
+        phi-independent and cancels.
+        """
+        chain = getattr(batch, "chain_free", None)
+        if chain is None:
+            raise RuntimeError("from_batch needs a finished run()")
+        chain = np.asarray(chain)       # (S, nrec, nw, nfree)
+        free_names = [n.lower() for n in batch.free_param_names]
+        cols = []
+        for p in params:
+            key = str(p).lower()
+            if key not in free_names:
+                raise ValueError(
+                    f"population parameter {p!r} is not free in the fit; "
+                    f"free parameters: {batch.free_param_names}")
+            cols.append(free_names.index(key))
+        cols = np.asarray(cols)
+        S = chain.shape[0]
+        flat = chain.reshape(S, -1, chain.shape[-1])[..., cols]  # (S,nsamp,K)
+        nsamp = flat.shape[1]
+        if nsamp > max_samples:
+            stride = int(np.ceil(nsamp / max_samples))
+            flat = flat[:, ::stride][:, :max_samples]
+
+        spec = batch.spec
+        free_idx = spec.free_indices[cols]
+        lo = spec.lower[free_idx]
+        hi = spec.upper[free_idx]
+        if population is None:
+            population = TruncatedGaussianPopulation.for_box(
+                tuple(str(p) for p in params), lo, hi,
+                sigma_log_uniform=sigma_log_uniform)
+
+        # interim Gaussian priors on the selected params (if any): the
+        # quadratic term varies per sample and must be divided out of the
+        # weights; normalization constants are phi-independent and drop.
+        isig = spec.prior_isigma[free_idx]
+        if np.any(isig > 0):
+            mu0 = spec.prior_mean[free_idx]
+            d = (flat - mu0) * isig
+            ln_interim = -0.5 * np.sum(d * d, axis=-1)
+        else:
+            ln_interim = None
+        return cls(flat, population, ln_interim=ln_interim, **kw)
+
+    # -- sampling -----------------------------------------------------------
+    def build(self):
+        lnprob, free_space = build_hier_lnprob(
+            self.samples, self.population, self._effective_spec(),
+            ln_interim=self.ln_interim, dtype=self.dtype, mesh=self.mesh)
+        sampler = EnsembleSampler(self.nwalkers, free_space.nfree, lnprob,
+                                  a=self.a, dtype=self.dtype)
+        return lnprob, free_space, sampler
+
+    def run(self, nburn=200, nsteps=1000, thin=1, p0=None,
+            recenter_burn=True, verbose=False):
+        """Burn -> re-center on the best burn-in sample -> re-burn ->
+        reset -> production, over the hyper space.  Returns self."""
+        if int(thin) < 1:
+            raise ValueError(f"thin={thin} must be >= 1")
+        if int(nsteps) % int(thin):
+            raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
+        thin = int(thin)
+        lnprob, free_space, sampler = self.build()
+        self.free_space = free_space
+        self.thin = thin
+
+        key = jax.random.PRNGKey(self.seed)
+        key, kball = jax.random.split(key)
+        if p0 is None:
+            center = self._init[free_space.free_idx]
+            scatter = self._scatter[free_space.free_idx]
+            p0 = make_initial_ball(kball, center, scatter, self.nwalkers,
+                                   free_space.lower, free_space.upper)
+        else:
+            p0 = jnp.asarray(p0, jnp.float32)
+            if p0.shape[-1] == self._spec.lower.size:
+                p0 = p0[..., free_space.free_idx]
+        state = sampler.init_state(key, p0)
+
+        if nburn > 0:
+            state, bchain, blnp = sampler.run_mcmc(state, nburn)
+            if recenter_burn:
+                flat = np.asarray(bchain).reshape(-1, free_space.nfree)
+                best = jnp.asarray(
+                    flat[np.argmax(np.asarray(blnp).reshape(-1))],
+                    jnp.float32)
+                key2, kball2 = jax.random.split(state.key)
+                tight = self._scatter[free_space.free_idx] * 0.1
+                p0b = make_initial_ball(kball2, best, tight, self.nwalkers,
+                                        free_space.lower, free_space.upper)
+                state = sampler.init_state(key2, p0b)
+                state = sampler.advance(state, nburn)
+            state = sampler.reset_counters(state)
+
+        state, chain, lnp = sampler.run_mcmc(state, nsteps, thin)
+        self.chain_free = np.asarray(chain)
+        self.lnprobability = np.asarray(lnp)
+        self._state = state
+        self._sampler = sampler
+        self._acceptance = np.asarray(
+            EnsembleSampler.acceptance_fraction(state))
+        if verbose:
+            print(f"HierarchicalFitter: acceptance "
+                  f"{float(np.mean(self._acceptance)):.3f}, max split-R-hat "
+                  f"{float(self.gelman_rubin()[1].max()):.3f}")
+        return self
+
+    def extend(self, nsteps):
+        """Continue production (same PRNG stream) and append."""
+        if self._state is None:
+            raise RuntimeError("extend() needs a finished run()")
+        if int(nsteps) % self.thin:
+            raise ValueError(
+                f"nsteps={nsteps} not divisible by thin={self.thin}")
+        state, chain, lnp = self._sampler.run_mcmc(
+            self._state, int(nsteps), self.thin)
+        self.chain_free = np.concatenate(
+            [self.chain_free, np.asarray(chain)], axis=0)
+        self.lnprobability = np.concatenate(
+            [self.lnprobability, np.asarray(lnp)], axis=0)
+        self._state = state
+        self._acceptance = np.asarray(
+            EnsembleSampler.acceptance_fraction(state))
+        return self
+
+    # -- summaries ----------------------------------------------------------
+    def _require_run(self):
+        if self.chain_free is None:
+            raise RuntimeError("run() first")
+
+    def free_hyper_names(self):
+        names = self.population.hyper_names
+        self._require_run()
+        return [names[i] for i in self.free_space.free_idx]
+
+    @property
+    def flatchain(self):
+        """(nsamp, nfree) flattened hyper chain."""
+        self._require_run()
+        return self.chain_free.reshape(-1, self.chain_free.shape[-1])
+
+    def hyper_chain(self, param):
+        self._require_run()
+        i = self._param_index(param)
+        cols = list(self.free_space.free_idx)
+        if i not in cols:
+            raise ValueError(
+                f"hyper-parameter {param!r} is fixed; no chain for it")
+        return self.flatchain[:, cols.index(i)]
+
+    def par_cen(self, param, percentile=68.3):
+        """(central, +err, -err) hyper-posterior summary (the package's
+        par_cen convention)."""
+        c = self.hyper_chain(param)
+        q = 0.5 * (100.0 - percentile)
+        lo, med, hi = np.percentile(c, [q, 50.0, 100.0 - q])
+        return np.array([med, hi - med, med - lo])
+
+    def best_fit(self):
+        """(phi_full, lnprob) at the maximum-lnprob hyper sample."""
+        self._require_run()
+        flat_lnp = self.lnprobability.reshape(-1)
+        i = int(np.argmax(flat_lnp))
+        phi = self.free_space.expand(self.flatchain[i])
+        return phi, float(flat_lnp[i])
+
+    @property
+    def acceptance_fraction(self):
+        self._require_run()
+        return self._acceptance
+
+    def gelman_rubin(self):
+        self._require_run()
+        return (self.free_hyper_names(),
+                np.asarray(split_rhat(self.chain_free)))
+
+    def autocorrelation_time(self):
+        self._require_run()
+        return autocorrelation_time(self.chain_free)
+
+    # -- importance-weight diagnostics --------------------------------------
+    def reweight_ess(self, phi=None):
+        """(S,) effective sample size of the per-source importance weights
+        at hyper vector `phi` (full, nhyper-sized; default = the
+        hyper-posterior median).  ESS_s near N means the reweighting is
+        benign; ESS_s of a few means source s's stored chain barely covers
+        the population and the hyper-posterior is untrustworthy there --
+        refit that source with a tighter interim prior or more samples.
+        One batched device call."""
+        if phi is None:
+            self._require_run()
+            med = np.median(self.flatchain, axis=0)
+            phi = self.free_space.expand(med)
+        phi = jnp.asarray(phi, self.dtype)
+        samples = jnp.asarray(self.samples, self.dtype)
+        lw = self.population.ln_dist(phi, samples)
+        if self.ln_interim is not None:
+            lw = lw - jnp.asarray(self.ln_interim, self.dtype)
+        lw = lw - logsumexp(lw, axis=-1, keepdims=True)
+        return np.asarray(jnp.exp(-logsumexp(2.0 * lw, axis=-1)))
+
+    # -- persistence ---------------------------------------------------------
+    def writeToHDF5(self, path):
+        """Persist the hyper chain + configuration (package HDF5 style)."""
+        self._require_run()
+        import h5py
+        with h5py.File(path, "w") as f:
+            f.attrs["kind"] = "hierarchy"
+            f.attrs["hyper_names"] = np.array(
+                [n.encode() for n in self.population.hyper_names])
+            f.attrs["free_idx"] = self.free_space.free_idx
+            f.attrs["nwalkers"] = self.nwalkers
+            f.attrs["seed"] = self.seed
+            f.attrs["a"] = self.a
+            f.attrs["thin"] = self.thin
+            f.create_dataset("chain_free", data=self.chain_free)
+            f.create_dataset("lnprobability", data=self.lnprobability)
+            f.create_dataset("hyper_lower", data=np.asarray(
+                self.population.lower))
+            f.create_dataset("hyper_upper", data=np.asarray(
+                self.population.upper))
+            f.create_dataset("reweight_ess", data=self.reweight_ess())
+        return self
+
+
+def fit_population(batch, params, nburn=200, nsteps=1000, thin=1,
+                   verbose=False, **kw):
+    """One-call population fit over a finished batched run: build the
+    hyper-fitter with `HierarchicalFitter.from_batch(batch, params, **kw)`
+    and run it.  Returns the fitted HierarchicalFitter."""
+    hf = HierarchicalFitter.from_batch(batch, params, **kw)
+    return hf.run(nburn=nburn, nsteps=nsteps, thin=thin, verbose=verbose)

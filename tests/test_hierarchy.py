@@ -1,0 +1,310 @@
+"""Hierarchical population tier: importance-reweighted hyper-inference.
+
+Validates the TruncatedGaussianPopulation normalization, the fused
+hierarchical lnprob against a NumPy oracle, end-to-end hyper-parameter
+recovery against the exact analytic marginal likelihood (the
+importance-sampling machinery is the ONLY difference between the two
+chains), the ESS diagnostic, the from_batch bridge off a MultiFitter
+run, and the mesh-sharded evaluation path.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mbb_emcee_tpu import MultiFitter
+from mbb_emcee_tpu.hierarchy import (
+    TruncatedGaussianPopulation, build_hier_lnprob, HierarchicalFitter,
+    fit_population)
+from mbb_emcee_tpu.likelihood import LikelihoodSpec
+from mbb_emcee_tpu.sampler import EnsembleSampler, make_initial_ball
+from mbb_emcee_tpu.models.modified_blackbody import MBBShape, mbb_fnu
+
+
+# ---------------------------------------------------------------- population
+
+def test_truncnorm_normalization():
+    """exp(ln_dist) integrates to 1 over the truncation box, including
+    when the population presses against an edge (where the Phi-difference
+    term does real work)."""
+    pop = TruncatedGaussianPopulation.for_box(("a", "b"),
+                                              [0.0, -3.0], [10.0, 3.0])
+    grid_a = np.linspace(0.0, 10.0, 2001)
+    grid_b = np.linspace(-3.0, 3.0, 2001)
+    for mu, sig in [((5.0, 0.0), (1.0, 1.0)),
+                    ((0.5, 2.8), (2.0, 0.7)),       # pressed to edges
+                    ((9.9, -2.9), (5.0, 3.0))]:     # wide + at corner
+        phi = jnp.asarray(np.concatenate([mu, sig]), jnp.float32)
+        theta = jnp.asarray(
+            np.stack(np.meshgrid(grid_a, grid_b, indexing="ij"), axis=-1),
+            jnp.float32)
+        p = np.asarray(jnp.exp(pop.ln_dist(phi, theta)), np.float64)
+        integral = np.trapezoid(np.trapezoid(p, grid_b, axis=1), grid_a)
+        assert abs(integral - 1.0) < 2e-3, (mu, sig, integral)
+
+
+def test_population_validation():
+    with pytest.raises(ValueError):
+        TruncatedGaussianPopulation.for_box(("a",), [1.0], [0.0])
+    with pytest.raises(ValueError):
+        TruncatedGaussianPopulation.for_box(("a", "b"), [0.0], [1.0])
+    with pytest.raises(ValueError):
+        TruncatedGaussianPopulation.for_box(("a",), [0.0], [1.0],
+                                            sigma_min=0.5, sigma_max=0.1)
+
+
+# ------------------------------------------------------------------- lnprob
+
+def test_lnprob_matches_numpy_oracle():
+    """The fused device lnprob == a from-scratch NumPy evaluation of the
+    reweighted hierarchical likelihood, including a Gaussian interim
+    prior correction and the truncation normalization."""
+    rng = np.random.default_rng(42)
+    S, N, K = 12, 64, 2
+    lo = np.array([0.0, -5.0])
+    hi = np.array([20.0, 5.0])
+    samples = rng.uniform(lo, hi, (S, N, K))
+    # interim Gaussian prior on param 0
+    mu0, sig0 = 8.0, 6.0
+    ln_interim = -0.5 * ((samples[..., 0] - mu0) / sig0) ** 2
+
+    pop = TruncatedGaussianPopulation.for_box(("x", "y"), lo, hi)
+    spec = LikelihoodSpec.for_box(pop.lower, pop.upper)
+    lnprob, fs = build_hier_lnprob(samples, pop, spec,
+                                   ln_interim=ln_interim)
+
+    def oracle(phi):
+        from scipy.stats import norm
+        mu, sig = phi[:K], phi[K:]
+        z = (samples - mu) / sig
+        trunc = norm.cdf((hi - mu) / sig) - norm.cdf((lo - mu) / sig)
+        ld = np.sum(-0.5 * z * z - np.log(sig)
+                    - 0.5 * np.log(2 * np.pi) - np.log(trunc), axis=-1)
+        lw = ld - ln_interim
+        m = lw.max(axis=-1, keepdims=True)
+        per_src = np.log(np.exp(lw - m).mean(axis=-1)) + m[:, 0]
+        return per_src.sum()
+
+    for _ in range(5):
+        phi = np.concatenate([rng.uniform(lo + 1, hi - 1),
+                              rng.uniform(0.5, 4.0, K)])
+        got = float(lnprob(jnp.asarray(phi, jnp.float32)))
+        want = oracle(phi)
+        assert np.isfinite(got)
+        assert abs(got - want) < 2e-4 * max(1.0, abs(want)), (got, want)
+
+    # out-of-box hyper vectors hit the package lnprob floor
+    bad = np.concatenate([lo - 1.0, np.full(K, 1.0)])
+    assert float(lnprob(jnp.asarray(bad, jnp.float32))) < -1e29
+
+
+def test_ess_uniform_weights_and_custom_population():
+    """A flat (bring-your-own) population model gives exactly uniform
+    weights -> ESS == N for every source; also exercises the duck-typed
+    population contract."""
+
+    class FlatPop:
+        hyper_names = ("c",)
+        lower = np.array([0.0])
+        upper = np.array([1.0])
+        default_init = np.array([0.5])
+        default_scatter = np.array([0.1])
+
+        def ln_dist(self, phi, theta):
+            return jnp.zeros(theta.shape[:-1], theta.dtype) + 0.0 * phi[0]
+
+        def ln_hyper_prior(self, phi):
+            return jnp.asarray(0.0, phi.dtype)
+
+    rng = np.random.default_rng(1)
+    S, N = 6, 128
+    samples = rng.normal(0, 1, (S, N, 1))
+    hf = HierarchicalFitter(samples, FlatPop(), nwalkers=8, seed=5)
+    ess = hf.reweight_ess(phi=np.array([0.5]))
+    assert ess.shape == (S,)
+    np.testing.assert_allclose(ess, N, rtol=1e-4)
+
+
+# ------------------------------------------------------- recovery vs oracle
+
+def _population_setup(seed=7):
+    rng = np.random.default_rng(seed)
+    S, N = 64, int(256 * (4 if __import__("os").environ.get("MBB_RUNSLOW")
+                          else 1))
+    mu_true, sig_true, sig_obs = 35.0, 4.0, 1.5
+    theta_s = rng.normal(mu_true, sig_true, S)
+    x_s = theta_s + rng.normal(0, sig_obs, S)
+    # exact per-source posterior draws under a flat interim prior:
+    # theta | x_s ~ N(x_s, sig_obs)
+    samples = (x_s[:, None] + rng.normal(0, sig_obs, (S, N)))[..., None]
+    return samples, x_s, sig_obs
+
+
+def test_recovery_matches_analytic_marginal():
+    """Hyper-posterior via importance reweighting == hyper-posterior via
+    the EXACT analytic marginal likelihood
+        ln L(mu, sig) = sum_s ln N(x_s; mu, sqrt(sig^2 + sig_obs^2)),
+    sampled with the same ensemble sampler over the same hyper box.  The
+    stored-samples machinery is the only difference between the chains,
+    so agreement here validates the reweighting construction itself."""
+    samples, x_s, sig_obs = _population_setup()
+    lo, hi = 10.0, 60.0  # wide box: truncation term ~= 1 for both forms
+
+    pop = TruncatedGaussianPopulation.for_box(("T",), [lo], [hi])
+    hf = HierarchicalFitter(samples, pop, nwalkers=64, seed=11)
+    hf.run(nburn=300, nsteps=1200)
+
+    # oracle chain on the analytic marginal over the same (mu, sigma) box
+    def analytic_lnprob(phi):
+        mu, sig = phi[0], phi[1]
+        s2 = sig * sig + sig_obs * sig_obs
+        lnl = jnp.sum(-0.5 * (x_s - mu) ** 2 / s2 - 0.5 * jnp.log(s2))
+        inbox = ((mu >= lo) & (mu <= hi)
+                 & (sig >= pop.sigma_min[0]) & (sig <= pop.sigma_max[0]))
+        return jnp.where(inbox, lnl, -1e30)
+
+    samp = EnsembleSampler(64, 2, analytic_lnprob)
+    key = jax.random.PRNGKey(99)
+    key, kb = jax.random.split(key)
+    p0 = make_initial_ball(kb, np.array([35.0, 5.0]), np.array([3.0, 1.0]),
+                           64, np.array([lo, pop.sigma_min[0]]),
+                           np.array([hi, pop.sigma_max[0]]))
+    st = samp.init_state(key, p0)
+    st = samp.advance(st, 300)
+    st = EnsembleSampler.reset_counters(st)
+    st, chain, _ = samp.run_mcmc(st, 1200)
+    oracle_flat = np.asarray(chain).reshape(-1, 2)
+
+    for i, name in enumerate(("mu_T", "sigma_T")):
+        got = hf.par_cen(name)
+        med_o = np.median(oracle_flat[:, i])
+        width_o = np.subtract(*np.percentile(oracle_flat[:, i],
+                                             [84.15, 15.85]))
+        # medians agree within a third of the CI width (generous for the
+        # two chains' independent MC error + fp32 + finite N reweighting)
+        assert abs(got[0] - med_o) < 0.35 * width_o, (name, got, med_o)
+        # CI widths agree to ~20%
+        width_h = got[1] + got[2]
+        assert abs(width_h - width_o) < 0.25 * width_o, (name, got, width_o)
+
+    # ESS should be healthy: population sigma >> sig_obs means each
+    # source's chain easily covers its population-weighted region
+    ess = hf.reweight_ess()
+    assert ess.min() > 0.2 * samples.shape[1]
+
+
+def test_fixed_hyper_and_setters():
+    samples, x_s, sig_obs = _population_setup(seed=3)
+    pop = TruncatedGaussianPopulation.for_box(("T",), [10.0], [60.0])
+    hf = HierarchicalFitter(samples, pop, nwalkers=16, seed=2)
+    hf.fix_param("sigma_T", 4.0)
+    hf.set_gaussian_prior("mu_T", 35.0, 20.0)
+    hf.run(nburn=100, nsteps=300)
+    assert hf.chain_free.shape == (300, 16, 1)
+    assert hf.free_hyper_names() == ["mu_T"]
+    cen = hf.par_cen("mu_T")
+    assert 25.0 < cen[0] < 45.0
+    with pytest.raises(ValueError):
+        hf.hyper_chain("sigma_T")
+    names, rhat = hf.gelman_rubin()
+    assert names == ["mu_T"] and rhat.shape == (1,)
+    phi, lnp = hf.best_fit()
+    assert phi.shape == (2,) and phi[1] == 4.0 and np.isfinite(lnp)
+    # extend() continues and appends
+    hf.extend(100)
+    assert hf.chain_free.shape == (400, 16, 1)
+
+
+def test_mesh_sharded_lnprob_matches_unsharded():
+    """Same lnprob values with the sample tensor sharded over the 8-CPU
+    source mesh (XLA inserts the source-sum collective)."""
+    from jax.sharding import Mesh
+    rng = np.random.default_rng(5)
+    S, N = 16, 64
+    samples = rng.uniform(15.0, 55.0, (S, N, 1))
+    pop = TruncatedGaussianPopulation.for_box(("T",), [10.0], [60.0])
+    spec = LikelihoodSpec.for_box(pop.lower, pop.upper)
+
+    lnp_plain, _ = build_hier_lnprob(samples, pop, spec)
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("src",))
+    lnp_mesh, _ = build_hier_lnprob(samples, pop, spec, mesh=mesh)
+
+    for phi in ([35.0, 4.0], [20.0, 1.0], [50.0, 12.0]):
+        a = float(lnp_plain(jnp.asarray(phi, jnp.float32)))
+        b = float(lnp_mesh(jnp.asarray(phi, jnp.float32)))
+        assert abs(a - b) < 1e-3 * max(1.0, abs(a)), (phi, a, b)
+
+    with pytest.raises(ValueError):
+        build_hier_lnprob(samples[:6], pop, spec, mesh=mesh)
+
+
+# ------------------------------------------------------------ batch bridge
+
+def test_from_batch_population_fit():
+    """End-to-end: a MultiFitter catalog drawn from a known T-population,
+    then fit_population recovers a sane mu_T and divides out an interim
+    Gaussian prior.  Kept small for the fast lane; the statistical power
+    test is the analytic-oracle parity above."""
+    wave = np.linspace(100.0, 500.0, 5)
+    shape = MBBShape(opthin=True, noalpha=True)
+    rng = np.random.default_rng(21)
+    S = 8
+    t_true = np.clip(rng.normal(35.0, 5.0, S), 20.0, 55.0)
+    flux, unc = [], []
+    for t in t_true:
+        th = np.array([t, 1.8, 250.0, 4.0, 40.0])
+        f = np.asarray(mbb_fnu(jnp.asarray(th, jnp.float32),
+                               jnp.asarray(wave, jnp.float32), shape),
+                       np.float64)
+        u = 0.05 * f
+        flux.append(f + u * rng.standard_normal(wave.size))
+        unc.append(u)
+
+    mf = MultiFitter(nwalkers=64, opthin=True, noalpha=True, seed=9)
+    mf.set_data(wave, np.array(flux), np.array(unc))
+    mf.set_uplim("T", 90.0)
+    mf.set_gaussian_prior("T", 35.0, 25.0)    # weak interim prior
+    mf.run(nburn=60, nsteps=200)
+
+    hf = HierarchicalFitter.from_batch(mf, params=("T",), max_samples=2048)
+    # the interim Gaussian prior on T must be divided out
+    assert hf.ln_interim is not None
+    assert hf.samples.shape[0] == S and hf.samples.shape[2] == 1
+    assert hf.samples.shape[1] <= 2048
+
+    hf = fit_population(mf, params=("T",), nburn=100, nsteps=400,
+                        max_samples=2048)
+    mu = hf.par_cen("mu_T")
+    t_med = mf.par_cen("T")[:, 0]
+    # the population mean lands near the catalog's per-source medians
+    assert abs(mu[0] - t_med.mean()) < max(3.0 * mu[1], 5.0)
+    ess = hf.reweight_ess()
+    assert ess.shape == (S,) and np.all(ess > 1.0)
+
+    with pytest.raises(ValueError):
+        HierarchicalFitter.from_batch(mf, params=("lambda0",))
+
+
+def test_from_batch_requires_run():
+    mf = MultiFitter(nwalkers=64, opthin=True, noalpha=True)
+    with pytest.raises(RuntimeError):
+        HierarchicalFitter.from_batch(mf, params=("T",))
+
+
+def test_hdf5_roundtrip(tmp_path):
+    import h5py
+    samples, _, _ = _population_setup(seed=13)
+    pop = TruncatedGaussianPopulation.for_box(("T",), [10.0], [60.0])
+    hf = HierarchicalFitter(samples[:8], pop, nwalkers=16, seed=4)
+    hf.run(nburn=50, nsteps=100)
+    path = str(tmp_path / "hier.h5")
+    hf.writeToHDF5(path)
+    with h5py.File(path, "r") as f:
+        assert f.attrs["kind"] == "hierarchy"
+        names = [n.decode() for n in f.attrs["hyper_names"]]
+        assert names == ["mu_T", "sigma_T"]
+        assert f["chain_free"].shape == (100, 16, 2)
+        assert f["reweight_ess"].shape == (8,)
+        np.testing.assert_array_equal(f["hyper_lower"][...], pop.lower)
