@@ -202,6 +202,29 @@ def build_parser():
     g.add_argument("--nlive", type=int, default=512,
                    help="nested-sampling live points (default 512)")
 
+    g = p.add_argument_group(
+        "population (hierarchical hyper-inference over the fitted batch)")
+    g.add_argument("--population", nargs="+", default=None, metavar="PARAM",
+                   help="after the batch fit, infer the population "
+                        "distribution of these free parameters (e.g. "
+                        "'--population T beta'): box-truncated-normal "
+                        "population via importance reweighting of the "
+                        "stored chains; prints mu/sigma posteriors + the "
+                        "min per-source ESS and writes the hyper chain "
+                        "to --population-out")
+    g.add_argument("--population-burn", type=int, default=200,
+                   help="hyper-sampler burn-in steps (default 200)")
+    g.add_argument("--population-steps", type=int, default=1000,
+                   help="hyper-sampler production steps (default 1000)")
+    g.add_argument("--population-walkers", type=int, default=64,
+                   help="hyper-ensemble walkers (default 64)")
+    g.add_argument("--population-out", default=None, metavar="FILE",
+                   help="hyper-chain HDF5 (default: OUTFILE with a "
+                        ".pop.h5 suffix)")
+    g.add_argument("--population-sigma-log-uniform", action="store_true",
+                   help="scale-invariant 1/sigma hyper-prior on the "
+                        "population widths (default: uniform in sigma)")
+
     g = p.add_argument_group("output")
     g.add_argument("--chunk-size", type=int, default=None, metavar="C",
                    help="process the catalog in fixed C-source chunks "
@@ -396,9 +419,10 @@ def main(argv=None):
             raise SystemExit("--map runs in seconds; checkpointing does "
                              "not apply")
         if args.get_lir or args.get_dustmass or args.get_peaklambda \
-                or args.get_evidence or args.ppc:
-            raise SystemExit("derived-quantity posteriors and --ppc need "
-                             "chains; run without --map for them")
+                or args.get_evidence or args.ppc or args.population:
+            raise SystemExit("derived-quantity posteriors, --ppc and "
+                             "--population need chains; run without "
+                             "--map for them")
         if not chunked:
             return _map_and_write(mf, args, log, args.outfile)
         # chunked triage: the huge-catalog case --map exists for; every
@@ -429,6 +453,11 @@ def main(argv=None):
 
     if not chunked:
         return _fit_and_write(mf, args, log, args.outfile)
+    if args.population:
+        raise SystemExit(
+            "--population needs every source's chain at once; run it on "
+            "an unchunked fit (or load the part files and call "
+            "hierarchy.HierarchicalFitter yourself)")
     if args.checkpoint or args.resume:
         raise SystemExit(
             "--chunk-size is not combinable with --checkpoint/--resume "
@@ -651,6 +680,35 @@ def _fit_and_write(mf, args, log, outfile, offset=0):
         print(f"{mf.nsources} sources fit; max split-R-hat "
               f"{rhat.max():.3f} (median {np.median(rhat):.3f}); "
               f"batch written to {outfile}")
+
+    if args.population:
+        # hierarchical hyper-inference AFTER the batch file is safely on
+        # disk: a population-stage failure must not lose the fits
+        from mbb_emcee_tpu.hierarchy import fit_population
+        hf = fit_population(
+            mf, params=tuple(args.population),
+            nburn=args.population_burn, nsteps=args.population_steps,
+            nwalkers=args.population_walkers,
+            sigma_log_uniform=args.population_sigma_log_uniform,
+            verbose=args.verbose)
+        ess = hf.reweight_ess()
+        lines = [f"population ({mf.nsources} sources, "
+                 f"{hf.samples.shape[1]} samples/source):"]
+        for p in args.population:
+            mu = hf.par_cen(f"mu_{p}")
+            sig = hf.par_cen(f"sigma_{p}")
+            lines.append(f"  {p}: mu {mu[0]:.4g} +{mu[1]:.2g} -{mu[2]:.2g}"
+                         f"   sigma {sig[0]:.4g} +{sig[1]:.2g} "
+                         f"-{sig[2]:.2g}")
+        lines.append(f"  reweight ESS min {ess.min():.0f} / median "
+                     f"{np.median(ess):.0f} of {hf.samples.shape[1]}")
+        popfile = args.population_out
+        if popfile is None:
+            base = outfile[:-3] if outfile.endswith(".h5") else outfile
+            popfile = base + ".pop.h5"
+        hf.writeToHDF5(popfile)
+        lines.append(f"  hyper chain written to {popfile}")
+        print("\n".join(lines))
     return 0
 
 

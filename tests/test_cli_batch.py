@@ -598,3 +598,42 @@ def test_batch_cli_tiny_run_still_writes(tmp_path, capsys):
                "-w", "16", "-b", "4", "-n", "3", "--seed", "5",
                "--summary"])
     assert rc == 0
+
+
+def test_batch_cli_population(tmp_path, capsys):
+    """--population runs the hierarchical tier after the batch fit,
+    prints mu/sigma posteriors + ESS, and writes the hyper-chain file."""
+    import h5py
+    cat = str(tmp_path / "cat.txt")
+    out = str(tmp_path / "batch.h5")
+    _write_catalog(cat, nsources=4, seed=8)
+    rc = main([cat, out, "--opthin", "--noalpha",
+               "-w", "64", "-b", "40", "-n", "120", "--seed", "5",
+               "--population", "T",
+               "--population-burn", "60", "--population-steps", "200",
+               "--population-walkers", "16"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "population (4 sources" in text
+    assert "T: mu " in text and "sigma " in text
+    assert "reweight ESS min" in text
+    pop = str(tmp_path / "batch.pop.h5")
+    assert f"hyper chain written to {pop}" in text
+    with h5py.File(pop) as f:
+        assert f.attrs["kind"] == "hierarchy"
+        names = [n.decode() for n in f.attrs["hyper_names"]]
+        assert names == ["mu_T", "sigma_T"]
+        assert f["chain_free"].shape == (200, 16, 2)
+        assert f["reweight_ess"].shape == (4,)
+    # the batch file itself is untouched by the population stage
+    back = MultiFitter.from_h5(out)
+    assert back.nsources == 4
+
+
+def test_batch_cli_population_conflicts(tmp_path):
+    cat = str(tmp_path / "cat.txt")
+    _write_catalog(cat, nsources=4)
+    with pytest.raises(SystemExit):
+        main([cat, "x.h5", "--map", "--population", "T"])
+    with pytest.raises(SystemExit):
+        main([cat, "x.h5", "--chunk-size", "2", "--population", "T"])

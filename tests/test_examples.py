@@ -23,6 +23,7 @@ SLOW = [
     "serve_ragged_catalog.py",
     "model_comparison.py",
     "custom_model.py",
+    "population_inference.py",
 ]
 
 
