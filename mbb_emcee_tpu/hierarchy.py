@@ -190,6 +190,12 @@ def build_hier_lnprob(samples, population, spec: LikelihoodSpec,
         if S % mesh.size:
             raise ValueError(
                 f"mesh size {mesh.size} must divide the source count {S}")
+        # Auto-mode view of the caller's mesh: walker_mesh() builds
+        # explicit-axis meshes (jax.make_mesh), whose shardings demand a
+        # set_mesh context inside jit; plain auto sharding propagates
+        # through the vmapped hyper-lnprob with no context management.
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(mesh.devices), mesh.axis_names)
         ax = mesh.axis_names[0]
         samples = jax.device_put(
             samples, NamedSharding(mesh, P(ax, None, None)))

@@ -308,3 +308,38 @@ def test_hdf5_roundtrip(tmp_path):
         assert f["chain_free"].shape == (100, 16, 2)
         assert f["reweight_ess"].shape == (8,)
         np.testing.assert_array_equal(f["hyper_lower"][...], pop.lower)
+
+
+def test_from_batch_sedmulti():
+    """The bridge is surface-agnostic: a generic-model SEDMultiFitter run
+    feeds the same hierarchy (free names resolved from the model)."""
+    from mbb_emcee_tpu.sed import SEDModel
+    from mbb_emcee_tpu.sedmulti import SEDMultiFitter
+
+    def powerlaw(theta, wave):
+        amp, slope = theta[..., 0], theta[..., 1]
+        return amp[..., None] * (wave / 100.0) ** (-slope[..., None])
+
+    model = SEDModel(fnu=lambda th, w: th[0] * (w / 100.0) ** (-th[1]),
+                     param_names=("amp", "slope"),
+                     lower=[1.0, 0.1], upper=[100.0, 3.0], name="plaw")
+    wave = np.array([60.0, 100.0, 250.0, 500.0])
+    rng = np.random.default_rng(6)
+    S = 4
+    slopes = rng.uniform(0.8, 1.6, S)
+    flux = np.stack([20.0 * (wave / 100.0) ** (-s) for s in slopes])
+    unc = 0.05 * flux
+    smf = SEDMultiFitter(model, nwalkers=16, seed=3)
+    smf.set_data(wave, flux + unc * rng.standard_normal(flux.shape), unc)
+    for nm, v in (("amp", 20.0), ("slope", 1.2)):
+        smf.set_param_init(nm, v, 0.2 * v)
+    smf.run(nburn=40, nsteps=120)
+
+    hf = HierarchicalFitter.from_batch(smf, params=("slope",),
+                                       nwalkers=16, max_samples=512)
+    hf.run(nburn=50, nsteps=150)
+    cen = hf.par_cen("mu_slope")
+    assert 0.5 < cen[0] < 2.0
+    assert hf.reweight_ess().shape == (S,)
+    with pytest.raises(ValueError):
+        HierarchicalFitter.from_batch(smf, params=("T",))
