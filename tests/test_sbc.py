@@ -21,9 +21,11 @@ the MAP + Laplace-importance triage tier (weighted CDF at truth -- the
 exact statistical claim map_par_cen makes), and the single-fit surface
 both through its full burn -> re-center -> production protocol and
 through the fit_map -> run(init='map') short-burn workflow (a seeding
-that biased the stationary distribution would skew these ranks), and
-the GENERIC batch pipeline (sedmulti.SEDMultiFitter on the wrapped
-MBB -- same targets, different orchestration code).
+that biased the stationary distribution would skew these ranks), the
+GENERIC batch pipeline (sedmulti.SEDMultiFitter on the wrapped
+MBB -- same targets, different orchestration code), and the
+HIERARCHICAL population tier (hyper-level ranks; see
+test_sbc_hierarchy_ranks_uniform).
 
 Reference anchor: SURVEY.md section 4 (sampler statistics tests) and the
 BASELINE accuracy contract. Runs in the slow lane.
@@ -232,3 +234,56 @@ def test_sbc_ranks_uniform(mode):
     # concentrate truths outside the sampled support).
     assert (ranks < 0.02).mean() < 0.15, mode
     assert (ranks > 0.98).mean() < 0.15, mode
+
+
+@pytest.mark.slow
+def test_sbc_hierarchy_ranks_uniform():
+    """SBC at the HYPER level: draw (mu, sigma) from the hyper-prior,
+    draw a catalog from that population, hand the tier EXACT per-source
+    posterior draws (analytic Gaussian measurement model), and rank the
+    hyper-truth in the hyper chain. Uniform ranks certify the whole
+    importance-reweighting construction -- weights, truncation
+    normalization, logsumexp, hyper-box handling -- as a calibrated
+    posterior, replication over replication (stronger than the one-shot
+    analytic-marginal parity in test_hierarchy.py)."""
+    from mbb_emcee_tpu.hierarchy import (
+        TruncatedGaussianPopulation, HierarchicalFitter)
+
+    rng = np.random.default_rng(20260819)
+    M, S, N = 32, 32, 256
+    lo, hi = 10.0, 60.0             # interim box (flat interim prior)
+    mu_box = (25.0, 45.0)           # hyper-prior boxes: population kept
+    sig_box = (2.0, 6.0)            # well inside the interim box
+    sig_obs = 1.5
+
+    pop = TruncatedGaussianPopulation.for_box(
+        ("T",), [lo], [hi], sigma_min=sig_box[0], sigma_max=sig_box[1])
+
+    mu_ranks, sig_ranks = [], []
+    for m in range(M):
+        mu_t = rng.uniform(*mu_box)
+        sig_t = rng.uniform(*sig_box)
+        theta_s = rng.normal(mu_t, sig_t, S)   # truncation negligible
+        x_s = theta_s + rng.normal(0.0, sig_obs, S)
+        samples = (x_s[:, None]
+                   + rng.normal(0.0, sig_obs, (S, N)))[..., None]
+
+        hf = HierarchicalFitter(samples, pop, nwalkers=32, seed=100 + m)
+        # sampled hyper-prior == drawing prior (the SBC requirement)
+        hf.set_lowlim("mu_T", mu_box[0]).set_uplim("mu_T", mu_box[1])
+        hf.run(nburn=200, nsteps=500)
+        flat = hf.flatchain
+        mu_ranks.append(float((flat[:, 0] < mu_t).mean()))
+        sig_ranks.append(float((flat[:, 1] < sig_t).mean()))
+
+    ranks = np.asarray(mu_ranks + sig_ranks)
+    n = ranks.size
+    grid = np.sort(ranks)
+    ks = np.max(np.abs(grid - (np.arange(1, n + 1) / n)))
+    # mu and sigma ranks of one replication are correlated; threshold
+    # keyed to M independent replications
+    assert ks < 2.3 / np.sqrt(M), f"hierarchy ranks not uniform: KS={ks:.3f}"
+    assert abs(ranks.mean() - 0.5) < 0.10, ranks.mean()
+    assert 0.6 / 12 < ranks.var() < 1.6 / 12, ranks.var()
+    assert (ranks < 0.02).mean() < 0.15
+    assert (ranks > 0.98).mean() < 0.15
