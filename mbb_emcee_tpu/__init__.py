@@ -46,7 +46,8 @@ from mbb_emcee_tpu.catalog import Catalog, read_catalog
 from mbb_emcee_tpu.sed import SEDModel, SEDFitter, SEDResults
 from mbb_emcee_tpu.sedmulti import SEDMultiFitter
 from mbb_emcee_tpu.hierarchy import (
-    HierarchicalFitter, TruncatedGaussianPopulation, fit_population)
+    HierarchicalFitter, TruncatedGaussianPopulation,
+    CorrelatedGaussianPopulation, fit_population)
 
 __version__ = "0.2.0"
 
@@ -66,6 +67,7 @@ __all__ = [
     "MultiFitter",
     "Catalog", "read_catalog",
     "SEDModel", "SEDFitter", "SEDResults", "SEDMultiFitter",
-    "HierarchicalFitter", "TruncatedGaussianPopulation", "fit_population",
+    "HierarchicalFitter", "TruncatedGaussianPopulation",
+    "CorrelatedGaussianPopulation", "fit_population",
     "__version__",
 ]

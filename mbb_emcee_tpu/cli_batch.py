@@ -224,6 +224,10 @@ def build_parser():
     g.add_argument("--population-sigma-log-uniform", action="store_true",
                    help="scale-invariant 1/sigma hyper-prior on the "
                         "population widths (default: uniform in sigma)")
+    g.add_argument("--population-correlated", action="store_true",
+                   help="bivariate population with a free correlation "
+                        "rho (exactly two --population params): is the "
+                        "catalog's T-beta trend a population property?")
 
     g = p.add_argument_group("output")
     g.add_argument("--chunk-size", type=int, default=None, metavar="C",
@@ -451,6 +455,11 @@ def main(argv=None):
         raise SystemExit("--init-map seeds the stretch-move walker "
                          "ball; drop --hmc/--pt/--resume")
 
+    if args.population_correlated and (args.population is None
+                                       or len(args.population) != 2):
+        raise SystemExit("--population-correlated needs exactly two "
+                         "--population parameters (e.g. "
+                         "'--population T beta --population-correlated')")
     if not chunked:
         return _fit_and_write(mf, args, log, args.outfile)
     if args.population:
@@ -690,6 +699,7 @@ def _fit_and_write(mf, args, log, outfile, offset=0):
             nburn=args.population_burn, nsteps=args.population_steps,
             nwalkers=args.population_walkers,
             sigma_log_uniform=args.population_sigma_log_uniform,
+            correlated=args.population_correlated,
             verbose=args.verbose)
         ess = hf.reweight_ess()
         lines = [f"population ({mf.nsources} sources, "
@@ -700,6 +710,11 @@ def _fit_and_write(mf, args, log, outfile, offset=0):
             lines.append(f"  {p}: mu {mu[0]:.4g} +{mu[1]:.2g} -{mu[2]:.2g}"
                          f"   sigma {sig[0]:.4g} +{sig[1]:.2g} "
                          f"-{sig[2]:.2g}")
+        if args.population_correlated:
+            a, b = args.population
+            rho = hf.par_cen(f"rho_{a}_{b}")
+            lines.append(f"  rho({a},{b}) {rho[0]:.3f} +{rho[1]:.2g} "
+                         f"-{rho[2]:.2g}")
         lines.append(f"  reweight ESS min {ess.min():.0f} / median "
                      f"{np.median(ess):.0f} of {hf.samples.shape[1]}")
         popfile = args.population_out

@@ -43,8 +43,8 @@ from mbb_emcee_tpu.sampler import (
     EnsembleSampler, make_initial_ball, split_rhat, autocorrelation_time)
 
 __all__ = [
-    "TruncatedGaussianPopulation", "build_hier_lnprob",
-    "HierarchicalFitter", "fit_population",
+    "TruncatedGaussianPopulation", "CorrelatedGaussianPopulation",
+    "build_hier_lnprob", "HierarchicalFitter", "fit_population",
 ]
 
 
@@ -145,12 +145,149 @@ class TruncatedGaussianPopulation:
         trunc = ndtr((hi - mu) / sigma) - ndtr((lo - mu) / sigma)
         ln_norm = (-jnp.log(sigma) - 0.5 * np.log(2.0 * np.pi)
                    - jnp.log(jnp.maximum(trunc, 1e-30)))
-        return jnp.sum(-0.5 * z * z + ln_norm, axis=-1)
+        ln_p = jnp.sum(-0.5 * z * z + ln_norm, axis=-1)
+        # a truncated density is ZERO outside its box: samples beyond it
+        # (possible when a user narrows the population box below the
+        # interim sampling box) must not contribute weight
+        inside = jnp.all((theta >= lo) & (theta <= hi), axis=-1)
+        return jnp.where(inside, ln_p, theta.dtype.type(-1e30))
 
     def ln_hyper_prior(self, phi):
         if not self.sigma_log_uniform:
             return jnp.asarray(0.0, phi.dtype)
         return -jnp.sum(jnp.log(phi[self.nparams:]))
+
+
+@dataclasses.dataclass(frozen=True)
+class CorrelatedGaussianPopulation:
+    """Bivariate normal population with a free correlation -- the
+    headline two-parameter science case (is the survey's T--beta
+    anticorrelation a population property or just the per-source
+    degeneracy?).
+
+    Hyper vector: phi = (mu_a, mu_b, sigma_a, sigma_b, rho).  The density
+    is normalized over the truncation rectangle; the normalization
+    Z(phi) = P(box | mu, Sigma) has no closed form, so it is computed by
+    Gauss--Legendre quadrature IN THE STANDARDIZED coordinate of the
+    first parameter:
+
+        Z = int phi(u) [Phi(h2(u)) - Phi(h1(u))] du,
+
+    with the conditional-normal limits h(u) of the second parameter.
+    Integrating in u (not x) keeps the integrand O(1)-scaled for ANY
+    sigma, so a fixed 64-node rule resolves even near-delta populations
+    that a box-coordinate rule would alias between nodes.  Branchless and
+    vmappable over the hyper ensemble.
+    """
+    param_names: tuple
+    box_lower: np.ndarray       # (2,)
+    box_upper: np.ndarray       # (2,)
+    sigma_min: np.ndarray       # (2,)
+    sigma_max: np.ndarray       # (2,)
+    rho_max: float = 0.95
+    sigma_log_uniform: bool = False
+
+    _GL_NODES = 64
+
+    @classmethod
+    def for_box(cls, param_names, lower, upper, sigma_min=None,
+                sigma_max=None, rho_max=0.95, sigma_log_uniform=False):
+        lower = np.asarray(lower, np.float64)
+        upper = np.asarray(upper, np.float64)
+        if lower.shape != (2,) or upper.shape != (2,):
+            raise ValueError(
+                "CorrelatedGaussianPopulation is the two-parameter "
+                "family; give 2-element boxes (use "
+                "TruncatedGaussianPopulation or a custom model for "
+                "other dimensionalities)")
+        if len(param_names) != 2:
+            raise ValueError("param_names must name exactly 2 parameters")
+        if np.any(lower >= upper):
+            raise ValueError("each lower limit must be < its upper limit")
+        if not 0.0 < rho_max < 1.0:
+            raise ValueError("rho_max must be in (0, 1)")
+        width = upper - lower
+        smin = (width / 100.0 if sigma_min is None
+                else np.broadcast_to(np.asarray(sigma_min, np.float64),
+                                     (2,)).copy())
+        smax = (width if sigma_max is None
+                else np.broadcast_to(np.asarray(sigma_max, np.float64),
+                                     (2,)).copy())
+        if np.any(smin <= 0) or np.any(smax <= smin):
+            raise ValueError("need 0 < sigma_min < sigma_max per parameter")
+        return cls(param_names=tuple(param_names), box_lower=lower.copy(),
+                   box_upper=upper.copy(), sigma_min=smin, sigma_max=smax,
+                   rho_max=float(rho_max),
+                   sigma_log_uniform=bool(sigma_log_uniform))
+
+    @property
+    def hyper_names(self):
+        a, b = self.param_names
+        return (f"mu_{a}", f"mu_{b}", f"sigma_{a}", f"sigma_{b}",
+                f"rho_{a}_{b}")
+
+    @property
+    def lower(self):
+        return np.concatenate([self.box_lower, self.sigma_min,
+                               [-self.rho_max]])
+
+    @property
+    def upper(self):
+        return np.concatenate([self.box_upper, self.sigma_max,
+                               [self.rho_max]])
+
+    @property
+    def default_init(self):
+        width = self.box_upper - self.box_lower
+        return np.concatenate([0.5 * (self.box_lower + self.box_upper),
+                               np.minimum(0.25 * width, self.sigma_max),
+                               [0.0]])
+
+    @property
+    def default_scatter(self):
+        width = self.box_upper - self.box_lower
+        return np.concatenate([0.1 * width, 0.05 * width, [0.2]])
+
+    def _ln_z(self, mu, sigma, rho, dtype):
+        """ln P(box | mu, Sigma) by 64-node GL in the standardized first
+        coordinate (see class docstring)."""
+        nodes, weights = np.polynomial.legendre.leggauss(self._GL_NODES)
+        nodes = jnp.asarray(nodes, dtype)
+        weights = jnp.asarray(weights, dtype)
+        lo = jnp.asarray(self.box_lower, dtype)
+        hi = jnp.asarray(self.box_upper, dtype)
+        a1 = jnp.clip((lo[0] - mu[0]) / sigma[0], -8.0, 8.0)
+        a2 = jnp.clip((hi[0] - mu[0]) / sigma[0], -8.0, 8.0)
+        u = 0.5 * (a2 - a1) * nodes + 0.5 * (a2 + a1)      # (n,)
+        # conditional second parameter given first = mu_a + sigma_a u
+        cmean = mu[1] + rho * sigma[1] * u
+        csd = sigma[1] * jnp.sqrt(jnp.maximum(1.0 - rho * rho, 1e-6))
+        inner = (ndtr((hi[1] - cmean) / csd)
+                 - ndtr((lo[1] - cmean) / csd))
+        dens = jnp.exp(-0.5 * u * u) / np.sqrt(2.0 * np.pi)
+        z = 0.5 * (a2 - a1) * jnp.sum(weights * dens * inner)
+        return jnp.log(jnp.maximum(z, 1e-30))
+
+    def ln_dist(self, phi, theta):
+        """ln p(theta | phi), normalized over the truncation rectangle.
+        phi: (5,); theta: (..., 2) -> (...)."""
+        mu, sigma, rho = phi[:2], phi[2:4], phi[4]
+        za = (theta[..., 0] - mu[0]) / sigma[0]
+        zb = (theta[..., 1] - mu[1]) / sigma[1]
+        om = jnp.maximum(1.0 - rho * rho, 1e-6)
+        q = (za * za - 2.0 * rho * za * zb + zb * zb) / om
+        ln_n = (-0.5 * q - jnp.log(sigma[0]) - jnp.log(sigma[1])
+                - 0.5 * jnp.log(om) - np.log(2.0 * np.pi))
+        ln_p = ln_n - self._ln_z(mu, sigma, rho, theta.dtype)
+        lo = jnp.asarray(self.box_lower, theta.dtype)
+        hi = jnp.asarray(self.box_upper, theta.dtype)
+        inside = jnp.all((theta >= lo) & (theta <= hi), axis=-1)
+        return jnp.where(inside, ln_p, theta.dtype.type(-1e30))
+
+    def ln_hyper_prior(self, phi):
+        if not self.sigma_log_uniform:
+            return jnp.asarray(0.0, phi.dtype)
+        return -jnp.sum(jnp.log(phi[2:4]))
 
 
 def build_hier_lnprob(samples, population, spec: LikelihoodSpec,
@@ -294,7 +431,7 @@ class HierarchicalFitter(ParamSpaceMixin):
 
     @classmethod
     def from_batch(cls, batch, params, population=None, max_samples=4096,
-                   sigma_log_uniform=False, **kw):
+                   sigma_log_uniform=False, correlated=False, **kw):
         """Build the hyper-fitter from a finished batched fit.
 
         `batch` is a MultiFitter or SEDMultiFitter after run(); `params`
@@ -303,7 +440,9 @@ class HierarchicalFitter(ParamSpaceMixin):
         `max_samples` draws per source (deterministic stride, so rebuilds
         are reproducible).  Gaussian interim priors on the selected
         parameters are divided out automatically; the flat-box factor is
-        phi-independent and cancels.
+        phi-independent and cancels.  The default population family is
+        independent truncated normals; `correlated=True` (exactly two
+        params) switches to the bivariate family with a free rho.
         """
         chain = getattr(batch, "chain_free", None)
         if chain is None:
@@ -331,9 +470,20 @@ class HierarchicalFitter(ParamSpaceMixin):
         lo = spec.lower[free_idx]
         hi = spec.upper[free_idx]
         if population is None:
-            population = TruncatedGaussianPopulation.for_box(
-                tuple(str(p) for p in params), lo, hi,
-                sigma_log_uniform=sigma_log_uniform)
+            names = tuple(str(p) for p in params)
+            if correlated:
+                if len(names) != 2:
+                    raise ValueError(
+                        "correlated=True uses the bivariate family; give "
+                        "exactly 2 params (or pass a custom population)")
+                population = CorrelatedGaussianPopulation.for_box(
+                    names, lo, hi, sigma_log_uniform=sigma_log_uniform)
+            else:
+                population = TruncatedGaussianPopulation.for_box(
+                    names, lo, hi, sigma_log_uniform=sigma_log_uniform)
+        elif correlated:
+            raise ValueError("correlated=True conflicts with an explicit "
+                             "population model")
 
         # interim Gaussian priors on the selected params (if any): the
         # quadratic term varies per sample and must be divided out of the

@@ -637,3 +637,24 @@ def test_batch_cli_population_conflicts(tmp_path):
         main([cat, "x.h5", "--map", "--population", "T"])
     with pytest.raises(SystemExit):
         main([cat, "x.h5", "--chunk-size", "2", "--population", "T"])
+
+
+def test_batch_cli_population_correlated(tmp_path, capsys):
+    cat = str(tmp_path / "cat.txt")
+    out = str(tmp_path / "batch.h5")
+    _write_catalog(cat, nsources=4, seed=12)
+    rc = main([cat, out, "--opthin", "--noalpha",
+               "-w", "64", "-b", "40", "-n", "120", "--seed", "5",
+               "--population", "T", "beta", "--population-correlated",
+               "--population-burn", "60", "--population-steps", "150",
+               "--population-walkers", "16"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "rho(T,beta)" in text
+    import h5py
+    with h5py.File(str(tmp_path / "batch.pop.h5")) as f:
+        names = [n.decode() for n in f.attrs["hyper_names"]]
+        assert names == ["mu_T", "mu_beta", "sigma_T", "sigma_beta",
+                         "rho_T_beta"]
+    with pytest.raises(SystemExit):
+        main([cat, "x.h5", "--population", "T", "--population-correlated"])

@@ -343,3 +343,81 @@ def test_from_batch_sedmulti():
     assert hf.reweight_ess().shape == (S,)
     with pytest.raises(ValueError):
         HierarchicalFitter.from_batch(smf, params=("T",))
+
+
+# ------------------------------------------------- correlated population
+
+def test_corr_population_normalization():
+    """The bivariate density integrates to 1 over the truncation box for
+    benign, edge-pressed, high-|rho|, and near-sigma_min populations (the
+    standardized-coordinate GL rule must resolve all of them)."""
+    from mbb_emcee_tpu.hierarchy import CorrelatedGaussianPopulation
+    pop = CorrelatedGaussianPopulation.for_box(
+        ("T", "beta"), [10.0, 0.5], [60.0, 3.5])
+    ga = np.linspace(10.0, 60.0, 1200)
+    gb = np.linspace(0.5, 3.5, 1200)
+    theta = jnp.asarray(
+        np.stack(np.meshgrid(ga, gb, indexing="ij"), axis=-1), jnp.float32)
+    for phi in ([35.0, 2.0, 5.0, 0.4, 0.0],
+                [35.0, 2.0, 5.0, 0.4, 0.9],
+                [12.0, 0.7, 8.0, 0.8, 0.6],        # corner-pressed
+                [35.0, 2.0, 0.6, 0.04, 0.9],       # near sigma_min
+                [58.0, 3.4, 40.0, 2.9, -0.5]):     # huge sigma at corner
+        p = np.asarray(jnp.exp(pop.ln_dist(
+            jnp.asarray(phi, jnp.float32), theta)), np.float64)
+        integral = np.trapezoid(np.trapezoid(p, gb, axis=1), ga)
+        assert abs(integral - 1.0) < 5e-3, (phi, integral)
+
+
+def test_corr_population_validation():
+    from mbb_emcee_tpu.hierarchy import CorrelatedGaussianPopulation
+    with pytest.raises(ValueError):
+        CorrelatedGaussianPopulation.for_box(
+            ("a", "b", "c"), [0.0, 0.0, 0.0], [1.0, 1.0, 1.0])
+    with pytest.raises(ValueError):
+        CorrelatedGaussianPopulation.for_box(
+            ("a", "b"), [0.0, 0.0], [1.0, 1.0], rho_max=1.5)
+
+
+def test_corr_population_recovers_correlation():
+    """A catalog drawn from a rho=0.7 population: the rho posterior
+    covers the truth and excludes zero (exact analytic per-source
+    posterior draws, so the only machinery under test is the tier)."""
+    from mbb_emcee_tpu.hierarchy import (
+        CorrelatedGaussianPopulation, HierarchicalFitter)
+    rng = np.random.default_rng(23)
+    S, N = 96, 256
+    mu_t = np.array([35.0, 1.9])
+    sig_t = np.array([5.0, 0.35])
+    rho_t = 0.7
+    cov = np.array([[sig_t[0] ** 2, rho_t * sig_t[0] * sig_t[1]],
+                    [rho_t * sig_t[0] * sig_t[1], sig_t[1] ** 2]])
+    theta_s = rng.multivariate_normal(mu_t, cov, S)
+    sig_obs = np.array([1.2, 0.08])
+    x_s = theta_s + rng.normal(0, sig_obs, (S, 2))
+    samples = x_s[:, None, :] + rng.normal(0, sig_obs, (S, N, 2))
+
+    pop = CorrelatedGaussianPopulation.for_box(
+        ("T", "beta"), [10.0, 0.5], [60.0, 3.5])
+    hf = HierarchicalFitter(samples, pop, nwalkers=64, seed=31)
+    hf.run(nburn=400, nsteps=1200)
+
+    rho = hf.par_cen("rho_T_beta")
+    width = rho[1] + rho[2]
+    assert abs(rho[0] - rho_t) < 1.5 * width, rho
+    assert rho[0] - 2.0 * rho[2] > 0.0, rho      # excludes rho = 0
+    mu_a = hf.par_cen("mu_T")
+    assert abs(mu_a[0] - mu_t[0]) < 3.0 * (mu_a[1] + mu_a[2])
+    ess = hf.reweight_ess()
+    assert ess.min() > 10.0
+
+
+def test_population_box_indicator():
+    """Samples OUTSIDE the population's truncation box contribute zero
+    weight (a narrowed population box must not see them)."""
+    pop = TruncatedGaussianPopulation.for_box(("x",), [0.0], [1.0])
+    theta = jnp.asarray([[0.5], [1.5]], jnp.float32)
+    ld = np.asarray(pop.ln_dist(
+        jnp.asarray([0.5, 0.3], jnp.float32), theta))
+    assert np.isfinite(ld[0]) and ld[0] > -10.0
+    assert ld[1] < -1e29
