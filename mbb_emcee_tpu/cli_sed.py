@@ -136,6 +136,22 @@ def build_parser():
                    help="per-source posterior-predictive p-values (which "
                         "sources does the model NOT describe?)")
 
+    g = p.add_argument_group(
+        "population (hierarchical hyper-inference over the fitted batch)")
+    g.add_argument("--population", nargs="+", default=None, metavar="PARAM",
+                   help="after the fit, infer the population distribution "
+                        "of these free parameters (model's own names); "
+                        "hyper chain written to --population-out")
+    g.add_argument("--population-burn", type=int, default=200)
+    g.add_argument("--population-steps", type=int, default=1000)
+    g.add_argument("--population-walkers", type=int, default=64)
+    g.add_argument("--population-out", default=None, metavar="FILE",
+                   help="hyper-chain HDF5 (default: OUTFILE + .pop.h5)")
+    g.add_argument("--population-sigma-log-uniform", action="store_true")
+    g.add_argument("--population-correlated", action="store_true",
+                   help="bivariate population with a free correlation "
+                        "(exactly two --population params)")
+
     g = p.add_argument_group("output")
     g.add_argument("--summary", action="store_true",
                    help="per-source summary table")
@@ -277,6 +293,10 @@ def main(argv=None):
 
     if args.hmc and args.pt:
         raise SystemExit("--hmc and --pt are mutually exclusive")
+    if args.population_correlated and (args.population is None
+                                       or len(args.population) != 2):
+        raise SystemExit("--population-correlated needs exactly two "
+                         "--population parameters")
     if args.extend_until is not None and (args.hmc or args.pt):
         raise SystemExit("--extend-until works with the stretch-move "
                          "sampler only")
@@ -292,9 +312,10 @@ def main(argv=None):
             raise SystemExit("--map is a triage mode; drop --hmc/--pt/"
                              "--extend-until/--init-map/--checkpoint")
         if (args.get_lir or args.get_peaklambda or args.get_evidence
-                or args.ppc):
-            raise SystemExit("derived-quantity posteriors and --ppc need "
-                             "chains; run without --map for them")
+                or args.ppc or args.population):
+            raise SystemExit("derived-quantity posteriors, --ppc and "
+                             "--population need chains; run without "
+                             "--map for them")
         mf.run_map(nstarts=args.map_starts, verbose=args.verbose)
         names = mf.free_param_names
         n_bad = int((~mf.map_interior).sum())
@@ -406,6 +427,42 @@ def main(argv=None):
               f"{mf.free_param_names[0]} medians "
               f"{cen[:, 0].min():.4g}-{cen[:, 0].max():.4g} -> "
               f"{args.outfile}")
+
+    if args.population:
+        # after the batch file is safely on disk (same rule as the MBB
+        # batch CLI)
+        from mbb_emcee_tpu.hierarchy import fit_population
+        hf = fit_population(
+            mf, params=tuple(args.population),
+            nburn=args.population_burn, nsteps=args.population_steps,
+            nwalkers=args.population_walkers,
+            sigma_log_uniform=args.population_sigma_log_uniform,
+            correlated=args.population_correlated,
+            verbose=args.verbose)
+        ess = hf.reweight_ess()
+        lines = [f"population ({mf.nsources} sources, "
+                 f"{hf.samples.shape[1]} samples/source):"]
+        for pname in args.population:
+            mu = hf.par_cen(f"mu_{pname}")
+            sig = hf.par_cen(f"sigma_{pname}")
+            lines.append(
+                f"  {pname}: mu {mu[0]:.4g} +{mu[1]:.2g} -{mu[2]:.2g}"
+                f"   sigma {sig[0]:.4g} +{sig[1]:.2g} -{sig[2]:.2g}")
+        if args.population_correlated:
+            a, b = args.population
+            rho = hf.par_cen(f"rho_{a}_{b}")
+            lines.append(f"  rho({a},{b}) {rho[0]:.3f} +{rho[1]:.2g} "
+                         f"-{rho[2]:.2g}")
+        lines.append(f"  reweight ESS min {ess.min():.0f} / median "
+                     f"{np.median(ess):.0f} of {hf.samples.shape[1]}")
+        popfile = args.population_out
+        if popfile is None:
+            base = (args.outfile[:-3] if args.outfile.endswith(".h5")
+                    else args.outfile)
+            popfile = base + ".pop.h5"
+        hf.writeToHDF5(popfile)
+        lines.append(f"  hyper chain written to {popfile}")
+        print("\n".join(lines))
     return 0
 
 

@@ -189,3 +189,33 @@ def test_shipped_model_file(tmp_path):
                "--initval", "fnorm_cold", "30",
                "--initval", "fnorm_warm", "1.5"])
     assert rc == 0 and os.path.exists(out)
+
+
+def test_cli_sed_population(tmp_path, capsys):
+    """--population works on the generic-model shell with the model's own
+    parameter names, writes the hyper chain, and refuses the bad combos."""
+    import h5py
+    mpath = _write_model(tmp_path)
+    cat, trues = _write_catalog(tmp_path, S=4, seed=3)
+    out = str(tmp_path / "out.h5")
+    rc = main([mpath, cat, out, "-w", "48", "-b", "40", "-n", "120",
+               "--seed", "5",
+               "--initval", "T_cold", "18", "--initval", "T_warm", "45",
+               "--initval", "fc", "30", "--initval", "fw", "1.5",
+               "--population", "T_cold",
+               "--population-burn", "60", "--population-steps", "150",
+               "--population-walkers", "16"])
+    assert rc == 0
+    txt = capsys.readouterr().out
+    assert "population (4 sources" in txt
+    assert "T_cold: mu " in txt
+    pop = str(tmp_path / "out.pop.h5")
+    assert f"hyper chain written to {pop}" in txt
+    with h5py.File(pop) as f:
+        names = [n.decode() for n in f.attrs["hyper_names"]]
+        assert names == ["mu_T_cold", "sigma_T_cold"]
+    with pytest.raises(SystemExit):
+        main([mpath, cat, "x.h5", "--map", "--population", "T_cold"])
+    with pytest.raises(SystemExit):
+        main([mpath, cat, "x.h5", "--population", "T_cold",
+              "--population-correlated"])
