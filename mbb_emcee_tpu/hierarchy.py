@@ -410,6 +410,7 @@ class HierarchicalFitter(ParamSpaceMixin):
         self._state = None
         self._sampler = None
         self._acceptance = None
+        self.evidence = None       # NestedResult, compute_evidence()
 
     # -- ParamSpaceMixin plumbing ------------------------------------------
     def _param_index(self, param):
@@ -632,6 +633,40 @@ class HierarchicalFitter(ParamSpaceMixin):
     def autocorrelation_time(self):
         self._require_run()
         return autocorrelation_time(self.chain_free)
+
+    def compute_evidence(self, nlive=512, nbatch=32, nsteps=32,
+                         max_iter=3000, tol=1e-4, seed=None, verbose=False):
+        """Bayesian evidence ln Z of THIS population model via nested
+        sampling over the hyper box -- the population-family selection
+        tool: difference two runs on the same catalog for the Bayes
+        factor between, e.g., the independent and correlated families
+        ("is the T-beta population correlation real?") or free vs fixed
+        sigma. Prior convention matches the other fitters'
+        compute_evidence: normalized uniform over the free hyper box
+        times any Gaussian hyper-priors and the model's ln_hyper_prior.
+        Returns a NestedResult with samples expanded to the full hyper
+        space.
+
+        (The sampling tiers stop at the stretch move here: hyper spaces
+        are <= a handful of dimensions, where it mixes fine; evidence is
+        the capability the tier actually lacks.)
+        """
+        from mbb_emcee_tpu.nested import nested_sample
+
+        lnprob, free_space = build_hier_lnprob(
+            self.samples, self.population, self._effective_spec(),
+            ln_interim=self.ln_interim, dtype=self.dtype, mesh=self.mesh)
+        key = jax.random.PRNGKey(self.seed if seed is None else int(seed))
+        res = nested_sample(lnprob, free_space.lower, free_space.upper,
+                            key, nlive=nlive, nbatch=nbatch, nsteps=nsteps,
+                            max_iter=max_iter, tol=tol, dtype=self.dtype)
+        res = dataclasses.replace(res,
+                                  samples=free_space.expand(res.samples))
+        self.evidence = res
+        if verbose:
+            print(f"HierarchicalFitter ln Z = {res.logz:.4f} "
+                  f"+- {res.logz_err:.4f}")
+        return res
 
     # -- importance-weight diagnostics --------------------------------------
     def reweight_ess(self, phi=None):

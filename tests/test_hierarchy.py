@@ -421,3 +421,58 @@ def test_population_box_indicator():
         jnp.asarray([0.5, 0.3], jnp.float32), theta))
     assert np.isfinite(ld[0]) and ld[0] > -10.0
     assert ld[1] < -1e29
+
+
+# ------------------------------------------------------- hyper evidence
+
+def test_compute_evidence_smoke():
+    samples, _, _ = _population_setup(seed=9)
+    pop = TruncatedGaussianPopulation.for_box(("T",), [10.0], [60.0])
+    hf = HierarchicalFitter(samples[:16], pop, nwalkers=16, seed=2)
+    res = hf.compute_evidence(nlive=64, nbatch=8, nsteps=8, max_iter=400)
+    assert np.isfinite(res.logz) and res.logz_err < 1.0
+    assert hf.evidence is res
+    assert res.samples.shape[-1] == 2
+
+
+@pytest.mark.slow
+def test_evidence_selects_population_family():
+    """Bayes factor between the independent and correlated families: a
+    rho=0.7 catalog must prefer the correlated model decisively; a rho=0
+    catalog must NOT (Occam penalty for the extra hyper-parameter)."""
+    from mbb_emcee_tpu.hierarchy import CorrelatedGaussianPopulation
+
+    def make(rho_t, seed):
+        rng = np.random.default_rng(seed)
+        S, N = 48, 128
+        mu_t = np.array([35.0, 1.9])
+        sig_t = np.array([5.0, 0.35])
+        cov = np.array(
+            [[sig_t[0] ** 2, rho_t * sig_t[0] * sig_t[1]],
+             [rho_t * sig_t[0] * sig_t[1], sig_t[1] ** 2]])
+        theta_s = rng.multivariate_normal(mu_t, cov, S)
+        sig_obs = np.array([1.2, 0.08])
+        x_s = theta_s + rng.normal(0, sig_obs, (S, 2))
+        return x_s[:, None, :] + rng.normal(0, sig_obs, (S, N, 2))
+
+    ind = TruncatedGaussianPopulation.for_box(
+        ("T", "beta"), [10.0, 0.5], [60.0, 3.5])
+    corr = CorrelatedGaussianPopulation.for_box(
+        ("T", "beta"), [10.0, 0.5], [60.0, 3.5])
+
+    kw = dict(nlive=256, nbatch=16, nsteps=16, max_iter=1500)
+    for rho_t, want_corr in ((0.7, True), (0.0, False)):
+        samples = make(rho_t, seed=int(100 * (1 + rho_t)))
+        z_ind = HierarchicalFitter(samples, ind,
+                                   seed=3).compute_evidence(**kw)
+        z_corr = HierarchicalFitter(samples, corr,
+                                    seed=3).compute_evidence(**kw)
+        lnbf = z_corr.logz - z_ind.logz
+        err = np.hypot(z_corr.logz_err, z_ind.logz_err)
+        if want_corr:
+            assert lnbf > 3.0 + 2 * err, (rho_t, lnbf, err)
+        else:
+            # rho=0 catalog: no decisive preference FOR the correlated
+            # family (it nests the independent one, so lnZ can't be far
+            # above; Occam should keep it at or below)
+            assert lnbf < 2.0 + 2 * err, (rho_t, lnbf, err)
