@@ -228,6 +228,11 @@ def build_parser():
                    help="bivariate population with a free correlation "
                         "rho (exactly two --population params): is the "
                         "catalog's T-beta trend a population property?")
+    g.add_argument("--plot-population", default=None, metavar="PNG",
+                   help="save the population-band figure (deconvolved "
+                        "density over the per-source-median histogram; "
+                        "one panel per --population parameter, suffixed "
+                        "for >1)")
 
     g = p.add_argument_group("output")
     g.add_argument("--chunk-size", type=int, default=None, metavar="C",
@@ -723,6 +728,15 @@ def _fit_and_write(mf, args, log, outfile, offset=0):
             popfile = base + ".pop.h5"
         hf.writeToHDF5(popfile)
         lines.append(f"  hyper chain written to {popfile}")
+        if args.plot_population:
+            base, ext = (args.plot_population.rsplit(".", 1)
+                         if "." in args.plot_population
+                         else (args.plot_population, "png"))
+            for p in args.population:
+                path = (f"{base}.{ext}" if len(args.population) == 1
+                        else f"{base}_{p}.{ext}")
+                hf.plot_population(p, savefig=path)
+                lines.append(f"  population figure -> {path}")
         print("\n".join(lines))
     return 0
 

@@ -157,6 +157,21 @@ class TruncatedGaussianPopulation:
             return jnp.asarray(0.0, phi.dtype)
         return -jnp.sum(jnp.log(phi[self.nparams:]))
 
+    def marginal_pdf(self, phi, k, x):
+        """Exact box-truncated marginal density of parameter k at grid
+        `x`, host-side numpy (plotting / summaries; the independent
+        family's marginals are 1-D truncated normals)."""
+        from scipy.special import ndtr as _ndtr
+        phi = np.asarray(phi, np.float64)
+        x = np.asarray(x, np.float64)
+        mu, sig = phi[k], phi[self.nparams + k]
+        lo, hi = self.box_lower[k], self.box_upper[k]
+        z = (x - mu) / sig
+        trunc = _ndtr((hi - mu) / sig) - _ndtr((lo - mu) / sig)
+        pdf = (np.exp(-0.5 * z * z)
+               / (sig * np.sqrt(2 * np.pi) * max(trunc, 1e-30)))
+        return np.where((x >= lo) & (x <= hi), pdf, 0.0)
+
 
 @dataclasses.dataclass(frozen=True)
 class CorrelatedGaussianPopulation:
@@ -288,6 +303,35 @@ class CorrelatedGaussianPopulation:
         if not self.sigma_log_uniform:
             return jnp.asarray(0.0, phi.dtype)
         return -jnp.sum(jnp.log(phi[2:4]))
+
+    def marginal_pdf(self, phi, k, x):
+        """Exact box-truncated marginal of parameter k: the bivariate
+        restricted to the rectangle marginalizes in closed form --
+        normal marginal in k times the conditional box probability of
+        the other coordinate, over Z. Host-side numpy."""
+        from scipy.special import ndtr as _ndtr
+        phi = np.asarray(phi, np.float64)
+        x = np.asarray(x, np.float64)
+        j = 1 - k
+        mu, sig, rho = phi[:2], phi[2:4], phi[4]
+        lo, hi = self.box_lower, self.box_upper
+        u = (x - mu[k]) / sig[k]
+        cmean = mu[j] + rho * sig[j] * u
+        csd = sig[j] * np.sqrt(max(1.0 - rho * rho, 1e-6))
+        inner = (_ndtr((hi[j] - cmean) / csd)
+                 - _ndtr((lo[j] - cmean) / csd))
+        # Z by the same standardized-coordinate GL rule as ln_dist
+        nodes, weights = np.polynomial.legendre.leggauss(self._GL_NODES)
+        a1 = np.clip((lo[k] - mu[k]) / sig[k], -8.0, 8.0)
+        a2 = np.clip((hi[k] - mu[k]) / sig[k], -8.0, 8.0)
+        ug = 0.5 * (a2 - a1) * nodes + 0.5 * (a2 + a1)
+        cg = mu[j] + rho * sig[j] * ug
+        ig = (_ndtr((hi[j] - cg) / csd) - _ndtr((lo[j] - cg) / csd))
+        dens = np.exp(-0.5 * ug * ug) / np.sqrt(2 * np.pi)
+        z_norm = 0.5 * (a2 - a1) * np.sum(weights * dens * ig)
+        pdf = (np.exp(-0.5 * u * u) * inner
+               / (sig[k] * np.sqrt(2 * np.pi) * max(z_norm, 1e-30)))
+        return np.where((x >= lo[k]) & (x <= hi[k]), pdf, 0.0)
 
 
 def build_hier_lnprob(samples, population, spec: LikelihoodSpec,
@@ -688,6 +732,13 @@ class HierarchicalFitter(ParamSpaceMixin):
             lw = lw - jnp.asarray(self.ln_interim, self.dtype)
         lw = lw - logsumexp(lw, axis=-1, keepdims=True)
         return np.asarray(jnp.exp(-logsumexp(2.0 * lw, axis=-1)))
+
+    def plot_population(self, param, **kw):
+        """Population band + per-source-median histogram for one
+        parameter (see plotting.plot_population)."""
+        from mbb_emcee_tpu.plotting import plot_population
+        self._require_run()
+        return plot_population(self, param, **kw)
 
     # -- persistence ---------------------------------------------------------
     def writeToHDF5(self, path):

@@ -231,5 +231,79 @@ def plot_chain(res, params=None, max_walkers=50, savefig=None):
     return _finish(fig, savefig)
 
 
+def plot_population(hf, param, grid=400, n_draw=256, bins=24, ax=None,
+                    savefig=None):
+    """Population posterior for one parameter: the hyper-chain's band of
+    population densities (median + 68% envelope of exact box-truncated
+    marginals per hyper draw) over a histogram of the per-source
+    posterior medians. The histogram is the measurement-broadened view;
+    the band is the deconvolved population -- the figure a hierarchical
+    fit exists to produce.
+
+    `hf` is a finished HierarchicalFitter whose population model exposes
+    `marginal_pdf(phi, k, x)` (both built-in families do; custom models
+    can add it). `param` is the population-parameter name (e.g. "T").
+
+    Returns the matplotlib figure.
+    """
+    plt = _mpl()
+    pop = hf.population
+    if not hasattr(pop, "marginal_pdf"):
+        raise NotImplementedError(
+            f"population model {type(pop).__name__} has no marginal_pdf; "
+            "add one to plot its population band")
+    names = [str(p).lower() for p in pop.param_names]
+    key = str(param).lower()
+    if key not in names:
+        raise ValueError(
+            f"unknown population parameter {param!r}; "
+            f"known: {pop.param_names}")
+    k = names.index(key)
+
+    lo = float(np.asarray(pop.box_lower)[k])
+    hi = float(np.asarray(pop.box_upper)[k])
+
+    flat = hf.flatchain
+    stride = max(1, flat.shape[0] // int(n_draw))
+    draws = flat[::stride][:int(n_draw)]
+    medians = np.median(np.asarray(hf.samples)[..., k], axis=1)
+
+    def band(xg):
+        cs = np.stack([
+            pop.marginal_pdf(hf.free_space.expand(d), k, xg)
+            for d in draws])
+        return (np.median(cs, axis=0),
+                *np.percentile(cs, [15.85, 84.15], axis=0))
+
+    # two passes: a coarse full-box pass finds the populated region (the
+    # interim box is often far wider than the population and would crush
+    # the figure), then the plotted grid resolves just that window
+    x = np.linspace(lo, hi, int(grid))
+    _, _, band_hi = band(x)
+    support = x[band_hi > 1e-3 * band_hi.max()]
+    x_lo = min(medians.min(), support.min())
+    x_hi = max(medians.max(), support.max())
+    pad = 0.08 * (x_hi - x_lo)
+    x_lo, x_hi = max(lo, x_lo - pad), min(hi, x_hi + pad)
+    x = np.linspace(x_lo, x_hi, int(grid))
+    med, band_lo, band_hi = band(x)
+
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(5.0, 3.4))
+    else:
+        fig = ax.figure
+    ax.hist(medians, bins=bins, range=(x_lo, x_hi), density=True,
+            color="0.8", edgecolor="0.55",
+            label="per-source medians (broadened)")
+    ax.set_xlim(x_lo, x_hi)
+    ax.fill_between(x, band_lo, band_hi, color="C0", alpha=0.3,
+                    label="population 68% band")
+    ax.plot(x, med, color="C0", lw=1.5, label="population median")
+    ax.set_xlabel(_LABELS.get(param, str(param)))
+    ax.set_ylabel("density")
+    ax.legend(fontsize=7, frameon=False)
+    return _finish(fig, savefig)
+
+
 # Parameter-name sanity: every label key is a real parameter.
 assert all(k in PARAM_NAMES for k in _LABELS)

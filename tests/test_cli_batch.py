@@ -658,3 +658,21 @@ def test_batch_cli_population_correlated(tmp_path, capsys):
                          "rho_T_beta"]
     with pytest.raises(SystemExit):
         main([cat, "x.h5", "--population", "T", "--population-correlated"])
+
+
+def test_batch_cli_plot_population(tmp_path):
+    pytest.importorskip("matplotlib").use("Agg")
+    cat = str(tmp_path / "cat.txt")
+    out = str(tmp_path / "batch.h5")
+    _write_catalog(cat, nsources=4, seed=8)
+    png = str(tmp_path / "pop.png")
+    rc = main([cat, out, "--opthin", "--noalpha",
+               "-w", "64", "-b", "30", "-n", "100", "--seed", "5",
+               "--population", "T", "beta",
+               "--population-burn", "40", "--population-steps", "120",
+               "--population-walkers", "16",
+               "--plot-population", png])
+    assert rc == 0
+    import os
+    assert os.path.exists(str(tmp_path / "pop_T.png"))
+    assert os.path.exists(str(tmp_path / "pop_beta.png"))

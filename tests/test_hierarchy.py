@@ -476,3 +476,32 @@ def test_evidence_selects_population_family():
             # family (it nests the independent one, so lnZ can't be far
             # above; Occam should keep it at or below)
             assert lnbf < 2.0 + 2 * err, (rho_t, lnbf, err)
+
+
+def test_marginal_pdf_matches_joint():
+    """Closed-form box-truncated marginals == numeric marginalization of
+    exp(ln_dist) for both families (incl. the bivariate conditional-box
+    construction)."""
+    from mbb_emcee_tpu.hierarchy import CorrelatedGaussianPopulation
+    gb = np.linspace(0.5, 3.5, 4001)
+    ga = np.linspace(10.0, 60.0, 301)
+
+    corr = CorrelatedGaussianPopulation.for_box(
+        ("T", "beta"), [10.0, 0.5], [60.0, 3.5])
+    phi = np.array([33.0, 1.2, 7.0, 0.6, 0.65])
+    theta = jnp.asarray(
+        np.stack(np.meshgrid(ga, gb, indexing="ij"), axis=-1), jnp.float32)
+    joint = np.asarray(jnp.exp(corr.ln_dist(
+        jnp.asarray(phi, jnp.float32), theta)), np.float64)
+    numeric = np.trapezoid(joint, gb, axis=1)          # marginal in T
+    closed = corr.marginal_pdf(phi, 0, ga)
+    np.testing.assert_allclose(closed, numeric, rtol=5e-3, atol=1e-5)
+
+    ind = TruncatedGaussianPopulation.for_box(
+        ("T", "beta"), [10.0, 0.5], [60.0, 3.5])
+    phi_i = np.array([33.0, 1.2, 7.0, 0.6])
+    joint_i = np.asarray(jnp.exp(ind.ln_dist(
+        jnp.asarray(phi_i, jnp.float32), theta)), np.float64)
+    numeric_i = np.trapezoid(joint_i, gb, axis=1)
+    closed_i = ind.marginal_pdf(phi_i, 0, ga)
+    np.testing.assert_allclose(closed_i, numeric_i, rtol=5e-3, atol=1e-5)

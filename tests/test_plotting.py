@@ -97,3 +97,25 @@ def test_plot_ppc(results, tmp_path):
     ppc = results.posterior_predictive(thin=4)
     fig2 = results.plot_ppc(ppc=ppc)
     assert f"{ppc.p_value:.3f}" in fig2.axes[0].get_title()
+
+
+def test_plot_population(tmp_path):
+    from mbb_emcee_tpu.hierarchy import (TruncatedGaussianPopulation,
+                                         HierarchicalFitter)
+    rng = np.random.default_rng(5)
+    S, N = 24, 128
+    x = rng.normal(35.0, 4.0, S)
+    samples = (x[:, None] + rng.normal(0, 1.5, (S, N)))[..., None]
+    pop = TruncatedGaussianPopulation.for_box(("T",), [10.0], [60.0])
+    hf = HierarchicalFitter(samples, pop, nwalkers=16, seed=2)
+    hf.run(nburn=50, nsteps=150)
+    out = tmp_path / "pop.png"
+    fig = hf.plot_population("T", savefig=str(out))
+    assert out.exists()
+    ax = fig.axes[0]
+    # band + median line + histogram patches present
+    assert len(ax.lines) >= 1 and len(ax.collections) >= 1
+    assert len(ax.patches) > 0
+    with pytest.raises(ValueError):
+        hf.plot_population("beta")
+    matplotlib.pyplot.close("all")
