@@ -698,46 +698,8 @@ def _fit_and_write(mf, args, log, outfile, offset=0):
     if args.population:
         # hierarchical hyper-inference AFTER the batch file is safely on
         # disk: a population-stage failure must not lose the fits
-        from mbb_emcee_tpu.hierarchy import fit_population
-        hf = fit_population(
-            mf, params=tuple(args.population),
-            nburn=args.population_burn, nsteps=args.population_steps,
-            nwalkers=args.population_walkers,
-            sigma_log_uniform=args.population_sigma_log_uniform,
-            correlated=args.population_correlated,
-            verbose=args.verbose)
-        ess = hf.reweight_ess()
-        lines = [f"population ({mf.nsources} sources, "
-                 f"{hf.samples.shape[1]} samples/source):"]
-        for p in args.population:
-            mu = hf.par_cen(f"mu_{p}")
-            sig = hf.par_cen(f"sigma_{p}")
-            lines.append(f"  {p}: mu {mu[0]:.4g} +{mu[1]:.2g} -{mu[2]:.2g}"
-                         f"   sigma {sig[0]:.4g} +{sig[1]:.2g} "
-                         f"-{sig[2]:.2g}")
-        if args.population_correlated:
-            a, b = args.population
-            rho = hf.par_cen(f"rho_{a}_{b}")
-            lines.append(f"  rho({a},{b}) {rho[0]:.3f} +{rho[1]:.2g} "
-                         f"-{rho[2]:.2g}")
-        lines.append(f"  reweight ESS min {ess.min():.0f} / median "
-                     f"{np.median(ess):.0f} of {hf.samples.shape[1]}")
-        popfile = args.population_out
-        if popfile is None:
-            base = outfile[:-3] if outfile.endswith(".h5") else outfile
-            popfile = base + ".pop.h5"
-        hf.writeToHDF5(popfile)
-        lines.append(f"  hyper chain written to {popfile}")
-        if args.plot_population:
-            base, ext = (args.plot_population.rsplit(".", 1)
-                         if "." in args.plot_population
-                         else (args.plot_population, "png"))
-            for p in args.population:
-                path = (f"{base}.{ext}" if len(args.population) == 1
-                        else f"{base}_{p}.{ext}")
-                hf.plot_population(p, savefig=path)
-                lines.append(f"  population figure -> {path}")
-        print("\n".join(lines))
+        from mbb_emcee_tpu.hierarchy import run_population_stage
+        print(run_population_stage(mf, args, outfile))
     return 0
 
 

@@ -430,39 +430,9 @@ def main(argv=None):
 
     if args.population:
         # after the batch file is safely on disk (same rule as the MBB
-        # batch CLI)
-        from mbb_emcee_tpu.hierarchy import fit_population
-        hf = fit_population(
-            mf, params=tuple(args.population),
-            nburn=args.population_burn, nsteps=args.population_steps,
-            nwalkers=args.population_walkers,
-            sigma_log_uniform=args.population_sigma_log_uniform,
-            correlated=args.population_correlated,
-            verbose=args.verbose)
-        ess = hf.reweight_ess()
-        lines = [f"population ({mf.nsources} sources, "
-                 f"{hf.samples.shape[1]} samples/source):"]
-        for pname in args.population:
-            mu = hf.par_cen(f"mu_{pname}")
-            sig = hf.par_cen(f"sigma_{pname}")
-            lines.append(
-                f"  {pname}: mu {mu[0]:.4g} +{mu[1]:.2g} -{mu[2]:.2g}"
-                f"   sigma {sig[0]:.4g} +{sig[1]:.2g} -{sig[2]:.2g}")
-        if args.population_correlated:
-            a, b = args.population
-            rho = hf.par_cen(f"rho_{a}_{b}")
-            lines.append(f"  rho({a},{b}) {rho[0]:.3f} +{rho[1]:.2g} "
-                         f"-{rho[2]:.2g}")
-        lines.append(f"  reweight ESS min {ess.min():.0f} / median "
-                     f"{np.median(ess):.0f} of {hf.samples.shape[1]}")
-        popfile = args.population_out
-        if popfile is None:
-            base = (args.outfile[:-3] if args.outfile.endswith(".h5")
-                    else args.outfile)
-            popfile = base + ".pop.h5"
-        hf.writeToHDF5(popfile)
-        lines.append(f"  hyper chain written to {popfile}")
-        print("\n".join(lines))
+        # batch CLI; one shared stage implementation)
+        from mbb_emcee_tpu.hierarchy import run_population_stage
+        print(run_population_stage(mf, args, args.outfile))
     return 0
 
 

@@ -37,7 +37,8 @@ import jax.numpy as jnp
 from jax.scipy.special import logsumexp, ndtr
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from mbb_emcee_tpu.likelihood import LikelihoodSpec, FreeSpace, LNPROB_FLOOR
+from mbb_emcee_tpu.likelihood import (
+    LikelihoodSpec, FreeSpace, LNPROB_FLOOR, spec_arrays)
 from mbb_emcee_tpu.paramspace import ParamSpaceMixin
 from mbb_emcee_tpu.sampler import (
     EnsembleSampler, make_initial_ball, split_rhat, autocorrelation_time)
@@ -320,15 +321,14 @@ class CorrelatedGaussianPopulation:
         csd = sig[j] * np.sqrt(max(1.0 - rho * rho, 1e-6))
         inner = (_ndtr((hi[j] - cmean) / csd)
                  - _ndtr((lo[j] - cmean) / csd))
-        # Z by the same standardized-coordinate GL rule as ln_dist
-        nodes, weights = np.polynomial.legendre.leggauss(self._GL_NODES)
-        a1 = np.clip((lo[k] - mu[k]) / sig[k], -8.0, 8.0)
-        a2 = np.clip((hi[k] - mu[k]) / sig[k], -8.0, 8.0)
-        ug = 0.5 * (a2 - a1) * nodes + 0.5 * (a2 + a1)
-        cg = mu[j] + rho * sig[j] * ug
-        ig = (_ndtr((hi[j] - cg) / csd) - _ndtr((lo[j] - cg) / csd))
-        dens = np.exp(-0.5 * ug * ug) / np.sqrt(2 * np.pi)
-        z_norm = 0.5 * (a2 - a1) * np.sum(weights * dens * ig)
+        # Z from the SAME rule ln_dist divides by (one implementation;
+        # a drifted copy would desynchronize density and marginal). Note
+        # _ln_z integrates in the FIRST parameter's standardized
+        # coordinate regardless of k -- Z is a property of (mu, Sigma,
+        # box), not of the marginalized coordinate.
+        z_norm = float(np.exp(self._ln_z(
+            jnp.asarray(mu, jnp.float32), jnp.asarray(sig, jnp.float32),
+            jnp.float32(rho), jnp.float32)))
         pdf = (np.exp(-0.5 * u * u) * inner
                / (sig[k] * np.sqrt(2 * np.pi) * max(z_norm, 1e-30)))
         return np.where((x >= lo[k]) & (x <= hi[k]), pdf, 0.0)
@@ -367,10 +367,32 @@ def build_hier_lnprob(samples, population, spec: LikelihoodSpec,
             raise ValueError(
                 f"ln_interim must be (S, N)={S, N}; got {ln_interim.shape}")
 
-    if mesh is not None:
-        if S % mesh.size:
+    # A source whose stored chain lies ENTIRELY outside the population's
+    # truncation box would floor the hyper-lnprob for every phi (zero
+    # weight everywhere), freezing the sampler with acceptance 0 and no
+    # error. Catch it host-side with a clear message instead.
+    pop_lo = getattr(population, "box_lower", None)
+    pop_hi = getattr(population, "box_upper", None)
+    if pop_lo is not None and pop_hi is not None:
+        host = np.asarray(samples)
+        inside = np.all((host >= np.asarray(pop_lo))
+                        & (host <= np.asarray(pop_hi)), axis=-1)  # (S, N)
+        dead = np.nonzero(~inside.any(axis=1))[0]
+        if dead.size:
             raise ValueError(
-                f"mesh size {mesh.size} must divide the source count {S}")
+                f"source(s) {dead.tolist()} have NO samples inside the "
+                f"population truncation box [{np.asarray(pop_lo)}, "
+                f"{np.asarray(pop_hi)}]; every hyper vector would get "
+                "zero weight there. Widen the population box or drop "
+                "those sources")
+
+    if mesh is not None:
+        ax0 = mesh.axis_names[0]
+        n_shard = int(mesh.shape[ax0])
+        if S % n_shard:
+            raise ValueError(
+                f"mesh axis {ax0!r} size {n_shard} must divide the "
+                f"source count {S}")
         # Auto-mode view of the caller's mesh: walker_mesh() builds
         # explicit-axis meshes (jax.make_mesh), whose shardings demand a
         # set_mesh context inside jit; plain auto sharding propagates
@@ -384,20 +406,10 @@ def build_hier_lnprob(samples, population, spec: LikelihoodSpec,
             ln_interim = jax.device_put(
                 ln_interim, NamedSharding(mesh, P(ax, None)))
 
-    free_space = FreeSpace.from_spec(spec)
-    free_idx = free_space.free_idx
-    template = np.asarray(free_space.template, dtype)
-    scatter = np.asarray(free_space.scatter_matrix(), dtype)
-    lo_free = np.asarray(spec.lower[free_idx], dtype)
-    hi_free = np.asarray(spec.upper[free_idx], dtype)
-    lo_full = np.asarray(np.where(spec.fixed,
-                                  np.minimum(spec.lower, spec.fixed_values),
-                                  spec.lower), dtype)
-    hi_full = np.asarray(np.where(spec.fixed,
-                                  np.maximum(spec.upper, spec.fixed_values),
-                                  spec.upper), dtype)
-    prior_mean = np.asarray(spec.prior_mean, dtype)
-    prior_isig = np.asarray(spec.prior_isigma, dtype)
+    sa = spec_arrays(spec, dtype)
+    free_space = sa.free_space
+    (template, scatter, lo_free, hi_free, lo_full, hi_full,
+     prior_mean, prior_isig) = sa[1:]
     log_n = float(np.log(N))
 
     def lnprob(phi_free):
@@ -428,13 +440,14 @@ class HierarchicalFitter(ParamSpaceMixin):
 
     def __init__(self, samples, population, ln_interim=None, nwalkers=64,
                  seed=3033, a=2.0, dtype=jnp.float32, mesh=None):
-        self.samples = np.asarray(samples, np.float32)
+        host_dt = np.dtype(dtype)      # honor dtype=float64: don't
+        self.samples = np.asarray(samples, host_dt)  # pre-quantize to fp32
         if self.samples.ndim != 3:
             raise ValueError(
                 f"samples must be (S, N, K); got {self.samples.shape}")
         self.population = population
         self.ln_interim = (None if ln_interim is None
-                           else np.asarray(ln_interim, np.float32))
+                           else np.asarray(ln_interim, host_dt))
         self.nwalkers = int(nwalkers)
         self.seed = int(seed)
         self.a = float(a)
@@ -600,9 +613,13 @@ class HierarchicalFitter(ParamSpaceMixin):
         self._acceptance = np.asarray(
             EnsembleSampler.acceptance_fraction(state))
         if verbose:
+            # R-hat needs >= 4 records; a tiny verbose run must not crash
+            # AFTER the sampling finished (same rule as the batch CLI)
+            rhat = (float(self.gelman_rubin()[1].max())
+                    if self.chain_free.shape[0] >= 4 else float("nan"))
             print(f"HierarchicalFitter: acceptance "
                   f"{float(np.mean(self._acceptance)):.3f}, max split-R-hat "
-                  f"{float(self.gelman_rubin()[1].max()):.3f}")
+                  f"{rhat:.3f}")
         return self
 
     def extend(self, nsteps):
@@ -742,13 +759,17 @@ class HierarchicalFitter(ParamSpaceMixin):
 
     # -- persistence ---------------------------------------------------------
     def writeToHDF5(self, path):
-        """Persist the hyper chain + configuration (package HDF5 style)."""
+        """Persist the FULL tier state: hyper chain, the (S, N, K) sample
+        tensor + interim-prior values, and the population configuration
+        (round-trips via from_h5 for the built-in families; custom
+        population models are re-supplied at load)."""
         self._require_run()
         import h5py
+        pop = self.population
         with h5py.File(path, "w") as f:
             f.attrs["kind"] = "hierarchy"
             f.attrs["hyper_names"] = np.array(
-                [n.encode() for n in self.population.hyper_names])
+                [n.encode() for n in pop.hyper_names])
             f.attrs["free_idx"] = self.free_space.free_idx
             f.attrs["nwalkers"] = self.nwalkers
             f.attrs["seed"] = self.seed
@@ -756,12 +777,83 @@ class HierarchicalFitter(ParamSpaceMixin):
             f.attrs["thin"] = self.thin
             f.create_dataset("chain_free", data=self.chain_free)
             f.create_dataset("lnprobability", data=self.lnprobability)
-            f.create_dataset("hyper_lower", data=np.asarray(
-                self.population.lower))
-            f.create_dataset("hyper_upper", data=np.asarray(
-                self.population.upper))
+            f.create_dataset("hyper_lower", data=np.asarray(pop.lower))
+            f.create_dataset("hyper_upper", data=np.asarray(pop.upper))
             f.create_dataset("reweight_ess", data=self.reweight_ess())
+            f.create_dataset("samples", data=self.samples,
+                             compression="gzip")
+            if self.ln_interim is not None:
+                f.create_dataset("ln_interim", data=self.ln_interim,
+                                 compression="gzip")
+            # spec (hyper-space setter state) so a reload can re-run
+            spec = self._spec
+            g = f.create_group("Spec")
+            for name in ("lower", "upper", "fixed", "fixed_values",
+                         "prior_mean", "prior_isigma"):
+                g.create_dataset(name, data=np.asarray(getattr(spec, name)))
+            if isinstance(pop, (TruncatedGaussianPopulation,
+                                CorrelatedGaussianPopulation)):
+                g = f.create_group("Population")
+                g.attrs["class"] = type(pop).__name__
+                g.attrs["param_names"] = np.array(
+                    [n.encode() for n in pop.param_names])
+                g.attrs["sigma_log_uniform"] = pop.sigma_log_uniform
+                g.create_dataset("box_lower", data=pop.box_lower)
+                g.create_dataset("box_upper", data=pop.box_upper)
+                g.create_dataset("sigma_min", data=pop.sigma_min)
+                g.create_dataset("sigma_max", data=pop.sigma_max)
+                if isinstance(pop, CorrelatedGaussianPopulation):
+                    g.attrs["rho_max"] = pop.rho_max
         return self
+
+    @classmethod
+    def from_h5(cls, path, population=None):
+        """Reload a persisted population fit: summaries, plots and ESS
+        work immediately; run()/compute_evidence() re-fit from the stored
+        samples (extend() needs a fresh run -- the sampler state is not
+        persisted). Built-in population families reconstruct themselves;
+        a custom model must be passed back via `population`."""
+        import h5py
+        with h5py.File(path, "r") as f:
+            if f.attrs.get("kind") != "hierarchy":
+                raise ValueError(f"{path} is not a hierarchy HDF5 file")
+            if population is None:
+                if "Population" not in f:
+                    raise ValueError(
+                        "this file was written with a custom population "
+                        "model; pass it back via population=")
+                g = f["Population"]
+                names = tuple(n.decode() for n in g.attrs["param_names"])
+                kw = dict(sigma_min=g["sigma_min"][...],
+                          sigma_max=g["sigma_max"][...],
+                          sigma_log_uniform=bool(
+                              g.attrs["sigma_log_uniform"]))
+                if g.attrs["class"] == "CorrelatedGaussianPopulation":
+                    population = CorrelatedGaussianPopulation.for_box(
+                        names, g["box_lower"][...], g["box_upper"][...],
+                        rho_max=float(g.attrs["rho_max"]), **kw)
+                else:
+                    population = TruncatedGaussianPopulation.for_box(
+                        names, g["box_lower"][...], g["box_upper"][...],
+                        **kw)
+            ln_interim = (f["ln_interim"][...] if "ln_interim" in f
+                          else None)
+            hf = cls(f["samples"][...], population,
+                     ln_interim=ln_interim,
+                     nwalkers=int(f.attrs["nwalkers"]),
+                     seed=int(f.attrs["seed"]), a=float(f.attrs["a"]))
+            g = f["Spec"]
+            hf._spec = LikelihoodSpec(
+                lower=g["lower"][...], upper=g["upper"][...],
+                fixed=g["fixed"][...].astype(bool),
+                fixed_values=g["fixed_values"][...],
+                prior_mean=g["prior_mean"][...],
+                prior_isigma=g["prior_isigma"][...])
+            hf.free_space = FreeSpace.from_spec(hf._spec)
+            hf.chain_free = f["chain_free"][...]
+            hf.lnprobability = f["lnprobability"][...]
+            hf.thin = int(f.attrs["thin"])
+        return hf
 
 
 def fit_population(batch, params, nburn=200, nsteps=1000, thin=1,
@@ -771,3 +863,51 @@ def fit_population(batch, params, nburn=200, nsteps=1000, thin=1,
     and run it.  Returns the fitted HierarchicalFitter."""
     hf = HierarchicalFitter.from_batch(batch, params, **kw)
     return hf.run(nburn=nburn, nsteps=nsteps, thin=thin, verbose=verbose)
+
+
+def run_population_stage(mf, args, outfile):
+    """The CLIs' shared --population stage: fit the hyper-posterior over
+    the just-finished batch, write the hyper chain (the caller has
+    already written the batch file, so a failure here loses nothing),
+    render optional figures, and return the report text to print.
+
+    `args` carries the CLI's population_* namespace fields
+    (cli_batch.py / cli_sed.py build identical flags)."""
+    hf = fit_population(
+        mf, params=tuple(args.population),
+        nburn=args.population_burn, nsteps=args.population_steps,
+        nwalkers=args.population_walkers,
+        sigma_log_uniform=args.population_sigma_log_uniform,
+        correlated=args.population_correlated,
+        verbose=args.verbose)
+    ess = hf.reweight_ess()
+    lines = [f"population ({mf.nsources} sources, "
+             f"{hf.samples.shape[1]} samples/source):"]
+    for p in args.population:
+        mu = hf.par_cen(f"mu_{p}")
+        sig = hf.par_cen(f"sigma_{p}")
+        lines.append(f"  {p}: mu {mu[0]:.4g} +{mu[1]:.2g} -{mu[2]:.2g}"
+                     f"   sigma {sig[0]:.4g} +{sig[1]:.2g} -{sig[2]:.2g}")
+    if args.population_correlated:
+        a, b = args.population
+        rho = hf.par_cen(f"rho_{a}_{b}")
+        lines.append(f"  rho({a},{b}) {rho[0]:.3f} +{rho[1]:.2g} "
+                     f"-{rho[2]:.2g}")
+    lines.append(f"  reweight ESS min {ess.min():.0f} / median "
+                 f"{np.median(ess):.0f} of {hf.samples.shape[1]}")
+    popfile = getattr(args, "population_out", None)
+    if popfile is None:
+        base = outfile[:-3] if outfile.endswith(".h5") else outfile
+        popfile = base + ".pop.h5"
+    hf.writeToHDF5(popfile)
+    lines.append(f"  hyper chain written to {popfile}")
+    plot_spec = getattr(args, "plot_population", None)
+    if plot_spec:
+        base, ext = (plot_spec.rsplit(".", 1) if "." in plot_spec
+                     else (plot_spec, "png"))
+        for p in args.population:
+            path = (f"{base}.{ext}" if len(args.population) == 1
+                    else f"{base}_{p}.{ext}")
+            hf.plot_population(p, savefig=path)
+            lines.append(f"  population figure -> {path}")
+    return "\n".join(lines)

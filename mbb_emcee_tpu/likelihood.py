@@ -24,6 +24,7 @@ TPU-first design decisions:
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -247,6 +248,54 @@ class FreeSpace:
         return np.asarray(full_vals)[..., self.free_idx]
 
 
+class SpecArrays(NamedTuple):
+    """Host-numpy closure constants every lnprob builder derives from a
+    LikelihoodSpec. ONE derivation (likelihood/sed/hierarchy builders all
+    use it; FreeSpace.from_spec's docstring records why parallel copies
+    are banned). Closure constants stay HOST numpy: a jnp closure
+    constant must be fetched device->host at trace time to inline as an
+    MLIR constant (~1 s per array over this environment's TPU tunnel).
+    """
+    free_space: "FreeSpace"
+    template: np.ndarray       # (npar,)
+    scatter: np.ndarray        # (npar, nfree)
+    lo_free: np.ndarray        # (nfree,) sampling box
+    hi_free: np.ndarray
+    lo_full: np.ndarray        # (npar,) NaN-safety clip window, widened
+    hi_full: np.ndarray        # to contain out-of-box fixed values
+    prior_mean: np.ndarray     # (npar,)
+    prior_isig: np.ndarray
+
+
+def spec_arrays(spec: LikelihoodSpec, dtype) -> SpecArrays:
+    """Derive the reduced-space mapping + clip window + prior arrays.
+
+    The clip bounds for the model eval must CONTAIN fixed values that sit
+    outside the sampling box (fix_param('alpha', 0.0) with the default
+    box lower of 0.01) -- clamping a fixed parameter to the box would
+    silently evaluate a different model than the Pallas kernels, which
+    widen their limits window around the fixed value
+    (ops/pallas_lnprob.py)."""
+    free_space = FreeSpace.from_spec(spec)
+    free_idx = free_space.free_idx
+    return SpecArrays(
+        free_space=free_space,
+        template=np.asarray(free_space.template, dtype),
+        scatter=np.asarray(free_space.scatter_matrix(), dtype),
+        lo_free=np.asarray(spec.lower[free_idx], dtype),
+        hi_free=np.asarray(spec.upper[free_idx], dtype),
+        lo_full=np.asarray(np.where(spec.fixed,
+                                    np.minimum(spec.lower,
+                                               spec.fixed_values),
+                                    spec.lower), dtype),
+        hi_full=np.asarray(np.where(spec.fixed,
+                                    np.maximum(spec.upper,
+                                               spec.fixed_values),
+                                    spec.upper), dtype),
+        prior_mean=np.asarray(spec.prior_mean, dtype),
+        prior_isig=np.asarray(spec.prior_isigma, dtype))
+
+
 def build_lnprob(phot: Photometry, shape: MBBShape, spec: LikelihoodSpec,
                  response_pack=None, dtype=jnp.float32):
     """Build the fused lnprob over the FREE parameter space.
@@ -257,30 +306,10 @@ def build_lnprob(phot: Photometry, shape: MBBShape, spec: LikelihoodSpec,
     band-integrated; otherwise the SED is sampled at the data wavelengths
     (the reference's default point evaluation).
     """
-    free_space = FreeSpace.from_spec(spec)
-    free_idx = free_space.free_idx
-    template_np = free_space.template
-    scatter_np = free_space.scatter_matrix()
-
-    # Closure constants stay HOST numpy: a jnp closure constant must be
-    # fetched device->host at trace time to inline as an MLIR constant
-    # (~1 s per array over this environment's TPU tunnel).
-    template = np.asarray(template_np, dtype)
-    scatter = np.asarray(scatter_np, dtype)
-    lo_free = np.asarray(spec.lower[free_idx], dtype)
-    hi_free = np.asarray(spec.upper[free_idx], dtype)
-    # NaN-safety clip bounds for the model eval: they must CONTAIN fixed
-    # values that sit outside the sampling box (fix_param('alpha', 0.0)
-    # with the default box lower of 0.01) -- clamping a fixed parameter
-    # to the box would silently evaluate a different model than the
-    # Pallas kernels, which widen their limits window around the fixed
-    # value (ops/pallas_lnprob.py).
-    lo_full = np.asarray(np.where(spec.fixed,
-                                  np.minimum(spec.lower, spec.fixed_values),
-                                  spec.lower), dtype)
-    hi_full = np.asarray(np.where(spec.fixed,
-                                  np.maximum(spec.upper, spec.fixed_values),
-                                  spec.upper), dtype)
+    sa = spec_arrays(spec, dtype)
+    free_space = sa.free_space
+    (template, scatter, lo_free, hi_free, lo_full, hi_full,
+     prior_mean, prior_isig) = sa[1:]
 
     data_flux = np.asarray(phot.flux, dtype)
     data_wave = np.asarray(phot.wave, dtype)
@@ -295,9 +324,6 @@ def build_lnprob(phot: Photometry, shape: MBBShape, spec: LikelihoodSpec,
     else:
         whiten = None
         diag_iunc = np.asarray(1.0 / phot.unc, dtype)
-
-    prior_mean = np.asarray(spec.prior_mean, dtype)
-    prior_isig = np.asarray(spec.prior_isigma, dtype)
 
     if spec.uplim_bands is not None and spec.uplim_bands.any():
         uplim_mask = np.asarray(spec.uplim_bands.astype(np.float32), dtype)
@@ -378,35 +404,15 @@ def build_lnprob_data(shape: MBBShape, spec: LikelihoodSpec,
     compose with correlated errors, mirroring the single-fit refusal
     (ops/pallas_lnprob.py); spec.uplim_bands must be unset.
     """
-    free_space = FreeSpace.from_spec(spec)
-    free_idx = free_space.free_idx
     if correlated and spec.uplim_bands is not None and np.any(
             np.asarray(spec.uplim_bands)):
         raise ValueError(
             "photometric upper limits (one-sided likelihood) do not "
             "compose with correlated band errors; unset one of them")
-    template_np = free_space.template
-    scatter_np = free_space.scatter_matrix()
-    # Host numpy closures: see build_lnprob (device constants cost a
-    # device->host fetch per array at trace time).
-    template = np.asarray(template_np, dtype)
-    scatter = np.asarray(scatter_np, dtype)
-    lo_free = np.asarray(spec.lower[free_idx], dtype)
-    hi_free = np.asarray(spec.upper[free_idx], dtype)
-    # NaN-safety clip bounds for the model eval: they must CONTAIN fixed
-    # values that sit outside the sampling box (fix_param('alpha', 0.0)
-    # with the default box lower of 0.01) -- clamping a fixed parameter
-    # to the box would silently evaluate a different model than the
-    # Pallas kernels, which widen their limits window around the fixed
-    # value (ops/pallas_lnprob.py).
-    lo_full = np.asarray(np.where(spec.fixed,
-                                  np.minimum(spec.lower, spec.fixed_values),
-                                  spec.lower), dtype)
-    hi_full = np.asarray(np.where(spec.fixed,
-                                  np.maximum(spec.upper, spec.fixed_values),
-                                  spec.upper), dtype)
-    prior_mean = np.asarray(spec.prior_mean, dtype)
-    prior_isig = np.asarray(spec.prior_isigma, dtype)
+    sa = spec_arrays(spec, dtype)
+    free_space = sa.free_space
+    (template, scatter, lo_free, hi_free, lo_full, hi_full,
+     prior_mean, prior_isig) = sa[1:]
 
     if response_pack is not None:
         resp_waves, resp_weights = response_pack

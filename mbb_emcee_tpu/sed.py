@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from mbb_emcee_tpu.likelihood import (
-    Photometry, LikelihoodSpec, FreeSpace, LNPROB_FLOOR)
+    Photometry, LikelihoodSpec, FreeSpace, LNPROB_FLOOR, spec_arrays)
 from mbb_emcee_tpu.paramspace import ParamSpaceMixin
 from mbb_emcee_tpu.sampler import (
     EnsembleSampler, make_initial_ball, split_rhat, autocorrelation_time)
@@ -143,21 +143,10 @@ def build_sed_lnprob(phot: Photometry, model: SEDModel,
         raise ValueError(
             f"spec is sized for {spec.lower.size} parameters; model "
             f"{model.name!r} has {model.npar}")
-    free_space = FreeSpace.from_spec(spec)
-    free_idx = free_space.free_idx
-
-    template = np.asarray(free_space.template, dtype)
-    scatter = np.asarray(free_space.scatter_matrix(), dtype)
-    lo_free = np.asarray(spec.lower[free_idx], dtype)
-    hi_free = np.asarray(spec.upper[free_idx], dtype)
-    # NaN-safety clip window, widened to contain out-of-box fixed values
-    # (same rule as build_lnprob).
-    lo_full = np.asarray(np.where(spec.fixed,
-                                  np.minimum(spec.lower, spec.fixed_values),
-                                  spec.lower), dtype)
-    hi_full = np.asarray(np.where(spec.fixed,
-                                  np.maximum(spec.upper, spec.fixed_values),
-                                  spec.upper), dtype)
+    sa = spec_arrays(spec, dtype)
+    free_space = sa.free_space
+    (template, scatter, lo_free, hi_free, lo_full, hi_full,
+     prior_mean, prior_isig) = sa[1:]
 
     data_flux = np.asarray(phot.flux, dtype)
     data_wave = np.asarray(phot.wave, dtype)
@@ -169,9 +158,6 @@ def build_sed_lnprob(phot: Photometry, model: SEDModel,
     else:
         whiten = None
         diag_iunc = np.asarray(1.0 / phot.unc, dtype)
-
-    prior_mean = np.asarray(spec.prior_mean, dtype)
-    prior_isig = np.asarray(spec.prior_isigma, dtype)
 
     if spec.uplim_bands is not None and spec.uplim_bands.any():
         uplim_mask = np.asarray(spec.uplim_bands.astype(np.float32), dtype)
@@ -222,24 +208,14 @@ def build_sed_lnprob_data(model: SEDModel, spec: LikelihoodSpec,
     errors only -- correlated band errors stay on the MBB batch surface
     (MultiFitter.set_band_correlation).
     """
-    free_space = FreeSpace.from_spec(spec)
-    free_idx = free_space.free_idx
     if spec.lower.size != model.npar:
         raise ValueError(
             f"spec is sized for {spec.lower.size} parameters; model "
             f"{model.name!r} has {model.npar}")
-    template = np.asarray(free_space.template, dtype)
-    scatter = np.asarray(free_space.scatter_matrix(), dtype)
-    lo_free = np.asarray(spec.lower[free_idx], dtype)
-    hi_free = np.asarray(spec.upper[free_idx], dtype)
-    lo_full = np.asarray(np.where(spec.fixed,
-                                  np.minimum(spec.lower, spec.fixed_values),
-                                  spec.lower), dtype)
-    hi_full = np.asarray(np.where(spec.fixed,
-                                  np.maximum(spec.upper, spec.fixed_values),
-                                  spec.upper), dtype)
-    prior_mean = np.asarray(spec.prior_mean, dtype)
-    prior_isig = np.asarray(spec.prior_isigma, dtype)
+    sa = spec_arrays(spec, dtype)
+    free_space = sa.free_space
+    (template, scatter, lo_free, hi_free, lo_full, hi_full,
+     prior_mean, prior_isig) = sa[1:]
 
     if response_pack is not None:
         resp_waves = np.asarray(response_pack[0]).astype(dtype)

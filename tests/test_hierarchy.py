@@ -505,3 +505,93 @@ def test_marginal_pdf_matches_joint():
     numeric_i = np.trapezoid(joint_i, gb, axis=1)
     closed_i = ind.marginal_pdf(phi_i, 0, ga)
     np.testing.assert_allclose(closed_i, numeric_i, rtol=5e-3, atol=1e-5)
+
+
+# ------------------------------------------------------ review-pass fixes
+
+def test_from_h5_roundtrip_full():
+    """writeToHDF5 -> from_h5 restores summaries, ESS, and the built-in
+    population (both families), and a reload can re-run."""
+    samples, _, _ = _population_setup(seed=17)
+    pop = TruncatedGaussianPopulation.for_box(("T",), [10.0], [60.0])
+    hf = HierarchicalFitter(samples[:8], pop, nwalkers=16, seed=4)
+    hf.fix_param("sigma_T", 4.0)
+    hf.run(nburn=40, nsteps=100)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "h.h5")
+        hf.writeToHDF5(path)
+        back = HierarchicalFitter.from_h5(path)
+        np.testing.assert_array_equal(back.chain_free, hf.chain_free)
+        np.testing.assert_allclose(back.par_cen("mu_T"),
+                                   hf.par_cen("mu_T"))
+        np.testing.assert_allclose(back.reweight_ess(), hf.reweight_ess(),
+                                   rtol=1e-5)
+        assert back.free_hyper_names() == ["mu_T"]
+        assert isinstance(back.population, TruncatedGaussianPopulation)
+        # the reload re-fits reproducibly (same seed, same spec)
+        back.run(nburn=40, nsteps=100)
+        np.testing.assert_array_equal(back.chain_free, hf.chain_free)
+
+    from mbb_emcee_tpu.hierarchy import CorrelatedGaussianPopulation
+    rng = np.random.default_rng(2)
+    s2 = rng.uniform([15.0, 1.0], [50.0, 3.0], (6, 64, 2))
+    pop2 = CorrelatedGaussianPopulation.for_box(
+        ("T", "beta"), [10.0, 0.5], [60.0, 3.5])
+    hf2 = HierarchicalFitter(s2, pop2, nwalkers=16, seed=1)
+    hf2.run(nburn=30, nsteps=60)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "h2.h5")
+        hf2.writeToHDF5(path)
+        back2 = HierarchicalFitter.from_h5(path)
+        assert isinstance(back2.population, CorrelatedGaussianPopulation)
+        assert back2.population.rho_max == pop2.rho_max
+        np.testing.assert_allclose(back2.par_cen("rho_T_beta"),
+                                   hf2.par_cen("rho_T_beta"))
+
+
+def test_dead_source_raises():
+    """A source with NO samples inside the population box must raise at
+    build time, not silently freeze the hyper-sampler at acceptance 0."""
+    rng = np.random.default_rng(1)
+    samples = rng.uniform(20.0, 40.0, (4, 32, 1))
+    samples[2] = 80.0    # entirely outside the narrowed box below
+    pop = TruncatedGaussianPopulation.for_box(("T",), [10.0], [60.0])
+    spec = LikelihoodSpec.for_box(pop.lower, pop.upper)
+    with pytest.raises(ValueError, match=r"source\(s\) \[2\]"):
+        build_hier_lnprob(samples, pop, spec)
+
+
+def test_dtype_not_prequantized():
+    samples = np.random.default_rng(0).normal(35, 4, (4, 16, 1))
+    pop = TruncatedGaussianPopulation.for_box(("T",), [10.0], [60.0])
+    hf64 = HierarchicalFitter(samples, pop, dtype=jnp.float64, nwalkers=8)
+    assert hf64.samples.dtype == np.float64
+    hf32 = HierarchicalFitter(samples, pop, nwalkers=8)
+    assert hf32.samples.dtype == np.float32
+
+
+def test_tiny_verbose_run_survives(capsys):
+    samples, _, _ = _population_setup(seed=5)
+    pop = TruncatedGaussianPopulation.for_box(("T",), [10.0], [60.0])
+    hf = HierarchicalFitter(samples[:4], pop, nwalkers=8, seed=1)
+    hf.run(nburn=5, nsteps=2, verbose=True)       # < 4 records
+    assert "nan" in capsys.readouterr().out
+    assert hf.chain_free.shape[0] == 2
+
+
+def test_multi_axis_mesh_first_axis_divides():
+    """Only the FIRST mesh axis shards sources; a (2, 4) mesh with S=12
+    must be accepted (12 % 2 == 0) even though 12 % 8 != 0."""
+    from jax.sharding import Mesh
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("src", "other"))
+    rng = np.random.default_rng(3)
+    samples = rng.uniform(15.0, 55.0, (12, 32, 1))
+    pop = TruncatedGaussianPopulation.for_box(("T",), [10.0], [60.0])
+    spec = LikelihoodSpec.for_box(pop.lower, pop.upper)
+    lnp, _ = build_hier_lnprob(samples, pop, spec, mesh=mesh)
+    assert np.isfinite(float(lnp(jnp.asarray([35.0, 4.0], jnp.float32))))
+    with pytest.raises(ValueError, match="source count 10"):
+        build_hier_lnprob(samples[:10], pop, spec,
+                          mesh=Mesh(devs.reshape(8), ("src",)))
