@@ -47,7 +47,7 @@ from mbb_emcee_tpu.sed import SEDModel, SEDFitter, SEDResults
 from mbb_emcee_tpu.sedmulti import SEDMultiFitter
 from mbb_emcee_tpu.hierarchy import (
     HierarchicalFitter, TruncatedGaussianPopulation,
-    CorrelatedGaussianPopulation, fit_population)
+    CorrelatedGaussianPopulation, Selection, fit_population)
 
 __version__ = "0.2.0"
 
@@ -68,6 +68,6 @@ __all__ = [
     "Catalog", "read_catalog",
     "SEDModel", "SEDFitter", "SEDResults", "SEDMultiFitter",
     "HierarchicalFitter", "TruncatedGaussianPopulation",
-    "CorrelatedGaussianPopulation", "fit_population",
+    "CorrelatedGaussianPopulation", "Selection", "fit_population",
     "__version__",
 ]

@@ -45,7 +45,8 @@ from mbb_emcee_tpu.sampler import (
 
 __all__ = [
     "TruncatedGaussianPopulation", "CorrelatedGaussianPopulation",
-    "build_hier_lnprob", "HierarchicalFitter", "fit_population",
+    "Selection", "build_hier_lnprob", "HierarchicalFitter",
+    "fit_population",
 ]
 
 
@@ -334,8 +335,84 @@ class CorrelatedGaussianPopulation:
         return np.where((x >= lo[k]) & (x <= hi[k]), pdf, 0.0)
 
 
+@dataclasses.dataclass(frozen=True)
+class Selection:
+    """Survey selection function, Monte-Carlo form (the injection-
+    campaign construction of Mandel, Farr & Gair 2019; Farr 2019's
+    N_eff diagnostic): the detection fraction under population phi,
+
+        alpha(phi) = int P_det(theta) p(theta|phi) dtheta
+                   ~ (1/n_total) sum_m P_det(theta_m)
+                                        p(theta_m|phi) / p_draw(theta_m),
+
+    enters the hyper-likelihood as -S ln alpha(phi) and corrects the
+    Malmquist bias a flux/threshold-limited catalog otherwise imprints
+    on the inferred population.  On device this is one more fused
+    (M,)-reduction per hyper vector, sharing the population ln_dist.
+
+    injections: (M, K) reference draws theta_m; ln_pdet: (M,)
+    ln P_det(theta_m) (0 = the found-injection convention where only
+    detected injections are listed and n_total counts ALL draws);
+    ln_draw: (M,) ln p_draw(theta_m); n_total: total draws including
+    undetected ones.
+    """
+    injections: np.ndarray
+    ln_pdet: np.ndarray
+    ln_draw: np.ndarray
+    n_total: int
+
+    @classmethod
+    def from_injections(cls, injections, pdet=None, ln_draw=None,
+                        n_total=None, box=None):
+        """Build from an injection campaign.
+
+        injections: (M, K).  pdet: (M,) detection probabilities in
+        [0, 1] (omit for found-only injection lists).  ln_draw: (M,)
+        ln p_draw; omit if the draws are uniform over `box` (a
+        (lower, upper) pair -- e.g. the population box), in which case
+        the constant -ln V is used.  n_total defaults to M (set it to
+        the full campaign size when `injections` lists only the found
+        ones)."""
+        injections = np.asarray(injections, np.float64)
+        if injections.ndim != 2:
+            raise ValueError(
+                f"injections must be (M, K); got {injections.shape}")
+        m = injections.shape[0]
+        if pdet is None:
+            ln_pdet = np.zeros(m)
+        else:
+            pdet = np.asarray(pdet, np.float64)
+            if pdet.shape != (m,):
+                raise ValueError(f"pdet must be (M,)=({m},)")
+            if np.any(pdet < 0) or np.any(pdet > 1):
+                raise ValueError("pdet values must be in [0, 1]")
+            with np.errstate(divide="ignore"):
+                ln_pdet = np.where(pdet > 0, np.log(np.maximum(pdet,
+                                                               1e-300)),
+                                   -745.0)   # exp(-745) underflows to 0
+        if ln_draw is None:
+            if box is None:
+                raise ValueError(
+                    "give ln_draw (per-draw ln p_draw) or box=(lower, "
+                    "upper) for uniform draws")
+            lo = np.asarray(box[0], np.float64)
+            hi = np.asarray(box[1], np.float64)
+            ln_draw = np.full(m, -float(np.sum(np.log(hi - lo))))
+        else:
+            ln_draw = np.asarray(ln_draw, np.float64)
+            if ln_draw.shape != (m,):
+                raise ValueError(f"ln_draw must be (M,)=({m},)")
+        n_total = m if n_total is None else int(n_total)
+        if n_total < m:
+            raise ValueError(
+                f"n_total={n_total} < number of listed injections {m}")
+        return cls(injections=injections, ln_pdet=np.asarray(ln_pdet),
+                   ln_draw=ln_draw, n_total=n_total)
+
+
 def build_hier_lnprob(samples, population, spec: LikelihoodSpec,
-                      ln_interim=None, dtype=jnp.float32, mesh=None):
+                      ln_interim=None, selection=None, dtype=jnp.float32,
+                      mesh=None):
     """Fused hierarchical lnprob over the FREE hyper-parameter space.
 
     samples: (S, N, K) per-source posterior draws of the K population
@@ -385,6 +462,17 @@ def build_hier_lnprob(samples, population, spec: LikelihoodSpec,
                 f"{np.asarray(pop_hi)}]; every hyper vector would get "
                 "zero weight there. Widen the population box or drop "
                 "those sources")
+        if selection is not None:
+            inj_host = np.asarray(selection.injections)
+            inj_in = np.all((inj_host >= np.asarray(pop_lo))
+                            & (inj_host <= np.asarray(pop_hi)), axis=-1)
+            if not inj_in.any():
+                raise ValueError(
+                    "no selection injections fall inside the population "
+                    "truncation box; alpha(phi) would underflow for "
+                    "every phi (and its log-penalty would blow up the "
+                    "hyper-lnprob). Draw injections over the population "
+                    "box")
 
     if mesh is not None:
         ax0 = mesh.axis_names[0]
@@ -412,6 +500,14 @@ def build_hier_lnprob(samples, population, spec: LikelihoodSpec,
      prior_mean, prior_isig) = sa[1:]
     log_n = float(np.log(N))
 
+    if selection is not None:
+        inj = jnp.asarray(selection.injections, dtype)
+        if inj.ndim != 2 or inj.shape[1] != K:
+            raise ValueError(
+                f"selection.injections must be (M, {K}); got {inj.shape}")
+        inj_lnw = np.asarray(selection.ln_pdet - selection.ln_draw, dtype)
+        log_m = float(np.log(selection.n_total))
+
     def lnprob(phi_free):
         phi = template + scatter @ phi_free
         inbox = jnp.all((phi_free >= lo_free) & (phi_free <= hi_free))
@@ -420,6 +516,11 @@ def build_hier_lnprob(samples, population, spec: LikelihoodSpec,
         if ln_interim is not None:
             lw = lw - ln_interim
         lnl = jnp.sum(logsumexp(lw, axis=-1) - log_n)    # sum over sources
+        if selection is not None:
+            # -S ln alpha(phi): one more fused (M,) reduction
+            ln_alpha = logsumexp(
+                population.ln_dist(phi_safe, inj) + inj_lnw) - log_m
+            lnl = lnl - S * ln_alpha
         dp = (phi - prior_mean) * prior_isig
         lnpri = -0.5 * jnp.sum(dp * dp) + population.ln_hyper_prior(phi_safe)
         return jnp.where(inbox, lnl + lnpri, dtype(LNPROB_FLOOR))
@@ -468,6 +569,7 @@ class HierarchicalFitter(ParamSpaceMixin):
         self._sampler = None
         self._acceptance = None
         self.evidence = None       # NestedResult, compute_evidence()
+        self.selection = None      # Selection, set_selection()
 
     # -- ParamSpaceMixin plumbing ------------------------------------------
     def _param_index(self, param):
@@ -555,11 +657,49 @@ class HierarchicalFitter(ParamSpaceMixin):
             ln_interim = None
         return cls(flat, population, ln_interim=ln_interim, **kw)
 
+    def set_selection(self, injections, pdet=None, ln_draw=None,
+                      n_total=None, box=None):
+        """Attach the survey selection function as an injection campaign
+        (see Selection.from_injections); the hyper-likelihood gains the
+        -S ln alpha(phi) Malmquist correction. `box` defaults to the
+        population's truncation box when the draws are uniform.
+        Passing an existing Selection via `injections` keeps it as-is."""
+        if isinstance(injections, Selection):
+            self.selection = injections
+        else:
+            if ln_draw is None and box is None:
+                box = (self.population.box_lower, self.population.box_upper)
+            self.selection = Selection.from_injections(
+                injections, pdet=pdet, ln_draw=ln_draw, n_total=n_total,
+                box=box)
+        return self
+
+    def selection_neff(self, phi=None):
+        """Effective number of injections behind alpha(phi) (Farr 2019):
+        N_eff = (sum w)^2 / sum w^2 with w_m = P_det p(theta_m|phi) /
+        p_draw. The published rule of thumb wants N_eff >= 4 S, otherwise
+        the Monte-Carlo noise of the selection integral contaminates the
+        hyper-posterior -- run more injections. Default phi = the
+        hyper-posterior median."""
+        if self.selection is None:
+            raise RuntimeError("set_selection() first")
+        if phi is None:
+            self._require_run()
+            phi = self.free_space.expand(np.median(self.flatchain, axis=0))
+        phi = jnp.asarray(phi, self.dtype)
+        inj = jnp.asarray(self.selection.injections, self.dtype)
+        lw = (self.population.ln_dist(phi, inj)
+              + jnp.asarray(self.selection.ln_pdet
+                            - self.selection.ln_draw, self.dtype))
+        lw = lw - logsumexp(lw)
+        return float(jnp.exp(-logsumexp(2.0 * lw)))
+
     # -- sampling -----------------------------------------------------------
     def build(self):
         lnprob, free_space = build_hier_lnprob(
             self.samples, self.population, self._effective_spec(),
-            ln_interim=self.ln_interim, dtype=self.dtype, mesh=self.mesh)
+            ln_interim=self.ln_interim, selection=self.selection,
+            dtype=self.dtype, mesh=self.mesh)
         sampler = EnsembleSampler(self.nwalkers, free_space.nfree, lnprob,
                                   a=self.a, dtype=self.dtype)
         return lnprob, free_space, sampler
@@ -716,7 +856,8 @@ class HierarchicalFitter(ParamSpaceMixin):
 
         lnprob, free_space = build_hier_lnprob(
             self.samples, self.population, self._effective_spec(),
-            ln_interim=self.ln_interim, dtype=self.dtype, mesh=self.mesh)
+            ln_interim=self.ln_interim, selection=self.selection,
+            dtype=self.dtype, mesh=self.mesh)
         key = jax.random.PRNGKey(self.seed if seed is None else int(seed))
         res = nested_sample(lnprob, free_space.lower, free_space.upper,
                             key, nlive=nlive, nbatch=nbatch, nsteps=nsteps,
@@ -791,6 +932,14 @@ class HierarchicalFitter(ParamSpaceMixin):
             for name in ("lower", "upper", "fixed", "fixed_values",
                          "prior_mean", "prior_isigma"):
                 g.create_dataset(name, data=np.asarray(getattr(spec, name)))
+            if self.selection is not None:
+                g = f.create_group("Selection")
+                g.create_dataset("injections",
+                                 data=self.selection.injections,
+                                 compression="gzip")
+                g.create_dataset("ln_pdet", data=self.selection.ln_pdet)
+                g.create_dataset("ln_draw", data=self.selection.ln_draw)
+                g.attrs["n_total"] = self.selection.n_total
             if isinstance(pop, (TruncatedGaussianPopulation,
                                 CorrelatedGaussianPopulation)):
                 g = f.create_group("Population")
@@ -853,6 +1002,13 @@ class HierarchicalFitter(ParamSpaceMixin):
             hf.chain_free = f["chain_free"][...]
             hf.lnprobability = f["lnprobability"][...]
             hf.thin = int(f.attrs["thin"])
+            if "Selection" in f:
+                g = f["Selection"]
+                hf.selection = Selection(
+                    injections=g["injections"][...],
+                    ln_pdet=g["ln_pdet"][...],
+                    ln_draw=g["ln_draw"][...],
+                    n_total=int(g.attrs["n_total"]))
         return hf
 
 

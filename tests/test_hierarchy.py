@@ -595,3 +595,146 @@ def test_multi_axis_mesh_first_axis_divides():
     with pytest.raises(ValueError, match="source count 10"):
         build_hier_lnprob(samples[:10], pop, spec,
                           mesh=Mesh(devs.reshape(8), ("src",)))
+
+
+# ----------------------------------------------------------- selection
+
+def test_selection_corrects_malmquist_bias():
+    """Threshold-selected catalog (keep sources with observed x > cut,
+    which removes the faint half): the uncorrected fit is biased high by
+    several CI widths; with Selection attached the hyper-posterior
+    matches an MCMC over the EXACT analytic selection-corrected marginal
+    (alpha has the closed form Phi((mu-cut)/sqrt(sig^2+sig_obs^2)) for
+    this construction, so the oracle is exact)."""
+    from scipy.special import ndtr as np_ndtr
+    from jax.scipy.special import ndtr as j_ndtr
+    from mbb_emcee_tpu.hierarchy import Selection
+
+    rng = np.random.default_rng(77)
+    mu_t, sig_t, sig_obs, cut = 35.0, 4.0, 1.5, 35.0
+    lo, hi = 10.0, 60.0
+    theta_all = rng.normal(mu_t, sig_t, 400)
+    x_all = theta_all + rng.normal(0, sig_obs, 400)
+    x_s = x_all[x_all > cut][:64]
+    S, N = x_s.size, 256
+    assert S == 64
+    samples = (x_s[:, None] + rng.normal(0, sig_obs, (S, N)))[..., None]
+
+    pop = TruncatedGaussianPopulation.for_box(("T",), [lo], [hi])
+
+    # naive (no selection): biased high by the construction
+    naive = HierarchicalFitter(samples, pop, nwalkers=64, seed=11)
+    naive.run(nburn=300, nsteps=800)
+    mu_naive = naive.par_cen("mu_T")
+    assert mu_naive[0] - mu_t > 2.0 * mu_naive[2], mu_naive
+
+    # corrected: uniform injections over the box with analytic P_det
+    M = 40960
+    inj = rng.uniform(lo, hi, (M, 1))
+    pdet = np_ndtr((inj[:, 0] - cut) / sig_obs)
+    corr = HierarchicalFitter(samples, pop, nwalkers=64, seed=11)
+    corr.set_selection(inj, pdet=pdet)
+    corr.run(nburn=300, nsteps=1200)
+    assert corr.selection_neff() > 4 * S    # Farr 2019 rule of thumb
+
+    # exact analytic oracle over the same hyper box
+    def oracle_lnprob(phi):
+        mu, sig = phi[0], phi[1]
+        s2 = sig * sig + sig_obs * sig_obs
+        lnl = jnp.sum(-0.5 * (x_s - mu) ** 2 / s2 - 0.5 * jnp.log(s2))
+        alpha = j_ndtr((mu - cut) / jnp.sqrt(s2))
+        lnl = lnl - S * jnp.log(jnp.maximum(alpha, 1e-30))
+        inbox = ((mu >= lo) & (mu <= hi)
+                 & (sig >= pop.sigma_min[0]) & (sig <= pop.sigma_max[0]))
+        return jnp.where(inbox, lnl, -1e30)
+
+    samp = EnsembleSampler(64, 2, oracle_lnprob)
+    key = jax.random.PRNGKey(5)
+    key, kb = jax.random.split(key)
+    p0 = make_initial_ball(kb, np.array([35.0, 5.0]), np.array([3.0, 1.0]),
+                           64, np.array([lo, pop.sigma_min[0]]),
+                           np.array([hi, pop.sigma_max[0]]))
+    st = samp.init_state(key, p0)
+    st = samp.advance(st, 300)
+    st = EnsembleSampler.reset_counters(st)
+    st, chain, _ = samp.run_mcmc(st, 1200)
+    oracle_flat = np.asarray(chain).reshape(-1, 2)
+
+    for i, name in enumerate(("mu_T", "sigma_T")):
+        got = corr.par_cen(name)
+        med_o = np.median(oracle_flat[:, i])
+        width_o = np.subtract(*np.percentile(oracle_flat[:, i],
+                                             [84.15, 15.85]))
+        assert abs(got[0] - med_o) < 0.4 * width_o, (name, got, med_o)
+        assert abs(got[1] + got[2] - width_o) < 0.3 * width_o, (name, got)
+    # ... and the corrected mu_T actually covers the truth
+    mu_c = corr.par_cen("mu_T")
+    assert abs(mu_c[0] - mu_t) < 3.0 * max(mu_c[1], mu_c[2]), mu_c
+
+
+def test_selection_found_injection_form():
+    """The found-injection convention (only detected draws listed,
+    n_total = campaign size, ln_pdet = 0) estimates the same alpha as
+    the probability-weighted form: the two lnprobs differ by the same
+    small MC offset at every phi."""
+    from scipy.special import ndtr as np_ndtr
+    from mbb_emcee_tpu.hierarchy import Selection
+    rng = np.random.default_rng(3)
+    lo, hi, sig_obs, cut = 10.0, 60.0, 1.5, 30.0
+    M = 65536
+    inj = rng.uniform(lo, hi, (M, 1))
+    pdet = np_ndtr((inj[:, 0] - cut) / sig_obs)
+    found = rng.uniform(0, 1, M) < pdet
+
+    sel_w = Selection.from_injections(inj, pdet=pdet, box=([lo], [hi]))
+    sel_f = Selection.from_injections(inj[found], n_total=M,
+                                      box=([lo], [hi]))
+
+    samples = rng.normal(40.0, 3.0, (8, 64, 1))
+    pop = TruncatedGaussianPopulation.for_box(("T",), [lo], [hi])
+    spec = LikelihoodSpec.for_box(pop.lower, pop.upper)
+    lnp_w, _ = build_hier_lnprob(samples, pop, spec, selection=sel_w)
+    lnp_f, _ = build_hier_lnprob(samples, pop, spec, selection=sel_f)
+    diffs = []
+    for phi in ([40.0, 3.0], [35.0, 6.0], [45.0, 2.0]):
+        a = float(lnp_w(jnp.asarray(phi, jnp.float32)))
+        b = float(lnp_f(jnp.asarray(phi, jnp.float32)))
+        diffs.append(a - b)
+    # same alpha in expectation: differences small and phi-stable
+    assert np.max(np.abs(diffs)) < 0.5, diffs
+
+
+def test_selection_validation_and_persistence():
+    from mbb_emcee_tpu.hierarchy import Selection
+    rng = np.random.default_rng(1)
+    inj = rng.uniform(10.0, 60.0, (128, 1))
+    with pytest.raises(ValueError, match="box"):
+        Selection.from_injections(inj)
+    with pytest.raises(ValueError, match="n_total"):
+        Selection.from_injections(inj, n_total=5, box=([10.0], [60.0]))
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        Selection.from_injections(inj, pdet=np.full(128, 1.5),
+                                  box=([10.0], [60.0]))
+
+    # injections all outside the population box -> loud failure
+    pop = TruncatedGaussianPopulation.for_box(("T",), [10.0], [60.0])
+    spec = LikelihoodSpec.for_box(pop.lower, pop.upper)
+    samples = rng.normal(35.0, 3.0, (4, 32, 1))
+    bad = Selection.from_injections(np.full((16, 1), 99.0),
+                                    box=([10.0], [60.0]))
+    with pytest.raises(ValueError, match="injections"):
+        build_hier_lnprob(samples, pop, spec, selection=bad)
+
+    # round-trips through HDF5
+    hf = HierarchicalFitter(samples, pop, nwalkers=8, seed=2)
+    hf.set_selection(inj)
+    hf.run(nburn=20, nsteps=40)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "s.h5")
+        hf.writeToHDF5(path)
+        back = HierarchicalFitter.from_h5(path)
+        assert back.selection is not None
+        np.testing.assert_allclose(back.selection.injections, inj)
+        assert back.selection.n_total == 128
+        assert np.isfinite(back.selection_neff(phi=[35.0, 5.0]))
