@@ -33,6 +33,22 @@ Half-power band edges (approximate, from instrument handbook values):
     LABOCA_870  795 - 945 um   APEX LABOCA
     AZTEC_1100  1000 - 1200 um AzTEC 1.1 mm
     MAMBO_1200  1055 - 1345 um IRAM MAMBO 1.2 mm
+    IRAS_12     8.5 - 15 um    IRAS (photoconductor -> photon counting;
+    IRAS_25     19 - 30 um      quoted against nu*S_nu = const at the
+    IRAS_60     40 - 80 um      nominal wavelength, the IRAS Explanatory
+    IRAS_100    83 - 120 um     Supplement convention)
+    MIPS_24     20.8 - 26.1 um Spitzer MIPS (photoconductors; fluxes quoted
+    MIPS_70     61 - 80 um      against a 10^4 K blackbody, approximated
+    MIPS_160    140 - 174 um    here by its Rayleigh-Jeans limit nu^2, at
+                                the handbook weighted-mean wavelengths
+                                23.68 / 71.42 / 155.9 um)
+    NIKA2_1150  1040 - 1290 um IRAM 30m NIKA2 (KIDs, energy-integrating)
+    NIKA2_2000  1760 - 2300 um IRAM 30m NIKA2
+    ALMA_B3     2584 - 3569 um ALMA receiver bands 84-116 / 211-275 /
+    ALMA_B6     1090 - 1421 um  275-373 GHz as FULL-BAND tophats -- a real
+    ALMA_B7     804 - 1090 um   continuum tuning covers ~7.5 GHz of the
+                                band; use "box:..."/"delta:..." specs for
+                                a specific tuning
 
 Swap in measured tables at any time via ``Response.from_spec(name, path)``
 -- the registry only provides defaults for name-based lookup.
@@ -82,6 +98,14 @@ def _herschel(nominal, lo, hi, note):
                     nominal=nominal, note=note)
 
 
+def _photoconductor(nominal, lo, hi, refspec_index, note):
+    """Photon-counting band (IRAS/MIPS photoconductors) with the
+    instrument's own reference-spectrum quoting convention."""
+    return BandSpec(center=0.5 * (lo + hi), width=hi - lo, sharpness=3,
+                    photon_counter=True, refspec_index=refspec_index,
+                    nominal=nominal, note=note)
+
+
 BUILTIN_BANDS: dict[str, BandSpec] = {
     # Herschel PACS photometer (bolometers; 60-85 / 85-130 / 130-210 um).
     "PACS_70": _herschel(70.0, 60.0, 85.0, "Herschel PACS blue (approx)"),
@@ -97,6 +121,39 @@ BUILTIN_BANDS: dict[str, BandSpec] = {
     "LABOCA_870": BandSpec(870.0, 150.0, 3, note="APEX LABOCA 870um (approx)"),
     "AZTEC_1100": BandSpec(1100.0, 200.0, 3, note="AzTEC 1.1mm (approx)"),
     "MAMBO_1200": BandSpec(1200.0, 290.0, 3, note="IRAM MAMBO 1.2mm (approx)"),
+    # IRAS survey bands: broad, boxy photoconductor bands; the Explanatory
+    # Supplement quotes fluxes against nu*S_nu = const at 12/25/60/100 um
+    # (color-correct for other spectra -- that is what refspec does here).
+    "IRAS_12": _photoconductor(12.0, 8.5, 15.0, -1.0, "IRAS 12um (approx)"),
+    "IRAS_25": _photoconductor(25.0, 19.0, 30.0, -1.0, "IRAS 25um (approx)"),
+    "IRAS_60": _photoconductor(60.0, 40.0, 80.0, -1.0, "IRAS 60um (approx)"),
+    "IRAS_100": _photoconductor(100.0, 83.0, 120.0, -1.0,
+                                "IRAS 100um (approx)"),
+    # Spitzer MIPS: Si:As BIB (24um) / Ge:Ga (70, 160um) photoconductors.
+    # The MIPS handbook quotes fluxes against a 10^4 K blackbody at the
+    # band weighted-mean wavelengths; over 21-174 um that blackbody is
+    # deep in its Rayleigh-Jeans tail, so S_ref propto nu^2 (s = +2) is
+    # the faithful power-law stand-in.
+    "MIPS_24": _photoconductor(23.68, 20.8, 26.1, 2.0,
+                               "Spitzer MIPS 24um (approx)"),
+    "MIPS_70": _photoconductor(71.42, 61.0, 80.0, 2.0,
+                               "Spitzer MIPS 70um (approx)"),
+    "MIPS_160": _photoconductor(155.9, 140.0, 174.0, 2.0,
+                                "Spitzer MIPS 160um (approx)"),
+    # IRAM 30m NIKA2 (kinetic inductance detectors, energy-integrating):
+    # 260 +- 25 GHz and 150 +- 20 GHz continuum bands.
+    "NIKA2_1150": BandSpec(1165.0, 250.0, 3, note="NIKA2 1.15mm (approx)"),
+    "NIKA2_2000": BandSpec(2030.0, 540.0, 3, note="NIKA2 2mm (approx)"),
+    # ALMA receiver bands as FULL-BAND tophats (sharp frequency edges ->
+    # high sharpness). Real continuum observations tune ~7.5 GHz inside
+    # the band; these names are for quick looks -- use box:/delta: specs
+    # for a specific tuning.
+    "ALMA_B3": BandSpec(3077.0, 985.0, 6, note="ALMA band 3 84-116 GHz "
+                        "full-band tophat (use box:/delta: for a tuning)"),
+    "ALMA_B6": BandSpec(1256.0, 331.0, 6, note="ALMA band 6 211-275 GHz "
+                        "full-band tophat (use box:/delta: for a tuning)"),
+    "ALMA_B7": BandSpec(947.0, 286.0, 6, note="ALMA band 7 275-373 GHz "
+                        "full-band tophat (use box:/delta: for a tuning)"),
 }
 
 # Name normalization: case-insensitive, '-'/'.' -> '_', and common
@@ -104,6 +161,13 @@ BUILTIN_BANDS: dict[str, BandSpec] = {
 _ALIASES = {
     "PSW": "SPIRE_250", "PMW": "SPIRE_350", "PLW": "SPIRE_500",
     "PACS_BLUE": "PACS_70", "PACS_GREEN": "PACS_100", "PACS_RED": "PACS_160",
+    "ALMA_BAND3": "ALMA_B3", "ALMA_BAND6": "ALMA_B6",
+    "ALMA_BAND7": "ALMA_B7",
+    "IRAS12": "IRAS_12", "IRAS25": "IRAS_25", "IRAS60": "IRAS_60",
+    "IRAS100": "IRAS_100",
+    "MIPS24": "MIPS_24", "MIPS70": "MIPS_70", "MIPS160": "MIPS_160",
+    # MIPS names carry the conventional 24/70/160 labels; quoting happens
+    # at the handbook weighted-mean wavelengths (nominal in the BandSpec).
 }
 
 

@@ -136,10 +136,11 @@ def test_builtin_all_bands_sane():
         lo = band.center - 0.75 * band.width
         hi = band.center + 0.75 * band.width
         assert lo < leff < hi, f"{name}: lambda_eff {leff} outside band"
-        # Reference spectrum (nu S_nu const -> S propto lambda) -> exactly
-        # the quoted flux, anchored at the quoting wavelength (nominal for
-        # Herschel bands, lambda_eff elsewhere).
-        val = r(lambda w: 4.0 * np.asarray(w) / r.ref_wavelength)
+        # An SED with the band's OWN reference spectral shape (nu^s) ->
+        # exactly the quoted flux, anchored at the quoting wavelength
+        # (nominal for Herschel/IRAS/MIPS bands, lambda_eff elsewhere).
+        s = r.refspec_index
+        val = r(lambda w: 4.0 * (r.ref_wavelength / np.asarray(w)) ** s)
         np.testing.assert_allclose(val, 4.0, rtol=1e-6)
 
 
@@ -178,6 +179,48 @@ def test_builtin_nominal_quote_wavelength():
 def test_builtin_non_herschel_uses_effective_wavelength():
     r = Response.from_builtin("SCUBA2_850")
     np.testing.assert_allclose(r.ref_wavelength, r.effective_wavelength)
+
+
+def test_builtin_photoconductor_conventions():
+    """IRAS/MIPS bands default to photon counting with the instrument's
+    own quoting convention (IRAS: nu*S_nu const at 12/25/60/100 um;
+    MIPS: RJ-limit nu^2 at the handbook weighted-mean wavelengths)."""
+    for name, nominal, s in (("IRAS_60", 60.0, -1.0),
+                             ("IRAS_100", 100.0, -1.0),
+                             ("MIPS_24", 23.68, 2.0),
+                             ("MIPS_160", 155.9, 2.0)):
+        r = Response.from_builtin(name)
+        assert r.photon_counter, name
+        assert r.refspec_index == s, name
+        assert r.ref_wavelength == nominal, name
+        # Reference-shaped SED quotes exactly at the nominal wavelength.
+        flux = r(lambda w: 7.0 * (nominal / np.asarray(w)) ** s)
+        np.testing.assert_allclose(flux, 7.0, rtol=1e-5)
+    # The photon-counting default is real: an energy-convention override
+    # of the same curve weights the band differently.
+    re = Response.from_builtin("IRAS_60", photon_counter=False)
+    rp = Response.from_builtin("IRAS_60")
+    assert not np.allclose(re.weights, rp.weights)
+
+
+def test_builtin_new_band_aliases():
+    for alias, canon in (("alma-band6", "ALMA_B6"), ("iras60", "IRAS_60"),
+                         ("mips24", "MIPS_24"), ("NIKA2-1150um",
+                                                 "NIKA2_1150")):
+        r_alias = Response.from_spec("x", alias)
+        r_canon = Response.from_builtin(canon)
+        np.testing.assert_allclose(r_alias.weights, r_canon.weights)
+
+
+def test_builtin_alma_band_edges():
+    """ALMA full-band tophats: effective wavelength inside the receiver
+    band's frequency range."""
+    c_um_ghz = 299792.458
+    for name, flo, fhi in (("ALMA_B3", 84.0, 116.0),
+                           ("ALMA_B6", 211.0, 275.0),
+                           ("ALMA_B7", 275.0, 373.0)):
+        r = Response.from_builtin(name)
+        assert c_um_ghz / fhi < r.effective_wavelength < c_um_ghz / flo
 
 
 def test_builtin_set_forwards_detector_convention():
