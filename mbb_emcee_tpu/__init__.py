@@ -15,6 +15,9 @@ A ground-up JAX/XLA/Pallas rebuild of the capabilities of aconley/mbb_emcee:
     (K rungs x W walkers as one batch; thermodynamic lnZ; additive)
   * MAP + Laplace triage with importance-sampling refinement (whole
     catalogs of quick fits in one device program; additive)
+  * WAIC + PSIS-LOO predictive model assessment from the stored chains
+    (batched pointwise log-likelihoods on device, Pareto-smoothed
+    importance sampling with the k-hat reliability diagnostic; additive)
   * derived-quantity posteriors (L_IR, dust mass, peak wavelength) as batched
     on-device quadrature / optimization over stored chains
   * HDF5 persistence with round-trip loading
@@ -39,6 +42,7 @@ from mbb_emcee_tpu.nested import (
 from mbb_emcee_tpu.tempering import (
     pt_sample, PTResult, ParallelTemperingSampler, geometric_ladder)
 from mbb_emcee_tpu.mapfit import MAPResult
+from mbb_emcee_tpu.modelcheck import LooResult, LooBatchResult
 from mbb_emcee_tpu.fitter import MBBFitter
 from mbb_emcee_tpu.results import MBBResults, PPCResult
 from mbb_emcee_tpu.multifit import MultiFitter, PPCBatchResult
@@ -62,7 +66,7 @@ __all__ = [
     "nested_sample", "nested_sample_batch",
     "NestedResult", "NestedBatchResult",
     "pt_sample", "PTResult", "ParallelTemperingSampler",
-    "geometric_ladder", "MAPResult",
+    "geometric_ladder", "MAPResult", "LooResult", "LooBatchResult",
     "MBBFitter", "MBBResults", "PPCResult", "PPCBatchResult",
     "MultiFitter",
     "Catalog", "read_catalog",

@@ -210,6 +210,12 @@ def build_parser():
                         "print the chi-square discrepancy p-value and "
                         "per-band tail probabilities (p < ~0.01 flags "
                         "misfit; additive over the reference)")
+    g.add_argument("--loo", action="store_true",
+                   help="WAIC + PSIS-LOO predictive assessment over the "
+                        "chain: per-band leave-one-out elpd with the "
+                        "Pareto k-hat reliability diagnostic, persisted "
+                        "to /LOO (additive; compare two model variants' "
+                        "elpd_loo on the same data)")
     g.add_argument("--get-evidence", action="store_true",
                    help="also compute the Bayesian evidence lnZ by nested "
                         "sampling over the parameter box (additive over "
@@ -335,7 +341,7 @@ def main(argv=None):
                              "--hmc/--pt/--checkpoint/--resume/"
                              "--extend-until/--init-map")
         if (args.get_lir or args.get_dustmass or args.get_peaklambda
-                or args.get_evidence):
+                or args.get_evidence or args.loo):
             raise SystemExit("derived-quantity posteriors need chains; "
                              "run without --map for them")
         import time as _time
@@ -505,6 +511,14 @@ def main(argv=None):
         print(f"posterior predictive p = {ppc.p_value:.3f} "
               f"(ndata={ppc.ndata}, nfree={ppc.nfree}); "
               f"band tail probs: {bands}")
+    if args.loo:
+        loo = res.compute_loo(thin=args.derived_thin)
+        k_max = float(max(loo.pareto_k))
+        print(f"elpd_loo = {loo.elpd_loo:.3f} +/- {loo.se_elpd_loo:.3f} "
+              f"(p_loo={loo.p_loo:.2f}); elpd_waic = {loo.elpd_waic:.3f} "
+              f"+/- {loo.se_elpd_waic:.3f}; max Pareto k-hat = {k_max:.2f}"
+              + (f"  [{loo.n_bad_k} band(s) with k>0.7: unreliable]"
+                 if loo.n_bad_k else ""))
 
     res.writeToHDF5(args.outfile)
 

@@ -199,6 +199,12 @@ def build_parser():
                         "sweep: per-source chi-square discrepancy "
                         "p-values (lists sources with p < 0.01 -- the "
                         "ones the MBB model does not describe)")
+    g.add_argument("--loo", action="store_true",
+                   help="batched WAIC + PSIS-LOO predictive assessment: "
+                        "per-source elpd_loo with the Pareto k-hat "
+                        "reliability diagnostic (difference two model "
+                        "variants' runs for per-source predictive "
+                        "comparison)")
     g.add_argument("--nlive", type=int, default=512,
                    help="nested-sampling live points (default 512)")
 
@@ -428,9 +434,10 @@ def main(argv=None):
             raise SystemExit("--map runs in seconds; checkpointing does "
                              "not apply")
         if args.get_lir or args.get_dustmass or args.get_peaklambda \
-                or args.get_evidence or args.ppc or args.population:
-            raise SystemExit("derived-quantity posteriors, --ppc and "
-                             "--population need chains; run without "
+                or args.get_evidence or args.ppc or args.loo \
+                or args.population:
+            raise SystemExit("derived-quantity posteriors, --ppc, --loo "
+                             "and --population need chains; run without "
                              "--map for them")
         if not chunked:
             return _map_and_write(mf, args, log, args.outfile)
@@ -684,6 +691,13 @@ def _fit_and_write(mf, args, log, outfile, offset=0):
                   (names[i] if names is not None else f"src{i + offset}")
                   + f"={ppc.p_value[i]:.4f}" for i in flagged[:20])
                   + (" ..." if flagged.size > 20 else "")))
+    if args.loo:
+        loo = mf.compute_loo(thin=args.derived_thin)
+        bad = np.where(loo.n_bad_k > 0)[0]
+        print(f"PSIS-LOO: total elpd_loo {np.sum(loo.elpd_loo):.2f} over "
+              f"{mf.nsources} sources (total p_loo "
+              f"{np.sum(loo.p_loo):.1f}); {bad.size} source(s) with "
+              f"unreliable tail fits (k-hat > 0.7)")
 
     mf.writeToHDF5(outfile, thin=args.store_thin)
 

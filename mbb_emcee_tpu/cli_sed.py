@@ -135,6 +135,10 @@ def build_parser():
     g.add_argument("--ppc", action="store_true",
                    help="per-source posterior-predictive p-values (which "
                         "sources does the model NOT describe?)")
+    g.add_argument("--loo", action="store_true",
+                   help="batched WAIC + PSIS-LOO predictive assessment "
+                        "(difference two model variants' per-source "
+                        "elpd_loo on the same catalog)")
 
     g = p.add_argument_group(
         "population (hierarchical hyper-inference over the fitted batch)")
@@ -312,9 +316,9 @@ def main(argv=None):
             raise SystemExit("--map is a triage mode; drop --hmc/--pt/"
                              "--extend-until/--init-map/--checkpoint")
         if (args.get_lir or args.get_peaklambda or args.get_evidence
-                or args.ppc or args.population):
-            raise SystemExit("derived-quantity posteriors, --ppc and "
-                             "--population need chains; run without "
+                or args.ppc or args.loo or args.population):
+            raise SystemExit("derived-quantity posteriors, --ppc, --loo "
+                             "and --population need chains; run without "
                              "--map for them")
         mf.run_map(nstarts=args.map_starts, verbose=args.verbose)
         names = mf.free_param_names
@@ -417,6 +421,13 @@ def main(argv=None):
         print(f"posterior predictive [{model.name}]: median p "
               f"{np.median(ppc.p_value):.3f} over {mf.nsources} sources; "
               f"{flagged.size} flagged p<0.01")
+    if args.loo:
+        loo = mf.compute_loo(thin=args.derived_thin)
+        bad = np.where(loo.n_bad_k > 0)[0]
+        print(f"PSIS-LOO [{model.name}]: total elpd_loo "
+              f"{np.sum(loo.elpd_loo):.2f} over {mf.nsources} sources "
+              f"(total p_loo {np.sum(loo.p_loo):.1f}); {bad.size} "
+              f"source(s) with unreliable tail fits (k-hat > 0.7)")
 
     mf.writeToHDF5(args.outfile)
     if args.summary:

@@ -19,6 +19,10 @@ analysis resumes exactly from the file. Layout:
     /LIR, /DustMass, /PeakLambda  (optional derived chains, attrs = meta)
     /Evidence/{Samples,LogLike,LogWt}  (optional nested-sampling run,
               attrs = logz, logz_err, h, n_iter, n_like -- additive)
+    /LOO/{PointwiseLoo,PointwiseWaic,PointwiseLpd,ParetoK,PointIndex
+          [,BandNames]}  (optional WAIC/PSIS-LOO assessment, attrs =
+              elpd_loo, se_elpd_loo, p_loo, elpd_waic, se_elpd_waic,
+              p_waic, nsamples -- additive)
 """
 
 from __future__ import annotations
@@ -139,6 +143,11 @@ def _write_results(f, res):
         if lzti is not None:
             g.attrs["logz_ti"], g.attrs["logz_ti_err"] = lzti
 
+    loo = getattr(res, "loo_result", None)
+    if loo is not None:
+        from mbb_emcee_tpu.modelcheck import write_loo_group
+        write_loo_group(f, loo)
+
 
 def read_results(filename):
     """Read back into a dict of MBBResults attribute values."""
@@ -226,4 +235,7 @@ def _read_results(f):
         if "logz_ti" in g.attrs:
             out["logz_ti"] = (float(g.attrs["logz_ti"]),
                               float(g.attrs["logz_ti_err"]))
+    if "LOO" in f:
+        from mbb_emcee_tpu.modelcheck import read_loo_group
+        out["loo_result"] = read_loo_group(f["LOO"])
     return out

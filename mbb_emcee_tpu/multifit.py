@@ -183,6 +183,7 @@ class MultiFitter(ParamSpaceMixin):
         self._run_cache = {}
         self._xla_keys = None       # per-source PRNG keys, XLA extend()
         self.evidence = None    # NestedBatchResult from compute_evidence()
+        self.loo_result = None  # LooBatchResult from compute_loo()
         self.logz_pt = None     # ((S,), (S,)) stepping-stone, run_pt()
         self.logz_ti = None     # ((S,), (S,)) TI cross-check, run_pt()
         self.swap_fraction = None
@@ -2104,6 +2105,80 @@ class MultiFitter(ParamSpaceMixin):
             band_p=band_p, chi2_obs=chi2_obs, chi2_rep=chi2_rep,
             ndata=ndata, nfree=self.free_space.nfree, nsamples=N,
             excluded=~inc)
+
+    def compute_loo(self, thin=1):
+        """Batched WAIC + PSIS-LOO predictive assessment over the catalog.
+
+        The batch analog of MBBResults.compute_loo (see modelcheck.py
+        for the estimators): the (S x nsamples x nb) pointwise
+        log-likelihood tensor is a few chunked device programs over the
+        stored chains; the PSIS tail smoothing runs host-side per
+        source-band. Missing bands and photometric upper limits carry
+        no proper pointwise density and are excluded (NaN in the
+        pointwise arrays). With a band correlation set, pointwise
+        factors are the exact conditional predictive densities
+        p(y_i | y_-i, theta) through each source's marginal precision.
+
+        Fit two model variants on the same catalog and difference their
+        elpd_loo vectors for per-source predictive comparison -- the
+        sampling-theory complement of compute_evidence's Bayes factors.
+
+        Returns (and stores as .loo_result) a modelcheck.LooBatchResult.
+        """
+        from mbb_emcee_tpu import modelcheck
+        self._require_run()
+        flux = np.asarray(self.flux, np.float64)
+        S, nb = flux.shape
+        iunc = self._iunc_operand()          # signed: <0 uplim, 0 missing
+        inc = iunc > 0
+        if np.any(~inc.any(axis=1)):
+            bad = int(np.argwhere(~inc.any(axis=1))[0, 0])
+            raise RuntimeError(
+                f"compute_loo: source {bad} has no detected "
+                f"(non-missing, non-upper-limit) band")
+        y = jnp.asarray(np.where(inc, np.nan_to_num(flux),
+                                 0.0).astype(np.float32))
+        fluxes = derived.band_flux_eval(self.shape, self.wave,
+                                        self._response_pack())
+
+        if self._band_corr is None:
+            lam_diag = np.where(inc, iunc, np.nan) ** 2      # 1/sigma^2
+            op = (jnp.asarray(np.where(inc, iunc, 0.0).astype(np.float32)),)
+
+            def one(theta, y_s, op_s):
+                d = (fluxes(theta) - y_s) * op_s[0]
+                return -0.5 * d * d
+        else:
+            # Lambda_s = W_s^T W_s (exact marginal precision; zero
+            # rows/cols at missing slots), fp64 host like the whitener.
+            W = self._whiten_operand()
+            lam_diag = np.where(inc, np.einsum("skb,skb->sb", W, W),
+                                np.nan)
+            idg = np.where(inc, 1.0 / np.where(inc, lam_diag, 1.0), 0.0)
+            op = (jnp.asarray(W.astype(np.float32)),
+                  jnp.asarray(idg.astype(np.float32)))
+
+            def one(theta, y_s, op_s):
+                w_s, ig = op_s
+                d = fluxes(theta) - y_s
+                g = w_s.T @ (w_s @ d)
+                return -0.5 * g * g * ig
+
+        samples = jnp.asarray(self._thinned(thin), jnp.float32)  # (S,N,5)
+        N = int(samples.shape[1])
+        batched = jax.jit(jax.vmap(
+            jax.vmap(one, in_axes=(0, None, None)), in_axes=(0, 0, 0)))
+        chunk = max(1, (64 << 20) // max(S * nb, 1))
+        qs = []
+        for i in range(0, N, chunk):
+            qs.append(np.asarray(batched(samples[:, i:i + chunk], y, op),
+                                 np.float64))
+        q = np.concatenate(qs, axis=1)                     # (S, N, nb)
+        with np.errstate(invalid="ignore"):
+            lnnorm = 0.5 * (np.log(lam_diag) - np.log(2.0 * np.pi))
+        self.loo_result = modelcheck.loo_batch_from_loglik(
+            q + lnnorm[:, None, :], inc)
+        return self.loo_result
 
     def compute_evidence(self, nlive=512, nbatch=32, nsteps=32,
                          max_iter=3000, tol=1e-4, seed=None, verbose=False):

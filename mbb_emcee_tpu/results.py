@@ -117,6 +117,7 @@ class MBBResults:
         self.evidence = None  # NestedResult (compute_evidence on the fitter)
         self.logz_pt = None   # (lnZ, err) stepping-stone, from run_pt()
         self.logz_ti = None   # (lnZ, err) thermodynamic-integration check
+        self.loo_result = None  # LooResult (compute_loo)
 
         if fit is not None:
             self._from_fit(fit)
@@ -394,6 +395,62 @@ class MBBResults:
             uplim_bands=uplim,
             band_names=(list(self.phot.band_names)
                         if self.phot.band_names is not None else None))
+
+    def compute_loo(self, thin=1):
+        """WAIC + PSIS-LOO predictive assessment over the stored chain.
+
+        ADDITIVE capability (SURVEY.md C6: the reference has no
+        predictive model checking): estimates the leave-one-band-out
+        expected log predictive density elpd_loo, the WAIC twin, and the
+        per-band Pareto k-hat reliability diagnostic -- the quantitative
+        answer to "does the extra parameter actually predict better?"
+        when comparing opthin/noalpha model variants on the same data
+        (complementary to compute_evidence: elpd measures predictive
+        accuracy, lnZ prior-weighted average fit).
+
+        The (nsamples x nbands) pointwise log-likelihood matrix is ONE
+        batched device program over the thinned chain (same evaluation
+        mode as the fitted likelihood -- band-integrated when the fit
+        used instrument responses); the PSIS tail smoothing runs
+        host-side in fp64 (modelcheck.py). With a full error covariance
+        the pointwise factors are the exact conditional predictive
+        densities p(y_i | y_-i, theta) via the precision matrix.
+        Censored (upper-limit) and missing bands carry no proper
+        pointwise density and are excluded (modelcheck module
+        docstring).
+
+        Returns (and stores as .loo_result) a modelcheck.LooResult.
+        """
+        from mbb_emcee_tpu import modelcheck
+        spec = self.param_spec
+        wave = np.asarray(self.phot.wave, np.float64)
+        y = np.asarray(self.phot.flux, np.float64)
+        unc_all = np.asarray(self.phot.unc, np.float64)
+        nb = wave.size
+        uplim = (np.zeros(nb, bool) if spec.uplim_bands is None
+                 else np.asarray(spec.uplim_bands, bool))
+        present = np.isfinite(y) & np.isfinite(unc_all) & (unc_all > 0)
+        det_idx = np.where(present & ~uplim)[0]
+        if det_idx.size == 0:
+            raise RuntimeError(
+                "compute_loo needs at least one detected "
+                "(non-upper-limit) band")
+
+        fluxes = derived.band_flux_eval(self.shape, wave,
+                                        self.response_pack)
+        samples = jnp.asarray(self._thinned(thin), jnp.float32)
+        cov_det = (None if self.phot.cov is None
+                   else np.asarray(self.phot.cov, np.float64)[
+                       np.ix_(det_idx, det_idx)])
+        loglik = modelcheck.pointwise_loglik_matrix(
+            fluxes, samples, y, det_idx,
+            unc_det=None if cov_det is not None else unc_all[det_idx],
+            cov_det=cov_det)
+        names = (None if self.phot.band_names is None
+                 else [self.phot.band_names[i] for i in det_idx])
+        self.loo_result = modelcheck.loo_from_loglik(
+            loglik, point_index=det_idx, band_names=names)
+        return self.loo_result
 
     # -- cosmology helpers -----------------------------------------------------------
     def _dl_mpc(self):

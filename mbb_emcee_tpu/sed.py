@@ -824,6 +824,7 @@ class SEDResults:
         self.lir_chain = None
         self.lir_meta = None
         self.peaklambda_chain = None
+        self.loo_result = None  # LooResult (compute_loo)
 
         if fit is not None:
             if model is not None and model is not fit.model:
@@ -927,6 +928,9 @@ class SEDResults:
             if "PeakLambdaChain" in f:
                 self.peaklambda_chain = np.asarray(
                     f["PeakLambdaChain"], np.float64)
+            if "LOO" in f:
+                from mbb_emcee_tpu.modelcheck import read_loo_group
+                self.loo_result = read_loo_group(f["LOO"])
 
         # Constructor arguments win over stored metadata.
         if explicit_z is not None:
@@ -1199,6 +1203,57 @@ class SEDResults:
             band_names=(list(self.phot.band_names)
                         if self.phot.band_names is not None else None))
 
+    def compute_loo(self, thin=1):
+        """WAIC + PSIS-LOO predictive assessment, exactly as
+        MBBResults.compute_loo (see modelcheck.py for the estimators),
+        with band fluxes from the generic model. Censored (upper-limit)
+        and missing bands are excluded; a full error covariance uses the
+        exact conditional predictive factors. Returns (and stores as
+        .loo_result, persisted under /LOO) a modelcheck.LooResult."""
+        from mbb_emcee_tpu import modelcheck
+        model = self._require_model()
+        spec = self.param_spec
+        wave = np.asarray(self.phot.wave, np.float64)
+        y = np.asarray(self.phot.flux, np.float64)
+        unc_all = np.asarray(self.phot.unc, np.float64)
+        nb = wave.size
+        uplim = (np.zeros(nb, bool) if spec.uplim_bands is None
+                 else np.asarray(spec.uplim_bands, bool))
+        present = np.isfinite(y) & np.isfinite(unc_all) & (unc_all > 0)
+        det_idx = np.where(present & ~uplim)[0]
+        if det_idx.size == 0:
+            raise RuntimeError(
+                "compute_loo needs at least one detected "
+                "(non-upper-limit) band")
+
+        fnu = model.fnu
+        pack = self.response_pack
+        if pack is None:
+            wave32 = np.asarray(wave, np.float32)
+
+            def fluxes(theta):
+                return fnu(theta, wave32)
+        else:
+            nodes = np.asarray(pack[0], np.float32)
+            wts = np.asarray(pack[1], np.float32)
+
+            def fluxes(theta):
+                return jnp.sum(wts * fnu(theta, nodes), axis=-1)
+
+        samples = jnp.asarray(self._thinned(thin), jnp.float32)
+        cov_det = (None if self.phot.cov is None
+                   else np.asarray(self.phot.cov, np.float64)[
+                       np.ix_(det_idx, det_idx)])
+        loglik = modelcheck.pointwise_loglik_matrix(
+            fluxes, samples, y, det_idx,
+            unc_det=None if cov_det is not None else unc_all[det_idx],
+            cov_det=cov_det)
+        names = (None if self.phot.band_names is None
+                 else [self.phot.band_names[i] for i in det_idx])
+        self.loo_result = modelcheck.loo_from_loglik(
+            loglik, point_index=det_idx, band_names=names)
+        return self.loo_result
+
     # -- plotting -------------------------------------------------------------------------------
     def plot_sed(self, **kw):
         from mbb_emcee_tpu import plotting
@@ -1284,6 +1339,9 @@ class SEDResults:
                 f.create_dataset("PeakLambdaChain",
                                  data=self.peaklambda_chain,
                                  compression="gzip")
+            if self.loo_result is not None:
+                from mbb_emcee_tpu.modelcheck import write_loo_group
+                write_loo_group(f, self.loo_result)
         return filename
 
     @property

@@ -101,6 +101,7 @@ class SEDMultiFitter(ParamSpaceMixin):
         self._xla_counters = None
         self._post_token = None
         self._run_cache = {}
+        self.loo_result = None            # LooBatchResult (compute_loo)
 
     # -- ParamSpaceMixin hooks ---------------------------------------------------------
     def _param_index(self, param):
@@ -1344,6 +1345,63 @@ class SEDMultiFitter(ParamSpaceMixin):
             band_p=band_p, chi2_obs=chi2_obs, chi2_rep=chi2_rep,
             ndata=ndata, nfree=self.free_space.nfree, nsamples=N,
             excluded=~inc)
+
+    def compute_loo(self, thin=1):
+        """Batched WAIC + PSIS-LOO predictive assessment -- the
+        generic-model analog of MultiFitter.compute_loo (see
+        modelcheck.py for the estimators). Diagonal errors; missing
+        bands and upper-limit slots are excluded (NaN in the pointwise
+        arrays). Returns (and stores as .loo_result) a
+        modelcheck.LooBatchResult."""
+        from mbb_emcee_tpu import modelcheck
+        self._require_run()
+        flux = np.asarray(self.flux, np.float64)
+        S, nb = flux.shape
+        iunc = self._iunc_operand()
+        inc = iunc > 0
+        if np.any(~inc.any(axis=1)):
+            bad = int(np.argwhere(~inc.any(axis=1))[0, 0])
+            raise RuntimeError(
+                f"compute_loo: source {bad} has no detected "
+                f"(non-missing, non-upper-limit) band")
+        y = jnp.asarray(np.where(inc, np.nan_to_num(flux),
+                                 0.0).astype(np.float32))
+        iu = jnp.asarray(np.where(inc, iunc, 0.0).astype(np.float32))
+        lam_diag = np.where(inc, iunc, np.nan) ** 2
+
+        fnu = self.model.fnu
+        pack = self._response_pack()
+        if pack is None:
+            wave32 = np.asarray(self.wave, np.float32)
+
+            def fluxes_fn(theta):
+                return fnu(theta, wave32)
+        else:
+            nodes = np.asarray(pack[0], np.float32)
+            wts = np.asarray(pack[1], np.float32)
+
+            def fluxes_fn(theta):
+                return jnp.sum(wts * fnu(theta, nodes), axis=-1)
+
+        def one(theta, y_s, a):
+            d = (fluxes_fn(theta) - y_s) * a
+            return -0.5 * d * d
+
+        samples = self._thinned(thin)
+        N = int(samples.shape[1])
+        batched = jax.jit(jax.vmap(
+            jax.vmap(one, in_axes=(0, None, None)), in_axes=(0, 0, 0)))
+        chunk = max(1, (64 << 20) // max(S * nb, 1))
+        qs = []
+        for i in range(0, N, chunk):
+            qs.append(np.asarray(batched(samples[:, i:i + chunk], y, iu),
+                                 np.float64))
+        q = np.concatenate(qs, axis=1)
+        with np.errstate(invalid="ignore"):
+            lnnorm = 0.5 * (np.log(lam_diag) - np.log(2.0 * np.pi))
+        self.loo_result = modelcheck.loo_batch_from_loglik(
+            q + lnnorm[:, None, :], inc)
+        return self.loo_result
 
     def compute_evidence(self, nlive=512, nbatch=32, nsteps=32,
                          max_iter=3000, tol=1e-4, seed=None,

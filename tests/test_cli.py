@@ -41,12 +41,13 @@ def test_cli_full_run(tmp_path, capsys):
                "-z", "2.0",
                "--uplim", "T", "100", "--uplim", "beta", "5",
                "--get-lir", "--get-dustmass", "--get-peaklambda",
-               "--derived-thin", "4",
+               "--loo", "--derived-thin", "4",
                "--seed", "5", "-v"])
     assert rc == 0
     captured = capsys.readouterr().out
     assert "acceptance" in captured
     assert "L_IR" in captured
+    assert "elpd_loo" in captured
 
     # Reload and sanity-check.
     res = MBBResults(h5file=out)
@@ -62,8 +63,12 @@ def test_cli_full_run(tmp_path, capsys):
     lir_med = np.median(res.lir_chain)
     assert 1e13 < lir_med < 1e16
 
+    # The LOO assessment persisted and round-trips.
+    assert res.loo_result is not None
+    assert np.isfinite(res.loo_result.elpd_loo)
+
     with h5py.File(out) as f:
-        assert "Chain" in f and "LIR" in f
+        assert "Chain" in f and "LIR" in f and "LOO" in f
         assert f.attrs["opthin"]
 
 

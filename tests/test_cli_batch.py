@@ -124,11 +124,13 @@ def test_batch_cli_full_run(tmp_path, capsys):
     rc = main([cat, out, "--opthin", "--noalpha",
                "-w", "64", "-b", "40", "-n", "120",
                "--uplim", "T", "100", "--uplim", "beta", "5",
-               "--get-lir", "--get-peaklambda", "--derived-thin", "8",
+               "--get-lir", "--get-peaklambda", "--loo",
+               "--derived-thin", "8",
                "--seed", "5", "--summary"])
     assert rc == 0
     table = capsys.readouterr().out
     assert "SRC000" in table and "max-Rhat" in table
+    assert "elpd_loo" in table
 
     back = MultiFitter.from_h5(out)
     assert back.nsources == 3
