@@ -70,3 +70,28 @@ else:
 mean = z_thin.posterior_mean()
 print("thin-model posterior mean (T, beta, fnorm):",
       np.round(mean[[0, 1, 4]], 3))
+
+# -- the predictive view: WAIC / PSIS-LOO cross-validation --------------------
+# The evidence asks "which model explains the data best a priori"; elpd
+# asks "which model PREDICTS held-out bands better". Both run from the
+# same machinery; LOO needs chains, so run the stretch sampler briefly.
+from mbb_emcee_tpu import MBBResults, compare_loo
+
+NB, NS = (30, 80) if QUICK else (150, 400)
+loos = {}
+for opthin in (True, False):
+    f = make_fitter(opthin=opthin)
+    f.run(nburn=NB, nsteps=NS)
+    loos[opthin] = MBBResults(fit=f, redshift=1.5).compute_loo()
+cmp = compare_loo(loos[True], loos[False])
+print(f"elpd_loo(thin)  = {loos[True].elpd_loo:8.3f} "
+      f"+/- {loos[True].se_elpd_loo:.3f}")
+print(f"elpd_loo(thick) = {loos[False].elpd_loo:8.3f} "
+      f"+/- {loos[False].se_elpd_loo:.3f}")
+print(f"paired elpd difference thin-thick = {cmp.elpd_diff:.3f} "
+      f"+/- {cmp.se_diff:.3f} -> favored: {cmp.favored}")
+# k-hat > 0.7 flags bands whose PSIS estimate is untrustworthy; settle
+# them exactly with fit.compute_loo_exact(bands=[...]) -- all the
+# leave-one-band-out refits advance as ONE batched device program.
+k = np.maximum(loos[True].pareto_k, loos[False].pareto_k)
+print("max Pareto k-hat over both models:", float(k.max()).__round__(2))

@@ -42,7 +42,8 @@ from mbb_emcee_tpu.nested import (
 from mbb_emcee_tpu.tempering import (
     pt_sample, PTResult, ParallelTemperingSampler, geometric_ladder)
 from mbb_emcee_tpu.mapfit import MAPResult
-from mbb_emcee_tpu.modelcheck import LooResult, LooBatchResult
+from mbb_emcee_tpu.modelcheck import (
+    LooResult, LooBatchResult, LooComparison, compare_loo)
 from mbb_emcee_tpu.fitter import MBBFitter
 from mbb_emcee_tpu.results import MBBResults, PPCResult
 from mbb_emcee_tpu.multifit import MultiFitter, PPCBatchResult
@@ -67,6 +68,7 @@ __all__ = [
     "NestedResult", "NestedBatchResult",
     "pt_sample", "PTResult", "ParallelTemperingSampler",
     "geometric_ladder", "MAPResult", "LooResult", "LooBatchResult",
+    "LooComparison", "compare_loo",
     "MBBFitter", "MBBResults", "PPCResult", "PPCBatchResult",
     "MultiFitter",
     "Catalog", "read_catalog",

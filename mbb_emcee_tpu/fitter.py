@@ -931,6 +931,126 @@ class MBBFitter(ParamSpaceMixin):
                 f"{res.n_iter} iterations, {res.n_like} likelihood evals)")
         return res
 
+    def compute_loo_exact(self, bands=None, nburn=100, nsteps=400,
+                          thin=1, seed=None, verbose=False):
+        """EXACT leave-one-band-out elpd by refitting without each band.
+
+        The escalation path when PSIS-LOO's k-hat diagnostic
+        (MBBResults.compute_loo) flags a band as unreliable: instead of
+        importance-reweighting one posterior, actually refit the
+        posterior with band i removed and average p(y_i | theta) over
+        that chain -- the estimand PSIS approximates, computed directly.
+
+        TPU-shaped brute force: ALL K leave-one-out refits advance as
+        ONE batched device program -- a MultiFitter whose K "sources"
+        are K copies of this photometry, copy i with band i flagged
+        missing (the ragged-catalog NaN encoding; multifit.py), sharing
+        this fitter's box/priors/fixed params/initialization and
+        response curves. The reference-equivalent workflow would be K
+        sequential emcee runs.
+
+        bands: band names or indices to assess (default: every
+        detected, non-upper-limit band). Diagonal errors only (the
+        batched tier has no covariance mode; a covariance fit should
+        rely on compute_loo's exact conditional factors instead).
+
+        Returns a modelcheck.ExactLooResult.
+        """
+        from mbb_emcee_tpu.multifit import MultiFitter
+        from mbb_emcee_tpu.modelcheck import (
+            ExactLooResult, gaussian_pointwise_constants)
+        from mbb_emcee_tpu import derived
+
+        phot = self._require_data()
+        if phot.cov is not None:
+            raise ValueError(
+                "compute_loo_exact supports diagonal errors only (the "
+                "batched refit tier has no covariance mode); use "
+                "MBBResults.compute_loo -- its pointwise factors are "
+                "already the exact conditional predictive densities "
+                "under the covariance")
+        nb = phot.nbands
+        spec = self._spec
+        uplim = (np.zeros(nb, bool) if spec.uplim_bands is None
+                 else np.asarray(spec.uplim_bands, bool))
+
+        def _band_idx(b):
+            if isinstance(b, (int, np.integer)):
+                i = int(b)
+                if not 0 <= i < nb:
+                    raise ValueError(f"band index {i} out of range")
+                return i
+            if phot.band_names is None:
+                raise ValueError(
+                    f"band {b!r} given by name but the photometry has "
+                    f"no band names")
+            return list(phot.band_names).index(b)
+
+        if bands is None:
+            idx = [i for i in range(nb) if not uplim[i]]
+        else:
+            idx = [_band_idx(b) for b in bands]
+            bad = [i for i in idx if uplim[i]]
+            if bad:
+                raise ValueError(
+                    f"bands {bad} are photometric upper limits; a "
+                    f"censored band has no pointwise density to assess")
+        idx = np.asarray(idx, np.int64)
+        K = idx.size
+        if K == 0:
+            raise ValueError("no bands to assess")
+
+        # K ragged copies: copy j misses band idx[j].
+        flux_b = np.tile(phot.flux, (K, 1))
+        unc_b = np.tile(phot.unc, (K, 1))
+        flux_b[np.arange(K), idx] = np.nan
+        unc_b[np.arange(K), idx] = np.nan
+
+        mf = MultiFitter(nwalkers=self.nwalkers,
+                         wavenorm=self.shape.wavenorm,
+                         noalpha=self.shape.noalpha,
+                         opthin=self.shape.opthin,
+                         responses=self.responses,
+                         seed=self.seed if seed is None else int(seed))
+        mf._spec = _dataclasses.replace(spec)
+        mf._init = self._init.copy()
+        mf._scatter = self._scatter.copy()
+        mf._user_init = self._user_init.copy()
+        mf._user_scatter = self._user_scatter.copy()
+        mf.set_data(phot.wave, flux_b, unc_b, band_names=phot.band_names)
+        mf.run(nburn=int(nburn), nsteps=int(nsteps), verbose=verbose)
+
+        # ln p(y_i | theta) over each refit's own chain, one batched
+        # program: one-hot pick of the held-out band's pointwise term.
+        isig32, _, _, lnnorm32 = gaussian_pointwise_constants(
+            unc_det=phot.unc)
+        y32 = np.asarray(phot.flux, np.float32)
+        sel = np.zeros((K, nb), np.float32)
+        sel[np.arange(K), idx] = 1.0
+        pack = self._response_pack()
+        fluxes = derived.band_flux_eval(self.shape, phot.wave, pack)
+
+        def one(theta, sel_s):
+            r = (fluxes(theta) - y32) * isig32
+            return jnp.sum(sel_s * (lnnorm32 - 0.5 * r * r))
+
+        samples = mf._thinned(thin)                     # (K, N, 5)
+        n = int(samples.shape[1])
+        lnp = np.asarray(jax.jit(jax.vmap(
+            jax.vmap(one, in_axes=(0, None)), in_axes=(0, 0)))(
+                samples, jnp.asarray(sel)), np.float64)  # (K, N)
+
+        m = lnp.max(axis=1, keepdims=True)
+        p = np.exp(lnp - m)
+        mean_p = p.mean(axis=1)
+        elpd = np.log(mean_p) + m[:, 0]
+        se_mc = p.std(axis=1, ddof=1) / (np.sqrt(n) * mean_p)
+        names = (None if phot.band_names is None
+                 else [phot.band_names[i] for i in idx])
+        return ExactLooResult(pointwise_loo=elpd, se_mc=se_mc,
+                              point_index=idx, nsamples=n,
+                              band_names=names)
+
     def _run_ensembles(self, nburn, nsteps, thin, recenter_burn, verbose,
                        checkpoint=None, checkpoint_interval=100,
                        resume=False):

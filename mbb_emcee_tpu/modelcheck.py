@@ -45,8 +45,9 @@ import dataclasses
 
 import numpy as np
 
-__all__ = ["LooResult", "LooBatchResult", "gpd_fit", "psis_smooth",
-           "loo_from_loglik", "loo_batch_from_loglik",
+__all__ = ["LooResult", "LooBatchResult", "LooComparison",
+           "ExactLooResult", "gpd_fit", "psis_smooth", "loo_from_loglik",
+           "loo_batch_from_loglik", "compare_loo",
            "gaussian_pointwise_constants", "PARETO_K_WARN"]
 
 # Published reliability threshold for the Pareto shape diagnostic
@@ -273,6 +274,87 @@ def loo_batch_from_loglik(loglik, include):
         elpd_waic=scalars[3], se_elpd_waic=scalars[4], p_waic=scalars[5],
         pointwise_loo=pw_loo, pareto_k=k_hat,
         n_points=npts.astype(np.int64), nsamples=n, excluded=~include)
+
+
+@dataclasses.dataclass
+class ExactLooResult:
+    """Brute-force leave-one-band-out elpd (MBBFitter.compute_loo_exact).
+
+    Each pointwise value is ln(1/N sum_n p(y_i | theta_n^{-i})) over a
+    chain REFIT without band i -- the estimand PSIS-LOO approximates,
+    with no importance-sampling step to go wrong. Use it to settle
+    bands the k-hat diagnostic flagged. se_mc is the naive delta-method
+    Monte-Carlo error (an underestimate on autocorrelated chains; thin
+    first or treat as a lower bound)."""
+    pointwise_loo: np.ndarray    # (K,)
+    se_mc: np.ndarray            # (K,)
+    point_index: np.ndarray      # (K,) band indices refit-assessed
+    nsamples: int                # posterior draws per refit
+    band_names: list | None = None
+
+    @property
+    def elpd_loo(self):
+        """Sum over the assessed points (only comparable to a PSIS
+        elpd_loo computed over the SAME point set)."""
+        return float(np.sum(self.pointwise_loo))
+
+    def __repr__(self):
+        return (f"ExactLooResult({self.pointwise_loo.size} refit bands, "
+                f"elpd={self.elpd_loo:.3f}, n={self.nsamples})")
+
+
+@dataclasses.dataclass
+class LooComparison:
+    """Paired elpd difference between two models on the SAME data.
+
+    elpd_diff > 0 favors model A. The standard error is the PAIRED one
+    (sqrt(n var(diff_i)) over shared points -- pointwise differences
+    cancel shared noise, so this is much tighter than differencing the
+    two models' own se_elpd_loo); |elpd_diff| < ~2 se_diff means the
+    data cannot distinguish the models' predictive accuracy."""
+    elpd_diff: float
+    se_diff: float
+    pointwise_diff: np.ndarray     # (npoints,) elpd_a_i - elpd_b_i
+    point_index: np.ndarray
+    n_points: int
+
+    @property
+    def favored(self):
+        """'A', 'B', or 'neither' at the 2-sigma paired level."""
+        if not np.isfinite(self.se_diff) or (abs(self.elpd_diff)
+                                             <= 2.0 * self.se_diff):
+            return "neither"
+        return "A" if self.elpd_diff > 0 else "B"
+
+    def __repr__(self):
+        return (f"LooComparison(elpd_diff={self.elpd_diff:.3f} "
+                f"+- {self.se_diff:.3f} over {self.n_points} points; "
+                f"favored: {self.favored})")
+
+
+def compare_loo(loo_a, loo_b):
+    """Paired LOO comparison of two models fit to the SAME data.
+
+    Both arguments are LooResults whose point_index sets must agree
+    (the same bands assessed -- elpd is only comparable on identical
+    held-out data). Returns a LooComparison; elpd_diff > 0 means model
+    A predicts held-out bands better (Vehtari, Gelman & Gabry 2017
+    section 5.1: report the paired difference and its SE, never the
+    difference of the separate SEs)."""
+    ia = np.asarray(loo_a.point_index)
+    ib = np.asarray(loo_b.point_index)
+    if ia.shape != ib.shape or np.any(ia != ib):
+        raise ValueError(
+            f"the two assessments cover different data points "
+            f"({ia.tolist()} vs {ib.tolist()}); elpd differences are "
+            f"only meaningful on identical held-out data")
+    diff = (np.asarray(loo_a.pointwise_loo, np.float64)
+            - np.asarray(loo_b.pointwise_loo, np.float64))
+    n = diff.size
+    se = float(np.sqrt(n * np.var(diff, ddof=1))) if n > 1 else np.nan
+    return LooComparison(elpd_diff=float(diff.sum()), se_diff=se,
+                         pointwise_diff=diff, point_index=ia.copy(),
+                         n_points=n)
 
 
 def write_loo_group(parent, loo, name="LOO"):

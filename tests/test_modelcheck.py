@@ -254,6 +254,70 @@ def test_multifit_loo_identity_correlation_matches_diag():
         loo_diag.pointwise_loo[~loo_diag.excluded], rtol=2e-3, atol=5e-3)
 
 
+def test_compare_loo_paired():
+    """Paired comparison: a mis-centered model must lose; a model
+    compared against itself is a tie; mismatched points are refused."""
+    rng = np.random.default_rng(23)
+    n_pts, s, ndraw = 10, 1.0, 4000
+    y = s * rng.standard_normal(n_pts)
+    mu = y.mean() + s / np.sqrt(n_pts) * rng.standard_normal(ndraw)
+
+    def loglik_for(offset):
+        return (-0.5 * ((y[None, :] - offset - mu[:, None]) / s) ** 2
+                - np.log(s) - 0.5 * np.log(2 * np.pi))
+
+    loo_a = modelcheck.loo_from_loglik(loglik_for(0.0))
+    loo_b = modelcheck.loo_from_loglik(loglik_for(3.0))   # badly biased
+    cmp_ab = modelcheck.compare_loo(loo_a, loo_b)
+    assert cmp_ab.favored == "A"
+    assert cmp_ab.elpd_diff > 2.0 * cmp_ab.se_diff
+    assert cmp_ab.n_points == n_pts
+    tie = modelcheck.compare_loo(loo_a, loo_a)
+    assert tie.favored == "neither"
+    np.testing.assert_allclose(tie.elpd_diff, 0.0, atol=1e-12)
+    with pytest.raises(ValueError):
+        modelcheck.compare_loo(
+            loo_a, modelcheck.loo_from_loglik(loglik_for(0.0)[:, :5]))
+    assert "favored" in repr(cmp_ab)
+
+
+def test_compute_loo_exact_matches_psis(loo_fit):
+    """On a well-conditioned fit the exact refit-without-band elpd and
+    the PSIS estimate agree within their Monte-Carlo errors."""
+    res = MBBResults(fit=loo_fit, redshift=2.0)
+    psis = res.compute_loo()
+    # Pick the three best-behaved bands (smallest k-hat).
+    pick = np.argsort(psis.pareto_k)[:3]
+    bands = psis.point_index[pick]
+    exact = loo_fit.compute_loo_exact(bands=[int(b) for b in bands],
+                                      nburn=60, nsteps=200)
+    assert exact.nsamples > 0
+    np.testing.assert_array_equal(exact.point_index, bands)
+    np.testing.assert_allclose(exact.pointwise_loo,
+                               psis.pointwise_loo[pick], atol=0.3)
+    assert np.all(np.isfinite(exact.se_mc))
+    assert "ExactLooResult" in repr(exact)
+
+
+def test_compute_loo_exact_validation():
+    shape = MBBShape(opthin=True, noalpha=True)
+    f = np.asarray(mbb_fnu(jnp.asarray(TRUE, jnp.float32),
+                           jnp.asarray(WAVE, jnp.float32), shape),
+                   np.float64)
+    unc = 0.06 * f
+    fit = MBBFitter(nwalkers=16, seed=2, opthin=True, noalpha=True)
+    fit.set_data(WAVE, f, unc, cov=np.diag(unc ** 2))
+    with pytest.raises(ValueError, match="diagonal"):
+        fit.compute_loo_exact()
+    fit2 = MBBFitter(nwalkers=16, seed=2, opthin=True, noalpha=True)
+    fit2.set_data(WAVE, f, unc)
+    fit2.set_phot_upperlimits(np.array([False] * 4 + [True]))
+    with pytest.raises(ValueError, match="upper limit"):
+        fit2.compute_loo_exact(bands=[4])
+    with pytest.raises(ValueError, match="out of range"):
+        fit2.compute_loo_exact(bands=[7])
+
+
 def test_sed_surfaces_compute_loo(tmp_path):
     """Generic-model tier: SEDFitter/SEDResults LOO + HDF5 round-trip,
     and the batched SEDMultiFitter analog with a missing band."""
