@@ -216,6 +216,12 @@ def build_parser():
                         "Pareto k-hat reliability diagnostic, persisted "
                         "to /LOO (additive; compare two model variants' "
                         "elpd_loo on the same data)")
+    g.add_argument("--loo-exact", action="store_true",
+                   help="after --loo, settle any k-hat-flagged bands by "
+                        "brute force: refit without each flagged band "
+                        "(all refits one batched device program) and "
+                        "report the exact leave-one-out elpd (implies "
+                        "--loo; diagonal errors only)")
     g.add_argument("--get-evidence", action="store_true",
                    help="also compute the Bayesian evidence lnZ by nested "
                         "sampling over the parameter box (additive over "
@@ -341,7 +347,7 @@ def main(argv=None):
                              "--hmc/--pt/--checkpoint/--resume/"
                              "--extend-until/--init-map")
         if (args.get_lir or args.get_dustmass or args.get_peaklambda
-                or args.get_evidence or args.loo):
+                or args.get_evidence or args.loo or args.loo_exact):
             raise SystemExit("derived-quantity posteriors need chains; "
                              "run without --map for them")
         import time as _time
@@ -511,7 +517,8 @@ def main(argv=None):
         print(f"posterior predictive p = {ppc.p_value:.3f} "
               f"(ndata={ppc.ndata}, nfree={ppc.nfree}); "
               f"band tail probs: {bands}")
-    if args.loo:
+    if args.loo or args.loo_exact:
+        from mbb_emcee_tpu.modelcheck import PARETO_K_WARN
         loo = res.compute_loo(thin=args.derived_thin)
         k_max = float(max(loo.pareto_k))
         print(f"elpd_loo = {loo.elpd_loo:.3f} +/- {loo.se_elpd_loo:.3f} "
@@ -519,6 +526,24 @@ def main(argv=None):
               f"+/- {loo.se_elpd_waic:.3f}; max Pareto k-hat = {k_max:.2f}"
               + (f"  [{loo.n_bad_k} band(s) with k>0.7: unreliable]"
                  if loo.n_bad_k else ""))
+        if args.loo_exact and loo.n_bad_k:
+            flagged = loo.point_index[loo.pareto_k > PARETO_K_WARN]
+            exact = fit.compute_loo_exact(
+                bands=[int(b) for b in flagged],
+                nburn=args.burn, nsteps=args.nsteps,
+                thin=args.derived_thin)
+            labels = (exact.band_names if exact.band_names is not None
+                      else [f"band{i}" for i in exact.point_index])
+            terms = "  ".join(
+                f"{n}: {v:.3f}+/-{s:.3f} (psis {p:.3f})"
+                for n, v, s, p in zip(
+                    labels, exact.pointwise_loo, exact.se_mc,
+                    loo.pointwise_loo[loo.pareto_k > PARETO_K_WARN]))
+            print(f"exact LOO refits for {flagged.size} flagged "
+                  f"band(s): {terms}")
+        elif args.loo_exact:
+            print("exact LOO refits: nothing flagged (all k-hat <= "
+                  f"{PARETO_K_WARN})")
 
     res.writeToHDF5(args.outfile)
 

@@ -266,7 +266,7 @@ class MBBResults:
         order gelman_rubin/autocorrelation_time report)."""
         return [PARAM_NAMES[i] for i in self.param_spec.free_indices]
 
-    def gelman_rubin(self):
+    def gelman_rubin(self, rank_normalized=False):
         """Split-R-hat per free parameter: each walker's series is split
         in time halves and all halves treated as independent chains
         (Gelman et al., BDA3 sec. 11.4). Values near 1 indicate
@@ -275,14 +275,35 @@ class MBBResults:
         DESIGN.md section 5b) shows up here long before it is visible in
         percentile summaries.
 
+        rank_normalized=True uses the Vehtari et al. (2021) estimator
+        instead: max(bulk, folded-tail) split-R-hat of the
+        rank-normalized samples -- calibrated even when the posterior is
+        heavy-tailed or pressed against a box edge, and sensitive to
+        chains agreeing in location but not scale.
+
         Returns the (nfree,) rhat array -- the same convention as
         MBBFitter.gelman_rubin and MultiFitter.gelman_rubin, so
         convergence loops compose across all three; pair with
         `free_param_names` for labels."""
-        from mbb_emcee_tpu.sampler import split_rhat
+        from mbb_emcee_tpu.sampler import (
+            split_rhat, split_rhat_rank_normalized)
         idx = self.param_spec.free_indices
         chain = np.transpose(self.chain[:, :, idx], (1, 0, 2))
+        if rank_normalized:
+            return split_rhat_rank_normalized(chain)
         return split_rhat(chain)
+
+    def effective_samples(self, kind="bulk"):
+        """Per-free-parameter effective sample size of the stored chain
+        (Vehtari et al. 2021 rank-normalized ESS; kind="bulk" for
+        location summaries, "tail" for the 5%/95% interval endpoints,
+        which mix slower). Returns the (nfree,) ESS array; pair with
+        `free_param_names`. Rule of thumb: want ESS > ~400 for stable
+        percentile reports."""
+        from mbb_emcee_tpu.sampler import effective_sample_size
+        idx = self.param_spec.free_indices
+        chain = np.transpose(self.chain[:, :, idx], (1, 0, 2))
+        return effective_sample_size(chain, kind=kind)
 
     def autocorrelation_time(self):
         """Per-free-parameter integrated autocorrelation time in steps,

@@ -311,6 +311,123 @@ def split_rhat(chain):
     return np.sqrt(var_post / np.maximum(w, 1e-30))
 
 
+# Acklam's rational approximation to the inverse normal CDF (published
+# algorithm, |relative error| < 1.2e-9) -- scipy-free so the package's
+# runtime dependency set stays jax/numpy/h5py.
+_NDTRI_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+            -2.759285104469687e+02, 1.383577518672690e+02,
+            -3.066479806614716e+01, 2.506628277459239e+00)
+_NDTRI_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+            -1.556989798598866e+02, 6.680131188771972e+01,
+            -1.328068155288572e+01)
+_NDTRI_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+            -2.400758277161838e+00, -2.549732539343734e+00,
+            4.374664141464968e+00, 2.938163982698783e+00)
+_NDTRI_D = (7.784695709041462e-03, 3.224671290700398e-01,
+            2.445134137142996e+00, 3.754408661907416e+00)
+
+
+def _poly(coeffs, x):
+    out = np.full_like(x, coeffs[0], dtype=np.float64)
+    for c in coeffs[1:]:
+        out = out * x + c
+    return out
+
+
+def inverse_normal_cdf(p):
+    """Phi^-1(p) elementwise, host fp64 (Acklam's approximation)."""
+    p = np.asarray(p, np.float64)
+    x = np.empty_like(p)
+    lo, hi = 0.02425, 1.0 - 0.02425
+    low = p < lo
+    high = p > hi
+    mid = ~(low | high)
+    if np.any(mid):
+        q = p[mid] - 0.5
+        r = q * q
+        x[mid] = _poly(_NDTRI_A, r) * q / (_poly(_NDTRI_B, r) * r + 1.0)
+    if np.any(low):
+        q = np.sqrt(-2.0 * np.log(p[low]))
+        x[low] = _poly(_NDTRI_C, q) / (_poly(_NDTRI_D, q) * q + 1.0)
+    if np.any(high):
+        q = np.sqrt(-2.0 * np.log1p(-p[high]))
+        x[high] = -_poly(_NDTRI_C, q) / (_poly(_NDTRI_D, q) * q + 1.0)
+    return x
+
+
+def rank_normalize(x):
+    """Rank-normalize samples along ALL axes jointly: fractional ranks
+    (rank - 3/8) / (S + 1/4) mapped through the inverse normal CDF
+    (Vehtari et al. 2021 eq. 14). Shape-preserving; rank statistics make
+    the downstream R-hat/ESS estimators calibrated for heavy-tailed
+    targets whose moments may not exist."""
+    x = np.asarray(x, np.float64)
+    flat = x.reshape(-1)
+    ranks = np.empty(flat.size, np.float64)
+    ranks[np.argsort(flat, kind="stable")] = np.arange(1, flat.size + 1)
+    return inverse_normal_cdf(
+        ((ranks - 0.375) / (flat.size + 0.25)).reshape(x.shape))
+
+
+def split_rhat_rank_normalized(chain):
+    """Rank-normalized split-R-hat (Vehtari et al. 2021): the max of the
+    BULK statistic (split-R-hat of the rank-normalized samples) and the
+    TAIL statistic (the same on the rank-normalized folded samples
+    |x - median|, which catches chains agreeing in location but not in
+    scale). chain: (nsteps, nwalkers, ndim) host numpy; values near 1 =
+    converged, > ~1.01 at this estimator's calibration = keep sampling.
+
+    Upgrade over the classic `split_rhat` for heavy-tailed or strongly
+    skewed posteriors (fnorm near a box edge, the optically-thick
+    T-lambda0 ridge) where moment-based R-hat is itself noisy."""
+    chain = np.asarray(chain, np.float64)
+    ndim = chain.shape[2]
+    bulk = np.empty(ndim)
+    tail = np.empty(ndim)
+    for d in range(ndim):
+        x = chain[:, :, d]
+        bulk[d] = split_rhat(rank_normalize(x)[:, :, None])[0]
+        folded = np.abs(x - np.median(x))
+        tail[d] = split_rhat(rank_normalize(folded)[:, :, None])[0]
+    return np.maximum(bulk, tail)
+
+
+def effective_sample_size(chain, kind="bulk", c=5.0):
+    """Per-dimension effective sample size of the ensemble chain.
+
+    kind="bulk": ESS of the rank-normalized samples -- reliability of
+    location summaries (medians, means). kind="tail": the minimum ESS
+    of the 5% and 95% indicator functions -- reliability of interval
+    endpoints, which mix slower than the bulk (Vehtari et al. 2021
+    sec. 4.3). ESS = nsteps*nwalkers / tau with tau from the same
+    Sokal-window autocorrelation estimator `autocorrelation_time` uses
+    (emcee's convention), floored at 1 so a frozen chain reports ESS =
+    nwalkers*nsteps/nsteps rather than inf.
+
+    chain: (nsteps, nwalkers, ndim) host numpy -> (ndim,) ESS.
+    """
+    chain = np.asarray(chain, np.float64)
+    nsteps, nwalkers, ndim = chain.shape
+    total = nsteps * nwalkers
+
+    def _ess_of(x):      # (nsteps, nwalkers, ndim) transformed samples
+        tau = autocorrelation_time(x, c=c)
+        return total / np.maximum(np.nan_to_num(tau, nan=1.0), 1.0)
+
+    if kind == "bulk":
+        z = np.stack([rank_normalize(chain[:, :, d])
+                      for d in range(ndim)], axis=2)
+        return _ess_of(z)
+    if kind == "tail":
+        out = np.full(ndim, np.inf)
+        for q in (0.05, 0.95):
+            quant = np.quantile(chain.reshape(-1, ndim), q, axis=0)
+            ind = (chain <= quant[None, None, :]).astype(np.float64)
+            out = np.minimum(out, _ess_of(ind))
+        return out
+    raise ValueError(f"kind must be 'bulk' or 'tail', got {kind!r}")
+
+
 def autocorrelation_time(chain, c=5.0):
     """Integrated autocorrelation time per dimension, emcee-style
     (Sokal's adaptive window). chain: (nsteps, nwalkers, ndim), host numpy.

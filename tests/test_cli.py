@@ -41,13 +41,14 @@ def test_cli_full_run(tmp_path, capsys):
                "-z", "2.0",
                "--uplim", "T", "100", "--uplim", "beta", "5",
                "--get-lir", "--get-dustmass", "--get-peaklambda",
-               "--loo", "--derived-thin", "4",
+               "--loo-exact", "--derived-thin", "4",
                "--seed", "5", "-v"])
     assert rc == 0
     captured = capsys.readouterr().out
     assert "acceptance" in captured
     assert "L_IR" in captured
-    assert "elpd_loo" in captured
+    assert "elpd_loo" in captured      # --loo-exact implies --loo
+    assert "exact LOO refits" in captured
 
     # Reload and sanity-check.
     res = MBBResults(h5file=out)

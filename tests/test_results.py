@@ -310,3 +310,18 @@ def test_h5_custom_cosmology_roundtrip(tmp_path, small_fit):
     # an explicit constructor choice still wins over the stored one
     named = MBBResults(h5file=path, cosmology="WMAP9")
     assert named.cosmology_name == "WMAP9"
+
+
+def test_rank_normalized_diagnostics_surface(small_fit):
+    """gelman_rubin(rank_normalized=True) and effective_samples on the
+    results surface: free-parameter shapes, sane values on a short but
+    mixed chain."""
+    res = MBBResults(fit=small_fit, redshift=Z)
+    nfree = len(res.free_param_names)
+    rhat = res.gelman_rubin(rank_normalized=True)
+    assert rhat.shape == (nfree,)
+    assert np.all(np.isfinite(rhat)) and np.all(rhat > 0.9)
+    ess_b = res.effective_samples()
+    ess_t = res.effective_samples(kind="tail")
+    assert ess_b.shape == (nfree,) and ess_t.shape == (nfree,)
+    assert np.all(ess_b > 10) and np.all(ess_t > 10)

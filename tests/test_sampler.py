@@ -208,3 +208,74 @@ def test_zero_uniform_does_not_accept_out_of_box():
         u3, active, passive, lnprob(active), lnprob)
     assert not bool(jnp.any(acc))
     assert float(jnp.max(new)) <= 1.0
+
+
+# -- rank-normalized diagnostics (Vehtari et al. 2021) -----------------------
+
+def test_inverse_normal_cdf_accuracy():
+    from math import erf, sqrt
+    from mbb_emcee_tpu.sampler import inverse_normal_cdf
+    p = np.array([1e-6, 0.025, 0.3, 0.5, 0.7, 0.975, 1 - 1e-6])
+    x = inverse_normal_cdf(p)
+    assert abs(x[3]) < 1e-9
+    np.testing.assert_allclose(x[1], -1.9599639845, atol=1e-6)
+    np.testing.assert_allclose(x[5], 1.9599639845, atol=1e-6)
+    # Round trip through the exact CDF.
+    phi = np.array([0.5 * (1 + erf(v / sqrt(2.0))) for v in x])
+    np.testing.assert_allclose(phi, p, rtol=1e-6, atol=1e-12)
+
+
+def test_rank_normalize_properties():
+    from mbb_emcee_tpu.sampler import rank_normalize
+    rng = np.random.default_rng(2)
+    x = rng.standard_cauchy((100, 8))           # heavy tails, no moments
+    z = rank_normalize(x)
+    assert z.shape == x.shape
+    # Order-preserving and approximately standard normal.
+    flat_x, flat_z = x.ravel(), z.ravel()
+    order = np.argsort(flat_x)
+    assert np.all(np.diff(flat_z[order]) > 0)
+    assert abs(flat_z.mean()) < 0.05
+    assert abs(flat_z.std() - 1.0) < 0.1
+
+
+def test_rank_rhat_and_ess_on_iid_chains():
+    from mbb_emcee_tpu.sampler import (
+        split_rhat_rank_normalized, effective_sample_size)
+    rng = np.random.default_rng(3)
+    chain = rng.standard_normal((250, 16, 2))
+    rhat = split_rhat_rank_normalized(chain)
+    assert rhat.shape == (2,)
+    assert np.all(rhat < 1.02)
+    n_total = 250 * 16
+    for kind in ("bulk", "tail"):
+        ess = effective_sample_size(chain, kind=kind)
+        assert np.all(ess > 0.4 * n_total) and np.all(ess < 2.0 * n_total)
+    with pytest.raises(ValueError):
+        effective_sample_size(chain, kind="nope")
+
+
+def test_rank_rhat_flags_location_and_scale_mismatch():
+    from mbb_emcee_tpu.sampler import split_rhat_rank_normalized, split_rhat
+    rng = np.random.default_rng(4)
+    # Location mismatch: half the walkers sample a shifted mode.
+    loc = rng.standard_normal((200, 16, 1))
+    loc[:, 8:, :] += 3.0
+    assert split_rhat_rank_normalized(loc)[0] > 1.2
+    # Scale mismatch, equal locations: the moment-based estimator is
+    # blind (B ~ 0) but the FOLDED rank statistic catches it.
+    scale = rng.standard_normal((200, 16, 1))
+    scale[:, 8:, :] *= 5.0
+    assert split_rhat(scale)[0] < 1.05          # classic misses it
+    assert split_rhat_rank_normalized(scale)[0] > 1.1
+
+
+def test_rank_rhat_calibrated_on_heavy_tails():
+    """iid Cauchy chains ARE converged; the rank-normalized estimator
+    must say so (the moment-based one is noise-dominated there)."""
+    from mbb_emcee_tpu.sampler import (
+        split_rhat_rank_normalized, effective_sample_size)
+    rng = np.random.default_rng(5)
+    chain = rng.standard_cauchy((300, 16, 1))
+    assert split_rhat_rank_normalized(chain)[0] < 1.02
+    assert np.isfinite(effective_sample_size(chain, kind="bulk")[0])
