@@ -306,6 +306,13 @@ def main(argv=None):
             "--n-ensembles runs through the batched likelihood, which "
             "supports diagonal uncertainties only; drop --covfile or "
             "--n-ensembles")
+    if args.loo_exact and args.covfile is not None:
+        # Knowable now -- do not discover it AFTER the sampling run.
+        raise SystemExit(
+            "--loo-exact refits run through the batched likelihood "
+            "(diagonal uncertainties only); with --covfile use --loo, "
+            "whose pointwise factors are already the exact conditional "
+            "predictive densities under the covariance")
     fit = MBBFitter(nwalkers=args.nwalkers, photfile=args.photfile,
                     wavenorm=args.wavenorm, noalpha=args.noalpha,
                     opthin=args.opthin, responses=responses,
@@ -517,8 +524,8 @@ def main(argv=None):
         print(f"posterior predictive p = {ppc.p_value:.3f} "
               f"(ndata={ppc.ndata}, nfree={ppc.nfree}); "
               f"band tail probs: {bands}")
+    loo = None
     if args.loo or args.loo_exact:
-        from mbb_emcee_tpu.modelcheck import PARETO_K_WARN
         loo = res.compute_loo(thin=args.derived_thin)
         k_max = float(max(loo.pareto_k))
         print(f"elpd_loo = {loo.elpd_loo:.3f} +/- {loo.se_elpd_loo:.3f} "
@@ -526,7 +533,14 @@ def main(argv=None):
               f"+/- {loo.se_elpd_waic:.3f}; max Pareto k-hat = {k_max:.2f}"
               + (f"  [{loo.n_bad_k} band(s) with k>0.7: unreliable]"
                  if loo.n_bad_k else ""))
-        if args.loo_exact and loo.n_bad_k:
+
+    # Persist BEFORE the optional exact-LOO refits: the chain must be on
+    # disk before any post-hoc computation gets a chance to fail.
+    res.writeToHDF5(args.outfile)
+
+    if args.loo_exact:
+        from mbb_emcee_tpu.modelcheck import PARETO_K_WARN
+        if loo.n_bad_k:
             flagged = loo.point_index[loo.pareto_k > PARETO_K_WARN]
             exact = fit.compute_loo_exact(
                 bands=[int(b) for b in flagged],
@@ -541,11 +555,9 @@ def main(argv=None):
                     loo.pointwise_loo[loo.pareto_k > PARETO_K_WARN]))
             print(f"exact LOO refits for {flagged.size} flagged "
                   f"band(s): {terms}")
-        elif args.loo_exact:
+        else:
             print("exact LOO refits: nothing flagged (all k-hat <= "
                   f"{PARETO_K_WARN})")
-
-    res.writeToHDF5(args.outfile)
 
     if (args.plot_sed or args.plot_corner or args.plot_chain
             or args.plot_ppc):

@@ -1011,6 +1011,8 @@ class MBBFitter(ParamSpaceMixin):
                          noalpha=self.shape.noalpha,
                          opthin=self.shape.opthin,
                          responses=self.responses,
+                         a=self.a, prng_impl=self.prng_impl,
+                         sampler_backend=self.sampler_backend,
                          seed=self.seed if seed is None else int(seed))
         mf._spec = _dataclasses.replace(spec)
         mf._init = self._init.copy()

@@ -172,14 +172,21 @@ _ALIASES = {
 
 
 def resolve_band_name(name):
-    """Canonical registry key for a band name, or None if unknown."""
+    """Canonical registry key for a band name, or None if unknown.
+
+    Aliases and the um/micron suffix strip COMPOSE ('mips24um' ->
+    MIPS24 -> MIPS_24), so every registered short form also accepts the
+    suffixed spellings the canonical names do."""
     key = str(name).strip().upper().replace("-", "_").replace(".", "_")
+    candidates = [key]
     for suffix in ("UM", "_UM", "MICRON", "_MICRON"):
-        if key.endswith(suffix) and key[: -len(suffix)] in BUILTIN_BANDS:
-            key = key[: -len(suffix)]
-            break
-    key = _ALIASES.get(key, key)
-    return key if key in BUILTIN_BANDS else None
+        if key.endswith(suffix):
+            candidates.append(key[: -len(suffix)])
+    for cand in candidates:
+        cand = _ALIASES.get(cand, cand)
+        if cand in BUILTIN_BANDS:
+            return cand
+    return None
 
 
 def builtin_band_curve(name, nnodes=65):

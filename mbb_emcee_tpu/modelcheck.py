@@ -157,11 +157,17 @@ def psis_smooth(logw):
             # the profile grid): nudge onto the smallest positive value.
             tiny = np.max(exceed) * 1e-12
             k_hat, sigma = gpd_fit(np.maximum(np.sort(exceed), tiny))
-            if np.isfinite(k_hat):
+            if np.isfinite(k_hat) and np.isfinite(sigma):
                 p = (np.arange(1.0, tail + 1.0) - 0.5) / tail
                 q = _gpd_quantile(p, k_hat, sigma) + cutoff
                 # tail_ids is already ascending in logw (slice of argsort)
                 logw[tail_ids] = np.minimum(np.log(q), 0.0)
+            else:
+                # A FAILED tail fit must read as "not assessable" (inf),
+                # never as NaN: NaN > 0.7 is False everywhere downstream,
+                # which would report the one band whose diagnostic broke
+                # as the trustworthy one.
+                k_hat = np.inf
     return logw - _logsumexp(logw), k_hat
 
 
@@ -393,6 +399,39 @@ def read_loo_group(g):
         pareto_k=np.asarray(g["ParetoK"]),
         point_index=np.asarray(g["PointIndex"]),
         nsamples=int(g.attrs["nsamples"]), band_names=names)
+
+
+def write_loo_batch_group(parent, loo, name="LOO"):
+    """Persist a LooBatchResult as an HDF5 group (MultiFitter /
+    SEDMultiFitter writers)."""
+    g = parent.create_group(name)
+    g.attrs["nsamples"] = loo.nsamples
+    g.create_dataset("ElpdLoo", data=loo.elpd_loo)
+    g.create_dataset("SeElpdLoo", data=loo.se_elpd_loo)
+    g.create_dataset("PLoo", data=loo.p_loo)
+    g.create_dataset("ElpdWaic", data=loo.elpd_waic)
+    g.create_dataset("SeElpdWaic", data=loo.se_elpd_waic)
+    g.create_dataset("PWaic", data=loo.p_waic)
+    g.create_dataset("PointwiseLoo", data=loo.pointwise_loo)
+    g.create_dataset("ParetoK", data=loo.pareto_k)
+    g.create_dataset("NPoints", data=loo.n_points)
+    g.create_dataset("Excluded", data=loo.excluded.astype(np.uint8))
+
+
+def read_loo_batch_group(g):
+    """Inverse of write_loo_batch_group."""
+    return LooBatchResult(
+        elpd_loo=np.asarray(g["ElpdLoo"]),
+        se_elpd_loo=np.asarray(g["SeElpdLoo"]),
+        p_loo=np.asarray(g["PLoo"]),
+        elpd_waic=np.asarray(g["ElpdWaic"]),
+        se_elpd_waic=np.asarray(g["SeElpdWaic"]),
+        p_waic=np.asarray(g["PWaic"]),
+        pointwise_loo=np.asarray(g["PointwiseLoo"]),
+        pareto_k=np.asarray(g["ParetoK"]),
+        n_points=np.asarray(g["NPoints"]),
+        nsamples=int(g.attrs["nsamples"]),
+        excluded=np.asarray(g["Excluded"]).astype(bool))
 
 
 def pointwise_loglik_matrix(fluxes_fn, samples, y, det_idx,

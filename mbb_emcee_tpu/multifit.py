@@ -2041,8 +2041,8 @@ class MultiFitter(ParamSpaceMixin):
         y = jnp.asarray(y_h.astype(np.float32))
         mask = jnp.asarray(inc.astype(np.float32))
 
-        fluxes = derived.band_flux_eval(self.shape, self.wave,
-                                        self._response_pack())
+        pack = self._response_pack()
+        fluxes = derived.band_flux_eval(self.shape, self.wave, pack)
 
         if self._band_corr is None:
             iu = jnp.asarray(np.where(inc, iunc, 0.0).astype(np.float32))
@@ -2086,7 +2086,9 @@ class MultiFitter(ParamSpaceMixin):
 
         # Sample-axis chunking (same memory bound as _chunked_samples;
         # keys must slice alongside the samples, so inline the loop).
-        chunk = max(1, (64 << 20) // max(S * nb, 1))
+        # Per-sample fan-out includes the response-node intermediates.
+        inner = nb * (pack[0].shape[1] if pack is not None else 1)
+        chunk = max(1, (64 << 20) // max(S * inner, 1))
         co, cr, yr = [], [], []
         for i in range(0, N, chunk):
             a, b, c = batched(samples[:, i:i + chunk],
@@ -2138,8 +2140,8 @@ class MultiFitter(ParamSpaceMixin):
                 f"(non-missing, non-upper-limit) band")
         y = jnp.asarray(np.where(inc, np.nan_to_num(flux),
                                  0.0).astype(np.float32))
-        fluxes = derived.band_flux_eval(self.shape, self.wave,
-                                        self._response_pack())
+        pack = self._response_pack()
+        fluxes = derived.band_flux_eval(self.shape, self.wave, pack)
 
         if self._band_corr is None:
             lam_diag = np.where(inc, iunc, np.nan) ** 2      # 1/sigma^2
@@ -2165,15 +2167,12 @@ class MultiFitter(ParamSpaceMixin):
                 return -0.5 * g * g * ig
 
         samples = jnp.asarray(self._thinned(thin), jnp.float32)  # (S,N,5)
-        N = int(samples.shape[1])
         batched = jax.jit(jax.vmap(
             jax.vmap(one, in_axes=(0, None, None)), in_axes=(0, 0, 0)))
-        chunk = max(1, (64 << 20) // max(S * nb, 1))
-        qs = []
-        for i in range(0, N, chunk):
-            qs.append(np.asarray(batched(samples[:, i:i + chunk], y, op),
-                                 np.float64))
-        q = np.concatenate(qs, axis=1)                     # (S, N, nb)
+        # Per-sample fan-out includes the response-node intermediates.
+        inner = nb * (pack[0].shape[1] if pack is not None else 1)
+        q = self._chunked_samples(lambda s: batched(s, y, op),
+                                  samples, inner)           # (S, N, nb)
         with np.errstate(invalid="ignore"):
             lnnorm = 0.5 * (np.log(lam_diag) - np.log(2.0 * np.pi))
         self.loo_result = modelcheck.loo_batch_from_loglik(
@@ -2330,6 +2329,9 @@ class MultiFitter(ParamSpaceMixin):
                 g.create_dataset("LogZTIErr", data=self.logz_ti[1])
                 g.create_dataset("Betas", data=self.pt_betas)
                 g.create_dataset("SwapFraction", data=self.swap_fraction)
+            if self.loo_result is not None:
+                from mbb_emcee_tpu.modelcheck import write_loo_batch_group
+                write_loo_batch_group(f, self.loo_result)
             if self.hmc_step_size is not None:
                 g = f.create_group("HMC")
                 g.create_dataset("StepSize", data=self.hmc_step_size)
@@ -2478,6 +2480,9 @@ class MultiFitter(ParamSpaceMixin):
                               np.asarray(g["LogZTIErr"]))
                 mf.pt_betas = np.asarray(g["Betas"])
                 mf.swap_fraction = np.asarray(g["SwapFraction"])
+            if "LOO" in f:
+                from mbb_emcee_tpu.modelcheck import read_loo_batch_group
+                mf.loo_result = read_loo_batch_group(f["LOO"])
             if "HMC" in f:
                 g = f["HMC"]
                 mf.hmc_step_size = np.asarray(g["StepSize"])

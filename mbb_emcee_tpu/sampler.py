@@ -363,10 +363,22 @@ def rank_normalize(x):
     targets whose moments may not exist."""
     x = np.asarray(x, np.float64)
     flat = x.reshape(-1)
-    ranks = np.empty(flat.size, np.float64)
-    ranks[np.argsort(flat, kind="stable")] = np.arange(1, flat.size + 1)
+    n = flat.size
+    order = np.argsort(flat, kind="stable")
+    sv = flat[order]
+    # AVERAGE ranks over ties: equal values must map to equal z (a
+    # frozen series must rank-normalize to a constant, not to a
+    # manufactured 1..n pattern that fakes variance).
+    new_group = np.empty(n, bool)
+    new_group[0] = True
+    new_group[1:] = sv[1:] != sv[:-1]
+    gid = np.cumsum(new_group) - 1
+    base = np.arange(1.0, n + 1.0)
+    avg = (np.bincount(gid, weights=base) / np.bincount(gid))[gid]
+    ranks = np.empty(n, np.float64)
+    ranks[order] = avg
     return inverse_normal_cdf(
-        ((ranks - 0.375) / (flat.size + 0.25)).reshape(x.shape))
+        ((ranks - 0.375) / (n + 0.25)).reshape(x.shape))
 
 
 def split_rhat_rank_normalized(chain):
@@ -401,8 +413,10 @@ def effective_sample_size(chain, kind="bulk", c=5.0):
     endpoints, which mix slower than the bulk (Vehtari et al. 2021
     sec. 4.3). ESS = nsteps*nwalkers / tau with tau from the same
     Sokal-window autocorrelation estimator `autocorrelation_time` uses
-    (emcee's convention), floored at 1 so a frozen chain reports ESS =
-    nwalkers*nsteps/nsteps rather than inf.
+    (emcee's convention), tau floored at 1. A FROZEN series (zero
+    variance -- collapsed ensemble, or a tail indicator the chain never
+    crosses) reports NaN, never a large ESS: the chain carries no
+    information about that summary.
 
     chain: (nsteps, nwalkers, ndim) host numpy -> (ndim,) ESS.
     """
@@ -411,8 +425,10 @@ def effective_sample_size(chain, kind="bulk", c=5.0):
     total = nsteps * nwalkers
 
     def _ess_of(x):      # (nsteps, nwalkers, ndim) transformed samples
-        tau = autocorrelation_time(x, c=c)
-        return total / np.maximum(np.nan_to_num(tau, nan=1.0), 1.0)
+        tau = autocorrelation_time(x, c=c)   # NaN where variance = 0
+        return np.where(np.isfinite(tau),
+                        total / np.maximum(np.nan_to_num(tau, nan=1.0),
+                                           1.0), np.nan)
 
     if kind == "bulk":
         z = np.stack([rank_normalize(chain[:, :, d])

@@ -195,6 +195,29 @@ def build_sed_lnprob(phot: Photometry, model: SEDModel,
     return lnprob, free_space
 
 
+def sed_band_flux_eval(fnu, wave, response_pack=None):
+    """Per-sample device closure: the generic model's BAND fluxes --
+    point evaluation at the data wavelengths, or response-integrated
+    over a quadrature pack. The generic twin of derived.band_flux_eval
+    and the ONE place this convention lives: posterior_predictive and
+    compute_loo on both generic surfaces (SEDResults, SEDMultiFitter)
+    reuse it, so the PPC and LOO band fluxes can never diverge from
+    each other or from the fitted likelihood's evaluation mode."""
+    if response_pack is None:
+        wave32 = np.asarray(wave, np.float32)
+
+        def fluxes(theta):
+            return fnu(theta, wave32)
+        return fluxes
+
+    nodes = np.asarray(response_pack[0], np.float32)
+    wts = np.asarray(response_pack[1], np.float32)
+
+    def fluxes(theta):
+        return jnp.sum(wts * fnu(theta, nodes), axis=-1)
+    return fluxes
+
+
 def build_sed_lnprob_data(model: SEDModel, spec: LikelihoodSpec,
                           response_pack=None, dtype=jnp.float32):
     """Generic-model twin of likelihood.build_lnprob_data: the photometry
@@ -1157,20 +1180,7 @@ class SEDResults:
             sig32 = np.asarray(sig, np.float32)
             isig = np.asarray(1.0 / sig, np.float32)
 
-        fnu = model.fnu
-        pack = self.response_pack
-        if pack is None:
-            wave32 = np.asarray(wave, np.float32)
-
-            def fluxes(theta):
-                return fnu(theta, wave32)
-        else:
-            nodes = np.asarray(pack[0], np.float32)
-            wts = np.asarray(pack[1], np.float32)
-
-            def fluxes(theta):
-                return jnp.sum(wts * fnu(theta, nodes), axis=-1)
-
+        fluxes = sed_band_flux_eval(model.fnu, wave, self.response_pack)
         y_det = np.asarray(y[det_idx], np.float32)
 
         def one(theta, key):
@@ -1226,20 +1236,7 @@ class SEDResults:
                 "compute_loo needs at least one detected "
                 "(non-upper-limit) band")
 
-        fnu = model.fnu
-        pack = self.response_pack
-        if pack is None:
-            wave32 = np.asarray(wave, np.float32)
-
-            def fluxes(theta):
-                return fnu(theta, wave32)
-        else:
-            nodes = np.asarray(pack[0], np.float32)
-            wts = np.asarray(pack[1], np.float32)
-
-            def fluxes(theta):
-                return jnp.sum(wts * fnu(theta, nodes), axis=-1)
-
+        fluxes = sed_band_flux_eval(model.fnu, wave, self.response_pack)
         samples = jnp.asarray(self._thinned(thin), jnp.float32)
         cov_det = (None if self.phot.cov is None
                    else np.asarray(self.phot.cov, np.float64)[

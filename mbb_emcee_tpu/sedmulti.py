@@ -1300,19 +1300,9 @@ class SEDMultiFitter(ParamSpaceMixin):
             sg = jnp.asarray(np.where(inc, 1.0 / np.where(inc, iunc, 1.0),
                                       0.0).astype(np.float32))
 
-        fnu = self.model.fnu
+        from mbb_emcee_tpu.sed import sed_band_flux_eval
         pack = self._response_pack()
-        if pack is None:
-            wave32 = np.asarray(self.wave, np.float32)
-
-            def fluxes_fn(theta):
-                return fnu(theta, wave32)
-        else:
-            nodes = np.asarray(pack[0], np.float32)
-            wts = np.asarray(pack[1], np.float32)
-
-            def fluxes_fn(theta):
-                return jnp.sum(wts * fnu(theta, nodes), axis=-1)
+        fluxes_fn = sed_band_flux_eval(self.model.fnu, self.wave, pack)
 
         def one(theta, key, y_s, a, b, m_s):
             m = fluxes_fn(theta)
@@ -1327,7 +1317,9 @@ class SEDMultiFitter(ParamSpaceMixin):
         batched = jax.jit(jax.vmap(
             jax.vmap(one, in_axes=(0, 0, None, None, None, None)),
             in_axes=(0, 0, 0, 0, 0, 0)))
-        chunk = max(1, (64 << 20) // max(S * nb, 1))
+        # Per-sample fan-out includes the response-node intermediates.
+        inner = nb * (pack[0].shape[1] if pack is not None else 1)
+        chunk = max(1, (64 << 20) // max(S * inner, 1))
         co, cr, yr = [], [], []
         for i in range(0, N, chunk):
             a_, b_, c_ = batched(samples[:, i:i + chunk],
@@ -1369,19 +1361,9 @@ class SEDMultiFitter(ParamSpaceMixin):
         iu = jnp.asarray(np.where(inc, iunc, 0.0).astype(np.float32))
         lam_diag = np.where(inc, iunc, np.nan) ** 2
 
-        fnu = self.model.fnu
+        from mbb_emcee_tpu.sed import sed_band_flux_eval
         pack = self._response_pack()
-        if pack is None:
-            wave32 = np.asarray(self.wave, np.float32)
-
-            def fluxes_fn(theta):
-                return fnu(theta, wave32)
-        else:
-            nodes = np.asarray(pack[0], np.float32)
-            wts = np.asarray(pack[1], np.float32)
-
-            def fluxes_fn(theta):
-                return jnp.sum(wts * fnu(theta, nodes), axis=-1)
+        fluxes_fn = sed_band_flux_eval(self.model.fnu, self.wave, pack)
 
         def one(theta, y_s, a):
             d = (fluxes_fn(theta) - y_s) * a
@@ -1391,7 +1373,9 @@ class SEDMultiFitter(ParamSpaceMixin):
         N = int(samples.shape[1])
         batched = jax.jit(jax.vmap(
             jax.vmap(one, in_axes=(0, None, None)), in_axes=(0, 0, 0)))
-        chunk = max(1, (64 << 20) // max(S * nb, 1))
+        # Per-sample fan-out includes the response-node intermediates.
+        inner = nb * (pack[0].shape[1] if pack is not None else 1)
+        chunk = max(1, (64 << 20) // max(S * inner, 1))
         qs = []
         for i in range(0, N, chunk):
             qs.append(np.asarray(batched(samples[:, i:i + chunk], y, iu),
@@ -1532,6 +1516,9 @@ class SEDMultiFitter(ParamSpaceMixin):
                 f.create_dataset("PeakLambdaChain",
                                  data=self.peaklambda_chain,
                                  compression="gzip")
+            if self.loo_result is not None:
+                from mbb_emcee_tpu.modelcheck import write_loo_batch_group
+                write_loo_batch_group(f, self.loo_result)
         return filename
 
     @classmethod
@@ -1620,6 +1607,9 @@ class SEDMultiFitter(ParamSpaceMixin):
             if "PeakLambdaChain" in f:
                 mf.peaklambda_chain = np.asarray(f["PeakLambdaChain"],
                                                  np.float64)
+            if "LOO" in f:
+                from mbb_emcee_tpu.modelcheck import read_loo_batch_group
+                mf.loo_result = read_loo_batch_group(f["LOO"])
         from mbb_emcee_tpu.sed import build_sed_lnprob_data as _b
         _, mf.free_space = _b(model, mf._effective_spec())
         mf._post_token = mf._posterior_token()

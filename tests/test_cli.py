@@ -318,3 +318,19 @@ def test_cli_plot_flags(tmp_path):
     assert rc == 0
     for flag, path in pngs.items():
         assert os.path.exists(path) and os.path.getsize(path) > 0, flag
+
+
+def test_cli_loo_exact_rejects_covfile(tmp_path):
+    """--loo-exact + --covfile must be rejected BEFORE sampling (the
+    refit tier is diagonal-only; discovering that after an hours-long
+    run would lose the chain)."""
+    phot = str(tmp_path / "phot.txt")
+    _write_photfile(phot, MBBShape(opthin=True, noalpha=True))
+    import pytest
+    cov = str(tmp_path / "cov.fits")
+    from mbb_emcee_tpu.utils.fits import write_fits_image
+    write_fits_image(cov, np.diag(np.full(5, 0.1)))
+    with pytest.raises(SystemExit, match="diagonal"):
+        main([phot, str(tmp_path / "out.h5"), "--opthin", "--noalpha",
+              "--covfile", cov, "--loo-exact", "-w", "16", "-b", "4",
+              "-n", "8"])

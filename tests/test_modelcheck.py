@@ -228,6 +228,36 @@ def test_multifit_compute_loo(batch_fit):
     assert np.all(loo.p_loo > 0.0)
 
 
+def test_psis_failed_tail_fit_reports_inf_not_nan(monkeypatch):
+    """A GPD fit returning NaN must surface as k-hat = inf ('not
+    assessable'), never NaN (NaN > 0.7 is False, so a NaN would report
+    the broken band as the reliable one)."""
+    monkeypatch.setattr(modelcheck, "gpd_fit",
+                        lambda x: (np.nan, np.nan))
+    rng = np.random.default_rng(31)
+    lw, k = modelcheck.psis_smooth(rng.standard_normal(500))
+    assert np.isinf(k)
+    np.testing.assert_allclose(np.exp(lw).sum(), 1.0, rtol=1e-10)
+
+
+def test_multifit_loo_hdf5_roundtrip(batch_fit, tmp_path):
+    """The per-source assessment persists with the batch file -- the
+    vectors the --loo help text says to difference across variants."""
+    from mbb_emcee_tpu.multifit import MultiFitter
+    mf = batch_fit
+    loo = mf.compute_loo(thin=2)
+    path = str(tmp_path / "batch_loo.h5")
+    mf.writeToHDF5(path)
+    back = MultiFitter.from_h5(path).loo_result
+    assert back is not None
+    np.testing.assert_allclose(back.elpd_loo, loo.elpd_loo)
+    np.testing.assert_allclose(back.pointwise_loo, loo.pointwise_loo)
+    np.testing.assert_allclose(back.pareto_k, loo.pareto_k)
+    np.testing.assert_array_equal(back.excluded, loo.excluded)
+    np.testing.assert_array_equal(back.n_points, loo.n_points)
+    assert back.nsamples == loo.nsamples
+
+
 def test_multifit_loo_identity_correlation_matches_diag():
     """With R = I the conditional factors reduce to the marginals: the
     correlated-mode assessment must equal the diagonal one on the SAME

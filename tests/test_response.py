@@ -204,9 +204,12 @@ def test_builtin_photoconductor_conventions():
 
 
 def test_builtin_new_band_aliases():
+    # um/micron suffixes compose with aliases ('mips24um' -> MIPS24 ->
+    # MIPS_24), matching the canonical names' suffix handling.
     for alias, canon in (("alma-band6", "ALMA_B6"), ("iras60", "IRAS_60"),
-                         ("mips24", "MIPS_24"), ("NIKA2-1150um",
-                                                 "NIKA2_1150")):
+                         ("mips24", "MIPS_24"), ("mips24um", "MIPS_24"),
+                         ("IRAS60um", "IRAS_60"), ("NIKA2-1150um",
+                                                   "NIKA2_1150")):
         r_alias = Response.from_spec("x", alias)
         r_canon = Response.from_builtin(canon)
         np.testing.assert_allclose(r_alias.weights, r_canon.weights)

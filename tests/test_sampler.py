@@ -279,3 +279,16 @@ def test_rank_rhat_calibrated_on_heavy_tails():
     chain = rng.standard_cauchy((300, 16, 1))
     assert split_rhat_rank_normalized(chain)[0] < 1.02
     assert np.isfinite(effective_sample_size(chain, kind="bulk")[0])
+
+
+def test_ess_frozen_chain_reports_nan():
+    """A zero-variance series must report ESS = NaN, not the maximum
+    (a stuck ensemble carries no information about any summary)."""
+    from mbb_emcee_tpu.sampler import effective_sample_size
+    rng = np.random.default_rng(6)
+    chain = np.stack([np.ones((200, 16)),                 # frozen dim
+                      rng.standard_normal((200, 16))], axis=2)
+    for kind in ("bulk", "tail"):
+        ess = effective_sample_size(chain, kind=kind)
+        assert np.isnan(ess[0]), kind
+        assert np.isfinite(ess[1]), kind
