@@ -33,6 +33,7 @@ See SURVEY.md for the reference layer map this mirrors.
 from mbb_emcee_tpu.constants import PARAM_NAMES, NPARAMS
 from mbb_emcee_tpu.models.modified_blackbody import mbb_fnu, log_mbb_fnu, ModifiedBlackbody
 from mbb_emcee_tpu.models.cosmology import Cosmology, luminosity_distance
+from mbb_emcee_tpu.models.cmb import cmb_corrected_mbb
 from mbb_emcee_tpu.response import Response, ResponseSet
 from mbb_emcee_tpu.likelihood import Photometry, LikelihoodSpec, build_lnprob
 from mbb_emcee_tpu.sampler import EnsembleSampler, SamplerState
@@ -59,7 +60,7 @@ __version__ = "0.2.0"
 __all__ = [
     "PARAM_NAMES", "NPARAMS",
     "mbb_fnu", "log_mbb_fnu", "ModifiedBlackbody",
-    "Cosmology", "luminosity_distance",
+    "Cosmology", "luminosity_distance", "cmb_corrected_mbb",
     "Response", "ResponseSet",
     "Photometry", "LikelihoodSpec", "build_lnprob",
     "EnsembleSampler", "SamplerState",
