@@ -54,6 +54,7 @@ from mbb_emcee_tpu.sedmulti import SEDMultiFitter
 from mbb_emcee_tpu.hierarchy import (
     HierarchicalFitter, TruncatedGaussianPopulation,
     CorrelatedGaussianPopulation, Selection, fit_population)
+from mbb_emcee_tpu.photoz import photoz_mbb, PhotoZMBBModel
 
 __version__ = "0.2.0"
 
@@ -76,5 +77,6 @@ __all__ = [
     "SEDModel", "SEDFitter", "SEDResults", "SEDMultiFitter",
     "HierarchicalFitter", "TruncatedGaussianPopulation",
     "CorrelatedGaussianPopulation", "Selection", "fit_population",
+    "photoz_mbb", "PhotoZMBBModel",
     "__version__",
 ]

@@ -122,9 +122,18 @@ def build_parser():
     g = p.add_argument_group("derived quantities")
     g.add_argument("--cosmology", default="WMAP9")
     g.add_argument("--get-lir", action="store_true",
-                   help="per-source L_IR posteriors (needs catalog z)")
+                   help="per-source L_IR posteriors (needs catalog z, "
+                        "or --lir-zparam for photo-z models)")
     g.add_argument("--lir-wavemin", type=float, default=8.0)
     g.add_argument("--lir-wavemax", type=float, default=1000.0)
+    g.add_argument("--lir-zparam", metavar="PARAM", default=None,
+                   help="marginalize L_IR over a SAMPLED redshift "
+                        "parameter (photo-z models, e.g. 'z') instead "
+                        "of catalog redshifts")
+    g.add_argument("--get-dustmass", action="store_true",
+                   help="per-source dust-mass posteriors marginalized "
+                        "over the sampled z (photo-z MBB models only; "
+                        "photoz.compute_dustmass_batch)")
     g.add_argument("--get-peaklambda", action="store_true")
     g.add_argument("--derived-thin", type=int, default=1)
     g.add_argument("--get-evidence", action="store_true",
@@ -297,6 +306,18 @@ def main(argv=None):
 
     if args.hmc and args.pt:
         raise SystemExit("--hmc and --pt are mutually exclusive")
+    if args.lir_zparam is not None:
+        try:
+            model.param_index(args.lir_zparam)
+        except ValueError as e:
+            raise SystemExit(f"--lir-zparam: {e}")
+    if args.get_dustmass:
+        from mbb_emcee_tpu.photoz import PhotoZMBBModel
+        if not isinstance(model, PhotoZMBBModel):
+            raise SystemExit(
+                "--get-dustmass applies to photo-z MBB models "
+                "(photoz_mbb); for fixed-z MBB catalogs use the batch "
+                "MBB driver's --get-dustmass")
     if args.population_correlated and (args.population is None
                                        or len(args.population) != 2):
         raise SystemExit("--population-correlated needs exactly two "
@@ -316,7 +337,8 @@ def main(argv=None):
             raise SystemExit("--map is a triage mode; drop --hmc/--pt/"
                              "--extend-until/--init-map/--checkpoint")
         if (args.get_lir or args.get_peaklambda or args.get_evidence
-                or args.ppc or args.loo or args.population):
+                or args.get_dustmass or args.ppc or args.loo
+                or args.population):
             raise SystemExit("derived-quantity posteriors, --ppc, --loo "
                              "and --population need chains; run without "
                              "--map for them")
@@ -407,11 +429,25 @@ def main(argv=None):
               f"{np.median(ev.logz_err):.4f})")
 
     if args.get_lir:
-        if mf.redshifts is None:
-            raise SystemExit("--get-lir needs finite redshifts in the "
-                             "catalog's z column")
-        mf.compute_lir(wavemin=args.lir_wavemin, wavemax=args.lir_wavemax,
-                       thin=args.derived_thin, cosmology=args.cosmology)
+        if args.lir_zparam is not None:
+            mf.compute_lir(wavemin=args.lir_wavemin,
+                           wavemax=args.lir_wavemax,
+                           thin=args.derived_thin,
+                           cosmology=args.cosmology,
+                           z_param=args.lir_zparam)
+        else:
+            if mf.redshifts is None:
+                raise SystemExit(
+                    "--get-lir needs finite redshifts in the catalog's "
+                    "z column (or --lir-zparam for photo-z models)")
+            mf.compute_lir(wavemin=args.lir_wavemin,
+                           wavemax=args.lir_wavemax,
+                           thin=args.derived_thin,
+                           cosmology=args.cosmology)
+    if args.get_dustmass:
+        from mbb_emcee_tpu.photoz import compute_dustmass_batch
+        compute_dustmass_batch(mf, thin=args.derived_thin,
+                               cosmology=args.cosmology)
     if args.get_peaklambda:
         mf.compute_peaklambda(thin=args.derived_thin)
     ppc = None

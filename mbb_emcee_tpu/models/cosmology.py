@@ -87,6 +87,42 @@ class Cosmology:
         return (1.0 + z) * dm
 
 
+def luminosity_distance_batch(z, cosmo: "Cosmology | str | None" = None):
+    """D_L in Mpc for a VECTOR of redshifts, fp64 host, one vectorized
+    numpy pass (no per-element Python loop). Used by the photo-z tier,
+    where every chain sample carries its own redshift (photoz.py).
+
+    Per element the integral is rescaled to [0, 1]:
+    D_C(z) = (c/H0) * z * int_0^1 du / E(z u), so one (N, nodes) efunc
+    evaluation covers the whole chain. z <= 0 rows return 0.0.
+    """
+    if cosmo is None:
+        cosmo = Cosmology()
+    elif isinstance(cosmo, str):
+        cosmo = Cosmology.named(cosmo)
+    z = np.atleast_1d(np.asarray(z, np.float64))
+    u, wu = gauss_legendre(_GL_NODES, 0.0, 1.0)
+    zpos = np.maximum(z, 0.0)
+    dh = C_KM_S / cosmo.H0
+    # Chunked (N, nodes) expansion: a catalog-scale chain (S*N ~ 10^6
+    # redshifts) would otherwise materialize a ~1 GB fp64 node matrix.
+    dc = np.empty_like(zpos)
+    step = 65536
+    for i in range(0, zpos.size, step):
+        zc = zpos[i:i + step]
+        nodes = np.multiply.outer(zc, u)          # (chunk, nodes)
+        dc[i:i + step] = dh * zc * np.sum(wu / cosmo.efunc(nodes),
+                                          axis=-1)
+    ok = cosmo._Ok
+    if abs(ok) > 1e-8:
+        sqrt_ok = np.sqrt(abs(ok))
+        x = sqrt_ok * dc / dh
+        dm = dh / sqrt_ok * (np.sinh(x) if ok > 0 else np.sin(x))
+    else:
+        dm = dc
+    return (1.0 + zpos) * dm
+
+
 def luminosity_distance(z, cosmo: "Cosmology | str | float | None" = None):
     """D_L in Mpc. `cosmo` may be a Cosmology, a named set, an explicit
     D_L in Mpc (float -- mirrors the reference's lumdist override), or None

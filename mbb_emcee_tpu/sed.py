@@ -44,7 +44,8 @@ from mbb_emcee_tpu.likelihood import (
 from mbb_emcee_tpu.paramspace import ParamSpaceMixin
 from mbb_emcee_tpu.sampler import (
     EnsembleSampler, make_initial_ball, split_rhat, autocorrelation_time)
-from mbb_emcee_tpu.models.cosmology import Cosmology, luminosity_distance
+from mbb_emcee_tpu.models.cosmology import (
+    Cosmology, luminosity_distance, luminosity_distance_batch)
 from mbb_emcee_tpu import derived
 from mbb_emcee_tpu.results import _percentile_summary, PPCResult
 
@@ -846,6 +847,8 @@ class SEDResults:
         self.response_pack = None
         self.lir_chain = None
         self.lir_meta = None
+        self.dustmass_chain = None   # photo-z tier (photoz.compute_dustmass)
+        self.dustmass_meta = None
         self.peaklambda_chain = None
         self.loo_result = None  # LooResult (compute_loo)
 
@@ -948,6 +951,11 @@ class SEDResults:
                 self.lir_chain = np.asarray(f["LIRChain"], np.float64)
                 self.lir_meta = {k: f["LIRChain"].attrs[k]
                                  for k in f["LIRChain"].attrs}
+            if "DustMassChain" in f:
+                self.dustmass_chain = np.asarray(
+                    f["DustMassChain"], np.float64)
+                self.dustmass_meta = {k: f["DustMassChain"].attrs[k]
+                                      for k in f["DustMassChain"].attrs}
             if "PeakLambdaChain" in f:
                 self.peaklambda_chain = np.asarray(
                     f["PeakLambdaChain"], np.float64)
@@ -1087,22 +1095,64 @@ class SEDResults:
             raise RuntimeError("redshift required")
         return 1.0 + self.redshift
 
-    def compute_lir(self, wavemin=8.0, wavemax=1000.0, thin=1):
+    def compute_lir(self, wavemin=8.0, wavemax=1000.0, thin=1,
+                    z_param=None):
         """Posterior of L_IR(wavemin-wavemax um REST) in L_sun: the
         MBBResults formula (GL quadrature in ln-lambda, fp64 host
-        prefactor) applied to the generic model."""
-        fnu = self._require_model().fnu
-        lam, w = derived.lir_nodes_weights(self._opz(), wavemin, wavemax)
-        lam_j = jnp.asarray(lam, jnp.float32)
-        w_j = jnp.asarray(w, jnp.float32)
-        samples = jnp.asarray(self._thinned(thin), jnp.float32)
-        integ = np.asarray(
-            jax.jit(jax.vmap(
-                lambda th: jnp.sum(w_j * fnu(th, lam_j))))(samples),
-            np.float64)
-        self.lir_chain = derived.lir_prefactor(self._dl_mpc()) * integ
+        prefactor) applied to the generic model.
+
+        z_param: name (or index) of a SAMPLED redshift parameter
+        (photo-z fits, photoz.photoz_mbb). Each chain sample is then
+        integrated over its own observed window
+        [wavemin, wavemax]*(1+z_i) with its own luminosity distance
+        (one vectorized fp64 D_L pass, models/cosmology.py), i.e. the
+        L_IR posterior is marginalized over the z posterior. Requires a
+        cosmology; an explicit scalar lumdist= contradicts a per-sample
+        z and raises.
+        """
+        model = self._require_model()
+        fnu = model.fnu
+        samples_np = self._thinned(thin)
+        samples = jnp.asarray(samples_np, jnp.float32)
+        if z_param is None:
+            lam, w = derived.lir_nodes_weights(self._opz(), wavemin,
+                                               wavemax)
+            lam_j = jnp.asarray(lam, jnp.float32)
+            w_j = jnp.asarray(w, jnp.float32)
+            integ = np.asarray(
+                jax.jit(jax.vmap(
+                    lambda th: jnp.sum(w_j * fnu(th, lam_j))))(samples),
+                np.float64)
+            prefac = derived.lir_prefactor(self._dl_mpc())
+        else:
+            if self.lumdist is not None:
+                raise ValueError(
+                    "explicit lumdist= cannot combine with z_param: "
+                    "each sample carries its own redshift")
+            zi = model.param_index(z_param)
+            # Base nodes at z=0; scaled per sample ON DEVICE (the
+            # z -> z' map multiplies nodes by (1+z)/(1+z') and weights
+            # by the inverse -- see derived.lir_nodes_weights), so no
+            # (nsamples, nodes) host arrays are built.
+            base_lam, base_w = derived.lir_nodes_weights(
+                1.0, wavemin, wavemax)
+            lam_j = jnp.asarray(base_lam, jnp.float32)
+            w_j = jnp.asarray(base_w, jnp.float32)
+
+            def one(th):
+                opz = 1.0 + th[zi]
+                return jnp.sum(w_j / opz * fnu(th, lam_j * opz))
+
+            integ = np.asarray(jax.jit(jax.vmap(one))(samples),
+                               np.float64)
+            zvec = np.asarray(samples_np[:, zi], np.float64)
+            dl = luminosity_distance_batch(zvec, self._cosmo)
+            prefac = derived.lir_prefactor(dl)
+        self.lir_chain = prefac * integ
         self.lir_meta = {"wavemin": float(wavemin),
                          "wavemax": float(wavemax), "thin": int(thin)}
+        if z_param is not None:
+            self.lir_meta["z_param"] = str(z_param)
         return self.lir_chain
 
     def lir_cen(self, percentile=68.3):
@@ -1331,6 +1381,12 @@ class SEDResults:
                 ds = f.create_dataset("LIRChain", data=self.lir_chain,
                                       compression="gzip")
                 for k, v in (self.lir_meta or {}).items():
+                    ds.attrs[k] = v
+            if self.dustmass_chain is not None:
+                ds = f.create_dataset("DustMassChain",
+                                      data=self.dustmass_chain,
+                                      compression="gzip")
+                for k, v in (self.dustmass_meta or {}).items():
                     ds.attrs[k] = v
             if self.peaklambda_chain is not None:
                 f.create_dataset("PeakLambdaChain",

@@ -1213,24 +1213,56 @@ class SEDMultiFitter(ParamSpaceMixin):
         return template[None, None, :] + free @ jnp.asarray(scat).T
 
     def compute_lir(self, redshifts=None, wavemin=8.0, wavemax=1000.0,
-                    thin=1, lumdists=None, cosmology="WMAP9"):
+                    thin=1, lumdists=None, cosmology="WMAP9",
+                    z_param=None):
         """(S, nsamples) L_IR posteriors in L_sun: per-source GL
-        quadrature nodes (redshifted band), one batched device program."""
+        quadrature nodes (redshifted band), one batched device program.
+
+        z_param: name/index of a SAMPLED redshift parameter (photo-z
+        catalogs, photoz.photoz_mbb) -- every sample of every source is
+        then integrated over its own observed window with its own
+        luminosity distance (chunked vectorized fp64 D_L pass);
+        redshifts=/lumdists= conflict with it and raise.
+        """
         fnu = self.model.fnu
-        z = self._source_redshifts(redshifts)
-        lam, w = derived.lir_nodes_weights(1.0 + z, wavemin, wavemax)
         samples = self._thinned(thin)                 # (S, N, npar)
+        if z_param is None:
+            z = self._source_redshifts(redshifts)
+            lam, w = derived.lir_nodes_weights(1.0 + z, wavemin, wavemax)
 
-        def one(theta, lam_s, w_s):
-            return jnp.sum(w_s * fnu(theta, lam_s))
+            def one(theta, lam_s, w_s):
+                return jnp.sum(w_s * fnu(theta, lam_s))
 
-        integ = np.asarray(jax.jit(jax.vmap(jax.vmap(
-            one, in_axes=(0, None, None)), in_axes=(0, 0, 0)))(
-                samples, jnp.asarray(lam, jnp.float32),
-                jnp.asarray(w, jnp.float32)), np.float64)
-        prefac = derived.lir_prefactor(
-            self._dl_mpc(z, lumdists, cosmology))
-        self.lir_chain = prefac[:, None] * integ
+            integ = np.asarray(jax.jit(jax.vmap(jax.vmap(
+                one, in_axes=(0, None, None)), in_axes=(0, 0, 0)))(
+                    samples, jnp.asarray(lam, jnp.float32),
+                    jnp.asarray(w, jnp.float32)), np.float64)
+            prefac = derived.lir_prefactor(
+                self._dl_mpc(z, lumdists, cosmology))[:, None]
+        else:
+            if redshifts is not None or lumdists is not None:
+                raise ValueError(
+                    "z_param= cannot combine with redshifts=/lumdists=: "
+                    "each sample carries its own redshift")
+            zi = self.model.param_index(z_param)
+            base_lam, base_w = derived.lir_nodes_weights(
+                1.0, wavemin, wavemax)
+            lam_j = jnp.asarray(base_lam, jnp.float32)
+            w_j = jnp.asarray(base_w, jnp.float32)
+
+            def one_z(theta):
+                opz = 1.0 + theta[zi]
+                return jnp.sum(w_j / opz * fnu(theta, lam_j * opz))
+
+            integ = np.asarray(
+                jax.jit(jax.vmap(jax.vmap(one_z)))(samples), np.float64)
+            zmat = np.asarray(samples[..., zi], np.float64)  # (S, N)
+            from mbb_emcee_tpu.models.cosmology import (
+                luminosity_distance_batch)
+            dl = luminosity_distance_batch(
+                zmat.ravel(), cosmology).reshape(zmat.shape)
+            prefac = derived.lir_prefactor(dl)
+        self.lir_chain = prefac * integ
         return self.lir_chain
 
     def lir_cen(self, percentile=68.3):
@@ -1512,6 +1544,13 @@ class SEDMultiFitter(ParamSpaceMixin):
             if getattr(self, "lir_chain", None) is not None:
                 f.create_dataset("LIRChain", data=self.lir_chain,
                                  compression="gzip")
+            if getattr(self, "dustmass_chain", None) is not None:
+                ds = f.create_dataset("DustMassChain",
+                                      data=self.dustmass_chain,
+                                      compression="gzip")
+                for k, v in (getattr(self, "dustmass_meta", None)
+                             or {}).items():
+                    ds.attrs[k] = v
             if getattr(self, "peaklambda_chain", None) is not None:
                 f.create_dataset("PeakLambdaChain",
                                  data=self.peaklambda_chain,
@@ -1604,6 +1643,11 @@ class SEDMultiFitter(ParamSpaceMixin):
                     jnp.asarray(np.asarray(f["NSteps"]), jnp.int32))
             if "LIRChain" in f:
                 mf.lir_chain = np.asarray(f["LIRChain"], np.float64)
+            if "DustMassChain" in f:
+                mf.dustmass_chain = np.asarray(f["DustMassChain"],
+                                               np.float64)
+                mf.dustmass_meta = {k: f["DustMassChain"].attrs[k]
+                                    for k in f["DustMassChain"].attrs}
             if "PeakLambdaChain" in f:
                 mf.peaklambda_chain = np.asarray(f["PeakLambdaChain"],
                                                  np.float64)

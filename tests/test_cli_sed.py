@@ -219,3 +219,61 @@ def test_cli_sed_population(tmp_path, capsys):
     with pytest.raises(SystemExit):
         main([mpath, cat, "x.h5", "--population", "T_cold",
               "--population-correlated"])
+
+
+def test_cli_sed_photoz_serving(tmp_path):
+    """The shipped photo-z model file drives the shell end to end:
+    joint-z catalog fit, z-marginalized L_IR (--lir-zparam) and dust
+    mass (--get-dustmass), both persisted; bad combos pre-validated."""
+    import os
+    import h5py
+    from mbb_emcee_tpu.photoz import photoz_mbb
+
+    ppath = os.path.join(os.path.dirname(__file__), "..", "examples",
+                         "photoz_model.py")
+    model = load_model(ppath)
+    assert model.param_names[-1] == "z"
+
+    # photo-z mock catalog: per-source z only generates the fluxes; the
+    # catalog z column is a placeholder (the fit samples z itself).
+    gen = photoz_mbb(cmb=True, z_upper=10.0)
+    wave_pz = np.array([250.0, 350.0, 500.0, 850.0, 1100.0, 2000.0])
+    rng = np.random.default_rng(7)
+    lines = ["wave = " + " ".join(f"{w:g}" for w in wave_pz)]
+    for i, z0 in enumerate([2.5, 4.0]):
+        t = np.array([38.0, 1.9, 80.0, 3.0, 10.0, z0])
+        f = np.asarray(gen.fnu(jnp.asarray(t, jnp.float32),
+                               jnp.asarray(wave_pz, jnp.float32)),
+                       np.float64)
+        unc = 0.07 * f
+        flux = f + unc * rng.standard_normal(f.size)
+        lines.append(f"PZ{i:02d} 0.0 " + " ".join(
+            f"{flux[j]:.6f} {unc[j]:.6f}" for j in range(wave_pz.size)))
+    cat = tmp_path / "pzcat.txt"
+    cat.write_text("\n".join(lines) + "\n")
+
+    out = str(tmp_path / "pz.h5")
+    rc = main([ppath, str(cat), out, "-w", "32", "-b", "20", "-n", "40",
+               "--seed", "4",
+               "--fixed", "alpha", "3", "--prior", "T", "38", "6",
+               "--initval", "T", "38", "--initval", "beta", "1.9",
+               "--initval", "lambda0", "80", "--initval", "fnorm", "10",
+               "--initval", "z", "3",
+               "--get-lir", "--lir-zparam", "z", "--get-dustmass",
+               "--derived-thin", "2"])
+    assert rc == 0
+    with h5py.File(out) as f:
+        assert "LIRChain" in f and "DustMassChain" in f
+        assert np.isfinite(np.asarray(f["LIRChain"])).all()
+        assert np.isfinite(np.asarray(f["DustMassChain"])).all()
+        assert f["DustMassChain"].attrs["z_param"] == "z"
+    mf = SEDMultiFitter.from_h5(out, model)
+    assert mf.dustmass_chain is not None and mf.lir_chain is not None
+
+    # pre-validation: unknown z parameter; dustmass on a non-photo-z model
+    with pytest.raises(SystemExit, match="lir-zparam"):
+        main([ppath, str(cat), "x.h5", "--get-lir",
+              "--lir-zparam", "bogus"])
+    mpath = _write_model(tmp_path)
+    with pytest.raises(SystemExit, match="photo-z"):
+        main([mpath, str(cat), "x.h5", "--get-dustmass"])

@@ -24,6 +24,7 @@ SLOW = [
     "model_comparison.py",
     "custom_model.py",
     "population_inference.py",
+    "photoz_fit.py",
 ]
 
 

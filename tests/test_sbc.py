@@ -11,7 +11,7 @@ up as non-uniform ranks.
 
 This is stronger than the pull test in test_multifit.py: pulls only
 check the first two moments against a Gaussian shape; SBC ranks check
-the whole distribution, with no Gaussianity assumption. Nine pipeline
+the whole distribution, with no Gaussianity assumption. Ten pipeline
 variants are calibrated: plain diagonal errors, band-integrated
 (instrument response) likelihoods, correlated calibration errors, the
 gradient-based HMC tier, the parallel-tempering tier (same targets,
@@ -23,9 +23,10 @@ both through its full burn -> re-center -> production protocol and
 through the fit_map -> run(init='map') short-burn workflow (a seeding
 that biased the stationary distribution would skew these ranks), the
 GENERIC batch pipeline (sedmulti.SEDMultiFitter on the wrapped
-MBB -- same targets, different orchestration code), and the
-HIERARCHICAL population tier (hyper-level ranks; see
-test_sbc_hierarchy_ranks_uniform).
+MBB -- same targets, different orchestration code), the PHOTO-Z tier
+(joint-(theta, z) sampling under a Gaussian T prior: calibration on the
+degeneracy ridge itself), and the HIERARCHICAL population tier
+(hyper-level ranks; see test_sbc_hierarchy_ranks_uniform).
 
 Reference anchor: SURVEY.md section 4 (sampler statistics tests) and the
 BASELINE accuracy contract. Runs in the slow lane.
@@ -190,6 +191,63 @@ def _sbc_ranks(mode, S=48):
             ranks.append((flat < true_p[:, None]).mean(axis=1))
         return np.concatenate(ranks), S
 
+    if mode == "photoz":
+        # The photo-z tier: z is SAMPLED under a Gaussian T prior. The
+        # drawing prior must equal the sampling prior, so T truths are
+        # rejection-drawn from the box-truncated N(38, 6) and z from
+        # its uniform box. Calibration here certifies the whole
+        # joint-(theta, z) machinery including the degeneracy ridge:
+        # posteriors are WIDE (weak identifiability) but must still put
+        # uniform mass at the truth.
+        from mbb_emcee_tpu.photoz import photoz_mbb
+        from mbb_emcee_tpu.sedmulti import SEDMultiFitter
+
+        model = photoz_mbb(opthin=True, noalpha=True, cmb=True,
+                           z_upper=10.0)
+        zbox = (0.5, 6.0)
+        t_draw = []
+        while len(t_draw) < S:
+            cand = rng.normal(38.0, 6.0)
+            if BOX["T"][0] < cand < BOX["T"][1]:
+                t_draw.append(cand)
+        trues_pz = np.column_stack([
+            np.asarray(t_draw),
+            rng.uniform(*BOX["beta"], S),
+            np.full(S, 250.0),             # inert (opthin)
+            np.full(S, 4.0),               # inert (noalpha)
+            rng.uniform(*BOX["fnorm"], S),
+            rng.uniform(*zbox, S),
+        ])
+        flux_pz, unc_pz = [], []
+        for t in trues_pz:
+            f = np.asarray(model.fnu(jnp.asarray(t, jnp.float32),
+                                     jnp.asarray(WAVE, jnp.float32)),
+                           np.float64)
+            u = 0.05 * f
+            flux_pz.append(f + u * rng.standard_normal(WAVE.size))
+            unc_pz.append(u)
+        smf = SEDMultiFitter(model, nwalkers=64, seed=99)
+        smf.fix_param("lambda0", 250.0).fix_param("alpha", 4.0)
+        for name, (lo, hi) in BOX.items():
+            smf.set_lowlim(name, lo)
+            smf.set_uplim(name, hi)
+        smf.set_lowlim("z", zbox[0])
+        smf.set_uplim("z", zbox[1])
+        smf.set_gaussian_prior("T", 38.0, 6.0)
+        smf.set_data(WAVE, np.array(flux_pz), np.array(unc_pz))
+        smf.set_param_init("T", 38.0, 5.0)
+        smf.set_param_init("fnorm", 105.0, 40.0)
+        smf.set_param_init("z", 3.25, 1.3)
+        smf.run(nburn=400, nsteps=800, thin=2)
+        chain = np.asarray(smf.chain)          # (S, nw, nrec, 6)
+        idx_pz = {"T": 0, "beta": 1, "fnorm": 4, "z": 5}
+        ranks = []
+        for name in smf.free_param_names:
+            true_p = trues_pz[:, idx_pz[name]]
+            flat = chain[..., idx_pz[name]].reshape(S, -1)
+            ranks.append((flat < true_p[:, None]).mean(axis=1))
+        return np.concatenate(ranks), S
+
     if mode == "hmc":
         mf.run_hmc(nwarmup=300, nsteps=600, thin=2)
     elif mode == "pt":
@@ -212,7 +270,7 @@ def _sbc_ranks(mode, S=48):
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "mode", ["plain", "response", "correlated", "hmc", "pt", "map_is",
-             "sedmulti", "single", "single_map_init"])
+             "sedmulti", "single", "single_map_init", "photoz"])
 def test_sbc_ranks_uniform(mode):
     # single-fit modes run S separate (program-cached) fits on the host
     # loop; a smaller S keeps the slow lane bounded
