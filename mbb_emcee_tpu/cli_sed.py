@@ -134,6 +134,13 @@ def build_parser():
                    help="per-source dust-mass posteriors marginalized "
                         "over the sampled z (photo-z MBB models only; "
                         "photoz.compute_dustmass_batch)")
+    g.add_argument("--anchor-z", type=float, metavar="SIGMA",
+                   default=None,
+                   help="per-source Gaussian prior on the model's "
+                        "sampled 'z' parameter centered on the CATALOG "
+                        "z column with this sigma; rows with non-finite "
+                        "catalog z stay free (mixed spec-z/photo-z "
+                        "catalogs in one compiled program)")
     g.add_argument("--get-peaklambda", action="store_true")
     g.add_argument("--derived-thin", type=int, default=1)
     g.add_argument("--get-evidence", action="store_true",
@@ -303,6 +310,27 @@ def main(argv=None):
             mf.set_gaussian_prior(param, float(m), float(s))
     except ValueError as e:
         raise SystemExit(str(e))
+
+    if args.anchor_z is not None:
+        if args.anchor_z <= 0:
+            raise SystemExit("--anchor-z sigma must be positive")
+        try:
+            model.param_index("z")
+        except ValueError:
+            raise SystemExit(
+                f"--anchor-z needs a sampled 'z' parameter; model "
+                f"{model.name!r} has none (photo-z models: photoz_mbb)")
+        # cat.redshifts keeps NaN where unknown (mixed catalogs), which
+        # is exactly the per-source prior's "off" encoding.
+        zcat = np.asarray(cat.redshifts, np.float64)
+        if not np.isfinite(zcat).any():
+            raise SystemExit(
+                "--anchor-z needs at least one finite redshift in the "
+                "catalog's z column")
+        on = np.isfinite(zcat)
+        mf.set_gaussian_prior(
+            "z", np.where(on, zcat, 0.0),
+            np.where(on, float(args.anchor_z), np.inf))
 
     if args.hmc and args.pt:
         raise SystemExit("--hmc and --pt are mutually exclusive")

@@ -648,6 +648,8 @@ class HierarchicalFitter(ParamSpaceMixin):
         # interim Gaussian priors on the selected params (if any): the
         # quadratic term varies per sample and must be divided out of the
         # weights; normalization constants are phi-independent and drop.
+        # Per-source priors on non-selected params are part of the
+        # factorized pi(theta_other) and stay, like shared ones.
         isig = spec.prior_isigma[free_idx]
         if np.any(isig > 0):
             mu0 = spec.prior_mean[free_idx]
@@ -655,6 +657,19 @@ class HierarchicalFitter(ParamSpaceMixin):
             ln_interim = -0.5 * np.sum(d * d, axis=-1)
         else:
             ln_interim = None
+        # ... and PER-SOURCE interim priors (sedmulti.set_gaussian_prior
+        # with (S,) arrays, e.g. spec-z anchors): same division, with the
+        # mean/isigma varying along the source axis.
+        ps = getattr(batch, "_ps_prior", None) or {}
+        if ps:
+            for k, p in enumerate(params):
+                entry = ps.get(str(p).lower())
+                if entry is None:
+                    continue
+                m_s, i_s = entry
+                d = (flat[..., k] - m_s[:, None]) * i_s[:, None]
+                q = -0.5 * d * d
+                ln_interim = q if ln_interim is None else ln_interim + q
         return cls(flat, population, ln_interim=ln_interim, **kw)
 
     def set_selection(self, injections, pdet=None, ln_draw=None,

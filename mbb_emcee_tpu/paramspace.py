@@ -65,6 +65,13 @@ class ParamSpaceMixin:
 
     def set_gaussian_prior(self, param, mean, sigma):
         """(ref: mbb_fitter.set_gaussian_prior)"""
+        import numpy as _np
+        if _np.ndim(mean) != 0 or _np.ndim(sigma) != 0:
+            raise TypeError(
+                "per-source (array-valued) Gaussian priors are supported "
+                "on the generic batch surface only "
+                "(SEDMultiFitter.set_gaussian_prior); this surface takes "
+                "scalar mean/sigma")
         i = self._param_index(param)
         pm = self._spec.prior_mean.copy()
         ps = self._spec.prior_isigma.copy()

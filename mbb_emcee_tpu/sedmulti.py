@@ -102,6 +102,12 @@ class SEDMultiFitter(ParamSpaceMixin):
         self._post_token = None
         self._run_cache = {}
         self.loo_result = None            # LooBatchResult (compute_loo)
+        # Per-source Gaussian priors: {param_name_lower: (mean (S,),
+        # sigma (S,))}. Threaded through EVERY sampler tier as extra
+        # pseudo-band columns on the flux/iunc operands (see
+        # _data_operands) -- mixed spec-z/photo-z catalogs, per-source
+        # calibration priors etc. share ONE compiled program.
+        self._ps_prior = {}
 
     # -- ParamSpaceMixin hooks ---------------------------------------------------------
     def _param_index(self, param):
@@ -189,6 +195,111 @@ class SEDMultiFitter(ParamSpaceMixin):
     def _iunc_operand(self):
         return signed_iunc(self.unc, self._spec.uplim_bands)
 
+    # -- per-source Gaussian priors ------------------------------------------------------
+    def set_gaussian_prior(self, param, mean, sigma):
+        """Gaussian prior on a parameter. Scalars set the SHARED prior
+        (all sources, ParamSpaceMixin semantics). (S,)-shaped mean
+        and/or sigma set a PER-SOURCE prior instead -- e.g. spec-z
+        anchors inside a photo-z catalog (`set_gaussian_prior("z",
+        z_spec, z_err)` with NaN/inf sigma entries disabling the prior
+        for sources without spectroscopy). A scalar call on the same
+        parameter replaces its per-source entry (last call wins). The
+        prior applies to FREE parameters; fixing the parameter later
+        raises at run time."""
+        if np.ndim(mean) == 0 and np.ndim(sigma) == 0:
+            self._ps_prior.pop(str(param).lower(), None)
+            return super().set_gaussian_prior(param, mean, sigma)
+        if self.flux is None:
+            raise RuntimeError(
+                "per-source priors need the catalog size; call set_data "
+                "first")
+        S = self.nsources
+        name = self.model.param_names[self._param_index(param)].lower()
+        mean = np.broadcast_to(
+            np.asarray(mean, np.float64), (S,)).copy()
+        sigma = np.broadcast_to(
+            np.asarray(sigma, np.float64), (S,)).copy()
+        # A non-finite or non-positive sigma disables the prior for that
+        # source (isigma = 0); its mean is then inert (zeroed for a
+        # stable fingerprint).
+        on = np.isfinite(sigma) & (sigma > 0)
+        if not np.isfinite(mean[on]).all():
+            raise ValueError(
+                f"per-source prior means for {param!r} must be finite "
+                "wherever sigma is finite and positive")
+        isig = np.where(on, 1.0 / np.where(on, sigma, 1.0), 0.0)
+        self._ps_prior[name] = (np.where(on, mean, 0.0), isig)
+        return self
+
+    def _ps_prior_free(self, free_space):
+        """(pmean, pisig) as (S, nfree) fp64 arrays in FREE-space column
+        order, or None when no per-source priors are configured."""
+        if not self._ps_prior:
+            return None
+        S = self.nsources
+        nfree = free_space.nfree
+        free_names = [self.model.param_names[i].lower()
+                      for i in free_space.free_idx]
+        pm = np.zeros((S, nfree), np.float64)
+        pi = np.zeros((S, nfree), np.float64)
+        for name, (mean, isig) in self._ps_prior.items():
+            if name not in free_names:
+                raise ValueError(
+                    f"per-source prior on {name!r} needs that parameter "
+                    "free, but it is fixed")
+            if mean.shape[0] != S:
+                raise ValueError(
+                    f"per-source prior on {name!r} is sized for "
+                    f"{mean.shape[0]} sources; the catalog has {S} -- "
+                    "call set_gaussian_prior again after set_data")
+            j = free_names.index(name)
+            pm[:, j] = mean
+            pi[:, j] = isig
+        return pm, pi
+
+    def _ps_token(self):
+        """Fingerprint-ready tuple of per-source prior content; ()
+        when unused so pre-feature tokens/checkpoints stay valid."""
+        if not self._ps_prior:
+            return ()
+        return tuple(x for name in sorted(self._ps_prior)
+                     for x in (np.frombuffer(name.encode(), np.uint8),
+                               self._ps_prior[name][0],
+                               self._ps_prior[name][1]))
+
+    def _build_lnprob_data(self, spec):
+        """build_sed_lnprob_data + the per-source prior wrapper: the
+        trailing nfree columns of the flux/iunc operands carry
+        (prior mean, prior isigma) in free-space order, so every sampler
+        tier gets per-source priors with NO signature change."""
+        lnprob_data, free_space = build_sed_lnprob_data(
+            self.model, spec, response_pack=self._response_pack())
+        if not self._ps_prior:
+            return lnprob_data, free_space
+        self._ps_prior_free(free_space)   # validate (free, sized) early
+        nb = int(self.wave.size)
+
+        def lnprob(theta_free, wave, flux_ext, iunc_ext):
+            base = lnprob_data(theta_free, wave, flux_ext[:nb],
+                               iunc_ext[:nb])
+            dp = (theta_free - flux_ext[nb:]) * iunc_ext[nb:]
+            return base - 0.5 * jnp.sum(dp * dp)
+
+        return lnprob, free_space
+
+    def _data_operands(self, free_space):
+        """(flux, iunc) fp32 operands, extended with the per-source
+        prior columns when configured."""
+        flux = np.asarray(self.flux, np.float32)
+        iunc = np.asarray(self._iunc_operand(), np.float32)
+        ps = self._ps_prior_free(free_space)
+        if ps is not None:
+            flux = np.concatenate([flux, ps[0].astype(np.float32)],
+                                  axis=1)
+            iunc = np.concatenate([iunc, ps[1].astype(np.float32)],
+                                  axis=1)
+        return jnp.asarray(flux), jnp.asarray(iunc)
+
     @property
     def nsources(self):
         if self.flux is None:
@@ -214,15 +325,21 @@ class SEDMultiFitter(ParamSpaceMixin):
                     spec.lower, spec.upper, spec.fixed, spec.fixed_values,
                     spec.prior_mean, spec.prior_isigma,
                     np.asarray([self.a]),
+                    *self._ps_token(),
                     *(() if pack is None else pack)),
                 self.model.name)
 
     def _spec_token(self, spec):
         """Compile-relevant spec content (uplim masks excluded: they ride
-        the sign of the iunc operand, so mask edits REUSE the program)."""
-        return data_fingerprint(
-            spec.lower, spec.upper, spec.fixed, spec.fixed_values,
-            spec.prior_mean, spec.prior_isigma)
+        the sign of the iunc operand, so mask edits REUSE the program).
+        Per-source priors enter as a PRESENCE flag only: their values
+        are operands (prior edits reuse the program); only adding or
+        removing them changes the traced lnprob (the operand-splitting
+        wrapper)."""
+        return (data_fingerprint(
+                    spec.lower, spec.upper, spec.fixed, spec.fixed_values,
+                    spec.prior_mean, spec.prior_isigma),
+                bool(self._ps_prior))
 
     # -- the run -----------------------------------------------------------------------
     def run(self, nburn=50, nsteps=250, thin=1, recenter_burn=True,
@@ -263,8 +380,7 @@ class SEDMultiFitter(ParamSpaceMixin):
                 checkpoint, int(checkpoint_interval),
                 bool(resume and os.path.exists(checkpoint)))
         spec = self._effective_spec()
-        lnprob_data, free_space = build_sed_lnprob_data(
-            self.model, spec, response_pack=self._response_pack())
+        lnprob_data, free_space = self._build_lnprob_data(spec)
         self.free_space = free_space
         self.thin = int(thin)
         S, nw = self.nsources, self.nwalkers
@@ -286,8 +402,7 @@ class SEDMultiFitter(ParamSpaceMixin):
                     f"of {ndev}")
 
         wave = jnp.asarray(self.wave, jnp.float32)
-        flux = jnp.asarray(self.flux, jnp.float32)
-        iunc = jnp.asarray(self._iunc_operand(), jnp.float32)
+        flux, iunc = self._data_operands(free_space)
         key = jax.random.key(self.seed, impl=self.prng_impl)
         kball, kstate, krecenter = jax.random.split(key, 3)
         if init == "map":
@@ -468,8 +583,7 @@ class SEDMultiFitter(ParamSpaceMixin):
             raise ValueError(
                 f"nsteps={nsteps} not divisible by thin={self.thin}")
         spec = self._effective_spec()
-        lnprob_data, _ = build_sed_lnprob_data(
-            self.model, spec, response_pack=self._response_pack())
+        lnprob_data, _fs_e = self._build_lnprob_data(spec)
         S, nw = self.nsources, self.nwalkers
         half = nw // 2
         thin_i = int(self.thin)
@@ -518,10 +632,11 @@ class SEDMultiFitter(ParamSpaceMixin):
             self._run_cache[cache_key] = jax.jit(f)
 
         naccept0, nsteps0 = self._xla_counters
+        flux_e, iunc_e = self._data_operands(_fs_e)
         chain, lnpchain, naccept, nsteps_dev, keys = (
             self._run_cache[cache_key](
-                self._shard(jnp.asarray(self.flux, jnp.float32)),
-                self._shard(jnp.asarray(self._iunc_operand(), jnp.float32)),
+                self._shard(flux_e),
+                self._shard(iunc_e),
                 self._shard(self._xla_keys),
                 self._shard(jnp.asarray(self.chain_free)[:, -1]),
                 self._shard(jnp.asarray(self.lnprobability)[:, -1]),
@@ -663,8 +778,7 @@ class SEDMultiFitter(ParamSpaceMixin):
             raise ValueError(f"nsteps={nsteps} not divisible by "
                              f"thin={thin}")
         spec = self._effective_spec()
-        lnprob_data, free_space = build_sed_lnprob_data(
-            self.model, spec, response_pack=self._response_pack())
+        lnprob_data, free_space = self._build_lnprob_data(spec)
         self.free_space = free_space
         self.thin = int(thin)
         S, W = self.nsources, self.nwalkers
@@ -686,8 +800,7 @@ class SEDMultiFitter(ParamSpaceMixin):
             return jax.lax.pcast(x, (mesh_axis,), to="varying")
 
         wave = jnp.asarray(self.wave, jnp.float32)
-        flux = jnp.asarray(self.flux, jnp.float32)
-        iunc = jnp.asarray(self._iunc_operand(), jnp.float32)
+        flux, iunc = self._data_operands(free_space)
         key = jax.random.key(self.seed, impl=self.prng_impl)
         kball, kscout, kmain = jax.random.split(key, 3)
         cen_f = np.broadcast_to(self._init[free_space.free_idx],
@@ -875,8 +988,7 @@ class SEDMultiFitter(ParamSpaceMixin):
             raise ValueError(f"nsteps={nsteps} not divisible by "
                              f"thin={thin}")
         spec = self._effective_spec()
-        lnprob_data, free_space = build_sed_lnprob_data(
-            self.model, spec, response_pack=self._response_pack())
+        lnprob_data, free_space = self._build_lnprob_data(spec)
         self.free_space = free_space
         if not (np.all(np.isfinite(free_space.lower))
                 and np.all(np.isfinite(free_space.upper))):
@@ -902,8 +1014,7 @@ class SEDMultiFitter(ParamSpaceMixin):
         if mesh_axis is None:
             vary = None
 
-        flux = jnp.asarray(self.flux, jnp.float32)
-        iunc = jnp.asarray(self._iunc_operand(), jnp.float32)
+        flux, iunc = self._data_operands(free_space)
         key = jax.random.key(self.seed, impl=self.prng_impl)
         kball, kmain = jax.random.split(key)
         cen_f = np.broadcast_to(self._init[free_space.free_idx],
@@ -983,8 +1094,7 @@ class SEDMultiFitter(ParamSpaceMixin):
         if self.flux is None:
             raise RuntimeError("no data; call set_data")
         spec = self._effective_spec()
-        lnprob_data, free_space = build_sed_lnprob_data(
-            self.model, spec, response_pack=self._response_pack())
+        lnprob_data, free_space = self._build_lnprob_data(spec)
         self.free_space = free_space
         if not (np.all(np.isfinite(free_space.lower))
                 and np.all(np.isfinite(free_space.upper))):
@@ -1035,10 +1145,11 @@ class SEDMultiFitter(ParamSpaceMixin):
                     out_specs=(P(ax, None), P(ax), P(ax, None, None),
                                P(ax)))
             self._run_cache[ck] = jax.jit(f)
+        flux_m, iunc_m = self._data_operands(free_space)
         x_map, lnp_map, H, gn = self._run_cache[ck](
             self._shard(jnp.arange(S)),
-            self._shard(jnp.asarray(self.flux, jnp.float32)),
-            self._shard(jnp.asarray(self._iunc_operand(), jnp.float32)),
+            self._shard(flux_m),
+            self._shard(iunc_m),
             key, jnp.asarray(self.wave, jnp.float32), cen_f, sca_f)
 
         x_np = np.asarray(x_map, np.float64)
@@ -1081,8 +1192,7 @@ class SEDMultiFitter(ParamSpaceMixin):
         from mbb_emcee_tpu.likelihood import SUPPORT_FLOOR
         self._require_map_fresh("map_importance()")
         spec = self._effective_spec()
-        lnprob_data, free_space = build_sed_lnprob_data(
-            self.model, spec, response_pack=self._response_pack())
+        lnprob_data, free_space = self._build_lnprob_data(spec)
         S = self.nsources
         d = free_space.nfree
         N = int(nsamples)
@@ -1110,10 +1220,11 @@ class SEDMultiFitter(ParamSpaceMixin):
                     in_specs=(P(ax), P(ax, None), P(ax, None), P(None)),
                     out_specs=P(ax, None))
             self._run_cache[ck] = jax.jit(f)
+        flux_i, iunc_i = self._data_operands(free_space)
         lnp = self._run_cache[ck](
             self._shard(x),
-            self._shard(jnp.asarray(self.flux, jnp.float32)),
-            self._shard(jnp.asarray(self._iunc_operand(), jnp.float32)),
+            self._shard(flux_i),
+            self._shard(iunc_i),
             jnp.asarray(self.wave, jnp.float32))
 
         lnq = (-0.5 * np.sum(np.asarray(eps, np.float64) ** 2, axis=2)
@@ -1441,8 +1552,7 @@ class SEDMultiFitter(ParamSpaceMixin):
             raise ValueError(
                 f"the mesh size ({self.mesh.devices.size} devices) must "
                 f"divide nsources={S}")
-        lnprob_data, free_space = build_sed_lnprob_data(
-            self.model, spec, response_pack=self._response_pack())
+        lnprob_data, free_space = self._build_lnprob_data(spec)
         if not (np.all(np.isfinite(free_space.lower))
                 and np.all(np.isfinite(free_space.upper))):
             raise ValueError("nested sampling requires finite box bounds")
@@ -1460,8 +1570,7 @@ class SEDMultiFitter(ParamSpaceMixin):
                 ll, free_space.lower, free_space.upper, nlive=nlive,
                 nbatch=nbatch, nsteps=nsteps, max_iter=max_iter, tol=tol,
                 mesh=self.mesh)
-        data = (jnp.asarray(self.flux, jnp.float32),
-                jnp.asarray(self._iunc_operand(), jnp.float32))
+        data = self._data_operands(free_space)
         key = jax.random.key(self.seed if seed is None else int(seed))
         res = self._run_cache[ck](key, data)
         res.samples = free_space.expand(res.samples)
@@ -1541,6 +1650,16 @@ class SEDMultiFitter(ParamSpaceMixin):
                 pc.create_dataset("PhotUpperLimits",
                                   data=np.asarray(spec.uplim_bands,
                                                   np.uint8))
+            if self._ps_prior:
+                pg = pc.create_group("PerSourcePriors")
+                pg.attrs["params"] = np.array(
+                    [n.encode() for n in sorted(self._ps_prior)])
+                pg.create_dataset("Mean", data=np.stack(
+                    [self._ps_prior[n][0]
+                     for n in sorted(self._ps_prior)]))
+                pg.create_dataset("InvSigma", data=np.stack(
+                    [self._ps_prior[n][1]
+                     for n in sorted(self._ps_prior)]))
             if getattr(self, "lir_chain", None) is not None:
                 f.create_dataset("LIRChain", data=self.lir_chain,
                                  compression="gzip")
@@ -1613,6 +1732,14 @@ class SEDMultiFitter(ParamSpaceMixin):
                 uplim_bands=uplim)
             mf._init = np.asarray(pc["Initial"], np.float64)
             mf._scatter = np.asarray(pc["InitScatter"], np.float64)
+            if "PerSourcePriors" in pc:
+                pg = pc["PerSourcePriors"]
+                names = [n.decode() if isinstance(n, bytes) else str(n)
+                         for n in pg.attrs["params"]]
+                pm = np.asarray(pg["Mean"], np.float64)
+                pi = np.asarray(pg["InvSigma"], np.float64)
+                mf._ps_prior = {n: (pm[k], pi[k])
+                                for k, n in enumerate(names)}
             band_names = None
             if "BandNames" in f:
                 band_names = [n.decode() if isinstance(n, bytes)
@@ -1715,6 +1842,23 @@ class _SEDSourceView:
         if ub is not None and np.ndim(ub) == 2:
             spec = dataclasses.replace(
                 spec, uplim_bands=np.asarray(ub[i], bool))
+        if mf._ps_prior:
+            # Fold source i's per-source Gaussian priors into the view's
+            # spec (product of Gaussians with any shared prior: inverse
+            # variances add, means precision-weight), so the per-source
+            # analysis surface reports the posterior this source was
+            # actually sampled under.
+            pm = spec.prior_mean.copy()
+            pi = spec.prior_isigma.copy()
+            for name, (m_s, i_s) in mf._ps_prior.items():
+                j = mf.model.param_index(name)
+                v = pi[j] ** 2 + i_s[i] ** 2
+                if v > 0:
+                    pm[j] = ((pm[j] * pi[j] ** 2 + m_s[i] * i_s[i] ** 2)
+                             / v)
+                    pi[j] = np.sqrt(v)
+            spec = dataclasses.replace(spec, prior_mean=pm,
+                                       prior_isigma=pi)
         self._spec = spec
         self._init = mf._init.copy()
         self.thin = mf.thin

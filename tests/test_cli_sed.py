@@ -277,3 +277,60 @@ def test_cli_sed_photoz_serving(tmp_path):
     mpath = _write_model(tmp_path)
     with pytest.raises(SystemExit, match="photo-z"):
         main([mpath, str(cat), "x.h5", "--get-dustmass"])
+
+
+def test_cli_sed_anchor_z(tmp_path):
+    """--anchor-z: the catalog z column becomes a per-source prior on
+    the sampled z -- spec-z rows pinned, NaN rows free -- in one
+    compiled program."""
+    import os
+    import h5py
+    from mbb_emcee_tpu.photoz import photoz_mbb
+
+    ppath = os.path.join(os.path.dirname(__file__), "..", "examples",
+                         "photoz_model.py")
+    gen = photoz_mbb(cmb=True, z_upper=10.0)
+    wave_pz = np.array([250.0, 350.0, 500.0, 850.0, 1100.0, 2000.0])
+    rng = np.random.default_rng(9)
+    lines = ["wave = " + " ".join(f"{w:g}" for w in wave_pz)]
+    # source 0 has spectroscopy (z column finite); source 1 does not
+    for i, (z0, zcol) in enumerate([(2.5, "2.5"), (4.0, "nan")]):
+        t = np.array([38.0, 1.9, 80.0, 3.0, 10.0, z0])
+        f = np.asarray(gen.fnu(jnp.asarray(t, jnp.float32),
+                               jnp.asarray(wave_pz, jnp.float32)),
+                       np.float64)
+        unc = 0.07 * f
+        flux = f + unc * rng.standard_normal(f.size)
+        lines.append(f"MX{i:02d} {zcol} " + " ".join(
+            f"{flux[j]:.6f} {unc[j]:.6f}" for j in range(wave_pz.size)))
+    cat = tmp_path / "mixed.txt"
+    cat.write_text("\n".join(lines) + "\n")
+
+    out = str(tmp_path / "mx.h5")
+    rc = main([ppath, str(cat), out, "-w", "32", "-b", "120", "-n", "240",
+               "--seed", "4", "--fixed", "alpha", "3",
+               "--prior", "T", "38", "6", "--anchor-z", "0.02",
+               "--initval", "T", "38", "--initval", "beta", "1.9",
+               "--initval", "lambda0", "80", "--initval", "fnorm", "10",
+               "--initval", "z", "3"])
+    assert rc == 0
+    model = load_model(ppath)
+    mf = SEDMultiFitter.from_h5(out, model)
+    cen = mf.par_cen("z")
+    assert abs(cen[0, 0] - 2.5) < 0.05          # anchored at spec-z
+    assert 0.5 * (cen[0, 1] + cen[0, 2]) < 0.05
+    assert 0.5 * (cen[1, 1] + cen[1, 2]) > 0.2  # NaN row stays free
+    assert "z" in mf._ps_prior                  # prior persisted
+
+    # pre-validation: a model without 'z', all-NaN z, bad sigma
+    mpath = _write_model(tmp_path)
+    cat2, _ = _write_catalog(tmp_path, S=2, seed=1)
+    with pytest.raises(SystemExit, match="sampled 'z'"):
+        main([mpath, cat2, "x.h5", "--anchor-z", "0.1"])
+    lines[1] = lines[1].replace("2.5 ", "nan ", 1)
+    allnan = tmp_path / "allnan.txt"
+    allnan.write_text("\n".join(lines) + "\n")
+    with pytest.raises(SystemExit, match="finite redshift"):
+        main([ppath, str(allnan), "x.h5", "--anchor-z", "0.1"])
+    with pytest.raises(SystemExit, match="positive"):
+        main([ppath, str(cat), "x.h5", "--anchor-z", "-1"])

@@ -571,3 +571,145 @@ def test_results_source_view(batch_fit, tmp_path):
     assert np.isnan(ppc0.band_p[3])
     with pytest.raises(IndexError, match="out of range"):
         mf.results(99)
+
+
+# -- per-source Gaussian priors ------------------------------------------------------
+
+
+def test_ps_prior_lnprob_matches_shared():
+    """A per-source prior with every source at the SAME (mu, sigma) must
+    equal the shared-spec prior term exactly (up to fp32 order): unit
+    check of the operand-splitting wrapper against build_sed_lnprob_data
+    with the prior in the spec."""
+    truths, flux, unc = _mock_batch(S=3)
+    mf = _fitter(flux, unc)
+    mf.set_gaussian_prior("T_warm", np.full(3, 44.0), np.full(3, 5.0))
+    spec_ps = mf._effective_spec()
+    lnp_ps, fs = mf._build_lnprob_data(spec_ps)
+    flux_ext, iunc_ext = mf._data_operands(fs)
+
+    mf2 = _fitter(flux, unc)
+    mf2.set_gaussian_prior("T_warm", 44.0, 5.0)
+    spec_sh = mf2._effective_spec()
+    lnp_sh, _ = mf2._build_lnprob_data(spec_sh)
+
+    rng = np.random.default_rng(0)
+    wave_j = jnp.asarray(WAVE, jnp.float32)
+    for s in range(3):
+        for _ in range(5):
+            th = jnp.asarray(
+                rng.uniform(fs.lower, fs.upper), jnp.float32)
+            a = float(lnp_ps(th, wave_j, flux_ext[s], iunc_ext[s]))
+            b = float(lnp_sh(th, wave_j,
+                             jnp.asarray(flux[s], jnp.float32),
+                             jnp.asarray(mf2._iunc_operand()[s],
+                                         jnp.float32)))
+            np.testing.assert_allclose(a, b, rtol=2e-5)
+
+
+def test_ps_prior_anchors_one_source():
+    """The serving story: one source carries a tight per-source prior
+    (a 'spec-z anchor' analog on T_warm), the rest are unconstrained by
+    it; exact extend() continuation and HDF5 reload both preserve it."""
+    truths, flux, unc = _mock_batch(S=3, seed=11)
+    mf = _fitter(flux, unc, nwalkers=32)
+    anchor = 50.0
+    mf.set_gaussian_prior(
+        "T_warm", np.array([anchor, 0.0, 0.0]),
+        np.array([0.05, np.inf, np.inf]))
+    mf.run(nburn=40, nsteps=120)
+    cen = mf.par_cen("T_warm")
+    assert abs(cen[0, 0] - anchor) < 0.2
+    assert 0.5 * (cen[0, 1] + cen[0, 2]) < 0.2
+    assert 0.5 * (cen[1, 1] + cen[1, 2]) > 0.5   # others stay data-driven
+
+    # run(n1) + extend(n2) == run(n1+n2) bitwise, with ps priors active
+    mf.extend(40)
+    mf2 = _fitter(flux, unc, nwalkers=32)
+    mf2.set_gaussian_prior(
+        "T_warm", np.array([anchor, 0.0, 0.0]),
+        np.array([0.05, np.inf, np.inf]))
+    mf2.run(nburn=40, nsteps=160)
+    assert np.array_equal(np.asarray(mf.chain_free),
+                          np.asarray(mf2.chain_free))
+
+
+def test_ps_prior_hdf5_roundtrip_and_continuation(tmp_path):
+    truths, flux, unc = _mock_batch(S=2, seed=13)
+    mf = _fitter(flux, unc, nwalkers=32)
+    mf.set_gaussian_prior("T_warm", np.array([50.0, 0.0]),
+                          np.array([0.1, np.inf]))
+    mf.run(nburn=20, nsteps=60)
+    fn = str(tmp_path / "ps.h5")
+    mf.writeToHDF5(fn)
+    mf3 = SEDMultiFitter.from_h5(fn, _model())
+    assert "t_warm" in mf3._ps_prior
+    np.testing.assert_allclose(mf3._ps_prior["t_warm"][1],
+                               mf._ps_prior["t_warm"][1])
+    mf3.extend(40)
+    mf.extend(40)
+    assert np.array_equal(np.asarray(mf3.chain_free),
+                          np.asarray(mf.chain_free))
+
+
+def test_ps_prior_validation_and_clearing():
+    truths, flux, unc = _mock_batch(S=3)
+    mf = _fitter(flux, unc, nwalkers=24)
+    # needs data first
+    mf_no = SEDMultiFitter(_model(), nwalkers=24, seed=1)
+    with pytest.raises(RuntimeError, match="set_data"):
+        mf_no.set_gaussian_prior("T_warm", np.zeros(3), np.ones(3))
+    # fixed parameter refuses at run time
+    mf.set_gaussian_prior("T_warm", np.full(3, 44.0), np.full(3, 5.0))
+    mf.fix_param("T_warm", 44.0)
+    with pytest.raises(ValueError, match="fixed"):
+        mf.run(nburn=5, nsteps=10)
+    # scalar call clears the per-source entry (last call wins)
+    mf2 = _fitter(flux, unc, nwalkers=24)
+    mf2.set_gaussian_prior("T_warm", np.full(3, 44.0), np.full(3, 5.0))
+    assert "t_warm" in mf2._ps_prior
+    mf2.set_gaussian_prior("T_warm", 44.0, 5.0)
+    assert "t_warm" not in mf2._ps_prior
+    # wrong catalog size refuses after new set_data
+    mf3 = _fitter(flux, unc, nwalkers=24)
+    mf3.set_gaussian_prior("T_warm", np.full(3, 44.0), np.full(3, 5.0))
+    t4, f4, u4 = _mock_batch(S=4)
+    mf3.set_data(WAVE, f4, u4)
+    with pytest.raises(ValueError, match="sized for"):
+        mf3.run(nburn=5, nsteps=10)
+    # non-finite mean under an active sigma refuses immediately
+    mf4 = _fitter(flux, unc, nwalkers=24)
+    with pytest.raises(ValueError, match="finite"):
+        mf4.set_gaussian_prior("T_warm", np.array([np.nan, 1.0, 1.0]),
+                               np.full(3, 5.0))
+    # arrays on the single-fit surface raise the targeted TypeError
+    sf = SEDFitter(_model(), nwalkers=16)
+    with pytest.raises(TypeError, match="batch surface"):
+        sf.set_gaussian_prior("T_warm", np.zeros(3), np.ones(3))
+
+
+def test_ps_prior_hierarchy_interim_division():
+    """from_batch must divide PER-SOURCE interim priors out of the
+    reweighting exactly like shared ones: ln_interim equals the manual
+    per-source quadratic."""
+    from mbb_emcee_tpu.hierarchy import HierarchicalFitter
+    truths, flux, unc = _mock_batch(S=3, seed=17)
+    mf = _fitter(flux, unc, nwalkers=32)
+    mu_s = np.array([40.0, 45.0, 50.0])
+    sig_s = np.array([4.0, 5.0, 6.0])
+    mf.set_gaussian_prior("T_warm", mu_s, sig_s)
+    mf.run(nburn=20, nsteps=60)
+    hf = HierarchicalFitter.from_batch(mf, params=("T_warm",),
+                                       nwalkers=8, max_samples=64)
+    # manual: same strided flat chain, same quadratic
+    chain = np.asarray(mf.chain_free)
+    cols = [list(mf.free_param_names).index("T_warm")]
+    flat = chain.reshape(3, -1, chain.shape[-1])[..., cols]
+    nsamp = flat.shape[1]
+    if nsamp > 64:
+        stride = int(np.ceil(nsamp / 64))
+        flat = flat[:, ::stride][:, :64]
+    d = (flat[..., 0] - mu_s[:, None]) / sig_s[:, None]
+    expected = -0.5 * d * d
+    np.testing.assert_allclose(np.asarray(hf.ln_interim), expected,
+                               rtol=1e-6)
