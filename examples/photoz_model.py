@@ -8,10 +8,10 @@ Redshift is the SIXTH SAMPLED PARAMETER (rest-frame T and lambda0, CMB
 corrections on); `--prior T mu sigma` is NOT optional in spirit -- the
 data alone constrain T/(1+z) only (see mbb_emcee_tpu/photoz.py), so the
 temperature prior is what turns the degeneracy ridge into a z
-posterior. Per-source fixed redshifts (when some sources have
-spectroscopy) can be applied with `--fixed z <value>` for single-z
-batches, or by fitting the spec-z subsample through the fixed-z
-factory (examples/cmb_high_z_model.py) instead.
+posterior. MIXED catalogs (a spectroscopic subsample inside the photo-z
+survey) add `--anchor-z SIGMA`: the catalog's z column becomes a
+per-source Gaussian prior on the sampled z -- rows with a finite z are
+pinned at it, `nan` rows stay free -- all in one compiled program.
 
 After the fit, marginalize derived quantities over z in Python:
 
