@@ -148,12 +148,15 @@ def test_recovery_matches_analytic_marginal():
     sampled with the same ensemble sampler over the same hyper box.  The
     stored-samples machinery is the only difference between the chains,
     so agreement here validates the reweighting construction itself."""
+    # default lane at reduced chain length (tolerances are width-
+    # relative); --runslow restores full scale
+    sc = 2 if __import__("os").environ.get("MBB_RUNSLOW") else 1
     samples, x_s, sig_obs = _population_setup()
     lo, hi = 10.0, 60.0  # wide box: truncation term ~= 1 for both forms
 
     pop = TruncatedGaussianPopulation.for_box(("T",), [lo], [hi])
     hf = HierarchicalFitter(samples, pop, nwalkers=64, seed=11)
-    hf.run(nburn=300, nsteps=1200)
+    hf.run(nburn=150 * sc, nsteps=600 * sc)
 
     # oracle chain on the analytic marginal over the same (mu, sigma) box
     def analytic_lnprob(phi):
@@ -171,9 +174,9 @@ def test_recovery_matches_analytic_marginal():
                            64, np.array([lo, pop.sigma_min[0]]),
                            np.array([hi, pop.sigma_max[0]]))
     st = samp.init_state(key, p0)
-    st = samp.advance(st, 300)
+    st = samp.advance(st, 150 * sc)
     st = EnsembleSampler.reset_counters(st)
-    st, chain, _ = samp.run_mcmc(st, 1200)
+    st, chain, _ = samp.run_mcmc(st, 600 * sc)
     oracle_flat = np.asarray(chain).reshape(-1, 2)
 
     for i, name in enumerate(("mu_T", "sigma_T")):
@@ -385,8 +388,9 @@ def test_corr_population_recovers_correlation():
     posterior draws, so the only machinery under test is the tier)."""
     from mbb_emcee_tpu.hierarchy import (
         CorrelatedGaussianPopulation, HierarchicalFitter)
+    sc = 2 if __import__("os").environ.get("MBB_RUNSLOW") else 1
     rng = np.random.default_rng(23)
-    S, N = 96, 256
+    S, N = 96, 128 * sc
     mu_t = np.array([35.0, 1.9])
     sig_t = np.array([5.0, 0.35])
     rho_t = 0.7
@@ -400,7 +404,7 @@ def test_corr_population_recovers_correlation():
     pop = CorrelatedGaussianPopulation.for_box(
         ("T", "beta"), [10.0, 0.5], [60.0, 3.5])
     hf = HierarchicalFitter(samples, pop, nwalkers=64, seed=31)
-    hf.run(nburn=400, nsteps=1200)
+    hf.run(nburn=200 * sc, nsteps=600 * sc)
 
     rho = hf.par_cen("rho_T_beta")
     width = rho[1] + rho[2]
@@ -610,13 +614,17 @@ def test_selection_corrects_malmquist_bias():
     from jax.scipy.special import ndtr as j_ndtr
     from mbb_emcee_tpu.hierarchy import Selection
 
+    # default lane runs at reduced scale (tolerances below are width-
+    # relative, so they stay valid); --runslow restores full scale
+    slow = bool(__import__("os").environ.get("MBB_RUNSLOW"))
+    sc = 2 if slow else 1
     rng = np.random.default_rng(77)
     mu_t, sig_t, sig_obs, cut = 35.0, 4.0, 1.5, 35.0
     lo, hi = 10.0, 60.0
     theta_all = rng.normal(mu_t, sig_t, 400)
     x_all = theta_all + rng.normal(0, sig_obs, 400)
     x_s = x_all[x_all > cut][:64]
-    S, N = x_s.size, 256
+    S, N = x_s.size, 128 * sc
     assert S == 64
     samples = (x_s[:, None] + rng.normal(0, sig_obs, (S, N)))[..., None]
 
@@ -624,17 +632,17 @@ def test_selection_corrects_malmquist_bias():
 
     # naive (no selection): biased high by the construction
     naive = HierarchicalFitter(samples, pop, nwalkers=64, seed=11)
-    naive.run(nburn=300, nsteps=800)
+    naive.run(nburn=150 * sc, nsteps=400 * sc)
     mu_naive = naive.par_cen("mu_T")
     assert mu_naive[0] - mu_t > 2.0 * mu_naive[2], mu_naive
 
     # corrected: uniform injections over the box with analytic P_det
-    M = 40960
+    M = 20480 * sc
     inj = rng.uniform(lo, hi, (M, 1))
     pdet = np_ndtr((inj[:, 0] - cut) / sig_obs)
     corr = HierarchicalFitter(samples, pop, nwalkers=64, seed=11)
     corr.set_selection(inj, pdet=pdet)
-    corr.run(nburn=300, nsteps=1200)
+    corr.run(nburn=150 * sc, nsteps=600 * sc)
     assert corr.selection_neff() > 4 * S    # Farr 2019 rule of thumb
 
     # exact analytic oracle over the same hyper box
@@ -655,9 +663,9 @@ def test_selection_corrects_malmquist_bias():
                            64, np.array([lo, pop.sigma_min[0]]),
                            np.array([hi, pop.sigma_max[0]]))
     st = samp.init_state(key, p0)
-    st = samp.advance(st, 300)
+    st = samp.advance(st, 150 * sc)
     st = EnsembleSampler.reset_counters(st)
-    st, chain, _ = samp.run_mcmc(st, 1200)
+    st, chain, _ = samp.run_mcmc(st, 600 * sc)
     oracle_flat = np.asarray(chain).reshape(-1, 2)
 
     for i, name in enumerate(("mu_T", "sigma_T")):
