@@ -55,6 +55,9 @@ from mbb_emcee_tpu.hierarchy import (
     HierarchicalFitter, TruncatedGaussianPopulation,
     CorrelatedGaussianPopulation, Selection, fit_population)
 from mbb_emcee_tpu.photoz import photoz_mbb, PhotoZMBBModel
+from mbb_emcee_tpu.reweight import (
+    reweight_prior, reweight_prior_batch, ReweightResult,
+    ReweightBatchResult)
 
 __version__ = "0.2.0"
 
@@ -78,5 +81,7 @@ __all__ = [
     "HierarchicalFitter", "TruncatedGaussianPopulation",
     "CorrelatedGaussianPopulation", "Selection", "fit_population",
     "photoz_mbb", "PhotoZMBBModel",
+    "reweight_prior", "reweight_prior_batch",
+    "ReweightResult", "ReweightBatchResult",
     "__version__",
 ]
