@@ -65,3 +65,13 @@ compute_dustmass(res, thin=4)
 dm = dustmass_cen(res)
 print(f"Mdust= {dm[0]:.3g} +{dm[1]:.2g} -{dm[2]:.2g} Msun "
       "(CMB contrast-corrected)")
+
+# Prior sensitivity WITHOUT refitting: what if the calibration sample
+# had said 33 +- 5 K instead? PSIS-reweight the stored chain and check
+# the trust diagnostics before believing the shift.
+from mbb_emcee_tpu import reweight_prior
+
+rw = reweight_prior(res, "T", 33.0, 5.0)
+zc2 = rw.par_cen("z")
+print(f"under T ~ N(33, 5):  z = {zc2[0]:.2f} +{zc2[1]:.2f} "
+      f"-{zc2[2]:.2f}   ({rw!r})")

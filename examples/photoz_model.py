@@ -1,8 +1,12 @@
 """A ready-to-serve model file for `run_sed_tpu`: submm photo-z greybody.
 
     run_sed_tpu examples/photoz_model.py catalog.txt out.h5 \\
-        -w 128 -b 300 -n 800 --fixed alpha 3 \\
-        --prior T 38 6 --get-lir --summary
+        -w 128 -b 300 -n 800 --fixed alpha 3 --prior T 38 6 \\
+        --get-lir --lir-zparam z --get-dustmass --summary
+
+(`--lir-zparam z` is REQUIRED with --get-lir here: it marginalizes
+L_IR over each sample's own z; without it the CLI would use the
+catalog z column, which for a photo-z catalog is a placeholder.)
 
 Redshift is the SIXTH SAMPLED PARAMETER (rest-frame T and lambda0, CMB
 corrections on); `--prior T mu sigma` is NOT optional in spirit -- the

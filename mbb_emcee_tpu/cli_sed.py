@@ -328,6 +328,16 @@ def main(argv=None):
                 "--anchor-z needs at least one finite redshift in the "
                 "catalog's z column")
         on = np.isfinite(zcat)
+        zi = model.param_index("z")
+        zlo, zhi = float(model.lower[zi]), float(model.upper[zi])
+        bad = on & ((zcat < zlo) | (zcat > zhi))
+        if bad.any():
+            b = int(np.argwhere(bad)[0, 0])
+            raise SystemExit(
+                f"--anchor-z: catalog z={zcat[b]:g} (source index {b}) "
+                f"lies outside the model's z box [{zlo:g}, {zhi:g}] -- "
+                f"the anchored walkers would pile up at the boundary; "
+                f"widen the model's z_upper/z_lower or fix the catalog")
         mf.set_gaussian_prior(
             "z", np.where(on, zcat, 0.0),
             np.where(on, float(args.anchor_z), np.inf))

@@ -58,6 +58,25 @@ def lir_nodes_weights(opz, wavemin, wavemax, n=LIR_NODES):
     return lam, w
 
 
+def lir_zparam_integrand(fnu, zi, wavemin, wavemax, n=LIR_NODES):
+    """Per-sample device closure for the PHOTO-Z L_IR integral (shared
+    by SEDResults.compute_lir(z_param=...) and the SEDMultiFitter twin
+    so the scaling algebra cannot drift): the z=0 log-lambda nodes scale
+    by each sample's own (1+z) ON DEVICE -- nodes *= opz, weights /= opz,
+    exactly the lir_nodes_weights map -- so no (nsamples, nodes) host
+    arrays are built. Pair with per-sample D_L from
+    cosmology.luminosity_distance_batch and `lir_prefactor`."""
+    base_lam, base_w = lir_nodes_weights(1.0, wavemin, wavemax, n)
+    lam_j = jnp.asarray(base_lam, jnp.float32)
+    w_j = jnp.asarray(base_w, jnp.float32)
+
+    def one(theta):
+        opz = 1.0 + theta[zi]
+        return jnp.sum(w_j / opz * fnu(theta, lam_j * opz))
+
+    return one
+
+
 def lir_integrand(shape):
     """Per-sample device closure: integral of f_nu dnu in mJy/um units
     (c folded into `lir_prefactor`). Call as one(theta, lam, w) with

@@ -194,6 +194,11 @@ def compute_dustmass(res, kappa=2.64, kappa_wave=125.0, thin=1):
     """
     model = _require_photoz_model(res._require_model(),
                                   "photoz.compute_dustmass")
+    if getattr(res, "lumdist", None) is not None:
+        raise ValueError(
+            "explicit lumdist= cannot combine with a photo-z dust mass: "
+            "each sample carries its own redshift (same rule as "
+            "compute_lir(z_param=...))")
     zi = model.param_index("z")
     one = _dustmass_g(model, kappa_wave)
     samples_np = res._thinned(thin)

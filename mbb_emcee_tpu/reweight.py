@@ -84,11 +84,12 @@ class ReweightResult:
         # effective sample size. k-hat alone is not enough for prior
         # swaps -- a far-off new prior can leave a perfectly fittable
         # tail (k ~ 0.6) on weights carried by a handful of samples.
-        # k-hat = inf means the tail was too uniform to fit (e.g. the
-        # identity swap): the ESS floor then decides alone.
+        # k-hat = inf (tail too short, or a FAILED GPD fit on raw
+        # unsmoothed weights) reads as not-assessable = unreliable;
+        # degenerate-spread identity swaps get k = 0 upstream and pass.
         n = self.nsamples
-        k_ok = (self.pareto_k <= K_HAT_WARN
-                if np.isfinite(self.pareto_k) else True)
+        k_ok = bool(np.isfinite(self.pareto_k)
+                    and self.pareto_k <= K_HAT_WARN)
         return bool(k_ok and self.ess >= max(100.0, 0.02 * n))
 
     def parameter_chain(self, param):
@@ -144,6 +145,10 @@ def _smooth_normalize(logw):
 def _new_prior_arrays(mean, sigma):
     if sigma is None:
         return 0.0, 0.0
+    if mean is None:
+        raise ValueError(
+            "a new prior needs BOTH mean and sigma (sigma=None removes "
+            "the prior)")
     sigma = float(sigma)
     if not (np.isfinite(sigma) and sigma > 0):
         raise ValueError("new prior sigma must be positive and finite "
@@ -205,8 +210,7 @@ class ReweightBatchResult:
     def reliable(self):
         # same two-condition rule as ReweightResult.reliable
         n = self.samples.shape[1]
-        k_ok = np.where(np.isfinite(self.pareto_k),
-                        self.pareto_k <= K_HAT_WARN, True)
+        k_ok = np.isfinite(self.pareto_k) & (self.pareto_k <= K_HAT_WARN)
         return k_ok & (self.ess >= max(100.0, 0.02 * n))
 
     def par_cen(self, param, percentile=68.3):
@@ -243,6 +247,10 @@ def reweight_prior_batch(mf, param, mean=None, sigma=None, thin=1):
             f"parameter {param!r} was FIXED in the fit; refit instead")
     samples = np.asarray(mf._thinned(thin), np.float64)   # (S, N, npar)
     S = samples.shape[0]
+    if sigma is not None and mean is None:
+        raise ValueError(
+            "a new prior needs BOTH mean and sigma (sigma=None removes "
+            "the prior)")
     new_m = np.broadcast_to(np.asarray(
         0.0 if mean is None else mean, np.float64), (S,))
     if sigma is None:

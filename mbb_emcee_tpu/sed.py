@@ -1130,19 +1130,7 @@ class SEDResults:
                     "explicit lumdist= cannot combine with z_param: "
                     "each sample carries its own redshift")
             zi = model.param_index(z_param)
-            # Base nodes at z=0; scaled per sample ON DEVICE (the
-            # z -> z' map multiplies nodes by (1+z)/(1+z') and weights
-            # by the inverse -- see derived.lir_nodes_weights), so no
-            # (nsamples, nodes) host arrays are built.
-            base_lam, base_w = derived.lir_nodes_weights(
-                1.0, wavemin, wavemax)
-            lam_j = jnp.asarray(base_lam, jnp.float32)
-            w_j = jnp.asarray(base_w, jnp.float32)
-
-            def one(th):
-                opz = 1.0 + th[zi]
-                return jnp.sum(w_j / opz * fnu(th, lam_j * opz))
-
+            one = derived.lir_zparam_integrand(fnu, zi, wavemin, wavemax)
             integ = np.asarray(jax.jit(jax.vmap(one))(samples),
                                np.float64)
             zvec = np.asarray(samples_np[:, zi], np.float64)

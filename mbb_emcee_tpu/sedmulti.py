@@ -207,7 +207,10 @@ class SEDMultiFitter(ParamSpaceMixin):
         prior applies to FREE parameters; fixing the parameter later
         raises at run time."""
         if np.ndim(mean) == 0 and np.ndim(sigma) == 0:
-            self._ps_prior.pop(str(param).lower(), None)
+            # canonical name (param may be an index): the per-source
+            # entry must clear regardless of how it is addressed
+            name = self.model.param_names[self._param_index(param)]
+            self._ps_prior.pop(name.lower(), None)
             return super().set_gaussian_prior(param, mean, sigma)
         if self.flux is None:
             raise RuntimeError(
@@ -1356,15 +1359,8 @@ class SEDMultiFitter(ParamSpaceMixin):
                     "z_param= cannot combine with redshifts=/lumdists=: "
                     "each sample carries its own redshift")
             zi = self.model.param_index(z_param)
-            base_lam, base_w = derived.lir_nodes_weights(
-                1.0, wavemin, wavemax)
-            lam_j = jnp.asarray(base_lam, jnp.float32)
-            w_j = jnp.asarray(base_w, jnp.float32)
-
-            def one_z(theta):
-                opz = 1.0 + theta[zi]
-                return jnp.sum(w_j / opz * fnu(theta, lam_j * opz))
-
+            one_z = derived.lir_zparam_integrand(fnu, zi, wavemin,
+                                                 wavemax)
             integ = np.asarray(
                 jax.jit(jax.vmap(jax.vmap(one_z)))(samples), np.float64)
             zmat = np.asarray(samples[..., zi], np.float64)  # (S, N)

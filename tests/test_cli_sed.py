@@ -334,3 +334,9 @@ def test_cli_sed_anchor_z(tmp_path):
         main([ppath, str(allnan), "x.h5", "--anchor-z", "0.1"])
     with pytest.raises(SystemExit, match="positive"):
         main([ppath, str(cat), "x.h5", "--anchor-z", "-1"])
+    # spec-z outside the model's z box refuses before any device work
+    oob = tmp_path / "oob.txt"
+    oob.write_text("\n".join(
+        [lines[0], lines[2].replace("nan ", "11.5 ", 1)]) + "\n")
+    with pytest.raises(SystemExit, match="z box"):
+        main([ppath, str(oob), "x.h5", "--anchor-z", "0.1"])

@@ -263,6 +263,8 @@ def test_lir_zparam_rejects_explicit_lumdist():
     res = SEDResults(fit=fit, lumdist=5000.0)
     with pytest.raises(ValueError):
         res.compute_lir(z_param="z")
+    with pytest.raises(ValueError, match="lumdist"):
+        compute_dustmass(res)                 # same conflict, mass side
 
 
 def test_batch_photoz_matches_single_surface():

@@ -111,6 +111,9 @@ def test_validation_errors():
         reweight_prior(MBBResults(fit=fit), "beta", 2.0, 0.1)
     with pytest.raises(ValueError, match="positive"):
         reweight_prior(res, "T", 30.0, -1.0)
+    res_p = _fit(prior=(30.0, 4.0), nburn=10, nsteps=20)
+    with pytest.raises(ValueError, match="BOTH mean and sigma"):
+        reweight_prior(res_p, "T", sigma=5.0)      # forgot the mean
 
 
 def test_batch_identity_with_per_source_prior():

@@ -664,11 +664,12 @@ def test_ps_prior_validation_and_clearing():
     mf.fix_param("T_warm", 44.0)
     with pytest.raises(ValueError, match="fixed"):
         mf.run(nburn=5, nsteps=10)
-    # scalar call clears the per-source entry (last call wins)
+    # scalar call clears the per-source entry (last call wins),
+    # however the parameter is addressed (name or index)
     mf2 = _fitter(flux, unc, nwalkers=24)
     mf2.set_gaussian_prior("T_warm", np.full(3, 44.0), np.full(3, 5.0))
     assert "t_warm" in mf2._ps_prior
-    mf2.set_gaussian_prior("T_warm", 44.0, 5.0)
+    mf2.set_gaussian_prior(NAMES.index("T_warm"), 44.0, 5.0)
     assert "t_warm" not in mf2._ps_prior
     # wrong catalog size refuses after new set_data
     mf3 = _fitter(flux, unc, nwalkers=24)
