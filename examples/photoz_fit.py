@@ -20,6 +20,9 @@ contrast-emission Planck factor.
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 import numpy as np
 import jax.numpy as jnp

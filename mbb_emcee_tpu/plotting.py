@@ -305,5 +305,54 @@ def plot_population(hf, param, grid=400, n_draw=256, bins=24, ax=None,
     return _finish(fig, savefig)
 
 
+def plot_pz(res, param="z", bins=60, percentile=68.3, reweight=None,
+            z_true=None, ax=None, savefig=None):
+    """P(z): the photo-z posterior of one source as a normalized
+    histogram curve with median and +/- percentile/2 interval markers --
+    the figure a submm photo-z fit exists to produce.
+
+    `res` is an SEDResults over a photo-z model (photoz.photoz_mbb);
+    `param` names the sampled redshift. `reweight=` overlays a
+    ReweightResult from the SAME result object (reweight.reweight_prior
+    -- a prior-sensitivity band in one figure); the overlay is skipped
+    with a warning in the legend when the reweighting is unreliable.
+    `z_true` draws a truth/spec-z marker. Returns the figure.
+    """
+    plt = _mpl()
+    z = np.asarray(res.parameter_chain(param), float)
+    p = float(percentile)
+    qs = np.percentile(z, [50.0 - p / 2, 50.0, 50.0 + p / 2])
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(5.0, 3.4))
+    else:
+        fig = ax.figure
+    hist, edges = np.histogram(z, bins=int(bins), density=True)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    ax.stairs(hist, edges, fill=True, color="C0", alpha=0.25)
+    ax.stairs(hist, edges, color="C0", lw=1.5,
+              label=f"P({param}) median {qs[1]:.2f} "
+                    f"+{qs[2] - qs[1]:.2f} -{qs[1] - qs[0]:.2f}")
+    ax.axvline(qs[1], color="C0", lw=1.0)
+    for q in (qs[0], qs[2]):
+        ax.axvline(q, color="C0", lw=0.8, ls=":")
+    if reweight is not None:
+        w = reweight.weights
+        zs = np.asarray(reweight.parameter_chain(param), float)
+        hw, _ = np.histogram(zs, bins=edges, weights=w, density=True)
+        tag = "reweighted"
+        if not reweight.reliable:
+            tag += " [UNRELIABLE: refit]"
+        ax.stairs(hw, edges, color="C3", lw=1.3, ls="--", label=tag)
+    if z_true is not None:
+        ax.axvline(float(z_true), color="0.25", lw=1.2, ls="-.",
+                   label=f"{param} = {float(z_true):g}")
+    ax.set_xlim(centers[hist > 0].min() - 0.05 * np.ptp(z) - 1e-9,
+                centers[hist > 0].max() + 0.05 * np.ptp(z) + 1e-9)
+    ax.set_xlabel(str(param))
+    ax.set_ylabel("posterior density")
+    ax.legend(fontsize=7, frameon=False)
+    return _finish(fig, savefig)
+
+
 # Parameter-name sanity: every label key is a real parameter.
 assert all(k in PARAM_NAMES for k in _LABELS)

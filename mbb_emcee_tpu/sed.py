@@ -1306,6 +1306,11 @@ class SEDResults:
         from mbb_emcee_tpu import plotting
         return plotting.plot_ppc(self, **kw)
 
+    def plot_pz(self, **kw):
+        """P(z) posterior figure for photo-z fits (plotting.plot_pz)."""
+        from mbb_emcee_tpu import plotting
+        return plotting.plot_pz(self, **kw)
+
     # -- persistence ------------------------------------------------------------------------------
     def writeToHDF5(self, filename):
         """Persist chains + settings (the MBB schema's logical layout,

@@ -119,3 +119,38 @@ def test_plot_population(tmp_path):
     with pytest.raises(ValueError):
         hf.plot_population("beta")
     matplotlib.pyplot.close("all")
+
+
+def test_plot_pz(tmp_path):
+    """The photo-z P(z) figure: histogram curve + interval markers,
+    reweighted overlay, truth marker; unreliable overlays say so."""
+    from mbb_emcee_tpu.photoz import photoz_mbb
+    from mbb_emcee_tpu.sed import SEDFitter
+    from mbb_emcee_tpu.reweight import reweight_prior
+
+    model = photoz_mbb(cmb=True, z_upper=8.0)
+    wave = np.array([250.0, 350.0, 500.0, 850.0, 1100.0, 2000.0])
+    truth = np.array([38.0, 1.9, 80.0, 3.0, 10.0, 4.0])
+    f = np.asarray(model.fnu(jnp.asarray(truth, jnp.float32),
+                             jnp.asarray(wave, jnp.float32)), np.float64)
+    fit = SEDFitter(model, nwalkers=32, seed=4)
+    fit.set_data(wave, f, 0.07 * f)
+    fit.set_gaussian_prior("T", 38.0, 6.0)
+    fit.fix_param("alpha", 3.0)
+    for nm, v in zip(model.param_names, truth):
+        fit.set_param_init(nm, v, 0.1 * abs(v))
+    fit.run(nburn=40, nsteps=120)
+    res = fit.results()
+
+    rw = reweight_prior(res, "T", 36.0, 6.0)
+    out = tmp_path / "pz.png"
+    fig = res.plot_pz(reweight=rw, z_true=4.0, savefig=str(out))
+    assert out.exists()
+    ax = fig.axes[0]
+    labels = [t.get_text() for t in ax.get_legend().get_texts()]
+    assert any(lab.startswith("P(z)") for lab in labels)
+    assert any("reweighted" in lab for lab in labels)
+    assert any("z = 4" in lab for lab in labels)
+    # median + two interval + truth vlines drew
+    assert len(ax.lines) >= 4
+    matplotlib.pyplot.close("all")
