@@ -346,3 +346,61 @@ def test_photoz_hdf5_roundtrip(tmp_path):
     np.testing.assert_allclose(res2.dustmass_chain, res.dustmass_chain)
     assert res2.lir_meta["z_param"] == "z"
     assert res2.dustmass_meta["kappa"] == 2.64
+
+
+def test_pz_matches_exact_grid_posterior():
+    """Gold-standard oracle: with 3 free parameters (T, fnorm, z;
+    opthin/noalpha, beta fixed) the joint posterior is cheap to evaluate
+    EXACTLY on a dense grid with an independently-written likelihood.
+    The MCMC marginal P(z) must match the grid marginal in median and
+    width -- this validates the whole joint-z pipeline (likelihood
+    builder, reduced-space sampling, box truncation, T prior) against
+    ground truth rather than another sampler."""
+    model = photoz_mbb(cmb=True, opthin=True, noalpha=True, z_upper=8.0)
+    truth = np.array([38.0, 1.9, 250.0, 4.0, 10.0, 4.0])
+    f = np.asarray(model.fnu(_j(truth), _j(WAVE)), np.float64)
+    unc = 0.07 * f
+    rng = np.random.default_rng(21)
+    flux = f + unc * rng.standard_normal(WAVE.size)
+
+    fit = SEDFitter(model, nwalkers=64, seed=13)
+    fit.set_data(WAVE, flux, unc)
+    fit.set_gaussian_prior("T", 38.0, 6.0)
+    fit.fix_param("beta", 1.9)
+    fit.fix_param("lambda0", 250.0)
+    fit.fix_param("alpha", 4.0)
+    for nm, v in zip(model.param_names, truth):
+        fit.set_param_init(nm, v, 0.1 * abs(v))
+    fit.run(nburn=250, nsteps=1200, thin=2)
+    zc = fit.results().par_cen("z")
+
+    # Exact (T, fnorm, z) grid with an INDEPENDENT likelihood expression.
+    tg = np.linspace(10.0, 80.0, 96)
+    fg = np.linspace(5.0, 18.0, 96)
+    zg = np.linspace(0.8, 8.0, 144)
+    tt, ff, zz = np.meshgrid(tg, fg, zg, indexing="ij")
+    pts = np.column_stack([
+        tt.ravel(), np.full(tt.size, 1.9), np.full(tt.size, 250.0),
+        np.full(tt.size, 4.0), ff.ravel(), zz.ravel()]).astype(np.float32)
+    wj, fj = _j(WAVE), _j(flux)
+    ij = _j(1.0 / unc)
+
+    def lnp(th):
+        r = (model.fnu(th, wj) - fj) * ij
+        return -0.5 * jnp.sum(r * r) - 0.5 * ((th[0] - 38.0) / 6.0) ** 2
+
+    vals = np.asarray(jax.jit(jax.vmap(lnp))(jnp.asarray(pts)),
+                      np.float64).reshape(tt.shape)
+    post = np.exp(vals - vals.max())
+    pz = post.sum(axis=(0, 1))
+    # the grid must actually contain the posterior
+    assert pz[0] < 1e-2 * pz.max() and pz[-1] < 1e-2 * pz.max()
+    cdf = np.cumsum(pz)
+    cdf /= cdf[-1]
+    zmed = np.interp(0.5, cdf, zg)
+    zlo = np.interp(0.1585, cdf, zg)
+    zhi = np.interp(0.8415, cdf, zg)
+    width_g = zhi - zlo
+    width_m = zc[1] + zc[2]
+    assert abs(zc[0] - zmed) < 0.08 * width_g, (zc, zmed)
+    assert abs(width_m - width_g) < 0.12 * width_g, (width_m, width_g)
