@@ -58,6 +58,7 @@ from mbb_emcee_tpu.photoz import photoz_mbb, PhotoZMBBModel
 from mbb_emcee_tpu.reweight import (
     reweight_prior, reweight_prior_batch, ReweightResult,
     ReweightBatchResult)
+from mbb_emcee_tpu.forecast import forecast, forecast_mbb, ForecastResult
 
 __version__ = "0.2.0"
 
@@ -83,5 +84,6 @@ __all__ = [
     "photoz_mbb", "PhotoZMBBModel",
     "reweight_prior", "reweight_prior_batch",
     "ReweightResult", "ReweightBatchResult",
+    "forecast", "forecast_mbb", "ForecastResult",
     "__version__",
 ]
