@@ -25,6 +25,7 @@ SLOW = [
     "custom_model.py",
     "population_inference.py",
     "photoz_fit.py",
+    "survey_forecast.py",
 ]
 
 
