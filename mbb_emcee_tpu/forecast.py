@@ -88,18 +88,30 @@ class ForecastResult:
 
 
 def _whiten_from(unc, cov, nb):
+    """(whiten, band_sigma): the Cholesky-inverse whitening matrix (None
+    for the diagonal fast path) and the per-band 1-sigma depths."""
+    if cov is None and unc is None:
+        raise ValueError(
+            "a forecast needs the expected noise: pass unc= (per-band "
+            "1-sigma depths) or cov= (full band covariance)")
     if cov is not None:
         cov = np.asarray(cov, np.float64)
         if cov.shape != (nb, nb):
             raise ValueError(f"cov must be ({nb}, {nb}); got {cov.shape}")
-        return np.linalg.inv(np.linalg.cholesky(cov))
+        try:
+            chol = np.linalg.cholesky(cov)
+        except np.linalg.LinAlgError:
+            raise ValueError(
+                "cov= must be a symmetric positive-definite band "
+                "covariance") from None
+        return np.linalg.inv(chol), np.sqrt(np.diag(cov))
     unc = np.atleast_1d(np.asarray(unc, np.float64))
     if unc.shape != (nb,):
         raise ValueError(f"unc must be ({nb},); got {unc.shape}")
     if np.any(~np.isfinite(unc) | (unc <= 0)):
         raise ValueError("forecast uncertainties must be positive and "
                          "finite (drop bands you will not observe)")
-    return None  # diagonal fast path
+    return None, unc  # diagonal fast path
 
 
 def forecast(model, theta0, wave, unc=None, cov=None, responses=None,
@@ -117,29 +129,41 @@ def forecast(model, theta0, wave, unc=None, cov=None, responses=None,
 
     Returns a ForecastResult over the remaining free parameters.
     """
+    from mbb_emcee_tpu.likelihood import FreeSpace
+
     theta0 = np.asarray(theta0, np.float64)
     if theta0.shape != (model.npar,):
         raise ValueError(
             f"theta0 must be ({model.npar},) for model {model.name!r}")
     wave = np.atleast_1d(np.asarray(wave, np.float64))
     nb = wave.size
-    whiten = _whiten_from(unc, cov, nb)
+    whiten, band_sigma = _whiten_from(unc, cov, nb)
 
     fixed_idx = sorted({model.param_index(p) for p in fixed})
-    free_idx = [i for i in range(model.npar) if i not in fixed_idx]
-    if not free_idx:
+    free_idx = np.array([i for i in range(model.npar)
+                         if i not in fixed_idx], int)
+    if free_idx.size == 0:
         raise ValueError("every parameter is fixed; nothing to forecast")
     names = tuple(model.param_names[i] for i in free_idx)
-
-    scatter = np.zeros((model.npar, len(free_idx)), np.float32)
-    scatter[free_idx, np.arange(len(free_idx))] = 1.0
-    template = theta0.astype(np.float32).copy()
+    # the SAME reduced-space embedding every lnprob builder uses
+    # (likelihood.FreeSpace -- parallel copies of this mapping are
+    # banned, see its docstring), with the FIDUCIAL at the fixed slots
+    template = theta0.copy()
     template[free_idx] = 0.0
-    t_j = jnp.asarray(template)
-    s_j = jnp.asarray(scatter)
+    fs = FreeSpace(free_idx=free_idx, template=template,
+                   lower=np.asarray(model.lower)[free_idx].copy(),
+                   upper=np.asarray(model.upper)[free_idx].copy())
+    t_j = jnp.asarray(template, jnp.float32)
+    s_j = jnp.asarray(fs.scatter_matrix(np.float32))
     w_j = jnp.asarray(wave, jnp.float32)
     if responses is not None:
-        rw = jnp.asarray(np.asarray(responses[0]), jnp.float32)
+        rw_np = np.asarray(responses[0])
+        if rw_np.shape[0] != nb:
+            raise ValueError(
+                f"the response pack covers {rw_np.shape[0]} bands but "
+                f"wave/unc describe {nb}; pack the same band list you "
+                "are forecasting")
+        rw = jnp.asarray(rw_np, jnp.float32)
         rwt = jnp.asarray(np.asarray(responses[1]), jnp.float32)
 
     def fluxes_free(th_free):
@@ -148,20 +172,19 @@ def forecast(model, theta0, wave, unc=None, cov=None, responses=None,
             return model.fnu(th, w_j)
         return jnp.sum(rwt * model.fnu(th, rw), axis=-1)
 
+    # eager evaluation: each configuration is used exactly once, so jit
+    # would pay a full compile for nothing -- the survey-scan speed claim
+    # rests on NOT compiling per band set
     th_free0 = jnp.asarray(theta0[free_idx], jnp.float32)
-    m0 = np.asarray(jax.jit(fluxes_free)(th_free0), np.float64)
-    jac = np.asarray(jax.jit(jax.jacfwd(fluxes_free))(th_free0),
+    m0 = np.asarray(fluxes_free(th_free0), np.float64)
+    jac = np.asarray(jax.jacfwd(fluxes_free)(th_free0),
                      np.float64)                      # (nb, nfree)
     if not np.isfinite(jac).all():
         raise ValueError(
             "non-finite flux derivatives at theta0 -- move the fiducial "
             "off the box edge / merge discontinuity")
-    if whiten is None:
-        jw = jac / np.asarray(unc, np.float64)[:, None]
-        snr = m0 / np.asarray(unc, np.float64)
-    else:
-        jw = whiten @ jac
-        snr = np.abs(whiten @ m0)
+    snr = m0 / band_sigma
+    jw = (jac / band_sigma[:, None]) if whiten is None else whiten @ jac
     F = jw.T @ jw
     if priors:
         for p, (_, sig) in priors.items():
@@ -176,14 +199,25 @@ def forecast(model, theta0, wave, unc=None, cov=None, responses=None,
             k = lnames.index(key)
             F[k, k] += 1.0 / sig ** 2
     # guard singular Fisher (exact degeneracy, e.g. photo-z with no
-    # prior): report cleanly instead of returning garbage covariances
-    cond = np.linalg.cond(F)
-    if not np.isfinite(cond) or cond > 1e12:
+    # prior): report cleanly instead of returning garbage covariances.
+    # The test runs on the CORRELATION-normalized matrix: raw cond(F)
+    # is not invariant under parameter units/rescaling, so a benign
+    # scale disparity (mJy vs K derivatives) must not read as a
+    # degeneracy -- only actual correlation structure should.
+    d = np.diag(F)
+    if np.any(d <= 0) or not np.isfinite(d).all():
+        raise ValueError(
+            "a forecast parameter carries no information at this "
+            "configuration (zero Fisher diagonal) -- fix it or add a "
+            "prior")
+    dn = np.sqrt(d)
+    cond = np.linalg.cond(F / np.outer(dn, dn))
+    if not np.isfinite(cond) or cond > 1e10:
         raise ValueError(
             "the Fisher matrix is singular at this configuration "
-            f"(condition number {cond:.2e}): an exact degeneracy "
-            "survives -- add a prior (photo-z: the T prior) or fix a "
-            "parameter")
+            f"(normalized condition number {cond:.2e}): an exact "
+            "degeneracy survives -- add a prior (photo-z: the T prior) "
+            "or fix a parameter")
     cov_f = np.linalg.inv(F)
     return ForecastResult(param_names=names, theta0=theta0, fisher=F,
                           cov=cov_f, fluxes=m0, snr=snr)
@@ -212,10 +246,12 @@ def forecast_mbb(theta0, wave, unc=None, cov=None, opthin=False,
                                   "fnorm"),
                      lower=DEFAULT_LOWER.copy(), upper=DEFAULT_UPPER.copy(),
                      name="mbb-forecast")
-    fixed = set(str(p).lower() for p in fixed)
+    # normalize to indices so integer-addressed entries work exactly as
+    # in forecast() itself
+    fixed_idx = {model.param_index(p) for p in fixed}
     if opthin:
-        fixed.add("lambda0")
+        fixed_idx.add(model.param_index("lambda0"))
     if noalpha:
-        fixed.add("alpha")
+        fixed_idx.add(model.param_index("alpha"))
     return forecast(model, theta0, wave, unc=unc, cov=cov,
-                    priors=priors, fixed=sorted(fixed))
+                    priors=priors, fixed=sorted(fixed_idx))

@@ -163,3 +163,60 @@ def test_validation_errors():
                  priors={"nope": (0.0, 1.0)})
     with pytest.raises(ValueError, match="cov must be"):
         forecast(model, [1.0], WAVE, cov=np.eye(2))
+
+
+def test_scale_disparity_is_not_degeneracy():
+    """cond() runs on the correlation-normalized Fisher: two independent
+    parameters whose derivative scales differ by 1e8 are perfectly
+    well-posed and must NOT trip the singularity guard."""
+    A = np.array([[1e4, 0.0], [0.0, 1e-4]])
+    a_j = jnp.asarray(A, jnp.float32)
+    model = SEDModel(fnu=lambda th, w: a_j @ th,
+                     param_names=("big", "small"),
+                     lower=[0.0, 0.0], upper=[10.0, 10.0], name="scales")
+    fr = forecast(model, [1.0, 1.0], WAVE[:2], unc=np.ones(2))
+    np.testing.assert_allclose(fr.sigma("big"), 1e-4, rtol=1e-3)
+    np.testing.assert_allclose(fr.sigma("small"), 1e4, rtol=1e-3)
+
+
+def test_snr_and_errors_under_cov():
+    """Per-band S/N is m_b / sqrt(C_bb) (NOT the order-dependent
+    whitened components); bad cov inputs raise ValueErrors."""
+    rng = np.random.default_rng(3)
+    A = rng.uniform(0.5, 2.0, (2, 2))
+    a_j = jnp.asarray(A, jnp.float32)
+    model = SEDModel(fnu=lambda th, w: a_j @ th, param_names=("a", "b"),
+                     lower=[0.0, 0.0], upper=[10.0, 10.0], name="c2")
+    cov = np.array([[1.0, 0.9], [0.9, 1.0]])
+    fr = forecast(model, [2.0, 1.0], WAVE[:2], cov=cov)
+    m = A @ np.array([2.0, 1.0])
+    np.testing.assert_allclose(fr.snr, m / np.sqrt(np.diag(cov)),
+                               rtol=1e-5)
+    with pytest.raises(ValueError, match="positive-definite"):
+        forecast(model, [2.0, 1.0], WAVE[:2],
+                 cov=np.array([[1.0, 2.0], [2.0, 1.0]]))
+    with pytest.raises(ValueError, match="unc= .*or cov="):
+        forecast(model, [2.0, 1.0], WAVE[:2])
+
+
+def test_response_pack_size_mismatch():
+    from mbb_emcee_tpu import ResponseSet
+    rs = ResponseSet()
+    for w in WAVE[:3]:
+        rs.add(f"B{int(w)}", f"gauss:{w:g}:{0.3 * w:g}")
+    model = SEDModel(fnu=lambda th, w: th[0] * w, param_names=("a",),
+                     lower=[0.0], upper=[10.0])
+    with pytest.raises(ValueError, match="3 bands but wave/unc"):
+        forecast(model, [1.0], WAVE, unc=np.ones(WAVE.size),
+                 responses=rs.pack([f"B{int(w)}" for w in WAVE[:3]]))
+
+
+def test_forecast_mbb_fixed_by_index():
+    truth = np.array([30.0, 1.8, 250.0, 4.0, 40.0])
+    unc = np.full(WAVE.size, 1.0)
+    by_name = forecast_mbb(truth, WAVE, unc=unc, opthin=True,
+                           noalpha=True, fixed=("beta",))
+    by_idx = forecast_mbb(truth, WAVE, unc=unc, opthin=True,
+                          noalpha=True, fixed=(1,))
+    assert by_name.param_names == by_idx.param_names
+    np.testing.assert_allclose(by_name.cov, by_idx.cov, rtol=1e-12)
