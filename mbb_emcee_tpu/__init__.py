@@ -26,6 +26,14 @@ A ground-up JAX/XLA/Pallas rebuild of the capabilities of aconley/mbb_emcee:
   * hierarchical population inference over fitted catalogs
     (hierarchy.fit_population): importance-reweighted hyper-likelihood as
     one fused (walkers x sources x samples) device evaluation (additive)
+  * submm photometric redshifts: z as a sampled parameter with
+    z-marginalized derived posteriors (photoz.photoz_mbb; additive)
+  * per-source Gaussian priors on the batch tier -- spec-z anchors in a
+    photo-z survey share one compiled program (additive)
+  * post-hoc prior swaps by PSIS-smoothed reweighting of stored chains
+    (reweight.reweight_prior; additive)
+  * Fisher-matrix observing forecasts from jax.jacfwd of the fused
+    model (forecast.forecast; additive)
 
 See SURVEY.md for the reference layer map this mirrors.
 """
@@ -60,7 +68,7 @@ from mbb_emcee_tpu.reweight import (
     ReweightBatchResult)
 from mbb_emcee_tpu.forecast import forecast, forecast_mbb, ForecastResult
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "PARAM_NAMES", "NPARAMS",
