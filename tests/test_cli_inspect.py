@@ -1,0 +1,143 @@
+"""mbb_tpu_inspect: shell summaries of stored HDF5 artifacts of every
+kind, without refitting or model files (cli_inspect.py; the reference's
+equivalent is an interactive mbb_results(h5file=...) session,
+SURVEY.md §3.4)."""
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mbb_emcee_tpu.cli_inspect import inspect_file, main
+from mbb_emcee_tpu.fitter import MBBFitter
+from mbb_emcee_tpu.models.modified_blackbody import mbb_fnu, MBBShape
+from mbb_emcee_tpu.multifit import MultiFitter
+from mbb_emcee_tpu.results import MBBResults
+
+WAVE = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
+TRUE = np.array([32.0, 1.9, 250.0, 3.5, 45.0])
+
+
+def _mock_flux(shape, seed=0):
+    f = np.asarray(mbb_fnu(jnp.asarray(TRUE, jnp.float32),
+                           jnp.asarray(WAVE, jnp.float32), shape),
+                   np.float64)
+    unc = 0.05 * f
+    rng = np.random.default_rng(seed)
+    return f + unc * rng.standard_normal(f.size), unc
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    """One small fit of each flavor, written once for the module."""
+    d = tmp_path_factory.mktemp("inspect")
+    shape = MBBShape(opthin=True, noalpha=True)
+    flux, unc = _mock_flux(shape)
+
+    # single MBB fit with a fixed param and a derived chain
+    fit = MBBFitter(nwalkers=32, seed=7, opthin=True, noalpha=True)
+    fit.set_data(WAVE, flux, unc)
+    fit.fix_param("beta", 1.9)
+    fit.run(nburn=20, nsteps=40)
+    res = MBBResults(fit=fit, redshift=2.0)
+    res.compute_peaklambda(thin=4)
+    single = str(d / "single.h5")
+    res.writeToHDF5(single)
+
+    # 3-source batch + MAP triage on the same problem
+    mf = MultiFitter(nwalkers=16, seed=3, opthin=True, noalpha=True)
+    fl = np.stack([flux, 1.2 * flux, 0.8 * flux])
+    un = np.stack([unc, unc, unc])
+    mf.set_data(WAVE, fl, un, source_names=["a", "b", "c"])
+    mf.run(nburn=8, nsteps=12)
+    batch = str(d / "batch.h5")
+    mf.writeToHDF5(batch)
+    mf.run_map(nstarts=2)
+    maph5 = str(d / "map.h5")
+    mf.write_map_h5(maph5)
+
+    return {"single": single, "batch": batch, "map": maph5}
+
+
+def test_single_summary(artifacts):
+    info = inspect_file(artifacts["single"])
+    assert info["kind"] == "single"
+    assert info["nwalkers"] == 32 and info["nsteps"] == 40
+    assert info["redshift"] == 2.0
+    by_name = {r["name"]: r for r in info["params"]}
+    # fixed param reported as fixed, free params as central intervals
+    assert by_name["beta"]["fixed"] == pytest.approx(1.9)
+    assert abs(by_name["T"]["median"] - TRUE[0]) < 8.0
+    assert by_name["T"]["uperr"] > 0 and by_name["T"]["lowerr"] > 0
+    # stored derived chain summarized
+    dnames = [r["name"] for r in info["derived"]]
+    assert "peak lambda" in dnames
+    # diagnostics on free dims only (fixed column would divide by zero)
+    assert info["max_rhat"] > 0.9
+    assert info["min_bulk_ess"] > 1
+
+
+def test_batch_summary_and_selection(artifacts):
+    info = inspect_file(artifacts["batch"])
+    assert info["kind"] == "batch"
+    assert info["nsources"] == 3 and info["shown"] == 3
+    assert info["free_params"] == ["T", "beta", "fnorm"]
+    assert [r["source"] for r in info["sources"]] == ["a", "b", "c"]
+    t_meds = [
+        {p["name"]: p for p in r["params"]}["T"]["median"]
+        for r in info["sources"]]
+    assert all(abs(t - TRUE[0]) < 10.0 for t in t_meds)
+    assert info.get("continuable")  # unthinned XLA dump can extend()
+
+    # name + index selection resolve to the same rows
+    byname = inspect_file(artifacts["batch"], sources=["c"])
+    byidx = inspect_file(artifacts["batch"], sources=["2"])
+    assert byname["sources"][0]["index"] == 2
+    assert byname["sources"][0]["params"] == byidx["sources"][0]["params"]
+    with pytest.raises(ValueError, match="unknown source"):
+        inspect_file(artifacts["batch"], sources=["nope"])
+
+
+def test_map_summary(artifacts):
+    info = inspect_file(artifacts["map"])
+    assert info["kind"] == "map"
+    assert info["nsources"] == 3
+    row = info["sources"][0]
+    assert row["source"] == "a"
+    by_name = {p["name"]: p for p in row["params"]}
+    # full-space values; Laplace sigmas paired onto the free subset
+    assert set(by_name) == {"T", "beta", "lambda0", "alpha", "fnorm"}
+    for free in ("T", "beta", "fnorm"):
+        assert by_name[free]["sigma"] > 0
+    assert "sigma" not in by_name["lambda0"]       # opthin: not sampled
+    assert np.isfinite(row["lnprob"])
+
+
+def test_main_text_and_json(artifacts, capsys):
+    rc = main([artifacts["single"], "--no-diag"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "single" in out and "T = " in out and "(fixed)" in out
+
+    rc = main([artifacts["single"], artifacts["batch"], "--json",
+               "--no-diag"])
+    assert rc == 0
+    docs = json.loads(capsys.readouterr().out)
+    assert [doc["kind"] for doc in docs] == ["single", "batch"]
+
+    # a non-HDF5 file reports an error without stopping the walk
+    rc = main(["/etc/hostname", artifacts["map"]])
+    err = capsys.readouterr()
+    assert rc == 1
+    assert "ERROR" in err.err
+    assert "MAP triage" in err.out
+
+
+def test_percentile_width_ordering(artifacts):
+    wide = inspect_file(artifacts["single"], pct=95.0, diag=False)
+    narrow = inspect_file(artifacts["single"], pct=50.0, diag=False)
+    gw = {r["name"]: r for r in wide["params"]}["T"]
+    gn = {r["name"]: r for r in narrow["params"]}["T"]
+    assert gw["uperr"] > gn["uperr"]
+    assert gw["median"] == pytest.approx(gn["median"])
