@@ -49,7 +49,6 @@ _DERIVED = {
     "DustMassChain": ("M_dust", "Msun"),
     "PeakLambda": ("peak lambda", "um"),
     "PeakLambdaChain": ("peak lambda", "um"),
-    "PZChain": ("z", ""),
 }
 
 
@@ -364,13 +363,21 @@ def _inspect_map(f, kind, pct):
 
 
 def _inspect_hierarchy(f, pct):
-    chain = np.asarray(f["chain_free"])       # (nsteps, nwalkers, nhyper)
+    chain = np.asarray(f["chain_free"])       # (nsteps, nwalkers, nfree)
     names = _names(f.attrs["hyper_names"])
     ns, nw, nh = chain.shape
+    # chain_free columns are FREE-hyper-space; the file's free_idx attr
+    # maps them to full-space hyper names (hierarchy.writeToHDF5). With
+    # a fixed hyper not at the tail, names[:nh] would mislabel columns.
+    if "free_idx" in f.attrs:
+        free_idx = np.asarray(f.attrs["free_idx"]).astype(int)
+        free_names = [names[i] for i in free_idx[:nh]]
+    else:
+        free_names = names[:nh]
     flat = [chain[:, :, i].ravel() for i in range(nh)]
     ess = np.asarray(f["reweight_ess"], np.float64)
     return {"kind": "hierarchy", "nwalkers": nw, "nsteps": ns,
-            "params": _param_table(flat, names[:nh], None, None, pct),
+            "params": _param_table(flat, free_names, None, None, pct),
             "best_lnprob": float(np.nanmax(np.asarray(
                 f["lnprobability"]))),
             "nsources": int(np.asarray(f["samples"]).shape[0]),
@@ -385,10 +392,19 @@ def _inspect_checkpoint(f):
             if k not in ("version", "multi", "prng_impl")
             and np.isscalar(_dec(v))}
     info["meta"] = meta
-    for name in ("chain", "Chain", "records"):
-        if name in f and hasattr(f[name], "shape"):
-            info["chain_shape"] = list(f[name].shape)
-            break
+    # Progress so far: v2 checkpoints store chain blocks under
+    # Segments/segNNNNN/Chain (record axis 0 single-fit, 1 batch);
+    # v1 stored a single ChainSoFar dataset (checkpoint.py layout).
+    axis = 1 if info["multi"] else 0
+    if "Segments" in f and len(f["Segments"]):
+        shapes = [f["Segments"][n]["Chain"].shape
+                  for n in f["Segments"] if "Chain" in f["Segments"][n]]
+        if shapes:
+            shape = list(shapes[0])
+            shape[axis] = sum(s[axis] for s in shapes)
+            info["chain_shape"] = shape
+    elif "ChainSoFar" in f:
+        info["chain_shape"] = list(f["ChainSoFar"].shape)
     return info
 
 
@@ -550,7 +566,7 @@ def main(argv=None):
         results.append(info)
         if not args.json:
             print(_render(info, args.percentile))
-    if args.json:
+    if args.json and results:
         print(json.dumps(results if len(results) > 1 else results[0],
                          default=lambda o: (o.tolist()
                                             if isinstance(o, np.ndarray)

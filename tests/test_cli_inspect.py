@@ -134,6 +134,60 @@ def test_main_text_and_json(artifacts, capsys):
     assert "MAP triage" in err.out
 
 
+def test_json_with_zero_results(capsys):
+    """--json with every file failing must exit rc=1 without a
+    traceback (advisor: results[0] used to raise IndexError)."""
+    rc = main(["/etc/hostname", "--json"])
+    err = capsys.readouterr()
+    assert rc == 1
+    assert "ERROR" in err.err
+    assert err.out.strip() == ""
+
+
+def test_hierarchy_free_idx_labels(tmp_path):
+    """A fixed hyper NOT at the tail: chain_free columns must be labeled
+    via the stored free_idx mapping, not hyper_names[:nfree] (advisor:
+    fixing mu_T used to label the sigma_T column 'mu_T')."""
+    from mbb_emcee_tpu.hierarchy import (
+        TruncatedGaussianPopulation, HierarchicalFitter)
+    rng = np.random.default_rng(0)
+    samples = 35.0 + 4.0 * rng.standard_normal((6, 64, 1))
+    pop = TruncatedGaussianPopulation.for_box(("T",), [10.0], [60.0])
+    hf = HierarchicalFitter(samples, pop, nwalkers=16, seed=2)
+    hf.fix_param("mu_T", 35.0)          # index 0 fixed; free = sigma_T
+    hf.run(nburn=20, nsteps=30)
+    path = str(tmp_path / "hier.h5")
+    hf.writeToHDF5(path)
+    info = inspect_file(path, diag=False)
+    assert info["kind"] == "hierarchy"
+    assert [r["name"] for r in info["params"]] == ["sigma_T"]
+
+
+def test_checkpoint_chain_so_far(tmp_path):
+    """Checkpoint inspection reports recorded-steps-so-far from the v2
+    Segments layout (advisor: probed root 'Chain' which the package
+    never writes)."""
+    import jax
+    from mbb_emcee_tpu.checkpoint import save_checkpoint
+    from mbb_emcee_tpu.sampler import SamplerState
+    key = jax.random.PRNGKey(0)
+    state = SamplerState(
+        key=key,
+        pos_a=jnp.zeros((8, 3)), pos_b=jnp.zeros((8, 3)),
+        lnp_a=jnp.zeros(8), lnp_b=jnp.zeros(8),
+        naccept=jnp.zeros(16, jnp.int32),
+        nsteps=jnp.array(12, jnp.int32))
+    path = str(tmp_path / "ckpt.h5")
+    blocks = [np.zeros((5, 16, 3)), np.zeros((7, 16, 3))]
+    lnps = [np.zeros((5, 16)), np.zeros((7, 16))]
+    save_checkpoint(path, state, blocks, lnps,
+                    meta={"run_id": "deadbeef"}, prng_impl="threefry2x32")
+    info = inspect_file(path, diag=False)
+    assert info["kind"] == "checkpoint"
+    assert info["chain_shape"][0] == 12    # 5 + 7 records so far
+    assert info["chain_shape"][1:] == [16, 3]
+
+
 def test_percentile_width_ordering(artifacts):
     wide = inspect_file(artifacts["single"], pct=95.0, diag=False)
     narrow = inspect_file(artifacts["single"], pct=50.0, diag=False)
