@@ -2,8 +2,16 @@
 (BASELINE.json metric), TPU JAX sampler vs the CPU emcee-equivalent oracle.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": tpu_rate, "unit": "walker-steps/s",
-   "vs_baseline": tpu_rate / cpu_rate}
+  {"metric": ..., "value": rate, "unit": "walker-steps/s",
+   "vs_baseline": rate / cpu_rate, "backend": "tpu" | "cpu-fallback", ...}
+
+`backend` is the machine-readable provenance of `value`: "tpu" is a real
+tunneled-TPU measurement; "cpu-fallback" is the portable XLA sampler on
+the host CPU, emitted only when the TPU tunnel stayed unresponsive for
+the whole BENCH_TPU_WAIT_S window (default 600 s). On fallback, the
+last-known-good TPU measurement (value + timestamp, persisted in
+.bench_last_good_tpu.json whenever a TPU run succeeds) rides along as
+`last_good_tpu` so a reader never mistakes a CPU number for the TPU one.
 
 The CPU baseline is measured in-process with the NumPy/SciPy oracle
 (tests/reference_impl): per-walker Python lnprob with a scipy brentq merge
@@ -14,6 +22,7 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -203,44 +212,113 @@ def _bench_tpu_subprocess(timeout_s):
     return None
 
 
+_LAST_GOOD_PATH = os.environ.get(
+    "BENCH_LAST_GOOD_PATH",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".bench_last_good_tpu.json"))
+
+
+def _load_last_good():
+    """Most recent successful TPU measurement, or None."""
+    try:
+        with open(_LAST_GOOD_PATH) as fh:
+            d = json.load(fh)
+        return {"value": float(d["value"]),
+                "measured_at": str(d["measured_at"])}
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def _store_last_good(rate):
+    try:
+        with open(_LAST_GOOD_PATH, "w") as fh:
+            json.dump({"value": round(rate, 1),
+                       "measured_at": time.strftime(
+                           "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, fh)
+    except OSError:
+        pass
+
+
 def main():
     flux, unc = _mock_data()
-    cpu_rate = bench_cpu(flux, unc)
-
-    # Wait (bounded) for a responsive TPU; the CPU-oracle bench above
-    # already burned a few minutes of that window.
+    simulate_down = os.environ.get("BENCH_SIMULATE_TPU_DOWN") == "1"
     wait_s = float(os.environ.get("BENCH_TPU_WAIT_S", "600"))
     deadline = time.time() + wait_s
-    up = _tpu_responsive()
-    while not up and time.time() < deadline:
-        time.sleep(45)
-        up = _tpu_responsive()
 
-    note = None
-    rate = None
-    if up:
-        # Generous ceiling: a cold remote compile alone can cost ~400 s.
-        rate = _bench_tpu_subprocess(
-            float(os.environ.get("BENCH_TPU_TIMEOUT_S", "1500")))
-        if rate is None:
-            note = ("TPU probe passed but the measurement timed out or "
-                    "crashed (tunnel wedge); CPU-backend XLA fallback "
-                    "(not a TPU measurement)")
-    if rate is None:
-        rate = bench_xla_cpu(flux, unc)
-        if note is None:
-            note = (f"TPU tunnel unresponsive for {int(wait_s)}s; "
-                    "CPU-backend XLA fallback (not a TPU measurement)")
+    # Probe the tunnel CONCURRENTLY with the CPU-oracle burn: the oracle
+    # measurement takes minutes, and probing only afterwards used to eat
+    # that much of the wait window before the first probe even fired.
+    probe_up = threading.Event()
+    stop_probe = threading.Event()
+
+    def _probe_loop():
+        while not stop_probe.is_set() and time.time() < deadline:
+            if _tpu_responsive():
+                probe_up.set()
+                return
+            stop_probe.wait(30)
+
+    prober = None
+    if not simulate_down:
+        prober = threading.Thread(target=_probe_loop, daemon=True)
+        prober.start()
+
+    cpu_rate = bench_cpu(flux, unc)
+
+    if prober is not None:
+        stop_probe.set()
+        prober.join()
+
+    # Measurement loop: try the TPU whenever a probe passes; measure the
+    # CPU fallback ONCE while waiting (so a wedged tunnel still yields a
+    # valid artifact); keep re-probing until the window truly expires and
+    # emit whichever is best last -- a tunnel that comes back late still
+    # produces a real TPU number.
+    tpu_timeout = float(os.environ.get("BENCH_TPU_TIMEOUT_S", "1500"))
+    up = probe_up.is_set()
+    tpu_rate = None
+    fallback_rate = None
+    notes = []
+    while not simulate_down:
+        if not up:
+            up = _tpu_responsive()
+        if up:
+            # Generous ceiling: a cold remote compile alone can cost ~400 s.
+            tpu_rate = _bench_tpu_subprocess(tpu_timeout)
+            if tpu_rate is not None:
+                break
+            up = False
+            notes.append("a TPU probe passed but the measurement timed "
+                         "out or crashed (tunnel wedge)")
+        if fallback_rate is None:
+            fallback_rate = bench_xla_cpu(flux, unc)
+        if time.time() >= deadline:
+            break
+        time.sleep(30)
 
     out = {
         "metric": "walker-steps/sec, 250 walkers x 5 bands, "
                   "full 5-param MBB",
-        "value": round(rate, 1),
         "unit": "walker-steps/s",
-        "vs_baseline": round(rate / cpu_rate, 2),
     }
-    if note:
-        out["note"] = note
+    if tpu_rate is not None:
+        _store_last_good(tpu_rate)
+        out["value"] = round(tpu_rate, 1)
+        out["backend"] = "tpu"
+    else:
+        if fallback_rate is None:
+            fallback_rate = bench_xla_cpu(flux, unc)
+        out["value"] = round(fallback_rate, 1)
+        out["backend"] = "cpu-fallback"
+        notes.append(f"TPU tunnel unresponsive for the full {int(wait_s)}s "
+                     "window; value is CPU-backend XLA throughput, NOT a "
+                     "TPU measurement")
+        last_good = _load_last_good()
+        if last_good is not None:
+            out["last_good_tpu"] = last_good
+    out["vs_baseline"] = round(out["value"] / cpu_rate, 2)
+    if notes:
+        out["note"] = "; ".join(notes)
     print(json.dumps(out))
     return 0
 
