@@ -388,21 +388,10 @@ def main(argv=None):
                 "--corrfile (correlated errors) runs on the XLA batch "
                 "backend; the fused Pallas kernel keeps diagonal errors "
                 "-- drop --sampler-backend fused")
-        from mbb_emcee_tpu.utils.fits import read_fits_image
-        R = np.asarray(read_fits_image(args.corrfile, extn=args.corrextn),
-                       np.float64)
-        if R.ndim != 2 or R.shape[0] != R.shape[1]:
-            raise SystemExit(
-                f"--corrfile must hold a square matrix; got {R.shape}")
-        d = np.diag(R)
-        if np.any(d <= 0):
-            raise SystemExit("--corrfile matrix has non-positive diagonal")
-        if not np.allclose(d, 1.0, atol=1e-8):
-            # covariance given: keep only its correlation structure (the
-            # per-source error scales come from the catalog unc columns)
-            R = R / np.sqrt(np.outer(d, d))
+        from mbb_emcee_tpu.utils.fits import read_band_correlation
         try:
-            mf.set_band_correlation(R)
+            mf.set_band_correlation(
+                read_band_correlation(args.corrfile, extn=args.corrextn))
         except ValueError as e:
             raise SystemExit(f"--corrfile: {e}")
 

@@ -118,6 +118,15 @@ def build_parser():
                    metavar="BAND",
                    help="flag this band (name or index) as an upper limit "
                         "for every source (repeatable)")
+    g.add_argument("--corrfile", default=None,
+                   help="FITS image holding a shared (nb, nb) band "
+                        "CORRELATION matrix (a covariance is normalized "
+                        "to its correlation): each source samples under "
+                        "C_s = D_s R D_s with its own unc scales "
+                        "(set_band_correlation); incompatible with "
+                        "upper-limit flags")
+    g.add_argument("--corrextn", type=int, default=0,
+                   help="FITS extension of --corrfile (default 0)")
 
     g = p.add_argument_group("derived quantities")
     g.add_argument("--cosmology", default="WMAP9")
@@ -294,6 +303,14 @@ def main(argv=None):
         uplims = shared if uplims is None else (uplims | shared)
     if uplims is not None and uplims.any():
         mf.set_phot_upperlimits(uplims)
+
+    if args.corrfile is not None:
+        from mbb_emcee_tpu.utils.fits import read_band_correlation
+        try:
+            mf.set_band_correlation(
+                read_band_correlation(args.corrfile, extn=args.corrextn))
+        except ValueError as e:
+            raise SystemExit(f"--corrfile: {e}")
 
     try:
         for param, v in args.initval:

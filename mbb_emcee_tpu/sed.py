@@ -220,7 +220,8 @@ def sed_band_flux_eval(fnu, wave, response_pack=None):
 
 
 def build_sed_lnprob_data(model: SEDModel, spec: LikelihoodSpec,
-                          response_pack=None, dtype=jnp.float32):
+                          response_pack=None, dtype=jnp.float32,
+                          correlated=False):
     """Generic-model twin of likelihood.build_lnprob_data: the photometry
     arrives as ARGUMENTS so one traced function serves every source of a
     batch under vmap (sedmulti.SEDMultiFitter).
@@ -228,14 +229,25 @@ def build_sed_lnprob_data(model: SEDModel, spec: LikelihoodSpec,
     Returns (lnprob_fn, free_space) with
         lnprob_fn(theta_free (nfree,), wave (nb,), flux (nb,), iunc (nb,))
     where iunc is SIGNED 1/sigma: negative marks a one-sided upper-limit
-    band, exactly 0 a missing band (likelihood.signed_iunc). Diagonal
-    errors only -- correlated band errors stay on the MBB batch surface
-    (MultiFitter.set_band_correlation).
+    band, exactly 0 a missing band (likelihood.signed_iunc).
+
+    With correlated=True the 4th argument is instead a per-source
+    (nb, nb) WHITENING matrix W with r = W @ delta (correlated band
+    errors -- the generic-tier analog of likelihood.build_lnprob_data's
+    covariance mode; SEDMultiFitter.set_band_correlation builds W
+    host-side honoring each source's missing-band pattern). One-sided
+    upper limits do not compose with correlated errors;
+    spec.uplim_bands must be unset.
     """
     if spec.lower.size != model.npar:
         raise ValueError(
             f"spec is sized for {spec.lower.size} parameters; model "
             f"{model.name!r} has {model.npar}")
+    if correlated and spec.uplim_bands is not None and np.any(
+            np.asarray(spec.uplim_bands)):
+        raise ValueError(
+            "photometric upper limits (one-sided likelihood) do not "
+            "compose with correlated band errors; unset one of them")
     sa = spec_arrays(spec, dtype)
     free_space = sa.free_space
     (template, scatter, lo_free, hi_free, lo_full, hi_full,
@@ -257,10 +269,16 @@ def build_sed_lnprob_data(model: SEDModel, spec: LikelihoodSpec,
             model_flux = jnp.sum(resp_weights * fnu(theta_safe, resp_waves),
                                  axis=-1)
         delta = model_flux - flux
-        # Sign-encoded upper limits / missing bands ride the iunc operand
-        # (see likelihood.build_lnprob_data for the design note).
-        delta = jnp.where(iunc < 0, jnp.maximum(delta, 0.0), delta)
-        r = delta * jnp.abs(iunc)
+        if correlated:
+            # iunc is a per-source (nb, nb) whitening matrix (zero
+            # rows/cols at missing bands -- exact marginalization,
+            # precomputed host-side from the pattern submatrices).
+            r = iunc @ delta
+        else:
+            # Sign-encoded upper limits / missing bands ride the iunc
+            # operand (see likelihood.build_lnprob_data).
+            delta = jnp.where(iunc < 0, jnp.maximum(delta, 0.0), delta)
+            r = delta * jnp.abs(iunc)
         lnl = -0.5 * jnp.sum(r * r)
         dp = (theta - prior_mean) * prior_isig
         lnpri = -0.5 * jnp.sum(dp * dp)

@@ -340,3 +340,35 @@ def test_cli_sed_anchor_z(tmp_path):
         [lines[0], lines[2].replace("nan ", "11.5 ", 1)]) + "\n")
     with pytest.raises(SystemExit, match="z box"):
         main([ppath, str(oob), "x.h5", "--anchor-z", "0.1"])
+
+
+def test_cli_sed_corrfile(tmp_path):
+    """--corrfile: correlated calibration errors through the generic
+    CLI, given as a covariance FITS (normalized to its correlation) --
+    round-2 verdict task: the generic tier gets the same shared-
+    calibration error model the MBB batch CLI has."""
+    from mbb_emcee_tpu.utils.fits import write_fits_image
+
+    mpath = _write_model(tmp_path)
+    cat, trues = _write_catalog(tmp_path)
+    out = str(tmp_path / "corr.h5")
+    sig = np.array([1.0, 2.0, 2.5, 2.0, 1.5])
+    C = 0.3 * np.outer(sig, sig) + 0.7 * np.diag(sig ** 2)
+    corr = str(tmp_path / "cov.fits")
+    write_fits_image(corr, C)
+    rc = main([mpath, cat, out, "-w", "24", "-b", "20", "-n", "60",
+               "--seed", "5",
+               "--initval", "T_cold", "18", "--initval", "T_warm", "45",
+               "--initval", "beta", "1.8", "--initval", "fc", "30",
+               "--initval", "fw", "1.0",
+               "--corrfile", corr])
+    assert rc == 0
+    back = SEDMultiFitter.from_h5(out, load_model(mpath))
+    want = C / np.sqrt(np.outer(np.diag(C), np.diag(C)))
+    np.testing.assert_allclose(back._band_corr, want, rtol=1e-12)
+    assert back.chain_free.shape[1] == 60
+
+    # upper limits and correlation refuse to combine, at the CLI level
+    with pytest.raises(SystemExit, match="corrfile"):
+        main([mpath, cat, out, "-w", "24", "-b", "4", "-n", "8",
+              "--corrfile", corr, "--phot-uplim", "4"])

@@ -714,3 +714,238 @@ def test_ps_prior_hierarchy_interim_division():
     expected = -0.5 * d * d
     np.testing.assert_allclose(np.asarray(hf.ln_interim), expected,
                                rtol=1e-6)
+
+
+# -- correlated calibration errors on the generic tier -----------------------
+
+def _random_corr(nb, seed=7, strength=0.4):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((nb, nb))
+    C = A @ A.T + nb * np.eye(nb)
+    d = np.sqrt(np.diag(C))
+    R = C / np.outer(d, d)
+    return (1 - strength) * np.eye(nb) + strength * R
+
+
+def test_correlated_sed_lnprob_matches_fp64_marginal():
+    """The generic correlated likelihood equals the exact fp64 Gaussian
+    -0.5 d^T C^-1 d with C = D R D, including EXACT marginalization of
+    a missing band -- the same contract the MBB tier satisfies."""
+    nb = WAVE.size
+    model = _model()
+    R = _random_corr(nb)
+    truths, flux_b, unc_b = _mock_batch(S=2, seed=21)
+    flux = flux_b.copy()
+    unc = unc_b.copy()
+    flux[1, 2] = np.nan          # source 1 misses band 2
+    unc[1, 2] = np.nan
+
+    mf = SEDMultiFitter(model, nwalkers=16)
+    mf.set_data(WAVE, flux, unc)
+    mf.set_band_correlation(R)
+    lnp_corr, fs = mf._build_lnprob_data(mf._effective_spec())
+    flux_op, W = mf._data_operands(fs)
+    assert np.asarray(W).shape == (2, nb, nb)
+
+    theta = np.array([17.0, 42.0, 1.9, 25.0, 0.8])
+    th = jnp.asarray(theta[fs.free_idx], jnp.float32)
+    wave = jnp.asarray(WAVE, jnp.float32)
+    model32 = np.asarray(_two_mbb(jnp.asarray(theta, jnp.float32), wave),
+                         np.float64)
+    for s in range(2):
+        p = np.isfinite(flux[s]) & np.isfinite(unc[s])
+        got = float(lnp_corr(th, wave, flux_op[s],
+                             jnp.asarray(W[s], jnp.float32)))
+        d = (model32 - np.where(p, np.nan_to_num(flux[s]), 0.0))[p]
+        C = R[np.ix_(p, p)] * np.outer(unc[s][p], unc[s][p])
+        want = -0.5 * float(d @ np.linalg.solve(C, d))
+        # the shared Gaussian prior on beta also applies
+        spec = mf._effective_spec()
+        dp = (theta - spec.prior_mean) * spec.prior_isigma
+        want += -0.5 * float(dp @ dp)
+        np.testing.assert_allclose(got, want, rtol=2e-4, err_msg=f"s={s}")
+
+
+def test_correlated_identity_matches_diagonal_run():
+    """R = identity whitens to exactly the diagonal likelihood (the
+    whitening matvec adds exact zeros), so the sampled chains match the
+    diagonal run's."""
+    truths, flux, unc = _mock_batch(S=3, seed=31)
+
+    def fresh(corr):
+        mf = _fitter(flux, unc, seed=13, nwalkers=16)
+        if corr is not None:
+            mf.set_band_correlation(corr)
+        return mf
+
+    diag = fresh(None).run(nburn=10, nsteps=20)
+    ident = fresh(np.eye(WAVE.size)).run(nburn=10, nsteps=20)
+    np.testing.assert_allclose(np.asarray(diag.chain_free),
+                               np.asarray(ident.chain_free),
+                               rtol=0, atol=0)
+
+
+def test_correlated_sed_matches_mbb_surface():
+    """Wrapped-MBB equivalence (round-2 verdict task): an SEDModel
+    wrapping the MBB flux, under the SAME correlated error model, box,
+    init, seed and PRNG, produces the same correlated lnprob values as
+    MultiFitter's path and statistically matching posteriors."""
+    from mbb_emcee_tpu.multifit import MultiFitter
+    from mbb_emcee_tpu.likelihood import build_lnprob_data
+
+    shape = MBBShape(opthin=True, noalpha=True)
+    wave5 = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
+    nb = wave5.size
+    truths = np.column_stack([
+        np.array([28.0, 33.0]), np.array([1.7, 2.0]),
+        np.full(2, 250.0), np.full(2, 4.0), np.array([40.0, 55.0])])
+    f = np.stack([np.asarray(
+        jnp.exp(log_mbb_fnu(jnp.asarray(t, jnp.float32),
+                            jnp.asarray(wave5, jnp.float32), shape)))
+        for t in truths])
+    rng = np.random.default_rng(3)
+    unc = 0.06 * f
+    flux = f + unc * rng.standard_normal(f.shape)
+    R = _random_corr(nb, strength=0.3)
+
+    mbb = MultiFitter(nwalkers=32, opthin=True, noalpha=True, seed=17,
+                      prng_impl="threefry2x32", sampler_backend="xla")
+    mbb.set_data(wave5, flux, unc)
+    mbb.set_band_correlation(R)
+    spec5 = mbb._effective_spec()
+    fs5 = build_lnprob_data(shape, spec5, correlated=True)[1]
+    free_names = ["T", "beta", "fnorm"]
+    lo = spec5.lower[fs5.free_idx]
+    hi = spec5.upper[fs5.free_idx]
+
+    def wrapped(theta, wave):
+        T, beta, fnorm = theta
+        p = jnp.stack([T, beta, jnp.float32(250.0), jnp.float32(4.0),
+                       fnorm])
+        return jnp.exp(log_mbb_fnu(p, wave, shape))
+
+    sed = SEDMultiFitter(
+        SEDModel(fnu=wrapped, param_names=tuple(free_names),
+                 lower=lo, upper=hi, name="wrapped-mbb"),
+        nwalkers=32, seed=17, prng_impl="threefry2x32")
+    sed.set_data(wave5, flux, unc)
+    sed.set_band_correlation(R)
+
+    # identical init geometry on both surfaces (MBB's data-driven
+    # heuristic off via explicit set_param_init)
+    for j, name in enumerate(free_names):
+        v = [30.0, 1.8, 45.0][j]
+        s = [3.0, 0.3, 5.0][j]
+        mbb.set_param_init(name, v, s)
+        sed.set_param_init(name, v, s)
+
+    # lnprob equivalence on a theta grid, same whitening operands
+    lnp_mbb, _ = mbb._engine_lnprob(spec5)
+    lnp_sed, fs3 = sed._engine_lnprob(sed._effective_spec())
+    _, W = mbb._engine_operands(fs5)
+    w32 = jnp.asarray(wave5, jnp.float32)
+    fx32 = jnp.asarray(flux, jnp.float32)
+    for th in ([30.0, 1.8, 45.0], [25.0, 2.2, 50.0], [35.0, 1.5, 38.0]):
+        th32 = jnp.asarray(th, jnp.float32)
+        for s in range(2):
+            a = float(lnp_mbb(th32, w32, fx32[s], W[s]))
+            b = float(lnp_sed(th32, w32, fx32[s], W[s]))
+            np.testing.assert_allclose(a, b, rtol=1e-5)
+
+    # posterior equivalence, statistically
+    mbb.run(nburn=60, nsteps=300)
+    sed.run(nburn=60, nsteps=300)
+    for name in free_names:
+        cm = mbb.par_cen(name)
+        cs = sed.par_cen(name)
+        width = 0.5 * (cm[:, 1] + cm[:, 2] + cs[:, 1] + cs[:, 2])
+        assert np.all(np.abs(cm[:, 0] - cs[:, 0]) < width), name
+
+
+def test_correlated_sed_end_to_end(tmp_path):
+    """Correlated generic-tier serving: run + extend continuation, HDF5
+    round-trip of the correlation, PPC/LOO under the exact marginal
+    whitening, evidence + HMC + PT smoke, and the uplim refusals."""
+    truths, flux, unc = _mock_batch(S=4, seed=41)
+    flux = flux.copy(); unc = unc.copy()
+    flux[2, 5] = np.nan; unc[2, 5] = np.nan       # ragged catalog
+    R = _random_corr(WAVE.size, strength=0.3)
+
+    def fresh():
+        mf = _fitter(flux, unc, seed=19, nwalkers=24,
+                     redshifts=np.full(4, 2.0))
+        mf.set_band_correlation(R)
+        return mf
+
+    whole = fresh().run(nburn=30, nsteps=60)
+    split = fresh().run(nburn=30, nsteps=40).extend(20)
+    np.testing.assert_array_equal(np.asarray(whole.chain_free),
+                                  np.asarray(split.chain_free))
+
+    cen = whole.par_cen("T_cold")
+    sig = np.maximum(np.maximum(cen[:, 1], cen[:, 2]), 1e-6)
+    assert np.all(np.abs(cen[:, 0] - truths[:, 0]) < 8 * sig)
+
+    # HDF5 round-trip restores the correlation and can keep extending
+    out = str(tmp_path / "sedcorr.h5")
+    whole.writeToHDF5(out)
+    back = SEDMultiFitter.from_h5(out, _model())
+    np.testing.assert_allclose(back._band_corr, R)
+    back.extend(20)
+    assert back.chain_free.shape[1] == 80
+
+    # PPC + LOO under the exact marginal whitening
+    ppc = whole.posterior_predictive(thin=20)
+    assert np.all((ppc.p_value >= 0) & (ppc.p_value <= 1))
+    assert np.isnan(ppc.band_p[2, 5])             # missing slot excluded
+    loo = whole.compute_loo(thin=20)
+    assert np.isfinite(loo.elpd_loo).all()
+
+    # evidence / HMC / PT accept the correlated likelihood
+    ev = whole.compute_evidence(nlive=48, nbatch=8, nsteps=8,
+                                max_iter=300)
+    assert np.all(np.isfinite(ev.logz))
+    mf2 = fresh()
+    mf2.run_hmc(nwarmup=8, nsteps=8, n_leapfrog=4)
+    assert np.all(np.isfinite(np.asarray(mf2.chain_free)))
+    mf3 = fresh()
+    mf3.run_pt(nrungs=4, nburn=8, nsteps=12)
+    assert np.all(np.isfinite(mf3.logz_pt[0]))
+
+    # refusals: uplims x correlation, stale shape
+    mf4 = _fitter(flux, unc, seed=1, nwalkers=16)
+    mf4.set_phot_upperlimits([True] + [False] * (WAVE.size - 1))
+    with pytest.raises(ValueError, match="upper limits"):
+        mf4.set_band_correlation(R)
+    mf5 = _fitter(flux, unc, seed=1, nwalkers=16)
+    mf5.set_band_correlation(R)
+    with pytest.raises(ValueError, match="correlated"):
+        mf5.set_phot_upperlimits([True] + [False] * (WAVE.size - 1))
+
+
+def test_correlated_sed_with_per_source_priors():
+    """Correlated errors compose with per-source Gaussian priors (the
+    (W, pisig) pytree operands): the prior pulls the posterior of the
+    anchored source, and the non-anchored source is unaffected by a
+    disabled (inf-sigma) entry."""
+    truths, flux, unc = _mock_batch(S=2, seed=51)
+    R = _random_corr(WAVE.size, strength=0.25)
+    anchor = np.array([truths[0, 0] - 2.0, np.nan])
+    sig = np.array([0.2, np.inf])
+
+    def fit(with_prior):
+        mf = _fitter(flux, unc, seed=23, nwalkers=24)
+        mf.set_band_correlation(R)
+        if with_prior:
+            mf.set_gaussian_prior("T_cold", anchor, sig)
+        return mf.run(nburn=40, nsteps=120)
+
+    free = fit(False)
+    tied = fit(True)
+    cf = free.par_cen("T_cold")
+    ct = tied.par_cen("T_cold")
+    # anchored source 0 pulled toward the anchor
+    assert abs(ct[0, 0] - anchor[0]) < abs(cf[0, 0] - anchor[0])
+    # disabled entry: source 1 statistically unchanged
+    w = cf[1, 1] + cf[1, 2]
+    assert abs(ct[1, 0] - cf[1, 0]) < w
