@@ -805,14 +805,42 @@ class BatchEngine:
 
     def _engine_record_nonextendable(self, kind):
         """Post-run bookkeeping for tiers whose chains are not
-        continuable (PT/HMC): clear the stretch-move continuation state
-        so extend() refuses. Hosts may override to record more."""
+        continuable by extend() (PT/HMC -- use their checkpoint= for
+        resumability): clear the stretch-move continuation state so
+        extend() refuses. Hosts may override to record more."""
         self._xla_keys = None
         self._xla_counters = None
 
+    def _engine_posterior_fp(self):
+        """Short content hash of the posterior identity, stored in
+        PT/HMC checkpoint meta and re-checked on resume (resuming a
+        different posterior would silently splice chains)."""
+        import hashlib
+        return hashlib.sha256(
+            self._engine_posterior_repr().encode()).hexdigest()[:32]
+
+    def _tier_ck_meta(self, tier, extra):
+        meta = {"nwalkers": self.nwalkers, "nsources": self.nsources,
+                "thin": int(self.thin), "seed": int(self.seed),
+                "a": float(self.a),
+                "posterior_fp": self._engine_posterior_fp()}
+        meta.update(extra)
+        return meta
+
+    def _tier_ck_check(self, meta, tier, expect, path):
+        from mbb_emcee_tpu.checkpoint import check_resume_meta
+        check_resume_meta(
+            meta, dict(expect, prng_impl=self.prng_impl,
+                       nwalkers=self.nwalkers, nsources=self.nsources,
+                       thin=int(self.thin), seed=int(self.seed),
+                       a=float(self.a),
+                       posterior_fp=self._engine_posterior_fp()),
+            path)
+
     # -- parallel tempering tier -----------------------------------------------
     def run_pt(self, nrungs=12, beta_min="auto", nburn=300, nsteps=1000,
-               thin=1, verbose=False):
+               thin=1, verbose=False, checkpoint=None,
+               checkpoint_interval=100, resume=False):
         """Batched parallel tempering: every source gets K temperature
         rungs x W walkers, and the WHOLE (S, K, W) block advances as one
         device program -- a per-source tempered body (tempering.pt_step:
@@ -821,13 +849,24 @@ class BatchEngine:
         shard_mapped over the source axis (embarrassingly parallel, no
         collectives).
 
-        Two phases, both compiled once per geometry: a SCOUT burn on a
-        shared coarse ladder, then -- with beta_min="auto" -- per-source
-        ladders rebuilt from each source's own worst sampled lnL
-        (tempering.auto_ladder_batch; betas are runtime operands with
-        one shared static K, so sources with very different likelihood
-        scales share the program), seeded rung-by-nearest-rung from the
-        scout state, re-burned, and sampled.
+        Three compiled phases per geometry: a SCOUT burn on a shared
+        coarse ladder; a main BURN seeded rung-by-nearest-rung from the
+        scout state on the (with beta_min="auto") per-source adapted
+        ladders (tempering.auto_ladder_batch; betas are runtime operands
+        with one shared static K); and PRODUCTION segments carrying the
+        tempered state + streaming stepping-stone accumulators -- so a
+        long tempered run can flush a complete checkpoint between
+        segments.
+
+        With `checkpoint=path`, the production run is segmented every
+        `checkpoint_interval` records and the full per-source PTState,
+        ladders, and evidence accumulators are flushed
+        (checkpoint.save_tier_checkpoint); `resume=True` continues an
+        interrupted run from that file toward the same nsteps target --
+        the chain is EXACTLY the one the uninterrupted run produces
+        (the tempered transition is a pure function of the carried
+        state). A kill during scout/burn restarts those phases (they
+        are short by construction; only production is flushed).
 
         The recorded chain is each source's cold rung -- chain_free /
         lnprobability / acceptance_fraction have exactly run()'s shapes,
@@ -835,9 +874,9 @@ class BatchEngine:
         results(i), writeToHDF5) works unchanged. Per-source evidence:
         self.logz_pt = (lnZ (S,), err (S,)) by stepping stone, with
         thermodynamic integration in self.logz_ti as the cross-check of
-        compute_evidence(). extend() does not apply; use
-        run(checkpoint=...) tiers for resumable sampling or re-run with
-        more nsteps."""
+        compute_evidence(). extend() does not apply; resume a
+        checkpointed run with more nsteps instead."""
+        import os
         from mbb_emcee_tpu.tempering import (
             PTState, pt_step, geometric_ladder, auto_ladder_batch,
             SSStats, thermodynamic_logz, ss_stream_update, _SUPPORT_FLOOR)
@@ -848,6 +887,10 @@ class BatchEngine:
             raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
         if self.nwalkers % 2:
             raise ValueError("nwalkers must be even")
+        if resume and not checkpoint:
+            raise ValueError(
+                "resume=True requires checkpoint= (the path the previous "
+                "run flushed state to)")
         spec = self._effective_spec()
         lnprob_data, free_space = self._engine_lnprob(spec)
         self.free_space = free_space
@@ -865,10 +908,8 @@ class BatchEngine:
         flux_op, aux_op = self._engine_operands(free_space)
         key = jax.random.key(self.seed, impl=self.prng_impl)
         kball, kscout, kmain = jax.random.split(key, 3)
-        cen, sca = self._engine_init_centers("auto", free_space)
-        cen_f = jnp.asarray(cen, jnp.float32)
-        sca_f = jnp.asarray(sca, jnp.float32)
         lower, upper = free_space.lower, free_space.upper
+        K1 = int(nrungs)
 
         def _pt_state(k, pos, bflat, K):
             lnp = bflat(pos.reshape(-1, d)).reshape(K, W)
@@ -884,64 +925,128 @@ class BatchEngine:
                 st.nsteps, st.nsteps + n,
                 lambda i, s: pt_step(s, bflat, betas, a, swap_parity=i), st)
 
-        K1 = int(nrungs)
-
-        def scout_one(idx, cen_s, sca_s, flux_s, aux_s, betas,
-                      kball, kscout, wave):
-            bflat = jax.vmap(
-                lambda th: lnprob_data(th, wave, flux_s, aux_s))
-            p0 = make_initial_ball(jax.random.fold_in(kball, idx),
-                                   cen_s, sca_s, W, lower, upper)
-            st = _pt_state(jax.random.fold_in(kscout, idx),
-                           jnp.broadcast_to(p0, (K1, W, d)), bflat, K1)
-            st = _advance(st, nburn, bflat, betas)
-            return st.pos, st.lnp
-
-        # -- phase 1: scout burn on a shared coarse ladder ------------------
-        scout_betas = geometric_ladder(
-            K1, 1e-2 if adapt else float(beta_min))
-        scout = self._jit_sources(
-            "pt_scout", scout_one, 5, 4, spec,
-            extra_key=(d, thin_i, int(nburn), K1))
-        pos_sc, lnp_sc = scout(
-            self._shard(jnp.arange(S)), self._shard(cen_f),
-            self._shard(sca_f), self._shard(flux_op),
-            self._shard(aux_op),
-            jnp.asarray(scout_betas, jnp.float32), kball, kscout, wave)
-
-        # -- ladder adaptation (host, tiny) ---------------------------------
-        if adapt:
-            lnp_h = np.asarray(lnp_sc, np.float64)         # (S, K1, W)
-            masked = np.where(lnp_h > _SUPPORT_FLOOR, lnp_h, np.nan)
-            worst = np.nanmin(masked.reshape(S, -1), axis=1)
-            worst = np.where(np.isfinite(worst), worst, -1e6)
-            betas_b = auto_ladder_batch(worst, nrungs_min=K1)  # (S, K2)
+        resuming = bool(checkpoint and resume
+                        and os.path.exists(checkpoint))
+        interval = max(1, int(checkpoint_interval))
+        run_id = None
+        if resuming:
+            from mbb_emcee_tpu.checkpoint import load_tier_checkpoint
+            st_np, aux_np, prev_chain, prev_lnp, meta = (
+                load_tier_checkpoint(checkpoint, "pt"))
+            self._tier_ck_check(meta, "pt", {"nrungs": K1,
+                                             "nburn": int(nburn)},
+                                checkpoint)
+            run_id = meta.get("run_id")
+            if isinstance(run_id, bytes):
+                run_id = run_id.decode()
+            betas_b = np.asarray(aux_np["betas"], np.float64)
             K2 = betas_b.shape[1]
-            lb_new = np.log10(np.maximum(betas_b, 1e-30))
-            lb_old = np.log10(np.maximum(scout_betas, 1e-30))
-            nearest = np.abs(lb_new[:, :, None]
-                             - lb_old[None, None, :]).argmin(axis=2)
-            pos0 = np.asarray(pos_sc)[np.arange(S)[:, None], nearest]
-            nburn2 = max(int(nburn) // 2, 50)
+            state = tuple(
+                st_np[name] if name == "key" else jnp.asarray(st_np[name])
+                for name in ("key", "pos", "lnp", "naccept", "nswap",
+                             "nswap_prop", "nsteps"))
+            ss = (jnp.asarray(aux_np["ss_m"], jnp.float32),
+                  jnp.asarray(aux_np["ss_s1"], jnp.float32),
+                  jnp.asarray(aux_np["ss_s2"], jnp.float32),
+                  jnp.asarray(aux_np["acc"], jnp.float32))
+            chain_blocks = [] if prev_chain is None else [prev_chain]
+            lnp_blocks = [] if prev_lnp is None else [prev_lnp]
+            done = 0 if prev_chain is None else prev_chain.shape[1]
+            if done > nrec:
+                raise ValueError(
+                    f"checkpoint already holds {done} records; this run "
+                    f"targets only {nrec} -- resume with nsteps >= "
+                    f"{done * thin_i}")
         else:
-            betas_b = np.broadcast_to(scout_betas, (S, K1)).copy()
-            K2 = K1
-            pos0 = np.asarray(pos_sc)
-            nburn2 = 0
+            cen, sca = self._engine_init_centers("auto", free_space)
+            cen_f = jnp.asarray(cen, jnp.float32)
+            sca_f = jnp.asarray(sca, jnp.float32)
 
-        def main_one(idx, pos0_s, flux_s, aux_s, betas_s, kmain, wave):
+            def scout_one(idx, cen_s, sca_s, flux_s, aux_s, betas,
+                          kball, kscout, wave):
+                bflat = jax.vmap(
+                    lambda th: lnprob_data(th, wave, flux_s, aux_s))
+                p0 = make_initial_ball(jax.random.fold_in(kball, idx),
+                                       cen_s, sca_s, W, lower, upper)
+                st = _pt_state(jax.random.fold_in(kscout, idx),
+                               jnp.broadcast_to(p0, (K1, W, d)), bflat, K1)
+                st = _advance(st, nburn, bflat, betas)
+                return st.pos, st.lnp
+
+            # -- phase 1: scout burn on a shared coarse ladder --------------
+            scout_betas = geometric_ladder(
+                K1, 1e-2 if adapt else float(beta_min))
+            scout = self._jit_sources(
+                "pt_scout", scout_one, 5, 4, spec,
+                extra_key=(d, thin_i, int(nburn), K1))
+            pos_sc, lnp_sc = scout(
+                self._shard(jnp.arange(S)), self._shard(cen_f),
+                self._shard(sca_f), self._shard(flux_op),
+                self._shard(aux_op),
+                jnp.asarray(scout_betas, jnp.float32), kball, kscout, wave)
+
+            # -- ladder adaptation (host, tiny) -----------------------------
+            if adapt:
+                lnp_h = np.asarray(lnp_sc, np.float64)         # (S, K1, W)
+                masked = np.where(lnp_h > _SUPPORT_FLOOR, lnp_h, np.nan)
+                worst = np.nanmin(masked.reshape(S, -1), axis=1)
+                worst = np.where(np.isfinite(worst), worst, -1e6)
+                betas_b = auto_ladder_batch(worst, nrungs_min=K1)  # (S, K2)
+                K2 = betas_b.shape[1]
+                lb_new = np.log10(np.maximum(betas_b, 1e-30))
+                lb_old = np.log10(np.maximum(scout_betas, 1e-30))
+                nearest = np.abs(lb_new[:, :, None]
+                                 - lb_old[None, None, :]).argmin(axis=2)
+                pos0 = np.asarray(pos_sc)[np.arange(S)[:, None], nearest]
+                nburn2 = max(int(nburn) // 2, 50)
+            else:
+                betas_b = np.broadcast_to(scout_betas, (S, K1)).copy()
+                K2 = K1
+                pos0 = np.asarray(pos_sc)
+                nburn2 = 0
+
+            def burn_one(idx, pos0_s, flux_s, aux_s, betas_s, kmain,
+                         wave):
+                bflat = jax.vmap(
+                    lambda th: lnprob_data(th, wave, flux_s, aux_s))
+                st = _pt_state(jax.random.fold_in(kmain, idx), pos0_s,
+                               bflat, K2)
+                if nburn2 > 0:
+                    st = _advance(st, nburn2, bflat, betas_s)
+                    st = st._replace(
+                        naccept=jnp.zeros_like(st.naccept),
+                        nswap=jnp.zeros_like(st.nswap),
+                        nswap_prop=jnp.zeros_like(st.nswap_prop),
+                        nsteps=jnp.zeros_like(st.nsteps))
+                return (st.key, st.pos, st.lnp, st.naccept, st.nswap,
+                        st.nswap_prop, st.nsteps)
+
+            # -- phase 2: (re-)burn on the adapted ladders ------------------
+            burn = self._jit_sources(
+                "pt_burn", burn_one, 5, 2, spec,
+                extra_key=(d, thin_i, int(nburn), K1, nburn2, K2))
+            state = burn(
+                self._shard(jnp.arange(S)),
+                self._shard(jnp.asarray(pos0, jnp.float32)),
+                self._shard(flux_op), self._shard(aux_op),
+                self._shard(jnp.asarray(betas_b, jnp.float32)),
+                kmain, wave)
+            z1 = jnp.zeros((S, K2 - 1), jnp.float32)
+            ss = (self._shard(jnp.full((S, K2 - 1), -jnp.inf,
+                                       jnp.float32)),
+                  self._shard(z1), self._shard(z1),
+                  self._shard(jnp.zeros((S, K2), jnp.float32)))
+            chain_blocks, lnp_blocks = [], []
+            done = 0
+
+        def seg_one(key_s, pos_s, lnp_s, na_s, nsw_s, nswp_s, nst_s,
+                    m_s, s1_s, s2_s, acc_s, flux_s, aux_s, betas_s,
+                    wave):
             bflat = jax.vmap(
                 lambda th: lnprob_data(th, wave, flux_s, aux_s))
             dbeta = (betas_s[:-1] - betas_s[1:]).astype(jnp.float32)
-            st = _pt_state(jax.random.fold_in(kmain, idx), pos0_s,
-                           bflat, K2)
-            if nburn2 > 0:
-                st = _advance(st, nburn2, bflat, betas_s)
-                st = st._replace(
-                    naccept=jnp.zeros_like(st.naccept),
-                    nswap=jnp.zeros_like(st.nswap),
-                    nswap_prop=jnp.zeros_like(st.nswap_prop),
-                    nsteps=jnp.zeros_like(st.nsteps))
+            st = PTState(key=key_s, pos=pos_s, lnp=lnp_s, naccept=na_s,
+                         nswap=nsw_s, nswap_prop=nswp_s, nsteps=nst_s)
 
             def inner(carry, _):
                 s, m, s1, s2, acc = carry
@@ -950,41 +1055,73 @@ class BatchEngine:
                 acc = acc + s.lnp.mean(axis=1).astype(jnp.float32)
                 return (s, m, s1, s2, acc), (s.pos[0], s.lnp[0])
 
-            carry0 = (st,
-                      _vary(jnp.full((K2 - 1,), -jnp.inf, jnp.float32)),
-                      _vary(jnp.zeros((K2 - 1,), jnp.float32)),
-                      _vary(jnp.zeros((K2 - 1,), jnp.float32)),
-                      _vary(jnp.zeros((K2,), jnp.float32)))
             (st, m, s1, s2, acc), (chain, lnpch) = jax.lax.scan(
-                inner, carry0, None, length=nrec)
-            return (chain, lnpch, st.naccept, st.nswap, st.nswap_prop,
-                    st.nsteps, acc, m, s1, s2)
+                inner, (st, m_s, s1_s, s2_s, acc_s), None,
+                length=seg_len)
+            return (chain, lnpch, st.key, st.pos, st.lnp, st.naccept,
+                    st.nswap, st.nswap_prop, st.nsteps, m, s1, s2, acc)
 
-        # -- phase 2: (re-)burn + production with evidence accumulators -----
-        main = self._jit_sources(
-            "pt_main", main_one, 5, 2, spec,
-            extra_key=(d, nrec, thin_i, int(nburn), K1, nburn2, K2))
-        (chain, lnpch, naccept, nswap, nswap_prop, nsteps_dev,
-         acc, ss_m, ss_s1, ss_s2) = main(
-            self._shard(jnp.arange(S)),
-            self._shard(jnp.asarray(pos0, jnp.float32)),
-            self._shard(flux_op), self._shard(aux_op),
-            self._shard(jnp.asarray(betas_b, jnp.float32)),
-            kmain, wave)
+        # -- phase 3: production segments (one segment when not
+        # checkpointing; every segment run through the same per-record
+        # transition, so segmentation never changes the chain) -----------
+        betas_j = self._shard(jnp.asarray(betas_b, jnp.float32))
+        if checkpoint is not None:
+            from mbb_emcee_tpu.checkpoint import (
+                save_tier_checkpoint, new_run_id)
+            run_id = run_id or new_run_id()
+            meta = self._tier_ck_meta(
+                "pt", {"nrungs": K1, "nburn": int(nburn), "k2": K2,
+                       "run_id": run_id})
+        while done < nrec:
+            seg_len = (nrec - done if checkpoint is None
+                       else min(interval, nrec - done))
+            runner = self._jit_sources(
+                "pt_seg", seg_one, 14, 1, spec,
+                extra_key=(d, thin_i, K2, seg_len))
+            out = runner(*[self._shard(x) for x in state],
+                         *[self._shard(x) for x in ss],
+                         self._shard(flux_op), self._shard(aux_op),
+                         betas_j, wave)
+            chain_blocks.append(np.asarray(out[0]))
+            lnp_blocks.append(np.asarray(out[1]))
+            state = out[2:9]
+            ss = out[9:13]
+            done += seg_len
+            if checkpoint is not None:
+                save_tier_checkpoint(
+                    checkpoint, "pt",
+                    dict(zip(("key", "pos", "lnp", "naccept", "nswap",
+                              "nswap_prop", "nsteps"), state)),
+                    chain_blocks, lnp_blocks, meta, self.prng_impl,
+                    aux_arrays={"betas": betas_b,
+                                "ss_m": np.asarray(ss[0]),
+                                "ss_s1": np.asarray(ss[1]),
+                                "ss_s2": np.asarray(ss[2]),
+                                "acc": np.asarray(ss[3])})
+                if verbose:
+                    from mbb_emcee_tpu.utils.log import enable_console
+                    enable_console().info(
+                        f"  PT checkpoint: {done}/{nrec} records x {S} "
+                        f"sources -> {checkpoint}")
 
+        chain = jnp.asarray(np.concatenate(chain_blocks, axis=1))
+        lnpch = jnp.asarray(np.concatenate(lnp_blocks, axis=1))
+        naccept, nswap, nswap_prop, nsteps_dev = (
+            np.asarray(state[3]), np.asarray(state[4]),
+            np.asarray(state[5]), np.asarray(state[6]))
         self.chain_free = chain                        # (S, nrec, W, d)
         self.lnprobability = lnpch                     # (S, nrec, W)
         denom = np.maximum(np.asarray(nsteps_dev, np.int64), 1)
-        self.acceptance_fraction = (np.asarray(naccept)[:, 0, :]
+        self.acceptance_fraction = (naccept[:, 0, :]
                                     / denom[:, None])  # cold rung (S, W)
-        self.swap_fraction = (np.asarray(nswap)
-                              / np.maximum(np.asarray(nswap_prop), 1))
+        self.swap_fraction = (nswap
+                              / np.maximum(nswap_prop, 1))
         self.pt_betas = betas_b
-        ss = SSStats(np.asarray(ss_m, np.float64),
-                     np.asarray(ss_s1, np.float64),
-                     np.asarray(ss_s2, np.float64), float(nrec * W))
-        logz, logz_err = ss.logz()                     # (S,), (S,)
-        mean_lnp = np.asarray(acc, np.float64) / nrec  # (S, K2)
+        ss_h = SSStats(np.asarray(ss[0], np.float64),
+                       np.asarray(ss[1], np.float64),
+                       np.asarray(ss[2], np.float64), float(done * W))
+        logz, logz_err = ss_h.logz()                   # (S,), (S,)
+        mean_lnp = np.asarray(ss[3], np.float64) / done  # (S, K2)
         ti, ti_err = thermodynamic_logz(betas_b, mean_lnp)
         self.logz_pt = (logz, logz_err)
         self.logz_ti = (ti, ti_err)
@@ -1003,30 +1140,48 @@ class BatchEngine:
 
     # -- HMC tier --------------------------------------------------------------
     def run_hmc(self, nwarmup=500, nsteps=1000, thin=1, n_leapfrog=16,
-                target_accept=0.8, verbose=False):
+                target_accept=0.8, verbose=False, checkpoint=None,
+                checkpoint_interval=100, resume=False):
         """Batched gradient-based sampling: every source runs W
         independent HMC chains and the WHOLE (S, W) block advances as one
-        device program -- hmc.hmc_core (dual-averaged step size +
-        diagonal-mass two-phase warmup, leapfrog + MH production) vmapped
-        over sources and, with a mesh, shard_mapped over the source axis
-        (embarrassingly parallel, no collectives). Forces are jax.grad of
-        the fused lnprob with each source's own operands, so every
-        source adapts its OWN step size (self.hmc_step_size, (S,)) and
-        diagonal metric (self.hmc_mass, (S, nfree)) inside the shared
-        compiled program.
+        device program -- hmc.hmc_warmup_core (dual-averaged step size +
+        diagonal-mass two-phase warmup) then hmc_prod_core (leapfrog +
+        MH production) vmapped over sources and, with a mesh,
+        shard_mapped over the source axis (embarrassingly parallel, no
+        collectives). Forces are jax.grad of the fused lnprob with each
+        source's own operands, so every source adapts its OWN step size
+        (self.hmc_step_size, (S,)) and diagonal metric (self.hmc_mass,
+        (S, nfree)) inside the shared compiled program.
+
+        With `checkpoint=path`, the PRODUCTION run is segmented every
+        `checkpoint_interval` records and the complete per-source
+        sampler state (positions, gradients, PRNG keys, adapted step
+        sizes and metrics, accept counters) is flushed
+        (checkpoint.save_tier_checkpoint); `resume=True` continues an
+        interrupted run from that file toward the same nsteps target,
+        producing EXACTLY the chain of an uninterrupted run (production
+        runs at fixed (eps, mass), so the transition is a pure function
+        of the carried state -- no dual-averaging boundary issue; a
+        kill DURING warmup restarts warmup, which is never flushed).
 
         The recorded chains have exactly run()'s shapes -- chain_free /
         lnprobability / acceptance_fraction feed every batched summary
-        unchanged. extend() does not apply; re-run with more nsteps.
-        Uses the portable XLA likelihood (the Pallas lnprob kernel is
-        not differentiable)."""
-        from mbb_emcee_tpu.hmc import hmc_core, _to_unconstrained
+        unchanged. extend() does not apply; resume a checkpointed run
+        with more nsteps instead. Uses the portable XLA likelihood (the
+        Pallas lnprob kernel is not differentiable)."""
+        import os
+        from mbb_emcee_tpu.hmc import (
+            hmc_warmup_core, hmc_prod_core, _to_unconstrained)
 
         if self.flux is None:
             raise RuntimeError("no data; call set_data")
         if nsteps % thin:
             raise ValueError(f"nsteps={nsteps} not divisible by "
                              f"thin={thin}")
+        if resume and not checkpoint:
+            raise ValueError(
+                "resume=True requires checkpoint= (the path the previous "
+                "run flushed state to)")
         spec = self._effective_spec()
         lnprob_data, free_space = self._engine_lnprob(spec)
         self.free_space = free_space
@@ -1038,55 +1193,137 @@ class BatchEngine:
         self.thin = int(thin)
         S, W = self.nsources, self.nwalkers
         d = free_space.nfree
-        nrec = int(nsteps) // int(thin)
+        thin_i = int(thin)
+        nrec = int(nsteps) // thin_i
         self._check_mesh_divides()
         vary = self._vary_fn(idempotent=True)
 
         flux_op, aux_op = self._engine_operands(free_space)
-        key = jax.random.key(self.seed, impl=self.prng_impl)
-        kball, kmain = jax.random.split(key)
-        cen, sca = self._engine_init_centers("auto", free_space)
-        cen_f = jnp.asarray(cen, jnp.float32)
-        sca_f = jnp.asarray(sca, jnp.float32)
+        wave = jnp.asarray(self.wave, jnp.float32)
         # Host numpy closures (never device-array constants).
         lower = np.asarray(free_space.lower, np.float32)
         width = np.asarray(free_space.upper - free_space.lower, np.float32)
 
-        def hmc_one(idx, cen_s, sca_s, flux_s, aux_s, kball, kmain, wave):
+        resuming = bool(checkpoint and resume
+                        and os.path.exists(checkpoint))
+        interval = max(1, int(checkpoint_interval))
+        run_id = None
+        names = ("key", "u", "g", "lp", "raw", "nacc", "eps", "mass")
+        if resuming:
+            from mbb_emcee_tpu.checkpoint import load_tier_checkpoint
+            st_np, _aux, prev_chain, prev_lnp, meta = (
+                load_tier_checkpoint(checkpoint, "hmc"))
+            self._tier_ck_check(
+                meta, "hmc",
+                {"nwarmup": int(nwarmup), "n_leapfrog": int(n_leapfrog),
+                 "target_accept": float(target_accept)}, checkpoint)
+            run_id = meta.get("run_id")
+            if isinstance(run_id, bytes):
+                run_id = run_id.decode()
+            state = tuple(
+                st_np[n] if n == "key" else jnp.asarray(st_np[n])
+                for n in names)
+            chain_blocks = [] if prev_chain is None else [prev_chain]
+            lnp_blocks = [] if prev_lnp is None else [prev_lnp]
+            done = 0 if prev_chain is None else prev_chain.shape[1]
+            if done > nrec:
+                raise ValueError(
+                    f"checkpoint already holds {done} records; this run "
+                    f"targets only {nrec} -- resume with nsteps >= "
+                    f"{done * thin_i}")
+        else:
+            key = jax.random.key(self.seed, impl=self.prng_impl)
+            kball, kmain = jax.random.split(key)
+            cen, sca = self._engine_init_centers("auto", free_space)
+            cen_f = jnp.asarray(cen, jnp.float32)
+            sca_f = jnp.asarray(sca, jnp.float32)
+
+            def warm_one(idx, cen_s, sca_s, flux_s, aux_s, kball, kmain,
+                         wave):
+                lnprob = lambda th: lnprob_data(th, wave, flux_s, aux_s)
+                p0 = make_initial_ball(
+                    jax.random.fold_in(kball, idx), cen_s, sca_s, W,
+                    free_space.lower, free_space.upper)
+                u0 = _to_unconstrained(jnp.asarray(p0, jnp.float32),
+                                       lower, width)
+                k, u, g, lp, raw, eps, mass = hmc_warmup_core(
+                    jax.random.fold_in(kmain, idx), lnprob, lower, width,
+                    u0, int(nwarmup), int(n_leapfrog),
+                    float(target_accept), vary=vary)
+                # constant-valued outputs (fresh counters; eps/mass in
+                # the no-warmup branch) must be marked device-varying
+                # under shard_map (out_specs P(ax))
+                v = (lambda x: x) if vary is None else vary
+                return (k, u, g, lp, raw,
+                        v(jnp.zeros((W,), jnp.int32)), v(eps), v(mass))
+
+            warm = self._jit_sources(
+                "hmc_warm", warm_one, 5, 3, spec,
+                extra_key=(d, int(nwarmup), int(n_leapfrog),
+                           float(target_accept)))
+            state = warm(
+                self._shard(jnp.arange(S)), self._shard(cen_f),
+                self._shard(sca_f), self._shard(flux_op),
+                self._shard(aux_op), kball, kmain, wave)
+            chain_blocks, lnp_blocks = [], []
+            done = 0
+
+        def seg_one(key_s, u_s, g_s, lp_s, raw_s, nacc_s, eps_s, mass_s,
+                    flux_s, aux_s, wave):
             lnprob = lambda th: lnprob_data(th, wave, flux_s, aux_s)
-            p0 = make_initial_ball(
-                jax.random.fold_in(kball, idx), cen_s, sca_s, W,
-                free_space.lower, free_space.upper)
-            u0 = _to_unconstrained(jnp.asarray(p0, jnp.float32),
-                                   lower, width)
-            return hmc_core(
-                jax.random.fold_in(kmain, idx), lnprob, lower, width, u0,
-                int(nwarmup), int(nsteps), int(thin), int(n_leapfrog),
-                float(target_accept), vary=vary)
+            chain, lnpch, k, u, g, lp, raw, nacc = hmc_prod_core(
+                key_s, lnprob, lower, width, u_s, g_s, lp_s, raw_s,
+                nacc_s, eps_s, mass_s, seg_len * thin_i, thin_i,
+                int(n_leapfrog))
+            return chain, lnpch, k, u, g, lp, raw, nacc, eps_s, mass_s
 
-        runner = self._jit_sources(
-            "hmc", hmc_one, 5, 3, spec,
-            extra_key=(d, nrec, int(thin), int(nwarmup), int(n_leapfrog),
-                       float(target_accept)))
-        chain, lnpch, nacc, eps, mass = runner(
-            self._shard(jnp.arange(S)), self._shard(cen_f),
-            self._shard(sca_f), self._shard(flux_op),
-            self._shard(aux_op),
-            kball, kmain, jnp.asarray(self.wave, jnp.float32))
+        if checkpoint is not None:
+            from mbb_emcee_tpu.checkpoint import (
+                save_tier_checkpoint, new_run_id)
+            run_id = run_id or new_run_id()
+            meta = self._tier_ck_meta(
+                "hmc", {"nwarmup": int(nwarmup),
+                        "n_leapfrog": int(n_leapfrog),
+                        "target_accept": float(target_accept),
+                        "run_id": run_id})
+        while done < nrec:
+            seg_len = (nrec - done if checkpoint is None
+                       else min(interval, nrec - done))
+            runner = self._jit_sources(
+                "hmc_seg", seg_one, 10, 1, spec,
+                extra_key=(d, thin_i, int(n_leapfrog), seg_len))
+            out = runner(*[self._shard(x) for x in state],
+                         self._shard(flux_op), self._shard(aux_op),
+                         wave)
+            chain_blocks.append(np.asarray(out[0]))
+            lnp_blocks.append(np.asarray(out[1]))
+            state = out[2:10]
+            done += seg_len
+            if checkpoint is not None:
+                save_tier_checkpoint(
+                    checkpoint, "hmc", dict(zip(names, state)),
+                    chain_blocks, lnp_blocks, meta, self.prng_impl)
+                if verbose:
+                    from mbb_emcee_tpu.utils.log import enable_console
+                    enable_console().info(
+                        f"  HMC checkpoint: {done}/{nrec} records x {S} "
+                        f"sources -> {checkpoint}")
 
-        self.chain_free = chain                        # (S, nrec, W, d)
-        self.lnprobability = lnpch                     # (S, nrec, W)
-        self.acceptance_fraction = (np.asarray(nacc, np.float64)
-                                    / int(nsteps))     # (S, W)
-        self.hmc_step_size = np.asarray(eps, np.float64)
-        self.hmc_mass = np.asarray(mass, np.float64)
+        self.chain_free = jnp.asarray(
+            np.concatenate(chain_blocks, axis=1))      # (S, nrec, W, d)
+        self.lnprobability = jnp.asarray(
+            np.concatenate(lnp_blocks, axis=1))        # (S, nrec, W)
+        self.acceptance_fraction = (np.asarray(state[5], np.float64)
+                                    / (done * thin_i))  # (S, W)
+        self.hmc_step_size = np.asarray(state[6], np.float64)
+        self.hmc_mass = np.asarray(state[7], np.float64)
         self._engine_record_nonextendable("hmc")
         if verbose:
             af = self.acceptance_fraction
             from mbb_emcee_tpu.utils.log import enable_console
             enable_console().info(
                 f"HMC [{self._engine_label()}] over {S} sources: {W} "
-                f"chains x {nsteps} steps, mean acceptance "
+                f"chains x {done * thin_i} steps, mean acceptance "
                 f"{af.mean():.3f} (per-source min {af.mean(1).min():.3f}),"
                 f" step sizes in [{self.hmc_step_size.min():.4g}, "
                 f"{self.hmc_step_size.max():.4g}]")

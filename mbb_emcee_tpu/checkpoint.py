@@ -283,3 +283,68 @@ def check_resume_meta(meta, expect: dict, path):
                 f"checkpoint {path} was written with {k}={got!r}; this "
                 f"fitter is configured with {k}={want!r} -- resume with "
                 f"the original configuration (or start a fresh run)")
+
+
+def save_tier_checkpoint(path, tier, state_arrays, chain_blocks,
+                         lnp_blocks, meta: dict, prng_impl: str, axis=1,
+                         aux_arrays=None):
+    """Checkpoint for the non-stretch batch tiers (PT / HMC): the State
+    group holds ARBITRARY named per-source arrays (a 'key' entry is
+    stored via jax.random.key_data), chain blocks append through the
+    same O(new)-gzip segment machinery as the stretch tiers, and
+    `aux_arrays` (e.g. PT stepping-stone accumulators, per-source
+    ladders) ride in an Aux group. Written atomically."""
+    tmp = path + ".tmp"
+    with h5py.File(tmp, "w") as f:
+        f.attrs["version"] = _VERSION
+        f.attrs["prng_impl"] = prng_impl
+        f.attrs["multi"] = True
+        f.attrs["tier"] = tier
+        for k, v in meta.items():
+            f.attrs[k] = v
+        st = f.create_group("State")
+        for name, arr in state_arrays.items():
+            if name == "key":
+                st.create_dataset("key", data=_key_to_np(arr))
+            else:
+                st.create_dataset(name, data=np.asarray(arr))
+        if aux_arrays:
+            ax = f.create_group("Aux")
+            for name, arr in aux_arrays.items():
+                ax.create_dataset(name, data=np.asarray(arr))
+        if chain_blocks:
+            _write_segments(f, path, chain_blocks, lnp_blocks, axis=axis)
+    os.replace(tmp, path)
+
+
+def load_tier_checkpoint(path, tier):
+    """Returns (state_arrays dict, aux_arrays dict, chain_so_far,
+    lnp_so_far, meta). The 'key' state entry comes back as a JAX PRNG
+    key array; everything else as numpy."""
+    with h5py.File(path, "r") as f:
+        got = f.attrs.get("tier", b"")
+        if isinstance(got, bytes):
+            got = got.decode()
+        if got != tier:
+            raise ValueError(
+                f"{path} is a {got or 'stretch-move'!r} checkpoint, not "
+                f"a {tier!r} one")
+        impl = f.attrs["prng_impl"]
+        if isinstance(impl, bytes):
+            impl = impl.decode()
+        meta = {k: f.attrs[k] for k in f.attrs
+                if k not in ("version", "prng_impl", "multi", "tier")}
+        meta["prng_impl"] = impl
+        state = {}
+        for name in f["State"]:
+            if name == "key":
+                state["key"] = _key_from_np(
+                    np.asarray(f["State"]["key"]), impl)
+            else:
+                state[name] = np.asarray(f["State"][name])
+        aux = {}
+        if "Aux" in f:
+            for name in f["Aux"]:
+                aux[name] = np.asarray(f["Aux"][name])
+        chain, lnp = _read_segments(f, axis=1)
+    return state, aux, chain, lnp, meta

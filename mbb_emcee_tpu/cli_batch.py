@@ -565,9 +565,6 @@ def _fit_and_write(mf, args, log, outfile, offset=0):
     timer = StepTimer(args.nwalkers * mf.nsources)
     with trace(args.profile_dir):
         if args.pt:
-            if args.checkpoint or args.resume:
-                raise SystemExit(
-                    "--pt does not support --checkpoint/--resume")
             with timer.phase("batch fit (tempered burn + production)",
                              args.burn + args.nsteps):
                 mf.run_pt(nrungs=args.pt_rungs,
@@ -575,18 +572,21 @@ def _fit_and_write(mf, args, log, outfile, offset=0):
                                     if args.pt_beta_min is not None
                                     else "auto"),
                           nburn=args.burn, nsteps=args.nsteps,
-                          thin=args.thin, verbose=args.verbose)
+                          thin=args.thin, verbose=args.verbose,
+                          checkpoint=args.checkpoint,
+                          checkpoint_interval=args.checkpoint_interval,
+                          resume=args.resume)
         elif args.hmc:
-            if args.checkpoint or args.resume:
-                raise SystemExit(
-                    "--hmc does not support --checkpoint/--resume")
             with timer.phase("batch fit (warmup + production)",
                              args.burn + args.nsteps):
                 mf.run_hmc(nwarmup=args.burn, nsteps=args.nsteps,
                            thin=args.thin,
                            n_leapfrog=args.hmc_leapfrog,
                            target_accept=args.hmc_target_accept,
-                           verbose=args.verbose)
+                           verbose=args.verbose,
+                           checkpoint=args.checkpoint,
+                           checkpoint_interval=args.checkpoint_interval,
+                           resume=args.resume)
         else:
             if args.init_map:
                 with timer.phase("MAP triage", args.map_starts):

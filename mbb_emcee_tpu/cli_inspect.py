@@ -387,9 +387,10 @@ def _inspect_hierarchy(f, pct):
 def _inspect_checkpoint(f):
     info = {"kind": "checkpoint",
             "multi": bool(f.attrs.get("multi", False)),
+            "tier": _dec(f.attrs.get("tier", "stretch")),
             "prng_impl": _dec(f.attrs.get("prng_impl", "?"))}
     meta = {k: _dec(v) for k, v in f.attrs.items()
-            if k not in ("version", "multi", "prng_impl")
+            if k not in ("version", "multi", "prng_impl", "tier")
             and np.isscalar(_dec(v))}
     info["meta"] = meta
     # Progress so far: v2 checkpoints store chain blocks under
@@ -514,7 +515,8 @@ def _render(info, pct):
                  f" lnP={row['lnprob']:.4g}{flag}")
     else:   # checkpoint
         push(f"  mid-run checkpoint ({'batch' if info['multi'] else 'single'}"
-             f"-fit), prng={info['prng_impl']}")
+             f"-fit, {info.get('tier', 'stretch')} tier), "
+             f"prng={info['prng_impl']}")
         if "chain_shape" in info:
             push(f"  chain so far: {tuple(info['chain_shape'])}")
         for k in sorted(info.get("meta", {})):

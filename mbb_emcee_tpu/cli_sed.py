@@ -383,8 +383,6 @@ def main(argv=None):
     if args.init_map and (args.hmc or args.pt or args.resume):
         raise SystemExit("--init-map seeds the stretch-move walker "
                          "ball; drop --hmc/--pt/--resume")
-    if (args.checkpoint or args.resume) and (args.hmc or args.pt):
-        raise SystemExit("--hmc/--pt do not support checkpointing")
 
     if args.map:
         if (args.hmc or args.pt or args.extend_until is not None
@@ -434,12 +432,16 @@ def main(argv=None):
                   beta_min=(args.pt_beta_min
                             if args.pt_beta_min is not None else "auto"),
                   nburn=args.burn, nsteps=args.nsteps, thin=args.thin,
-                  verbose=args.verbose)
+                  verbose=args.verbose, checkpoint=args.checkpoint,
+                  checkpoint_interval=args.checkpoint_interval,
+                  resume=args.resume)
     elif args.hmc:
         mf.run_hmc(nwarmup=args.burn, nsteps=args.nsteps, thin=args.thin,
                    n_leapfrog=args.hmc_leapfrog,
                    target_accept=args.hmc_target_accept,
-                   verbose=args.verbose)
+                   verbose=args.verbose, checkpoint=args.checkpoint,
+                   checkpoint_interval=args.checkpoint_interval,
+                   resume=args.resume)
     else:
         if args.init_map:
             mf.run_map(nstarts=args.map_starts, verbose=args.verbose)

@@ -75,20 +75,12 @@ def _make_lnpost(lnprob, lower, width):
     return lnpost
 
 
-def hmc_core(key, lnprob, lower, width, u0, nwarmup, nsteps, thin,
-             n_leapfrog, target_accept, vary=None):
-    """Traceable HMC program body (both warmup phases + production).
-
-    Pure function of its inputs -- `hmc_sample` jits it directly for the
-    single-fit path, and MultiFitter.run_hmc vmaps it over sources (one
-    batched device program for a whole serving batch). `vary` marks the
-    constant-initialized loop carries device-varying when the caller
-    runs under shard_map (lax.scan/fori carries must match the varying
-    state they join; everything else auto-joins)."""
-    if vary is None:
-        vary = lambda x: x
-    dtype = u0.dtype
-    nchains, nfree = u0.shape
+def _make_stepper(lnprob, lower, width, n_leapfrog, dtype, nchains,
+                  nfree):
+    """(vg, hmc_step): the value-and-grad oracle and one MH-corrected
+    leapfrog transition, shared by the warmup and production cores so a
+    checkpointed production segment advances EXACTLY the chain the
+    one-program run would."""
     lnpost = _make_lnpost(lnprob, lower, width)
     vg = jax.vmap(jax.value_and_grad(lnpost, has_aux=True))
 
@@ -129,6 +121,23 @@ def hmc_core(key, lnprob, lower, width, u0, nwarmup, nsteps, thin,
         lp = jnp.where(acc[:, 0], lp2, lp)
         raw = jnp.where(acc[:, 0], raw2, raw)
         return u, g, lp, raw, acc[:, 0], jnp.mean(alpha)
+
+    return vg, hmc_step
+
+
+def hmc_warmup_core(key, lnprob, lower, width, u0, nwarmup, n_leapfrog,
+                    target_accept, vary=None):
+    """Warmup phases only: dual-averaged step size (+ diagonal mass from
+    the late phase-A samples). Returns the complete post-warmup
+    production state (key, u, g, lp, raw, eps, mass) -- everything
+    hmc_prod_core needs, and everything a mid-production checkpoint must
+    persist."""
+    if vary is None:
+        vary = lambda x: x
+    dtype = u0.dtype
+    nchains, nfree = u0.shape
+    vg, hmc_step = _make_stepper(lnprob, lower, width, n_leapfrog,
+                                 dtype, nchains, nfree)
 
     def da_update(da, m, alpha_mean):
         # Dual averaging on ln eps; m is the 1-based iteration number.
@@ -205,15 +214,26 @@ def hmc_core(key, lnprob, lower, width, u0, nwarmup, nsteps, thin,
         mass = 1.0 / var
         key, u, g, lp, raw, eps_b, _ = warmup_phase(
             key, u, g, lp, raw, mass, eps_a, nb, collect=False)
+    return key, u, g, lp, raw, eps_b, mass
 
-    # Production at fixed (eps, mass), recording every thin-th state.
+
+def hmc_prod_core(key, lnprob, lower, width, u, g, lp, raw, nacc, eps,
+                  mass, nsteps, thin, n_leapfrog, vary=None):
+    """Production at fixed (eps, mass), recording every thin-th state.
+    A pure function of the carried state, so a run segmented for
+    checkpointing advances exactly the chain an uninterrupted run
+    would. Returns (chain, lnp_chain, key, u, g, lp, raw, nacc)."""
+    dtype = u.dtype
+    nchains, nfree = u.shape
+    vg, hmc_step = _make_stepper(lnprob, lower, width, n_leapfrog,
+                                 dtype, nchains, nfree)
     nrec = nsteps // thin
 
     def prod_record(carry, _):
         def prod_step(_, c):
             key, u, g, lp, raw, nacc = c
             key, ks = jax.random.split(key)
-            u, g, lp, raw, acc, _ = hmc_step(ks, u, g, lp, raw, eps_b, mass)
+            u, g, lp, raw, acc, _ = hmc_step(ks, u, g, lp, raw, eps, mass)
             return (key, u, g, lp, raw, nacc + acc.astype(jnp.int32))
 
         carry = jax.lax.fori_loop(0, thin, prod_step, carry)
@@ -221,9 +241,31 @@ def hmc_core(key, lnprob, lower, width, u0, nwarmup, nsteps, thin,
         x = lower + width * jax.nn.sigmoid(u)
         return carry, (x, raw)
 
-    nacc0 = vary(jnp.zeros((nchains,), jnp.int32))
     (key, u, g, lp, raw, nacc), (chain, lnp_chain) = jax.lax.scan(
-        prod_record, (key, u, g, lp, raw, nacc0), None, length=nrec)
+        prod_record, (key, u, g, lp, raw, nacc), None, length=nrec)
+    return chain, lnp_chain, key, u, g, lp, raw, nacc
+
+
+def hmc_core(key, lnprob, lower, width, u0, nwarmup, nsteps, thin,
+             n_leapfrog, target_accept, vary=None):
+    """Traceable HMC program body (both warmup phases + production),
+    composed from hmc_warmup_core + hmc_prod_core.
+
+    Pure function of its inputs -- `hmc_sample` jits it directly for the
+    single-fit path, and the batch engine vmaps the two cores over
+    sources. `vary` marks the constant-initialized loop carries
+    device-varying when the caller runs under shard_map (lax.scan/fori
+    carries must match the varying state they join)."""
+    if vary is None:
+        vary = lambda x: x
+    key, u, g, lp, raw, eps_b, mass = hmc_warmup_core(
+        key, lnprob, lower, width, u0, nwarmup, n_leapfrog,
+        target_accept, vary=vary)
+    nchains = u.shape[0]
+    nacc0 = vary(jnp.zeros((nchains,), jnp.int32))
+    chain, lnp_chain, key, u, g, lp, raw, nacc = hmc_prod_core(
+        key, lnprob, lower, width, u, g, lp, raw, nacc0, eps_b, mass,
+        nsteps, thin, n_leapfrog, vary=vary)
     return chain, lnp_chain, nacc, eps_b, mass
 
 

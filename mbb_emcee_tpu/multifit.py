@@ -286,6 +286,10 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
         return derived.band_flux_eval(self.shape, self.wave,
                                       self._response_pack())
 
+    def _engine_posterior_repr(self):
+        return repr(self._posterior_token(self._effective_spec(),
+                                          self._band_corr is not None))
+
     # -- the batched run --------------------------------------------------------
     def _response_pack(self):
         if self.responses is None:

@@ -343,6 +343,9 @@ class SEDMultiFitter(BatchEngine, ParamSpaceMixin):
         return sed_band_flux_eval(self.model.fnu, self.wave,
                                   self._response_pack())
 
+    def _engine_posterior_repr(self):
+        return repr(self._posterior_token())
+
     # -- the run -----------------------------------------------------------------------
     def run(self, nburn=50, nsteps=250, thin=1, recenter_burn=True,
             verbose=False, init="auto", checkpoint=None,

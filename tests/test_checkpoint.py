@@ -350,3 +350,161 @@ def test_multifit_xla_checkpoint_resume_bitwise(tmp_path):
     ref.writeToHDF5(thinned, thin=2)
     with pytest.raises(ValueError, match="no XLA continuation"):
         make().run(nburn=20, nsteps=80, checkpoint=thinned, resume=True)
+
+
+# -- PT / HMC tier checkpointing (batch engine) ------------------------------
+
+def _batch(S=3, seed=5):
+    shape = MBBShape(opthin=True, noalpha=True)
+    f = np.asarray(mbb_fnu(jnp.asarray(TRUE, jnp.float32),
+                           jnp.asarray(WAVE, jnp.float32), shape),
+                   np.float64)
+    rng = np.random.default_rng(seed)
+    flux = f[None, :] * rng.uniform(0.8, 1.2, (S, WAVE.size))
+    return flux, 0.05 * flux
+
+
+def _mf(seed=11, **kw):
+    from mbb_emcee_tpu.multifit import MultiFitter
+    flux, unc = _batch()
+    mf = MultiFitter(nwalkers=16, opthin=True, noalpha=True, seed=seed,
+                     sampler_backend="xla", **kw)
+    mf.set_data(WAVE, flux, unc)
+    return mf
+
+
+def test_pt_checkpointed_run_matches_plain(tmp_path):
+    """A checkpointed PT run produces EXACTLY the chain, acceptance
+    counters, and stepping-stone evidence of an uncheckpointed one (the
+    tempered transition is a pure function of the carried state)."""
+    plain = _mf().run_pt(nrungs=4, nburn=20, nsteps=40)
+    ck = str(tmp_path / "pt.ckpt.h5")
+    chk = _mf().run_pt(nrungs=4, nburn=20, nsteps=40, checkpoint=ck,
+                       checkpoint_interval=15)
+    np.testing.assert_array_equal(np.asarray(plain.chain_free),
+                                  np.asarray(chk.chain_free))
+    np.testing.assert_array_equal(plain.acceptance_fraction,
+                                  chk.acceptance_fraction)
+    np.testing.assert_allclose(plain.logz_pt[0], chk.logz_pt[0],
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(plain.logz_ti[0], chk.logz_ti[0],
+                               rtol=0, atol=0)
+    assert os.path.exists(ck)
+
+
+def test_pt_resume_after_kill(tmp_path):
+    """Kill a checkpointed PT run mid-production; resume= continues to
+    the bitwise-identical final chain and evidence."""
+    import pytest
+    from mbb_emcee_tpu.checkpoint import save_tier_checkpoint  # noqa: F401
+    ck = str(tmp_path / "pt.ckpt.h5")
+    full = _mf().run_pt(nrungs=4, nburn=20, nsteps=60, checkpoint=ck,
+                        checkpoint_interval=20)
+    full_chain = np.asarray(full.chain_free).copy()
+    full_logz = full.logz_pt[0].copy()
+
+    # simulate the kill: run only the first 20 records, then resume
+    ck2 = str(tmp_path / "pt2.ckpt.h5")
+    _mf().run_pt(nrungs=4, nburn=20, nsteps=20, checkpoint=ck2,
+                 checkpoint_interval=20)
+    resumed = _mf().run_pt(nrungs=4, nburn=20, nsteps=60,
+                           checkpoint=ck2, checkpoint_interval=20,
+                           resume=True)
+    np.testing.assert_array_equal(np.asarray(resumed.chain_free),
+                                  full_chain)
+    np.testing.assert_allclose(resumed.logz_pt[0], full_logz,
+                               rtol=0, atol=0)
+
+    # resume refusals: different posterior, different geometry
+    mf = _mf()
+    mf.set_uplim("T", 80.0)
+    with pytest.raises(ValueError, match="posterior_fp"):
+        mf.run_pt(nrungs=4, nburn=20, nsteps=60, checkpoint=ck2,
+                  resume=True)
+    mf2 = _mf(seed=99)
+    with pytest.raises(ValueError, match="seed"):
+        mf2.run_pt(nrungs=4, nburn=20, nsteps=60, checkpoint=ck2,
+                   resume=True)
+    # a different tier's file is not a PT checkpoint
+    ckh = str(tmp_path / "hmcfile.ckpt.h5")
+    _mf().run_hmc(nwarmup=4, nsteps=8, n_leapfrog=2, checkpoint=ckh,
+                  checkpoint_interval=8)
+    with pytest.raises(ValueError, match="not a 'pt' one"):
+        _mf().run_pt(nrungs=4, nburn=4, nsteps=8, checkpoint=ckh,
+                     resume=True)
+
+
+def test_hmc_checkpointed_run_matches_plain_and_resumes(tmp_path):
+    """HMC: checkpointed == plain bitwise, and a killed run resumes to
+    the identical chain (production runs at fixed (eps, mass): the
+    flushed state is complete -- no dual-averaging boundary issue)."""
+    plain = _mf(seed=31).run_hmc(nwarmup=16, nsteps=40, n_leapfrog=4)
+    ck = str(tmp_path / "hmc.ckpt.h5")
+    chk = _mf(seed=31).run_hmc(nwarmup=16, nsteps=40, n_leapfrog=4,
+                               checkpoint=ck, checkpoint_interval=15)
+    np.testing.assert_array_equal(np.asarray(plain.chain_free),
+                                  np.asarray(chk.chain_free))
+    np.testing.assert_array_equal(plain.hmc_step_size, chk.hmc_step_size)
+    np.testing.assert_array_equal(plain.hmc_mass, chk.hmc_mass)
+    np.testing.assert_array_equal(plain.acceptance_fraction,
+                                  chk.acceptance_fraction)
+
+    ck2 = str(tmp_path / "hmc2.ckpt.h5")
+    _mf(seed=31).run_hmc(nwarmup=16, nsteps=16, n_leapfrog=4,
+                         checkpoint=ck2, checkpoint_interval=16)
+    resumed = _mf(seed=31).run_hmc(nwarmup=16, nsteps=40, n_leapfrog=4,
+                                   checkpoint=ck2,
+                                   checkpoint_interval=16, resume=True)
+    np.testing.assert_array_equal(np.asarray(resumed.chain_free),
+                                  np.asarray(plain.chain_free))
+
+
+def test_sed_pt_and_hmc_checkpoint_resume(tmp_path):
+    """The generic tier gets PT/HMC checkpointing through the same
+    engine: kill/resume is bitwise there too."""
+    import jax.numpy as jnp
+    from mbb_emcee_tpu.sed import SEDModel
+    from mbb_emcee_tpu.sedmulti import SEDMultiFitter
+    from mbb_emcee_tpu.models.modified_blackbody import log_mbb_fnu
+
+    shape = MBBShape(opthin=True, noalpha=True)
+
+    def wrapped(theta, wave):
+        T, beta, fnorm = theta
+        p = jnp.stack([T, beta, jnp.float32(250.0), jnp.float32(4.0),
+                       fnorm])
+        return jnp.exp(log_mbb_fnu(p, wave, shape))
+
+    model = SEDModel(fnu=wrapped, param_names=("T", "beta", "fnorm"),
+                     lower=[5.0, 0.3, 1.0], upper=[80.0, 4.0, 200.0],
+                     name="wrapped")
+    flux, unc = _batch(S=2)
+
+    def fresh(seed=7):
+        mf = SEDMultiFitter(model, nwalkers=16, seed=seed)
+        mf.set_data(WAVE, flux, unc)
+        for n, v in (("T", 32.0), ("beta", 1.9), ("fnorm", 45.0)):
+            mf.set_param_init(n, v, 0.1 * v)
+        return mf
+
+    full = fresh().run_pt(nrungs=4, nburn=16, nsteps=40)
+    ck = str(tmp_path / "sedpt.ckpt.h5")
+    fresh().run_pt(nrungs=4, nburn=16, nsteps=20, checkpoint=ck,
+                   checkpoint_interval=20)
+    resumed = fresh().run_pt(nrungs=4, nburn=16, nsteps=40,
+                             checkpoint=ck, checkpoint_interval=20,
+                             resume=True)
+    np.testing.assert_array_equal(np.asarray(resumed.chain_free),
+                                  np.asarray(full.chain_free))
+    np.testing.assert_allclose(resumed.logz_pt[0], full.logz_pt[0],
+                               rtol=0, atol=0)
+
+    full_h = fresh().run_hmc(nwarmup=12, nsteps=30, n_leapfrog=4)
+    ckh = str(tmp_path / "sedhmc.ckpt.h5")
+    fresh().run_hmc(nwarmup=12, nsteps=10, n_leapfrog=4, checkpoint=ckh,
+                    checkpoint_interval=10)
+    res_h = fresh().run_hmc(nwarmup=12, nsteps=30, n_leapfrog=4,
+                            checkpoint=ckh, checkpoint_interval=10,
+                            resume=True)
+    np.testing.assert_array_equal(np.asarray(res_h.chain_free),
+                                  np.asarray(full_h.chain_free))

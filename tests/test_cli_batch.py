@@ -172,8 +172,18 @@ def test_batch_cli_flag_conflicts(tmp_path):
         main([cat, "x.h5", "--hmc", "--pt"])
     with pytest.raises(SystemExit):
         main([cat, "x.h5", "--hmc", "--extend-until", "1.1"])
-    with pytest.raises(SystemExit):
-        main([cat, "x.h5", "--pt", "--checkpoint", "c.h5"])
+    # --pt/--hmc + --checkpoint is now SUPPORTED (engine tier
+    # checkpointing): a tempered CLI run flushes a resumable file
+    ckpt = str(tmp_path / "pt.ck.h5")
+    rc = main([cat, str(tmp_path / "pt.h5"), "--opthin", "--noalpha",
+               "-w", "16", "-b", "10", "-n", "20", "--pt",
+               "--pt-rungs", "4", "--sampler-backend", "xla",
+               "--checkpoint", ckpt, "--checkpoint-interval", "10"])
+    assert rc == 0
+    import h5py
+    with h5py.File(ckpt, "r") as f:
+        assert f.attrs["tier"] == "pt"
+        assert "Segments" in f
     # extend-until WORKS on the XLA backend (continuation from the final
     # key + last chain record); loose threshold so one pass suffices
     out = str(tmp_path / "y.h5")
