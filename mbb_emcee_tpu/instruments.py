@@ -93,9 +93,27 @@ class BandSpec:
 
 def _herschel(nominal, lo, hi, note):
     """Herschel band: curve centered between the documented half-power
-    edges, fluxes quoted at the instrument's nominal wavelength."""
+    edges.
+
+    The reference spectrum is anchored at the band's measure-weighted
+    EFFECTIVE wavelength (nominal=None -> Response uses lambda_eff),
+    not the nominal label: that makes the first log-moment of the
+    color-correction measure vanish identically (K(-1) = K(0) = 1 for
+    the nu*S=const convention), so corrections for power laws are
+    second-order in bandwidth -- the handbook behavior (SPIRE Handbook
+    sec 5.2.7: point-source corrections stay at the few-percent level
+    over alpha in [-4, +4]). Anchoring at the nominal label instead
+    leaves a first-order term of several percent per unit alpha --
+    measured 12-22% at alpha=3 for these bands -- which no published
+    table shows. The zero-first-moment anchor also makes band fluxes
+    insensitive to the unknown true RSRF edge shape at the <= few
+    percent level (tests/test_instruments_colorcorr.py sweeps tophat
+    through m=2..8 super-Gaussian edges over power laws alpha in
+    [-4, 3] and greybodies T in [15, 60] K: worst shift 1.6% for SPIRE
+    250/350, 2-4% for SPIRE 500 / PACS 100/160, 5.5% for PACS 70 --
+    at or below the ~5% photometric calibration floor)."""
     return BandSpec(center=0.5 * (lo + hi), width=hi - lo, sharpness=4,
-                    nominal=nominal, note=note)
+                    nominal=None, note=note)
 
 
 def _photoconductor(nominal, lo, hi, refspec_index, note):

@@ -161,19 +161,28 @@ def test_builtin_set_and_custom_nodes():
         np.testing.assert_allclose(rs[n](sed), rs65[n](sed), rtol=1e-5)
 
 
-def test_builtin_nominal_quote_wavelength():
-    """Herschel fluxes are quoted at the NOMINAL band wavelength (70/100/
-    160/250/350/500 um), not the curve's effective wavelength: the color
-    correction must return exactly S(lambda_nominal) for an SED with the
-    reference spectral shape (nu*S_nu = const, i.e. S propto lambda)."""
+def test_builtin_herschel_quotes_at_effective_wavelength():
+    """Herschel bands anchor the reference spectrum at the band's
+    measure-weighted EFFECTIVE wavelength (instruments._herschel): the
+    first log-moment of the color-correction measure then vanishes, so
+    K(-1) = K(0) = 1 exactly and power-law corrections are second-order
+    in bandwidth -- the handbook's few-percent behavior. (Anchoring at
+    the nominal label left a first-order term measured at 12-22% for
+    alpha=3, which no published table shows.) The quoted flux for the
+    reference shape (nu*S_nu const, S propto lambda) is exactly
+    S(lambda_eff), which sits near -- not at -- the nominal label."""
     for name, nominal in (("PACS_70", 70.0), ("PACS_160", 160.0),
                           ("SPIRE_250", 250.0), ("SPIRE_500", 500.0)):
         r = Response.from_builtin(name)
-        assert r.ref_wavelength == nominal
-        # The asymmetric PACS edges put lambda_eff well away from nominal;
-        # the quoting anchor must not follow it.
+        np.testing.assert_allclose(r.ref_wavelength,
+                                   r.effective_wavelength)
+        # within ~4% of the nominal label for every Herschel band
+        assert abs(r.ref_wavelength / nominal - 1.0) < 0.04
         flux = r(lambda w: w)          # S(lambda) = lambda (nu S_nu const)
-        np.testing.assert_allclose(flux, nominal, rtol=1e-5)
+        np.testing.assert_allclose(flux, r.ref_wavelength, rtol=1e-5)
+        # K(0) = 1: the zero-first-moment property
+        k0 = float(np.sum(r.weights))
+        np.testing.assert_allclose(k0, 1.0, rtol=1e-10)
 
 
 def test_builtin_non_herschel_uses_effective_wavelength():
