@@ -383,11 +383,6 @@ def main(argv=None):
             uplims[first] if uplims.ndim == 2 else uplims)
 
     if args.corrfile is not None:
-        if args.sampler_backend == "fused":
-            raise SystemExit(
-                "--corrfile (correlated errors) runs on the XLA batch "
-                "backend; the fused Pallas kernel keeps diagonal errors "
-                "-- drop --sampler-backend fused")
         from mbb_emcee_tpu.utils.fits import read_band_correlation
         try:
             mf.set_band_correlation(

@@ -96,8 +96,8 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
     parameters, walker count, band geometry (wavelengths or instrument
     responses). Per source: fluxes, uncertainties, redshift, missing-band
     pattern, upper-limit flags. Errors are diagonal by default; a shared
-    band-correlation matrix with per-source sigmas is supported on the
-    XLA backend (set_band_correlation).
+    band-correlation matrix with per-source sigmas is supported on every
+    backend, including the fused Pallas kernel (set_band_correlation).
     """
 
     def __init__(self, nwalkers=250, wavenorm=500.0, noalpha=False,
@@ -199,13 +199,6 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
                 f"{what}: the stored MAP results are for a different "
                 f"batch / parameter space / error model; re-run "
                 f"run_map() first")
-
-    def _require_diag_errors(self, what):
-        if self._band_corr is not None:
-            raise ValueError(
-                f"{what} supports diagonal errors only; clear the band "
-                f"correlation (set_band_correlation(None)) or use the "
-                f"XLA batch backend")
 
     # -- shared parameter-space config: paramspace.ParamSpaceMixin ------------
 
@@ -394,11 +387,10 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
                 on_tpu = jax.default_backend() == "tpu"
             except Exception:
                 on_tpu = False
-            backend = ("fused" if (on_tpu and self.mesh is None
-                                   and self._band_corr is None) else "xla")
+            backend = ("fused" if (on_tpu and self.mesh is None)
+                       else "xla")
         self._backend_used = backend
         if backend == "fused":
-            self._require_diag_errors("the fused Pallas sampler backend")
             return self._run_fused(nburn, nsteps, thin, recenter_burn,
                                    verbose, spec, checkpoint=checkpoint,
                                    checkpoint_interval=checkpoint_interval,
@@ -486,7 +478,9 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
         # are runtime operands (the mask rides the iunc sign) and are
         # refreshed below, so fitting successive same-shape batches --
         # including mask changes -- reuses the compiled kernel.
-        token = ("fused", self.nwalkers, float(self.a),
+        correlated = self._band_corr is not None
+        whiten = self._whiten_operand() if correlated else None
+        token = ("fused", self.nwalkers, float(self.a), correlated,
                  _compile_token(spec, self.shape),
                  self.flux.shape, self.wave.tobytes(),
                  self._responses_token(), _mesh_token(self.mesh),
@@ -496,11 +490,12 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
             self._fused = FusedMultiPallasSampler(
                 self.nwalkers, self.wave, self.flux, self.unc, self.shape,
                 spec, response_pack=self._response_pack(), a=self.a,
-                mesh=self.mesh, interpret=self.interpret)
+                mesh=self.mesh, interpret=self.interpret, whiten=whiten)
             self._fused_token = token
         else:
             self._fused.set_data(self.flux, self.unc,
-                                 uplim_bands=spec.uplim_bands)
+                                 uplim_bands=spec.uplim_bands,
+                                 whiten=whiten)
         samp = self._fused
         self.free_space = samp.free_space
         self.thin = int(thin)
@@ -520,6 +515,7 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
             # MBBFitter.run): filter-curve swaps must refuse resume.
             pack = self._response_pack()
             data_fp = data_fingerprint(self.wave, self.flux, self.unc,
+                                       self._band_corr,
                                        *(() if pack is None else pack))
             spec_fp = spec_fingerprint(self._spec, self.shape, self.a)
         prev_chain = prev_lnp = None
@@ -613,11 +609,12 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
         # caught instead of silently sampling the old batch's posterior.
         self._run_data = (self.flux.copy(), self.unc.copy(),
                           self.wave.copy())
-        # ... and the posterior identity (spec/mask/a): the retained
-        # fused sampler holds the operands from run() time, so a
+        # ... and the posterior identity (spec/mask/a/correlation): the
+        # retained fused sampler holds the operands from run() time, so a
         # parameter-space edit in between must refuse extend() exactly
-        # as the XLA twin does (fused backend is diag-errors-only).
-        self._post_token = self._posterior_token(spec, False)
+        # as the XLA twin does.
+        self._post_token = self._posterior_token(
+            spec, self._band_corr is not None)
         self.thin = int(thin)
         self.chain_free = chain
         self.lnprobability = lnpchain
@@ -661,7 +658,8 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
         # silently ignored while par_cen interprets the spliced chain
         # under the NEW spec.
         spec = self._effective_spec()
-        if self._posterior_token(spec, False) != self._post_token:
+        if self._posterior_token(
+                spec, self._band_corr is not None) != self._post_token:
             raise RuntimeError(
                 "the parameter space / error model / band configuration "
                 "changed after run(); extend() would splice chains from "

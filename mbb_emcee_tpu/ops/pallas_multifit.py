@@ -27,9 +27,16 @@ Same PRNG contract as the single-source kernel: hardware PRNG seeded per
 for CPU/interpret-mode equivalence tests (the TPU interpreter stubs the
 hardware PRNG).
 
-Diagonal errors only (correlated band errors run on the XLA batch
-backend; multifit.set_band_correlation). Reference equivalent: one emcee
-process per source (SURVEY.md section 2, parallelism row).
+Error models: diagonal (signed inverse uncertainties ride the iunc
+operand -- sign marks upper-limit bands) or CORRELATED band errors
+(multifit.set_band_correlation): the per-source lower-triangular
+whitening matrices W_s = chol(R_pp)^-1 diag(iunc_p) ride the SAME
+operand slot flattened to (S, nb*nb), and the in-kernel chi^2 becomes
+nb(nb+1)/2 per-sublane multiply-accumulates of (S, W) tiles -- cheap
+next to the model evaluation. One-sided upper limits do not compose
+with correlated errors (refused upstream), so the sign encoding is not
+needed in that mode. Reference equivalent: one emcee process per source
+(SURVEY.md section 2, parallelism row).
 """
 
 from __future__ import annotations
@@ -69,6 +76,7 @@ def _make_multi_lnp(cfg):
     opthin = cfg["opthin"]
     noalpha = cfg["noalpha"]
     nb = cfg["nbands"]
+    use_chol = cfg.get("use_chol", False)
     log_wavenorm = math.log(cfg["wavenorm"])
     log_s_mbb = make_log_s_mbb(opthin)
 
@@ -118,17 +126,35 @@ def _make_multi_lnp(cfg):
         wv = rweights_ref[:, :, :] * jnp.exp(
             log_fnorm + log_s(lx3) - ls_norm)          # (R, S, W)
         chi2 = jnp.zeros_like(T)
-        for b in range(nb):
-            model = jnp.sum(wv[b * nnodes:(b + 1) * nnodes], axis=0)
-            d = model - flux_blk[:, b:b + 1]
-            u = iunc_blk[:, b:b + 1]
-            # Sign-encoded upper limits (likelihood.signed_iunc): u < 0
-            # marks a one-sided band for THIS source -- penalize only
-            # model flux above the limit. Mask changes are operand
-            # changes, so every uplim configuration shares one program.
-            d = jnp.where(u < 0, jnp.maximum(d, 0.0), d)
-            r = d * jnp.abs(u)
-            chi2 = chi2 + r * r
+        if use_chol:
+            # Correlated errors: iunc_blk carries each source's flattened
+            # (nb, nb) lower-triangular whitening matrix (rows/cols of
+            # missing bands zero -- exact marginalization, precomputed
+            # host-side). r_i = sum_{j<=i} W[s,i,j] d_j as per-sublane
+            # scalar multiply-accumulates of (S, W) tiles.
+            deltas = []
+            for b in range(nb):
+                model = jnp.sum(wv[b * nnodes:(b + 1) * nnodes], axis=0)
+                deltas.append(model - flux_blk[:, b:b + 1])
+            for i in range(nb):
+                r = jnp.zeros_like(T)
+                for j in range(i + 1):
+                    r = r + iunc_blk[:, i * nb + j:i * nb + j + 1] \
+                        * deltas[j]
+                chi2 = chi2 + r * r
+        else:
+            for b in range(nb):
+                model = jnp.sum(wv[b * nnodes:(b + 1) * nnodes], axis=0)
+                d = model - flux_blk[:, b:b + 1]
+                u = iunc_blk[:, b:b + 1]
+                # Sign-encoded upper limits (likelihood.signed_iunc):
+                # u < 0 marks a one-sided band for THIS source --
+                # penalize only model flux above the limit. Mask changes
+                # are operand changes, so every uplim configuration
+                # shares one program.
+                d = jnp.where(u < 0, jnp.maximum(d, 0.0), d)
+                r = d * jnp.abs(u)
+                chi2 = chi2 + r * r
 
         lnp = -0.5 * chi2
         for i in range(NPARAMS):
@@ -322,11 +348,16 @@ class FusedMultiPallasSampler:
 
     def __init__(self, nwalkers, wave, flux, unc, shape, spec,
                  response_pack=None, a=2.0, s_tile=8, interpret=False,
-                 rng="hw", mesh=None):
+                 rng="hw", mesh=None, whiten=None):
         from mbb_emcee_tpu.likelihood import build_lnprob_data
 
         if nwalkers % 2:
             raise ValueError("nwalkers must be even")
+        if whiten is not None and spec.uplim_bands is not None \
+                and np.asarray(spec.uplim_bands).any():
+            raise ValueError(
+                "photometric upper limits do not compose with correlated "
+                "band errors (whiten=)")
         if rng not in ("hw", "external"):
             raise ValueError("rng must be 'hw' or 'external'")
         if s_tile % 8:
@@ -357,6 +388,7 @@ class FusedMultiPallasSampler:
             raise ValueError("need nwalkers >= 2*ndim")
 
         nb = wave.size
+        self.nbands = nb
         if response_pack is not None:
             waves_np, rweights_np = response_pack
             waves_np = np.asarray(waves_np, np.float64)
@@ -383,16 +415,11 @@ class FusedMultiPallasSampler:
         pad = s_pad - self.nsources
         self.s_pad = s_pad
         self._uplim_bands = spec.uplim_bands
+        self.use_chol = whiten is not None
         flux_p = np.concatenate([flux, np.repeat(flux[:1], pad, 0)], 0)
-        # SIGNED inverse uncertainties: negative marks upper-limit slots
-        # (shared (nb,) or per-source (S, nb) mask), 0 marks missing
-        # bands -- the masks ride a runtime operand, never the program.
-        si = signed_iunc(unc, self._uplim_bands)
-        si_p = np.concatenate([si, np.repeat(si[:1], pad, 0)], 0)
         self._flux = jnp.asarray(
             flux_p.reshape(self.ntiles, self.s_tile, nb), jnp.float32)
-        self._iunc = jnp.asarray(
-            si_p.reshape(self.ntiles, self.s_tile, nb), jnp.float32)
+        self._iunc = self._pack_errors(unc, whiten)
 
         lim = np.zeros((2, 8), np.float32)
         # Fixed params: finite window CENTERED ON THE FIXED VALUE (see
@@ -412,10 +439,9 @@ class FusedMultiPallasSampler:
         self._template = np.asarray(self.free_space.template, np.float32)
         self._scatter = self.free_space.scatter_matrix(np.float32)
 
-        self.nbands = nb
         self.cfg = dict(opthin=shape.opthin, noalpha=shape.noalpha,
                         nbands=nb, nnodes=self.nnodes,
-                        wavenorm=shape.wavenorm)
+                        wavenorm=shape.wavenorm, use_chol=self.use_chol)
         self._run_cache = {}
         # Fixed per-launch record cap (hw mode): one compiled program per
         # geometry serves any run length via <=rec_cap-record segments.
@@ -423,13 +449,37 @@ class FusedMultiPallasSampler:
 
     _KEEP = object()    # set_data sentinel: "mask not given, keep current"
 
-    def set_data(self, flux, unc, uplim_bands=_KEEP):
+    def _pack_errors(self, unc, whiten):
+        """(ntiles, s_tile, nb | nb*nb) error operand: signed inverse
+        uncertainties (diagonal mode) or flattened per-source whitening
+        matrices (correlated mode). Pad sources replicate source 0."""
+        pad = self.s_pad - self.nsources
+        nb = self.nbands
+        if self.use_chol:
+            if whiten is None:
+                raise ValueError(
+                    "this sampler was built with correlated errors; "
+                    "set_data needs the matching whiten= operand")
+            w = np.asarray(whiten, np.float64).reshape(
+                self.nsources, nb * nb)
+            w_p = np.concatenate([w, np.repeat(w[:1], pad, 0)], 0)
+            return jnp.asarray(
+                w_p.reshape(self.ntiles, self.s_tile, nb * nb),
+                jnp.float32)
+        si = signed_iunc(unc, self._uplim_bands)
+        si_p = np.concatenate([si, np.repeat(si[:1], pad, 0)], 0)
+        return jnp.asarray(
+            si_p.reshape(self.ntiles, self.s_tile, nb), jnp.float32)
+
+    def set_data(self, flux, unc, uplim_bands=_KEEP, whiten=None):
         """Replace the per-source photometry (same S and band count). Flux,
-        uncertainties AND the upper-limit mask are RUNTIME kernel operands
-        (the mask rides the iunc sign), so this does not recompile -- the
-        serving path for fitting successive batches. Pass `uplim_bands`
-        ((nb,) or (S, nb) or None) to also replace the mask; omitting it
-        keeps the current one."""
+        uncertainties, the upper-limit mask AND the whitening matrices
+        are RUNTIME kernel operands (the mask rides the iunc sign), so
+        this does not recompile -- the serving path for fitting
+        successive batches. Pass `uplim_bands` ((nb,) or (S, nb) or
+        None) to also replace the mask; omitting it keeps the current
+        one. A sampler built with correlated errors needs the new
+        batch's whiten= matrices."""
         flux = np.atleast_2d(np.asarray(flux, np.float64))
         unc = np.atleast_2d(np.asarray(unc, np.float64))
         nb = self.nbands
@@ -437,15 +487,17 @@ class FusedMultiPallasSampler:
             raise ValueError(
                 f"flux/unc must be ({self.nsources}, {nb})")
         if uplim_bands is not FusedMultiPallasSampler._KEEP:
+            if (self.use_chol and uplim_bands is not None
+                    and np.asarray(uplim_bands).any()):
+                raise ValueError(
+                    "photometric upper limits do not compose with "
+                    "correlated band errors")
             self._uplim_bands = uplim_bands
         pad = self.s_pad - self.nsources
         flux_p = np.concatenate([flux, np.repeat(flux[:1], pad, 0)], 0)
-        si = signed_iunc(unc, self._uplim_bands)
-        si_p = np.concatenate([si, np.repeat(si[:1], pad, 0)], 0)
         self._flux = jnp.asarray(
             flux_p.reshape(self.ntiles, self.s_tile, nb), jnp.float32)
-        self._iunc = jnp.asarray(
-            si_p.reshape(self.ntiles, self.s_tile, nb), jnp.float32)
+        self._iunc = self._pack_errors(unc, whiten)
         return self
 
     # -- state ------------------------------------------------------------------
@@ -543,8 +595,9 @@ class FusedMultiPallasSampler:
             pl.BlockSpec(memory_space=pltpu.SMEM),               # priors
             pl.BlockSpec((1, S, nb), lambda t, i: (t, 0, 0),
                          memory_space=pltpu.VMEM),               # flux
-            pl.BlockSpec((1, S, nb), lambda t, i: (t, 0, 0),
-                         memory_space=pltpu.VMEM),               # iunc
+            pl.BlockSpec((1, S, nb * nb if self.use_chol else nb),
+                         lambda t, i: (t, 0, 0),
+                         memory_space=pltpu.VMEM),               # iunc/whiten
             pl.BlockSpec(memory_space=pltpu.VMEM),               # wnodes
             pl.BlockSpec(memory_space=pltpu.VMEM),               # rweights
         ]

@@ -523,13 +523,14 @@ def test_band_correlation_validation():
     mf.set_band_correlation(_random_corr(NB))
     with pytest.raises(ValueError, match="correlated"):
         mf.set_phot_upperlimits([True] + [False] * (NB - 1))
-    # fused backend refuses correlated errors
+    # the fused backend now ACCEPTS correlated errors (the whitening
+    # rides the error operand; ops/pallas_multifit.py use_chol mode)
     mf2 = MultiFitter(nwalkers=16, opthin=True, noalpha=True,
                       sampler_backend="fused", interpret=True)
     mf2.set_data(WAVE, flux, unc)
     mf2.set_band_correlation(_random_corr(NB))
-    with pytest.raises(ValueError, match="diagonal errors"):
-        mf2.run(nburn=4, nsteps=8)
+    mf2.run(nburn=4, nsteps=8)
+    assert np.isfinite(np.asarray(mf2.lnprobability)).all()
     # a stale correlation must not survive an incompatible set_data
     mf3 = MultiFitter(nwalkers=16, opthin=True, noalpha=True)
     mf3.set_data(WAVE, flux, unc)
