@@ -67,10 +67,29 @@ def pytest_addoption(parser):
              "large interpret-mode kernel equivalence cases")
 
 
+# The SMOKE lane (`pytest -m smoke`, < ~2 min single-core): the fast,
+# deterministic core for inner-loop work -- physics goldens, likelihood
+# algebra, sampler statistics, instrument responses + color corrections,
+# results/percentile math, artifact inspection, the compat surface, and
+# the bench orchestration -- plus anything explicitly marked
+# @pytest.mark.smoke (e.g. the one tiny end-to-end fit in test_fit_e2e).
+# The default lane (~20 min on one core) adds the statistical fits,
+# batch/serving surfaces and interpret-mode kernels; --runslow adds
+# full-scale parity chains on top.
+_SMOKE_MODULES = {
+    "test_physics", "test_likelihood", "test_response", "test_sampler",
+    "test_results", "test_compat", "test_instruments_colorcorr",
+    "test_bench", "test_cli_inspect", "test_cmb",
+}
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: full-scale test kept out of the default lane "
                    "(run with --runslow)")
+    config.addinivalue_line(
+        "markers", "smoke: fast deterministic core lane "
+                   "(pytest -m smoke, < ~2 min single-core)")
     if config.getoption("--runslow"):
         # Module-level knob: statistical tests scale their chain lengths
         # up (tolerances are MC-error-aware, so the default lane stays
@@ -79,6 +98,9 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
     if config.getoption("--runslow"):
         return
     skip = pytest.mark.skip(reason="slow lane (use --runslow)")

@@ -4,6 +4,7 @@ recovered parameters within tolerance; prior/limit plumbing; fixed params
 stay fixed; response mode."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from mbb_emcee_tpu.models.modified_blackbody import mbb_fnu, MBBShape
@@ -44,8 +45,10 @@ def _check_recovery(fit, params, tol_sigmas=4.0):
             f"param {i}: med={med}, true={TRUE[i]}, std={std}"
 
 
+@pytest.mark.smoke
 def test_config0_opthin_3param():
-    """BASELINE config[0]: optically-thin 3-param (T, beta, fnorm)."""
+    """BASELINE config[0]: optically-thin 3-param (T, beta, fnorm).
+    Marked smoke: the one end-to-end fit in the fast lane."""
     fit, _ = _fit(opthin=True, noalpha=True)
     fit.run(nburn=60, nsteps=200)
     assert fit.free_space.nfree == 3
