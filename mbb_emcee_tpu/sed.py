@@ -67,12 +67,24 @@ class SEDModel:
     lower/upper form the default hard sampling box (narrow per-fit via
     SEDFitter.set_lowlim/set_uplim). `name` labels HDF5 persistence so a
     reload can refuse a mismatched model.
+
+    `guess` (optional) is a HOST-side data-driven initializer -- the
+    generic analog of MBBFitter's flux heuristics (T from the brightest
+    band, fnorm from the flux near wavenorm), closing the
+    manual-set_param_init footgun on the serving surface:
+    guess(wave (nb,), flux (nb,), unc (nb,)) -> (npar,) numpy initial
+    centers for ONE source (plain numpy in, numpy out; called once per
+    source at init time, never traced). Entries returned as NaN fall
+    back to the default (box-center) seed; values are clipped just
+    inside the box; explicit set_param_init calls always win. Missing
+    bands arrive as (flux=0, unc=inf) in batched catalogs.
     """
     fnu: Callable
     param_names: tuple
     lower: np.ndarray
     upper: np.ndarray
     name: str = "custom-sed"
+    guess: Callable = None
 
     def __post_init__(self):
         names = tuple(str(n) for n in self.param_names)
@@ -128,6 +140,34 @@ class SEDModel:
                 f"(theta={np.asarray(theta)}) -- tighten lower/upper or "
                 f"guard the model")
         return self
+
+
+def apply_model_guess(model, wave, flux, unc, init, scatter,
+                      user_init, user_scatter):
+    """Fold one source's SEDModel.guess into (init, scatter) IN PLACE.
+
+    Non-user-set entries take the guess (NaN entries keep the default),
+    clipped 1% inside the box; their scatter becomes 10% of the guessed
+    magnitude (floored at 2% of the box width) unless the user set one.
+    Returns (init, scatter) for chaining."""
+    if model.guess is None:
+        return init, scatter
+    g = np.asarray(model.guess(np.asarray(wave, np.float64),
+                               np.asarray(flux, np.float64),
+                               np.asarray(unc, np.float64)), np.float64)
+    if g.shape != (model.npar,):
+        raise ValueError(
+            f"{model.name}.guess returned shape {g.shape}; need "
+            f"({model.npar},)")
+    lo, hi = model.lower, model.upper
+    width = hi - lo
+    gc = np.clip(g, lo + 0.01 * width, hi - 0.01 * width)
+    take = ~np.asarray(user_init, bool) & np.isfinite(g)
+    init[take] = gc[take]
+    stake = take & ~np.asarray(user_scatter, bool)
+    scatter[stake] = np.maximum(0.1 * np.abs(gc[stake]),
+                                0.02 * width[stake])
+    return init, scatter
 
 
 def build_sed_lnprob(phot: Photometry, model: SEDModel,
@@ -352,12 +392,18 @@ class SEDFitter(ParamSpaceMixin):
     def set_data(self, wave, flux, unc, cov=None, band_names=None):
         self.phot = Photometry(wave, flux, unc, cov=cov,
                                band_names=band_names)
+        apply_model_guess(self.model, self.phot.wave, self.phot.flux,
+                          self.phot.unc, self._init, self._scatter,
+                          self._user_init, self._user_scatter)
         return self
 
     def read_data(self, photfile):
         """Text photometry '[name] wave flux unc' (see
         Photometry.from_file)."""
         self.phot = Photometry.from_file(photfile)
+        apply_model_guess(self.model, self.phot.wave, self.phot.flux,
+                          self.phot.unc, self._init, self._scatter,
+                          self._user_init, self._user_scatter)
         return self
 
     def read_cov(self, covfile, covextn=0, is_total=False):

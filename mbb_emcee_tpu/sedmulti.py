@@ -319,10 +319,27 @@ class SEDMultiFitter(BatchEngine, ParamSpaceMixin):
                 base[None, :] * 10.0)
             return cen, sca
         S = self.nsources
-        cen = np.broadcast_to(self._init[free_space.free_idx],
-                              (S, free_space.nfree))
-        sca = np.broadcast_to(self._scatter[free_space.free_idx],
-                              (S, free_space.nfree))
+        idx = free_space.free_idx
+        if self.model.guess is not None:
+            # Per-source data-driven seeds (SEDModel.guess; NaN entries
+            # and explicit set_param_init calls fall through to the
+            # shared defaults) -- the generic analog of MBBFitter's
+            # flux-heuristic init, so a catalog fit no longer sits at
+            # box centers when the user skips set_param_init.
+            from mbb_emcee_tpu.sed import apply_model_guess
+            cen = np.empty((S, free_space.nfree))
+            sca = np.empty((S, free_space.nfree))
+            for s in range(S):
+                ini = self._init.copy()
+                sc = self._scatter.copy()
+                apply_model_guess(self.model, self.wave, self.flux[s],
+                                  self.unc[s], ini, sc,
+                                  self._user_init, self._user_scatter)
+                cen[s] = ini[idx]
+                sca[s] = sc[idx]
+            return cen, sca
+        cen = np.broadcast_to(self._init[idx], (S, free_space.nfree))
+        sca = np.broadcast_to(self._scatter[idx], (S, free_space.nfree))
         return cen, sca
 
     def _engine_record_run(self, spec):
