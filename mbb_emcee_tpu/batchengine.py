@@ -65,8 +65,6 @@ from mbb_emcee_tpu.models.cosmology import Cosmology, luminosity_distance
 from mbb_emcee_tpu.paramspace import _replace
 from mbb_emcee_tpu.sampler import (
     SamplerState, ensemble_step, make_initial_ball)
-from mbb_emcee_tpu import derived
-from mbb_emcee_tpu.results import _percentile_summary
 
 
 def _mesh_token(mesh):

@@ -34,7 +34,6 @@ Everything (both warmup phases + production) is ONE jitted program per
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
