@@ -372,3 +372,30 @@ def test_cli_sed_corrfile(tmp_path):
     with pytest.raises(SystemExit, match="corrfile"):
         main([mpath, cat, out, "-w", "24", "-b", "4", "-n", "8",
               "--corrfile", corr, "--phot-uplim", "4"])
+
+
+def test_cli_sed_pt_checkpoint_resume(tmp_path):
+    """--pt + --checkpoint/--resume on the generic CLI: an interrupted
+    tempered serving run resumes to the same target through the engine's
+    tier checkpointing."""
+    import h5py
+    mpath = _write_model(tmp_path)
+    cat, _ = _write_catalog(tmp_path)
+    ck = str(tmp_path / "pt.ck.h5")
+    common = [mpath, cat, "-w", "16", "-b", "10", "--pt",
+              "--pt-rungs", "4", "--seed", "5",
+              "--initval", "T_cold", "18", "--initval", "T_warm", "45",
+              "--initval", "beta", "1.8", "--initval", "fc", "30",
+              "--initval", "fw", "1.0",
+              "--checkpoint", ck, "--checkpoint-interval", "10"]
+    rc = main(common[:2] + [str(tmp_path / "pt1.h5")] + common[2:]
+              + ["-n", "10"])
+    assert rc == 0
+    with h5py.File(ck, "r") as f:
+        assert f.attrs["tier"] == "pt"
+    rc = main(common[:2] + [str(tmp_path / "pt2.h5")] + common[2:]
+              + ["-n", "30", "--resume"])
+    assert rc == 0
+    back = SEDMultiFitter.from_h5(str(tmp_path / "pt2.h5"),
+                                  load_model(mpath))
+    assert back.chain_free.shape[1] == 30
