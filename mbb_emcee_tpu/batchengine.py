@@ -821,12 +821,27 @@ class BatchEngine:
         meta = {"nwalkers": self.nwalkers, "nsources": self.nsources,
                 "thin": int(self.thin), "seed": int(self.seed),
                 "a": float(self.a),
+                "mesh_token": str(_mesh_token(self.mesh)),
                 "posterior_fp": self._engine_posterior_fp()}
         meta.update(extra)
         return meta
 
     def _tier_ck_check(self, meta, tier, expect, path):
         from mbb_emcee_tpu.checkpoint import check_resume_meta
+        # Mesh gate, mirroring the stretch tier: threefry streams are
+        # partition-independent (resume under any mesh is exact); rbg
+        # bits legitimately depend on the partitioning, so a non-threefry
+        # resume must happen under the SAME mesh the checkpoint recorded.
+        got_mesh = meta.get("mesh_token")
+        if isinstance(got_mesh, bytes):
+            got_mesh = got_mesh.decode()
+        if (self.prng_impl != "threefry2x32" and got_mesh is not None
+                and str(got_mesh) != str(_mesh_token(self.mesh))):
+            raise ValueError(
+                f"{self.prng_impl!r} PRNG streams depend on the device "
+                f"partitioning; resume {path} under the SAME mesh the "
+                f"checkpoint recorded, or run with "
+                f"prng_impl='threefry2x32' (partition-independent)")
         check_resume_meta(
             meta, dict(expect, prng_impl=self.prng_impl,
                        nwalkers=self.nwalkers, nsources=self.nsources,
@@ -897,6 +912,10 @@ class BatchEngine:
         d = free_space.nfree
         a = self.a
         nrec = int(nsteps // thin)
+        if nrec <= 0:
+            raise ValueError(
+                f"nsteps={nsteps} yields zero recorded steps at "
+                f"thin={thin}")
         thin_i = int(thin)
         adapt = beta_min == "auto"
         self._check_mesh_divides()
@@ -1193,6 +1212,10 @@ class BatchEngine:
         d = free_space.nfree
         thin_i = int(thin)
         nrec = int(nsteps) // thin_i
+        if nrec <= 0:
+            raise ValueError(
+                f"nsteps={nsteps} yields zero recorded steps at "
+                f"thin={thin}")
         self._check_mesh_divides()
         vary = self._vary_fn(idempotent=True)
 

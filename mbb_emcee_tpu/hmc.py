@@ -217,7 +217,7 @@ def hmc_warmup_core(key, lnprob, lower, width, u0, nwarmup, n_leapfrog,
 
 
 def hmc_prod_core(key, lnprob, lower, width, u, g, lp, raw, nacc, eps,
-                  mass, nsteps, thin, n_leapfrog, vary=None):
+                  mass, nsteps, thin, n_leapfrog):
     """Production at fixed (eps, mass), recording every thin-th state.
     A pure function of the carried state, so a run segmented for
     checkpointing advances exactly the chain an uninterrupted run
@@ -264,7 +264,7 @@ def hmc_core(key, lnprob, lower, width, u0, nwarmup, nsteps, thin,
     nacc0 = vary(jnp.zeros((nchains,), jnp.int32))
     chain, lnp_chain, key, u, g, lp, raw, nacc = hmc_prod_core(
         key, lnprob, lower, width, u, g, lp, raw, nacc0, eps_b, mass,
-        nsteps, thin, n_leapfrog, vary=vary)
+        nsteps, thin, n_leapfrog)
     return chain, lnp_chain, nacc, eps_b, mass
 
 

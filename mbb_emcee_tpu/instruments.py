@@ -16,9 +16,10 @@ the support where T > ~1e-4 and compiled to fixed quadrature weights by
 ``Response`` exactly like a file-loaded curve, including the instrument's
 detector convention (energy-integrating bolometers for every band below)
 and the nu*S_nu = const reference-spectrum color correction (s = -1, the
-Herschel quoting convention), anchored at the band's NOMINAL wavelength
-(70/100/160/250/350/500 um for Herschel) -- the wavelength fluxes are
-quoted at -- rather than the curve's effective wavelength.
+Herschel quoting convention), anchored at the band's measure-weighted
+EFFECTIVE wavelength (within ~4% of the 70/100/.../500 um nominal
+labels) -- the zero-first-moment anchor that reproduces the handbooks'
+small second-order color corrections; see _herschel.
 
 Half-power band edges (approximate, from instrument handbook values):
 
@@ -71,10 +72,10 @@ class BandSpec:
     sharpness: int = 4     # super-Gaussian order m (edge steepness)
     photon_counter: bool = False   # detector convention (False = bolometer)
     refspec_index: float = -1.0    # quoting convention nu^s (s=-1: nuS=const)
-    nominal: float | None = None   # um, wavelength fluxes are QUOTED at
-    # (Herschel quotes at the nominal band wavelength -- 70/100/160/250/
-    #  350/500 -- not at the curve's effective wavelength; the asymmetric
-    #  PACS edges put the half-power midpoint several um away from it.)
+    nominal: float | None = None   # um, explicit quoting anchor, or None
+    # (None -> Response anchors the reference spectrum at lambda_eff --
+    #  the zero-first-moment choice the Herschel bands use; IRAS/MIPS set
+    #  their instrument-specific quoting wavelengths here.)
     note: str = ""
 
     def transmission(self, wave):
@@ -112,8 +113,11 @@ def _herschel(nominal, lo, hi, note):
     [-4, 3] and greybodies T in [15, 60] K: worst shift 1.6% for SPIRE
     250/350, 2-4% for SPIRE 500 / PACS 100/160, 5.5% for PACS 70 --
     at or below the ~5% photometric calibration floor)."""
+    # `nominal` is the instrument's LABEL wavelength only -- deliberately
+    # NOT stored as the quoting anchor (BandSpec.nominal stays None so
+    # Response anchors at lambda_eff); kept in the note for readers.
     return BandSpec(center=0.5 * (lo + hi), width=hi - lo, sharpness=4,
-                    nominal=None, note=note)
+                    nominal=None, note=f"{note} (label {nominal:g}um)")
 
 
 def _photoconductor(nominal, lo, hi, refspec_index, note):

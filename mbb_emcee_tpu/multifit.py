@@ -280,8 +280,17 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
                                       self._response_pack())
 
     def _engine_posterior_repr(self):
-        return repr(self._posterior_token(self._effective_spec(),
-                                          self._band_corr is not None))
+        # Mesh-free: tier-checkpoint resume under a different mesh is
+        # gated separately (_tier_ck_check: threefry allowed, rbg
+        # refused) -- baking the mesh into the posterior hash would
+        # refuse valid threefry cross-mesh resumes with an unactionable
+        # "posterior_fp" mismatch.
+        mesh, self.mesh = self.mesh, None
+        try:
+            return repr(self._posterior_token(
+                self._effective_spec(), self._band_corr is not None))
+        finally:
+            self.mesh = mesh
 
     # -- the batched run --------------------------------------------------------
     def _response_pack(self):
@@ -514,9 +523,13 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
             # The response pack is posterior identity too (see
             # MBBFitter.run): filter-curve swaps must refuse resume.
             pack = self._response_pack()
-            data_fp = data_fingerprint(self.wave, self.flux, self.unc,
-                                       self._band_corr,
-                                       *(() if pack is None else pack))
+            # band correlation enters ONLY when set, so pre-feature
+            # fused checkpoints keep resuming (the _ps_token convention)
+            data_fp = data_fingerprint(
+                self.wave, self.flux, self.unc,
+                *(() if self._band_corr is None
+                  else (self._band_corr,)),
+                *(() if pack is None else pack))
             spec_fp = spec_fingerprint(self._spec, self.shape, self.a)
         prev_chain = prev_lnp = None
         resume_run_id = None

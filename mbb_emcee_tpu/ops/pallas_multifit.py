@@ -455,6 +455,11 @@ class FusedMultiPallasSampler:
         matrices (correlated mode). Pad sources replicate source 0."""
         pad = self.s_pad - self.nsources
         nb = self.nbands
+        if not self.use_chol and whiten is not None:
+            raise ValueError(
+                "this sampler was built with diagonal errors; rebuild "
+                "it with whiten= to switch error models (the chi^2 "
+                "structure is compiled in)")
         if self.use_chol:
             if whiten is None:
                 raise ValueError(
