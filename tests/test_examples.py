@@ -21,6 +21,7 @@ SLOW = [
     "fit_with_responses.py",
     "serve_batches.py",
     "serve_ragged_catalog.py",
+    "serve_correlated_tempered.py",
     "model_comparison.py",
     "custom_model.py",
     "population_inference.py",
