@@ -508,3 +508,42 @@ def test_sed_pt_and_hmc_checkpoint_resume(tmp_path):
                             resume=True)
     np.testing.assert_array_equal(np.asarray(res_h.chain_free),
                                   np.asarray(full_h.chain_free))
+
+
+def test_pt_tier_resume_mesh_gate(tmp_path):
+    """Tier-checkpoint mesh gate: threefry resumes are exact under ANY
+    mesh (partition-independent streams); rbg resumes under a different
+    mesh are refused with an actionable message."""
+    import pytest
+    from mbb_emcee_tpu.parallel import walker_mesh
+
+    flux, unc = _batch(S=8)
+
+    def mf(prng, mesh=None):
+        from mbb_emcee_tpu.multifit import MultiFitter
+        m = MultiFitter(nwalkers=16, opthin=True, noalpha=True, seed=11,
+                        sampler_backend="xla", prng_impl=prng, mesh=mesh)
+        m.set_data(WAVE, flux, unc)
+        return m
+
+    # threefry: checkpoint on the 8-device mesh, resume unmeshed ->
+    # bitwise-identical to the uninterrupted unmeshed run
+    ck = str(tmp_path / "tf.ck.h5")
+    mf("threefry2x32", walker_mesh(8)).run_pt(
+        nrungs=4, nburn=8, nsteps=10, checkpoint=ck,
+        checkpoint_interval=10)
+    full = mf("threefry2x32").run_pt(nrungs=4, nburn=8, nsteps=20)
+    resumed = mf("threefry2x32").run_pt(
+        nrungs=4, nburn=8, nsteps=20, checkpoint=ck,
+        checkpoint_interval=10, resume=True)
+    np.testing.assert_array_equal(np.asarray(resumed.chain_free),
+                                  np.asarray(full.chain_free))
+
+    # rbg: a different mesh at resume time is refused
+    ck2 = str(tmp_path / "rbg.ck.h5")
+    mf("rbg", walker_mesh(8)).run_pt(
+        nrungs=4, nburn=8, nsteps=10, checkpoint=ck2,
+        checkpoint_interval=10)
+    with pytest.raises(ValueError, match="partition"):
+        mf("rbg").run_pt(nrungs=4, nburn=8, nsteps=20, checkpoint=ck2,
+                         checkpoint_interval=10, resume=True)
