@@ -64,8 +64,9 @@ def build_parser():
                         "single-chip)")
     g.add_argument("--checkpoint", default=None,
                    help="HDF5 file to flush per-source chain blocks + "
-                        "batched sampler state to during production "
-                        "(fused backend)")
+                        "the complete batched sampler state to during "
+                        "production (every backend and tier: stretch, "
+                        "--hmc, --pt)")
     g.add_argument("--checkpoint-interval", type=int, default=100,
                    help="recorded steps between checkpoint flushes")
     g.add_argument("--resume", action="store_true",
@@ -167,8 +168,9 @@ def build_parser():
                         "errors; each source's covariance is D_s R D_s "
                         "with its own catalog uncertainties). A "
                         "covariance matrix is accepted and normalized "
-                        "to its correlation. XLA batch backend only; "
-                        "not combinable with upper limits")
+                        "to its correlation. Works on every backend, "
+                        "the fused Pallas kernel included; not "
+                        "combinable with upper limits")
     g.add_argument("--corrextn", type=int, default=0,
                    help="FITS extension of --corrfile (default 0)")
 
