@@ -31,14 +31,22 @@ parameterized by a small hook surface the two adapters provide:
                                  so mask edits must reuse programs)
   _engine_init_centers(init, free_space)
                               -> (cen, sca) (S, nfree) numpy, free-space
-  _engine_post_token()        -> posterior identity (extend() refuses to
-                                 splice chains across a change)
-  _engine_check_extend(spec)  -> raise if extend() must refuse
-  _engine_record_run(spec)    -> post-run bookkeeping (tokens)
+  _engine_check_extend(spec)  -> raise if extend() must refuse (the
+                                 posterior changed since run())
+  _engine_record_run(spec)    -> post-run bookkeeping (posterior tokens)
+  _engine_record_map(spec)    -> bind stored MAP results to this
+                                 posterior + data
+  _engine_posterior_repr()    -> deterministic posterior-identity string
+                                 (hashed into PT/HMC checkpoint meta;
+                                 mesh-free -- the tier mesh gate is
+                                 separate)
   _engine_band_flux_eval()    -> theta_full -> (nb,) model band fluxes
                                  (PPC / LOO)
   _engine_param_names         -> full-space parameter-name list
   _engine_label()             -> tag for log lines
+  _engine_adopt_checkpoint(path, thin)
+                              -> resume branch of the segmented
+                                 stretch-move checkpoint run
 
 The MBB adapter keeps its fused-Pallas branch, data-driven init
 heuristic, and band-correlation whitening; the generic adapter keeps its
