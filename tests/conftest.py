@@ -7,24 +7,32 @@ jax.config before any backend initializes."""
 
 import os
 
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The hardware-parity lane (MBB_HWPARITY=1 pytest -m hwparity) must see the
+# real TPU, so the CPU forcing below is skipped in that mode. Everything
+# else runs on the virtual 8-device CPU mesh.
+_HWPARITY = bool(os.environ.get("MBB_HWPARITY"))
+
+if not _HWPARITY:
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _HWPARITY:
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache for the TEST process: the package deliberately
 # leaves the cache off on CPU (XLA:CPU AOT results are machine-specific),
 # but test runs always happen on this machine, and re-runs otherwise pay
 # every CPU compile again -- a large fraction of suite wall-clock.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.expanduser("~"), ".cache",
-                               "mbb_emcee_tpu", "jax-test-cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+if not _HWPARITY:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.expanduser("~"), ".cache",
+                                   "mbb_emcee_tpu", "jax-test-cpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
 # Environment resilience: this box intermittently loses disk blocks to
 # I/O errors (EIO), and the stdlib codec module files are among the
@@ -90,6 +98,10 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "smoke: fast deterministic core lane "
                    "(pytest -m smoke, < ~2 min single-core)")
+    config.addinivalue_line(
+        "markers", "hwparity: on-hardware <=1% posterior-parity contract "
+                   "(MBB_HWPARITY=1 pytest -m hwparity on a TPU host; "
+                   "~45 min -- the fp64 oracle chains are the long pole)")
     if config.getoption("--runslow"):
         # Module-level knob: statistical tests scale their chain lengths
         # up (tolerances are MC-error-aware, so the default lane stays

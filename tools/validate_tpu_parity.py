@@ -24,6 +24,14 @@ pipelines' chains (kernel-vs-adaptive-quad elementwise parity is covered
 separately by tests/test_parity.py and test_quadrature_convergence.py),
 plus a direct elementwise adaptive-quad spot check.
 
+This module is IMPORTABLE (no work at import time): the opt-in pytest lane
+``MBB_HWPARITY=1 pytest -m hwparity`` (tests/test_hwparity.py) runs
+``run_config``/``run_derived`` per config, and the default-lane drift
+sentinel (tests/test_tpu_sentinel.py) runs ``--sentinel`` in a TPU
+subprocess and compares against the recorded oracle moments in
+tests/data/sentinel_reference.json (regenerate with ``--gen-sentinel``
+whenever tests/reference_impl changes -- the fingerprint enforces this).
+
 Run on a TPU host:  python tools/validate_tpu_parity.py
     [--fast]  (short chains, report only -- no contract assertions)
 Writes a DESIGN.md-ready markdown table to stdout and exits nonzero on
@@ -31,11 +39,16 @@ any failed statistic.
 """
 
 import argparse
+import dataclasses
+import hashlib
+import json
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 import numpy as np
 
@@ -43,16 +56,6 @@ WAVE = np.array([100.0, 160.0, 250.0, 350.0, 500.0])
 TRUE = np.array([32.0, 1.9, 250.0, 3.5, 45.0])
 UNC_FRAC = 0.05
 PARAM_NAMES = ("T", "beta", "lambda0", "alpha", "fnorm")
-
-# Chain geometry (full mode). Oracle: M runs of (64 x 16000) = 1.02M
-# samples each; at tau ~ 20-35 that is ~30-50k effective samples per run,
-# sigma_MC(width) ~ 0.8-1.2% per run -> ~0.5% on the M-run mean. JAX: K
-# runs of (250 x 8000) = 2M samples each (the fused sampler makes the
-# larger ensemble free), sigma on the K-run mean ~0.3%.
-K_JAX = 8
-M_ORACLE = 4
-NW_JAX, NBURN_JAX, NSTEP_JAX = 250, 1500, 8000
-NW_ORA, NBURN_ORA, NSTEP_ORA = 64, 1000, 16000
 
 LOWER = np.array([0.1, 0.01, 1.0, 0.01, 1e-5])
 UPPER = np.array([100.0, 5.0, 2e4, 60.0, 1e7])
@@ -69,6 +72,45 @@ CONFIGS = [
 ]
 
 BANDS = ["PACS_100", "PACS_160", "SPIRE_250", "SPIRE_350", "SPIRE_500"]
+
+SENTINEL_PATH = os.path.join(_REPO, "tests", "data",
+                             "sentinel_reference.json")
+# The sentinel exercises config1 (thick4): unlike config0 it runs the
+# analytic-bracket merge solve for the thick->thin transition, so a broken
+# solve, accept rule, or whitening change shifts its posterior.
+SENTINEL_CONFIG = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Geometry:
+    """Chain geometry for one parity run.
+
+    Full mode: oracle M runs of (64 x 16000) = 1.02M samples each; at
+    tau ~ 20-35 that is ~30-50k effective samples per run, sigma_MC(width)
+    ~ 0.8-1.2% per run -> ~0.5% on the M-run mean. JAX: K runs of
+    (250 x 8000) = 2M samples each (the fused sampler makes the larger
+    ensemble free), sigma on the K-run mean ~0.3%.
+    """
+    k_jax: int = 8
+    m_oracle: int = 4
+    nw_jax: int = 250
+    nburn_jax: int = 1500
+    nstep_jax: int = 8000
+    nw_ora: int = 64
+    nburn_ora: int = 1000
+    nstep_ora: int = 16000
+    require_fused: bool = True
+
+
+FULL = Geometry()
+FAST = Geometry(k_jax=2, m_oracle=1, nburn_jax=300, nstep_jax=1000,
+                nburn_ora=300, nstep_ora=2000, require_fused=False)
+# Sentinel: TPU side only (the oracle side is the recorded reference).
+# Short chains -- 2 x (250 x 2000) = 1M samples, sigma_MC(median) ~ 0.5%
+# -- the point is catching gross drift (broken solve / accept rule /
+# whitening), not re-demonstrating the 1% contract.
+SENTINEL = Geometry(k_jax=2, nburn_jax=500, nstep_jax=2000,
+                    require_fused=False)
 
 
 def free_indices(cfg):
@@ -103,15 +145,14 @@ def mock_data(cfg, seed=42):
     return f + unc * rng.standard_normal(f.size), unc
 
 
-def jax_fit(cfg, flux, unc, seed, nburn=None, nsteps=None,
-            require_fused=True):
+def jax_fit(cfg, flux, unc, seed, geom):
     from mbb_emcee_tpu import MBBFitter
     responses = None
     band_names = None
     if cfg["response"]:
         responses, _ = response_pack()
         band_names = BANDS
-    fit = MBBFitter(nwalkers=NW_JAX, seed=seed, opthin=cfg["opthin"],
+    fit = MBBFitter(nwalkers=geom.nw_jax, seed=seed, opthin=cfg["opthin"],
                     noalpha=cfg["noalpha"], responses=responses)
     fit.set_data(WAVE, flux, unc, band_names=band_names)
     fit.set_uplim("T", UPPER[0]).set_uplim("beta", UPPER[1])
@@ -119,14 +160,14 @@ def jax_fit(cfg, flux, unc, seed, nburn=None, nsteps=None,
         fit.set_gaussian_prior(pi, mean, sig)
     for i in range(5):
         fit.set_param_init(i, TRUE[i])
-    fit.run(nburn=nburn or NBURN_JAX, nsteps=nsteps or NSTEP_JAX)
-    if require_fused:
+    fit.run(nburn=geom.nburn_jax, nsteps=geom.nstep_jax)
+    if geom.require_fused:
         assert type(fit.sampler).__name__ == "FusedPallasSampler", \
             "fused TPU path not selected -- run this on a TPU host"
     return fit
 
 
-def oracle_chain(cfg, flux, unc, seed, nburn=None, nsteps=None):
+def oracle_chain(cfg, flux, unc, seed, geom):
     """fp64 oracle posterior; returns (full-5 flat chain, (ns, nw, nfree)
     chain for tau)."""
     from tests.reference_impl.mbb_oracle import ModifiedBlackbodyOracle
@@ -156,11 +197,11 @@ def oracle_chain(cfg, flux, unc, seed, nburn=None, nsteps=None):
 
     rng = np.random.default_rng(seed)
     center = TRUE[free]
-    p0 = center[None, :] * rng.uniform(0.97, 1.03, (NW_ORA, len(free)))
-    gw = GoodmanWeareSampler(NW_ORA, len(free), lnprob, seed=seed)
-    pos, _ = gw.run_mcmc(p0, nburn or NBURN_ORA, store=False)
+    p0 = center[None, :] * rng.uniform(0.97, 1.03, (geom.nw_ora, len(free)))
+    gw = GoodmanWeareSampler(geom.nw_ora, len(free), lnprob, seed=seed)
+    pos, _ = gw.run_mcmc(p0, geom.nburn_ora, store=False)
     gw.reset()
-    gw.run_mcmc(pos, nsteps or NSTEP_ORA)
+    gw.run_mcmc(pos, geom.nstep_ora)
     full = np.tile(TRUE, (gw.flatchain.shape[0], 1))
     full[:, free] = gw.flatchain
     return full, np.stack(gw.chain)
@@ -226,19 +267,82 @@ def compare_rows(label, names, mj, wj, sj_m, sj_w, mo, wo, so_m, so_w):
     return rows, ok
 
 
-def derived_section(cfg2, flux, unc, fast, all_rows):
+def jax_side(ci, geom, seed0=1000):
+    """K independent TPU fits for config ci -> per-run (medians, widths)."""
+    cfg = CONFIGS[ci]
+    free = free_indices(cfg)
+    flux, unc = mock_data(cfg)
+    j_meds, j_wids = [], []
+    for k in range(geom.k_jax):
+        fit = jax_fit(cfg, flux, unc, seed=seed0 + 17 * k, geom=geom)
+        m, w = stats(fit.chain.reshape(-1, 5), free)
+        j_meds.append(m)
+        j_wids.append(w)
+    return j_meds, j_wids
+
+
+def oracle_side(ci, geom, seed0=500):
+    """M fp64 oracle runs for config ci -> (meds, wids, per-run SEs)."""
+    cfg = CONFIGS[ci]
+    free = free_indices(cfg)
+    flux, unc = mock_data(cfg)
+    o_meds, o_wids, o_ses = [], [], []
+    for m_i in range(geom.m_oracle):
+        flat, chain = oracle_chain(cfg, flux, unc, seed=seed0 + 31 * m_i,
+                                   geom=geom)
+        mm, ww = stats(flat, free)
+        o_meds.append(mm)
+        o_wids.append(ww)
+        o_ses.append(tau_se(chain, flat, free))
+    return o_meds, o_wids, o_ses
+
+
+def run_config(ci, geom):
+    """Full two-sided parity comparison for one config.
+
+    Returns (rows, ok): DESIGN-table markdown rows and the contract
+    verdict. Importable entry for the ``pytest -m hwparity`` lane."""
+    cfg = CONFIGS[ci]
+    free = free_indices(cfg)
+    names = [PARAM_NAMES[i] for i in free]
+
+    t0 = time.time()
+    j_meds, j_wids = jax_side(ci, geom)
+    t_jax = time.time() - t0
+    t0 = time.time()
+    o_meds, o_wids, o_ses = oracle_side(ci, geom)
+    t_ora = time.time() - t0
+
+    mj, wj, sjm, sjw = aggregate(j_meds, j_wids)
+    mo, wo, som, sow = aggregate(o_meds, o_wids,
+                                 o_ses if geom.m_oracle > 1 else None)
+    if geom.m_oracle == 1:
+        som, sow = o_ses[0]
+    rows, cfg_ok = compare_rows(cfg["label"], names, mj, wj, sjm, sjw,
+                                mo, wo, som, sow)
+    print(f"{cfg['label']}: JAX {geom.k_jax} fits in {t_jax:.0f}s, oracle "
+          f"{geom.m_oracle} runs in {t_ora:.0f}s -> "
+          f"{'OK' if cfg_ok else 'FAIL'}", flush=True)
+    return rows, cfg_ok
+
+
+def run_derived(geom):
     """Config 4: derived-quantity posterior parity (batched GL kernels on
-    both pipelines' chains + elementwise adaptive-quad spot check)."""
+    both pipelines' chains + elementwise adaptive-quad spot check).
+
+    Returns (rows, ok)."""
     from mbb_emcee_tpu import MBBResults
     from mbb_emcee_tpu.constants import MPC_M, MJY_WM2HZ, LSUN_W
     from tests.reference_impl.mbb_oracle import ModifiedBlackbodyOracle
+    cfg2 = CONFIGS[2]
+    flux, unc = mock_data(cfg2)
     z = 2.0
     thin = 8
-    fit = jax_fit(cfg2, flux, unc, seed=900, require_fused=not fast)
+    fit = jax_fit(cfg2, flux, unc, seed=900, geom=geom)
     res_j = MBBResults(fit=fit, redshift=z)
-    o_flat, _ = oracle_chain(cfg2, flux, unc, seed=901)
+    o_flat, _ = oracle_chain(cfg2, flux, unc, seed=901, geom=geom)
     res_o = MBBResults(fit=fit, redshift=z)
-    nw = NW_JAX
+    nw = geom.nw_jax
     pad = (-o_flat.shape[0]) % nw
     res_o.chain = o_flat[:o_flat.shape[0] - pad].reshape(nw, -1, 5)
 
@@ -277,8 +381,128 @@ def derived_section(cfg2, flux, unc, fast, all_rows):
             rows.append(f"| config4 derived | lir elementwise #{n} | "
                         f"{100 * abs(got - want) / want:.3f}% | - | - | - "
                         f"| FAIL |")
-    all_rows.extend(rows)
-    return ok
+    return rows, ok
+
+
+HEADER_ROWS = [
+    "| config | param | [d median] | sigma_MC | [d CI width] | "
+    "sigma_MC | verdict |",
+    "|---|---|---|---|---|---|---|",
+]
+
+
+# ----------------------------------------------------------------------
+# Drift sentinel: recorded fp64 oracle moments vs a cheap TPU re-fit.
+# ----------------------------------------------------------------------
+
+def sentinel_fingerprint():
+    """Hash over everything the recorded oracle moments depend on: the
+    oracle implementation files, the mock-data recipe, and the sentinel
+    config. A mismatch means tests/data/sentinel_reference.json is stale
+    -- regenerate with ``python tools/validate_tpu_parity.py
+    --gen-sentinel``."""
+    h = hashlib.sha256()
+    ref_dir = os.path.join(_REPO, "tests", "reference_impl")
+    for name in sorted(os.listdir(ref_dir)):
+        if name.endswith(".py"):
+            with open(os.path.join(ref_dir, name), "rb") as f:
+                h.update(name.encode())
+                h.update(f.read())
+    recipe = dict(wave=WAVE.tolist(), true=TRUE.tolist(),
+                  unc_frac=UNC_FRAC, config=CONFIGS[SENTINEL_CONFIG],
+                  lower=LOWER.tolist(), upper=UPPER.tolist(),
+                  data_seed=42, oracle_seed0=500)
+    h.update(json.dumps(recipe, sort_keys=True).encode())
+    return h.hexdigest()[:16]
+
+
+def gen_sentinel(path=SENTINEL_PATH, geom=None):
+    """Record fp64 oracle moments for the sentinel config (offline,
+    CPU-only, ~10 min). Writes medians/widths + SEs + fingerprint."""
+    geom = geom or dataclasses.replace(FULL, m_oracle=4, nstep_ora=12000)
+    cfg = CONFIGS[SENTINEL_CONFIG]
+    free = free_indices(cfg)
+    t0 = time.time()
+    o_meds, o_wids, o_ses = oracle_side(SENTINEL_CONFIG, geom)
+    mo, wo, som, sow = aggregate(o_meds, o_wids, o_ses)
+    payload = {
+        "config": SENTINEL_CONFIG,
+        "label": cfg["label"],
+        "fingerprint": sentinel_fingerprint(),
+        "param_names": [PARAM_NAMES[i] for i in free],
+        "free_indices": free,
+        "medians": mo.tolist(),
+        "widths": wo.tolist(),
+        "se_medians": som.tolist(),
+        "se_widths": sow.tolist(),
+        "geometry": dataclasses.asdict(geom),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"wrote {path} in {payload['wall_s']}s")
+    return payload
+
+
+def sentinel_payload(geom=SENTINEL):
+    """TPU side of the drift sentinel: K short fits of the sentinel
+    config; emits platform + sampler provenance and per-run moments.
+    Run in a fresh subprocess so the ambient (TPU) platform is visible
+    even when the parent test process is CPU-forced."""
+    import jax
+    platform = jax.devices()[0].platform
+    cfg = CONFIGS[SENTINEL_CONFIG]
+    free = free_indices(cfg)
+    flux, unc = mock_data(cfg)
+    t0 = time.time()
+    meds, wids, sampler_types = [], [], []
+    for k in range(geom.k_jax):
+        fit = jax_fit(cfg, flux, unc, seed=1000 + 17 * k, geom=geom)
+        sampler_types.append(type(fit.sampler).__name__)
+        m, w = stats(fit.chain.reshape(-1, 5), free)
+        meds.append(m)
+        wids.append(w)
+    mj, wj, sjm, sjw = aggregate(meds, wids)
+    return {
+        "platform": platform,
+        "sampler_types": sampler_types,
+        "config": SENTINEL_CONFIG,
+        "fingerprint": sentinel_fingerprint(),
+        "medians": mj.tolist(),
+        "widths": wj.tolist(),
+        "se_medians": sjm.tolist(),
+        "se_widths": sjw.tolist(),
+        "wall_s": round(time.time() - t0, 1),
+    }
+
+
+def check_sentinel(tpu, ref, med_tol=0.03, wid_tol=0.15):
+    """Compare TPU sentinel moments against the recorded oracle moments.
+
+    Bounds are drift-detection bounds, NOT the 1% contract: wide enough
+    for the short-chain MC noise (combined 3*SE is also floored in), tight
+    enough that a broken merge solve, accept rule, or whitening change
+    (which shift posteriors by >>5%) cannot pass. Returns (ok, lines)."""
+    ok, lines = True, []
+    names = ref["param_names"]
+    for i, name in enumerate(names):
+        scale = max(abs(ref["medians"][i]), 1e-12)
+        dmed = abs(tpu["medians"][i] - ref["medians"][i])
+        se_m = float(np.hypot(tpu["se_medians"][i], ref["se_medians"][i]))
+        tol_m = max(med_tol * scale, 3.0 * se_m)
+        wo = ref["widths"][i]
+        dwid = abs(tpu["widths"][i] - wo)
+        se_w = float(np.hypot(tpu["se_widths"][i], ref["se_widths"][i]))
+        tol_w = max(wid_tol * wo, 3.0 * se_w)
+        row_ok = dmed <= tol_m and dwid <= tol_w
+        ok &= row_ok
+        lines.append(
+            f"{name}: |dmed| {100 * dmed / scale:.2f}% "
+            f"(tol {100 * tol_m / scale:.2f}%), |dwidth| "
+            f"{100 * dwid / wo:.2f}% (tol {100 * tol_w / wo:.2f}%) "
+            f"{'PASS' if row_ok else 'FAIL'}")
+    return ok, lines
 
 
 def main(argv=None):
@@ -287,66 +511,37 @@ def main(argv=None):
                     help="short chains, no contract assertions (smoke)")
     ap.add_argument("--configs", default=None,
                     help="comma-separated config indices (default all)")
+    ap.add_argument("--sentinel", action="store_true",
+                    help="run the cheap TPU drift sentinel and print one "
+                         "JSON line (used by tests/test_tpu_sentinel.py)")
+    ap.add_argument("--gen-sentinel", action="store_true",
+                    help="(re)generate the recorded fp64 oracle moments "
+                         "for the drift sentinel (CPU, ~10 min)")
     args = ap.parse_args(argv)
 
-    global K_JAX, M_ORACLE, NBURN_JAX, NSTEP_JAX, NBURN_ORA, NSTEP_ORA
-    if args.fast:
-        K_JAX, M_ORACLE = 2, 1
-        NBURN_JAX, NSTEP_JAX = 300, 1000
-        NBURN_ORA, NSTEP_ORA = 300, 2000
+    if args.gen_sentinel:
+        gen_sentinel()
+        return 0
 
+    if args.sentinel:
+        print(json.dumps(sentinel_payload()))
+        return 0
+
+    geom = FAST if args.fast else FULL
     sel = ([int(i) for i in args.configs.split(",")]
            if args.configs else range(len(CONFIGS)))
 
-    all_rows = [
-        "| config | param | [d median] | sigma_MC | [d CI width] | "
-        "sigma_MC | verdict |",
-        "|---|---|---|---|---|---|---|",
-    ]
+    all_rows = list(HEADER_ROWS)
     ok = True
     for ci in sel:
-        cfg = CONFIGS[ci]
-        free = free_indices(cfg)
-        names = [PARAM_NAMES[i] for i in free]
-        flux, unc = mock_data(cfg)
-
-        t0 = time.time()
-        j_meds, j_wids = [], []
-        for k in range(K_JAX):
-            fit = jax_fit(cfg, flux, unc, seed=1000 + 17 * k,
-                          require_fused=not args.fast)
-            m, w = stats(fit.chain.reshape(-1, 5), free)
-            j_meds.append(m)
-            j_wids.append(w)
-        t_jax = time.time() - t0
-
-        t0 = time.time()
-        o_meds, o_wids, o_ses = [], [], []
-        for m_i in range(M_ORACLE):
-            flat, chain = oracle_chain(cfg, flux, unc, seed=500 + 31 * m_i)
-            mm, ww = stats(flat, free)
-            o_meds.append(mm)
-            o_wids.append(ww)
-            o_ses.append(tau_se(chain, flat, free))
-        t_ora = time.time() - t0
-
-        mj, wj, sjm, sjw = aggregate(j_meds, j_wids)
-        mo, wo, som, sow = aggregate(o_meds, o_wids,
-                                     o_ses if M_ORACLE > 1 else None)
-        if M_ORACLE == 1:
-            som, sow = o_ses[0]
-        rows, cfg_ok = compare_rows(cfg["label"], names, mj, wj, sjm, sjw,
-                                    mo, wo, som, sow)
+        rows, cfg_ok = run_config(ci, geom)
         all_rows.extend(rows)
         ok &= cfg_ok
-        print(f"{cfg['label']}: JAX {K_JAX} fits in {t_jax:.0f}s, oracle "
-              f"{M_ORACLE} runs in {t_ora:.0f}s -> "
-              f"{'OK' if cfg_ok else 'FAIL'}", flush=True)
 
     if (args.configs is None) or (2 in sel):
-        cfg2 = CONFIGS[2]
-        flux2, unc2 = mock_data(cfg2)
-        ok &= derived_section(cfg2, flux2, unc2, args.fast, all_rows)
+        rows, d_ok = run_derived(geom)
+        all_rows.extend(rows)
+        ok &= d_ok
 
     print()
     print("\n".join(all_rows))
