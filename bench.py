@@ -16,6 +16,13 @@ last-known-good TPU measurement (value + timestamp, persisted in
 The CPU baseline is measured in-process with the NumPy/SciPy oracle
 (tests/reference_impl): per-walker Python lnprob with a scipy brentq merge
 solve per call -- the reference's hot-loop structure (SURVEY.md section 3.1).
+
+On a successful TPU headline the line also carries a `secondary` block
+(disable: BENCH_SECONDARY=0): the DESIGN.md section-6 rates as
+machine-readable entries -- multisource / multisource_correlated /
+multisource_response aggregate rates, the pt_tier tempered rate, and the
+warm_fit complete-fit wall time -- each with its own backend provenance
+and the same marginal-rate methodology as the headline.
 """
 
 import json
@@ -126,6 +133,205 @@ def bench_tpu(flux, unc, n_short=50000, n_long=450000):
 
     t_short, t_long = timed(n_short), timed(n_long)
     return NWALKERS * (n_long - n_short) / max(t_long - t_short, 1e-9)
+
+
+def _marginal_rate(advance, fetch, state, n_short, n_long,
+                   work_per_step, reps=3):
+    """Marginal throughput of a chained advance fn at two run lengths.
+
+    Same methodology as bench_tpu: per length, one untimed warm/compile
+    advance then `reps` timed chained advances (fresh inputs every time --
+    the tunnel memoizes (program, inputs)), synced by HOST FETCH, median
+    taken; the two medians are differenced to remove the ~25-150 ms fixed
+    per-execution cost."""
+    def timed(n):
+        nonlocal state
+        state = advance(state, n)
+        fetch(state)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            state = advance(state, n)
+            fetch(state)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    t_short, t_long = timed(n_short), timed(n_long)
+    return work_per_step * (n_long - n_short) / max(t_long - t_short, 1e-9)
+
+
+def bench_tpu_secondary(flux, unc):
+    """Secondary TPU workloads (VERDICT r03 task 2): the DESIGN.md section-6
+    rates as a machine-readable artifact instead of prose. Runs in the
+    expendable TPU subprocess; each entry is measured independently and a
+    failure (e.g. a pathological remote compile) degrades to an "error"
+    entry rather than killing the block.
+
+    Entries (all marginal rates with host-fetch sync, except warm_fit
+    which is a wall-clock): multisource aggregate, correlated-band
+    multisource, response-mode multisource, the XLA parallel-tempering
+    tier, and a warm in-process complete fit."""
+    import jax
+    import jax.numpy as jnp
+    from mbb_emcee_tpu.models.modified_blackbody import MBBShape
+    from mbb_emcee_tpu.likelihood import (
+        Photometry, LikelihoodSpec, build_lnprob)
+    from mbb_emcee_tpu.ops.pallas_multifit import FusedMultiPallasSampler
+
+    shape = MBBShape(opthin=OPTHIN, noalpha=NOALPHA)
+
+    def make_spec():
+        spec = LikelihoodSpec.default()
+        spec.upper[0] = 100.0
+        spec.upper[1] = 5.0
+        return spec
+
+    spec = make_spec()
+    rng = np.random.default_rng(7)
+
+    def multi_data(S):
+        f = np.tile(flux, (S, 1))
+        u = np.tile(unc, (S, 1))
+        return f + u * rng.standard_normal(f.shape), u
+
+    def multi_p0(samp, S, W):
+        fs = samp.free_space
+        center = TRUE[fs.free_idx]
+        p0 = center[None, None, :] * rng.uniform(0.96, 1.04,
+                                                 (S, W, fs.nfree))
+        return jnp.asarray(p0, jnp.float32)
+
+    def fetch(state):
+        np.asarray(state.pos)
+
+    out = {}
+
+    def entry(name, geometry, unit, fn):
+        try:
+            t0 = time.perf_counter()
+            value = fn()
+            out[name] = {"value": round(float(value), 1), "unit": unit,
+                         "geometry": geometry, "backend": "tpu",
+                         "bench_s": round(time.perf_counter() - t0, 1)}
+        except Exception as e:  # noqa: BLE001 -- degrade per entry
+            out[name] = {"error": f"{type(e).__name__}: {e}"}
+
+    def run_multisource():
+        S, W = 256, 250
+        f, u = multi_data(S)
+        samp = FusedMultiPallasSampler(W, WAVE, f, u, shape, make_spec())
+        state = samp.init_state(jax.random.key(11, impl="rbg"),
+                                multi_p0(samp, S, W))
+        return _marginal_rate(samp.advance, fetch, state, 500, 4500,
+                              work_per_step=S * W)
+
+    entry("multisource", "256 sources x 250 walkers, full 5-param MBB, "
+          "fused kernel", "aggregate walker-steps/s", run_multisource)
+
+    def run_correlated():
+        from mbb_emcee_tpu.multifit import MultiFitter
+        S, W = 64, 64
+        f, u = multi_data(S)
+        nb = WAVE.size
+        A = rng.standard_normal((nb, nb))
+        C = A @ A.T + nb * np.eye(nb)
+        d = np.sqrt(np.diag(C))
+        R = 0.6 * np.eye(nb) + 0.4 * (C / np.outer(d, d))
+        mf = MultiFitter(nwalkers=W, opthin=OPTHIN, noalpha=NOALPHA)
+        mf.set_data(WAVE, f, u)
+        mf.set_band_correlation(R)
+        samp = FusedMultiPallasSampler(W, WAVE, f, u, shape, make_spec(),
+                                       whiten=mf._whiten_operand())
+        state = samp.init_state(jax.random.key(12, impl="rbg"),
+                                multi_p0(samp, S, W))
+        return _marginal_rate(samp.advance, fetch, state, 4000, 36000,
+                              work_per_step=S * W)
+
+    entry("multisource_correlated", "64 sources x 64 walkers, full "
+          "5-param MBB, per-source whitening in-kernel",
+          "aggregate walker-steps/s", run_correlated)
+
+    def run_response():
+        from mbb_emcee_tpu.response import ResponseSet
+        bands = ["PACS_100", "PACS_160", "SPIRE_250", "SPIRE_350",
+                 "SPIRE_500"]
+        rs = ResponseSet.builtin(bands, nnodes=65)
+        S, W = 64, 64
+        f, u = multi_data(S)
+        samp = FusedMultiPallasSampler(W, WAVE, f, u, shape, make_spec(),
+                                       response_pack=rs.pack(bands))
+        state = samp.init_state(jax.random.key(13, impl="rbg"),
+                                multi_p0(samp, S, W))
+        return _marginal_rate(samp.advance, fetch, state, 1500, 13000,
+                              work_per_step=S * W)
+
+    entry("multisource_response", "64 sources x 64 walkers, full 5-param "
+          "MBB through 65-node built-in PACS/SPIRE responses",
+          "aggregate walker-steps/s", run_response)
+
+    def run_pt():
+        from mbb_emcee_tpu.tempering import (
+            ParallelTemperingSampler, geometric_ladder)
+        import jax.random as jrand
+        W, K = 64, 8
+        lnprob, fs = build_lnprob(Photometry(WAVE, flux, unc), shape,
+                                  make_spec())
+        betas = geometric_ladder(K)
+        pt = ParallelTemperingSampler(W, fs.nfree, lnprob, betas)
+        center = TRUE[fs.free_idx]
+        p0 = center[None, None, :] * rng.uniform(0.96, 1.04,
+                                                 (K, W, fs.nfree))
+        state = pt.init_state(jrand.PRNGKey(14), jnp.asarray(p0))
+        return _marginal_rate(pt.advance, fetch, state, 250, 2250,
+                              work_per_step=K * W)
+
+    entry("pt_tier", "8 rungs x 64 walkers, full 5-param MBB, XLA "
+          "tempered tier", "tempered walker-steps/s", run_pt)
+
+    def run_warm_fit():
+        from mbb_emcee_tpu import MBBFitter, MBBResults
+
+        def one_fit(seed):
+            fit = MBBFitter(nwalkers=NWALKERS, seed=seed, opthin=OPTHIN,
+                            noalpha=NOALPHA)
+            fit.set_data(WAVE, flux, unc)
+            fit.set_uplim("T", 100.0).set_uplim("beta", 5.0)
+            fit.run(nburn=60, nsteps=300)
+            res = MBBResults(fit=fit, redshift=2.0)
+            return float(np.median(res.compute_lir(thin=8)))
+
+        one_fit(21)  # warm every program in the protocol
+        t0 = time.perf_counter()
+        one_fit(22)
+        return time.perf_counter() - t0
+
+    entry("warm_fit", "complete warm fit: 250 walkers, 2x60 burn + 300 "
+          "production + L_IR posterior, in-process", "s", run_warm_fit)
+
+    return out
+
+
+def _bench_secondary_subprocess(timeout_s):
+    """Measure the secondary block in its own expendable subprocess (same
+    wedge rationale as _bench_tpu_subprocess); returns the dict or None on
+    timeout/crash."""
+    code = ("import json, bench\n"
+            "flux, unc = bench._mock_data()\n"
+            "print('SECONDARY',"
+            " json.dumps(bench.bench_tpu_secondary(flux, unc)))\n")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return None
+    if proc.returncode != 0:
+        return None
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("SECONDARY "):
+            return json.loads(line[len("SECONDARY "):])
+    return None
 
 
 def _tpu_responsive(timeout=90):
@@ -305,6 +511,15 @@ def main():
         _store_last_good(tpu_rate)
         out["value"] = round(tpu_rate, 1)
         out["backend"] = "tpu"
+        if os.environ.get("BENCH_SECONDARY", "1") != "0":
+            sec_timeout = float(
+                os.environ.get("BENCH_SECONDARY_TIMEOUT_S", "900"))
+            secondary = _bench_secondary_subprocess(sec_timeout)
+            if secondary is not None:
+                out["secondary"] = secondary
+            else:
+                notes.append("secondary benchmark subprocess timed out "
+                             "or crashed; headline value unaffected")
     else:
         if fallback_rate is None:
             fallback_rate = bench_xla_cpu(flux, unc)

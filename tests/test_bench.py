@@ -24,6 +24,9 @@ def stubbed(monkeypatch, tmp_path):
     lg = str(tmp_path / "last_good.json")
     monkeypatch.setattr(bench, "_LAST_GOOD_PATH", lg)
     monkeypatch.setenv("BENCH_TPU_WAIT_S", "0")
+    # Secondary block off unless a test opts back in (it would spawn a
+    # real measurement subprocess).
+    monkeypatch.setenv("BENCH_SECONDARY", "0")
     return lg
 
 
@@ -76,6 +79,82 @@ def test_healthy_tpu_emits_tpu_and_persists(stubbed, monkeypatch,
         persisted = json.load(fh)
     assert persisted["value"] == pytest.approx(2.2e8)
     assert persisted["measured_at"].endswith("Z")
+
+
+SECONDARY_STUB = {
+    "multisource": {"value": 1.15e9, "unit": "aggregate walker-steps/s",
+                    "geometry": "256 sources x 250 walkers", "backend":
+                    "tpu", "bench_s": 11.3},
+    "pt_tier": {"value": 3.1e7, "unit": "tempered walker-steps/s",
+                "geometry": "8 rungs x 64 walkers", "backend": "tpu",
+                "bench_s": 30.2},
+    "warm_fit": {"value": 1.7, "unit": "s", "geometry": "complete warm "
+                 "fit", "backend": "tpu", "bench_s": 17.3},
+}
+
+
+def _healthy_tpu(monkeypatch):
+    monkeypatch.delenv("BENCH_SIMULATE_TPU_DOWN", raising=False)
+    monkeypatch.setattr(bench, "_tpu_responsive", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "_bench_tpu_subprocess",
+                        lambda *a, **k: 2.2e8)
+
+
+def test_secondary_block_schema(stubbed, monkeypatch, capsys):
+    """Healthy TPU: the secondary block rides along and every non-error
+    entry carries the full provenance schema (value/unit/geometry/
+    backend/bench_s) -- the machine-readable replacement for DESIGN
+    section-6 prose (VERDICT r03 task 2)."""
+    _healthy_tpu(monkeypatch)
+    monkeypatch.setenv("BENCH_SECONDARY", "1")
+    monkeypatch.setattr(bench, "_bench_secondary_subprocess",
+                        lambda timeout: SECONDARY_STUB)
+    out = _run_main(capsys)
+    assert out["backend"] == "tpu"
+    sec = out["secondary"]
+    assert set(sec) == set(SECONDARY_STUB)
+    for name, entry in sec.items():
+        assert set(entry) == {"value", "unit", "geometry", "backend",
+                              "bench_s"}, name
+        assert entry["backend"] == "tpu"
+        assert isinstance(entry["value"], (int, float))
+
+
+def test_secondary_failure_keeps_headline(stubbed, monkeypatch, capsys):
+    """Secondary subprocess timeout/crash: headline unaffected, no
+    secondary key, and the note says what happened."""
+    _healthy_tpu(monkeypatch)
+    monkeypatch.setenv("BENCH_SECONDARY", "1")
+    monkeypatch.setattr(bench, "_bench_secondary_subprocess",
+                        lambda timeout: None)
+    out = _run_main(capsys)
+    assert out["backend"] == "tpu"
+    assert out["value"] == pytest.approx(2.2e8)
+    assert "secondary" not in out
+    assert "secondary" in out["note"]
+
+
+def test_secondary_opt_out(stubbed, monkeypatch, capsys):
+    _healthy_tpu(monkeypatch)
+    monkeypatch.setenv("BENCH_SECONDARY", "0")
+    monkeypatch.setattr(
+        bench, "_bench_secondary_subprocess",
+        lambda timeout: pytest.fail("secondary ran despite opt-out"))
+    out = _run_main(capsys)
+    assert out["backend"] == "tpu"
+    assert "secondary" not in out
+
+
+def test_fallback_has_no_secondary(stubbed, monkeypatch, capsys):
+    """CPU fallback: the Pallas-only secondary workloads cannot run, so
+    the block must be absent rather than carrying CPU numbers."""
+    monkeypatch.setenv("BENCH_SIMULATE_TPU_DOWN", "1")
+    monkeypatch.setattr(
+        bench, "_bench_secondary_subprocess",
+        lambda timeout: pytest.fail("secondary ran on cpu-fallback"))
+    out = _run_main(capsys)
+    assert out["backend"] == "cpu-fallback"
+    assert "secondary" not in out
 
 
 def test_wedge_midbench_falls_back_then_recovers(stubbed, monkeypatch,
