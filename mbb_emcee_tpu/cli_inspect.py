@@ -90,9 +90,18 @@ def detect_kind(f):
         return "map"
     if "prng_impl" in f.attrs and "version" in f.attrs:
         return "checkpoint"
+    # Last resort: an UPSTREAM mbb_emcee result file (reconstructed
+    # schema, MED confidence -- see legacy_h5). Any chain-candidate
+    # dataset at any depth qualifies.
+    from mbb_emcee_tpu.legacy_h5 import _DATASET_CANDIDATES, _norm, _walk
+    datasets, _ = _walk(f)
+    for cand in _DATASET_CANDIDATES["chain"]:
+        if any(_norm(p.rsplit("/", 1)[-1]) == cand for p, _ in datasets):
+            return "upstream"
     raise ValueError(
         "not an mbb_emcee_tpu HDF5 artifact (no recognized kind/package "
-        "attribute or dataset layout)")
+        "attribute or dataset layout), and no upstream-mbb_emcee chain "
+        "dataset either")
 
 
 def _param_table(chain_flat_by_param, names, fixed, fixed_values, pct):
@@ -216,6 +225,69 @@ def _inspect_single(f, kind, pct, diag):
         if d:
             info.update(d)
     info.update(_evidence_info(f))
+    return info
+
+
+def _inspect_upstream(f, pct, diag):
+    """An UPSTREAM mbb_emcee result file (legacy_h5's reconstructed
+    schema): same tolerant dataset/attr matching, h5py+numpy only."""
+    from mbb_emcee_tpu.constants import PARAM_NAMES
+    from mbb_emcee_tpu.legacy_h5 import (
+        _ATTR_CANDIDATES, _DATASET_CANDIDATES, _norm, _shape_chain, _walk)
+
+    datasets, attr_maps = _walk(f)
+    found = {}
+    for field, candidates in _DATASET_CANDIDATES.items():
+        for cand in candidates:
+            hits = [d for p, d in datasets
+                    if _norm(p.rsplit("/", 1)[-1]) == cand]
+            if hits:
+                found[field] = np.asarray(hits[0], np.float64)
+                break
+    attrs = {}
+    for field, candidates in _ATTR_CANDIDATES.items():
+        for cand in candidates:
+            for _, amap in attr_maps:
+                for key, val in amap.items():
+                    if _norm(key) == cand and field not in attrs:
+                        attrs[field] = val
+    opthin = bool(attrs.get("opthin", False))
+    noalpha = bool(attrs.get("noalpha", False))
+    chain, _ = _shape_chain(found["chain"], found.get("lnprob"),
+                            opthin, noalpha)
+    nw, ns, npar = chain.shape
+    flat = [chain[:, :, i].ravel() for i in range(npar)]
+    fixed = np.asarray([v.var() == 0.0 for v in flat])
+    fixed[3] |= noalpha
+    fixed[2] |= opthin
+    info = {
+        "kind": "upstream",
+        "model": ("MBB opthin" if opthin else "MBB")
+        + (" noalpha" if noalpha else "") + " (upstream mbb_emcee file)",
+        "nwalkers": nw, "nsteps": ns, "thin": 1,
+        "params": _param_table(flat, PARAM_NAMES, fixed,
+                               [v[0] for v in flat], pct),
+        "best_lnprob": (float(np.nanmax(found["lnprob"]))
+                        if "lnprob" in found else np.nan),
+        "acceptance": None,
+        "derived": [],
+    }
+    for field, label, unit in (("lir", "L_IR", "Lsun"),
+                               ("dustmass", "M_dust", "Msun"),
+                               ("peaklambda", "lambda_peak", "um")):
+        if field in found:
+            mid, up, dn = _cen(np.asarray(found[field]).ravel(), pct)
+            info["derived"].append({"name": label, "median": mid,
+                                    "uperr": up, "lowerr": dn,
+                                    "unit": unit})
+    if "redshift" in attrs:
+        info["redshift"] = float(attrs["redshift"])
+    if "wave" in found:
+        info["nbands"] = int(np.asarray(found["wave"]).size)
+    if diag:
+        d = _diagnostics(np.transpose(chain[:, :, ~fixed], (1, 0, 2)))
+        if d:
+            info.update(d)
     return info
 
 
@@ -423,6 +495,8 @@ def inspect_file(path, pct=_DEFAULT_PCT, diag=True, sources=(),
             info = _inspect_map(f, kind, pct)
         elif kind == "hierarchy":
             info = _inspect_hierarchy(f, pct)
+        elif kind == "upstream":
+            info = _inspect_upstream(f, pct, diag)
         else:
             info = _inspect_checkpoint(f)
     info["file"] = str(path)
@@ -442,7 +516,7 @@ def _render(info, pct):
     out = [f"{info['file']}: {info['kind']}"
            + (f" [{info['model']}]" if info.get("model") else "")]
     push = out.append
-    if info["kind"] in ("single", "sed", "hierarchy"):
+    if info["kind"] in ("single", "sed", "hierarchy", "upstream"):
         geom = f"  {info['nwalkers']} walkers x {info['nsteps']} steps"
         if info.get("thin", 1) > 1:
             geom += f" (thin={info['thin']})"

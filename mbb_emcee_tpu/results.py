@@ -41,6 +41,15 @@ from mbb_emcee_tpu import hdf5io
 _PEAK_RANGE = derived.PEAK_RANGE
 
 
+def _is_native_results_file(h5file):
+    """True when the file carries this package's own writer schema
+    (hdf5io.write_results: 'nwalkers' root attr + 'ParamConfig' group);
+    anything else goes through the upstream-layout reader."""
+    import h5py
+    with h5py.File(h5file, "r") as f:
+        return "nwalkers" in f.attrs and "ParamConfig" in f
+
+
 def _percentile_summary(samples, percentile=68.3):
     """(central, +err, -err): median and distance to the percentile bounds
     (ref: mbb_results.par_cen convention, 50 +- 34.15)."""
@@ -153,7 +162,14 @@ class MBBResults:
     def _from_h5(self, h5file):
         explicit_z, explicit_dl = self.redshift, self.lumdist
         chosen_cosmo, chosen_name = self._cosmo, self.cosmology_name
-        payload = hdf5io.read_results(h5file)
+        if _is_native_results_file(h5file):
+            payload = hdf5io.read_results(h5file)
+        else:
+            # A migrating user's file from upstream mbb_emcee: the
+            # tolerant reconstructed-schema reader (legacy_h5) maps it
+            # into the same payload, warning about every guessed name.
+            from mbb_emcee_tpu.legacy_h5 import read_upstream_results
+            payload = read_upstream_results(h5file)
         for k, v in payload.items():
             setattr(self, k, v)
         # Constructor arguments win over stored metadata.
