@@ -221,9 +221,9 @@ class MBBFitter(ParamSpaceMixin):
         return self.responses.pack(phot.band_names)
 
     def _resolve_sampler_backend(self, spec):
-        """'auto' -> 'fused' on TPU when the fused kernel supports the
-        likelihood (everything except upper limits combined with a full
-        covariance), else 'xla'."""
+        """'auto' -> 'fused' on TPU (the fused kernel covers the full
+        single-fit likelihood surface, including upper limits combined
+        with a full covariance since round 4), else 'xla'."""
         if self.mesh is not None:
             if self.sampler_backend == "fused":
                 raise ValueError(
@@ -232,15 +232,11 @@ class MBBFitter(ParamSpaceMixin):
             return "sharded"
         if self.sampler_backend != "auto":
             return self.sampler_backend
-        has_uplims = (spec.uplim_bands is not None
-                      and np.asarray(spec.uplim_bands).any())
-        has_cov = self.phot is not None and self.phot.cov is not None
         try:
             on_tpu = jax.default_backend() == "tpu"
         except Exception:
             on_tpu = False
-        return "fused" if (on_tpu and not (has_uplims and has_cov)) \
-            else "xla"
+        return "fused" if on_tpu else "xla"
 
     def build(self):
         """Build (lnprob, free_space, sampler). Called by run(); exposed for

@@ -310,10 +310,10 @@ def prepare_lnprob_inputs(phot, shape, spec, response_pack=None):
     pri[1, :NPARAMS] = spec.prior_isigma
 
     if spec.uplim_bands is not None and spec.uplim_bands.any():
-        if use_chol:
-            raise NotImplementedError(
-                "photometric upper limits with a full covariance: use the "
-                "XLA lnprob backend")
+        # Composes with use_chol: the per-band one-sided clamp is applied
+        # to the raw band residuals BEFORE the whitening contraction,
+        # exactly the XLA ordering (likelihood.build_lnprob: det/uplim
+        # mask on delta, then whiten @ delta).
         uplim = tuple(bool(u) for u in spec.uplim_bands)
     else:
         uplim = (False,) * nb

