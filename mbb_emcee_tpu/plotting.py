@@ -231,6 +231,48 @@ def plot_chain(res, params=None, max_walkers=50, savefig=None):
     return _finish(fig, savefig)
 
 
+def _mc_marginal(pop, k, n_mc=256, seed=0):
+    """marginal(phi, x) for a population model WITHOUT `marginal_pdf`,
+    built from the fitting contract it must already satisfy (`ln_dist`,
+    normalized over the box). 1-parameter populations evaluate the
+    density on the grid exactly; multi-parameter ones marginalize the
+    other dimensions by uniform importance sampling over their box
+    (fixed draws -> deterministic figure; MC error shrinks the band
+    estimate by ~1/sqrt(n_mc), fine for a plotted envelope)."""
+    import jax
+    import jax.numpy as jnp
+
+    K = len(pop.param_names)
+    lo = np.asarray(pop.box_lower, np.float64)
+    hi = np.asarray(pop.box_upper, np.float64)
+    dens = jax.jit(lambda phi, th: jnp.exp(pop.ln_dist(phi, th)))
+
+    if K == 1:
+        def marginal(phi, x):
+            th = jnp.asarray(np.asarray(x, np.float32)[:, None])
+            return np.asarray(dens(jnp.asarray(phi, jnp.float32), th),
+                              np.float64)
+        return marginal
+
+    others = [i for i in range(K) if i != k]
+    rng = np.random.default_rng(seed)
+    u = (lo[others] + (hi[others] - lo[others])
+         * rng.random((n_mc, len(others)))).astype(np.float32)
+    vol = float(np.prod(hi[others] - lo[others]))
+
+    def marginal(phi, x):
+        x = np.asarray(x, np.float32)
+        th = np.empty((x.size, n_mc, K), np.float32)
+        th[..., k] = x[:, None]
+        for j, o in enumerate(others):
+            th[..., o] = u[None, :, j]
+        p = np.asarray(dens(jnp.asarray(phi, jnp.float32),
+                            jnp.asarray(th)), np.float64)
+        return vol * p.mean(axis=1)
+
+    return marginal
+
+
 def plot_population(hf, param, grid=400, n_draw=256, bins=24, ax=None,
                     savefig=None):
     """Population posterior for one parameter: the hyper-chain's band of
@@ -240,18 +282,19 @@ def plot_population(hf, param, grid=400, n_draw=256, bins=24, ax=None,
     the band is the deconvolved population -- the figure a hierarchical
     fit exists to produce.
 
-    `hf` is a finished HierarchicalFitter whose population model exposes
-    `marginal_pdf(phi, k, x)` (both built-in families do; custom models
-    can add it). `param` is the population-parameter name (e.g. "T").
+    `hf` is a finished HierarchicalFitter. When the population model
+    exposes `marginal_pdf(phi, k, x)` (both built-in families do) the
+    band uses those exact marginals; a custom model WITHOUT one still
+    gets the figure through a Monte-Carlo fallback that marginalizes
+    the model's own `ln_dist` numerically (exact grid evaluation for
+    1-parameter populations; uniform-importance marginalization over
+    the other box dimensions otherwise). `param` is the
+    population-parameter name (e.g. "T").
 
     Returns the matplotlib figure.
     """
     plt = _mpl()
     pop = hf.population
-    if not hasattr(pop, "marginal_pdf"):
-        raise NotImplementedError(
-            f"population model {type(pop).__name__} has no marginal_pdf; "
-            "add one to plot its population band")
     names = [str(p).lower() for p in pop.param_names]
     key = str(param).lower()
     if key not in names:
@@ -268,10 +311,15 @@ def plot_population(hf, param, grid=400, n_draw=256, bins=24, ax=None,
     draws = flat[::stride][:int(n_draw)]
     medians = np.median(np.asarray(hf.samples)[..., k], axis=1)
 
+    if hasattr(pop, "marginal_pdf"):
+        def marginal(phi, xg):
+            return pop.marginal_pdf(phi, k, xg)
+    else:
+        marginal = _mc_marginal(pop, k)
+
     def band(xg):
-        cs = np.stack([
-            pop.marginal_pdf(hf.free_space.expand(d), k, xg)
-            for d in draws])
+        cs = np.stack([marginal(hf.free_space.expand(d), xg)
+                       for d in draws])
         return (np.median(cs, axis=0),
                 *np.percentile(cs, [15.85, 84.15], axis=0))
 
