@@ -75,6 +75,35 @@ from mbb_emcee_tpu.sampler import (
     SamplerState, ensemble_step, make_initial_ball)
 
 
+import collections
+
+# Cross-instance traced-program cache (round 4). Tracing + lowering the
+# batched bodies is pure single-threaded Python work -- it dominates
+# wall-clock in workflows constructing several fitters (chunked serving
+# over same-shape tiles, the test suite) even when the XLA persistent
+# compile cache already makes backend compilation free. Adapters opt in
+# by returning a non-None _engine_program_identity(): together with the
+# _jit_sources cache key it must FULLY determine the traced computation.
+# Bounded LRU: traced programs pin their closure constants on device.
+_PROGRAM_CACHE = collections.OrderedDict()
+_PROGRAM_CACHE_CAP = 256
+
+
+def _program_cache_get(cache, key, build):
+    """Fetch-or-build in either the per-instance dict or the global
+    LRU."""
+    if key in cache:
+        if cache is _PROGRAM_CACHE:
+            cache.move_to_end(key)
+        return cache[key]
+    fn = build()
+    cache[key] = fn
+    if cache is _PROGRAM_CACHE:
+        while len(cache) > _PROGRAM_CACHE_CAP:
+            cache.popitem(last=False)
+    return fn
+
+
 def _mesh_token(mesh):
     """Content key for a mesh. id(mesh) is unsafe in a cache key: a freed
     mesh's address can be recycled by a NEW mesh with different devices,
@@ -371,6 +400,28 @@ class BatchEngine:
             return vary
         return lambda x: jax.lax.pcast(x, (mesh_axis,), to="varying")
 
+    def _engine_program_identity(self):
+        """None -> traced programs cached per instance only (the safe
+        default). A hashable tuple -> programs may be SHARED ACROSS
+        INSTANCES through the module-level LRU: together with the
+        _jit_sources/_nested cache key (tag + geometry + mesh + PRNG +
+        _engine_compile_token) and the adapter class, the tuple must
+        fully determine the traced computation. MultiFitter returns ()
+        (its compile token fingerprints shape/responses/correlation --
+        everything baked into a trace); SEDMultiFitter returns the
+        SEDModel's construction nonce + band count (the user fnu is an
+        arbitrary callable, so only fitters sharing the same model
+        OBJECT share programs)."""
+        return None
+
+    def _program_cache(self, ck):
+        """(cache dict, key) for a traced-program lookup."""
+        ident = self._engine_program_identity()
+        if ident is None:
+            return self._run_cache, ck
+        return (_PROGRAM_CACHE,
+                (type(self).__qualname__,) + tuple(ident) + ck)
+
     def _jit_sources(self, tag, fn, n_per_source, n_shared, spec,
                      extra_key=(), out_specs=None):
         """Compile-or-fetch a per-source body vmapped over sources (and
@@ -386,7 +437,9 @@ class BatchEngine:
         ck = (tag, self.nsources, self.nwalkers, float(self.a),
               _mesh_token(self.mesh), self.prng_impl,
               self._engine_compile_token(spec)) + tuple(extra_key)
-        if ck not in self._run_cache:
+        cache, key = self._program_cache(ck)
+
+        def build():
             in_axes = (0,) * n_per_source + (None,) * n_shared
             f = jax.vmap(fn, in_axes=in_axes)
             if self.mesh is not None:
@@ -395,8 +448,9 @@ class BatchEngine:
                 f = jax.shard_map(
                     f, mesh=self.mesh, in_specs=in_specs,
                     out_specs=out_specs if out_specs is not None else P(ax))
-            self._run_cache[ck] = jax.jit(f)
-        return self._run_cache[ck]
+            return jax.jit(f)
+
+        return _program_cache_get(cache, key, build)
 
     # -- the batched stretch-move run (XLA tier) -------------------------------
     def _engine_run_xla(self, nburn, nsteps, thin, recenter_burn, verbose,
@@ -1611,19 +1665,23 @@ class BatchEngine:
         ck = ("nested", S, int(nlive), int(nbatch), int(nsteps),
               int(max_iter), float(tol), _mesh_token(self.mesh),
               self._engine_compile_token(spec), self.wave.tobytes())
-        if ck not in self._run_cache:
+        cache, cache_key = self._program_cache(ck)
+
+        def build():
             wave = np.asarray(self.wave, np.float32)
 
             def ll(theta_free, flux, aux):
                 return lnprob_data(theta_free, wave, flux, aux)
 
-            self._run_cache[ck] = make_nested_batch_runner(
+            return make_nested_batch_runner(
                 ll, free_space.lower, free_space.upper,
                 nlive=nlive, nbatch=nbatch, nsteps=nsteps,
                 max_iter=max_iter, tol=tol, mesh=self.mesh)
+
+        runner = _program_cache_get(cache, cache_key, build)
         data = self._engine_operands(free_space)
         key = jax.random.key(self.seed if seed is None else int(seed))
-        res = self._run_cache[ck](key, data)
+        res = runner(key, data)
         # expand weighted samples to the full parameter space
         res.samples = free_space.expand(res.samples)
         self.evidence = res

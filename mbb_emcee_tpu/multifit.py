@@ -206,6 +206,14 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
     def _engine_label(self):
         return "MultiFitter"
 
+    def _engine_program_identity(self):
+        # The compile token fingerprints everything baked into a traced
+        # MBB batch body (shape, spec content, response pack, correlation
+        # presence; data rides as operands), so programs are shareable
+        # across MultiFitter instances (chunked serving over same-shape
+        # tiles, reloads, the test suite) with no extra identity.
+        return ()
+
     @property
     def _engine_param_names(self):
         return list(PARAM_NAMES)

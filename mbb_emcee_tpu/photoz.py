@@ -62,6 +62,8 @@ from mbb_emcee_tpu.sed import SEDModel
 
 PARAM_NAMES = ("T", "beta", "lambda0", "alpha", "fnorm", "z")
 
+_PHOTOZ_MODEL_MEMO = {}    # see photoz_mbb's memoization note
+
 
 @dataclasses.dataclass(frozen=True)
 class PhotoZMBBModel(SEDModel):
@@ -96,6 +98,17 @@ def photoz_mbb(opthin=False, noalpha=False, wavenorm=500.0, cmb=True,
     zl, zu = float(z_lower), float(z_upper)
     if not (zl >= 0.0 and zu > zl):
         raise ValueError(f"need 0 <= z_lower < z_upper, got ({zl}, {zu})")
+    # Memoize by configuration: the model is frozen, and returning the
+    # SAME object for the same arguments lets fitters built from it
+    # share traced programs (batchengine cross-instance cache keys on
+    # the SEDModel construction nonce).
+    memo_key = (bool(opthin), bool(noalpha), float(wavenorm), bool(cmb),
+                float(t_cmb0), zl, zu, name,
+                None if lower is None else tuple(np.asarray(lower, float)),
+                None if upper is None else tuple(np.asarray(upper, float)))
+    cached = _PHOTOZ_MODEL_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     if lower is None:
         lower = np.concatenate([DEFAULT_LOWER, [zl]])
     if upper is None:
@@ -125,13 +138,16 @@ def photoz_mbb(opthin=False, noalpha=False, wavenorm=500.0, cmb=True,
             log_n = log_n + log_cmb_visibility(wn_rest, t_e, zz, t0)[0]
         return jnp.exp(log_s - log_n + jnp.log(fnorm))
 
-    return PhotoZMBBModel(
+    model = PhotoZMBBModel(
         fnu=fnu,
         param_names=PARAM_NAMES,
         lower=lower, upper=upper,
         name=name or ("photoz-cmb-mbb" if use_cmb else "photoz-mbb"),
         opthin=bool(opthin), noalpha=bool(noalpha),
         cmb=use_cmb, t_cmb0=t0, wavenorm=wn)
+    if len(_PHOTOZ_MODEL_MEMO) < 64:
+        _PHOTOZ_MODEL_MEMO[memo_key] = model
+    return model
 
 
 def _require_photoz_model(model, what):

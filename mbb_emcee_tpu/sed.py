@@ -51,6 +51,9 @@ from mbb_emcee_tpu.results import _percentile_summary, PPCResult
 
 _SED_SCHEMA_VERSION = 1
 
+# see SEDModel.__post_init__ / batchengine._PROGRAM_CACHE
+_SED_MODEL_NONCE = __import__("itertools").count()
+
 
 @dataclasses.dataclass(frozen=True)
 class SEDModel:
@@ -102,6 +105,11 @@ class SEDModel:
                 f"param_names")
         if np.any(lo >= hi):
             raise ValueError("each lower limit must be < its upper limit")
+        # Monotonic construction nonce: a collision-free identity for the
+        # cross-instance traced-program cache (batchengine). Object
+        # addresses recycle; this never does, so two models only share
+        # programs when they literally ARE the same object.
+        object.__setattr__(self, "nonce", next(_SED_MODEL_NONCE))
 
     @property
     def npar(self):

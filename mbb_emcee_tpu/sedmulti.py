@@ -296,6 +296,14 @@ class SEDMultiFitter(BatchEngine, ParamSpaceMixin):
     def _engine_label(self):
         return self.model.name
 
+    def _engine_program_identity(self):
+        # The user fnu is an arbitrary callable, so only fitters sharing
+        # the same SEDModel OBJECT (construction nonce) may share traced
+        # programs; the band count is baked into the per-source-prior
+        # wrapper's slicing, so it is part of the identity too.
+        return (self.model.nonce,
+                None if self.wave is None else int(self.wave.size))
+
     @property
     def _engine_param_names(self):
         return list(self.model.param_names)

@@ -28,11 +28,68 @@ if not _HWPARITY:
 # leaves the cache off on CPU (XLA:CPU AOT results are machine-specific),
 # but test runs always happen on this machine, and re-runs otherwise pay
 # every CPU compile again -- a large fraction of suite wall-clock.
+# Persistent compilation cache for the CPU test suite -- on RAM-backed
+# tmpfs, keyed by a host-CPU fingerprint. Two hard-won constraints
+# (2026-08-20, both ended in mid-suite SEGFAULTS inside jax's
+# compilation_cache):
+#   * XLA:CPU AOT executables are machine-specific, and home directories
+#     get recycled across boxes -- a foreign entry crashes on
+#     deserialize. Hence the CPU-flags fingerprint in the dir name.
+#   * This box's disk intermittently loses blocks to I/O errors (see the
+#     encodings workaround below); a cache on that disk rots, and rotten
+#     entries crash reads AND writes. Hence /dev/shm: survives across
+#     processes and suite re-runs within a boot (what matters: a suite
+#     run otherwise repays ~25 min of XLA:CPU compiles), costs ~100 MB
+#     of the 126 GB tmpfs, and can't rot.
 if not _HWPARITY:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.expanduser("~"), ".cache",
-                                   "mbb_emcee_tpu", "jax-test-cpu"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    def _host_fingerprint():
+        import hashlib
+        try:
+            with open("/proc/cpuinfo") as fh:
+                flags = [ln for ln in fh if ln.startswith("flags")]
+            blob = (flags[0] if flags else "").encode()
+        except OSError:
+            import platform
+            blob = platform.processor().encode()
+        return hashlib.sha256(blob).hexdigest()[:12]
+
+    _shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    if _shm is not None:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(_shm,
+                         f"mbb-jax-test-cpu-{_host_fingerprint()}"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.2)
+
+        # ... and NEVER serialize multi-device executables: XLA:CPU's
+        # AOT serializer SEGFAULTS (reproducibly, 3/3 runs at the same
+        # shard_mapped test_parallel program, 2026-08-20) on the
+        # 8-virtual-device executables this suite builds. Single-device
+        # programs -- the bulk of the compile cost -- still cache.
+        from jax._src import compilation_cache as _cc
+
+        _orig_put = _cc.put_executable_and_time
+
+        def _put_single_device_only(cache_key, module_name, executable,
+                                    backend, compile_time):
+            try:
+                ndev = len(executable.local_devices())
+            except Exception:
+                ndev = None
+            if ndev is not None and ndev > 1:
+                return
+            return _orig_put(cache_key, module_name, executable,
+                             backend, compile_time)
+
+        _cc.put_executable_and_time = _put_single_device_only
+        try:
+            from jax._src import compiler as _compiler
+            if getattr(_compiler, "compilation_cache", None) is _cc:
+                _compiler.compilation_cache.put_executable_and_time = \
+                    _put_single_device_only
+        except ImportError:
+            pass
 
 # Environment resilience: this box intermittently loses disk blocks to
 # I/O errors (EIO), and the stdlib codec module files are among the
@@ -75,6 +132,15 @@ def pytest_addoption(parser):
              "large interpret-mode kernel equivalence cases")
 
 
+# Round-4 lane rebalance: the default lane's floor on this 1-core box is
+# set by the ~500-test tail (~2 s/test of trace+lower work), not the top
+# of the duration list, so the heaviest CROSS-TIER-DUPLICATE statistical
+# agreement tests (batch-tier PT/HMC/evidence-vs-stretch and mesh-vs-
+# unsharded twins whose single-tier or engine-contract twins stay
+# default; marked slow in test_sedmulti/test_tempering/test_hmc/
+# test_photoz/test_hierarchy) moved to --runslow. Default lane ~17 min
+# here; a ~10 min lane would require gutting unique coverage or a second
+# core.
 # The SMOKE lane (`pytest -m smoke`, < ~2 min single-core): the fast,
 # deterministic core for inner-loop work -- physics goldens, likelihood
 # algebra, sampler statistics, instrument responses + color corrections,
@@ -107,6 +173,24 @@ def pytest_configure(config):
         # up (tolerances are MC-error-aware, so the default lane stays
         # valid at reduced scale).
         os.environ["MBB_RUNSLOW"] = "1"
+
+
+# Late in a full-suite process -- with several hundred XLA:CPU
+# executables loaded -- fresh compiles and AOT cache loads start
+# SEGFAULTING in native code (reproduced 4/4 full runs on 2026-08-20,
+# always in the test_parallel/test_parity/test_photoz stretch, never
+# when those files run standalone; crash site varies between
+# backend_compile_and_load, cache put, and cache get). Shedding the
+# accumulated executables right before that zone keeps the merge gate
+# alive; the /dev/shm compile cache makes the re-loads cheap.
+_CLEAR_CACHES_BEFORE = {"test_parallel", "test_parity", "test_photoz"}
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _shed_loaded_executables(request):
+    if request.module.__name__ in _CLEAR_CACHES_BEFORE:
+        jax.clear_caches()
+    yield
 
 
 def pytest_collection_modifyitems(config, items):

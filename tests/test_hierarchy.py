@@ -603,6 +603,7 @@ def test_multi_axis_mesh_first_axis_divides():
 
 # ----------------------------------------------------------- selection
 
+@pytest.mark.slow
 def test_selection_corrects_malmquist_bias():
     """Threshold-selected catalog (keep sources with observed x > cut,
     which removes the faint half): the uncorrected fit is biased high by

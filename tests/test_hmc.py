@@ -229,6 +229,7 @@ def MultiFitter_from_h5(path):
     return MultiFitter.from_h5(path)
 
 
+@pytest.mark.slow
 def test_multifit_run_hmc_mesh_statistical():
     """Source-sharded HMC over the virtual mesh samples the same
     posterior as the unsharded run. NOT bitwise: the dual-averaging

@@ -267,6 +267,7 @@ def test_lir_zparam_rejects_explicit_lumdist():
         compute_dustmass(res)                 # same conflict, mass side
 
 
+@pytest.mark.slow
 def test_batch_photoz_matches_single_surface():
     """Catalog photo-z: SEDMultiFitter.compute_lir(z_param) and
     photoz.compute_dustmass_batch must equal the single-surface

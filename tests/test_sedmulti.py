@@ -27,10 +27,17 @@ def _two_mbb(theta, wave):
             + jnp.exp(log_mbb_fnu(p_w, wave, SHAPE)))
 
 
+_MODEL = SEDModel(fnu=_two_mbb, param_names=NAMES,
+                  lower=[5.0, 25.0, 0.5, 1e-3, 1e-4],
+                  upper=[25.0, 80.0, 4.0, 1e3, 1e2], name="two-temp")
+
+
 def _model():
-    return SEDModel(fnu=_two_mbb, param_names=NAMES,
-                    lower=[5.0, 25.0, 0.5, 1e-3, 1e-4],
-                    upper=[25.0, 80.0, 4.0, 1e3, 1e2], name="two-temp")
+    # ONE module-level model object: fitters sharing the same SEDModel
+    # share traced programs through the engine's cross-instance cache
+    # (the nonce-keyed identity), which is most of this file's former
+    # wall-clock.
+    return _MODEL
 
 
 def _mock_batch(S=8, seed=5, frac=0.05):
@@ -336,6 +343,7 @@ def test_run_map_and_importance():
         mf2.run(nburn=2, nsteps=2, init="map")
 
 
+@pytest.mark.slow
 def test_run_map_mesh_matches_unsharded():
     from mbb_emcee_tpu.parallel import walker_mesh
     truths, flux, unc = _mock_batch(S=8, seed=47)
@@ -412,6 +420,7 @@ def test_checkpoint_resume_bitwise(tmp_path):
         bad2.run(nburn=2, nsteps=4, resume=True)
 
 
+@pytest.mark.slow
 def test_compute_evidence_batch():
     """Batched generic evidence: per-source lnZ agree with the
     single-fit SEDFitter.compute_evidence on the same posterior (both
@@ -439,6 +448,7 @@ def test_compute_evidence_batch():
     assert evm.logz.shape == (8,) and np.isfinite(evm.logz).all()
 
 
+@pytest.mark.slow
 def test_run_hmc_matches_stretch_batch():
     """Batched generic HMC agrees with the stretch-move batch posterior
     (entirely different kernel on the same targets), and the mesh path
@@ -469,6 +479,7 @@ def test_run_hmc_matches_stretch_batch():
     assert np.isfinite(np.asarray(mfm.lnprobability)).all()
 
 
+@pytest.mark.slow
 def test_run_pt_matches_stretch_batch():
     """Batched generic PT: cold-rung posterior agrees with the stretch
     batch; stepping-stone lnZ agrees with compute_evidence; the mesh

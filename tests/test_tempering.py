@@ -298,6 +298,7 @@ def test_multifit_run_pt_downstream_and_persistence(tmp_path):
     np.testing.assert_allclose(back.swap_fraction, mf.swap_fraction)
 
 
+@pytest.mark.slow
 def test_multifit_run_pt_mesh_matches_single_device():
     """Source-sharded PT over the virtual mesh: with the
     partition-invariant threefry generator the sharded run must
