@@ -177,13 +177,19 @@ def pytest_configure(config):
 
 # Late in a full-suite process -- with several hundred XLA:CPU
 # executables loaded -- fresh compiles and AOT cache loads start
-# SEGFAULTING in native code (reproduced 4/4 full runs on 2026-08-20,
-# always in the test_parallel/test_parity/test_photoz stretch, never
-# when those files run standalone; crash site varies between
-# backend_compile_and_load, cache put, and cache get). Shedding the
-# accumulated executables right before that zone keeps the merge gate
-# alive; the /dev/shm compile cache makes the re-loads cheap.
-_CLEAR_CACHES_BEFORE = {"test_parallel", "test_parity", "test_photoz"}
+# SEGFAULTING in native code (reproduced 4/4 default-lane runs on
+# 2026-08-20 in the test_parallel/test_parity/test_photoz stretch, and
+# once in the --runslow lane inside the full-scale interpret-mode
+# pallas cases -- single-device, cache put; never when those files run
+# standalone; crash site varies between backend_compile_and_load, cache
+# put, and cache get). Shedding the accumulated executables right
+# before the heavy-compile zones keeps the merge gate alive; placement
+# matters -- clearing before files that REUSE predecessors' programs
+# (test_sed/test_sedmulti) costs ~10 min of retraces, while these
+# boundaries cost ~1-2 min total.
+_CLEAR_CACHES_BEFORE = {"test_nested", "test_pallas",
+                        "test_pallas_multifit", "test_pallas_sampler",
+                        "test_parallel", "test_parity", "test_photoz"}
 
 
 @pytest.fixture(autouse=True, scope="module")
