@@ -1,16 +1,22 @@
 """Opt-in pytest lane for the on-hardware <=1% posterior-parity contract.
 
 This is `tools/validate_tpu_parity.py` as a test lane (VERDICT r03 task 1):
-the same 18-statistic comparison PARITY_r03.md records, importable and
-runnable as
+the same statistic table PARITY_r0N.md records, importable and runnable as
 
     MBB_HWPARITY=1 python -m pytest -m hwparity tests/test_hwparity.py -v
 
-on a TPU host (~45 min wall; the fp64 oracle chains are the long pole).
-The env var tells conftest.py to NOT force the CPU platform, so the fused
-TPU sampler path is what gets validated. Off-TPU or without the env var
-every test here skips -- the default lane's cheap drift protection is
-tests/test_tpu_sentinel.py instead.
+on a TPU host. The env var tells conftest.py to NOT force the CPU
+platform, so the fused TPU sampler path is what gets validated. Off-TPU
+or without the env var every test here skips -- the default lane's cheap
+drift protection is tests/test_tpu_sentinel.py instead.
+
+Oracle modes (VERDICT r04 task 2): by default each config compares
+against the RECORDED fp64 oracle moments (tests/data/hwparity_oracle.json
+-- the sentinel pattern generalized), so the lane runs only the JAX side
+(~13 min instead of ~35): same statistics, same tolerances. A stale
+fingerprint FAILS with a regeneration message (--gen-oracle); a missing
+entry falls back to computing the oracle in-process. Set
+MBB_HWPARITY_FULL=1 to force the full two-sided run.
 
 Each config is its own test so a failure names the config, and a partial
 run (e.g. ``-k config1``) is possible after a targeted change.
@@ -40,12 +46,25 @@ def _require_tpu():
                     "TPU sampler path")
 
 
-@pytest.mark.parametrize("ci", [0, 1, 2, 3])
+def _recorded(ci):
+    """Recorded oracle entry for ci, None (-> compute in-process) when
+    absent or when MBB_HWPARITY_FULL=1; FAIL on a stale fingerprint."""
+    if os.environ.get("MBB_HWPARITY_FULL"):
+        return None
+    from tools.validate_tpu_parity import recorded_entry, STALE_MSG
+    status, rec = recorded_entry(ci)
+    if status == "stale":
+        pytest.fail(STALE_MSG)
+    return rec if status == "ok" else None
+
+
+@pytest.mark.parametrize("ci", [0, 1, 2, 3, 5, 6])
 def test_config_contract(ci):
-    """Full two-sided parity for one BASELINE config at the 1% contract."""
+    """Parity for one BASELINE config at the 1% contract (configs 5/6:
+    calibration covariance and uplim-by-covariance, VERDICT r04 task 1)."""
     _require_tpu()
     from tools.validate_tpu_parity import FULL, run_config
-    rows, ok = run_config(ci, FULL)
+    rows, ok = run_config(ci, FULL, recorded=_recorded(ci))
     assert ok, "contract FAIL:\n" + "\n".join(rows)
 
 
@@ -53,5 +72,5 @@ def test_derived_contract():
     """Config 4: L_IR / dust-mass / peak-lambda posterior parity."""
     _require_tpu()
     from tools.validate_tpu_parity import FULL, run_derived
-    rows, ok = run_derived(FULL)
+    rows, ok = run_derived(FULL, recorded=_recorded("derived"))
     assert ok, "contract FAIL:\n" + "\n".join(rows)

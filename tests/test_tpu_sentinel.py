@@ -57,13 +57,24 @@ def test_tpu_drift_sentinel():
             "with: python tools/validate_tpu_parity.py --gen-sentinel")
     with open(REF_PATH) as f:
         ref = json.load(f)
+    assert ref.get("version") == 2 and "configs" in ref, (
+        "sentinel_reference.json is the pre-round-5 single-config format "
+        "-- regenerate with: python tools/validate_tpu_parity.py "
+        "--gen-sentinel")
 
-    proc = subprocess.run(
-        [sys.executable,
-         os.path.join(REPO, "tools", "validate_tpu_parity.py"),
-         "--sentinel"],
-        capture_output=True, text=True, env=_clean_env(), cwd=REPO,
-        timeout=900)
+    try:
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "tools", "validate_tpu_parity.py"),
+             "--sentinel"],
+            capture_output=True, text=True, env=_clean_env(), cwd=REPO,
+            timeout=900)
+    except subprocess.TimeoutExpired:
+        # A hung/slow tunnel is an environment problem, not a drift
+        # verdict; the hwparity lane is the authoritative fallback.
+        pytest.skip("sentinel subprocess exceeded 900s (TPU tunnel slow "
+                    "or recompiling) -- run MBB_HWPARITY=1 pytest -m "
+                    "hwparity for the full contract")
     assert proc.returncode == 0, (
         f"sentinel subprocess failed (rc={proc.returncode}):\n"
         f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
@@ -76,20 +87,35 @@ def test_tpu_drift_sentinel():
                     "path (run MBB_HWPARITY=1 pytest -m hwparity on a "
                     "TPU host for the full contract)")
 
-    from tools.validate_tpu_parity import check_sentinel, sentinel_fingerprint
-    assert ref["fingerprint"] == sentinel_fingerprint(), (
-        "recorded oracle moments are STALE (tests/reference_impl or the "
-        "mock-data recipe changed since they were generated) -- "
-        "regenerate with: python tools/validate_tpu_parity.py "
-        "--gen-sentinel")
-    assert tpu["fingerprint"] == ref["fingerprint"]
+    from tools.validate_tpu_parity import (
+        SENTINEL_CONFIGS, check_sentinel, sentinel_fingerprint)
+    failures = []
+    for ci in SENTINEL_CONFIGS:
+        ref_c = ref["configs"].get(str(ci))
+        assert ref_c is not None, (
+            f"sentinel_reference.json has no entry for config {ci} -- "
+            "regenerate with: python tools/validate_tpu_parity.py "
+            "--gen-sentinel")
+        assert ref_c["fingerprint"] == sentinel_fingerprint(ci), (
+            "recorded oracle moments are STALE (tests/reference_impl or "
+            "the mock-data recipe changed since they were generated) -- "
+            "regenerate with: python tools/validate_tpu_parity.py "
+            "--gen-sentinel")
+        tpu_c = tpu["configs"][str(ci)]
+        assert tpu_c["fingerprint"] == ref_c["fingerprint"]
 
-    # On hardware the auto backend must have picked the fused kernels;
-    # a silent fall-off to the XLA tier is itself a regression.
-    assert all(s == "FusedPallasSampler" for s in tpu["sampler_types"]), (
-        f"fused TPU path not selected on {tpu['platform']}: "
-        f"{tpu['sampler_types']}")
+        # On hardware the auto backend must have picked the fused
+        # kernels; a silent fall-off to the XLA tier is itself a
+        # regression (config 6 additionally guards the fused
+        # uplim-by-covariance path enabled in round 4).
+        assert all(s == "FusedPallasSampler"
+                   for s in tpu_c["sampler_types"]), (
+            f"fused TPU path not selected on {tpu['platform']} for "
+            f"config {ci}: {tpu_c['sampler_types']}")
 
-    ok, lines = check_sentinel(tpu, ref)
-    assert ok, ("TPU posterior drift vs recorded fp64 oracle moments:\n"
-                + "\n".join(lines))
+        ok, lines = check_sentinel(tpu_c, ref_c)
+        if not ok:
+            failures.append(f"config {ci}:\n" + "\n".join(lines))
+    assert not failures, (
+        "TPU posterior drift vs recorded fp64 oracle moments:\n"
+        + "\n\n".join(failures))

@@ -69,16 +69,47 @@ CONFIGS = [
          priors=[(2, 250.0, 120.0), (3, 3.5, 1.5)], response=False),
     dict(label="config3 response", opthin=True, noalpha=True, priors=[],
          response=True),
+    # config4 is the derived-quantity comparison (run_derived); this
+    # placeholder keeps CONFIGS indices == config numbers.
+    dict(label="config4 derived", derived=True),
+    # configs 5/6 (round 5): the calibration-floor covariance named in
+    # BASELINE's north-star prose, and its composition with a photometric
+    # upper limit -- the one fused-kernel path (uplim x cov, enabled in
+    # round 4) that had never faced the two-sided <=1% contract.
+    dict(label="config5 thick4+cov", opthin=False, noalpha=True,
+         priors=[(2, 250.0, 120.0)], response=False, cov=True),
+    dict(label="config6 thick4+cov+uplim", opthin=False, noalpha=True,
+         priors=[(2, 250.0, 120.0)], response=False, cov=True,
+         uplim_band=4),
 ]
 
 BANDS = ["PACS_100", "PACS_160", "SPIRE_250", "SPIRE_350", "SPIRE_500"]
 
+# Calibration-floor covariance recipe for cov configs: diag(unc^2) plus a
+# correlated calibration term rho_ij * (CAL_FRAC f_i)(CAL_FRAC f_j) with
+# rho = 1 on the diagonal and 0.5 within an instrument (PACS bands 0-1,
+# SPIRE bands 2-4) -- PSD by the Schur product theorem (PSD correlation
+# Hadamard rank-1 outer product). f is the TRUE model flux so the matrix
+# is deterministic given the config.
+CAL_FRAC = 0.05
+_INSTR = np.array([0, 0, 1, 1, 1])
+CAL_CORR = np.where(_INSTR[:, None] == _INSTR[None, :], 0.5, 0.0)
+np.fill_diagonal(CAL_CORR, 1.0)
+# Upper-limit configs: the flagged band's flux column is a limit value
+# this factor above the true flux (no noise draw on a quoted limit).
+UPLIM_FACTOR = 1.3
+
 SENTINEL_PATH = os.path.join(_REPO, "tests", "data",
                              "sentinel_reference.json")
-# The sentinel exercises config1 (thick4): unlike config0 it runs the
-# analytic-bracket merge solve for the thick->thin transition, so a broken
-# solve, accept rule, or whitening change shifts its posterior.
+ORACLE_PATH = os.path.join(_REPO, "tests", "data",
+                           "hwparity_oracle.json")
+# The sentinels exercise config1 (thick4: unlike config0 it runs the
+# analytic-bracket merge solve, so a broken solve, accept rule, or
+# whitening change shifts its posterior) and config6 (thick4 + full
+# calibration covariance + photometric upper limit: the fused
+# uplim-by-covariance kernel path enabled in round 4).
 SENTINEL_CONFIG = 1
+SENTINEL_CONFIGS = (1, 6)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,7 +161,10 @@ def response_pack(nnodes=65):
 
 def mock_data(cfg, seed=42):
     """Mock photometry from the fp64 oracle model (identical for both
-    pipelines)."""
+    pipelines). Returns (flux, unc, cov); cov is None for diagonal-error
+    configs. Covariance configs draw the noise from N(0, C); an
+    upper-limit band's flux column is the deterministic limit value
+    (a quoted limit carries no noise draw)."""
     from tests.reference_impl.mbb_oracle import ModifiedBlackbodyOracle
     oracle = ModifiedBlackbodyOracle(*TRUE, opthin=cfg["opthin"],
                                      noalpha=cfg["noalpha"])
@@ -141,11 +175,22 @@ def mock_data(cfg, seed=42):
     else:
         f = oracle(WAVE)
     unc = UNC_FRAC * f
+    cov = None
     rng = np.random.default_rng(seed)
-    return f + unc * rng.standard_normal(f.size), unc
+    if cfg.get("cov"):
+        cal = CAL_FRAC * f
+        cov = np.diag(unc ** 2) + CAL_CORR * np.outer(cal, cal)
+        noise = np.linalg.cholesky(cov) @ rng.standard_normal(f.size)
+    else:
+        noise = unc * rng.standard_normal(f.size)
+    flux = f + noise
+    ub = cfg.get("uplim_band")
+    if ub is not None:
+        flux[ub] = UPLIM_FACTOR * f[ub]
+    return flux, unc, cov
 
 
-def jax_fit(cfg, flux, unc, seed, geom):
+def jax_fit(cfg, flux, unc, seed, geom, cov=None):
     from mbb_emcee_tpu import MBBFitter
     responses = None
     band_names = None
@@ -154,8 +199,13 @@ def jax_fit(cfg, flux, unc, seed, geom):
         band_names = BANDS
     fit = MBBFitter(nwalkers=geom.nw_jax, seed=seed, opthin=cfg["opthin"],
                     noalpha=cfg["noalpha"], responses=responses)
-    fit.set_data(WAVE, flux, unc, band_names=band_names)
+    fit.set_data(WAVE, flux, unc, cov=cov, band_names=band_names)
     fit.set_uplim("T", UPPER[0]).set_uplim("beta", UPPER[1])
+    ub = cfg.get("uplim_band")
+    if ub is not None:
+        mask = np.zeros(flux.size, bool)
+        mask[ub] = True
+        fit.set_phot_upperlimits(mask)
     for (pi, mean, sig) in cfg["priors"]:
         fit.set_gaussian_prior(pi, mean, sig)
     for i in range(5):
@@ -167,9 +217,14 @@ def jax_fit(cfg, flux, unc, seed, geom):
     return fit
 
 
-def oracle_chain(cfg, flux, unc, seed, geom):
+def oracle_chain(cfg, flux, unc, seed, geom, cov=None):
     """fp64 oracle posterior; returns (full-5 flat chain, (ns, nw, nfree)
-    chain for tau)."""
+    chain for tau).
+
+    The lnprob mirrors likelihood.build_lnprob exactly: the one-sided
+    upper-limit penalty clamps delta at flagged bands BEFORE whitening,
+    and covariance mode whitens with the fp64 inverse Cholesky factor
+    (r = L^-1 delta)."""
     from tests.reference_impl.mbb_oracle import ModifiedBlackbodyOracle
     from tests.reference_impl.gw_sampler import GoodmanWeareSampler
     free = free_indices(cfg)
@@ -177,6 +232,9 @@ def oracle_chain(cfg, flux, unc, seed, geom):
         _, (waves, wts) = response_pack()
         waves = np.asarray(waves, np.float64)
         wts = np.asarray(wts, np.float64)
+    whiten = (np.linalg.inv(np.linalg.cholesky(cov))
+              if cov is not None else None)
+    ub = cfg.get("uplim_band")
 
     def lnprob(theta_free):
         theta = TRUE.copy()
@@ -188,7 +246,11 @@ def oracle_chain(cfg, flux, unc, seed, geom):
                                     noalpha=cfg["noalpha"])
         model = ((wts * m(waves)).sum(axis=-1) if cfg["response"]
                  else m(WAVE))
-        r = (model - flux) / unc
+        delta = model - flux
+        if ub is not None:
+            delta = delta.copy()
+            delta[ub] = max(delta[ub], 0.0)
+        r = (whiten @ delta) if whiten is not None else (delta / unc)
         val = -0.5 * float(r @ r)
         for (pi, mean, sig) in cfg["priors"]:
             if pi in free:
@@ -271,10 +333,11 @@ def jax_side(ci, geom, seed0=1000):
     """K independent TPU fits for config ci -> per-run (medians, widths)."""
     cfg = CONFIGS[ci]
     free = free_indices(cfg)
-    flux, unc = mock_data(cfg)
+    flux, unc, cov = mock_data(cfg)
     j_meds, j_wids = [], []
     for k in range(geom.k_jax):
-        fit = jax_fit(cfg, flux, unc, seed=seed0 + 17 * k, geom=geom)
+        fit = jax_fit(cfg, flux, unc, seed=seed0 + 17 * k, geom=geom,
+                      cov=cov)
         m, w = stats(fit.chain.reshape(-1, 5), free)
         j_meds.append(m)
         j_wids.append(w)
@@ -285,11 +348,11 @@ def oracle_side(ci, geom, seed0=500):
     """M fp64 oracle runs for config ci -> (meds, wids, per-run SEs)."""
     cfg = CONFIGS[ci]
     free = free_indices(cfg)
-    flux, unc = mock_data(cfg)
+    flux, unc, cov = mock_data(cfg)
     o_meds, o_wids, o_ses = [], [], []
     for m_i in range(geom.m_oracle):
         flat, chain = oracle_chain(cfg, flux, unc, seed=seed0 + 31 * m_i,
-                                   geom=geom)
+                                   geom=geom, cov=cov)
         mm, ww = stats(flat, free)
         o_meds.append(mm)
         o_wids.append(ww)
@@ -297,11 +360,30 @@ def oracle_side(ci, geom, seed0=500):
     return o_meds, o_wids, o_ses
 
 
-def run_config(ci, geom):
-    """Full two-sided parity comparison for one config.
+def oracle_moments(ci, geom, seed0=500):
+    """Aggregated fp64 oracle posterior moments for one config:
+    (medians, widths, se_medians, se_widths) -- what run_config needs
+    from the oracle side, and what ``--gen-oracle`` records."""
+    o_meds, o_wids, o_ses = oracle_side(ci, geom, seed0=seed0)
+    mo, wo, som, sow = aggregate(o_meds, o_wids,
+                                 o_ses if geom.m_oracle > 1 else None)
+    if geom.m_oracle == 1:
+        som, sow = o_ses[0]
+    return mo, wo, som, sow
+
+
+def run_config(ci, geom, recorded=None):
+    """Full parity comparison for one config.
 
     Returns (rows, ok): DESIGN-table markdown rows and the contract
-    verdict. Importable entry for the ``pytest -m hwparity`` lane."""
+    verdict. Importable entry for the ``pytest -m hwparity`` lane.
+
+    With ``recorded`` (a fingerprint-verified entry from
+    load_recorded_oracle), the fp64 oracle side is read from the recorded
+    moments instead of being recomputed -- the SAME statistic table and
+    tolerances, ~3x faster per config (the oracle chains are the long
+    pole). Regenerate with ``--gen-oracle`` when tests/reference_impl or
+    the recipe changes; the fingerprint enforces staleness."""
     cfg = CONFIGS[ci]
     free = free_indices(cfg)
     names = [PARAM_NAMES[i] for i in free]
@@ -310,55 +392,99 @@ def run_config(ci, geom):
     j_meds, j_wids = jax_side(ci, geom)
     t_jax = time.time() - t0
     t0 = time.time()
-    o_meds, o_wids, o_ses = oracle_side(ci, geom)
-    t_ora = time.time() - t0
+    if recorded is not None:
+        mo = np.asarray(recorded["medians"])
+        wo = np.asarray(recorded["widths"])
+        som = np.asarray(recorded["se_medians"])
+        sow = np.asarray(recorded["se_widths"])
+        oracle_note = "recorded"
+    else:
+        mo, wo, som, sow = oracle_moments(ci, geom)
+        oracle_note = f"{geom.m_oracle} runs in {time.time() - t0:.0f}s"
 
     mj, wj, sjm, sjw = aggregate(j_meds, j_wids)
-    mo, wo, som, sow = aggregate(o_meds, o_wids,
-                                 o_ses if geom.m_oracle > 1 else None)
-    if geom.m_oracle == 1:
-        som, sow = o_ses[0]
     rows, cfg_ok = compare_rows(cfg["label"], names, mj, wj, sjm, sjw,
                                 mo, wo, som, sow)
     print(f"{cfg['label']}: JAX {geom.k_jax} fits in {t_jax:.0f}s, oracle "
-          f"{geom.m_oracle} runs in {t_ora:.0f}s -> "
+          f"{oracle_note} -> "
           f"{'OK' if cfg_ok else 'FAIL'}", flush=True)
     return rows, cfg_ok
 
 
-def run_derived(geom):
+DERIVED_Z = 2.0
+DERIVED_THIN = 8
+DERIVED_KINDS = ("lir", "dustmass", "peaklambda")
+
+
+def derived_oracle(geom, seed=901):
+    """Oracle side of config 4: percentiles of L_IR / dust-mass /
+    peak-lambda computed by the batched GL kernels on the fp64 oracle
+    chain. Returns {kind: [q15.85, q50, q84.15], ...} plus the thinned
+    sample count (for the n_eff tolerance). A short CPU carrier fit
+    supplies the MBBResults metadata (shape/photometry); its chain is
+    replaced by the oracle chain before any computation."""
+    import dataclasses as _dc
+    from mbb_emcee_tpu import MBBResults
+    cfg2 = CONFIGS[2]
+    flux, unc, _ = mock_data(cfg2)
+    o_flat, _ = oracle_chain(cfg2, flux, unc, seed=seed, geom=geom)
+    carrier = _dc.replace(geom, nburn_jax=100, nstep_jax=50,
+                          require_fused=False)
+    fit = jax_fit(cfg2, flux, unc, seed=900, geom=carrier)
+    res_o = MBBResults(fit=fit, redshift=DERIVED_Z)
+    nw = geom.nw_jax
+    pad = (-o_flat.shape[0]) % nw
+    res_o.chain = o_flat[:o_flat.shape[0] - pad].reshape(nw, -1, 5)
+    out = {}
+    n = None
+    for kind in DERIVED_KINDS:
+        co = getattr(res_o, f"compute_{kind}")(thin=DERIVED_THIN)
+        out[kind] = np.percentile(co, [15.85, 50.0, 84.15]).tolist()
+        n = len(co)
+    return out, n
+
+
+def run_derived(geom, recorded=None):
     """Config 4: derived-quantity posterior parity (batched GL kernels on
     both pipelines' chains + elementwise adaptive-quad spot check).
 
-    Returns (rows, ok)."""
+    Returns (rows, ok). With ``recorded`` (fingerprint-verified entry
+    from load_recorded_oracle) the oracle-chain derived percentiles are
+    read instead of recomputed."""
     from mbb_emcee_tpu import MBBResults
     from mbb_emcee_tpu.constants import MPC_M, MJY_WM2HZ, LSUN_W
     from tests.reference_impl.mbb_oracle import ModifiedBlackbodyOracle
     cfg2 = CONFIGS[2]
-    flux, unc = mock_data(cfg2)
-    z = 2.0
-    thin = 8
+    flux, unc, _ = mock_data(cfg2)
+    z = DERIVED_Z
+    thin = DERIVED_THIN
     fit = jax_fit(cfg2, flux, unc, seed=900, geom=geom)
     res_j = MBBResults(fit=fit, redshift=z)
-    o_flat, _ = oracle_chain(cfg2, flux, unc, seed=901, geom=geom)
-    res_o = MBBResults(fit=fit, redshift=z)
-    nw = geom.nw_jax
-    pad = (-o_flat.shape[0]) % nw
-    res_o.chain = o_flat[:o_flat.shape[0] - pad].reshape(nw, -1, 5)
+    if recorded is None:
+        o_flat, _ = oracle_chain(cfg2, flux, unc, seed=901, geom=geom)
+        res_o = MBBResults(fit=fit, redshift=z)
+        nw = geom.nw_jax
+        pad = (-o_flat.shape[0]) % nw
+        res_o.chain = o_flat[:o_flat.shape[0] - pad].reshape(nw, -1, 5)
 
     ok = True
     rows = []
-    for kind in ("lir", "dustmass", "peaklambda"):
+    for kind in DERIVED_KINDS:
         cj = getattr(res_j, f"compute_{kind}")(thin=thin)
-        co = getattr(res_o, f"compute_{kind}")(thin=thin)
         qj = np.percentile(cj, [15.85, 50.0, 84.15])
-        qo = np.percentile(co, [15.85, 50.0, 84.15])
+        if recorded is None:
+            co = getattr(res_o, f"compute_{kind}")(thin=thin)
+            qo = np.percentile(co, [15.85, 50.0, 84.15])
+            n_o = len(co)
+        else:
+            qo = np.asarray(recorded["quantiles"][kind])
+            n_o = recorded["n"]
         dmed = abs(qj[1] - qo[1]) / qo[1]
         wj, wo = qj[2] - qj[0], qo[2] - qo[0]
         dwid = abs(wj - wo) / wo
         # Derived chains inherit the parameter chains' MC error; hold to
         # the parameter-level resolution (3 x ~1.2%/sqrt(neff) per side).
-        n_eff = min(len(cj), len(co)) / 35.0
+        n_eff = min(len(cj), n_o) / 35.0
         tol = max(0.01, 4.5 / np.sqrt(n_eff))
         row_ok = dmed <= tol and dwid <= max(3 * tol, 0.10)
         ok &= row_ok
@@ -392,15 +518,15 @@ HEADER_ROWS = [
 
 
 # ----------------------------------------------------------------------
-# Drift sentinel: recorded fp64 oracle moments vs a cheap TPU re-fit.
+# Recorded fp64 oracle moments: fingerprints, generation, loading.
 # ----------------------------------------------------------------------
 
-def sentinel_fingerprint():
-    """Hash over everything the recorded oracle moments depend on: the
-    oracle implementation files, the mock-data recipe, and the sentinel
-    config. A mismatch means tests/data/sentinel_reference.json is stale
-    -- regenerate with ``python tools/validate_tpu_parity.py
-    --gen-sentinel``."""
+def config_fingerprint(ci, extra=None):
+    """Hash over everything a config's recorded oracle moments depend on:
+    the oracle implementation files, the mock-data recipe (incl. the
+    calibration-covariance and upper-limit constants), and the config
+    itself. A mismatch means the recorded file is stale -- regenerate
+    with ``--gen-sentinel`` / ``--gen-oracle``."""
     h = hashlib.sha256()
     ref_dir = os.path.join(_REPO, "tests", "reference_impl")
     for name in sorted(os.listdir(ref_dir)):
@@ -409,26 +535,32 @@ def sentinel_fingerprint():
                 h.update(name.encode())
                 h.update(f.read())
     recipe = dict(wave=WAVE.tolist(), true=TRUE.tolist(),
-                  unc_frac=UNC_FRAC, config=CONFIGS[SENTINEL_CONFIG],
+                  unc_frac=UNC_FRAC, config=CONFIGS[ci],
                   lower=LOWER.tolist(), upper=UPPER.tolist(),
-                  data_seed=42, oracle_seed0=500)
+                  data_seed=42, oracle_seed0=500,
+                  cal_frac=CAL_FRAC, cal_corr=CAL_CORR.tolist(),
+                  uplim_factor=UPLIM_FACTOR)
+    if extra:
+        recipe.update(extra)
     h.update(json.dumps(recipe, sort_keys=True).encode())
     return h.hexdigest()[:16]
 
 
-def gen_sentinel(path=SENTINEL_PATH, geom=None):
-    """Record fp64 oracle moments for the sentinel config (offline,
-    CPU-only, ~10 min). Writes medians/widths + SEs + fingerprint."""
-    geom = geom or dataclasses.replace(FULL, m_oracle=4, nstep_ora=12000)
-    cfg = CONFIGS[SENTINEL_CONFIG]
+# Back-compat alias (tests/test_tpu_sentinel.py imports this name).
+def sentinel_fingerprint(ci=SENTINEL_CONFIG):
+    return config_fingerprint(ci)
+
+
+def _oracle_entry(ci, geom):
+    """One recorded-oracle entry: aggregated fp64 moments + fingerprint."""
+    cfg = CONFIGS[ci]
     free = free_indices(cfg)
     t0 = time.time()
-    o_meds, o_wids, o_ses = oracle_side(SENTINEL_CONFIG, geom)
-    mo, wo, som, sow = aggregate(o_meds, o_wids, o_ses)
-    payload = {
-        "config": SENTINEL_CONFIG,
+    mo, wo, som, sow = oracle_moments(ci, geom)
+    return {
+        "config": ci,
         "label": cfg["label"],
-        "fingerprint": sentinel_fingerprint(),
+        "fingerprint": config_fingerprint(ci),
         "param_names": [PARAM_NAMES[i] for i in free],
         "free_indices": free,
         "medians": mo.tolist(),
@@ -438,47 +570,156 @@ def gen_sentinel(path=SENTINEL_PATH, geom=None):
         "geometry": dataclasses.asdict(geom),
         "wall_s": round(time.time() - t0, 1),
     }
+
+
+ORACLE_CONFIGS = (0, 1, 2, 3, 5, 6)  # two-sided configs (4 = derived)
+
+
+def gen_oracle(configs=None, path=ORACLE_PATH, geom=None,
+               with_derived=None):
+    """(Re)generate the recorded fp64 oracle moments for the hwparity
+    lane (offline, CPU-only; the oracle chains are the expensive part).
+    Updates per-config entries in place so a single config can be
+    regenerated after a targeted recipe change."""
+    geom = geom or FULL
+    sel = list(configs) if configs is not None else list(ORACLE_CONFIGS)
+    if with_derived is None:
+        with_derived = configs is None or 2 in sel
+    data = {"version": 1, "configs": {}, "derived": None}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    for ci in sel:
+        if ci == 4:
+            continue
+        entry = _oracle_entry(ci, geom)
+        data["configs"][str(ci)] = entry
+        print(f"{entry['label']}: oracle recorded in {entry['wall_s']}s",
+              flush=True)
+    if with_derived:
+        t0 = time.time()
+        quantiles, n = derived_oracle(geom)
+        data["derived"] = {
+            "fingerprint": config_fingerprint(
+                2, extra={"derived_z": DERIVED_Z, "thin": DERIVED_THIN,
+                          "nw": geom.nw_jax}),
+            "quantiles": quantiles,
+            "n": n,
+            "geometry": dataclasses.asdict(geom),
+            "wall_s": round(time.time() - t0, 1),
+        }
+        print(f"config4 derived: oracle recorded in "
+              f"{data['derived']['wall_s']}s", flush=True)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+    print(f"wrote {path}")
+    return data
+
+
+def load_recorded_oracle(path=ORACLE_PATH):
+    """Parsed recorded-oracle file, or None if absent."""
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def recorded_entry(ci, data=None):
+    """Fingerprint-checked lookup of one config's recorded oracle moments.
+
+    Returns (status, entry): status is 'ok' (entry usable), 'missing'
+    (no file / no entry for this config -- fall back to computing the
+    oracle), or 'stale' (entry exists but the fingerprint mismatches --
+    the caller should FAIL with a regeneration message rather than
+    silently recompute, so a recipe change cannot shadow-pass).
+    ci='derived' selects the config-4 derived entry."""
+    data = data if data is not None else load_recorded_oracle()
+    if data is None:
+        return "missing", None
+    if ci == "derived":
+        entry = data.get("derived")
+        want = config_fingerprint(2, extra={"derived_z": DERIVED_Z,
+                                            "thin": DERIVED_THIN,
+                                            "nw": FULL.nw_jax})
+    else:
+        entry = data.get("configs", {}).get(str(ci))
+        want = config_fingerprint(ci)
+    if entry is None:
+        return "missing", None
+    if entry["fingerprint"] != want:
+        return "stale", entry
+    return "ok", entry
+
+
+STALE_MSG = ("recorded oracle moments are STALE (tests/reference_impl or "
+             "the mock-data recipe changed since they were generated) -- "
+             "regenerate with: python tools/validate_tpu_parity.py "
+             "--gen-oracle")
+
+
+# ----------------------------------------------------------------------
+# Drift sentinel: recorded fp64 oracle moments vs a cheap TPU re-fit.
+# ----------------------------------------------------------------------
+
+def gen_sentinel(path=SENTINEL_PATH, geom=None, configs=SENTINEL_CONFIGS):
+    """Record fp64 oracle moments for the sentinel configs (offline,
+    CPU-only, ~10 min/config). Writes medians/widths + SEs +
+    per-config fingerprints."""
+    geom = geom or dataclasses.replace(FULL, m_oracle=4, nstep_ora=12000)
+    payload = {"version": 2, "configs": {}}
+    for ci in configs:
+        payload["configs"][str(ci)] = _oracle_entry(ci, geom)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(payload, f, indent=1)
-    print(f"wrote {path} in {payload['wall_s']}s")
+    wall = sum(e["wall_s"] for e in payload["configs"].values())
+    print(f"wrote {path} in {wall:.0f}s")
     return payload
 
 
-def sentinel_payload(geom=SENTINEL):
-    """TPU side of the drift sentinel: K short fits of the sentinel
+def sentinel_payload(geom=SENTINEL, configs=SENTINEL_CONFIGS):
+    """TPU side of the drift sentinel: K short fits of each sentinel
     config; emits platform + sampler provenance and per-run moments.
     Run in a fresh subprocess so the ambient (TPU) platform is visible
-    even when the parent test process is CPU-forced."""
+    even when the parent test process is CPU-forced. On a CPU-only box
+    it short-circuits (platform only, no fits) so the default-lane test
+    can auto-skip without paying minutes of CPU sampling."""
     import jax
     platform = jax.devices()[0].platform
-    cfg = CONFIGS[SENTINEL_CONFIG]
-    free = free_indices(cfg)
-    flux, unc = mock_data(cfg)
-    t0 = time.time()
-    meds, wids, sampler_types = [], [], []
-    for k in range(geom.k_jax):
-        fit = jax_fit(cfg, flux, unc, seed=1000 + 17 * k, geom=geom)
-        sampler_types.append(type(fit.sampler).__name__)
-        m, w = stats(fit.chain.reshape(-1, 5), free)
-        meds.append(m)
-        wids.append(w)
-    mj, wj, sjm, sjw = aggregate(meds, wids)
-    return {
-        "platform": platform,
-        "sampler_types": sampler_types,
-        "config": SENTINEL_CONFIG,
-        "fingerprint": sentinel_fingerprint(),
-        "medians": mj.tolist(),
-        "widths": wj.tolist(),
-        "se_medians": sjm.tolist(),
-        "se_widths": sjw.tolist(),
-        "wall_s": round(time.time() - t0, 1),
-    }
+    out = {"platform": platform, "configs": {}}
+    if platform == "cpu":
+        return out
+    for ci in configs:
+        cfg = CONFIGS[ci]
+        free = free_indices(cfg)
+        flux, unc, cov = mock_data(cfg)
+        t0 = time.time()
+        meds, wids, sampler_types = [], [], []
+        for k in range(geom.k_jax):
+            fit = jax_fit(cfg, flux, unc, seed=1000 + 17 * k, geom=geom,
+                          cov=cov)
+            sampler_types.append(type(fit.sampler).__name__)
+            m, w = stats(fit.chain.reshape(-1, 5), free)
+            meds.append(m)
+            wids.append(w)
+        mj, wj, sjm, sjw = aggregate(meds, wids)
+        out["configs"][str(ci)] = {
+            "sampler_types": sampler_types,
+            "config": ci,
+            "fingerprint": config_fingerprint(ci),
+            "medians": mj.tolist(),
+            "widths": wj.tolist(),
+            "se_medians": sjm.tolist(),
+            "se_widths": sjw.tolist(),
+            "wall_s": round(time.time() - t0, 1),
+        }
+    return out
 
 
 def check_sentinel(tpu, ref, med_tol=0.03, wid_tol=0.15):
-    """Compare TPU sentinel moments against the recorded oracle moments.
+    """Compare ONE config's TPU sentinel moments against its recorded
+    oracle moments.
 
     Bounds are drift-detection bounds, NOT the 1% contract: wide enough
     for the short-chain MC noise (combined 3*SE is also floored in), tight
@@ -511,16 +752,32 @@ def main(argv=None):
                     help="short chains, no contract assertions (smoke)")
     ap.add_argument("--configs", default=None,
                     help="comma-separated config indices (default all)")
+    ap.add_argument("--recorded", action="store_true",
+                    help="use the recorded fp64 oracle moments "
+                         "(tests/data/hwparity_oracle.json) instead of "
+                         "recomputing the oracle chains; FAILS on a stale "
+                         "fingerprint")
     ap.add_argument("--sentinel", action="store_true",
                     help="run the cheap TPU drift sentinel and print one "
                          "JSON line (used by tests/test_tpu_sentinel.py)")
     ap.add_argument("--gen-sentinel", action="store_true",
                     help="(re)generate the recorded fp64 oracle moments "
-                         "for the drift sentinel (CPU, ~10 min)")
+                         "for the drift sentinel (CPU, ~10 min/config)")
+    ap.add_argument("--gen-oracle", action="store_true",
+                    help="(re)generate the recorded fp64 oracle moments "
+                         "for the hwparity lane (CPU; honors --configs)")
     args = ap.parse_args(argv)
+
+    sel = ([int(i) for i in args.configs.split(",")]
+           if args.configs else list(ORACLE_CONFIGS))
 
     if args.gen_sentinel:
         gen_sentinel()
+        return 0
+
+    if args.gen_oracle:
+        gen_oracle(configs=[c for c in sel if c != 4]
+                   if args.configs else None)
         return 0
 
     if args.sentinel:
@@ -528,18 +785,32 @@ def main(argv=None):
         return 0
 
     geom = FAST if args.fast else FULL
-    sel = ([int(i) for i in args.configs.split(",")]
-           if args.configs else range(len(CONFIGS)))
 
     all_rows = list(HEADER_ROWS)
     ok = True
     for ci in sel:
-        rows, cfg_ok = run_config(ci, geom)
+        if ci == 4:
+            continue
+        rec = None
+        if args.recorded:
+            status, rec = recorded_entry(ci)
+            if status != "ok":
+                print(f"config{ci}: recorded oracle {status} -- "
+                      f"{STALE_MSG}")
+                return 1
+        rows, cfg_ok = run_config(ci, geom, recorded=rec)
         all_rows.extend(rows)
         ok &= cfg_ok
 
-    if (args.configs is None) or (2 in sel):
-        rows, d_ok = run_derived(geom)
+    if (args.configs is None) or ({2, 4} & set(sel)):
+        rec = None
+        if args.recorded:
+            status, rec = recorded_entry("derived")
+            if status != "ok":
+                print(f"config4 derived: recorded oracle {status} -- "
+                      f"{STALE_MSG}")
+                return 1
+        rows, d_ok = run_derived(geom, recorded=rec)
         all_rows.extend(rows)
         ok &= d_ok
 
