@@ -288,6 +288,49 @@ def bench_tpu_secondary(flux, unc):
     entry("pt_tier", "8 rungs x 64 walkers, full 5-param MBB, XLA "
           "tempered tier", "tempered walker-steps/s", run_pt)
 
+    def run_hmc():
+        # Gradient throughput of the HMC tier (VERDICT r04 task 4): the
+        # warmup (step-size/mass adaptation) runs once untimed, then
+        # production segments are chained through _marginal_rate with
+        # thin=n so each advance records a single state.
+        from mbb_emcee_tpu.hmc import (
+            hmc_warmup_core, hmc_prod_core, _to_unconstrained)
+        nchains, n_leapfrog = 256, 16
+        lnprob, fs = build_lnprob(Photometry(WAVE, flux, unc), shape,
+                                  make_spec())
+        lower = jnp.asarray(fs.lower, jnp.float32)
+        width = jnp.asarray(fs.upper - fs.lower, jnp.float32)
+        center = TRUE[fs.free_idx]
+        x0 = center[None, :] * rng.uniform(0.96, 1.04,
+                                           (nchains, fs.nfree))
+        u0 = _to_unconstrained(jnp.asarray(x0, jnp.float32), lower, width)
+        warm = jax.jit(hmc_warmup_core, static_argnames=(
+            "lnprob", "nwarmup", "n_leapfrog", "target_accept", "vary"))
+        key, u, g, lp, raw, eps, mass = warm(
+            jax.random.PRNGKey(15), lnprob, lower, width, u0,
+            nwarmup=300, n_leapfrog=n_leapfrog, target_accept=0.8)
+        prod = jax.jit(hmc_prod_core, static_argnames=(
+            "lnprob", "nsteps", "thin", "n_leapfrog"))
+        nacc = jnp.zeros((nchains,), jnp.int32)
+        state = (key, u, g, lp, raw, nacc)
+
+        def advance(state, n):
+            key, u, g, lp, raw, nacc = state
+            _, _, key, u, g, lp, raw, nacc = prod(
+                key, lnprob, lower, width, u, g, lp, raw, nacc, eps,
+                mass, nsteps=n, thin=n, n_leapfrog=n_leapfrog)
+            return (key, u, g, lp, raw, nacc)
+
+        def fetch_hmc(state):
+            np.asarray(state[1])
+
+        return _marginal_rate(advance, fetch_hmc, state, 40, 360,
+                              work_per_step=nchains * n_leapfrog)
+
+    entry("hmc", "256 chains, full 5-param MBB, 16-leapfrog XLA HMC "
+          "tier (adapted step size/mass)", "gradient-evaluations/s",
+          run_hmc)
+
     def run_warm_fit():
         from mbb_emcee_tpu import MBBFitter, MBBResults
 
@@ -425,24 +468,69 @@ _LAST_GOOD_PATH = os.environ.get(
 
 
 def _load_last_good():
-    """Most recent successful TPU measurement, or None."""
+    """Most recent successful TPU measurement, or None. Carries the
+    secondary rates too (absent in pre-round-5 files -> no secondary
+    comparison)."""
     try:
         with open(_LAST_GOOD_PATH) as fh:
             d = json.load(fh)
-        return {"value": float(d["value"]),
-                "measured_at": str(d["measured_at"])}
+        out = {"value": float(d["value"]),
+               "measured_at": str(d["measured_at"])}
+        sec = d.get("secondary")
+        if isinstance(sec, dict):
+            out["secondary"] = {k: float(v) for k, v in sec.items()}
+        return out
     except (OSError, ValueError, KeyError, TypeError):
         return None
 
 
-def _store_last_good(rate):
+def _store_last_good(rate, secondary=None):
+    payload = {"value": round(rate, 1),
+               "measured_at": time.strftime(
+                   "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+    sec = {name: e["value"] for name, e in (secondary or {}).items()
+           if isinstance(e, dict) and "value" in e
+           and e.get("backend") == "tpu"}
+    if sec:
+        payload["secondary"] = sec
     try:
         with open(_LAST_GOOD_PATH, "w") as fh:
-            json.dump({"value": round(rate, 1),
-                       "measured_at": time.strftime(
-                           "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, fh)
+            json.dump(payload, fh)
     except OSError:
         pass
+
+
+# Secondary entries where a SMALLER value is better (wall times); every
+# other entry is a rate where bigger is better.
+_LOWER_IS_BETTER = {"warm_fit"}
+
+
+def check_regression(value, secondary, last_good, ratio=None):
+    """Perf-regression gate (VERDICT r04 task 3): compare the headline and
+    each secondary rate against the last-good TPU run; return a dict
+    naming every entry whose goodness ratio (value/last_good for rates,
+    last_good/value for wall times) fell below `ratio` (default 0.7,
+    env BENCH_REGRESSION_RATIO). Empty dict = no regression."""
+    if ratio is None:
+        ratio = float(os.environ.get("BENCH_REGRESSION_RATIO", "0.7"))
+    reg = {}
+
+    def check(name, v, lg, lower_better):
+        if lg is None or lg <= 0 or v <= 0:
+            return
+        r = (lg / v) if lower_better else (v / lg)
+        if r < ratio:
+            reg[name] = {"value": round(float(v), 1),
+                         "last_good": round(float(lg), 1),
+                         "ratio": round(float(r), 3)}
+
+    check("headline", value, last_good.get("value"), False)
+    lg_sec = last_good.get("secondary", {})
+    for name, e in (secondary or {}).items():
+        if isinstance(e, dict) and "value" in e:
+            check(name, e["value"], lg_sec.get(name),
+                  name in _LOWER_IS_BETTER)
+    return reg
 
 
 def main():
@@ -508,7 +596,6 @@ def main():
         "unit": "walker-steps/s",
     }
     if tpu_rate is not None:
-        _store_last_good(tpu_rate)
         out["value"] = round(tpu_rate, 1)
         out["backend"] = "tpu"
         if os.environ.get("BENCH_SECONDARY", "1") != "0":
@@ -520,6 +607,22 @@ def main():
             else:
                 notes.append("secondary benchmark subprocess timed out "
                              "or crashed; headline value unaffected")
+        # Regression gate: a silent slowdown must not ship as a clean
+        # artifact, and must not overwrite the last-good waterline
+        # (BENCH_ACCEPT_REGRESSION=1 accepts an intentional tradeoff).
+        last_good = _load_last_good()
+        regression = check_regression(tpu_rate, out.get("secondary"),
+                                      last_good or {})
+        if regression:
+            out["regression"] = regression
+            notes.append(
+                f"{len(regression)} entr"
+                f"{'y' if len(regression) == 1 else 'ies'} below the "
+                "regression threshold vs the last-good TPU run "
+                f"({last_good['measured_at']}); last-good NOT updated")
+        if not regression or os.environ.get(
+                "BENCH_ACCEPT_REGRESSION") == "1":
+            _store_last_good(tpu_rate, out.get("secondary"))
     else:
         if fallback_rate is None:
             fallback_rate = bench_xla_cpu(flux, unc)

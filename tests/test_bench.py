@@ -157,6 +157,89 @@ def test_fallback_has_no_secondary(stubbed, monkeypatch, capsys):
     assert "secondary" not in out
 
 
+def test_regression_gate_flags_and_preserves_last_good(stubbed,
+                                                       monkeypatch,
+                                                       capsys):
+    """Headline at half the last-good rate: the artifact self-reports the
+    regression machine-readably, the note names it, and the last-good
+    waterline is NOT overwritten (VERDICT r04 task 3)."""
+    _healthy_tpu(monkeypatch)
+    with open(stubbed, "w") as fh:
+        json.dump({"value": 4.4e8,
+                   "measured_at": "2026-08-20T00:00:00Z"}, fh)
+    out = _run_main(capsys)
+    assert out["backend"] == "tpu"
+    reg = out["regression"]
+    assert set(reg) == {"headline"}
+    assert reg["headline"]["value"] == pytest.approx(2.2e8)
+    assert reg["headline"]["last_good"] == pytest.approx(4.4e8)
+    assert reg["headline"]["ratio"] == pytest.approx(0.5)
+    assert "regression threshold" in out["note"]
+    with open(stubbed) as fh:
+        assert json.load(fh)["value"] == pytest.approx(4.4e8)
+
+
+def test_regression_gate_covers_secondary_and_wall_times(stubbed,
+                                                         monkeypatch,
+                                                         capsys):
+    """Secondary entries are gated too, with wall times (warm_fit)
+    compared in the lower-is-better direction."""
+    _healthy_tpu(monkeypatch)
+    monkeypatch.setenv("BENCH_SECONDARY", "1")
+    monkeypatch.setattr(bench, "_bench_secondary_subprocess",
+                        lambda timeout: SECONDARY_STUB)
+    with open(stubbed, "w") as fh:
+        json.dump({"value": 2.2e8, "measured_at": "2026-08-20T00:00:00Z",
+                   "secondary": {"multisource": 3.0e9,   # now 1.15e9
+                                 "pt_tier": 3.1e7,       # unchanged
+                                 "warm_fit": 1.0}}, fh)  # now 1.7 s
+    out = _run_main(capsys)
+    reg = out["regression"]
+    assert set(reg) == {"multisource", "warm_fit"}
+    assert reg["multisource"]["ratio"] == pytest.approx(1.15e9 / 3.0e9,
+                                                        rel=1e-3)
+    assert reg["warm_fit"]["ratio"] == pytest.approx(1.0 / 1.7, rel=1e-3)
+
+
+def test_clean_run_persists_secondary_waterline(stubbed, monkeypatch,
+                                                capsys):
+    """A non-regressed run refreshes the last-good file INCLUDING the
+    secondary rates, so the next run gates against them."""
+    _healthy_tpu(monkeypatch)
+    monkeypatch.setenv("BENCH_SECONDARY", "1")
+    monkeypatch.setattr(bench, "_bench_secondary_subprocess",
+                        lambda timeout: SECONDARY_STUB)
+    out = _run_main(capsys)
+    assert "regression" not in out
+    with open(stubbed) as fh:
+        persisted = json.load(fh)
+    assert persisted["secondary"]["multisource"] == pytest.approx(1.15e9)
+    assert persisted["secondary"]["warm_fit"] == pytest.approx(1.7)
+
+
+def test_accept_regression_env_updates_waterline(stubbed, monkeypatch,
+                                                 capsys):
+    """BENCH_ACCEPT_REGRESSION=1 (an intentional perf tradeoff): still
+    reported, but the waterline moves."""
+    _healthy_tpu(monkeypatch)
+    monkeypatch.setenv("BENCH_ACCEPT_REGRESSION", "1")
+    with open(stubbed, "w") as fh:
+        json.dump({"value": 4.4e8,
+                   "measured_at": "2026-08-20T00:00:00Z"}, fh)
+    out = _run_main(capsys)
+    assert "regression" in out
+    with open(stubbed) as fh:
+        assert json.load(fh)["value"] == pytest.approx(2.2e8)
+
+
+def test_regression_ratio_env_tunable(monkeypatch):
+    monkeypatch.setenv("BENCH_REGRESSION_RATIO", "0.95")
+    reg = bench.check_regression(2.0e8, None, {"value": 2.2e8})
+    assert "headline" in reg
+    monkeypatch.setenv("BENCH_REGRESSION_RATIO", "0.7")
+    assert bench.check_regression(2.0e8, None, {"value": 2.2e8}) == {}
+
+
 def test_wedge_midbench_falls_back_then_recovers(stubbed, monkeypatch,
                                                  capsys):
     """First measurement attempt wedges (probe ok, subprocess None);
