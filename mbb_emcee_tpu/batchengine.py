@@ -419,8 +419,14 @@ class BatchEngine:
         ident = self._engine_program_identity()
         if ident is None:
             return self._run_cache, ck
+        # (module, qualname) rather than the bare qualname: two adapter
+        # classes sharing a qualname (same-named class in different
+        # modules, or a redefinition in a long-lived process) must not
+        # share traced programs built from different _engine_lnprob
+        # hooks.
         return (_PROGRAM_CACHE,
-                (type(self).__qualname__,) + tuple(ident) + ck)
+                (type(self).__module__, type(self).__qualname__)
+                + tuple(ident) + ck)
 
     def _jit_sources(self, tag, fn, n_per_source, n_shared, spec,
                      extra_key=(), out_specs=None):

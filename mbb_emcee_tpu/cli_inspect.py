@@ -254,7 +254,9 @@ def _inspect_upstream(f, pct, diag):
     opthin = bool(attrs.get("opthin", False))
     noalpha = bool(attrs.get("noalpha", False))
     chain, _ = _shape_chain(found["chain"], found.get("lnprob"),
-                            opthin, noalpha)
+                            opthin, noalpha,
+                            nwalkers_attr=attrs.get("nwalkers"),
+                            niter_attr=attrs.get("iterations"))
     nw, ns, npar = chain.shape
     flat = [chain[:, :, i].ravel() for i in range(npar)]
     fixed = np.asarray([v.var() == 0.0 for v in flat])
@@ -271,6 +273,15 @@ def _inspect_upstream(f, pct, diag):
                         if "lnprob" in found else np.nan),
         "acceptance": None,
         "derived": [],
+        # The upstream classification is a last-resort sniff (any
+        # chain-candidate dataset qualifies), so a generic emcee/arviz
+        # export can land here with MBB labels that mean nothing --
+        # say so in the render rather than only in the import warning.
+        "caveat": ("schema reconstructed from dataset-name guesses "
+                   "(MED confidence) -- parameter labels assume an "
+                   "mbb_emcee 5-parameter chain; audit with "
+                   "MBBResults(h5file=...) which reports the full "
+                   "mapping"),
     }
     for field, label, unit in (("lir", "L_IR", "Lsun"),
                                ("dustmass", "M_dust", "Msun"),
@@ -516,6 +527,8 @@ def _render(info, pct):
     out = [f"{info['file']}: {info['kind']}"
            + (f" [{info['model']}]" if info.get("model") else "")]
     push = out.append
+    if info.get("caveat"):
+        push(f"  CAVEAT: {info['caveat']}")
     if info["kind"] in ("single", "sed", "hierarchy", "upstream"):
         geom = f"  {info['nwalkers']} walkers x {info['nsteps']} steps"
         if info.get("thin", 1) > 1:

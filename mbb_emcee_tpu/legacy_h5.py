@@ -65,6 +65,12 @@ _ATTR_CANDIDATES = {
     "lowlim": ("lowlim", "lowerlimits", "lowlimits"),
     "uplim": ("uplim", "upperlimits", "uplimits"),
     "fixed": ("fixed",),
+    # Walker-geometry attrs (round 5): emcee-style files plausibly store
+    # a flattened (N, npar) chain plus an nwalkers/iterations attr; a
+    # recoverable walker axis keeps R-hat/ESS/autocorrelation meaningful
+    # instead of silently degrading to a single-walker import.
+    "nwalkers": ("nwalkers", "walkers", "nwalker"),
+    "iterations": ("iterations", "nsteps", "niter", "nsamples", "nsample"),
 }
 
 
@@ -155,7 +161,9 @@ def read_upstream_results(filename):
 
         chain = found["chain"]
         chain, chain_notes = _shape_chain(chain, found.get("lnprob"),
-                                          opthin, noalpha)
+                                          opthin, noalpha,
+                                          nwalkers_attr=attrs.get("nwalkers"),
+                                          niter_attr=attrs.get("iterations"))
         notes.extend(chain_notes)
         nwalkers = chain.shape[0]
 
@@ -234,10 +242,26 @@ def read_upstream_results(filename):
     return payload
 
 
-def _shape_chain(chain, lnp, opthin, noalpha):
+def _attr_int(val):
+    """Coerce an h5py attr (numpy scalar/0-d/1-elem array/bytes) to a
+    positive int, or None."""
+    try:
+        arr = np.asarray(val).ravel()
+        if arr.size != 1:
+            return None
+        n = int(arr[0])
+        return n if n > 0 else None
+    except (TypeError, ValueError):
+        return None
+
+
+def _shape_chain(chain, lnp, opthin, noalpha, nwalkers_attr=None,
+                 niter_attr=None):
     """Coerce the chain to (nwalkers, nsteps, 5). Tolerates flattened and
     transposed layouts and expands reduced-column chains through the
-    opthin/noalpha free-parameter map."""
+    opthin/noalpha free-parameter map. Flattened (N, npar) chains recover
+    the walker axis from (in order) a 2-D lnprob's shape, an nwalkers
+    attr, or an iterations attr."""
     notes = []
     chain = np.asarray(chain, np.float64)
 
@@ -251,11 +275,28 @@ def _shape_chain(chain, lnp, opthin, noalpha):
                 "moved last (transposed upstream layout)")
 
     if chain.ndim == 2:
+        n_flat = chain.shape[0]
         nw = None
         if lnp is not None and np.asarray(lnp).ndim == 2:
             lnp_shape = np.asarray(lnp).shape
-            if chain.shape[0] % lnp_shape[0] == 0:
+            if n_flat % lnp_shape[0] == 0:
                 nw = lnp_shape[0]
+        if nw is None:
+            nw_attr = _attr_int(nwalkers_attr)
+            if nw_attr is not None and n_flat % nw_attr == 0:
+                nw = nw_attr
+                notes.append(
+                    f"flattened (N, npar) chain folded into {nw} walkers "
+                    f"x {n_flat // nw} steps via the nwalkers attr "
+                    "(walker-major emcee-2.x ordering assumed)")
+        if nw is None:
+            ni_attr = _attr_int(niter_attr)
+            if ni_attr is not None and n_flat % ni_attr == 0 \
+                    and n_flat > ni_attr:
+                nw = n_flat // ni_attr
+                notes.append(
+                    f"flattened (N, npar) chain folded into {nw} walkers "
+                    f"x {ni_attr} steps via the iterations attr")
         if nw is None:
             nw = 1
             notes.append(
@@ -313,11 +354,21 @@ def _build_phot(found, Photometry):
             notes.append("wavelengths but no fluxes found -> NaN fluxes")
         else:
             flux = np.asarray(flux, np.float64).ravel()
+            if flux.size != wave.size:
+                notes.append(
+                    f"flux length {flux.size} does not match "
+                    f"{wave.size} bands -> NaN placeholders")
+                flux = np.full(wave.size, np.nan)
         if unc is None:
             unc = np.full(wave.size, np.nan)
             notes.append("no flux uncertainties found -> NaN")
         else:
             unc = np.asarray(unc, np.float64).ravel()
+            if unc.size != wave.size:
+                notes.append(
+                    f"flux_unc length {unc.size} does not match "
+                    f"{wave.size} bands -> NaN placeholders")
+                unc = np.full(wave.size, np.nan)
     cov = found.get("cov")
     if cov is not None:
         cov = np.asarray(cov, np.float64)

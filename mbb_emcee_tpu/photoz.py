@@ -45,6 +45,7 @@ formula with per-sample z. Observed peak wavelength needs no z.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 
 import numpy as np
@@ -62,7 +63,11 @@ from mbb_emcee_tpu.sed import SEDModel
 
 PARAM_NAMES = ("T", "beta", "lambda0", "alpha", "fnorm", "z")
 
-_PHOTOZ_MODEL_MEMO = {}    # see photoz_mbb's memoization note
+# Bounded LRU (see photoz_mbb's memoization note): a hard insert cap
+# would silently stop sharing traced programs after the capth distinct
+# configuration while pinning the first cap forever.
+_PHOTOZ_MODEL_MEMO = collections.OrderedDict()
+_PHOTOZ_MODEL_MEMO_CAP = 64
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,6 +113,7 @@ def photoz_mbb(opthin=False, noalpha=False, wavenorm=500.0, cmb=True,
                 None if upper is None else tuple(np.asarray(upper, float)))
     cached = _PHOTOZ_MODEL_MEMO.get(memo_key)
     if cached is not None:
+        _PHOTOZ_MODEL_MEMO.move_to_end(memo_key)
         return cached
     if lower is None:
         lower = np.concatenate([DEFAULT_LOWER, [zl]])
@@ -145,8 +151,9 @@ def photoz_mbb(opthin=False, noalpha=False, wavenorm=500.0, cmb=True,
         name=name or ("photoz-cmb-mbb" if use_cmb else "photoz-mbb"),
         opthin=bool(opthin), noalpha=bool(noalpha),
         cmb=use_cmb, t_cmb0=t0, wavenorm=wn)
-    if len(_PHOTOZ_MODEL_MEMO) < 64:
-        _PHOTOZ_MODEL_MEMO[memo_key] = model
+    _PHOTOZ_MODEL_MEMO[memo_key] = model
+    while len(_PHOTOZ_MODEL_MEMO) > _PHOTOZ_MODEL_MEMO_CAP:
+        _PHOTOZ_MODEL_MEMO.popitem(last=False)
     return model
 
 

@@ -108,6 +108,58 @@ def test_alternate_names_and_nesting(tmp_path):
     np.testing.assert_allclose(payload["phot"].wave, [250.0, 350.0])
 
 
+def test_flatchain_with_nwalkers_attr_recovers_walker_axis(tmp_path):
+    """An emcee-style flatchain (no lnprob) carrying an nwalkers attr
+    must fold into the true (nwalkers, nsteps, 5) geometry so walker-wise
+    diagnostics (R-hat, ESS, autocorrelation) stay meaningful
+    (VERDICT r04 task 5)."""
+    rng = np.random.default_rng(9)
+    chain = _chain(rng)
+    path = str(tmp_path / "flat_nw.h5")
+    with h5py.File(path, "w") as f:
+        f.attrs["nwalkers"] = NW
+        f.attrs["z"] = 2.0
+        f.create_dataset("chain", data=chain.reshape(-1, 5))
+    with pytest.warns(UserWarning, match="nwalkers attr"):
+        res = MBBResults(h5file=path)
+    assert res.chain.shape == (NW, NS, 5)
+    np.testing.assert_allclose(res.chain, chain)
+    rhat = res.gelman_rubin()
+    assert np.isfinite(rhat).all()
+    assert np.isfinite(res.effective_samples()).all()
+
+
+def test_flatchain_with_iterations_attr_recovers_walker_axis(tmp_path):
+    rng = np.random.default_rng(10)
+    chain = _chain(rng)
+    path = str(tmp_path / "flat_it.h5")
+    with h5py.File(path, "w") as f:
+        f.attrs["iterations"] = NS
+        f.create_dataset("samples", data=chain.reshape(-1, 5))
+    with pytest.warns(UserWarning, match="iterations attr"):
+        payload = read_upstream_results(path)
+    assert payload["chain"].shape == (NW, NS, 5)
+    np.testing.assert_allclose(payload["chain"], chain)
+
+
+def test_mismatched_photometry_lengths_degrade_with_note(tmp_path):
+    """flux/unc arrays whose length disagrees with wave must degrade to
+    NaN placeholders with an audit note, not crash in the Photometry
+    constructor (tolerant-reader contract; matches the cov handling)."""
+    rng = np.random.default_rng(11)
+    path = str(tmp_path / "badphot.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("chain", data=_chain(rng))
+        f.create_dataset("wave", data=[100.0, 250.0, 500.0])
+        f.create_dataset("flux", data=[10.0, 40.0])          # 2 != 3
+        f.create_dataset("flux_unc", data=[1.0, 2.0, 1.5, 0.9])  # 4 != 3
+    with pytest.warns(UserWarning, match="does not match"):
+        payload = read_upstream_results(path)
+    phot = payload["phot"]
+    assert phot.wave.size == 3
+    assert np.isnan(phot.flux).all() and np.isnan(phot.unc).all()
+
+
 def test_transposed_chain_axis_located(tmp_path):
     rng = np.random.default_rng(4)
     chain = _chain(rng)
