@@ -268,8 +268,23 @@ class MBBFitter(ParamSpaceMixin):
             lnprob, free_space = build_lnprob(
                 self._require_data(), self.shape, spec,
                 response_pack=self._response_pack(), dtype=self.dtype)
+        # Cross-instance traced-program sharing (round 5): the run
+        # program's closure constants are fully determined by the spec,
+        # the data, and the response pack, so fitters with matching
+        # content fingerprints reuse one traced program (the repeated
+        # pattern in test suites and K-seed parity sweeps).
+        from mbb_emcee_tpu.checkpoint import (
+            data_fingerprint, spec_fingerprint)
+        phot = self._require_data()
+        pack = self._response_pack()
+        token = (spec_fingerprint(spec, self.shape, self.a),
+                 data_fingerprint(phot.wave, phot.flux, phot.unc,
+                                  phot.cov),
+                 None if pack is None else data_fingerprint(*pack),
+                 self.lnprob_backend)
         sampler = EnsembleSampler(self.nwalkers, free_space.nfree, lnprob,
-                                  a=self.a, dtype=self.dtype)
+                                  a=self.a, dtype=self.dtype,
+                                  program_token=token)
         return lnprob, free_space, sampler
 
     def __call__(self, params):

@@ -710,13 +710,62 @@ class HierarchicalFitter(ParamSpaceMixin):
         return float(jnp.exp(-logsumexp(2.0 * lw)))
 
     # -- sampling -----------------------------------------------------------
+    def _program_token(self, spec):
+        """Cross-instance traced-program token (round 5), or None when
+        the hyper-lnprob closure cannot be safely fingerprinted. The
+        builtin populations and Selection are frozen dataclasses of
+        scalars + arrays, so their content (plus the sample tensor,
+        interim-prior weights, spec box, and mesh) fully determines the
+        traced computation; a user-supplied population model is an
+        arbitrary object -> trace per instance (the safe default)."""
+        from mbb_emcee_tpu.checkpoint import data_fingerprint
+
+        def dataclass_fp(obj):
+            parts = [type(obj).__module__, type(obj).__qualname__]
+            for f in dataclasses.fields(obj):
+                v = getattr(obj, f.name)
+                if isinstance(v, (np.ndarray, list, tuple, float, int,
+                                  bool, str)) or v is None:
+                    parts.append((f.name, data_fingerprint(
+                        np.asarray(v) if v is not None else None)))
+                else:
+                    return None
+            return tuple(parts)
+
+        if type(self.population) not in (TruncatedGaussianPopulation,
+                                         CorrelatedGaussianPopulation):
+            return None
+        pop_fp = dataclass_fp(self.population)
+        if pop_fp is None:
+            return None
+        if self.selection is not None:
+            if type(self.selection) is not Selection:
+                return None
+            sel_fp = dataclass_fp(self.selection)
+            if sel_fp is None:
+                return None
+        else:
+            sel_fp = None
+        if self.mesh is not None:
+            mesh_fp = (tuple(d.id for d in self.mesh.devices.flat),
+                       self.mesh.axis_names)
+        else:
+            mesh_fp = None
+        return ("hier", pop_fp, sel_fp, mesh_fp,
+                data_fingerprint(self.samples, self.ln_interim,
+                                 spec.lower, spec.upper, spec.fixed,
+                                 spec.fixed_values, spec.prior_mean,
+                                 spec.prior_isigma))
+
     def build(self):
+        spec = self._effective_spec()
         lnprob, free_space = build_hier_lnprob(
-            self.samples, self.population, self._effective_spec(),
+            self.samples, self.population, spec,
             ln_interim=self.ln_interim, selection=self.selection,
             dtype=self.dtype, mesh=self.mesh)
         sampler = EnsembleSampler(self.nwalkers, free_space.nfree, lnprob,
-                                  a=self.a, dtype=self.dtype)
+                                  a=self.a, dtype=self.dtype,
+                                  program_token=self._program_token(spec))
         return lnprob, free_space, sampler
 
     def run(self, nburn=200, nsteps=1000, thin=1, p0=None,

@@ -24,6 +24,7 @@ single-device core it reuses.
 
 from __future__ import annotations
 
+import collections
 from functools import partial
 from typing import NamedTuple, Callable
 
@@ -32,6 +33,34 @@ import jax.numpy as jnp
 import numpy as np
 
 from mbb_emcee_tpu.likelihood import SUPPORT_FLOOR
+
+
+# Cross-instance traced-program LRU (round 5, mirroring
+# batchengine._PROGRAM_CACHE): tracing + lowering a run loop is pure
+# single-threaded Python work that re-runs for EVERY sampler instance
+# even when the XLA persistent cache makes the backend compile free
+# (~1 s per MBBFitter on CPU; several seconds of Mosaic work per fused
+# sampler over the TPU tunnel). Callers opt in by passing a
+# program_token that, together with the sampler's own geometry key,
+# FULLY determines the traced computation -- for closures over data
+# that means a content fingerprint of every closure constant
+# (checkpoint.data_fingerprint / spec_fingerprint). Bounded LRU:
+# traced programs pin their closure constants on device.
+_PROGRAM_LRU = collections.OrderedDict()
+_PROGRAM_LRU_CAP = 256
+
+
+def shared_program(key, build):
+    """Fetch-or-build a jitted program in the module-level LRU."""
+    hit = _PROGRAM_LRU.get(key)
+    if hit is not None:
+        _PROGRAM_LRU.move_to_end(key)
+        return hit
+    fn = build()
+    _PROGRAM_LRU[key] = fn
+    while len(_PROGRAM_LRU) > _PROGRAM_LRU_CAP:
+        _PROGRAM_LRU.popitem(last=False)
+    return fn
 
 
 class SamplerState(NamedTuple):
@@ -127,7 +156,7 @@ class EnsembleSampler:
 
     def __init__(self, nwalkers: int, ndim: int,
                  lnprob_fn: Callable, a: float = 2.0,
-                 dtype=jnp.float32, rec_cap=None):
+                 dtype=jnp.float32, rec_cap=None, program_token=None):
         if nwalkers < 2 * ndim:
             raise ValueError(
                 f"nwalkers={nwalkers} < 2*ndim={2 * ndim}: the stretch move "
@@ -146,6 +175,13 @@ class EnsembleSampler:
             self.lnprob_batch = jax.vmap(lnprob_fn)
         self.rec_cap = int(rec_cap) if rec_cap else self.REC_CAP
         self._run_dyn = None
+        # None (default) -> the run program is traced per instance (safe
+        # for arbitrary lnprob closures). A hashable token -> the traced
+        # program is SHARED through the module LRU with any sampler whose
+        # (geometry key + token) matches; the token must fully determine
+        # lnprob_fn's computation (content-fingerprint its closure
+        # constants -- see fitter.build / hierarchy.build).
+        self._program_token = program_token
         self.trace_count = 0   # programs traced (asserted in tests)
 
     # -- state management -----------------------------------------------------
@@ -182,6 +218,16 @@ class EnsembleSampler:
         non-TPU user dominated short runs)."""
         if self._run_dyn is not None:
             return self._run_dyn
+        if self._program_token is not None:
+            key = ("ensemble-run", self.nwalkers, self.ndim, self.a,
+                   np.dtype(self.dtype).str, self.rec_cap,
+                   self._program_token)
+            self._run_dyn = shared_program(key, self._build_run)
+        else:
+            self._run_dyn = self._build_run()
+        return self._run_dyn
+
+    def _build_run(self):
         rec_cap = self.rec_cap
         nw = self.nwalkers
 
@@ -209,8 +255,7 @@ class EnsembleSampler:
             self.trace_count += 1
             return run(state, nrec, thin)
 
-        self._run_dyn = jax.jit(traced_run)
-        return self._run_dyn
+        return jax.jit(traced_run)
 
     def run_mcmc(self, state: SamplerState, nsteps: int, thin: int = 1):
         """Advance `nsteps` ensemble updates, recording every `thin`-th.
