@@ -248,6 +248,25 @@ def _sbc_ranks(mode, S=48):
             ranks.append((flat < true_p[:, None]).mean(axis=1))
         return np.concatenate(ranks), S
 
+    if mode == "nested":
+        # The nested-sampling tier (round 5): the weighted dead points
+        # ARE posterior samples (importance weights exp(lnwt - lnZ)), so
+        # the WEIGHTED CDF at truth must be uniform -- the same claim
+        # map_is makes for the Laplace tier. This calibrates the whole
+        # batched nested machinery (live-point seeding, batch shrinkage
+        # schedule, constrained stretch steps, weight assembly), which
+        # until now was validated against analytic evidences only.
+        ev = mf.compute_evidence(nlive=512, nbatch=32, nsteps=16, seed=7)
+        assert np.all(np.isfinite(ev.logz))
+        w = ev.posterior_weights()                     # (S, n)
+        ranks = []
+        for name in BOX:    # the free params (needs no prior run())
+            true_p = trues[:, idx[name]]
+            # samples are expanded to the FULL 5-param space
+            below = ev.samples[:, :, idx[name]] < true_p[:, None]
+            ranks.append((w * below).sum(axis=1))
+        return np.concatenate(ranks), S
+
     if mode == "hmc":
         mf.run_hmc(nwarmup=300, nsteps=600, thin=2)
     elif mode == "pt":
@@ -270,7 +289,7 @@ def _sbc_ranks(mode, S=48):
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "mode", ["plain", "response", "correlated", "hmc", "pt", "map_is",
-             "sedmulti", "single", "single_map_init", "photoz"])
+             "nested", "sedmulti", "single", "single_map_init", "photoz"])
 def test_sbc_ranks_uniform(mode):
     # single-fit modes run S separate (program-cached) fits on the host
     # loop; a smaller S keeps the slow lane bounded
