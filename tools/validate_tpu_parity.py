@@ -589,11 +589,20 @@ def gen_oracle(configs=None, path=ORACLE_PATH, geom=None,
     if os.path.exists(path):
         with open(path) as f:
             data = json.load(f)
+
+    def flush():
+        # write after EVERY entry: the oracle chains cost minutes each,
+        # and a crash in a later entry must not discard finished ones
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+
     for ci in sel:
         if ci == 4:
             continue
         entry = _oracle_entry(ci, geom)
         data["configs"][str(ci)] = entry
+        flush()
         print(f"{entry['label']}: oracle recorded in {entry['wall_s']}s",
               flush=True)
     if with_derived:
@@ -610,9 +619,7 @@ def gen_oracle(configs=None, path=ORACLE_PATH, geom=None,
         }
         print(f"config4 derived: oracle recorded in "
               f"{data['derived']['wall_s']}s", flush=True)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w") as f:
-        json.dump(data, f, indent=1)
+    flush()
     print(f"wrote {path}")
     return data
 
