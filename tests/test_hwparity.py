@@ -65,6 +65,7 @@ def test_config_contract(ci):
     _require_tpu()
     from tools.validate_tpu_parity import FULL, run_config
     rows, ok = run_config(ci, FULL, recorded=_recorded(ci))
+    print("\n".join(rows))      # PARITY_r0N.md table rows (run with -s)
     assert ok, "contract FAIL:\n" + "\n".join(rows)
 
 
@@ -73,4 +74,5 @@ def test_derived_contract():
     _require_tpu()
     from tools.validate_tpu_parity import FULL, run_derived
     rows, ok = run_derived(FULL, recorded=_recorded("derived"))
+    print("\n".join(rows))
     assert ok, "contract FAIL:\n" + "\n".join(rows)
