@@ -504,22 +504,33 @@ def _store_last_good(rate, secondary=None):
 # other entry is a rate where bigger is better.
 _LOWER_IS_BETTER = {"warm_fit"}
 
+# Per-entry threshold overrides. warm_fit is a single wall-clock through
+# the tunneled TPU whose fixed costs legitimately vary 2-6x with cache /
+# tunnel state (measured 0.6-3.7 s across healthy runs); the default
+# 0.7x gate would flag that noise as a regression. 0.25x still catches a
+# real protocol slowdown (a lost program-cache hit is >10x).
+_ENTRY_RATIO = {"warm_fit": 0.25}
+
 
 def check_regression(value, secondary, last_good, ratio=None):
     """Perf-regression gate (VERDICT r04 task 3): compare the headline and
     each secondary rate against the last-good TPU run; return a dict
     naming every entry whose goodness ratio (value/last_good for rates,
-    last_good/value for wall times) fell below `ratio` (default 0.7,
-    env BENCH_REGRESSION_RATIO). Empty dict = no regression."""
-    if ratio is None:
-        ratio = float(os.environ.get("BENCH_REGRESSION_RATIO", "0.7"))
+    last_good/value for wall times) fell below its threshold (default
+    0.7, env BENCH_REGRESSION_RATIO; per-entry overrides in
+    _ENTRY_RATIO for high-variance wall-times). Empty dict = no
+    regression."""
+    base = (float(os.environ.get("BENCH_REGRESSION_RATIO", "0.7"))
+            if ratio is None else ratio)
     reg = {}
 
     def check(name, v, lg, lower_better):
         if lg is None or lg <= 0 or v <= 0:
             return
+        thresh = base if ratio is not None else _ENTRY_RATIO.get(name,
+                                                                 base)
         r = (lg / v) if lower_better else (v / lg)
-        if r < ratio:
+        if r < thresh:
             reg[name] = {"value": round(float(v), 1),
                          "last_good": round(float(lg), 1),
                          "ratio": round(float(r), 3)}
