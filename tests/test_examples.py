@@ -18,6 +18,7 @@ EXAMPLES = os.path.join(REPO, "examples")
 
 FAST = ["fit_single_source.py"]
 SLOW = [
+    "fit_covariance_uplims.py",
     "fit_with_responses.py",
     "serve_batches.py",
     "serve_ragged_catalog.py",
