@@ -484,13 +484,20 @@ def _load_last_good():
         return None
 
 
-def _store_last_good(rate, secondary=None):
+def _store_last_good(rate, secondary=None, prev=None):
     payload = {"value": round(rate, 1),
                "measured_at": time.strftime(
                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
     sec = {name: e["value"] for name, e in (secondary or {}).items()
            if isinstance(e, dict) and "value" in e
            and e.get("backend") == "tpu"}
+    # A run whose secondary subprocess timed out (or ran with
+    # BENCH_SECONDARY=0, or lost one entry to an error dict) must not
+    # ERASE the waterline for the entries it didn't measure — that would
+    # let the next real slowdown ship ungated. Carry forward any
+    # previous last-good entry absent from this run.
+    for name, v in ((prev or {}).get("secondary") or {}).items():
+        sec.setdefault(name, v)
     if sec:
         payload["secondary"] = sec
     try:
@@ -624,16 +631,19 @@ def main():
         last_good = _load_last_good()
         regression = check_regression(tpu_rate, out.get("secondary"),
                                       last_good or {})
+        accept_regressed = os.environ.get("BENCH_ACCEPT_REGRESSION") == "1"
         if regression:
             out["regression"] = regression
             notes.append(
                 f"{len(regression)} entr"
                 f"{'y' if len(regression) == 1 else 'ies'} below the "
                 "regression threshold vs the last-good TPU run "
-                f"({last_good['measured_at']}); last-good NOT updated")
-        if not regression or os.environ.get(
-                "BENCH_ACCEPT_REGRESSION") == "1":
-            _store_last_good(tpu_rate, out.get("secondary"))
+                f"({last_good['measured_at']}); last-good "
+                + ("updated anyway (BENCH_ACCEPT_REGRESSION=1)"
+                   if accept_regressed else "NOT updated"))
+        if not regression or accept_regressed:
+            _store_last_good(tpu_rate, out.get("secondary"),
+                             prev=last_good)
     else:
         if fallback_rate is None:
             fallback_rate = bench_xla_cpu(flux, unc)

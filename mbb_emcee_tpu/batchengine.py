@@ -72,7 +72,7 @@ from mbb_emcee_tpu.likelihood import signed_iunc, SUPPORT_FLOOR
 from mbb_emcee_tpu.models.cosmology import Cosmology, luminosity_distance
 from mbb_emcee_tpu.paramspace import _replace
 from mbb_emcee_tpu.sampler import (
-    SamplerState, ensemble_step, make_initial_ball)
+    SamplerState, ensemble_step, make_initial_ball, shared_program)
 
 
 import collections
@@ -90,17 +90,16 @@ _PROGRAM_CACHE_CAP = 256
 
 
 def _program_cache_get(cache, key, build):
-    """Fetch-or-build in either the per-instance dict or the global
-    LRU."""
+    """Fetch-or-build in either the per-instance dict (unbounded, dies
+    with the instance) or the global LRU (sampler.shared_program
+    semantics)."""
+    if cache is _PROGRAM_CACHE:
+        return shared_program(key, build, cache=cache,
+                              cap=_PROGRAM_CACHE_CAP)
     if key in cache:
-        if cache is _PROGRAM_CACHE:
-            cache.move_to_end(key)
         return cache[key]
     fn = build()
     cache[key] = fn
-    if cache is _PROGRAM_CACHE:
-        while len(cache) > _PROGRAM_CACHE_CAP:
-            cache.popitem(last=False)
     return fn
 
 

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from jax.scipy.special import logsumexp, ndtr
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from mbb_emcee_tpu import batchengine
 from mbb_emcee_tpu.likelihood import (
     LikelihoodSpec, FreeSpace, LNPROB_FLOOR, spec_arrays)
 from mbb_emcee_tpu.paramspace import ParamSpaceMixin
@@ -746,11 +747,11 @@ class HierarchicalFitter(ParamSpaceMixin):
                 return None
         else:
             sel_fp = None
-        if self.mesh is not None:
-            mesh_fp = (tuple(d.id for d in self.mesh.devices.flat),
-                       self.mesh.axis_names)
-        else:
-            mesh_fp = None
+        # batchengine's token includes the device-grid SHAPE: two meshes
+        # over the same devices/axis-names but different shapes lower to
+        # different shardings and must not share a traced program.
+        mesh_fp = (batchengine._mesh_token(self.mesh)
+                   if self.mesh is not None else None)
         return ("hier", pop_fp, sel_fp, mesh_fp,
                 data_fingerprint(self.samples, self.ln_interim,
                                  spec.lower, spec.upper, spec.fixed,

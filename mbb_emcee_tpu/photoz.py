@@ -59,6 +59,7 @@ from mbb_emcee_tpu.models.cmb import (
     T_CMB0, dust_temperature_with_cmb, log_cmb_visibility)
 from mbb_emcee_tpu.models.cosmology import luminosity_distance_batch
 from mbb_emcee_tpu import derived
+from mbb_emcee_tpu.sampler import shared_program
 from mbb_emcee_tpu.sed import SEDModel
 
 PARAM_NAMES = ("T", "beta", "lambda0", "alpha", "fnorm", "z")
@@ -111,50 +112,48 @@ def photoz_mbb(opthin=False, noalpha=False, wavenorm=500.0, cmb=True,
                 float(t_cmb0), zl, zu, name,
                 None if lower is None else tuple(np.asarray(lower, float)),
                 None if upper is None else tuple(np.asarray(upper, float)))
-    cached = _PHOTOZ_MODEL_MEMO.get(memo_key)
-    if cached is not None:
-        _PHOTOZ_MODEL_MEMO.move_to_end(memo_key)
-        return cached
-    if lower is None:
-        lower = np.concatenate([DEFAULT_LOWER, [zl]])
-    if upper is None:
-        upper = np.concatenate([DEFAULT_UPPER, [zu]])
-    wn = float(wavenorm)
-    use_cmb = bool(cmb)
-    t0 = float(t_cmb0)
-    # Internal normalization point is arbitrary: fnu self-normalizes at
-    # the (traced) rest-frame image of `wavenorm` below, so the static
-    # MBBShape wavenorm cancels exactly.
-    shape = MBBShape(opthin=bool(opthin), noalpha=bool(noalpha),
-                     wavenorm=500.0)
+    def _build(lower=lower, upper=upper):
+        if lower is None:
+            lower = np.concatenate([DEFAULT_LOWER, [zl]])
+        if upper is None:
+            upper = np.concatenate([DEFAULT_UPPER, [zu]])
+        wn = float(wavenorm)
+        use_cmb = bool(cmb)
+        t0 = float(t_cmb0)
+        # Internal normalization point is arbitrary: fnu self-normalizes
+        # at the (traced) rest-frame image of `wavenorm` below, so the
+        # static MBBShape wavenorm cancels exactly.
+        shape = MBBShape(opthin=bool(opthin), noalpha=bool(noalpha),
+                         wavenorm=500.0)
 
-    def fnu(theta, wave_obs):
-        t, beta, lam0, alpha, fnorm, zz = (
-            theta[0], theta[1], theta[2], theta[3], theta[4], theta[5])
-        opz = 1.0 + zz
-        t_e = (dust_temperature_with_cmb(t, beta, zz, t0)
-               if use_cmb else t)
-        th = jnp.stack([t_e, beta, lam0, alpha, jnp.ones_like(t_e)])
-        w_rest = wave_obs / opz
-        wn_rest = jnp.reshape(wn / opz, (1,))
-        log_s = log_mbb_fnu(th, w_rest, shape)
-        log_n = log_mbb_fnu(th, wn_rest, shape)[0]
-        if use_cmb:
-            log_s = log_s + log_cmb_visibility(w_rest, t_e, zz, t0)
-            log_n = log_n + log_cmb_visibility(wn_rest, t_e, zz, t0)[0]
-        return jnp.exp(log_s - log_n + jnp.log(fnorm))
+        def fnu(theta, wave_obs):
+            t, beta, lam0, alpha, fnorm, zz = (
+                theta[0], theta[1], theta[2], theta[3], theta[4],
+                theta[5])
+            opz = 1.0 + zz
+            t_e = (dust_temperature_with_cmb(t, beta, zz, t0)
+                   if use_cmb else t)
+            th = jnp.stack([t_e, beta, lam0, alpha, jnp.ones_like(t_e)])
+            w_rest = wave_obs / opz
+            wn_rest = jnp.reshape(wn / opz, (1,))
+            log_s = log_mbb_fnu(th, w_rest, shape)
+            log_n = log_mbb_fnu(th, wn_rest, shape)[0]
+            if use_cmb:
+                log_s = log_s + log_cmb_visibility(w_rest, t_e, zz, t0)
+                log_n = log_n + log_cmb_visibility(wn_rest, t_e, zz,
+                                                   t0)[0]
+            return jnp.exp(log_s - log_n + jnp.log(fnorm))
 
-    model = PhotoZMBBModel(
-        fnu=fnu,
-        param_names=PARAM_NAMES,
-        lower=lower, upper=upper,
-        name=name or ("photoz-cmb-mbb" if use_cmb else "photoz-mbb"),
-        opthin=bool(opthin), noalpha=bool(noalpha),
-        cmb=use_cmb, t_cmb0=t0, wavenorm=wn)
-    _PHOTOZ_MODEL_MEMO[memo_key] = model
-    while len(_PHOTOZ_MODEL_MEMO) > _PHOTOZ_MODEL_MEMO_CAP:
-        _PHOTOZ_MODEL_MEMO.popitem(last=False)
-    return model
+        return PhotoZMBBModel(
+            fnu=fnu,
+            param_names=PARAM_NAMES,
+            lower=lower, upper=upper,
+            name=name or ("photoz-cmb-mbb" if use_cmb else "photoz-mbb"),
+            opthin=bool(opthin), noalpha=bool(noalpha),
+            cmb=use_cmb, t_cmb0=t0, wavenorm=wn)
+
+    return shared_program(memo_key, _build, cache=_PHOTOZ_MODEL_MEMO,
+                          cap=_PHOTOZ_MODEL_MEMO_CAP)
 
 
 def _require_photoz_model(model, what):

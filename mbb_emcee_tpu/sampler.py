@@ -50,16 +50,22 @@ _PROGRAM_LRU = collections.OrderedDict()
 _PROGRAM_LRU_CAP = 256
 
 
-def shared_program(key, build):
-    """Fetch-or-build a jitted program in the module-level LRU."""
-    hit = _PROGRAM_LRU.get(key)
+def shared_program(key, build, cache=None, cap=None):
+    """Fetch-or-build in a bounded module-level LRU.
+
+    Default cache is the traced-program LRU above; batchengine's
+    _PROGRAM_CACHE and photoz's model memo reuse this helper (same
+    eviction semantics everywhere) by passing their own OrderedDict."""
+    if cache is None:
+        cache, cap = _PROGRAM_LRU, _PROGRAM_LRU_CAP
+    hit = cache.get(key)
     if hit is not None:
-        _PROGRAM_LRU.move_to_end(key)
+        cache.move_to_end(key)
         return hit
     fn = build()
-    _PROGRAM_LRU[key] = fn
-    while len(_PROGRAM_LRU) > _PROGRAM_LRU_CAP:
-        _PROGRAM_LRU.popitem(last=False)
+    cache[key] = fn
+    while len(cache) > cap:
+        cache.popitem(last=False)
     return fn
 
 

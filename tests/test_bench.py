@@ -248,6 +248,53 @@ def test_accept_regression_env_updates_waterline(stubbed, monkeypatch,
         assert json.load(fh)["value"] == pytest.approx(2.2e8)
 
 
+def test_secondary_outage_does_not_erase_waterline(stubbed, monkeypatch,
+                                                   capsys):
+    """A run whose secondary subprocess times out passes the headline
+    gate but must CARRY FORWARD the previous secondary waterline --
+    otherwise the next real slowdown in e.g. pt_tier would ship against
+    an empty baseline."""
+    _healthy_tpu(monkeypatch)
+    monkeypatch.setenv("BENCH_SECONDARY", "1")
+    monkeypatch.setattr(bench, "_bench_secondary_subprocess",
+                        lambda timeout: None)
+    with open(stubbed, "w") as fh:
+        json.dump({"value": 2.2e8, "measured_at": "2026-08-20T00:00:00Z",
+                   "secondary": {"multisource": 1.15e9,
+                                 "pt_tier": 3.1e7,
+                                 "warm_fit": 1.7}}, fh)
+    out = _run_main(capsys)
+    assert "regression" not in out
+    with open(stubbed) as fh:
+        persisted = json.load(fh)
+    assert persisted["secondary"] == {"multisource": 1.15e9,
+                                      "pt_tier": 3.1e7, "warm_fit": 1.7}
+    # A fresh measurement for an entry still wins over the carried one.
+    monkeypatch.setattr(bench, "_bench_secondary_subprocess",
+                        lambda timeout: {
+                            "pt_tier": dict(SECONDARY_STUB["pt_tier"],
+                                            value=3.5e7)})
+    _run_main(capsys)
+    with open(stubbed) as fh:
+        persisted = json.load(fh)
+    assert persisted["secondary"]["pt_tier"] == pytest.approx(3.5e7)
+    assert persisted["secondary"]["multisource"] == pytest.approx(1.15e9)
+
+
+def test_accept_regression_note_says_updated(stubbed, monkeypatch,
+                                             capsys):
+    """The artifact's provenance note must match what actually happened
+    to the waterline under BENCH_ACCEPT_REGRESSION=1."""
+    _healthy_tpu(monkeypatch)
+    monkeypatch.setenv("BENCH_ACCEPT_REGRESSION", "1")
+    with open(stubbed, "w") as fh:
+        json.dump({"value": 4.4e8,
+                   "measured_at": "2026-08-20T00:00:00Z"}, fh)
+    out = _run_main(capsys)
+    assert "updated anyway" in out["note"]
+    assert "NOT updated" not in out["note"]
+
+
 def test_regression_ratio_env_tunable(monkeypatch):
     monkeypatch.setenv("BENCH_REGRESSION_RATIO", "0.95")
     reg = bench.check_regression(2.0e8, None, {"value": 2.2e8})

@@ -243,6 +243,29 @@ def test_mesh_sharded_lnprob_matches_unsharded():
         build_hier_lnprob(samples[:6], pop, spec, mesh=mesh)
 
 
+def test_program_token_splits_on_mesh_shape():
+    """Two meshes over the SAME devices/axis-names but different grid
+    shapes lower to different shardings; their fitters must not share a
+    traced run program (the token rides batchengine._mesh_token, which
+    includes the device-grid shape)."""
+    from jax.sharding import Mesh
+    rng = np.random.default_rng(9)
+    samples = rng.uniform(15.0, 55.0, (16, 32, 1))
+    pop = TruncatedGaussianPopulation.for_box(("T",), [10.0], [60.0])
+    devs = np.array(jax.devices()[:4])
+
+    def token(mesh):
+        hf = HierarchicalFitter(samples, pop, nwalkers=8, mesh=mesh)
+        return hf._program_token(hf._effective_spec())
+
+    t22 = token(Mesh(devs.reshape(2, 2), ("a", "b")))
+    t41 = token(Mesh(devs.reshape(4, 1), ("a", "b")))
+    assert t22 is not None and t41 is not None
+    assert t22 != t41
+    # identical meshes DO share
+    assert token(Mesh(devs.reshape(2, 2), ("a", "b"))) == t22
+
+
 # ------------------------------------------------------------ batch bridge
 
 def test_from_batch_population_fit():

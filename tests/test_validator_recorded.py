@@ -138,6 +138,56 @@ def test_recorded_entry_triage(tmp_path):
     assert "regenerate" in vp.STALE_MSG or "--gen-oracle" in vp.STALE_MSG
 
 
+def test_gen_oracle_config4_regenerates_derived(tmp_path, monkeypatch):
+    """--gen-oracle --configs 4 must regenerate the derived entry (the
+    validation lane maps {2,4} to the derived run), not silently no-op."""
+    calls = {"entry": [], "derived": 0}
+    monkeypatch.setattr(vp, "_oracle_entry", lambda ci, geom: (
+        calls["entry"].append(ci) or {
+            "config": ci, "label": f"c{ci}", "fingerprint": "fp",
+            "wall_s": 0.0}))
+
+    def fake_derived(geom):
+        calls["derived"] += 1
+        return {"T": [1.0, 2.0, 3.0]}, 10
+
+    monkeypatch.setattr(vp, "derived_oracle", fake_derived)
+    path = str(tmp_path / "oracle.json")
+    vp.gen_oracle(configs=[4], path=path)
+    assert calls["derived"] == 1
+    assert calls["entry"] == []        # no two-sided entry for 4
+    with open(path) as f:
+        assert json.load(f)["derived"]["n"] == 10
+    # naming only a two-sided config must NOT touch derived
+    calls["derived"] = 0
+    vp.gen_oracle(configs=[1], path=path)
+    assert calls["derived"] == 0 and calls["entry"] == [1]
+
+
+def test_main_recorded_missing_falls_back(monkeypatch, capsys):
+    """CLI --recorded with a MISSING entry computes the oracle (like the
+    pytest lane); only a STALE fingerprint hard-fails."""
+    seen = {}
+
+    def fake_run_config(ci, geom, recorded=None):
+        seen["recorded"] = recorded
+        return [], True
+
+    monkeypatch.setattr(vp, "run_config", fake_run_config)
+    monkeypatch.setattr(vp, "recorded_entry",
+                        lambda ci, data=None: ("missing", None))
+    rc = vp.main(["--recorded", "--configs", "0"])
+    assert rc == 0
+    assert seen["recorded"] is None
+    assert "no recorded oracle entry" in capsys.readouterr().out
+
+    monkeypatch.setattr(vp, "recorded_entry",
+                        lambda ci, data=None: ("stale", {"x": 1}))
+    rc = vp.main(["--recorded", "--configs", "0"])
+    assert rc == 1
+    assert "STALE" in capsys.readouterr().out
+
+
 def test_check_sentinel_bounds():
     ref = {"param_names": ["T"], "medians": [32.0], "widths": [2.0],
            "se_medians": [0.01], "se_widths": [0.02]}

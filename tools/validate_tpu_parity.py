@@ -583,8 +583,11 @@ def gen_oracle(configs=None, path=ORACLE_PATH, geom=None,
     regenerated after a targeted recipe change."""
     geom = geom or FULL
     sel = list(configs) if configs is not None else list(ORACLE_CONFIGS)
+    # config 4 *is* the derived entry (the validation lane maps {2,4} to
+    # the derived run), so naming it must regenerate that entry rather
+    # than silently no-op.
     if with_derived is None:
-        with_derived = configs is None or 2 in sel
+        with_derived = configs is None or bool({2, 4} & set(sel))
     data = {"version": 1, "configs": {}, "derived": None}
     if os.path.exists(path):
         with open(path) as f:
@@ -783,8 +786,7 @@ def main(argv=None):
         return 0
 
     if args.gen_oracle:
-        gen_oracle(configs=[c for c in sel if c != 4]
-                   if args.configs else None)
+        gen_oracle(configs=sel if args.configs else None)
         return 0
 
     if args.sentinel:
@@ -801,10 +803,17 @@ def main(argv=None):
         rec = None
         if args.recorded:
             status, rec = recorded_entry(ci)
-            if status != "ok":
-                print(f"config{ci}: recorded oracle {status} -- "
-                      f"{STALE_MSG}")
+            if status == "stale":
+                print(f"config{ci}: {STALE_MSG}")
                 return 1
+            if status == "missing":
+                # Mirror the pytest lane (tests/test_hwparity.py): a
+                # missing entry falls back to computing the oracle; only
+                # a stale fingerprint is a hard failure.
+                print(f"config{ci}: no recorded oracle entry -- "
+                      "computing the fp64 oracle for this config "
+                      "(record it with --gen-oracle)")
+                rec = None
         rows, cfg_ok = run_config(ci, geom, recorded=rec)
         all_rows.extend(rows)
         ok &= cfg_ok
@@ -813,10 +822,14 @@ def main(argv=None):
         rec = None
         if args.recorded:
             status, rec = recorded_entry("derived")
-            if status != "ok":
-                print(f"config4 derived: recorded oracle {status} -- "
-                      f"{STALE_MSG}")
+            if status == "stale":
+                print(f"config4 derived: {STALE_MSG}")
                 return 1
+            if status == "missing":
+                print("config4 derived: no recorded oracle entry -- "
+                      "computing the fp64 oracle (record it with "
+                      "--gen-oracle)")
+                rec = None
         rows, d_ok = run_derived(geom, recorded=rec)
         all_rows.extend(rows)
         ok &= d_ok
