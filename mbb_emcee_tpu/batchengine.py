@@ -135,7 +135,11 @@ def _split_rhat_one(c):
     w = sp.var(axis=1, ddof=1).mean(axis=0)
     b = n * means.var(axis=0, ddof=1)
     var_post = (n - 1) / n * w + b / n
-    return jnp.sqrt(var_post / jnp.maximum(w, 1e-30))
+    rhat = jnp.sqrt(var_post / jnp.maximum(w, 1e-30))
+    # frozen dimension -> NaN, never 0.0 (see sampler.split_rhat); a
+    # NaN fails any `rhat < threshold` convergence predicate, so a
+    # degenerate ensemble coordinate can't read as converged
+    return jnp.where(var_post <= 1e-30, jnp.nan, rhat)
 
 
 _batched_split_rhat = jax.jit(jax.vmap(_split_rhat_one))

@@ -928,9 +928,22 @@ class MBBFitter(ParamSpaceMixin):
             self._require_data(), self.shape, spec,
             response_pack=self._response_pack(), dtype=self.dtype)
         key = jax.random.key(self.seed if seed is None else int(seed))
+        # Same content-token recipe as build(): K evidence calls across
+        # model variants / seeds trace the nested while_loop once per
+        # distinct (spec, data, response) configuration.
+        from mbb_emcee_tpu.checkpoint import (
+            data_fingerprint, spec_fingerprint)
+        phot = self._require_data()
+        pack = self._response_pack()
+        token = ("evidence", spec_fingerprint(spec, self.shape, self.a),
+                 data_fingerprint(phot.wave, phot.flux, phot.unc,
+                                  phot.cov),
+                 None if pack is None else data_fingerprint(*pack),
+                 self.lnprob_backend)
         res = nested_sample(lnprob, free_space.lower, free_space.upper,
                             key, nlive=nlive, nbatch=nbatch, nsteps=nsteps,
-                            max_iter=max_iter, tol=tol, dtype=self.dtype)
+                            max_iter=max_iter, tol=tol, dtype=self.dtype,
+                            program_token=token)
         # Report samples in the full 5-parameter space like chain does.
         res = _dataclasses.replace(res, samples=free_space.expand(res.samples))
         self.evidence = res

@@ -128,6 +128,7 @@ def _write_results(f, res):
         g.attrs["h"] = ev.h
         g.attrs["n_iter"] = ev.n_iter
         g.attrs["n_like"] = ev.n_like
+        g.attrs["converged"] = bool(getattr(ev, "converged", True))
         g.create_dataset("Samples", data=np.asarray(ev.samples, np.float64),
                          compression="gzip", compression_opts=4)
         g.create_dataset("LogLike", data=np.asarray(ev.loglike, np.float64),
@@ -228,7 +229,8 @@ def _read_results(f):
             samples=np.asarray(g["Samples"]),
             loglike=np.asarray(g["LogLike"]),
             logwt=np.asarray(g["LogWt"]),
-            n_iter=int(g.attrs["n_iter"]), n_like=int(g.attrs["n_like"]))
+            n_iter=int(g.attrs["n_iter"]), n_like=int(g.attrs["n_like"]),
+            converged=bool(g.attrs.get("converged", True)))
     if "PTEvidence" in f:
         g = f["PTEvidence"]
         out["logz_pt"] = (float(g.attrs["logz"]), float(g.attrs["logz_err"]))

@@ -924,9 +924,12 @@ class HierarchicalFitter(ParamSpaceMixin):
             ln_interim=self.ln_interim, selection=self.selection,
             dtype=self.dtype, mesh=self.mesh)
         key = jax.random.PRNGKey(self.seed if seed is None else int(seed))
+        tok = self._program_token(self._effective_spec())
         res = nested_sample(lnprob, free_space.lower, free_space.upper,
                             key, nlive=nlive, nbatch=nbatch, nsteps=nsteps,
-                            max_iter=max_iter, tol=tol, dtype=self.dtype)
+                            max_iter=max_iter, tol=tol, dtype=self.dtype,
+                            program_token=(None if tok is None
+                                           else ("evidence",) + tuple(tok)))
         res = dataclasses.replace(res,
                                   samples=free_space.expand(res.samples))
         self.evidence = res

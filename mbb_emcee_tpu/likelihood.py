@@ -149,9 +149,29 @@ class Photometry:
         """Attach a covariance from a FITS extension (ref covfile/covextn
         semantics). Unless is_total, it is treated as ADDITIONAL calibration
         covariance on top of diag(unc^2)."""
-        cov = read_fits_image(covfile, extn=covextn)
+        cov = np.asarray(read_fits_image(covfile, extn=covextn),
+                         np.float64)
+        # Validate HERE, not at first use: a wrong covextn otherwise
+        # surfaces as an opaque cholesky/matmul shape error deep inside
+        # build_lnprob (the constructor path gets the same checks from
+        # __post_init__).
+        n = self.wave.size
+        if cov.shape != (n, n):
+            raise ValueError(
+                f"{covfile}[{covextn}]: covariance shape {cov.shape} "
+                f"does not match the {n}-band photometry -- wrong "
+                "extension (covextn) or wrong file?")
+        if not np.allclose(cov, cov.T, rtol=1e-8, atol=0.0):
+            raise ValueError(
+                f"{covfile}[{covextn}]: covariance matrix is not "
+                "symmetric")
         if not is_total:
             cov = cov + np.diag(self.unc ** 2)
+        if np.linalg.eigvalsh(cov).min() <= 0:
+            raise ValueError(
+                f"{covfile}[{covextn}]: covariance is not positive "
+                "definite" + ("" if is_total else
+                              " (even after adding diag(unc^2))"))
         self.cov = cov
         return self
 

@@ -34,6 +34,7 @@ come for free (importance weights exp(lnwt - lnZ)).
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from functools import partial
 
 import jax
@@ -58,6 +59,10 @@ class NestedResult:
     logwt: np.ndarray           # (ndead,) ln(prior mass x L); sums to ~Z
     n_iter: int                 # batch iterations used
     n_like: int                 # likelihood evaluations
+    # False iff the run hit max_iter before the termination bound fired:
+    # logz is then truncated (biased low) and Bayes factors against a
+    # converged run are not trustworthy -- raise max_iter or tol.
+    converged: bool = True
 
     def posterior_weights(self):
         """Normalized importance weights over `samples`."""
@@ -177,19 +182,21 @@ def _nested_run(key, loglike, u0, lnl0, data, nlive, nbatch,
           jnp.zeros((cap, ndim), dtype),
           jnp.full((cap,), neg_inf, dtype),
           jnp.full((cap,), neg_inf, dtype))
-    (it, _, key, live, lnl, lnx, lnz,
+    (it, done, key, live, lnl, lnx, lnz,
      dead_x, dead_l, dead_w) = jax.lax.while_loop(cond, body, c0)
 
     # Close out: surviving live points get equal shares of the final X.
     live_w = lnx - jnp.log(jnp.asarray(float(nlive), dtype))
     lnz = jnp.logaddexp(lnz, logsumexp(live_w + lnl))
-    return (it, lnz, live, lnl,
+    # `done` False here means the loop exited on max_iter with live mass
+    # still able to move lnZ by more than tol: a truncated evidence.
+    return (it, done, lnz, live, lnl,
             jnp.full((nlive,), live_w, dtype), dead_x, dead_l, dead_w)
 
 
 def nested_sample(loglike, lower, upper, key, nlive=512, nbatch=32,
                   nsteps=32, max_iter=3000, a=2.0, tol=1e-4,
-                  dtype=jnp.float32) -> NestedResult:
+                  dtype=jnp.float32, program_token=None) -> NestedResult:
     """Compute the evidence of `loglike` against a uniform prior over the
     finite box [lower, upper].
 
@@ -199,6 +206,13 @@ def nested_sample(loglike, lower, upper, key, nlive=512, nbatch=32,
     final buffers come back to host. Returns evidence w.r.t. the
     normalized uniform box prior (the 1/V prior factor is INCLUDED via
     sampling in the unit cube).
+
+    `program_token`: opt-in cross-call traced-program sharing (the same
+    contract as EnsembleSampler): a hashable token that, together with
+    the box, FULLY determines `loglike`'s computation. Without it every
+    call builds a fresh closure, whose identity is a static jit
+    argument, so looping nested_sample over model variants retraces the
+    whole max_iter while_loop each call.
     """
     lower = np.asarray(lower, np.float64)
     upper = np.asarray(upper, np.float64)
@@ -211,17 +225,35 @@ def nested_sample(loglike, lower, upper, key, nlive=512, nbatch=32,
     lo = np.asarray(lower, _np_dtype(dtype))
     wd = np.asarray(width, _np_dtype(dtype))
 
-    def ll_unit(u):
-        return loglike(lo + wd * u)
+    def make_ll_unit():
+        def ll_unit(u):
+            return loglike(lo + wd * u)
+        return ll_unit
+
+    if program_token is not None:
+        from mbb_emcee_tpu.sampler import shared_program
+        ll_unit = shared_program(
+            ("nested-llunit", program_token, lo.tobytes(), wd.tobytes(),
+             jnp.dtype(dtype).name), make_ll_unit)
+    else:
+        ll_unit = make_ll_unit()
 
     key, kinit = jax.random.split(key)
     u0 = jax.random.uniform(kinit, (nlive, lower.size), dtype)
     lnl0 = jax.vmap(ll_unit)(u0)
 
-    (it, lnz, live, lnl, live_w, dead_x, dead_l, dead_w) = _nested_run(
-        key, ll_unit, u0, lnl0, (), int(nlive), int(nbatch),
-        int(nsteps), int(max_iter), float(a), float(np.log(tol)))
+    (it, done, lnz, live, lnl, live_w, dead_x, dead_l, dead_w) = \
+        _nested_run(
+            key, ll_unit, u0, lnl0, (), int(nlive), int(nbatch),
+            int(nsteps), int(max_iter), float(a), float(np.log(tol)))
 
+    converged = bool(done)
+    if not converged:
+        warnings.warn(
+            f"nested sampling hit max_iter={max_iter} before the "
+            f"termination bound (tol={tol}) fired: logz is truncated "
+            "(biased low). Raise max_iter or loosen tol; the result "
+            "carries converged=False.", UserWarning, stacklevel=2)
     it = int(it)
     ndead = it * nbatch
     # Assemble dead + final live points, all in physical box space.
@@ -238,7 +270,8 @@ def nested_sample(loglike, lower, upper, key, nlive=512, nbatch=32,
     return NestedResult(
         logz=logz, logz_err=float(np.sqrt(max(h, 0.0) / nlive)), h=h,
         samples=xs, loglike=np.asarray(ls, np.float64), logwt=lw,
-        n_iter=it, n_like=nlive + it * nbatch * nsteps)
+        n_iter=it, n_like=nlive + it * nbatch * nsteps,
+        converged=converged)
 
 
 @dataclasses.dataclass
@@ -259,6 +292,8 @@ class NestedBatchResult:
     n_like: np.ndarray          # (S,)
     nbatch: int
     nlive: int
+    # (S,) bool; False = that source hit max_iter (truncated logz)
+    converged: np.ndarray | None = None
 
     @property
     def nsources(self):
@@ -274,7 +309,9 @@ class NestedBatchResult:
             logz=float(self.logz[s]), logz_err=float(self.logz_err[s]),
             h=float(self.h[s]), samples=self.samples[s][keep],
             loglike=self.loglike[s][keep], logwt=self.logwt[s][keep],
-            n_iter=int(self.n_iter[s]), n_like=int(self.n_like[s]))
+            n_iter=int(self.n_iter[s]), n_like=int(self.n_like[s]),
+            converged=(True if self.converged is None
+                       else bool(self.converged[s])))
 
     def posterior_weights(self):
         """(S, n) normalized importance weights (padded slots are 0)."""
@@ -334,7 +371,7 @@ def make_nested_batch_runner(loglike, lower, upper, nlive=512, nbatch=32,
                 dspec = tuple(P(ax, *([None] * (d.ndim - 1)))
                               for d in data)
                 out_specs = (
-                    P(ax), P(ax),                    # it, lnz
+                    P(ax), P(ax), P(ax),             # it, done, lnz
                     P(ax, None, None), P(ax, None),  # live, lnl
                     P(ax, None),                     # live_w
                     P(ax, None, None), P(ax, None),  # dead_x, dead_l
@@ -361,11 +398,11 @@ def make_nested_batch_runner(loglike, lower, upper, nlive=512, nbatch=32,
                 f"the mesh size ({mesh.devices.size} devices) must "
                 f"divide nsources={S}")
         keys = jax.random.split(key, 2 * S)
-        (it, lnz, live, lnl, live_w, dead_x, dead_l, dead_w) = _core(
-            data)(keys[:S], keys[S:], *data)
-        return _batch_postprocess(it, lnz, live, lnl, live_w, dead_x,
-                                  dead_l, dead_w, lower, width,
-                                  nlive, nbatch, nsteps)
+        (it, done, lnz, live, lnl, live_w, dead_x, dead_l, dead_w) = \
+            _core(data)(keys[:S], keys[S:], *data)
+        return _batch_postprocess(it, done, lnz, live, lnl, live_w,
+                                  dead_x, dead_l, dead_w, lower, width,
+                                  nlive, nbatch, nsteps, max_iter, tol)
 
     return run_batch
 
@@ -392,8 +429,17 @@ def nested_sample_batch(loglike, lower, upper, key, data, nlive=512,
         max_iter=max_iter, a=a, tol=tol, dtype=dtype)(key, data)
 
 
-def _batch_postprocess(it, lnz, live, lnl, live_w, dead_x, dead_l,
-                       dead_w, lower, width, nlive, nbatch, nsteps):
+def _batch_postprocess(it, done, lnz, live, lnl, live_w, dead_x, dead_l,
+                       dead_w, lower, width, nlive, nbatch, nsteps,
+                       max_iter, tol):
+    converged = np.asarray(done, bool)
+    if not converged.all():
+        bad = int((~converged).sum())
+        warnings.warn(
+            f"{bad}/{converged.size} sources hit max_iter={max_iter} "
+            f"before the termination bound (tol={tol}) fired: their "
+            "logz is truncated (biased low); see result.converged.",
+            UserWarning, stacklevel=3)
     it = np.asarray(it)
     ndead_max = int(it.max()) * nbatch
     xs = np.concatenate([np.asarray(dead_x)[:, :ndead_max],
@@ -414,4 +460,4 @@ def _batch_postprocess(it, lnz, live, lnl, live_w, dead_x, dead_l,
         samples=xs, loglike=ls, logwt=lw,
         n_iter=it.astype(np.int64),
         n_like=nlive + it.astype(np.int64) * nbatch * nsteps,
-        nbatch=int(nbatch), nlive=int(nlive))
+        nbatch=int(nbatch), nlive=int(nlive), converged=converged)

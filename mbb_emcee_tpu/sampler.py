@@ -57,7 +57,9 @@ def shared_program(key, build, cache=None, cap=None):
     _PROGRAM_CACHE and photoz's model memo reuse this helper (same
     eviction semantics everywhere) by passing their own OrderedDict."""
     if cache is None:
-        cache, cap = _PROGRAM_LRU, _PROGRAM_LRU_CAP
+        cache = _PROGRAM_LRU
+    if cap is None:
+        cap = _PROGRAM_LRU_CAP
     hit = cache.get(key)
     if hit is not None:
         cache.move_to_end(key)
@@ -322,11 +324,17 @@ def make_initial_ball(key, center, scatter, nwalkers, lower=None, upper=None,
     scatter = jnp.asarray(scatter, dtype)
     eps = jax.random.normal(key, (nwalkers, center.size), dtype=dtype)
     ball = center + eps * scatter
-    if lower is not None and upper is not None:
-        lo = jnp.asarray(lower, dtype)
-        hi = jnp.asarray(upper, dtype)
-        tiny = 1e-9 * (hi - lo)
-        lo_m, hi_m = lo + tiny, hi - tiny
+    if lower is not None or upper is not None:
+        lo = None if lower is None else jnp.asarray(lower, dtype)
+        hi = None if upper is None else jnp.asarray(upper, dtype)
+        if lo is not None and hi is not None:
+            tiny = 1e-9 * (hi - lo)
+        else:
+            # one-sided constraint (e.g. positivity with no ceiling):
+            # still reflect at the bound that exists
+            ref = lo if hi is None else hi
+            tiny = 1e-9 * jnp.maximum(jnp.abs(ref),
+                                      jnp.asarray(1.0, dtype))
         # Reflect ONLY out-of-box values (jnp.where, not the algebraic
         # lo + |x - lo| / hi - |hi - x| form): the algebraic form rounds
         # in-box values to the fp32 quantum AT THE BOUND -- with the default
@@ -334,9 +342,19 @@ def make_initial_ball(key, center, scatter, nwalkers, lower=None, upper=None,
         # re-center balls onto a single value and permanently froze that
         # ensemble coordinate (the stretch move cannot leave a degenerate
         # hyperplane).
-        ball = jnp.where(ball < lo_m, 2.0 * lo_m - ball, ball)
-        ball = jnp.where(ball > hi_m, 2.0 * hi_m - ball, ball)
-        ball = jnp.clip(ball, lo_m, hi_m)     # pathological double-overshoot
+        if lo is not None:
+            lo_m = lo + tiny
+            ball = jnp.where(ball < lo_m, 2.0 * lo_m - ball, ball)
+        if hi is not None:
+            hi_m = hi - tiny
+            ball = jnp.where(ball > hi_m, 2.0 * hi_m - ball, ball)
+        # pathological double-overshoot
+        if lo is not None and hi is not None:
+            ball = jnp.clip(ball, lo_m, hi_m)
+        elif lo is not None:
+            ball = jnp.maximum(ball, lo_m)
+        else:
+            ball = jnp.minimum(ball, hi_m)
     return ball
 
 
@@ -359,7 +377,13 @@ def split_rhat(chain):
     w = sp.var(axis=1, ddof=1).mean(axis=0)
     b = n * means.var(axis=0, ddof=1)
     var_post = (n - 1) / n * w + b / n
-    return np.sqrt(var_post / np.maximum(w, 1e-30))
+    rhat = np.sqrt(var_post / np.maximum(w, 1e-30))
+    # A frozen dimension (zero within- AND between-half variance -- a
+    # degenerate ensemble coordinate the stretch move can never leave)
+    # must read as pathological, not "perfectly converged": return NaN,
+    # matching effective_sample_size, so any `rhat < threshold` gate
+    # fails. (w tiny with b large already yields a huge rhat.)
+    return np.where(var_post <= 1e-30, np.nan, rhat)
 
 
 # Acklam's rational approximation to the inverse normal CDF (published

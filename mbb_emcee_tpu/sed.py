@@ -708,9 +708,27 @@ class SEDFitter(ParamSpaceMixin):
                 and np.all(np.isfinite(free_space.upper))):
             raise ValueError("nested sampling requires finite box bounds")
         key = jax.random.PRNGKey(self.seed if seed is None else int(seed))
+        # Content token: the frozen model's construction nonce stands in
+        # for the user fnu (same convention as batchengine's cross-
+        # instance cache), so repeated evidence calls on one model
+        # variant trace the nested program once.
+        from mbb_emcee_tpu.checkpoint import data_fingerprint
+        phot = self._require_data()
+        pack = self._response_pack()
+        sp = self.spec
+        token = ("sed-evidence", self.model.nonce,
+                 data_fingerprint(
+                     sp.lower, sp.upper, sp.fixed, sp.fixed_values,
+                     sp.prior_mean, sp.prior_isigma,
+                     None if sp.uplim_bands is None
+                     else np.asarray(sp.uplim_bands)),
+                 data_fingerprint(phot.wave, phot.flux, phot.unc,
+                                  phot.cov),
+                 None if pack is None else data_fingerprint(*pack))
         res = nested_sample(lnprob, free_space.lower, free_space.upper,
                             key, nlive=nlive, nbatch=nbatch, nsteps=nsteps,
-                            max_iter=max_iter, tol=tol)
+                            max_iter=max_iter, tol=tol,
+                            program_token=token)
         res = dataclasses.replace(res,
                                   samples=free_space.expand(res.samples))
         self.evidence = res

@@ -139,6 +139,31 @@ def test_fits_covariance_roundtrip(tmp_path):
     np.testing.assert_array_equal(phot2.cov, cov + np.diag([1.0, 4.0]))
 
 
+def test_read_cov_validates_at_read_time(tmp_path):
+    """A wrong covextn / broken matrix must fail HERE with a pointed
+    message, not as an opaque cholesky shape error inside build_lnprob."""
+    phot = Photometry([250.0, 350.0], [10.0, 12.0], [1.0, 2.0])
+    # wrong shape (3x3 cov against 2-band photometry)
+    bad_shape = str(tmp_path / "c3.fits")
+    write_fits_image(bad_shape, np.eye(3))
+    with pytest.raises(ValueError, match="does not match the 2-band"):
+        phot.read_cov(bad_shape)
+    # asymmetric
+    asym = str(tmp_path / "asym.fits")
+    write_fits_image(asym, np.array([[4.0, 1.0], [2.0, 9.0]]))
+    with pytest.raises(ValueError, match="not symmetric"):
+        phot.read_cov(asym)
+    # symmetric but not PSD even after diag(unc^2)
+    npsd = str(tmp_path / "npsd.fits")
+    write_fits_image(npsd, np.array([[1.0, 9.0], [9.0, 1.0]]))
+    with pytest.raises(ValueError, match="not positive definite"):
+        phot.read_cov(npsd, is_total=True)
+    # a valid matrix still attaches
+    ok = str(tmp_path / "ok.fits")
+    write_fits_image(ok, np.array([[4.0, 1.0], [1.0, 9.0]]))
+    assert phot.read_cov(ok).cov is not None
+
+
 def test_photfile_parsing(tmp_path):
     p = tmp_path / "phot.txt"
     p.write_text("# comment\n250.0 10.0 1.0\n350.0  8.0 0.9  # SPIRE\n")

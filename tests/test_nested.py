@@ -44,6 +44,55 @@ def _run(seed=0, **kw):
                          jax.random.PRNGKey(seed), **kw)
 
 
+def test_truncated_run_flagged_and_warned():
+    """Hitting max_iter before the termination bound must not pass
+    silently: converged=False on the result plus a UserWarning (a
+    truncated lnZ is biased low and poisons Bayes factors)."""
+    with pytest.warns(UserWarning, match="max_iter"):
+        r = _run(max_iter=3, nlive=64, nbatch=8, nsteps=4)
+    assert r.converged is False
+    assert r.n_iter == 3
+    # a normal run converges and is flagged as such
+    r = _run(nlive=64, nbatch=8, nsteps=8)
+    assert r.converged is True
+
+    # batch path: per-source flags + one aggregated warning
+    data = (jnp.asarray(np.stack([MU, MU + 0.1]), jnp.float32),)
+
+    def ll(x, mu):
+        return -0.5 * jnp.sum(((x - mu) / 0.1) ** 2)
+
+    with pytest.warns(UserWarning, match="2/2 sources"):
+        rb = nested_sample_batch(ll, LOWER, UPPER, jax.random.PRNGKey(0),
+                                 data, nlive=64, nbatch=8, nsteps=4,
+                                 max_iter=3)
+    assert rb.converged.tolist() == [False, False]
+    assert rb[0].converged is False
+
+
+def test_program_token_shares_ll_unit():
+    """Two calls with the same program_token reuse ONE ll_unit closure
+    (the static jit argument), so the max_iter while_loop traces once;
+    a different token splits."""
+    from mbb_emcee_tpu.sampler import _PROGRAM_LRU
+    kw = dict(nlive=64, nbatch=8, nsteps=8)
+    r1 = nested_sample(_gauss_ll(), LOWER, UPPER, jax.random.PRNGKey(3),
+                       program_token="tok-a", **kw)
+    n_entries = sum(1 for k in _PROGRAM_LRU
+                    if isinstance(k, tuple) and k[0] == "nested-llunit")
+    r2 = nested_sample(_gauss_ll(), LOWER, UPPER, jax.random.PRNGKey(3),
+                       program_token="tok-a", **kw)
+    assert sum(1 for k in _PROGRAM_LRU
+               if isinstance(k, tuple)
+               and k[0] == "nested-llunit") == n_entries
+    assert r1.logz == r2.logz                   # bitwise same program
+    nested_sample(_gauss_ll(), LOWER, UPPER, jax.random.PRNGKey(3),
+                  program_token="tok-b", **kw)
+    assert sum(1 for k in _PROGRAM_LRU
+               if isinstance(k, tuple)
+               and k[0] == "nested-llunit") == n_entries + 1
+
+
 def test_gaussian_evidence_analytic():
     """The normalized Gaussian integrates to 1 well inside the box, so
     lnZ (w.r.t. the normalized uniform box prior) must be -ln V."""
@@ -228,8 +277,10 @@ def test_batch_matches_single_bitwise():
     lnl0 = jax.vmap(lambda x: ll_unit(x, w0))(u0)
     out = _nested_run(keys[3], ll_unit, u0, lnl0, (w0,), 200, 16, 12,
                       3000, 2.0, float(np.log(1e-4)))
-    it_single, lnz_single = int(out[0]), float(out[1])
+    it_single, done_single, lnz_single = (int(out[0]), bool(out[1]),
+                                          float(out[2]))
     assert it_single == int(r.n_iter[1])
+    assert done_single and bool(r.converged[1])
     assert lnz_single == float(r.logz[1])
 
 

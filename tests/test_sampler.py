@@ -156,6 +156,54 @@ def test_initial_ball_no_fp32_quantization_at_far_bound():
     assert np.all(b > 1e-5) and np.all(b < 1e7)
 
 
+def test_initial_ball_one_sided_bounds():
+    """A lone lower (or upper) bound must still reflect — not silently
+    skip boundary handling and start most of a tight ball out of
+    support."""
+    import jax
+    import numpy as np
+    from mbb_emcee_tpu.sampler import make_initial_ball
+
+    ball = make_initial_ball(jax.random.key(1),
+                             center=np.array([0.05]),
+                             scatter=np.array([0.5]),
+                             nwalkers=256,
+                             lower=np.array([0.0]))
+    b = np.asarray(ball)[:, 0]
+    assert np.all(b > 0.0)
+    assert b.std() > 0.1                      # reflected, not clipped
+    ball = make_initial_ball(jax.random.key(1),
+                             center=np.array([-0.05]),
+                             scatter=np.array([0.5]),
+                             nwalkers=256,
+                             upper=np.array([0.0]))
+    b = np.asarray(ball)[:, 0]
+    assert np.all(b < 0.0) and b.std() > 0.1
+
+
+def test_frozen_dimension_rhat_is_nan_not_converged():
+    """A degenerate (constant) ensemble coordinate must read as
+    pathological: NaN from both R-hat variants (so any rhat<thresh gate
+    fails), matching effective_sample_size — never 0.0 ('perfectly
+    converged')."""
+    from mbb_emcee_tpu.sampler import (
+        split_rhat, split_rhat_rank_normalized)
+    rng = np.random.default_rng(0)
+    chain = rng.normal(size=(64, 8, 2))
+    chain[:, :, 1] = 3.25                   # frozen coordinate
+    r = split_rhat(chain)
+    assert np.isfinite(r[0]) and abs(r[0] - 1.0) < 0.2
+    assert np.isnan(r[1])
+    assert not (r[1] < 1.01)                # the gate fails
+    rr = split_rhat_rank_normalized(chain)
+    assert np.isfinite(rr[0]) and np.isnan(rr[1])
+    # device twin agrees
+    from mbb_emcee_tpu.batchengine import _batched_split_rhat
+    rd = np.asarray(_batched_split_rhat(
+        jnp.asarray(chain[None], jnp.float32)))[0]
+    assert np.isfinite(rd[0]) and np.isnan(rd[1])
+
+
 def test_single_trace_across_geometries():
     """ONE compiled program serves every (nsteps, thin) geometry: different
     burn/production lengths in one process must not retrace (the capped-grid
