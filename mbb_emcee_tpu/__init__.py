@@ -68,7 +68,7 @@ from mbb_emcee_tpu.reweight import (
     ReweightBatchResult)
 from mbb_emcee_tpu.forecast import forecast, forecast_mbb, ForecastResult
 
-__version__ = "1.0.0"
+__version__ = "1.0.1"
 
 __all__ = [
     "PARAM_NAMES", "NPARAMS",
