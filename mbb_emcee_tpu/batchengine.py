@@ -722,11 +722,17 @@ class BatchEngine:
         over a tunneled device link."""
         self._require_run()
         i = self._param_index(param)
-        spec = self._effective_spec()
-        if spec.fixed[i]:
-            v = float(spec.fixed_values[i])
+        # Interpret the chain under the spec the RUN sampled (captured
+        # in self.free_space at run time), NOT the current effective
+        # spec: fix_param()/unfix_param() AFTER run() must neither
+        # silently replace a real posterior with the new fixed value nor
+        # crash on a column the run never recorded.
+        fs = self.free_space
+        hit = np.nonzero(fs.free_idx == i)[0]
+        if hit.size == 0:
+            v = float(fs.template[i])       # fixed at run time
             return np.tile([v, 0.0, 0.0], (self.nsources, 1))
-        j = int(np.nonzero(self.free_space.free_idx == i)[0][0])
+        j = int(hit[0])
         data = jnp.reshape(self.chain_free[..., j], (self.nsources, -1))
         p = float(percentile)
         qs = jnp.percentile(data, jnp.asarray(

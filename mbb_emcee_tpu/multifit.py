@@ -126,6 +126,11 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
         self.seed = int(seed)
         self.prng_impl = prng_impl
         self.responses = responses
+        # Quadrature pack restored by from_h5 when the file carries a
+        # ResponsePack group but this instance has no ResponseSet: the
+        # reloaded batch must evaluate band-integrated fluxes exactly as
+        # the fit sampled them (PPC/LOO/SED bands), not point fluxes.
+        self._restored_pack = None
         self.mesh = mesh
         self._spec = LikelihoodSpec.default()
         self._init = DEFAULT_INIT.copy()
@@ -303,7 +308,7 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
     # -- the batched run --------------------------------------------------------
     def _response_pack(self):
         if self.responses is None:
-            return None
+            return self._restored_pack
         if self.band_names is None:
             raise ValueError("response mode requires band_names in set_data")
         return self.responses.pack(self.band_names)
@@ -311,8 +316,8 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
     def _responses_token(self):
         """Content cache key for the response curves baked into compiled
         programs (see _pack_token)."""
-        return None if self.responses is None else _pack_token(
-            self._response_pack())
+        pack = self._response_pack()
+        return None if pack is None else _pack_token(pack)
 
     def _init_centers(self, init="auto"):
         """Per-source initial centers: fnorm seeded from each source's flux
@@ -397,6 +402,20 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
                 "resume=True requires checkpoint= (the path the previous "
                 "run flushed state to); without it the run would silently "
                 "restart from scratch")
+        # Validate init UP FRONT (both backends' resume branches skip
+        # _init_centers, which would otherwise let a typo through), and
+        # refuse the ambiguous combination exactly as MBBFitter.run does:
+        # on an actual resume the checkpointed state wins and init='map'
+        # would be silently dropped.
+        if init not in ("auto", "map"):
+            raise ValueError(f"init must be 'auto' or 'map'; got {init!r}")
+        import os
+        if (resume and checkpoint and os.path.exists(checkpoint)
+                and init == "map"):
+            raise ValueError(
+                "init='map' combined with an actual resume is ambiguous: "
+                "the checkpointed state would silently win; drop init= "
+                "(or the checkpoint file) to make the intent explicit")
         spec = self._effective_spec()
         backend = self.sampler_backend
         if backend == "auto":
@@ -824,6 +843,16 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
             if self.band_names is not None:
                 f.attrs["band_names"] = np.array(
                     [n.encode() for n in self.band_names])
+            pack = self._response_pack()
+            if pack is not None:
+                # The per-band quadrature the fit sampled under: without
+                # it a from_h5 reload would evaluate PPC/LOO/SED bands
+                # by point evaluation -- a silently different model --
+                # and an XLA-backend resume would refuse (the posterior
+                # token includes the response curves).
+                g = f.create_group("ResponsePack")
+                g.create_dataset("Nodes", data=pack[0])
+                g.create_dataset("Weights", data=pack[1])
             if self.source_names is not None:
                 f.create_dataset("SourceNames", data=np.array(
                     [n.encode() for n in self.source_names]))
@@ -954,6 +983,10 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
                             [n.decode() for n in f["SourceNames"]]),
                         redshifts=(None if "Redshifts" not in f else
                                    np.asarray(f["Redshifts"])))
+            if "ResponsePack" in f:
+                mf._restored_pack = (
+                    np.asarray(f["ResponsePack"]["Nodes"]),
+                    np.asarray(f["ResponsePack"]["Weights"]))
             for ds, attr in (("LIRChain", "lir_chain"),
                              ("DustMassChain", "dustmass_chain"),
                              ("PeakLambdaChain", "peaklambda_chain")):
@@ -1118,24 +1151,9 @@ class _SourceView:
         return self._pack
 
 
-def _mesh_token(mesh):
-    """Content key for a mesh. id(mesh) is unsafe in a cache key: a freed
-    mesh's address can be recycled by a NEW mesh with different devices,
-    silently reusing a program sharded for the old one."""
-    if mesh is None:
-        return None
-    return (tuple(mesh.axis_names), mesh.devices.shape,
-            tuple(int(d.id) for d in mesh.devices.flat))
-
-
-def _pack_token(pack):
-    """Content key for a response pack (the (waves, weights) arrays baked
-    into the compiled program as constants). id(self.responses) is unsafe
-    for the same address-recycling reason as _mesh_token."""
-    if pack is None:
-        return None
-    waves, wts = pack
-    return (waves.tobytes(), wts.tobytes())
+# _mesh_token/_pack_token: imported from batchengine at the top of the
+# file (single source of truth; duplicating them here once silently
+# desynchronized stretch-tier vs PT/HMC-tier checkpoint mesh gating).
 
 
 def _compile_token(spec: LikelihoodSpec, shape: MBBShape):

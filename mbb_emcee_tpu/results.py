@@ -148,8 +148,12 @@ class MBBResults:
         self.param_spec = fit.spec
         self.param_init = fit._init.copy()
         self.thin = fit.thin
-        # n_ensembles>1 merges K ensembles into one wider walker axis
-        self.nwalkers = getattr(fit, "nwalkers_total", None) or fit.nwalkers
+        # The chain axis is authoritative, not the configured nwalkers:
+        # run_hmc/run_pt may sample a different chain count (nchains/
+        # nwalkers_pt), and n_ensembles>1 merges K ensembles into one
+        # wider walker axis -- the persisted attr must match the stored
+        # Chain dataset.
+        self.nwalkers = int(np.asarray(self.chain).shape[0])
         self.evidence = getattr(fit, "evidence", None)
         self.logz_pt = getattr(fit, "logz_pt", None)
         self.logz_ti = getattr(fit, "logz_ti", None)

@@ -861,7 +861,8 @@ class SEDFitter(ParamSpaceMixin):
         r = self.map_result
         free_idx = list(self.free_space.free_idx)
         if i not in free_idx:
-            v = float(self._effective_spec().fixed_values[i])
+            # the value the RUN held fixed, not the current spec's
+            v = float(self.free_space.template[i])
             return np.array([v, 0.0, 0.0])
         x, logw, ess = self.map_is
         col = x[:, free_idx.index(i)]

@@ -79,6 +79,9 @@ class SEDMultiFitter(BatchEngine, ParamSpaceMixin):
         # chains (rbg is faster on TPU but partitioning-dependent).
         self.prng_impl = prng_impl
         self.responses = None
+        # quadrature pack restored by from_h5 (see multifit: a reloaded
+        # response-mode batch must keep band-integrated evaluation)
+        self._restored_pack = None
 
         self._spec = LikelihoodSpec.for_box(model.lower, model.upper)
         center = 0.5 * (model.lower + model.upper)
@@ -126,7 +129,7 @@ class SEDMultiFitter(BatchEngine, ParamSpaceMixin):
 
     def _response_pack(self):
         if self.responses is None:
-            return None
+            return self._restored_pack
         if self.band_names is None:
             raise ValueError("response mode requires named photometry bands")
         return self.responses.pack(self.band_names)
@@ -403,6 +406,12 @@ class SEDMultiFitter(BatchEngine, ParamSpaceMixin):
             raise ValueError(
                 "resume=True requires checkpoint= (the path the previous "
                 "run flushed state to)")
+        if (resume and checkpoint and os.path.exists(checkpoint)
+                and init == "map"):
+            raise ValueError(
+                "init='map' combined with an actual resume is ambiguous: "
+                "the checkpointed state would silently win; drop init= "
+                "(or the checkpoint file) to make the intent explicit")
         if checkpoint is not None:
             return self._engine_run_checkpointed(
                 nburn, nsteps, thin, recenter_burn, verbose, init,
@@ -592,6 +601,11 @@ class SEDMultiFitter(BatchEngine, ParamSpaceMixin):
             if self.band_names is not None:
                 f.create_dataset("BandNames", data=np.array(
                     [str(n).encode() for n in self.band_names]))
+            pack = self._response_pack()
+            if pack is not None:
+                g = f.create_group("ResponsePack")
+                g.create_dataset("Nodes", data=pack[0])
+                g.create_dataset("Weights", data=pack[1])
             if self.source_names is not None:
                 f.create_dataset("SourceNames", data=np.array(
                     [n.encode() for n in self.source_names]))
@@ -719,6 +733,10 @@ class SEDMultiFitter(BatchEngine, ParamSpaceMixin):
             mf.flux = np.asarray(f["Flux"], np.float64)
             mf.unc = np.asarray(f["Unc"], np.float64)
             mf.band_names = band_names
+            if "ResponsePack" in f:
+                mf._restored_pack = (
+                    np.asarray(f["ResponsePack"]["Nodes"]),
+                    np.asarray(f["ResponsePack"]["Weights"]))
             mf.source_names = source_names
             mf.redshifts = (np.asarray(f["Redshifts"], np.float64)
                             if "Redshifts" in f else None)

@@ -123,6 +123,11 @@ def test_run_hmc_downstream_analysis():
     f.run_hmc(nwarmup=120, nsteps=200, nchains=16, thin=2)
     assert f.chain_free.shape == (100, 16, 3)
     r = MBBResults(fit=f)
+    # Regression (review): nchains != the configured nwalkers -- the
+    # persisted walker count must match the stored Chain axis, not the
+    # stale constructor value.
+    assert r.nwalkers == 16
+    assert r.chain.shape[0] == 16
     assert np.isfinite(r.best_fit[1])
     rhat = f.gelman_rubin()
     assert np.all(np.isfinite(rhat))

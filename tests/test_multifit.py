@@ -223,6 +223,29 @@ def test_multifit_response_mode():
         pull = np.abs(cen[:, 0] - trues[:, pi]) / np.maximum(err, 1e-9)
         assert np.all(pull < 5.0), (name, cen[:, 0], trues[:, pi])
 
+    # Regression (review): the HDF5 roundtrip must preserve the response
+    # quadrature -- a reloaded batch that silently fell back to POINT
+    # evaluation gave different PPC/LOO/SED bands than the fitted model,
+    # and an XLA resume was always refused (posterior token mismatch).
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "resp.h5")
+        mf.writeToHDF5(path)
+        back = MultiFitter.from_h5(path)
+        pk_orig, pk_back = mf._response_pack(), back._response_pack()
+        assert pk_back is not None
+        np.testing.assert_array_equal(pk_back[0], pk_orig[0])
+        np.testing.assert_array_equal(pk_back[1], pk_orig[1])
+        assert back._responses_token() == mf._responses_token()
+        # posterior identity now matches -> an XLA resume would be
+        # accepted (mesh-free comparison, as _engine_adopt_checkpoint does)
+        assert (back._posterior_token(back._effective_spec(), False)
+                == mf._posterior_token(mf._effective_spec(), False))
+        # PPC through the reloaded object exercises the band-integrated
+        # eval path end-to-end
+        p = back.posterior_predictive(thin=8, seed=5)
+        assert np.all((0.0 <= p.p_value) & (p.p_value <= 1.0))
+
 
 def test_batch_hdf5_roundtrip(fitted, tmp_path):
     mf = fitted
@@ -802,6 +825,57 @@ def test_run_init_typo_rejected():
     mf.set_data(WAVE, flux, unc)
     with pytest.raises(ValueError, match="init"):
         mf.run(nburn=2, nsteps=4, init="MAP")
+
+
+def test_run_init_map_with_actual_resume_rejected(tmp_path):
+    """Regression (review): init='map' + an existing checkpoint would
+    silently drop the requested MAP seeding (the checkpointed state
+    wins); refuse like MBBFitter.run does -- on BOTH backends, whose
+    resume branches skip _init_centers (and with it init validation)."""
+    flux, unc = _mock_batch(TRUES[:2])
+    ck = tmp_path / "ck.h5"
+    ck.write_bytes(b"")                     # an 'existing' checkpoint
+    for backend in ("xla", "fused"):
+        mf = MultiFitter(nwalkers=16, opthin=True, noalpha=True, seed=2,
+                         sampler_backend=backend, interpret=True)
+        mf.set_data(WAVE, flux, unc)
+        with pytest.raises(ValueError, match="ambiguous"):
+            mf.run(nburn=2, nsteps=4, checkpoint=str(ck), resume=True,
+                   init="map")
+        # a typo is rejected up front even on the resume path
+        with pytest.raises(ValueError, match="init"):
+            mf.run(nburn=2, nsteps=4, checkpoint=str(ck), resume=True,
+                   init="mapp")
+
+
+def test_par_cen_interprets_chain_under_run_spec(fitted):
+    """Regression (review): par_cen must summarize the RUN's posterior.
+    fix_param AFTER run() must not replace the sampled posterior with
+    the new fixed value; unfixing a run-time-fixed param must return the
+    run's value, not crash with IndexError."""
+    import copy
+    mf = copy.copy(fitted)
+    mf._spec = fitted._spec             # share; we restore below
+    before = mf.par_cen("T")
+    try:
+        mf.fix_param("T", 40.0)
+        after = mf.par_cen("T")
+        np.testing.assert_array_equal(after, before)   # not (40, 0, 0)
+    finally:
+        mf._spec = fitted._spec
+
+    # run with beta fixed, then unfix: the stored chain has no beta
+    # column -- report the run's fixed value
+    flux, unc = _mock_batch(TRUES[:2])
+    mf2 = MultiFitter(nwalkers=16, opthin=True, noalpha=True, seed=5,
+                      sampler_backend="xla")
+    mf2.set_data(WAVE, flux, unc)
+    mf2.fix_param("beta", 1.7)
+    mf2.run(nburn=10, nsteps=20)
+    mf2.unfix_param("beta")
+    cen = mf2.par_cen("beta")
+    np.testing.assert_array_equal(
+        cen, np.tile([1.7, 0.0, 0.0], (2, 1)))
 
 
 def test_evidence_runner_cached_across_same_shape_batches():
