@@ -94,6 +94,13 @@ def _whiten_from(unc, cov, nb):
         raise ValueError(
             "a forecast needs the expected noise: pass unc= (per-band "
             "1-sigma depths) or cov= (full band covariance)")
+    if cov is not None and unc is not None:
+        # silently preferring one would compute every Fisher forecast
+        # from the wrong noise model in a depth-scan that updates unc
+        # but keeps a stale cov kwarg
+        raise ValueError(
+            "pass unc= OR cov=, not both (ambiguous noise model; fold "
+            "the depths into the covariance diagonal if you mean both)")
     if cov is not None:
         cov = np.asarray(cov, np.float64)
         if cov.shape != (nb, nb):

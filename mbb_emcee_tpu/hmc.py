@@ -55,9 +55,10 @@ class HMCResult:
     mass: np.ndarray            # (nfree,) diagonal metric in u-space
 
 
-def _to_unconstrained(x, lower, width):
-    frac = jnp.clip((x - lower) / width, 1e-6, 1.0 - 1e-6)
-    return jnp.log(frac) - jnp.log1p(-frac)
+# The SAME logit transform MAP optimization uses (mapfit is the single
+# definition; init='map' seeding and the Laplace covariance assume the
+# two tiers share it exactly).
+from mbb_emcee_tpu.mapfit import _to_unconstrained  # noqa: E402
 
 
 def _make_lnpost(lnprob, lower, width):
@@ -290,6 +291,10 @@ def hmc_sample(lnprob, lower, upper, x0, key, nwarmup=500, nsteps=1000,
         raise ValueError("HMC requires finite box bounds on every free "
                          "parameter (the defaults are finite; see "
                          "set_lowlim/set_uplim)")
+    if int(nsteps) <= 0:
+        # 0 % thin == 0 would pass the divisibility check and produce an
+        # empty chain with a divide-by-zero acceptance fraction
+        raise ValueError(f"nsteps={nsteps} must be positive")
     if int(nsteps) % max(int(thin), 1):
         raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
     width = upper - lower

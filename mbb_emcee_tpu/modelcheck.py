@@ -270,6 +270,11 @@ def loo_batch_from_loglik(loglik, include):
     npts = include.sum(axis=1)
     for s in range(S):
         idx = np.where(include[s])[0]
+        if idx.size == 0:
+            # a source with no assessable band (all upper limits /
+            # missing) must report NaN, not a plausible-looking
+            # elpd_loo of exactly 0.0 that np.sum totals silently
+            continue
         r = loo_from_loglik(loglik[s][:, idx], point_index=idx)
         scalars[:, s] = (r.elpd_loo, r.se_elpd_loo, r.p_loo,
                          r.elpd_waic, r.se_elpd_waic, r.p_waic)

@@ -55,6 +55,36 @@ def _index_of(res, param):
     return param_index(param)
 
 
+def _index_closure(res):
+    """Name->index resolver for a Reweight*Result that pins only the
+    (tiny, frozen) model or a snapshot of the name list -- NEVER `res`
+    itself: reweight results outlive their parent fits, whose chains
+    and device buffers can be multi-GB, and a closure over the fitter
+    would keep all of it alive."""
+    model = getattr(res, "model", None)
+    if model is not None and hasattr(model, "param_index"):
+        return model.param_index                 # frozen dataclass
+    names = getattr(res, "_stored_param_names", None)
+    if names is None:
+        pop = getattr(res, "population", None)
+        if pop is not None:
+            names = pop.hyper_names
+    if names is not None:
+        lowered = [str(n).lower() for n in names]
+
+        def idx(p, _names=lowered):
+            if isinstance(p, (int, np.integer)):
+                return int(p)
+            try:
+                return _names.index(str(p).lower())
+            except ValueError:
+                raise ValueError(f"unknown parameter {p!r}") from None
+
+        return idx
+    from mbb_emcee_tpu.likelihood import param_index
+    return param_index
+
+
 @dataclasses.dataclass
 class ReweightResult:
     """A reweighted posterior: thinned samples + normalized PSIS weights.
@@ -189,7 +219,7 @@ def reweight_prior(res, param, mean=None, sigma=None, thin=1):
         new_prior=(None if sigma is None else float(mean),
                    None if sigma is None else float(sigma)),
         old_prior=(old_m, (1.0 / old_i) if old_i > 0 else None),
-        _index=lambda p, _res=res: _index_of(_res, p))
+        _index=_index_closure(res))
 
 
 @dataclasses.dataclass
@@ -288,8 +318,6 @@ def reweight_prior_batch(mf, param, mean=None, sigma=None, thin=1):
         logw = _log_ratio(samples[s, :, i], old_m[s], old_i[s],
                           new_m[s], new_i[s])
         logw_s[s], k_hat[s], ess[s] = _smooth_normalize(logw)
-    idx = (mf._param_index if hasattr(mf, "_param_index")
-           else (lambda p: _index_of(mf, p)))
     return ReweightBatchResult(samples=samples, logw=logw_s, ess=ess,
                                pareto_k=k_hat, param=str(param),
-                               _index=idx)
+                               _index=_index_closure(mf))

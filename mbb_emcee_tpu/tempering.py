@@ -430,9 +430,14 @@ def thermodynamic_logz(betas, mean_lnp):
     b = np.asarray(betas, np.float64)[..., ::-1]     # ascending 0 -> 1
     m = np.asarray(mean_lnp, np.float64)[..., ::-1]
     db = np.diff(b, axis=-1)
-    trap = np.sum(0.5 * (m[..., 1:] + m[..., :-1]) * db, axis=-1)
-    left = np.sum(m[..., :-1] * db, axis=-1)
-    return trap, np.abs(trap - left) / 2.0
+    per_trap = 0.5 * (m[..., 1:] + m[..., :-1]) * db
+    trap = np.sum(per_trap, axis=-1)
+    # Sum of PER-INTERVAL |trap - left| (as documented): summing first
+    # and differencing lets opposite-signed interval errors cancel,
+    # under-reporting the discretization error whenever mean_lnp is
+    # non-monotonic in beta (noisy hot rungs on wide-prior fits).
+    err = np.sum(np.abs(per_trap - m[..., :-1] * db), axis=-1) / 2.0
+    return trap, err
 
 
 def pt_sample(lnprob, p0, key, betas=None, nrungs=12, beta_min="auto",
@@ -467,8 +472,9 @@ def pt_sample(lnprob, p0, key, betas=None, nrungs=12, beta_min="auto",
         if new_betas.size == samp.nrungs:
             samp.set_betas(new_betas)        # no recompile
             betas = new_betas
-        elif not np.array_equal(new_betas, betas):
-            # K changed: seed the new ladder's rungs from the nearest
+        else:
+            # K changed (different-size ladders are never equal):
+            # seed the new ladder's rungs from the nearest
             # old rung's walkers (each is ~equilibrated at a nearby
             # temperature), then a short re-burn settles the rest.
             nearest = np.abs(

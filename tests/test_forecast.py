@@ -163,6 +163,12 @@ def test_validation_errors():
                  priors={"nope": (0.0, 1.0)})
     with pytest.raises(ValueError, match="cov must be"):
         forecast(model, [1.0], WAVE, cov=np.eye(2))
+    # Regression (review): unc= AND cov= together is an ambiguous noise
+    # model (a depth scan with a stale cov kwarg would silently use the
+    # wrong one) -- refuse, like modelcheck's pointwise constants do.
+    with pytest.raises(ValueError, match="not both"):
+        forecast(model, [1.0], WAVE, unc=np.ones(WAVE.size),
+                 cov=np.eye(WAVE.size))
 
 
 def test_scale_disparity_is_not_degeneracy():

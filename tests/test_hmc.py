@@ -74,6 +74,11 @@ def test_thin_and_shapes():
     with pytest.raises(ValueError, match="divisible"):
         hmc_sample(_lnprob_gauss, LOWER, UPPER, x0, key,
                    nwarmup=10, nsteps=10, thin=3)
+    # Regression (review): nsteps=0 passed 0 % thin and produced an
+    # empty chain with a divide-by-zero acceptance fraction
+    with pytest.raises(ValueError, match="positive"):
+        hmc_sample(_lnprob_gauss, LOWER, UPPER, x0, key,
+                   nwarmup=10, nsteps=0)
 
 
 def test_infinite_bounds_rejected():

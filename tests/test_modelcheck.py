@@ -172,6 +172,14 @@ def test_loo_batch_matches_pointwise_math():
     include[2, [0, 5]] = False
     batch = modelcheck.loo_batch_from_loglik(loglik, include)
     assert batch.nsamples == n
+    # Regression (review): a source with NO assessable band reports NaN,
+    # not a plausible-looking elpd of exactly 0.0
+    none_inc = include.copy()
+    none_inc[1] = False
+    b2 = modelcheck.loo_batch_from_loglik(loglik, none_inc)
+    assert np.isnan(b2.elpd_loo[1]) and np.isnan(b2.elpd_waic[1])
+    assert b2.n_points[1] == 0
+    np.testing.assert_allclose(b2.elpd_loo[0], batch.elpd_loo[0])
     for s in range(S):
         idx = np.where(include[s])[0]
         single = modelcheck.loo_from_loglik(loglik[s][:, idx],

@@ -35,6 +35,27 @@ def _fit(prior=None, seed=9, nburn=80, nsteps=400):
     return MBBResults(fit=fit)
 
 
+def test_result_does_not_pin_parent_fit():
+    """Regression (review): the ReweightResult's _index closure captured
+    the whole results object, keeping multi-GB chains alive for the
+    lifetime of the reweight result. It must pin at most the (tiny)
+    model / name list."""
+    import gc
+    import weakref
+    res = _fit(prior=(30.0, 4.0))
+    rw = reweight_prior(res, "T", 30.0, 4.0)
+    assert rw.par_cen("T") is not None        # resolver works pre-drop
+    ref = weakref.ref(res)
+    fit_ref = weakref.ref(res._fit)
+    del res
+    gc.collect()
+    assert ref() is None, "ReweightResult still pins the results object"
+    assert fit_ref() is None, "ReweightResult still pins the fitter"
+    # and the resolver still works after the parent is gone
+    cen = rw.par_cen("T")
+    assert np.isfinite(cen).all()
+
+
 def test_weighted_percentiles_unit():
     """Integer weights == sample repetition (up to the shared midpoint
     ECDF convention, checked against np.percentile on the expansion)."""

@@ -326,6 +326,15 @@ def test_ladder_and_validation():
     # trapezoid sanity: constant integrand integrates exactly
     lz, err = thermodynamic_logz(b, np.full(8, -3.0))
     np.testing.assert_allclose(lz, -3.0, rtol=1e-12)
+    # Regression (review): the error proxy sums PER-INTERVAL
+    # |trap - left| -- non-monotonic mean_lnp (noisy hot rungs) must
+    # not cancel to a spuriously tiny reported error.
+    m = np.full(8, -3.0)
+    m[::2] += 1.0                       # alternating: signed terms cancel
+    _, err_osc = thermodynamic_logz(b, m)
+    per = np.abs(np.diff(b[::-1]) * 0.5 * np.diff(m[::-1])).sum() / 2.0
+    np.testing.assert_allclose(err_osc, per, rtol=1e-12)
+    assert err_osc > 0.05               # the cancelled form gave ~0
 
 
 def test_betas_must_end_at_zero():
