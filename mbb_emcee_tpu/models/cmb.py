@@ -70,12 +70,12 @@ def dust_temperature_with_cmb(t_intrinsic, beta, z, t_cmb0=T_CMB0):
     return jnp.exp(jnp.logaddexp(p * jnp.log(t_intrinsic), log_heat) / p)
 
 
-def _log_expm1(x):
-    """ln(e^x - 1), stable over the full greybody range of x."""
-    x = jnp.maximum(x, 1e-30)
-    return jnp.where(x > 1e-3,
-                     x + jnp.log1p(-jnp.exp(-jnp.maximum(x, 1e-3))),
-                     jnp.log(jnp.expm1(jnp.minimum(x, 1e-3))))
+# ln(e^x - 1): the package-wide helper (ops.special). cmb runs only
+# through the generic XLA tiers, so the Mosaic no-expm1 restriction that
+# forces pallas_lnprob's private copy does not apply here -- and the
+# hand-rolled crossover branch this module once carried was ~16x less
+# accurate near x = 1e-3.
+from mbb_emcee_tpu.ops.special import log_expm1 as _log_expm1  # noqa: E402
 
 
 def log_cmb_visibility(wave_rest, t_dust, z, t_cmb0=T_CMB0):

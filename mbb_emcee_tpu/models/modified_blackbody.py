@@ -17,8 +17,9 @@ Design differences from the reference (deliberate, TPU-first):
   * The reference constructs a model OBJECT per lnprob call and runs
     scipy.optimize.brentq for the merge point inside every evaluation
     (SURVEY.md section 3.5). Here the whole model is a pure function of the
-    parameter vector; the merge solve is a fixed-iteration bisection
-    (ops.rootfind.bisect_decreasing) that is branchless and batches over
+    parameter vector; the merge solve is a fixed-iteration bisect+Newton
+    hybrid (ops.rootfind.bisect_newton_decreasing: 6 bisections bracket,
+    2 clamped Newton steps polish) that is branchless and batches over
     walkers via vmap.
   * All evaluation is in log-space fp32: the Wien side reaches x ~ O(10^3)
     where e^x overflows fp32, and log-space turns the normalization into a

@@ -15,7 +15,6 @@ scan on real TPU hardware. Equivalence is tested in interpret mode on CPU
 
 from __future__ import annotations
 
-import functools
 import math
 
 import numpy as np

@@ -166,6 +166,22 @@ def _make_multi_lnp(cfg):
     return compute
 
 
+def _sanitize_missing_flux(flux, unc):
+    """Zero the flux at missing bands (non-finite unc -> weight 0 via
+    signed_iunc) BEFORE it reaches the kernel: NaN * 0 is NaN, so an
+    unsanitized NaN flux poisons chi2 and silently freezes that source's
+    chain (accept = log u < NaN is always False). A non-finite flux at a
+    WEIGHTED band is a data error -- raise."""
+    finite_w = np.isfinite(unc)
+    bad = finite_w & ~np.isfinite(flux)
+    if bad.any():
+        s, b = np.argwhere(bad)[0]
+        raise ValueError(
+            f"non-finite flux at a weighted band (source {s}, band {b}); "
+            "mark missing bands by setting unc to NaN/inf")
+    return np.where(finite_w, flux, 0.0)
+
+
 def _hash_uniforms(shape, seed0, seed1, step_index):
     """Deterministic in-kernel pseudo-uniforms for INTERPRET mode, where
     the TPU hardware PRNG primitives cannot lower on CPU. A Knuth-style
@@ -369,6 +385,7 @@ class FusedMultiPallasSampler:
         wave = np.atleast_1d(np.asarray(wave, np.float64))
         if flux.shape != unc.shape or flux.shape[1] != wave.size:
             raise ValueError("flux/unc must be (S, nbands)")
+        flux = _sanitize_missing_flux(flux, unc)
 
         self.nwalkers = int(nwalkers)
         self.nsources = flux.shape[0]
@@ -491,6 +508,7 @@ class FusedMultiPallasSampler:
         if flux.shape != (self.nsources, nb) or unc.shape != flux.shape:
             raise ValueError(
                 f"flux/unc must be ({self.nsources}, {nb})")
+        flux = _sanitize_missing_flux(flux, unc)
         if uplim_bands is not FusedMultiPallasSampler._KEEP:
             if (self.use_chol and uplim_bands is not None
                     and np.asarray(uplim_bands).any()):
@@ -724,6 +742,11 @@ class FusedMultiPallasSampler:
 
         # hw mode: ONE program (grid cap) serves every (nsteps, thin);
         # longer runs stream through segments of <= rec_cap records.
+        if uniforms is not None:
+            raise ValueError(
+                "uniforms= requires rng='external' at construction; the "
+                "hardware-PRNG sampler would silently ignore the "
+                "provided stream")
         if () not in self._run_cache:
             self._run_cache[()] = self._make_run(self.rec_cap, thin)
         run = self._run_cache[()]

@@ -335,7 +335,6 @@ class FusedPallasSampler:
             cfg, nfree=nfree, half=half, wp=wp, thin=thin, a=self.a,
             external_rng=external)
         consts = self.np_consts
-        nb = int(consts["flux"].shape[0])
         nrows = int(consts["waves"].shape[0])   # flattened (R, 1) grids
         free_idx = self.free_space.free_idx     # host numpy index
 

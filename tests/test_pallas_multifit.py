@@ -170,6 +170,51 @@ def test_multi_kernel_validation():
                          (4, NW, samp.ndim)))
     with pytest.raises(ValueError):
         samp.run_mcmc(st, 2)   # external rng needs uniforms
+    # hw mode: a provided uniforms stream would be silently ignored --
+    # refuse, like the single-source sampler (review regression)
+    samp_hw = FusedMultiPallasSampler(NW, WAVE, flux, unc, shape, spec,
+                                      interpret=True, rng="hw")
+    st_hw = samp_hw.init_state(jax.random.key(0), jnp.zeros(
+        (4, NW, samp_hw.ndim), jnp.float32))
+    with pytest.raises(ValueError, match="silently ignore"):
+        samp_hw.run_mcmc(st_hw, 2, uniforms=jnp.zeros((1,)))
+
+
+def test_missing_band_flux_sanitized():
+    """Regression (review): NaN flux at a missing band (non-finite unc)
+    must not poison chi2 (NaN * 0 = NaN froze that source's chain);
+    non-finite flux at a WEIGHTED band is a data error."""
+    shape, spec, trues, flux, unc = _problem(3)
+    flux, unc = flux.copy(), unc.copy()
+    flux[1, 2] = np.nan
+    unc[1, 2] = np.inf                    # properly marked missing
+    samp = FusedMultiPallasSampler(NW, WAVE, flux, unc, shape, spec,
+                                   interpret=True, rng="external")
+    fs = samp.free_space
+    p0 = np.stack([
+        np.asarray(make_initial_ball(
+            jax.random.key(60 + s), trues[s][fs.free_idx],
+            0.05 * np.abs(trues[s][fs.free_idx]), NW,
+            fs.lower, fs.upper))
+        for s in range(3)])
+    state = samp.init_state(jax.random.key(2), jnp.asarray(p0))
+    rng = np.random.default_rng(8)
+    uniforms = jnp.asarray(rng.uniform(
+        0.001, 0.999,
+        (samp.ntiles, 2, 6 * 1 * samp.s_tile, samp.wp)).astype(np.float32))
+    state, chain, lnp = samp.run_mcmc(state, 2, 1, uniforms=uniforms)
+    assert np.isfinite(np.asarray(lnp[1])).all()
+    assert np.asarray(state.naccept[1]).sum() > 0   # chain actually moves
+    # same sanitize on the set_data serving path
+    samp.set_data(flux, unc)
+    # NaN flux at a weighted band is refused with a pointed message
+    bad_flux = flux.copy()
+    bad_flux[0, 1] = np.nan
+    with pytest.raises(ValueError, match="weighted band"):
+        samp.set_data(bad_flux, unc)
+    with pytest.raises(ValueError, match="weighted band"):
+        FusedMultiPallasSampler(NW, WAVE, bad_flux, unc, shape, spec,
+                                interpret=True, rng="external")
 
 
 def test_set_data_refreshes_kernel_operands():
