@@ -354,9 +354,12 @@ def main(argv=None):
                              "--hmc/--pt/--checkpoint/--resume/"
                              "--extend-until/--init-map")
         if (args.get_lir or args.get_dustmass or args.get_peaklambda
-                or args.get_evidence or args.loo or args.loo_exact):
-            raise SystemExit("derived-quantity posteriors need chains; "
-                             "run without --map for them")
+                or args.get_evidence or args.loo or args.loo_exact
+                or args.ppc or args.plot_sed or args.plot_corner
+                or args.plot_chain or args.plot_ppc):
+            raise SystemExit("derived-quantity posteriors, --ppc and the "
+                             "--plot-* figures need chains; run without "
+                             "--map for them")
         import time as _time
         from mbb_emcee_tpu.constants import PARAM_NAMES as _PN
         t0 = _time.time()
@@ -418,6 +421,13 @@ def main(argv=None):
         raise SystemExit("--init-map seeds the stretch-move walker "
                          "ball of a single ensemble; drop "
                          "--hmc/--pt/--resume/--n-ensembles")
+    if (args.get_lir or args.get_dustmass) and args.redshift is None:
+        # catch BEFORE burning+sampling: failing in compute_lir after
+        # the production run would discard the whole fit unpersisted
+        raise SystemExit(
+            "--get-lir/--get-dustmass need the source redshift: pass "
+            "-z/--redshift (add --lumdist to override the luminosity "
+            "distance)")
     with trace(args.profile_dir):
         if args.hmc and args.pt:
             raise SystemExit("--hmc and --pt are mutually exclusive")

@@ -281,20 +281,23 @@ def _safe_rhat(mf):
         return np.full(mf.nsources, np.nan)
 
 
-def _summary_table(mf, offset=0):
+def _summary_table(mf, offset=0, ppc=None):
     """Per-source summary lines: free-parameter medians +/- 1 sigma,
-    split-R-hat, and lnZ columns when evidence was computed. `offset`
-    shifts the printed indices to catalog-global positions (chunked
-    serving)."""
-    import numpy as np
+    split-R-hat, and lnZ/PPC columns when computed. `offset` shifts the
+    printed indices to catalog-global positions (chunked serving).
+    Shared with cli_sed (getattr: a SEDMultiFitter that never ran
+    PT/evidence has no such attributes)."""
     names = mf.free_param_names
     cen = {p: mf.par_cen(p) for p in names}          # (S, 3) each
     rhat = _safe_rhat(mf)
+    logz_pt = getattr(mf, "logz_pt", None)
+    evidence = getattr(mf, "evidence", None)
     lines = ["#   source            " +
              "".join(f"{p:>24}" for p in names) +
              f"{'max-Rhat':>10}" +
-             ("" if mf.logz_pt is None else f"{'lnZ(PT)':>12}") +
-             ("" if mf.evidence is None else f"{'lnZ':>12}")]
+             ("" if logz_pt is None else f"{'lnZ(PT)':>12}") +
+             ("" if evidence is None else f"{'lnZ':>12}") +
+             ("" if ppc is None else f"{'PPC p':>8}")]
     srcnames = mf.source_names or [f"src{i + offset}"
                                    for i in range(mf.nsources)]
     for i, nm in enumerate(srcnames):
@@ -302,10 +305,12 @@ def _summary_table(mf, offset=0):
             f"  {cen[p][i, 0]:>10.4g} +{cen[p][i, 1]:.3g}/-{cen[p][i, 2]:.3g}"
             .rjust(24) for p in names)
         line = f"{i + offset:>3} {nm:<16}{cells}{rhat[i]:>10.3f}"
-        if mf.logz_pt is not None:
-            line += f"{mf.logz_pt[0][i]:>12.2f}"
-        if mf.evidence is not None:
-            line += f"{mf.evidence.logz[i]:>12.2f}"
+        if logz_pt is not None:
+            line += f"{logz_pt[0][i]:>12.2f}"
+        if evidence is not None:
+            line += f"{evidence.logz[i]:>12.2f}"
+        if ppc is not None:
+            line += f"{ppc.p_value[i]:>8.3f}"
         lines.append(line)
     return "\n".join(lines)
 
@@ -452,6 +457,11 @@ def main(argv=None):
     if args.init_map and (args.hmc or args.pt or args.resume):
         raise SystemExit("--init-map seeds the stretch-move walker "
                          "ball; drop --hmc/--pt/--resume")
+    if (args.get_lir or args.get_dustmass) and not cat.has_redshifts:
+        # catch BEFORE burning+sampling: failing in compute_lir after
+        # the batch run would discard every chunk's chains unpersisted
+        raise SystemExit("--get-lir/--get-dustmass need finite "
+                         "redshifts in the catalog's z column")
 
     if args.population_correlated and (args.population is None
                                        or len(args.population) != 2):

@@ -417,6 +417,14 @@ def _inspect_map(f, kind, pct):
     lnp = np.asarray(g["LnProb"], np.float64)
     interior = (np.asarray(g["Interior"]).astype(bool)
                 if "Interior" in g else None)
+    # The single-fit CLI's --map artifact stores a 1-D (npar,) vector
+    # and scalar LnProb (cli.py); normalize to the batch layout
+    if params.ndim == 1:
+        params = params[None, :]
+        sigma = np.atleast_2d(sigma)
+        lnp = np.atleast_1d(lnp)
+        if interior is not None:
+            interior = np.atleast_1d(interior)
     S, npar = params.shape
     if len(names) != npar:
         names = [f"p{i}" for i in range(npar)]

@@ -180,6 +180,11 @@ def build_parser():
     g.add_argument("--population-correlated", action="store_true",
                    help="bivariate population with a free correlation "
                         "(exactly two --population params)")
+    g.add_argument("--plot-population", default=None, metavar="PNG",
+                   help="save the population-band figure (deconvolved "
+                        "density over the per-source-median histogram; "
+                        "one panel per --population parameter, suffixed "
+                        "for >1)")
 
     g = p.add_argument_group("output")
     g.add_argument("--summary", action="store_true",
@@ -217,38 +222,10 @@ def load_model(spec):
 
 
 def _summary(mf, ppc=None):
-    import numpy as np
-    names = mf.free_param_names
-    cen = {p: mf.par_cen(p) for p in names}
-    try:
-        rhat = mf.gelman_rubin().max(axis=1)
-    except ValueError:
-        rhat = np.full(mf.nsources, np.nan)
-    head = ("#   source            "
-            + "".join(f"{p:>24}" for p in names) + f"{'max-Rhat':>10}")
-    if getattr(mf, "logz_pt", None) is not None:
-        head += f"{'lnZ(PT)':>12}"
-    if getattr(mf, "evidence", None) is not None:
-        head += f"{'lnZ':>12}"
-    if ppc is not None:
-        head += f"{'PPC p':>8}"
-    lines = [head]
-    srcnames = mf.source_names or [f"src{i}"
-                                   for i in range(mf.nsources)]
-    for i, nm in enumerate(srcnames):
-        cells = "".join(
-            f"  {cen[p][i, 0]:>10.4g} "
-            f"+{cen[p][i, 1]:.3g}/-{cen[p][i, 2]:.3g}".rjust(24)
-            for p in names)
-        line = f"{i:>3} {nm:<16}{cells}{rhat[i]:>10.3f}"
-        if getattr(mf, "logz_pt", None) is not None:
-            line += f"{mf.logz_pt[0][i]:>12.2f}"
-        if getattr(mf, "evidence", None) is not None:
-            line += f"{mf.evidence.logz[i]:>12.2f}"
-        if ppc is not None:
-            line += f"{ppc.p_value[i]:>8.3f}"
-        lines.append(line)
-    return "\n".join(lines)
+    # the batch CLI's table is the single implementation (it carries
+    # the NaN-R-hat fallback and the lnZ/PPC column rules)
+    from mbb_emcee_tpu.cli_batch import _summary_table
+    return _summary_table(mf, ppc=ppc)
 
 
 def main(argv=None):
@@ -380,6 +357,22 @@ def main(argv=None):
     if args.extend_until is not None and (args.hmc or args.pt):
         raise SystemExit("--extend-until works with the stretch-move "
                          "sampler only")
+    if args.extend_until is not None:
+        # catch BEFORE burning+sampling (as the sibling CLIs do): a bad
+        # combination discovered after the production run would abort
+        # before writeToHDF5 and lose the fit
+        if int(args.nsteps) // max(args.thin, 1) < 4:
+            raise SystemExit(
+                f"--extend-until needs at least 4 recorded steps per "
+                f"pass; --nsteps {args.nsteps} / --thin {args.thin} "
+                f"records only {int(args.nsteps) // max(args.thin, 1)}")
+        from mbb_emcee_tpu.cli import _validate_extend_flags
+        _validate_extend_flags(args)
+    if (args.get_lir and args.lir_zparam is None
+            and mf.redshifts is None):
+        raise SystemExit(
+            "--get-lir needs finite redshifts in the catalog's z column "
+            "(or --lir-zparam for photo-z models)")
     if args.init_map and (args.hmc or args.pt or args.resume):
         raise SystemExit("--init-map seeds the stretch-move walker "
                          "ball; drop --hmc/--pt/--resume")
@@ -454,9 +447,7 @@ def main(argv=None):
                resume=args.resume)
 
     if args.extend_until is not None:
-        if int(args.nsteps) // max(args.thin, 1) < 4:
-            raise SystemExit("--extend-until needs >= 4 recorded steps "
-                             "per pass")
+        # preconditions validated BEFORE the run (see main's flag checks)
         step = args.extend_step or args.nsteps
         max_steps = args.max_steps or 10 * args.nsteps
         window = max(4, args.nsteps // max(args.thin, 1))

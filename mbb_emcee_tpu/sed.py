@@ -397,7 +397,20 @@ class SEDFitter(ParamSpaceMixin):
         return self._spec
 
     # -- data --------------------------------------------------------------------------
+    def _refuse_uplim_cov(self):
+        """The uplim-vs-covariance invariant must hold in BOTH setter
+        orders: set_phot_upperlimits refuses when a covariance is
+        attached, and attaching a covariance must equally refuse when
+        limits are already set (the combination the generic tier
+        declares ill-defined would otherwise compose silently)."""
+        ul = self._spec.uplim_bands
+        if ul is not None and np.asarray(ul).any():
+            raise ValueError("photometric upper limits do not compose "
+                             "with a full covariance")
+
     def set_data(self, wave, flux, unc, cov=None, band_names=None):
+        if cov is not None:
+            self._refuse_uplim_cov()
         self.phot = Photometry(wave, flux, unc, cov=cov,
                                band_names=band_names)
         apply_model_guess(self.model, self.phot.wave, self.phot.flux,
@@ -415,6 +428,7 @@ class SEDFitter(ParamSpaceMixin):
         return self
 
     def read_cov(self, covfile, covextn=0, is_total=False):
+        self._refuse_uplim_cov()
         self._require_data().read_cov(covfile, covextn, is_total=is_total)
         return self
 

@@ -261,6 +261,35 @@ def test_cli_extend_flag_validation(tmp_path):
         main([phot, out, "--map", "--extend-until", "1.05"])
 
 
+def test_cli_derived_z_checked_before_fit(tmp_path):
+    """Regression (review): --get-lir/--get-dustmass without -z used to
+    crash in compute_lir AFTER the full MCMC and before the HDF5 write,
+    losing the fit. Must be a pointed SystemExit before sampling."""
+    phot = str(tmp_path / "phot.txt")
+    _write_photfile(phot, MBBShape(opthin=True, noalpha=True))
+    out = str(tmp_path / "o.h5")
+    import os
+    import pytest
+    for flag in ("--get-lir", "--get-dustmass"):
+        with pytest.raises(SystemExit, match="redshift"):
+            main([phot, out, "-n", "50000", flag])   # huge n: must not run
+        assert not os.path.exists(out)
+
+
+def test_cli_map_rejects_ppc_and_plots(tmp_path):
+    """Regression (review): --map silently ignored --ppc and --plot-*
+    (requested outputs never produced); now refused like the other
+    chains-needed flags."""
+    phot = str(tmp_path / "phot.txt")
+    _write_photfile(phot, MBBShape(opthin=True, noalpha=True))
+    out = str(tmp_path / "o.h5")
+    import pytest
+    with pytest.raises(SystemExit, match="chains"):
+        main([phot, out, "--map", "--ppc"])
+    with pytest.raises(SystemExit, match="chains"):
+        main([phot, out, "--map", "--plot-sed", str(tmp_path / "f.png")])
+
+
 def test_cli_init_map(tmp_path, capsys):
     """--init-map: MAP triage seeds the walker ball (triage-then-refine
     as one command), with the sampler-conflict guards."""

@@ -99,6 +99,31 @@ def test_batch_summary_and_selection(artifacts):
         inspect_file(artifacts["batch"], sources=["nope"])
 
 
+def test_single_fit_map_artifact(tmp_path):
+    """Regression (review): the single-fit CLI's --map artifact stores a
+    1-D Params vector and scalar LnProb; the inspector must normalize it
+    instead of failing on the unpack."""
+    from mbb_emcee_tpu.cli import main as cli_main
+    shape = MBBShape(opthin=True, noalpha=True)
+    flux, unc = _mock_flux(shape)
+    phot = str(tmp_path / "phot.txt")
+    with open(phot, "w") as fh:
+        for i in range(WAVE.size):
+            fh.write(f"{WAVE[i]} {flux[i]:.4f} {unc[i]:.4f}\n")
+    out = str(tmp_path / "map1.h5")
+    rc = cli_main([phot, out, "--opthin", "--noalpha", "--map",
+                   "--map-starts", "2"])
+    assert rc == 0
+    info = inspect_file(out)
+    assert info["kind"] == "map"
+    assert info["nsources"] == 1
+    row = info["sources"][0]
+    assert np.isfinite(row["lnprob"])
+    by_name = {p["name"]: p for p in row["params"]}
+    assert set(by_name) == {"T", "beta", "lambda0", "alpha", "fnorm"}
+    assert main([out]) == 0                 # shell render works too
+
+
 def test_map_summary(artifacts):
     info = inspect_file(artifacts["map"])
     assert info["kind"] == "map"

@@ -157,6 +157,21 @@ def test_cli_sed_checkpoint_and_guards(tmp_path):
         main([mpath, cat, out, "--hmc", "--extend-until", "1.1"])
     with pytest.raises(SystemExit, match="unknown parameter"):
         main([mpath, cat, out, "--lowlim", "T_dust", "5"])
+    # Regression (review): extend preconditions are validated BEFORE
+    # the production run (a post-run SystemExit lost the fit)
+    with pytest.raises(SystemExit, match="4 recorded steps"):
+        main([mpath, cat, out, "-n", "6", "--thin", "2",
+              "--extend-until", "1.05"])
+    with pytest.raises(SystemExit, match="divisible"):
+        main([mpath, cat, out, "-n", "100", "--thin", "2",
+              "--extend-until", "1.05", "--extend-step", "7"])
+    # --plot-population is accepted (the shared population stage
+    # handles it; it was missing from this CLI's parser)
+    from mbb_emcee_tpu.cli_sed import build_parser
+    a = build_parser().parse_args(
+        [mpath, cat, out, "--population", "T_cold",
+         "--plot-population", "p.png"])
+    assert a.plot_population == "p.png"
 
 
 def test_cli_sed_hmc_and_uplim(tmp_path):

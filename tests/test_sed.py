@@ -105,6 +105,39 @@ def test_lnprob_matches_mbb_builder():
         np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+def test_uplim_cov_guard_is_bidirectional(tmp_path):
+    """Regression (review): the uplim-vs-covariance refusal must hold in
+    BOTH setter orders -- limits first, covariance second used to
+    compose the forbidden combination silently."""
+    from mbb_emcee_tpu.sed import SEDFitter
+    from mbb_emcee_tpu.utils.fits import write_fits_image
+    flux, unc = _mock_flux()
+    model = _mbb_wrapped()
+    cov = np.diag(unc ** 2)
+
+    # order 1 (already guarded): cov first, uplims second
+    f1 = SEDFitter(model, nwalkers=16)
+    f1.set_data(WAVE, flux, unc, cov=cov)
+    with pytest.raises(ValueError, match="do not compose"):
+        f1.set_phot_upperlimits([True, False, False, False, False])
+
+    # order 2 (the review gap): uplims first, covariance second
+    f2 = SEDFitter(model, nwalkers=16)
+    f2.set_data(WAVE, flux, unc)
+    f2.set_phot_upperlimits([True, False, False, False, False])
+    with pytest.raises(ValueError, match="do not compose"):
+        f2.set_data(WAVE, flux, unc, cov=cov)
+    covf = str(tmp_path / "c.fits")
+    write_fits_image(covf, cov)
+    with pytest.raises(ValueError, match="do not compose"):
+        f2.read_cov(covf, is_total=True)
+    # an all-False mask does not block covariance
+    f3 = SEDFitter(model, nwalkers=16)
+    f3.set_data(WAVE, flux, unc)
+    f3.set_phot_upperlimits([False] * 5)
+    f3.set_data(WAVE, flux, unc, cov=cov)
+
+
 def test_spec_size_mismatch_raises():
     flux, unc = _mock_flux()
     model = _mbb_wrapped()
