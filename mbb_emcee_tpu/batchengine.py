@@ -487,6 +487,9 @@ class BatchEngine:
         spec = self._effective_spec()
         lnprob_data, free_space = self._engine_lnprob(spec)
         self.free_space = free_space
+        # the spec THIS run samples under: writeToHDF5 persists it so a
+        # post-run fix_param() cannot re-label reloaded chain columns
+        self._run_spec = spec
         self.thin = int(thin)
         S, nw = self.nsources, self.nwalkers
         if nw < 2 * free_space.nfree:
@@ -668,6 +671,17 @@ class BatchEngine:
         thin_i = int(thin)
         target = int(nsteps) // thin_i          # records wanted
         interval = max(1, int(interval))
+
+        def flush():
+            # Atomic (tmp + os.replace, as checkpoint.save_checkpoint
+            # does): h5py mode 'w' truncates in place, so a kill during
+            # the seconds-long gzip write would destroy the only
+            # checkpoint -- the exact loss the file exists to prevent.
+            import os
+            tmp = checkpoint + ".tmp"
+            self.writeToHDF5(tmp)
+            os.replace(tmp, checkpoint)
+
         if resuming:
             self._engine_adopt_checkpoint(checkpoint, thin_i)
         else:
@@ -675,11 +689,11 @@ class BatchEngine:
             self.run(nburn=nburn, nsteps=first * thin_i, thin=thin_i,
                      recenter_burn=recenter_burn, verbose=verbose,
                      init=init)
-            self.writeToHDF5(checkpoint)
+            flush()
         while int(self.chain_free.shape[1]) < target:
             step = min(interval, target - int(self.chain_free.shape[1]))
             self.extend(step * thin_i, verbose=verbose)
-            self.writeToHDF5(checkpoint)
+            flush()
         return self
 
     # -- device-side summaries -------------------------------------------------
@@ -984,6 +998,9 @@ class BatchEngine:
         spec = self._effective_spec()
         lnprob_data, free_space = self._engine_lnprob(spec)
         self.free_space = free_space
+        # the spec THIS run samples under: writeToHDF5 persists it so a
+        # post-run fix_param() cannot re-label reloaded chain columns
+        self._run_spec = spec
         self.thin = int(thin)
         S, W = self.nsources, self.nwalkers
         d = free_space.nfree
@@ -1279,6 +1296,9 @@ class BatchEngine:
         spec = self._effective_spec()
         lnprob_data, free_space = self._engine_lnprob(spec)
         self.free_space = free_space
+        # the spec THIS run samples under: writeToHDF5 persists it so a
+        # post-run fix_param() cannot re-label reloaded chain columns
+        self._run_spec = spec
         if not (np.all(np.isfinite(free_space.lower))
                 and np.all(np.isfinite(free_space.upper))):
             raise ValueError(
@@ -1455,6 +1475,9 @@ class BatchEngine:
         spec = self._effective_spec()
         lnprob_data, free_space = self._engine_lnprob(spec)
         self.free_space = free_space
+        # the spec THIS run samples under: writeToHDF5 persists it so a
+        # post-run fix_param() cannot re-label reloaded chain columns
+        self._run_spec = spec
         if not (np.all(np.isfinite(free_space.lower))
                 and np.all(np.isfinite(free_space.upper))):
             raise ValueError(

@@ -534,6 +534,7 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
                                  whiten=whiten)
         samp = self._fused
         self.free_space = samp.free_space
+        self._run_spec = spec       # see batchengine: persisted spec
         self.thin = int(thin)
         S, nw = self.nsources, self.nwalkers
         fs = samp.free_space
@@ -820,7 +821,11 @@ class MultiFitter(BatchEngine, ParamSpaceMixin):
         Reload with MultiFitter.from_h5."""
         import h5py
         self._require_run()
-        spec = self._effective_spec()
+        # Persist the spec the RUN sampled under (recorded at run time),
+        # not the current one: a fix_param()/set_gaussian_prior() edit
+        # between run() and save would otherwise re-label or drop chain
+        # columns on reload (from_h5 rebuilds free_space from this).
+        spec = getattr(self, "_run_spec", None) or self._effective_spec()
         t = max(int(thin), 1)
         chain = np.asarray(self.chain_free[:, ::t], np.float32)
         lnp = np.asarray(self.lnprobability[:, ::t], np.float32)

@@ -75,9 +75,14 @@ class ParamSpaceMixin:
         i = self._param_index(param)
         pm = self._spec.prior_mean.copy()
         ps = self._spec.prior_isigma.copy()
+        if not _np.isfinite(mean):
+            raise ValueError(f"prior mean must be finite; got {mean!r}")
         pm[i] = float(mean)
-        if sigma <= 0:
-            raise ValueError("prior sigma must be positive")
+        # NOT `sigma <= 0`: NaN compares False and would silently set
+        # prior_isigma = NaN, making every lnprob NaN (stuck chains)
+        if not (_np.isfinite(sigma) and sigma > 0):
+            raise ValueError(
+                f"prior sigma must be positive and finite; got {sigma!r}")
         ps[i] = 1.0 / float(sigma)
         self._spec = _replace(self._spec, prior_mean=pm, prior_isigma=ps)
         return self

@@ -359,6 +359,9 @@ class SEDFitter(ParamSpaceMixin):
         if not isinstance(model, SEDModel):
             raise TypeError("model must be an SEDModel")
         model.validate()
+        from mbb_emcee_tpu.utils.compilecache import (
+            enable_persistent_cache)
+        enable_persistent_cache()
         self.model = model
         self.nwalkers = int(nwalkers)
         self.redshift = None if redshift is None else float(redshift)

@@ -68,6 +68,9 @@ class SEDMultiFitter(BatchEngine, ParamSpaceMixin):
         if not isinstance(model, SEDModel):
             raise TypeError("model must be an SEDModel")
         model.validate()
+        from mbb_emcee_tpu.utils.compilecache import (
+            enable_persistent_cache)
+        enable_persistent_cache()
         self.model = model
         self.nwalkers = int(nwalkers)
         if self.nwalkers % 2:
@@ -486,10 +489,16 @@ class SEDMultiFitter(BatchEngine, ParamSpaceMixin):
             def one(theta, lam_s, w_s):
                 return jnp.sum(w_s * fnu(theta, lam_s))
 
-            integ = np.asarray(jax.jit(jax.vmap(jax.vmap(
-                one, in_axes=(0, None, None)), in_axes=(0, 0, 0)))(
-                    samples, jnp.asarray(lam, jnp.float32),
-                    jnp.asarray(w, jnp.float32)), np.float64)
+            batched = jax.jit(jax.vmap(jax.vmap(
+                one, in_axes=(0, None, None)), in_axes=(0, 0, 0)))
+            lam_j = jnp.asarray(lam, jnp.float32)
+            w_j = jnp.asarray(w, jnp.float32)
+            # sample-axis chunking bounds the (S, N, nodes) device
+            # intermediates (see BatchEngine._chunked_samples; the MBB
+            # batch twin routes the same computation through it)
+            integ = self._chunked_samples(
+                lambda s: batched(s, lam_j, w_j), samples,
+                int(lam.shape[-1]))
             prefac = derived.lir_prefactor(
                 self._dl_mpc(z, lumdists, cosmology))[:, None]
         else:
@@ -500,8 +509,9 @@ class SEDMultiFitter(BatchEngine, ParamSpaceMixin):
             zi = self.model.param_index(z_param)
             one_z = derived.lir_zparam_integrand(fnu, zi, wavemin,
                                                  wavemax)
-            integ = np.asarray(
-                jax.jit(jax.vmap(jax.vmap(one_z)))(samples), np.float64)
+            integ = self._chunked_samples(
+                jax.jit(jax.vmap(jax.vmap(one_z))), samples,
+                derived.LIR_NODES)
             zmat = np.asarray(samples[..., zi], np.float64)  # (S, N)
             from mbb_emcee_tpu.models.cosmology import (
                 luminosity_distance_batch)
@@ -535,8 +545,8 @@ class SEDMultiFitter(BatchEngine, ParamSpaceMixin):
             return jnp.exp(um)
 
         samples = self._thinned(thin)
-        self.peaklambda_chain = np.asarray(
-            jax.jit(jax.vmap(jax.vmap(peak)))(samples), np.float64)
+        self.peaklambda_chain = self._chunked_samples(
+            jax.jit(jax.vmap(jax.vmap(peak))), samples, 8)
         return self.peaklambda_chain
 
     def peaklambda_cen(self, percentile=68.3):
@@ -549,8 +559,9 @@ class SEDMultiFitter(BatchEngine, ParamSpaceMixin):
         fnu = self.model.fnu
         waves_j = jnp.asarray(np.atleast_1d(waves), jnp.float32)
         samples = self._thinned(thin)
-        fluxes = np.asarray(jax.jit(jax.vmap(jax.vmap(
-            lambda th: fnu(th, waves_j))))(samples), np.float64)
+        fluxes = self._chunked_samples(
+            jax.jit(jax.vmap(jax.vmap(lambda th: fnu(th, waves_j)))),
+            samples, int(waves_j.size))
         return derived.sed_band(fluxes, percentile, sample_axis=1)
 
     # -- persistence -----------------------------------------------------------------------
@@ -611,7 +622,9 @@ class SEDMultiFitter(BatchEngine, ParamSpaceMixin):
                     [n.encode() for n in self.source_names]))
             if self.redshifts is not None:
                 f.create_dataset("Redshifts", data=self.redshifts)
-            spec = self._spec
+            # the spec the RUN sampled under (see multifit.writeToHDF5:
+            # post-run spec edits must not re-label reloaded columns)
+            spec = getattr(self, "_run_spec", None) or self._spec
             pc = f.create_group("ParamConfig")
             pc.create_dataset("Lower", data=spec.lower)
             pc.create_dataset("Upper", data=spec.upper)
@@ -621,6 +634,13 @@ class SEDMultiFitter(BatchEngine, ParamSpaceMixin):
             pc.create_dataset("PriorInvSigma", data=spec.prior_isigma)
             pc.create_dataset("Initial", data=self._init)
             pc.create_dataset("InitScatter", data=self._scatter)
+            # which init centers/scatters the USER set explicitly: a
+            # reloaded fitter must not let apply_model_guess overwrite
+            # them on a re-run (the guess hook defers to user values)
+            pc.create_dataset("UserInit",
+                              data=self._user_init.astype(np.uint8))
+            pc.create_dataset("UserScatter",
+                              data=self._user_scatter.astype(np.uint8))
             if spec.uplim_bands is not None:
                 pc.create_dataset("PhotUpperLimits",
                                   data=np.asarray(spec.uplim_bands,
@@ -710,6 +730,9 @@ class SEDMultiFitter(BatchEngine, ParamSpaceMixin):
                 uplim_bands=uplim)
             mf._init = np.asarray(pc["Initial"], np.float64)
             mf._scatter = np.asarray(pc["InitScatter"], np.float64)
+            if "UserInit" in pc:
+                mf._user_init = np.asarray(pc["UserInit"], bool)
+                mf._user_scatter = np.asarray(pc["UserScatter"], bool)
             if "BandCorrelation" in pc:
                 mf._band_corr = np.asarray(pc["BandCorrelation"],
                                            np.float64)

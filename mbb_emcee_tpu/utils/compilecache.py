@@ -33,7 +33,10 @@ def enable_persistent_cache(path: str | None = None) -> bool:
     configured by the user), False if disabled or unavailable.
     """
     global _done
-    if os.environ.get("MBB_EMCEE_TPU_NO_COMPILE_CACHE"):
+    # "=1 disables": "0"/"false"/"" must keep the cache ON (a wrapper
+    # exporting VAR=0 means enabled, not disabled)
+    if os.environ.get("MBB_EMCEE_TPU_NO_COMPILE_CACHE",
+                      "").strip().lower() not in ("", "0", "false", "no"):
         return False
     if _done:
         return True

@@ -31,7 +31,7 @@ class StepTimer:
     """Walker-steps/sec meter.
 
     >>> t = StepTimer(nwalkers=250)
-    >>> with t.phase("production"):
+    >>> with t.phase("production", nsteps=1000):
     ...     run()               # doctest: +SKIP
     >>> t.report()              # doctest: +SKIP
     """

@@ -111,6 +111,41 @@ def test_fixed_param_stays_fixed():
     assert fit.free_space.nfree == 3
 
 
+def test_gaussian_prior_rejects_nonfinite():
+    """Regression (review): NaN sigma passed `sigma <= 0` (NaN compares
+    False) and silently poisoned every lnprob with a NaN prior term."""
+    fit, _ = _fit(opthin=True, noalpha=True)
+    with pytest.raises(ValueError, match="positive and finite"):
+        fit.set_gaussian_prior("T", 30.0, float("nan"))
+    with pytest.raises(ValueError, match="positive and finite"):
+        fit.set_gaussian_prior("T", 30.0, float("inf"))
+    with pytest.raises(ValueError, match="finite"):
+        fit.set_gaussian_prior("T", float("nan"), 4.0)
+    with pytest.raises(ValueError, match="positive"):
+        fit.set_gaussian_prior("T", 30.0, 0.0)
+
+
+def test_compile_cache_env_semantics(monkeypatch):
+    """Regression (review): MBB_EMCEE_TPU_NO_COMPILE_CACHE=0/false must
+    keep the cache ENABLED ('=1 disables'); only truthy values disable."""
+    from mbb_emcee_tpu.utils import compilecache
+
+    def probe(val):
+        if val is None:
+            monkeypatch.delenv("MBB_EMCEE_TPU_NO_COMPILE_CACHE",
+                               raising=False)
+        else:
+            monkeypatch.setenv("MBB_EMCEE_TPU_NO_COMPILE_CACHE", val)
+        return compilecache.enable_persistent_cache()
+
+    # disabled only for truthy values
+    assert probe("1") is False
+    assert probe("true") is False
+    # "0"/"false"/"" keep it on (returns True once configured)
+    for v in (None, "0", "false", "no", ""):
+        assert probe(v) is True, v
+
+
 def test_limits_clip_chain():
     fit, _ = _fit(opthin=True, noalpha=True)
     fit.set_lowlim("T", 25.0).set_uplim("T", 40.0)

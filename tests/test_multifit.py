@@ -247,6 +247,23 @@ def test_multifit_response_mode():
         assert np.all((0.0 <= p.p_value) & (p.p_value <= 1.0))
 
 
+def test_write_persists_run_spec_not_current(fitted, tmp_path):
+    """Regression (review): writeToHDF5 stores the spec the RUN sampled
+    under, so fix_param() between run() and save cannot re-label the
+    reloaded chain columns."""
+    mf = fitted
+    before = mf.par_cen("T").copy()
+    mf.fix_param("T", 40.0)
+    try:
+        path = str(tmp_path / "runspec.h5")
+        mf.writeToHDF5(path)
+        back = MultiFitter.from_h5(path)
+        assert back.free_space.nfree == mf.free_space.nfree
+        np.testing.assert_allclose(back.par_cen("T"), before)
+    finally:
+        mf.unfix_param("T")
+
+
 def test_batch_hdf5_roundtrip(fitted, tmp_path):
     mf = fitted
     path = str(tmp_path / "batch.h5")

@@ -271,6 +271,40 @@ def test_hdf5_roundtrip_and_continue(batch_fit, tmp_path):
         SEDMultiFitter.from_h5(path, other)
 
 
+def test_write_persists_run_spec_not_current(batch_fit, tmp_path):
+    """Regression (review): writeToHDF5 must store the spec the RUN
+    sampled under; a fix_param() between run() and save used to make
+    from_h5 rebuild a 4-free-column space against a 5-column chain
+    (wrong columns / fixed-value summaries)."""
+    truths, mf = batch_fit
+    before = mf.par_cen("T_warm").copy()
+    mf.fix_param("T_warm", 40.0)            # intent: configure a LATER run
+    try:
+        path = str(tmp_path / "spec.h5")
+        mf.writeToHDF5(path)
+        back = SEDMultiFitter.from_h5(path, _model())
+        assert back.free_space.nfree == mf.free_space.nfree
+        np.testing.assert_allclose(back.par_cen("T_warm"), before)
+    finally:
+        mf.unfix_param("T_warm")
+
+
+def test_user_init_flags_persist(tmp_path):
+    """Regression (review): a reloaded fitter must keep remembering
+    WHICH init centers the user set explicitly, so a re-run's
+    apply_model_guess cannot overwrite them."""
+    truths, flux, unc = _mock_batch()
+    mf = _fitter(flux, unc, redshifts=np.full(8, 2.0))
+    mf.set_param_init("T_cold", 17.5, 2.0)
+    mf.run(nburn=10, nsteps=20)
+    path = str(tmp_path / "ui.h5")
+    mf.writeToHDF5(path)
+    back = SEDMultiFitter.from_h5(path, _model())
+    i = _model().param_index("T_cold")
+    assert back._user_init[i] and back._user_scatter[i]
+    assert back._init[i] == pytest.approx(17.5)
+
+
 def test_response_mode_batch():
     """Named bands + response curves flow through the batched builder."""
     from mbb_emcee_tpu.response import ResponseSet
