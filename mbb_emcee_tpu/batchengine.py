@@ -677,8 +677,12 @@ class BatchEngine:
             # does): h5py mode 'w' truncates in place, so a kill during
             # the seconds-long gzip write would destroy the only
             # checkpoint -- the exact loss the file exists to prevent.
+            # The tmp name keeps the extension: adapter writeToHDF5
+            # hooks may be extension-sensitive (np.savez appends .npz
+            # to anything else).
             import os
-            tmp = checkpoint + ".tmp"
+            root, ext = os.path.splitext(checkpoint)
+            tmp = root + ".tmp" + ext
             self.writeToHDF5(tmp)
             os.replace(tmp, checkpoint)
 
